@@ -1,0 +1,111 @@
+"""Log-event data model.
+
+Reference: a fluent-bit event is (timestamp, metadata-map, body-map) grouped
+in chunks labeled with a *tag* (include/fluent-bit/flb_log_event.h:52-61;
+tag routing src/flb_router.c:140). Here an event stream is simply a DataFrame
+with conventional columns:
+
+- ``tag``        StringType        -- routing key (per-row, was per-chunk)
+- ``timestamp``  TimestampType     -- event time (fluent-bit: sec+nsec; Spark
+                                      holds microseconds, ``ts_nanos`` keeps
+                                      the sub-microsecond remainder if needed)
+- body keys      typed columns     -- the record map, schema-on-read
+
+A schemaless body (fluent-bit is msgpack, schema-free) is represented either
+as typed columns (parquet / structured sources) or as a single ``body``
+MapType/StringType column parsed on demand via the parsers in
+``fluent_bit_spark.functions.parsers``. This keeps the hot path inside
+whole-stage codegen instead of forcing a variant interpreter per row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TAG_COL = "tag"
+TS_COL = "timestamp"
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as a long
+    (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
+    timestamp here, truncating exactly as DuckDB does, so oracle value
+    hashes line up.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for f_ in df.schema.fields:
+        if name == "events" and f_.name == "ts" and isinstance(f_.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def events_as_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``events`` table viewed as a tagged log-event stream.
+
+    tag = 'events.<event_type>' mirrors fluent-bit's dotted tag convention
+    (e.g. 'kube.ns.pod'); timestamp = ts. Used by tag-routing / window /
+    throttle queries.
+    """
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn(TAG_COL, F.concat(F.lit("events."), F.col("event_type"))).withColumnRenamed(
+        "ts", TS_COL
+    )
+
+
+def with_tag(df: DataFrame, tag: str) -> DataFrame:
+    return df.withColumn(TAG_COL, F.lit(tag))
+
+
+def read_json_events(
+    spark: SparkSession,
+    path_or_rows,
+    tag: str = "samples",
+    schema: T.StructType | None = None,
+    base_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Load a JSON-lines fixture (the reference's test corpus format,
+    tests/internal/data/stream_processor/samples.json) as a tagged event
+    DataFrame with synthetic monotonically-increasing timestamps.
+    """
+    if isinstance(path_or_rows, str):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(path_or_rows)
+    else:
+        df = spark.createDataFrame(path_or_rows, schema=schema)
+    w_id = F.monotonically_increasing_id()
+    return (
+        df.withColumn(TAG_COL, F.lit(tag))
+        .withColumn("_seq", w_id)
+        .withColumn(
+            TS_COL,
+            F.timestamp_seconds(F.unix_timestamp(F.lit(base_ts)) + F.col("_seq")),
+        )
+        .drop("_seq")
+    )
