@@ -25,8 +25,10 @@ from pyspark.sql import types as T
 
 from fluent_bit_spark.model import TAG_COL
 
+BODY_COL = "body"  # schemaless (VariantType) body column, if present
+
 _PATH_RE = re.compile(
-    r"""^\$(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?P<subs>(\[('[^']*'|"[^"]*"|\d+)\])*)$"""
+    r"""^\$?(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?P<subs>(\[('[^']*'|"[^"]*"|\d+)\])*)$"""
 )
 _SUB_RE = re.compile(r"""\[('(?P<s1>[^']*)'|"(?P<s2>[^"]*)"|(?P<i>\d+))\]""")
 
@@ -53,9 +55,12 @@ class RecordAccessor:
 
 
 def parse_accessor(path: str) -> RecordAccessor:
-    """Parse ``$key['a'][0]`` / ``$TAG[1]`` / bare ``key``."""
+    """Parse ``$key['a'][0]`` / ``key['a'][0]`` / ``$TAG[1]`` / bare ``key``.
+
+    The SP dialect allows subscripted keys without the ``$`` sigil
+    (sql.y record_key; see tests/internal/include/sp_select_subkeys.h)."""
     path = path.strip()
-    if not path.startswith("$"):
+    if not path.startswith("$") and "[" not in path:
         return RecordAccessor(name=path)
     m = _PATH_RE.match(path)
     if not m:
@@ -105,10 +110,23 @@ def resolve(df: DataFrame, acc: RecordAccessor) -> tuple[Column, T.DataType] | N
     schema = df.schema
     names = {f_.name: f_.dataType for f_ in schema.fields}
     if acc.name not in names:
+        # schemaless fallback: VariantType body column (fluent-bit's
+        # msgpack record map). Missing key -> SQL NULL; explicit JSON null
+        # -> variant-null — the distinction the reference's IS NULL tests
+        # rely on (tests/internal/include/sp_select_keys.h cond_null).
+        if BODY_COL in names and isinstance(names[BODY_COL], T.VariantType):
+            path = "$." + acc.name + "".join(
+                f"[{k}]" if isinstance(k, int) else f".{k}" for k in acc.subkeys
+            )
+            return F.try_variant_get(F.col(BODY_COL), path, "variant"), T.VariantType()
         return None
     col = F.col(acc.name)
     dtype: T.DataType = names[acc.name]
     for key in acc.subkeys:
+        if isinstance(dtype, T.VariantType):
+            path = f"$[{key}]" if isinstance(key, int) else f"$.{key}"
+            col = F.try_variant_get(col, path, "variant")
+            continue
         nxt = _field_type(dtype, key)
         if nxt is None:
             return None

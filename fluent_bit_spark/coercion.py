@@ -47,6 +47,8 @@ def kind_of(dtype: T.DataType) -> str:
         return "bool"
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return "time"
+    if isinstance(dtype, T.VariantType):
+        return "variant"
     return "other"
 
 
@@ -85,6 +87,18 @@ def fb_compare(
         return F.lit(False)
 
     lk, rk = left_kind, right_kind
+    # variant side adapts to the other operand's type (the reference's
+    # dynamic msgpack value lattice, flb_sp_key.c:54-95)
+    if lk == "variant" and rk == "variant":
+        num_cmp = _apply_op(left.try_cast("double"), right.try_cast("double"), op)
+        str_cmp = _apply_op(left.cast("string"), right.cast("string"), op)
+        return F.coalesce(num_cmp, str_cmp, F.lit(False))
+    if lk == "variant":
+        left = _variant_as(left, rk)
+        lk = rk
+    elif rk == "variant":
+        right = _variant_as(right, lk)
+        rk = lk
     if lk == "bool" or rk == "bool":
         if lk == "bool" and rk == "bool" and op in ("=", "!=", "<>"):
             return F.coalesce(_apply_op(left, right, op), F.lit(False))
@@ -109,6 +123,27 @@ def fb_compare(
     else:
         return F.lit(False)
     return F.coalesce(_apply_op(left, right, op), F.lit(False))
+
+
+def _variant_as(col: Column, kind: str) -> Column:
+    """Cast a variant value toward the other operand's kind; unconvertible
+    values -> NULL -> comparison folds to FALSE."""
+    if kind == "num":
+        return col.try_cast("double")
+    if kind == "str":
+        return col.try_cast("string")
+    if kind == "bool":
+        return col.try_cast("boolean")
+    if kind == "time":
+        return col.try_cast("timestamp")
+    return col.try_cast("string")
+
+
+def variant_is_null(col: Column) -> Column:
+    """fluent-bit IS NULL on a schemaless body: TRUE only when the key is
+    PRESENT with an explicit null value; a missing key is neither NULL nor
+    NOT NULL-failing (sp_select_keys.h cond_null/cond_not_null goldens)."""
+    return F.coalesce(F.is_variant_null(col), F.lit(False))
 
 
 def lit_kind(value) -> str:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -81,6 +81,35 @@ def with_tag(df: DataFrame, tag: str) -> DataFrame:
     return df.withColumn(TAG_COL, F.lit(tag))
 
 
+def read_json_events_variant(
+    spark: SparkSession,
+    path_or_lines,
+    tag: str = "samples",
+    base_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Schemaless mode: JSON-lines -> (tag, timestamp, body VariantType).
+
+    This is the faithful analog of the reference's msgpack record map —
+    missing keys vs explicit nulls stay distinguishable, values keep
+    dynamic types, and the SP engine resolves keys via variant paths.
+    """
+    if isinstance(path_or_lines, str):
+        df = spark.read.text(path_or_lines).withColumn("_mid", F.monotonically_increasing_id())
+        # contiguous 0..n-1 sequence in file order (monotonic ids are
+        # partition-offset, NOT contiguous — don't use them as seconds)
+        w = Window.orderBy("_mid")
+        df = df.withColumn("_seq", F.row_number().over(w) - 1).drop("_mid")
+    else:
+        df = spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(path_or_lines)], ["_seq", "value"]
+        )
+    return df.select(
+        F.lit(tag).alias(TAG_COL),
+        F.timestamp_seconds(F.unix_timestamp(F.lit(base_ts)) + F.col("_seq")).alias(TS_COL),
+        F.parse_json(F.col("value")).alias("body"),
+    )
+
+
 def read_json_events(
     spark: SparkSession,
     path_or_rows,
@@ -99,10 +128,10 @@ def read_json_events(
         df = reader.json(path_or_rows)
     else:
         df = spark.createDataFrame(path_or_rows, schema=schema)
-    w_id = F.monotonically_increasing_id()
+    w = Window.orderBy(F.monotonically_increasing_id())
     return (
         df.withColumn(TAG_COL, F.lit(tag))
-        .withColumn("_seq", w_id)
+        .withColumn("_seq", F.row_number().over(w) - 1)
         .withColumn(
             TS_COL,
             F.timestamp_seconds(F.unix_timestamp(F.lit(base_ts)) + F.col("_seq")),

@@ -84,6 +84,8 @@ def _truthy(df: DataFrame, e: ast.Expr, time_col: str) -> Column:
         return F.coalesce(col != 0, F.lit(False))
     if kind == "str":
         return F.coalesce(col != "", F.lit(False))
+    if kind == "variant":
+        return F.coalesce(col.try_cast("boolean"), col.try_cast("double") != 0, F.lit(False))
     return col.isNotNull()
 
 
@@ -102,8 +104,10 @@ def compile_condition(df: DataFrame, e: ast.Expr, time_col: str = TS_COL) -> Col
         col, kind = _operand(df, e.operand, time_col)
         if col is None:
             base = F.lit(kind in ("missing", "null"))
+        elif kind == "variant":
+            base = coercion.variant_is_null(col)
         else:
-            base = col.isNull()
+            base = F.coalesce(col.isNull(), F.lit(True))
         return ~base if e.negated else base
     return _truthy(df, e, time_col)
 
@@ -129,7 +133,10 @@ def _agg_input(df: DataFrame, acc: RecordAccessor, str_conv: bool) -> Column:
     if r is None:
         return F.lit(None).cast("double")
     col, dtype = r
-    if coercion.kind_of(dtype) == "str" and str_conv:
+    kind = coercion.kind_of(dtype)
+    if kind == "variant":
+        return col.try_cast("double")  # dynamic values aggregate numerically
+    if kind == "str" and str_conv:
         # stream_processor_str_conv: numeric-looking strings aggregate as
         # numbers (flb_sp.c:361-400 object_to_number)
         return col.try_cast("double")
@@ -177,10 +184,23 @@ def _aggregate(
 ) -> DataFrame:
     gb_exprs: list[Column] = []
     gb_names: dict[tuple, str] = {}
+    gb_variant: set[str] = set()
     for i, acc in enumerate(sel.group_by):
         r = resolve(df, acc)
-        col = r[0] if r is not None else F.lit(None)
         name = f"__gb{i}"
+        if r is None:
+            col = F.lit(None)
+        elif isinstance(r[1], T.VariantType):
+            # variant isn't groupable directly; group on its canonical JSON
+            # and re-parse for output (dynamic-type GROUP BY keys, SURVEY §7).
+            # Records MISSING the group key (SQL NULL; explicit variant-null
+            # is still present) are skipped — reference drops them (rbtree
+            # group lookup fails, sp_cb_functions.h groupby goldens = 3 rows)
+            df = df.filter(r[0].isNotNull())
+            col = F.to_json(r[0])
+            gb_variant.add(name)
+        else:
+            col = r[0]
         gb_exprs.append(col.alias(name))
         gb_names[(acc.name, acc.subkeys)] = name
 
@@ -199,7 +219,8 @@ def _aggregate(
     for j, k in enumerate(sel.keys):
         if k.kind == "key":
             name = gb_names[(k.accessor.name, k.accessor.subkeys)]
-            post.append((k.out_name(), F.col(name)))
+            expr = F.parse_json(F.col(name)) if name in gb_variant else F.col(name)
+            post.append((k.out_name(), expr))
             continue
         if k.kind == "func":
             post.append((k.out_name(), _func_column(k.func, time_col, tag_col)))

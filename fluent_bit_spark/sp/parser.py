@@ -30,7 +30,8 @@ _TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.)*')
-  | (?P<accessor>\$[A-Za-z_][A-Za-z0-9_]*(?:\[(?:'[^']*'|"[^"]*"|\d+)\])*)
+  | (?P<accessor>\$[A-Za-z_][A-Za-z0-9_]*(?:\[(?:'[^']*'|"[^"]*"|\d+)\])*
+                |[A-Za-z_][A-Za-z0-9_]*(?:\[(?:'[^']*'|"[^"]*"|\d+)\])+)
   | (?P<record>@record\.(?:contains|time))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<op><>|!=|<=|>=|=|<|>)
@@ -173,17 +174,23 @@ class Parser:
         window = None
         group_by: list[RecordAccessor] = []
         limit = None
-        if self.accept_kw("WHERE"):
-            where = self._expr()
-        if self.accept_kw("WINDOW"):
-            window = self._window()
-        if self.accept_kw("GROUP"):
-            self.expect_kw("BY")
-            group_by = [self._accessor_token()]
-            while self.accept("punct", ","):
-                group_by.append(self._accessor_token())
-        if self.accept_kw("LIMIT"):
-            limit = int(self.expect("int").value)
+        # the reference grammar permits WINDOW both before and after WHERE
+        # (sp_window.h queries use 'WINDOW ... WHERE ...'); accept clauses
+        # in any order
+        while True:
+            if where is None and self.accept_kw("WHERE"):
+                where = self._expr()
+            elif window is None and self.accept_kw("WINDOW"):
+                window = self._window()
+            elif not group_by and self.accept_kw("GROUP"):
+                self.expect_kw("BY")
+                group_by = [self._accessor_token()]
+                while self.accept("punct", ","):
+                    group_by.append(self._accessor_token())
+            elif limit is None and self.accept_kw("LIMIT"):
+                limit = int(self.expect("int").value)
+            else:
+                break
         sel = ast.Select(
             keys=keys, source=source, where=where, window=window,
             group_by=group_by, limit=limit,
@@ -339,10 +346,10 @@ class Parser:
         if t.kind == "string":
             self.next()
             return ast.Lit(self._string_value(t.value))
-        if t.kind == "kw" and t.value in ("TRUE", "FALSE"):
+        if t.kind == "kw" and t.value.upper() in ("TRUE", "FALSE"):
             self.next()
-            return ast.Lit(t.value == "TRUE")
-        if t.kind == "kw" and t.value == "NULL":
+            return ast.Lit(t.value.upper() == "TRUE")
+        if t.kind == "kw" and t.value.upper() == "NULL":
             self.next()
             return ast.Lit(None)
         if t.kind in ("accessor", "ident"):

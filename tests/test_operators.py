@@ -1,0 +1,154 @@
+"""Operator-library tests mirroring the reference runtime tests
+(tests/runtime/filter_*.c cases: grep AND/OR, modify conditions, nest/lift
+roundtrip, throttle drop counts, rewrite_tag capture refs, ...).
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from fluent_bit_spark.operators.grep import grep
+from fluent_bit_spark.operators.modify import Condition, modify
+from fluent_bit_spark.operators.nest import lift, nest
+from fluent_bit_spark.operators.record_modifier import record_modifier
+from fluent_bit_spark.operators.content_modifier import content_modifier
+from fluent_bit_spark.operators.conditions import Rule, conditions
+from fluent_bit_spark.operators.expect import expect
+from fluent_bit_spark.operators.routing import route
+from fluent_bit_spark.operators.rewrite_tag import rewrite_tag
+from fluent_bit_spark.operators.lookup import checklist, enrich
+from fluent_bit_spark.typecast import type_converter
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = [
+        Row(tag="app.access", level="info", msg="GET /index 200", host="web1", size="1024"),
+        Row(tag="app.access", level="warn", msg="GET /admin 403", host="web2", size="55"),
+        Row(tag="app.error", level="error", msg="boom NullPointerException", host="web1", size="0"),
+        Row(tag="db.query", level="info", msg="SELECT ok", host="db1", size="77"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_grep_keep_and_exclude(logs):
+    assert grep(logs, [("regex", "msg", "GET")]).count() == 2
+    assert grep(logs, [("exclude", "level", "error")]).count() == 3
+    # AND of keep+exclude
+    assert grep(logs, [("regex", "msg", "GET"), ("exclude", "level", "warn")]).count() == 1
+    # OR
+    assert grep(logs, [("regex", "level", "error"), ("regex", "host", "db1")], "OR").count() == 2
+    # missing key never matches
+    assert grep(logs, [("regex", "nope", ".*")]).count() == 0
+    assert grep(logs, [("exclude", "nope", ".*")]).count() == 4
+
+
+def test_modify_rules(logs):
+    out = modify(
+        logs,
+        [
+            ("rename", "host", "hostname"),
+            ("add", "service", "web"),
+            ("set", "level", "normalized"),
+            ("copy", "msg", "msg_copy"),
+            ("remove", "size"),
+        ],
+    )
+    assert "hostname" in out.columns and "host" not in out.columns
+    assert "size" not in out.columns
+    r = out.filter(F.col("tag") == "db.query").collect()[0]
+    assert r.service == "web" and r.level == "normalized" and r.msg_copy == "SELECT ok"
+
+
+def test_modify_conditional(logs):
+    out = modify(
+        logs,
+        [("set", "flag", "errorish")],
+        conds=[Condition("key_value_equals", "level", "error")],
+    )
+    got = {r.tag: r.flag for r in out.collect()}
+    assert got["app.error"] == "errorish"
+    assert got["db.query"] is None
+
+
+def test_modify_remove_wildcard(logs):
+    out = modify(logs, [("remove_wildcard", "ms")])
+    assert "msg" not in out.columns
+
+
+def test_nest_lift_roundtrip(logs):
+    nested = nest(logs, "m*", nest_under="meta")
+    assert "msg" not in nested.columns and "meta" in nested.columns
+    back = lift(nested, "meta")
+    assert set(back.columns) == set(logs.columns)
+    assert back.count() == logs.count()
+
+
+def test_nest_prefix_handling(logs):
+    nested = nest(logs, "host", "h", add_prefix="x_")
+    assert nested.select(F.col("h.x_host")).count() == 4
+
+
+def test_record_modifier(logs):
+    out = record_modifier(
+        logs, allowlist_keys=["tag", "msg"], records={"env": "prod"}, uuid_key="rid"
+    )
+    assert set(out.columns) == {"tag", "msg", "env", "rid"}
+    assert out.filter(F.length("rid") == 36).count() == 4
+
+
+def test_type_converter(logs):
+    out = type_converter(logs, [("size", "size_int", "int"), ("size", "size_f", "float")])
+    r = out.filter(F.col("tag") == "app.access").orderBy("size").collect()
+    assert r[0].size_int == 1024 and isinstance(r[0].size_f, float)
+
+
+def test_content_modifier_chain(logs):
+    out = content_modifier(logs, "hash", "host")
+    assert out.filter(F.length("host") == 64).count() == 4
+    out2 = content_modifier(
+        logs, "extract", "msg", pattern=r"(?P<verb>GET|POST) (?P<path>\S+)"
+    )
+    got = out2.filter(F.col("verb") == "GET").count()
+    assert got == 2
+    out3 = content_modifier(logs, "convert", "size", converted_type="int")
+    assert dict(out3.dtypes)["size"] == "bigint"
+
+
+def test_conditions_engine(logs):
+    c = conditions(logs, [Rule("level", "in", ["warn", "error"]), Rule("msg", "regex", "GET")], "AND")
+    assert logs.filter(c).count() == 1
+    c2 = conditions(logs, [Rule("size", "gt", 100)])  # string "1024" > 100 via coercion
+    assert logs.filter(c2).count() == 1
+
+
+def test_expect(logs):
+    out = expect(logs, [("key_exists", "msg")], action="count").collect()[0]
+    assert out.records == 4 and out.violations == 0
+    with pytest.raises(AssertionError):
+        expect(logs, [("key_val_eq", "level", "info")], action="exit")
+
+
+def test_routing(logs):
+    routes = route(logs, {"all_app": "app.*", "errors": ("*", [Rule("level", "eq", "error")])})
+    assert routes["all_app"].count() == 3
+    assert routes["errors"].count() == 1
+
+
+def test_rewrite_tag_with_captures(logs):
+    out = rewrite_tag(logs, [("msg", r"GET (/\w+)", "http.$1", False)])
+    tags = {r.msg: r.tag for r in out.collect()}
+    assert tags["GET /index 200"] == "http./index"
+    assert tags["boom NullPointerException"] == "app.error"  # unmatched keeps tag
+    # keep=True duplicates the matched records under the original tag
+    kept = rewrite_tag(logs, [("msg", r"GET (/\w+)", "http.$1", True)])
+    assert kept.count() == 6
+
+
+def test_checklist_and_enrich(spark, logs):
+    wl = spark.createDataFrame([Row(v="web1"), Row(v="web9")])
+    out = checklist(logs, wl, key="host", list_key="v", set_values={"watched": True})
+    got = {r.host: r.watched for r in out.collect()}
+    assert got["web1"] is True and got["web2"] is None
+    dim = spark.createDataFrame([Row(host="web1", dc="us-east"), Row(host="web2", dc="eu-west")])
+    enriched = enrich(logs, dim, on="host", select_map={"dc": "datacenter"})
+    assert enriched.filter(F.col("datacenter") == "us-east").count() == 2

@@ -1,0 +1,161 @@
+"""Parsing-layer tests: regex (apache), logfmt, ltsv, json, time formats,
+multiline sessionization, throttle, metrics derivation.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from fluent_bit_spark.functions.parsers import (
+    JsonParser,
+    LogfmtParser,
+    LtsvParser,
+    RegexParser,
+)
+from fluent_bit_spark.functions.timefmt import strptime_to_java
+from fluent_bit_spark.operators.parser_filter import parser_filter
+from fluent_bit_spark.operators.multiline import multiline
+from fluent_bit_spark.operators.throttle import throttle, throttle_size
+from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+from fluent_bit_spark.operators.cumulative_to_delta import cumulative_to_delta
+from fluent_bit_spark.operators.sampling import sample_probabilistic, sample_tail
+
+APACHE = (
+    r'(?P<remote>[^ ]*) [^ ]* (?P<user>[^ ]*) \[(?P<time>[^\]]*)\] '
+    r'"(?P<method>\S+) (?P<path>[^\"]*?) \S+" (?P<code>[^ ]*) (?P<size>[^ ]*)'
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        Row(tag="app.access", line='127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'),
+        Row(tag="app.access", line='10.0.0.5 - - [10/Oct/2000:14:00:01 -0700] "POST /submit HTTP/1.1" 500 512'),
+        Row(tag="app.weird", line="not an access line"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_regex_parser_apache(raw):
+    p = RegexParser(APACHE, types={"code": "int", "size": "int"},
+                    time_key="time", time_format="%d/%b/%Y:%H:%M:%S %z")
+    out = parser_filter(raw, "line", p, reserve_data=True, preserve_key=False)
+    rows = out.filter(F.col("code").isNotNull()).orderBy("code").collect()
+    assert [r.code for r in rows] == [200, 500]
+    assert rows[0].method == "GET" and rows[0].path == "/apache_pb.gif"
+    assert rows[0].size == 2326
+    assert str(rows[0].time).startswith("2000-10-10 20:55:36")  # UTC
+    # unparsed row kept with NULLs (reserve_data)
+    assert out.count() == 3
+    # reserve_data=False drops non-matching rows
+    assert parser_filter(raw, "line", p, reserve_data=False).count() == 2
+
+
+def test_logfmt_parser(spark):
+    df = spark.createDataFrame([
+        Row(line='level=info msg="hello world" size=42'),
+        Row(line='level=error err="bad \\"thing\\"" size=7'),
+    ])
+    out = parser_filter(df, "line", LogfmtParser(), fields=["level", "msg", "size", "err"],
+                        types={"size": "int"})
+    rows = out.orderBy("size").collect()
+    assert rows[0].level == "error" and rows[0].size == 7
+    assert rows[1].msg == "hello world" and rows[1].size == 42
+    assert rows[0].err == 'bad "thing"'
+
+
+def test_ltsv_parser(spark):
+    df = spark.createDataFrame([Row(line="host:web1\tstatus:200\tsize:1024")])
+    out = parser_filter(df, "line", LtsvParser(), fields=["host", "status", "size"],
+                        types={"status": "int"})
+    r = out.collect()[0]
+    assert r.host == "web1" and r.status == 200
+
+
+def test_json_parser_typed(spark):
+    df = spark.createDataFrame([Row(line='{"a": 1, "b": "x", "c": [1,2]}')])
+    p = JsonParser(schema="a INT, b STRING, c ARRAY<INT>")
+    from pyspark.sql.types import StructType
+    import pyspark.sql.types as T
+    p2 = JsonParser(schema=T.StructType().add("a", T.IntegerType()).add("b", T.StringType()))
+    out = parser_filter(df, "line", p2, reserve_data=False)
+    r = out.collect()[0]
+    assert r.a == 1 and r.b == "x"
+
+
+def test_strptime_translation():
+    assert strptime_to_java("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert strptime_to_java("%d/%b/%Y:%H:%M:%S %z") == "dd/MMM/yyyy:HH:mm:ss XX"
+
+
+def test_multiline_java_traces(spark):
+    lines = [
+        (0, "Exception in thread main java.lang.NullPointerException"),
+        (1, "at com.example.Foo.bar(Foo.java:10)"),
+        (2, "at com.example.Main.main(Main.java:4)"),
+        (3, "2024-01-01 ok request handled"),
+        (4, "Caused by: java.io.IOException"),
+    ]
+    df = spark.createDataFrame([Row(seq=s, line=l, tag="jvm") for s, l in lines])
+    out = multiline(df, group_keys=["tag"], mode="java")
+    rows = out.orderBy("seq").collect()
+    assert len(rows) == 2
+    assert rows[0].n_lines == 3 and "Foo.java:10" in rows[0].message
+    assert rows[1].n_lines == 2 and rows[1].message.startswith("2024-01-01")
+
+
+def test_throttle(spark):
+    rows = [Row(timestamp=f"2024-01-01 00:00:{s:02d}", k="a", v=i)
+            for i, s in enumerate([0, 0, 0, 1, 1, 30, 31])]
+    df = spark.createDataFrame(rows).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    # rate 2 per 10-second pane: pane0 has 5 -> keep 2; pane3 has 2 -> keep 2
+    out = throttle(df, rate=2, interval_sec=10, tiebreak=["v"])
+    assert out.count() == 4
+    out2 = throttle_size(df, max_bytes=2, size_col_expr=F.lit(1), interval_sec=10, tiebreak=["v"])
+    assert out2.count() == 4
+
+
+def test_log_to_metrics(spark):
+    rows = [
+        Row(timestamp="2024-01-01 00:00:01", level="error", ms=120.0),
+        Row(timestamp="2024-01-01 00:00:02", level="error", ms=80.0),
+        Row(timestamp="2024-01-01 00:00:03", level="info", ms=10.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    counters = log_to_metrics(df, "counter", "n_logs", label_keys=["level"])
+    got = {r.level: r.value for r in counters.collect()}
+    assert got == {"error": 2.0, "info": 1.0}
+    gauge = log_to_metrics(df, "gauge", "latest_ms", label_keys=["level"], value_field="ms")
+    got = {r.level: r.value for r in gauge.collect()}
+    assert got["error"] == 80.0  # latest by timestamp
+    hist = log_to_metrics(df, "histogram", "ms_hist", value_field="ms", buckets=(50, 100))
+    r = hist.collect()[0]
+    assert r.le_50 == 1.0 and r.le_100 == 2.0 and r.le_inf == 3.0
+
+
+def test_cumulative_to_delta(spark):
+    rows = [
+        Row(timestamp="2024-01-01 00:00:01", series="s1", v=10.0),
+        Row(timestamp="2024-01-01 00:00:02", series="s1", v=15.0),
+        Row(timestamp="2024-01-01 00:00:03", series="s1", v=3.0),   # reset
+        Row(timestamp="2024-01-01 00:00:04", series="s1", v=9.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    out = cumulative_to_delta(df, "v", ["series"]).orderBy("timestamp").collect()
+    assert [r.v_delta for r in out] == [10.0, 5.0, 3.0, 6.0]
+
+
+def test_sampling(spark):
+    df = spark.range(1000).withColumn("trace_id", F.col("id").cast("string"))
+    kept = sample_probabilistic(df, 20, key="trace_id").count()
+    assert 120 < kept < 280  # deterministic, roughly 20%
+    assert sample_probabilistic(df, 20, key="trace_id").count() == kept  # reproducible
+
+    spans = spark.createDataFrame([
+        Row(trace_id="t1", start_ts=0.0, end_ts=5.0, status="OK"),
+        Row(trace_id="t1", start_ts=1.0, end_ts=2.0, status="OK"),
+        Row(trace_id="t2", start_ts=0.0, end_ts=0.1, status="OK"),
+        Row(trace_id="t3", start_ts=0.0, end_ts=0.2, status="ERROR"),
+    ])
+    out = sample_tail(spans, min_latency_sec=3.0, status_col="status")
+    kept_traces = {r.trace_id for r in out.select("trace_id").distinct().collect()}
+    assert kept_traces == {"t1", "t3"}  # slow + errored; t2 dropped

@@ -1,0 +1,84 @@
+"""Port of the reference SP query corpus:
+tests/internal/include/sp_select_keys.h (+ callbacks sp_cb_functions.h)
+over the 11-record samples fixture. Expected row counts / values are the
+reference's own TEST_CHECK goldens.
+"""
+
+import pytest
+
+SELECT_CASES = [
+    ("SELECT * FROM STREAM:FLB;", 11),
+    ("SELECT id, word2 FROM STREAM:FLB;", 11),
+    ("SELECT * FROM STREAM:FLB WHERE bytes > 10.290;", 1),
+    ("SELECT * FROM STREAM:FLB WHERE word2 = 'rlz' OR word3 = 'rlz';", 2),
+    ("SELECT * FROM STREAM:FLB WHERE word2 = 'rlz' AND word3 IS NOT NULL;", 1),
+    ("SELECT * FROM STREAM:FLB WHERE word3 IS NULL;", 1),
+    ("SELECT * FROM STREAM:FLB WHERE bool != true;", 2),
+    ("SELECT * FROM STREAM:FLB WHERE bool <> true;", 2),
+    ("SELECT * FROM STREAM:FLB WHERE bytes <> 10;", 2),
+    ("SELECT COUNT(*) AS c FROM STREAM:FLB;", 1),
+    ("SELECT id FROM TAG:'no-matches' WHERE bytes > 10;", 0),
+    ("SELECT id FROM TAG:'samples' WHERE bytes > 10;", 2),
+    ("SELECT id FROM TAG:'sam*' WHERE bytes > 10;", 2),
+    ("SELECT id FROM TAG:'samples' WHERE bytes = 10 AND @record.contains(word2);", 2),
+    ("SELECT id FROM TAG:'samples' WHERE @record.contains(x);", 0),
+]
+
+
+@pytest.mark.parametrize("sql,expected", SELECT_CASES, ids=[c[0][:60] for c in SELECT_CASES])
+def test_select_corpus_rowcounts(sp, sql, expected):
+    assert sp.sql(sql).count() == expected
+
+
+def test_aggregates_values(sp):
+    row = sp.sql(
+        "SELECT MIN(id) AS mn, MAX(id) AS mx, COUNT(*) AS c, "
+        "SUM(bytes) AS s, AVG(bytes) AS a FROM STREAM:FLB;"
+    ).collect()[0]
+    assert row.mn == 0 and row.mx == 10 and row.c == 11
+    assert row.s == pytest.approx(110.5)
+    assert row.a == pytest.approx(110.5 / 11)
+
+
+def test_groupby_bool(sp):
+    rows = sp.sql(
+        "SELECT bool, COUNT(*) AS c FROM STREAM:FLB "
+        "WHERE word3 IS NOT NULL GROUP BY bool;"
+    ).collect()
+    got = {str(r["bool"]): r["c"] for r in rows}
+    assert got == {"true": 8, "false": 2}
+
+
+def test_count_k_counts_records_not_nonnull(sp):
+    # COUNT(word2) counts records (flb_sp_aggregate_func.c:199-205)
+    row = sp.sql("SELECT COUNT(word2) AS c FROM STREAM:FLB;").collect()[0]
+    assert row.c == 11
+
+
+def test_invalid_queries(sp):
+    # sp_invalid_queries.h analogs: aggregate/bare-key mixes
+    with pytest.raises(ValueError):
+        sp.sql("SELECT word1, COUNT(*) FROM STREAM:FLB;")
+    with pytest.raises(ValueError):
+        sp.sql("SELECT *, COUNT(*) FROM STREAM:FLB;")
+    with pytest.raises(SyntaxError):
+        sp.sql("SELECT FROM STREAM:FLB;")
+
+
+def test_create_stream_chaining(sp):
+    sp.sql(
+        "CREATE STREAM bigbytes WITH (tag='big') AS "
+        "SELECT id, bytes FROM STREAM:FLB WHERE bytes > 10;"
+    )
+    assert sp.sql("SELECT COUNT(*) AS c FROM STREAM:bigbytes;").collect()[0].c == 2
+    assert sp.sql("SELECT id FROM TAG:'big';").count() == 2
+
+
+def test_snapshot_and_flush(sp):
+    sp.sql("CREATE SNAPSHOT snap_t AS SELECT * FROM STREAM:FLB LIMIT 3;")
+    flushed = sp.sql("FLUSH SNAPSHOT snap_t AS SELECT * FROM STREAM:FLB WHERE bytes > 10;")
+    assert flushed.count() == 3  # trigger matched -> snapshot contents emitted
+    not_flushed = sp.sql(
+        "FLUSH SNAPSHOT snap_t AS SELECT * FROM STREAM:FLB WHERE bytes > 9999;"
+    )
+    assert not_flushed.count() == 0
