@@ -1,38 +1,1050 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship query on sf0.001 (Q1-style pricing summary
+                  through the SP-dialect engine).
+queries()      -> one callable per implemented operator from SURVEY.md §2
+                  (+ the LLM-pipeline extensions); each (spark, sf_dir) ->
+                  DataFrame.
+oracle_sql()   -> equivalent DuckDB SQL per query (omitted only for ops
+                  whose candidate generation depends on engine-internal
+                  hashing: minhash/simhash/LSH — those get rows-only checks).
+
+Determinism policy for oracle hash-matching:
+- money/quantity sums go through DECIMAL(12,2)/(18,2) casts in BOTH engines
+  (exact arithmetic -> bit-identical doubles after the final cast);
+- averages are exact-decimal sums divided by counts, in double, both sides;
+- genuinely float-accumulating results (regression forecast, cosine) are
+  rounded to a tolerance far above both engines' accumulation error;
+- every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.model import (
+    TAG_COL,
+    TS_COL,
+    ensure_session_conf,
+    events_as_stream_table,
+    load_table,
+)
+from fluent_bit_spark.sp import SPContext
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+def _dec(col, p=12, s=2):
+    return col.cast(f"decimal({p},{s})")
+
+
+def _dsum(col, alias, p=18, s=2):
+    """Exact decimal sum surfaced as double (matches DuckDB bit-for-bit)."""
+    return F.sum(_dec(col, p, s)).cast("double").alias(alias)
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _sp_events_ctx(spark, sf_dir) -> SPContext:
+    ctx = SPContext()
+    ctx.register_stream("events", events_as_stream_table(spark, sf_dir))
+    return ctx
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the Phase-0 flagship): decimal-exact
+    sums, group-by on two low-cardinality keys -> one shuffle with map-side
+    partial aggregation; filter + 7-column projection push into the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec(F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    ensure_session_conf(spark)
+    return q1_pricing_summary(spark, SF_SMOKE)
 
 
+# --------------------------------------------------------------------------
+# SP dialect queries
+# --------------------------------------------------------------------------
+def sp_projection(spark, sf_dir):
+    ctx = SPContext()
+    ctx.register_stream("lineitem", load_table(spark, sf_dir, "lineitem"))
+    return ctx.sql(
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM STREAM:lineitem "
+        "WHERE l_quantity > 45;"
+    )
+
+
+def sp_where_coercion(spark, sf_dir):
+    """Schemaless WHERE over a VariantType body: props JSON key compared
+    numerically (fluent-bit string/number auto-conversion)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.lit("events").alias(TAG_COL), F.col("ts").alias(TS_COL),
+        F.parse_json(F.col("props")).alias("body"),
+    )
+    ctx = SPContext()
+    ctx.register_stream("ev", ev)
+    return ctx.sql("SELECT event_id FROM STREAM:ev WHERE k > 50;")
+
+
+def sp_tag_routing(spark, sf_dir):
+    ctx = _sp_events_ctx(spark, sf_dir)
+    return ctx.sql("SELECT event_id, user_id FROM TAG:'events.err*' WHERE value >= 10;")
+
+
+def sp_window_tumbling(spark, sf_dir):
+    ctx = _sp_events_ctx(spark, sf_dir)
+    out = ctx.sql(
+        "SELECT event_type, COUNT(*) AS cnt, SUM(value) AS sum_value "
+        "FROM STREAM:events WINDOW TUMBLING (1 HOUR) GROUP BY event_type;"
+    )
+    return out.select(
+        "window_start", "event_type", "cnt", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
+def sp_window_hopping(spark, sf_dir):
+    ctx = _sp_events_ctx(spark, sf_dir)
+    out = ctx.sql(
+        "SELECT COUNT(*) AS cnt FROM STREAM:events "
+        "WINDOW HOPPING (1 HOUR, ADVANCE BY 30 MINUTE);"
+    )
+    return out.select("window_start", "cnt")
+
+
+def sp_forecast(spark, sf_dir):
+    ctx = _sp_events_ctx(spark, sf_dir)
+    out = ctx.sql(
+        "SELECT event_type, TIMESERIES_FORECAST(value, 3600) AS forecast "
+        "FROM STREAM:events GROUP BY event_type;"
+    )
+    return out.select("event_type", F.round("forecast", 3).alias("forecast"))
+
+
+def sp_snapshot_last(spark, sf_dir):
+    ctx = _sp_events_ctx(spark, sf_dir)
+    ctx.sql("CREATE SNAPSHOT recent AS SELECT * FROM STREAM:events LIMIT 100;")
+    snap = ctx.sql("FLUSH SNAPSHOT recent AS SELECT * FROM STREAM:events WHERE value > 0;")
+    return snap.select("event_id", "user_id", "event_type", "value")
+
+
+def sp_create_stream_chain(spark, sf_dir):
+    ctx = _sp_events_ctx(spark, sf_dir)
+    ctx.sql(
+        "CREATE STREAM hot WITH (tag='hot') AS "
+        "SELECT user_id, value FROM TAG:'events.*' WHERE value > 100;"
+    )
+    return ctx.sql("SELECT user_id, COUNT(*) AS cnt, SUM(value) AS sv FROM STREAM:hot GROUP BY user_id;").select(
+        "user_id", "cnt", F.round("sv", 6).alias("sv")
+    )
+
+
+# --------------------------------------------------------------------------
+# operator queries
+# --------------------------------------------------------------------------
+def grep_filter(spark, sf_dir):
+    from fluent_bit_spark.operators.grep import grep
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = grep(
+        orders,
+        [("regex", "o_orderpriority", "^1-URGENT"), ("exclude", "o_orderstatus", "^F$")],
+    )
+    return out.select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+def modify_rules(spark, sf_dir):
+    from fluent_bit_spark.operators.modify import Condition, modify
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = modify(
+        cust,
+        [
+            ("rename", "c_name", "customer_name"),
+            ("add", "channel", "retail"),
+            ("copy", "c_mktsegment", "segment_copy"),
+            ("remove", "c_nationkey"),
+        ],
+    )
+    out = modify(
+        out,
+        [("set", "tier", "vip")],
+        conds=[Condition("key_value_matches", "c_mktsegment", "^(BUILDING|MACHINERY)$")],
+    )
+    return out.select("c_custkey", "customer_name", "channel", "segment_copy", "tier")
+
+
+def nest_lift_roundtrip(spark, sf_dir):
+    from fluent_bit_spark.operators.nest import lift, nest
+
+    cust = load_table(spark, sf_dir, "customer")
+    nested = nest(cust, "c_a*", nest_under="profile", remove_prefix="c_")
+    flat = lift(nested, "profile", add_prefix="p_")
+    return flat.select("c_custkey", "p_acctbal")
+
+
+def record_modifier_allowlist(spark, sf_dir):
+    from fluent_bit_spark.operators.record_modifier import record_modifier
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return record_modifier(
+        sup, allowlist_keys=["s_suppkey", "s_name", "s_acctbal"], records={"env": "prod"}
+    )
+
+
+def parser_logfmt_roundtrip(spark, sf_dir):
+    from fluent_bit_spark.functions.parsers import LogfmtParser
+    from fluent_bit_spark.operators.parser_filter import parser_filter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("id="), F.col("doc_id"), F.lit(" lang="), F.col("lang"),
+            F.lit(" n="), F.col("n_chars"),
+        ).alias("line"),
+    )
+    out = parser_filter(
+        docs, "line", LogfmtParser(), fields=["id", "lang", "n"],
+        types={"id": "int", "n": "int"}, reserve_data=True,
+    )
+    return out.select("doc_id", "id", "lang", "n")
+
+
+def parser_ltsv_roundtrip(spark, sf_dir):
+    from fluent_bit_spark.functions.parsers import LtsvParser
+    from fluent_bit_spark.operators.parser_filter import parser_filter
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat_ws(
+            "\t",
+            F.concat(F.lit("user:"), F.col("user_id")),
+            F.concat(F.lit("type:"), F.col("event_type")),
+            F.concat(F.lit("val:"), F.col("value")),
+        ).alias("line"),
+    )
+    out = parser_filter(
+        ev, "line", LtsvParser(), fields=["user", "type", "val"],
+        types={"user": "int", "val": "float"}, reserve_data=True,
+    )
+    return out.select("event_id", "user", "type", "val")
+
+
+def parser_regex_access_log(spark, sf_dir):
+    from fluent_bit_spark.functions.parsers import RegexParser
+    from fluent_bit_spark.operators.parser_filter import parser_filter
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(
+            F.lit("10.0.0."), (F.col("user_id") % 256), F.lit(" - u"), F.col("user_id"),
+            F.lit(' "GET /'), F.col("event_type"), F.lit('/'), F.col("event_id"),
+            F.lit(' HTTP/1.0" '), F.when(F.col("value") > 100, 500).otherwise(200),
+            F.lit(" "), F.col("event_id") % 4096,
+        ).alias("line"),
+    )
+    pat = (
+        r'(?P<remote>[^ ]+) - (?P<user>[^ ]+) "(?P<method>\S+) (?P<path>\S+) HTTP[^"]*" '
+        r"(?P<code>\d+) (?P<size>\d+)"
+    )
+    out = parser_filter(
+        ev, "line", RegexParser(pat, types={"code": "int", "size": "int"}),
+        reserve_data=False,
+    )
+    return out.select("remote", "user", "method", "path", "code", "size")
+
+
+def parser_json_props(spark, sf_dir):
+    from fluent_bit_spark.functions.parsers import JsonParser
+    from fluent_bit_spark.operators.parser_filter import parser_filter
+
+    ev = _events(spark, sf_dir).select("event_id", "props")
+    out = parser_filter(
+        ev, "props", JsonParser(), fields=["k"], types={"k": "int"}, reserve_data=True
+    )
+    return out.select("event_id", "k")
+
+
+def type_converter_casts(spark, sf_dir):
+    from fluent_bit_spark.typecast import type_converter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.hex(F.col("n_chars"))).alias("hexval"),
+        F.col("n_chars").cast("string").alias("n_str"),
+    )
+    out = type_converter(
+        docs,
+        [("n_str", "n_int", "int"), ("n_str", "n_float", "float"), ("hexval", "n_from_hex", "hex")],
+    )
+    return out.select("doc_id", "n_int", "n_float", "n_from_hex")
+
+
+def throttle_rate(spark, sf_dir):
+    from fluent_bit_spark.operators.throttle import throttle
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    out = throttle(ev, rate=5, interval_sec=3600, key="event_type", tiebreak=["event_id"])
+    return out.select("event_id", "event_type")
+
+
+def throttle_size_budget(spark, sf_dir):
+    from fluent_bit_spark.operators.throttle import throttle_size
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    out = throttle_size(
+        ev, max_bytes=40, size_col_expr=F.octet_length("props"),
+        interval_sec=3600, key="event_type", tiebreak=["event_id"],
+    )
+    return out.select("event_id", "event_type")
+
+
+def rewrite_tag_rules(spark, sf_dir):
+    from fluent_bit_spark.operators.rewrite_tag import rewrite_tag
+
+    ev = events_as_stream_table(spark, sf_dir)
+    out = rewrite_tag(ev, [("event_type", "^(error|signup)$", "alert.$1", False)])
+    return out.groupBy("tag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def log_to_metrics_counter(spark, sf_dir):
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    return log_to_metrics(
+        ev, "counter", "events_total", label_keys=["event_type"], window_sec=3600
+    )
+
+
+def log_to_metrics_gauge(spark, sf_dir):
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    return log_to_metrics(ev, "gauge", "last_value", label_keys=["user_id"], value_field="value")
+
+
+def log_to_metrics_histogram(spark, sf_dir):
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    return log_to_metrics(
+        ev, "histogram", "value_hist", label_keys=["event_type"],
+        value_field="value", buckets=(10.0, 50.0, 100.0),
+    )
+
+
+def cumulative_to_delta_q(spark, sf_dir):
+    from fluent_bit_spark.operators.cumulative_to_delta import cumulative_to_delta
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    out = cumulative_to_delta(ev, "value", ["user_id"], time_col=TS_COL)
+    return out.select("event_id", "user_id", F.round("value_delta", 6).alias("value_delta"))
+
+
+def sampling_deterministic(spark, sf_dir):
+    from fluent_bit_spark.operators.sampling import sample_probabilistic
+
+    ev = _events(spark, sf_dir)
+    out = sample_probabilistic(
+        ev, 20, key="event_id",
+        bucket_expr=(F.col("event_id") * F.lit(2654435761)) % F.lit(97),
+    )
+    return out.select("event_id", "event_type")
+
+
+def sampling_tail_traces(spark, sf_dir):
+    from fluent_bit_spark.operators.sampling import sample_tail
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("trace_id"),
+        F.col("ts").cast("double").alias("start_ts"),
+        (F.col("ts").cast("double") + F.col("value")).alias("end_ts"),
+        F.when(F.col("event_type") == "error", "ERROR").otherwise("OK").alias("status"),
+        "event_id",
+    )
+    out = sample_tail(ev, min_span_count=80, status_col="status")
+    return out.select("event_id", "trace_id")
+
+
+def checklist_watch(spark, sf_dir):
+    from fluent_bit_spark.operators.lookup import checklist
+
+    ev = _events(spark, sf_dir)
+    watch = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") < 150)
+    ).select(F.col("c_custkey").cast("string").alias("uid"))
+    out = checklist(
+        ev.withColumn("uid_str", F.col("user_id").cast("string")),
+        watch, key="uid_str", list_key="uid", set_values={"watched": True},
+    )
+    return out.select("event_id", "user_id", F.coalesce(F.col("watched"), F.lit(False)).alias("watched"))
+
+
+def enrich_broadcast_join(spark, sf_dir):
+    from fluent_bit_spark.operators.lookup import enrich
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    joined = enrich(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), sup, on="s_suppkey",
+        select_map={"s_name": "supplier_name"},
+    )
+    return joined.groupBy("supplier_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+        ).cast("double").alias("revenue"),
+    )
+
+
+def multiline_sessionize(spark, sf_dir):
+    from fluent_bit_spark.operators.multiline import multiline
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").alias("seq"),
+        F.when(
+            F.col("event_id") % 4 == 0, F.concat(F.lit("E "), F.col("event_type"))
+        ).otherwise(F.concat(F.lit("  at "), F.col("event_type"))).alias("line"),
+    )
+    out = multiline(ev, line_col="line", seq_col="seq", start_pattern=r"^\S")
+    return out.select("seq", "message", "n_lines")
+
+
+def expect_assertions(spark, sf_dir):
+    from fluent_bit_spark.operators.expect import expect
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expect(
+        li, [("key_exists", "l_orderkey"), ("key_val_is_not_null", "l_shipdate")],
+        action="count",
+    )
+
+
+def router_split(spark, sf_dir):
+    from fluent_bit_spark.operators.routing import route
+    from fluent_bit_spark.operators.conditions import Rule
+
+    ev = events_as_stream_table(spark, sf_dir)
+    routes = route(
+        ev,
+        {
+            "errors": "events.error",
+            "clicky": "events.c*",
+            "big": ("*", [Rule("value", "gt", 150)]),
+        },
+    )
+    parts = [
+        df.select(F.lit(name).alias("route"), "event_id") for name, df in routes.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("route").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def union_tag_merge(spark, sf_dir):
+    ev = events_as_stream_table(spark, sf_dir)
+    a = ev.filter(F.col(TAG_COL) == "events.error")
+    b = ev.filter(F.col(TAG_COL) == "events.signup")
+    return a.unionByName(b).groupBy(TAG_COL).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# Spark-natural relational extensions (beyond the reference surface)
+# --------------------------------------------------------------------------
+def window_rank_topk(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def asof_last_signup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marker = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return ev.select(
+        "event_id", "user_id",
+        F.last(marker, ignorenulls=True).over(w).alias("last_signup_ts"),
+    )
+
+
+def pivot_status_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    d = _dec(F.col("l_extendedprice"))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", d)).cast("double").alias("rev_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", d)).cast("double").alias("rev_filled"),
+    )
+
+
+def join_q3_shipping(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    rev = j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(
+            _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+        ).cast("double").alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+def join_q5_region(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+        ).cast("double").alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline extensions
+# --------------------------------------------------------------------------
+def _docs_with_copies(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("   ")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+def dedup_exact_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_copies(spark, sf_dir)).select("doc_id")
+
+
+def dedup_minhash_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _docs_with_copies(spark, sf_dir), num_hashes=32, num_bands=16,
+        jaccard_threshold=0.9,
+    ).select("doc_id")
+
+
+def dedup_simhash_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.dedup import simhash_dedup
+
+    return simhash_dedup(_docs_with_copies(spark, sf_dir), hamming_threshold=2).select("doc_id")
+
+
+def dedup_jaccard_pairs_q(spark, sf_dir):
+    """Brute-force word-set Jaccard >= 0.8 pairs among doc_id < 60 —
+    oracle-checkable exact form of the near-dup verifier."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    words = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("ws"),
+    )
+    a = words.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = words.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    union = F.size(F.array_union("wa", "wb")).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.8)
+
+
+def embedding_dedup_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.dedup import embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_dedup(emb.unionByName(dups), threshold=0.999).select("vec_id")
+
+
+def similarity_topk_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def similarity_lsh_ann_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb, queries, k=5, nbits=6, tables=4)
+    return out.select("query_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def text_langid_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.text import lang_id
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def text_quality_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.text import quality_score
+
+    out = quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "q_chars", "q_tokens",
+        F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
+        F.round("q_stop_ratio", 6).alias("q_stop_ratio"),
+        F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
+        "quality",
+    )
+
+
+def text_token_counts_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.text import bpe_ish_token_count, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprint_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.text import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def multimodal_metadata_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.multimodal import extract_media_metadata, to_media_frame
+
+    media = to_media_frame(
+        _docs(spark, sf_dir), "doc_id", F.encode(F.col("text"), "utf-8"), "image"
+    )
+    return extract_media_metadata(media)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "sp_projection": sp_projection,
+        "sp_where_coercion": sp_where_coercion,
+        "sp_tag_routing": sp_tag_routing,
+        "sp_window_tumbling": sp_window_tumbling,
+        "sp_window_hopping": sp_window_hopping,
+        "sp_forecast": sp_forecast,
+        "sp_snapshot_last": sp_snapshot_last,
+        "sp_create_stream_chain": sp_create_stream_chain,
+        "grep_filter": grep_filter,
+        "modify_rules": modify_rules,
+        "nest_lift_roundtrip": nest_lift_roundtrip,
+        "record_modifier_allowlist": record_modifier_allowlist,
+        "parser_logfmt_roundtrip": parser_logfmt_roundtrip,
+        "parser_ltsv_roundtrip": parser_ltsv_roundtrip,
+        "parser_regex_access_log": parser_regex_access_log,
+        "parser_json_props": parser_json_props,
+        "type_converter_casts": type_converter_casts,
+        "throttle_rate": throttle_rate,
+        "throttle_size_budget": throttle_size_budget,
+        "rewrite_tag_rules": rewrite_tag_rules,
+        "log_to_metrics_counter": log_to_metrics_counter,
+        "log_to_metrics_gauge": log_to_metrics_gauge,
+        "log_to_metrics_histogram": log_to_metrics_histogram,
+        "cumulative_to_delta": cumulative_to_delta_q,
+        "sampling_deterministic": sampling_deterministic,
+        "sampling_tail_traces": sampling_tail_traces,
+        "checklist_watch": checklist_watch,
+        "enrich_broadcast_join": enrich_broadcast_join,
+        "multiline_sessionize": multiline_sessionize,
+        "expect_assertions": expect_assertions,
+        "router_split": router_split,
+        "union_tag_merge": union_tag_merge,
+        "window_rank_topk": window_rank_topk,
+        "asof_last_signup": asof_last_signup,
+        "pivot_status_revenue": pivot_status_revenue,
+        "join_q3_shipping": join_q3_shipping,
+        "join_q5_region": join_q5_region,
+        "dedup_exact": dedup_exact_q,
+        "dedup_minhash": dedup_minhash_q,
+        "dedup_simhash": dedup_simhash_q,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs_q,
+        "embedding_dedup": embedding_dedup_q,
+        "similarity_topk": similarity_topk_q,
+        "similarity_lsh_ann": similarity_lsh_ann_q,
+        "text_langid": text_langid_q,
+        "text_quality": text_quality_q,
+        "text_token_counts": text_token_counts_q,
+        "doc_fingerprint": doc_fingerprint_q,
+        "multimodal_metadata": multimodal_metadata_q,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "DECIMAL(12,2)"
+    disc = f"CAST(l_extendedprice AS {dec}) * (1 - CAST(l_discount AS {dec}))"
+    docs_with_copies = (
+        "SELECT * FROM documents UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text || '   ' AS text, lang, source, n_chars "
+        "FROM documents WHERE doc_id % 10 = 0"
+    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    markers = {
+        "en": ["the", "and", "of", "to", "a", "in", "is"],
+        "es": ["el", "la", "de", "que", "y", "los"],
+        "de": ["der", "die", "und", "das", "ist", "ein"],
+        "fr": ["le", "la", "les", "et", "des", "un"],
+        "zh": ["的", "是", "了", "在", "我"],
+    }
+
+    def hits(lang):
+        ws = f"string_split({norm}, ' ')"
+        return "(" + " + ".join(
+            f"CASE WHEN list_contains({ws}, '{m}') THEN 1 ELSE 0 END" for m in markers[lang]
+        ) + ")"
+
+    # argmax with tie -> first language in sorted order (matches lang_id)
+    langid_expr = "CASE "
+    prev = []
+    for lang in sorted(markers):
+        cond = f"{hits(lang)} > 0"
+        beats = " AND ".join(
+            [f"{hits(lang)} > {hits(p)}" for p in prev] or ["TRUE"]
+        )
+        not_beaten = " AND ".join(
+            [f"{hits(nxt)} <= {hits(lang)}" for nxt in sorted(markers) if nxt > lang] or ["TRUE"]
+        )
+        langid_expr += f"WHEN {cond} AND {beats} AND {not_beaten} THEN '{lang}' "
+        prev.append(lang)
+    langid_expr += "ELSE 'und' END"
+
+    return {
+        "q1_pricing_summary": Q1_ORACLE,
+        "sp_projection": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
+        ),
+        "sp_where_coercion": (
+            "SELECT event_id FROM events "
+            "WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50"
+        ),
+        "sp_tag_routing": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE regexp_matches('events.' || event_type, '^events\\.err.*$') AND value >= 10"
+        ),
+        "sp_window_tumbling": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sp_window_hopping": (
+            "SELECT ws AS window_start, COUNT(*) AS cnt FROM ("
+            "  SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS ws, ts"
+            "  FROM events, unnest(generate_series(0, 1)) AS t(k)"
+            ") WHERE ts >= ws AND ts < ws + INTERVAL '60 minutes' GROUP BY ws"
+        ),
+        "sp_forecast": (
+            "SELECT event_type, ROUND("
+            "regr_intercept(value, epoch(ts)) + regr_slope(value, epoch(ts)) * "
+            "(MAX(epoch(ts)) + 3600), 3) AS forecast FROM events GROUP BY event_type"
+        ),
+        "sp_snapshot_last": (
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE value > 0 ORDER BY ts DESC LIMIT 100"
+        ),
+        "sp_create_stream_chain": (
+            "SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sv "
+            "FROM events WHERE value > 100 GROUP BY user_id"
+        ),
+        "grep_filter": (
+            "SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders "
+            "WHERE regexp_matches(o_orderpriority, '^1-URGENT') "
+            "AND NOT regexp_matches(o_orderstatus, '^F$')"
+        ),
+        "modify_rules": (
+            "SELECT c_custkey, c_name AS customer_name, 'retail' AS channel, "
+            "c_mktsegment AS segment_copy, "
+            "CASE WHEN regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)$') "
+            "THEN 'vip' ELSE NULL END AS tier FROM customer"
+        ),
+        "nest_lift_roundtrip": "SELECT c_custkey, c_acctbal AS p_acctbal FROM customer",
+        "record_modifier_allowlist": (
+            "SELECT s_suppkey, s_name, s_acctbal, 'prod' AS env FROM supplier"
+        ),
+        "parser_logfmt_roundtrip": (
+            "SELECT doc_id, doc_id AS id, lang, n_chars AS n FROM documents"
+        ),
+        "parser_ltsv_roundtrip": (
+            "SELECT event_id, user_id AS user, event_type AS type, value AS val FROM events"
+        ),
+        "parser_regex_access_log": (
+            "SELECT '10.0.0.' || (user_id % 256) AS remote, 'u' || user_id AS user, "
+            "'GET' AS method, '/' || event_type || '/' || event_id AS path, "
+            "CASE WHEN value > 100 THEN 500 ELSE 200 END AS code, "
+            "event_id % 4096 AS size FROM events"
+        ),
+        "parser_json_props": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "type_converter_casts": (
+            "SELECT doc_id, n_chars AS n_int, CAST(n_chars AS DOUBLE) AS n_float, "
+            "n_chars AS n_from_hex FROM documents"
+        ),
+        "throttle_rate": (
+            "SELECT event_id, event_type FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY CAST(floor(epoch(ts)/3600) AS BIGINT), "
+            "event_type ORDER BY ts, event_id) <= 5"
+        ),
+        "throttle_size_budget": (
+            "SELECT event_id, event_type FROM events "
+            "QUALIFY SUM(strlen(props)) OVER (PARTITION BY "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT), event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 40"
+        ),
+        "rewrite_tag_rules": (
+            "SELECT CASE WHEN regexp_matches(event_type, '^(error|signup)$') "
+            "THEN 'alert.' || event_type ELSE 'events.' || event_type END AS tag, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "log_to_metrics_counter": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end, "
+            "'events_total' AS metric_name, 'counter' AS metric_type, event_type, "
+            "CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY 1, 2, 5"
+        ),
+        "log_to_metrics_gauge": (
+            "SELECT 'last_value' AS metric_name, 'gauge' AS metric_type, user_id, "
+            "CAST(arg_max(value, ts) AS DOUBLE) AS value FROM events GROUP BY user_id"
+        ),
+        "log_to_metrics_histogram": (
+            "SELECT 'value_hist' AS metric_name, 'histogram' AS metric_type, event_type, "
+            "CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) AS le_10_0, "
+            "CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE) AS le_50_0, "
+            "CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS le_100_0, "
+            "CAST(COUNT(*) AS DOUBLE) AS le_inf, SUM(value) AS sum_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "cumulative_to_delta": (
+            "SELECT event_id, user_id, ROUND(CASE "
+            "WHEN lag(value) OVER w IS NULL THEN value "
+            "WHEN value - lag(value) OVER w < 0 THEN value "
+            "ELSE value - lag(value) OVER w END, 6) AS value_delta "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        ),
+        "sampling_deterministic": (
+            "SELECT event_id, event_type FROM events WHERE (event_id * 2654435761) % 97 < 20"
+        ),
+        "sampling_tail_traces": (
+            "WITH spans AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, epoch(ts) AS start_ts, "
+            "epoch(ts) + value AS end_ts, CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'OK' END AS status, "
+            "event_id FROM events), "
+            "stats AS (SELECT trace_id, COUNT(*) AS n, "
+            "MAX(CASE WHEN status = 'ERROR' THEN 1 ELSE 0 END) AS has_err FROM spans GROUP BY trace_id) "
+            "SELECT s.event_id, s.trace_id FROM spans s JOIN stats t ON s.trace_id = t.trace_id "
+            "WHERE t.n >= 80 OR t.has_err = 1"
+        ),
+        "checklist_watch": (
+            "SELECT e.event_id, e.user_id, "
+            "CASE WHEN w.uid IS NOT NULL THEN TRUE ELSE FALSE END AS watched "
+            "FROM events e LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS uid "
+            "FROM customer WHERE c_custkey % 7 = 0 AND c_custkey < 150) w "
+            "ON CAST(e.user_id AS VARCHAR) = w.uid"
+        ),
+        "enrich_broadcast_join": (
+            f"SELECT s.s_name AS supplier_name, COUNT(*) AS n_items, "
+            f"CAST(SUM({disc}) AS DOUBLE) AS revenue "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "GROUP BY s.s_name"
+        ),
+        "multiline_sessionize": (
+            "SELECT MIN(event_id) AS seq, string_agg("
+            "CASE WHEN event_id % 4 = 0 THEN 'E ' || event_type ELSE '  at ' || event_type END, "
+            "chr(10) ORDER BY event_id) AS message, COUNT(*) AS n_lines "
+            "FROM events GROUP BY CAST(floor(event_id / 4) AS BIGINT)"
+        ),
+        "expect_assertions": (
+            "SELECT COUNT(*) AS records, CAST(SUM(CASE WHEN l_orderkey IS NULL OR "
+            "l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem"
+        ),
+        "router_split": (
+            "WITH tagged AS (SELECT event_id, 'events.' || event_type AS tag, value FROM events) "
+            "SELECT route, COUNT(*) AS cnt FROM ("
+            "SELECT 'errors' AS route, event_id FROM tagged WHERE tag = 'events.error' "
+            "UNION ALL SELECT 'clicky', event_id FROM tagged WHERE regexp_matches(tag, '^events\\.c.*$') "
+            "UNION ALL SELECT 'big', event_id FROM tagged WHERE value > 150"
+            ") GROUP BY route"
+        ),
+        "union_tag_merge": (
+            "SELECT 'events.' || event_type AS tag, COUNT(*) AS cnt FROM events "
+            "WHERE event_type IN ('error', 'signup') GROUP BY 1"
+        ),
+        "window_rank_topk": (
+            "SELECT o_custkey, o_orderkey, rnk FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders"
+            ") WHERE rnk <= 3"
+        ),
+        "asof_last_signup": (
+            "SELECT event_id, user_id, last_value("
+            "CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS last_signup_ts FROM events"
+        ),
+        "pivot_status_revenue": (
+            f"SELECT l_returnflag, "
+            f"CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS {dec}) END) AS DOUBLE) AS rev_open, "
+            f"CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS {dec}) END) AS DOUBLE) AS rev_filled "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "join_q3_shipping": (
+            f"SELECT o_orderkey, o_orderdate, CAST(SUM({disc}) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "join_q5_region": (
+            f"SELECT n_name, CAST(SUM({disc}) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "dedup_exact": (
+            f"WITH all_docs AS ({docs_with_copies}), "
+            f"keyed AS (SELECT doc_id, md5({norm}) AS h FROM all_docs) "
+            "SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY h"
+        ),
+        # dedup_minhash / dedup_simhash / similarity_lsh_ann / embedding_dedup:
+        # candidate generation depends on engine-internal hash functions
+        # (xxhash64 / hyperplane seeds) -> rows-only checks, by design.
+        "dedup_jaccard_pairs": (
+            f"WITH ws AS (SELECT doc_id, list_distinct(string_split({norm}, ' ')) AS w "
+            "FROM documents WHERE doc_id < 60) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard "
+            "FROM ws a JOIN ws b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.w, b.w))) >= 0.8"
+        ),
+        "similarity_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings "
+            "WHERE vec_id IN (0, 1, 2)), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos FROM embeddings e, q) "
+            "SELECT query_id, vec_id, rank, ROUND(cos, 4) AS cos FROM ("
+            "SELECT query_id, vec_id, cos, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored"
+            ") WHERE rank <= 5"
+        ),
+        "text_langid": f"SELECT doc_id, {langid_expr} AS lang_pred FROM documents",
+        "text_quality": (
+            f"WITH f AS (SELECT doc_id, length(text) AS q_chars, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS q_tokens, "
+            "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+            f"{hits('en')} AS n_stop FROM documents) "
+            "SELECT doc_id, q_chars, q_tokens, "
+            "ROUND(CAST(n_punct AS DOUBLE) / greatest(q_chars, 1), 6) AS q_punct_ratio, "
+            "ROUND(CAST(n_stop AS DOUBLE) / greatest(q_tokens, 1), 6) AS q_stop_ratio, "
+            "ROUND(CAST(q_chars AS DOUBLE) / greatest(q_tokens, 1), 6) AS q_mean_word_len, "
+            "ROUND((CASE WHEN q_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.4 END) * "
+            "(CASE WHEN CAST(n_punct AS DOUBLE) / greatest(q_chars, 1) <= 0.2 THEN 1.0 ELSE 0.5 END) * "
+            "(CASE WHEN CAST(n_stop AS DOUBLE) / greatest(q_tokens, 1) >= 0.05 THEN 1.0 ELSE 0.7 END), 4) "
+            "AS quality FROM f"
+        ),
+        "text_token_counts": (
+            "SELECT doc_id, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
+        "multimodal_metadata": (
+            "SELECT doc_id AS media_id, 'image' AS kind, "
+            "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+            "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width, "
+            "CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height, "
+            "CAST((octet_length(encode(text)) * 7) % 10000 AS INT) AS fake_duration_ms, "
+            "sha256(text) AS sha FROM documents"
+        ),
+    }

@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query materializes via the noop sink (full execution, no driver
+collect). Timings are wall-clock per query, warm session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod
+from fluent_bit_spark import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "join_q3_shipping",
+    "join_q5_region",
+    "sp_projection",
+    "sp_window_tumbling",
+    "sp_window_hopping",
+    "sp_forecast",
+    "throttle_rate",
+    "cumulative_to_delta",
+    "log_to_metrics_counter",
+    "multiline_sessionize",
+    "window_rank_topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("fbs-bench")
+    qs = entrymod.queries()
+
+    # warmup: touch every table once (parquet footers, JVM codegen paths)
+    from fluent_bit_spark.model import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "fluent_bit_spark headline suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

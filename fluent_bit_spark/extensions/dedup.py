@@ -1,0 +1,264 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+
+Scale design notes (the part that matters at 100 TB):
+- exact dedup shuffles on a 128-bit content hash — uniformly distributed,
+  no skew; row_number-free (min(doc_id) per hash group, map-side partial agg).
+- MinHash: shingle explode -> per-doc signature via k min-aggregations of
+  xxhash64(shingle, seed) — all JVM built-ins, one shuffle on doc_id;
+  banding turns O(n^2) candidate generation into a groupBy on
+  (band_idx, band_hash) whose keys are uniform by construction.
+- SimHash: bit-vote aggregation, one shuffle; hamming-distance candidate
+  pairs via band join on bit slices.
+- verification joins (exact Jaccard / cosine) run only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# shingling helpers
+# --------------------------------------------------------------------------
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace (canonical form for hashing)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles of the normalized text."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text duplicate
+    group. Hash-groupBy on md5 — no full-text shuffle."""
+    keyed = df.withColumn("__h", F.md5(normalize_text(F.col(text_col))))
+    reps = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return keyed.join(reps, [ "__h", id_col], "inner").drop("__h")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — k-permutation MinHash via xxhash64 seeds.
+
+    One explode + one groupBy(id): the shuffle key is the doc id. At scale
+    prefer num_hashes 64-128; each extra hash is one more min() agg, still
+    map-side combinable.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"))
+    aggs = [F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """Banding: docs sharing any band of their signature become candidate
+    pairs (a < b). groupBy key = (band index, band hash) — uniform."""
+    if sig_len is None:
+        sig_len = sig_df.selectExpr("size(sig) AS n").limit(1).collect()[0].n
+    rows_per_band = max(1, sig_len // num_bands)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            # xxhash64 hashes the array column directly — no serialization
+            F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias("bh"),
+        )
+        for b in range(num_bands)
+    ]
+    bands = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bx")
+    ).select(id_col, "bx.band", "bx.bh")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates (optionally verified with exact
+    shingle Jaccard) -> each doc joins its smallest candidate neighbor;
+    keep docs that are their own group minimum."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, id_col, num_bands, sig_len=num_hashes)
+    if jaccard_threshold is not None:
+        verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_n)
+        pairs = verified.filter(F.col("jaccard") >= jaccard_threshold).select("id_a", "id_b")
+    # a doc is dropped if a smaller-id near-duplicate exists
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "id_a", "id_b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+) -> DataFrame:
+    """LSH-candidates + exact Jaccard verification dedup."""
+    return minhash_dedup(
+        df, text_col, id_col, num_hashes, num_bands, shingle_n, jaccard_threshold=threshold
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit weighted vote of token
+    hashes. Pure built-ins: explode tokens, one groupBy(id) with `bits`
+    conditional sums."""
+    def mask(b: int):
+        # bit 63 is the sign bit — two's-complement literal, not 1<<63
+        return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__t")
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = [
+        F.sum(F.when(F.col("__h").bitwiseAND(mask(b)) != 0, 1).otherwise(-1)).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(F.when(F.col(f"__b{b}") > 0, mask(b)).otherwise(F.lit(0).cast("long")))
+    return agg.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+    bits: int = 64,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup removal by SimHash: band the fingerprint into num_bands bit
+    slices (pigeonhole: any pair within hamming_threshold < num_bands shares
+    a band), join candidates, verify hamming distance."""
+    sh = simhash(df, text_col, id_col, bits)
+    width = bits // num_bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("slice"),
+        )
+        for b in range(num_bands)
+    ]
+    slices = sh.select(
+        id_col, "simhash", F.explode(F.array(*band_structs)).alias("bx")
+    ).select(id_col, "simhash", "bx.band", "bx.slice")
+    l, r = slices.alias("l"), slices.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.slice") == F.col("r.slice"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hamming_threshold)
+    )
+    losers = cand.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+def embedding_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup by cosine similarity: LSH (random-hyperplane) buckets limit
+    the pair space, exact cosine verifies. Deterministic hyperplanes."""
+    from fluent_bit_spark.extensions.similarity import cosine, hyperplane_bucket
+
+    b = emb.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), nbits=nbits, seed=seed))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__bkt") == F.col("r.__bkt")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(losers, id_col, "left_anti")

@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  corpus; dot products via zip_with/aggregate — JVM-side, no UDF. At 100 TB
+  the corpus side streams through executors once per query batch.
+- LSH (random hyperplane) buckets: deterministic ±1 hyperplanes derived
+  from a seed; candidates = bucket collisions (optionally multi-probe via
+  several independent tables), then exact cosine re-rank. This is the scale
+  path: the shuffle key is the bucket id, and the expensive exact cosine
+  runs on a tiny candidate set.
+- IVF-style variant: coarse centroids (sampled + kmeans-lite via bisecting
+  assignment) are a follow-up; hyperplane LSH covers the ANN contract here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from sha256(seed, bit, dim) — no RNG
+    state, same planes on every executor/run."""
+    planes = []
+    for b in range(nbits):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{b}:{d}".encode()).digest()
+            row.append(1.0 if h[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, dim: int = 64, nbits: int = 8, seed: int = 7) -> Column:
+    """LSH bucket id: sign bits of the vector against nbits hyperplanes."""
+    planes = _hyperplanes(dim, nbits, seed)
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, pl) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force top-k: (query_id, vec_id, cos, rank)."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    nbits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """ANN top-k: multi-table hyperplane LSH bucketing + exact re-rank of
+    candidates. `tables` independent hash tables raise recall; candidates
+    are deduped before scoring."""
+    cand_union = None
+    for t in range(tables):
+        cb = corpus.select(
+            id_col, vec_col, hyperplane_bucket(F.col(vec_col), dim, nbits, seed=7 + t).alias("__bkt")
+        )
+        qb = F.broadcast(
+            queries.select(
+                query_id_col,
+                query_vec_col,
+                hyperplane_bucket(F.col(query_vec_col), dim, nbits, seed=7 + t).alias("__bkt"),
+            )
+        )
+        cand = cb.join(qb, "__bkt").select(query_id_col, query_vec_col, id_col, vec_col)
+        cand_union = cand if cand_union is None else cand_union.unionByName(cand)
+    cands = cand_union.dropDuplicates([query_id_col, id_col])
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,89 @@
+"""Text analysis: language-ID, quality scoring, token counting, fingerprints.
+
+All deterministic Catalyst expressions so they (a) run at scan speed inside
+whole-stage codegen and (b) can be replicated exactly in ANSI SQL for the
+DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.extensions.dedup import normalize_text
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "un"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _marker_hits(col: Column, markers: list[str]) -> Column:
+    words = F.split(normalize_text(col), " ")
+    hits = F.lit(0)
+    for m in markers:
+        hits = hits + F.when(F.array_contains(words, m), 1).otherwise(0)
+    return hits
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Stopword-marker language ID: the language with the most distinct
+    marker words present wins; ties broken by language code order."""
+    best_lang = F.lit(default)
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        hits = _marker_hits(col, LANG_MARKERS[lang])
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: words + digits + punctuation marks counted separately
+    (a cheap, deterministic stand-in for a real tokenizer)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation ratio / stopword ratio / mean word length —
+    the standard cheap quality signals for corpus filtering."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = _marker_hits(t, LANG_MARKERS["en"])
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("q_stop_ratio"),
+        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("q_mean_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score from the features (deterministic
+    formula: length band + punctuation sanity + stopword presence)."""
+    feat = quality_features(df, text_col)
+    len_ok = F.when((F.col("q_chars") >= 50) & (F.col("q_chars") <= 10000), 1.0).otherwise(0.4)
+    punct_ok = F.when(F.col("q_punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(F.col("q_stop_ratio") >= 0.05, 1.0).otherwise(0.7)
+    return feat.withColumn("quality", F.round((len_ok * punct_ok * stop_ok), 4))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (rolling-hash-class
+    dedup key; md5 chosen because every SQL engine reproduces it)."""
+    return F.md5(normalize_text(col))

@@ -43,6 +43,21 @@ TESTDATA_TABLES = (
 )
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Make a caller-provided session safe for the testdata + oracle gate:
+    ns-parquet handling, UTC timezone, AQE. All runtime-settable."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table.
 
@@ -51,12 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp here, truncating exactly as DuckDB does, so oracle value
     hashes line up.
     """
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f_ in df.schema.fields:
         if name == "events" and f_.name == "ts" and isinstance(f_.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer DIV, not floor(x/1000.0): epoch-ns (~1.7e18) exceeds
+            # double's 2^53 mantissa, so float division drifts by ~1 us
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

@@ -71,9 +71,13 @@ def log_to_metrics(
         if not value_field:
             raise ValueError("histogram mode requires value_field")
         v = F.col(value_field).cast("double")
-        # cumulative buckets like prometheus: le=b counts values <= b, +Inf = all
+        # cumulative buckets like prometheus: le=b counts values <= b, +Inf
+        # = all; '.' in bucket labels sanitized to '_' (column-name-safe)
+        def bname(b):
+            return f"le_{b}".replace(".", "_")
+
         bucket_exprs = [
-            F.sum(F.when(v <= b, 1).otherwise(0)).cast("double").alias(f"le_{b}")
+            F.sum(F.when(v <= b, 1).otherwise(0)).cast("double").alias(bname(b))
             for b in buckets
         ] + [
             F.count(F.lit(1)).cast("double").alias("le_inf"),
@@ -82,6 +86,6 @@ def log_to_metrics(
         agg = df.groupBy(*gb).agg(*bucket_exprs)
         return agg.select(
             *base_cols, *meta, *[F.col(k) for k in labels],
-            *[F.col(f"le_{b}") for b in buckets], "le_inf", "sum_value",
+            *[F.col(bname(b)) for b in buckets], "le_inf", "sum_value",
         )
     raise ValueError(f"unknown log_to_metrics mode {mode!r}")

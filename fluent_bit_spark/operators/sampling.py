@@ -21,11 +21,20 @@ from pyspark.sql import functions as F
 
 
 def sample_probabilistic(
-    df: DataFrame, percentage: float, key: str = "trace_id", seed: int = 0
+    df: DataFrame,
+    percentage: float,
+    key: str = "trace_id",
+    seed: int = 0,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
-    """Keep ~percentage% of traces, deterministically by key hash."""
-    bucket = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(seed)), F.lit(100))
-    return df.filter(bucket < int(percentage))
+    """Keep ~percentage% of traces, deterministically by key hash.
+
+    ``bucket_expr`` overrides the default xxhash64 bucketing with a custom
+    0..99 bucket column (e.g. a multiplicative-hash sampler reproducible in
+    other engines)."""
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(seed)), F.lit(100))
+    return df.filter(bucket_expr < int(percentage))
 
 
 def sample_tail(

@@ -1,0 +1,136 @@
+"""Extension-operator tests over the driver's documents/embeddings tables
+plus synthetic near-duplicates (the natural tables have no exact dups)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from fluent_bit_spark.model import load_table
+from fluent_bit_spark.extensions.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash,
+    simhash_dedup,
+    word_shingles,
+)
+from fluent_bit_spark.extensions.similarity import cosine, cosine_topk, lsh_topk
+from fluent_bit_spark.extensions.text import fingerprint, lang_id, quality_score, token_count
+from fluent_bit_spark.extensions.multimodal import (
+    extract_media_metadata,
+    frame_sample_plan,
+    to_media_frame,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark, docs):
+    """documents + near-copies of 5 docs (one word changed) + exact copies."""
+    base = docs.limit(5)
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),  # whitespace-only change
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(near).unionByName(exact).cache()
+
+
+def test_exact_dedup(near_dups, docs):
+    n_docs = docs.count()
+    out = exact_dedup(near_dups)
+    # 5 exact (normalized) copies removed; near-copies kept
+    assert out.count() == n_docs + 5
+    assert out.filter(F.col("doc_id") >= 200000).count() == 0
+
+
+def test_minhash_dedup_catches_near_dups(near_dups, docs):
+    out = minhash_dedup(near_dups, num_hashes=32, num_bands=16)
+    # all 10 synthetic copies (near + exact) collapse onto the originals
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+    # the driver corpus contains NATURAL near-dups (word-salad generator
+    # emits jaccard~0.99 pairs), so the result is smaller than the corpus
+    assert 400 < out.count() <= docs.count()
+    # verification threshold trims the candidate set to true high-jaccard dups
+    strict = minhash_dedup(near_dups, num_hashes=32, num_bands=16, jaccard_threshold=0.9)
+    assert strict.count() >= out.count()
+    assert strict.filter(F.col("doc_id") >= 200000).count() == 0
+
+
+def test_ngram_jaccard_verification(spark, near_dups):
+    sig = minhash_signatures(near_dups, num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, num_bands=8)
+    verified = ngram_jaccard_pairs(near_dups, pairs)
+    hi = verified.filter(F.col("jaccard") >= 0.8)
+    # each synthetic copy pairs with its original at jaccard >= 0.8
+    assert hi.filter(F.col("id_b") >= 100000).count() >= 10
+
+
+def test_simhash_dedup(near_dups):
+    fps = simhash(near_dups)
+    assert fps.count() == near_dups.count()
+    out = simhash_dedup(near_dups, hamming_threshold=3)
+    # exact copies (identical token sets) definitely collapse
+    assert out.filter(F.col("doc_id") >= 200000).count() == 0
+
+
+def test_cosine_topk_and_lsh(spark):
+    emb = load_table(spark, SF, "embeddings").cache()
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    assert exact.count() == 15
+    # self-similarity rank 1 with cos ~ 1
+    self_hits = exact.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1))
+    assert self_hits.count() == 3
+    ann = lsh_topk(emb, queries, k=5, tables=4, nbits=6)
+    # ANN finds the identical vector too (same bucket in every table)
+    assert ann.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)).count() == 3
+
+
+def test_embedding_dedup(spark):
+    emb = load_table(spark, SF, "embeddings")
+    dup = emb.limit(4).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(dup)
+    out = embedding_dedup(both, threshold=0.999)
+    assert out.filter(F.col("vec_id") >= 10000).count() == 0
+    assert out.count() == emb.count()
+
+
+def test_text_analysis(docs):
+    out = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text")).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    r = out.limit(5).collect()
+    assert all(len(x.fp) == 32 for x in r)
+    assert all(x.n_tokens > 0 for x in r)
+    q = quality_score(docs)
+    assert q.filter((F.col("quality") > 0) & (F.col("quality") <= 1)).count() == docs.count()
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = to_media_frame(docs.limit(10), "doc_id", F.encode(F.col("text"), "utf-8"), "image")
+    meta = extract_media_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == 10
+    assert all(r.n_bytes > 0 and 1 <= r.fake_width <= 640 and len(r.sha) == 64 for r in rows)
+    frames = frame_sample_plan(media, every_ms=500)
+    assert frames.count() >= 10
+    assert frames.select(F.min("frame_ts_ms")).collect()[0][0] == 0

@@ -1,0 +1,104 @@
+"""Local replica of the driver's t2 correctness gate: run every
+queries()[name] on Spark and oracle_sql()[name] on DuckDB at a given SF,
+compare row count, schema width, and order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+        else:
+            try:
+                df[c] = s.astype("int64")
+            except (TypeError, ValueError):
+                df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from fluent_bit_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures, rows_only = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL {name}: spark error {str(ex)[:200]}")
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(got)))
+            print(f"rows {name}: {len(got)} rows (no oracle, by design)")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            print(f"FAIL {name}: oracle error {str(ex)[:200]}")
+            continue
+        if len(got) != len(want):
+            failures.append((name, f"rowcount {len(got)} != {len(want)}"))
+            print(f"FAIL {name}: rowcount {len(got)} != {len(want)}")
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            failures.append((name, f"columns {sorted(got.columns)} != {sorted(want.columns)}"))
+            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+            continue
+        g, w = canon(got), canon(want)
+        if not g.equals(w):
+            diff_cols = [c for c in g.columns if not g[c].equals(w[c])]
+            failures.append((name, f"values differ in {diff_cols}"))
+            print(f"FAIL {name}: values differ in {diff_cols}")
+            neq = ~(g[diff_cols[0]] == w[diff_cols[0]])
+            print("  spark:", g.loc[neq, diff_cols].head(3).to_dict("records"))
+            print("  duck :", w.loc[neq, diff_cols].head(3).to_dict("records"))
+            continue
+        print(f"OK   {name}: {len(got)} rows")
+
+    print(f"\n{len(failures)} failures, {len(rows_only)} rows-only")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
