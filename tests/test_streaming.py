@@ -1,0 +1,159 @@
+"""Structured Streaming smoke tests: file-tail source, windowed aggregation,
+stateful throttle/snapshot/multiline, sinks. Uses availableNow + memory
+sinks so each test is one bounded micro-batch run.
+"""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.model import TAG_COL, TS_COL
+from fluent_bit_spark.streaming.sources import tail_source
+from fluent_bit_spark.streaming.windows import sp_stream_query, windowed_counts
+from fluent_bit_spark.streaming.stateful import (
+    multiline_stream,
+    snapshot_stream,
+    throttle_stream,
+)
+
+
+def _run_to_memory(sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    rows = [
+        {"event_type": "error" if i % 3 == 0 else "click", "value": float(i), "sec": i}
+        for i in range(30)
+    ]
+    with open(d / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_tail_source_and_sp_window(spark, jsonl_dir):
+    sdf = tail_source(
+        spark, jsonl_dir, fmt="json",
+        schema="event_type string, value double, sec long",
+        tag_template="tail.app",
+    )
+    # event-time column derived from payload for deterministic windows
+    sdf = sdf.withColumn(
+        TS_COL, F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec"))
+    )
+    out = sp_stream_query(
+        sdf,
+        "SELECT event_type, COUNT(*) AS cnt FROM STREAM:any "
+        "WINDOW TUMBLING (10 SECOND) GROUP BY event_type;",
+        watermark="1 minute",
+    )
+    _run_to_memory(out, "spwin", mode="complete")
+    rows = spark.sql("SELECT * FROM spwin").collect()
+    assert sum(r.cnt for r in rows) == 30
+    assert {r.event_type for r in rows} == {"error", "click"}
+    assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_windowed_counts_hopping(spark, jsonl_dir):
+    sdf = tail_source(
+        spark, jsonl_dir, fmt="json",
+        schema="event_type string, value double, sec long",
+    ).withColumn(
+        TS_COL, F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec"))
+    )
+    out = windowed_counts(sdf, size_sec=10, advance_sec=5, keys=["event_type"])
+    _run_to_memory(out, "hopwin", mode="complete")
+    rows = spark.sql("SELECT * FROM hopwin").collect()
+    assert sum(r.cnt for r in rows) == 60  # each record in 2 hopping windows
+
+
+def test_throttle_stream(spark, jsonl_dir):
+    sdf = tail_source(
+        spark, jsonl_dir, fmt="json",
+        schema="event_type string, value double, sec long",
+    ).withColumn(
+        TS_COL,
+        F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec") % 3),
+    ).withColumn(TAG_COL, F.col("event_type"))
+    out = throttle_stream(sdf, rate=2, interval_sec=1, key=TAG_COL)
+    _run_to_memory(out, "thr")
+    rows = spark.sql("SELECT * FROM thr").collect()
+    # 2 tags x 3 panes x rate 2 = at most 12 pass
+    assert 0 < len(rows) <= 12
+
+
+def test_snapshot_stream(spark, tmp_path):
+    d = tmp_path / "snap_in"
+    d.mkdir()
+    vals = ["a", "b", "c", "FLUSH", "d"]
+    with open(d / "in.json", "w") as f:
+        for i, v in enumerate(vals):
+            f.write(json.dumps({"value": v, "sec": i}) + "\n")
+    sdf = tail_source(spark, str(d), fmt="json", schema="value string, sec long").withColumn(
+        TS_COL, F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec"))
+    )
+    out = snapshot_stream(sdf, limit=10, flush_value="FLUSH", key=TAG_COL)
+    _run_to_memory(out, "snap")
+    rows = spark.sql("SELECT * FROM snap ORDER BY timestamp").collect()
+    assert [r.value for r in rows] == ["a", "b", "c"]  # buffer emitted at FLUSH
+
+
+def test_multiline_stream(spark, tmp_path):
+    d = tmp_path / "ml_in"
+    d.mkdir()
+    lines = [
+        "Exception in thread main",
+        "  at Foo.bar(Foo.java:1)",
+        "  at Baz.qux(Baz.java:2)",
+        "NextRecord starts here",
+        "  continuation",
+        "FinalRecord pending",  # stays buffered (no following start line)
+    ]
+    with open(d / "log.json", "w") as f:
+        for i, ln in enumerate(lines):
+            f.write(json.dumps({"line": ln, "sec": i}) + "\n")
+    sdf = tail_source(spark, str(d), fmt="json", schema="line string, sec long").withColumn(
+        TS_COL, F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec"))
+    )
+    out = multiline_stream(sdf, start_pattern=r"^\S", key=TAG_COL)
+    _run_to_memory(out, "ml")
+    rows = spark.sql("SELECT * FROM ml ORDER BY n_lines DESC").collect()
+    assert len(rows) == 2
+    assert rows[0].n_lines == 3 and "Foo.java:1" in rows[0].message
+    assert rows[1].n_lines == 2 and rows[1].message.startswith("NextRecord")
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from fluent_bit_spark.sinks import write_file
+
+    df = spark.createDataFrame(
+        [("a.x", 1, "hello"), ("a.y", 2, "world")], ["tag", "n", "msg"]
+    )
+    p1 = str(tmp_path / "out_json")
+    write_file(df, p1, fmt="json", partition_by_tag=True)
+    back = spark.read.json(p1)
+    assert back.count() == 2
+    assert set(spark.read.json(p1).columns) >= {"n", "msg"}
+
+    p2 = str(tmp_path / "out_ltsv")
+    write_file(df.select("n", "msg"), p2, fmt="ltsv")
+    lines = [r.value for r in spark.read.text(p2).collect()]
+    assert sorted(lines) == ["n:1\tmsg:hello", "n:2\tmsg:world"]
+
+    p3 = str(tmp_path / "out_tpl")
+    write_file(df, p3, fmt="template", template="[{tag}] {msg} ({n})")
+    lines = sorted(r.value for r in spark.read.text(p3).collect())
+    assert lines == ["[a.x] hello (1)", "[a.y] world (2)"]
