@@ -40,10 +40,15 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 # --------------------------------------------------------------------------
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized-text duplicate
-    group. Hash-groupBy on md5 — no full-text shuffle."""
+    group: ONE shuffle on the 128-bit content hash (uniform key), min-id
+    window instead of groupBy+self-join."""
     keyed = df.withColumn("__h", F.md5(normalize_text(F.col(text_col))))
-    reps = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    return keyed.join(reps, [ "__h", id_col], "inner").drop("__h")
+    w = Window.partitionBy("__h")
+    return (
+        keyed.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__h", "__min_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -55,17 +60,32 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    repartition: int | None = 0,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — k-permutation MinHash via xxhash64 seeds.
 
-    One explode + one groupBy(id): the shuffle key is the doc id. At scale
-    prefer num_hashes 64-128; each extra hash is one more min() agg, still
-    map-side combinable.
+    ZERO-shuffle formulation: the shingle set is a per-row array, so each
+    hash's min is a per-row array_min(transform(...)) — no explode, no
+    groupBy. Scales embarrassingly: signature cost is pure map-side CPU.
+
+    ``repartition``: pre-spread rows before the CPU-heavy projection
+    (default 0 = sparkContext.defaultParallelism; None = keep input
+    partitioning — tiny parquet inputs otherwise pin the work to 1-2
+    tasks).
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"))
-    aggs = [F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(F.col(id_col), F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
+    if repartition == 0:
+        repartition = df.sparkSession.sparkContext.defaultParallelism
+    if repartition:
+        df = df.repartition(repartition)
+    # materialize the shingle array in its own projection: it feeds all
+    # num_hashes transforms, and CollapseProject won't inline a multiply-
+    # referenced non-cheap alias — so shingling runs once per row
+    shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    hashes = [
+        F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return shingled.select(F.col(id_col), F.array(*hashes).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -134,11 +154,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for given (id_a, id_b) pairs."""
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
+
+    Scale shape: candidates ≪ corpus, so (1) semi-join prunes the corpus to
+    candidate docs BEFORE shingling, (2) the pair list broadcasts — the
+    corpus side never shuffles on text.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand = df.join(F.broadcast(ids), id_col, "left_semi")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = cand.repartition(par).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
+    j = F.broadcast(pairs).join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return j.select(
