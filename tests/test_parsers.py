@@ -13,7 +13,12 @@ from fluent_bit_spark.functions.parsers import (
 )
 from fluent_bit_spark.functions.timefmt import strptime_to_java
 from fluent_bit_spark.operators.parser_filter import parser_filter
-from fluent_bit_spark.operators.multiline import multiline
+from fluent_bit_spark.operators.multiline import (
+    multiline,
+    multiline_rules,
+    reassemble_cri,
+    reassemble_docker,
+)
 from fluent_bit_spark.operators.throttle import throttle, throttle_size
 from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
 from fluent_bit_spark.operators.cumulative_to_delta import cumulative_to_delta
@@ -101,6 +106,64 @@ def test_multiline_java_traces(spark):
     assert len(rows) == 2
     assert rows[0].n_lines == 3 and "Foo.java:10" in rows[0].message
     assert rows[1].n_lines == 2 and rows[1].message.startswith("2024-01-01")
+
+
+def test_multiline_rules_python_state_machine(spark):
+    # flb_ml_parser_python.c rule table: Traceback -> File/code pairs ->
+    # final exception line returns to start_state
+    lines = [
+        (0, "before the error"),
+        (1, "Traceback (most recent call last):"),
+        (2, '  File "app.py", line 10, in main'),
+        (3, "    run()"),
+        (4, '  File "app.py", line 4, in run'),
+        (5, "    1 / 0"),
+        (6, "ZeroDivisionError: division by zero"),
+        (7, "after the error"),
+    ]
+    df = spark.createDataFrame([Row(seq=s, line=l) for s, l in lines])
+    rows = multiline_rules(df, "python").orderBy("seq").collect()
+    assert [r.n_lines for r in rows] == [1, 6, 1]
+    assert rows[1].message.startswith("Traceback") and "ZeroDivisionError" in rows[1].message
+
+
+def test_multiline_rules_go_panic(spark):
+    lines = [
+        (0, "panic: runtime error: index out of range"),
+        (1, ""),
+        (2, "goroutine 1 [running]:"),
+        (3, "main.main()"),
+        (4, "\t/app/main.go:5 +0x1d"),
+        (5, "normal log line"),
+    ]
+    df = spark.createDataFrame([Row(seq=s, line=l) for s, l in lines])
+    rows = multiline_rules(df, "go").orderBy("seq").collect()
+    assert [r.n_lines for r in rows] == [5, 1]
+    assert "main.go:5" in rows[0].message
+
+
+def test_reassemble_cri(spark):
+    rows = [
+        Row(seq=0, stream="stdout", flag="P", log="long line part one, "),
+        Row(seq=1, stream="stdout", flag="P", log="part two, "),
+        Row(seq=2, stream="stdout", flag="F", log="the end"),
+        Row(seq=3, stream="stdout", flag="F", log="short full line"),
+    ]
+    out = reassemble_cri(spark.createDataFrame(rows), group_keys=["stream"]).orderBy("seq")
+    got = [r.message for r in out.collect()]
+    assert got == ["long line part one, part two, the end", "short full line"]
+
+
+def test_reassemble_docker(spark):
+    rows = [
+        Row(seq=0, log="one, "),
+        Row(seq=1, log="two, "),
+        Row(seq=2, log="three\n"),
+        Row(seq=3, log="solo\n"),
+    ]
+    out = reassemble_docker(spark.createDataFrame(rows)).orderBy("seq")
+    got = [r.message for r in out.collect()]
+    assert got == ["one, two, three\n", "solo\n"]
 
 
 def test_throttle(spark):
