@@ -35,6 +35,33 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, out: str, n: int = 3, keep: list[str] | None = None
+) -> DataFrame:
+    """Project (keep..., out: array<long>) — one 64-bit hash per word
+    n-gram shingle, WITHOUT materializing shingle strings: hash each word
+    once, then combine n consecutive word hashes with one fixed-width
+    xxhash64. Each input byte is hashed exactly once regardless of n — the
+    hot-path form for MinHash at scale (string shingles re-hash every word
+    n times per shingle and ~k times more across the k permutations).
+
+    Two projection steps on purpose: the word-hash array must be its own
+    alias, else the combine lambda inlines it and recomputes the whole
+    array per shingle (O(words^2) hashing).
+    """
+    keep = keep if keep is not None else [c for c in df.columns if c != text_col]
+    wh = F.transform(F.split(normalize_text(F.col(text_col)), " "), lambda w: F.xxhash64(w))
+    step = df.select(*keep, wh.alias("__wh"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(F.col("__wh")) - (n - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.try_element_at(F.col("__wh"), i + j) for j in range(n)]),
+        )
+    )
+    return step.select(*keep, sh.alias(out))
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -77,12 +104,13 @@ def minhash_signatures(
         repartition = df.sparkSession.sparkContext.defaultParallelism
     if repartition:
         df = df.repartition(repartition)
-    # materialize the shingle array in its own projection: it feeds all
-    # num_hashes transforms, and CollapseProject won't inline a multiply-
-    # referenced non-cheap alias — so shingling runs once per row
-    shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    # materialize the shingle-hash array in its own projection: it feeds
+    # all num_hashes transforms, and CollapseProject won't inline a
+    # multiply-referenced non-cheap alias — so shingling runs once per
+    # row. Each permutation then rehashes 8-byte longs, not strings.
+    shingled = with_shingle_hashes(df, text_col, "__sh", shingle_n, keep=[id_col])
     hashes = [
-        F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(F.col("__sh"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
         for i in range(num_hashes)
     ]
     return shingled.select(F.col(id_col), F.array(*hashes).alias("sig"))
@@ -136,7 +164,13 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with exact
     shingle Jaccard) -> each doc joins its smallest candidate neighbor;
-    keep docs that are their own group minimum."""
+    keep docs that are their own group minimum.
+
+    The signature subtree appears on both self-join sides and under
+    ids / verification / losers; AQE's ReusedExchange deduplicates the
+    repeated computation at runtime, and measured wall-clock beats an
+    explicit persist + eager materialization (which adds job barriers),
+    so no caching here."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     pairs = lsh_candidate_pairs(sig, id_col, num_bands, sig_len=num_hashes)
     if jaccard_threshold is not None:
@@ -158,7 +192,9 @@ def ngram_jaccard_pairs(
 
     Scale shape: candidates ≪ corpus, so (1) semi-join prunes the corpus to
     candidate docs BEFORE shingling, (2) the pair list broadcasts — the
-    corpus side never shuffles on text.
+    corpus side never shuffles on text. Set ops run on 64-bit shingle
+    hashes, not strings (collision odds ~ |set|^2 / 2^64 — immaterial to a
+    0.8-ish threshold decision).
     """
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -167,9 +203,7 @@ def ngram_jaccard_pairs(
     )
     cand = df.join(F.broadcast(ids), id_col, "left_semi")
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = cand.repartition(par).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    sh = with_shingle_hashes(cand.repartition(par), text_col, "sh", shingle_n, keep=[id_col])
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     j = F.broadcast(pairs).join(a, "id_a").join(b, "id_b")
@@ -231,7 +265,8 @@ def simhash_dedup(
     """Near-dup removal by SimHash: band the fingerprint into num_bands bit
     slices (pigeonhole: any pair within hamming_threshold < num_bands shares
     a band), join candidates, verify hamming distance."""
-    sh = simhash(df, text_col, id_col, bits)
+    # persisted: both sides of the slice self-join read it
+    sh = simhash(df, text_col, id_col, bits).persist()
     width = bits // num_bands
     band_structs = [
         F.struct(
@@ -280,6 +315,8 @@ def embedding_dedup(
     the pair space, exact cosine verifies. Deterministic hyperplanes."""
     from fluent_bit_spark.extensions.similarity import cosine, hyperplane_bucket
 
+    # not persisted: the bucket projection is cheap to recompute and
+    # caching the vectors measured slower than AQE exchange reuse
     b = emb.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), nbits=nbits, seed=seed))
     l, r = b.alias("l"), b.alias("r")
     pairs = (
