@@ -496,6 +496,93 @@ def union_tag_merge(spark, sf_dir):
     return a.unionByName(b).groupBy(TAG_COL).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def content_modifier_actions(spark, sf_dir):
+    from fluent_bit_spark.operators.content_modifier import content_modifier
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "props")
+    out = content_modifier(ev, "extract", "props", pattern=r'"k":\s*(?P<kstr>\d+)')
+    out = content_modifier(out, "convert", "kstr", converted_type="int")
+    out = content_modifier(out, "hash", "event_type")
+    out = content_modifier(out, "upsert", "env", value="prod")
+    return out.select(
+        "event_id", F.col("kstr").alias("k_int"), F.col("event_type").alias("etype_sha"), "env"
+    )
+
+
+def labels_ops(spark, sf_dir):
+    from fluent_bit_spark.operators.labels import (
+        columns_to_labels,
+        labels_modify,
+        labels_to_columns,
+    )
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    m = log_to_metrics(ev, "counter", "events_total", label_keys=["event_type"])
+    m = columns_to_labels(m, ["event_type"])
+    m = labels_modify(
+        m,
+        [
+            ("insert", "env", "prod"),
+            ("upsert", "job", "fb"),
+            ("hash", "event_type"),
+            ("delete", "metric_type"),
+        ],
+    )
+    out = labels_to_columns(m, ["event_type", "env", "job"])
+    return out.select(
+        "metric_name", F.col("event_type").alias("etype_sha"), "env", "job", "value"
+    )
+
+
+def metrics_selector_q(spark, sf_dir):
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+    from fluent_bit_spark.operators.metrics_selector import metrics_selector
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    counters = log_to_metrics(ev, "counter", "events_total", label_keys=["event_type"])
+    gauges = log_to_metrics(ev, "gauge", "last_value", label_keys=["event_type"], value_field="value")
+    both = counters.unionByName(gauges)
+    sel = metrics_selector(both, "events_", operation_type="prefix")
+    return sel.select("metric_name", "metric_type", "event_type", F.round("value", 6).alias("value"))
+
+
+def otel_envelope_q(spark, sf_dir):
+    from fluent_bit_spark.operators.otel_envelope import otel_envelope
+
+    ev = _events(spark, sf_dir).select("event_id")
+    out = otel_envelope(
+        ev, resource_attributes={"service.name": "events-pipeline"},
+        scope_name="fbs", scope_version="1.0",
+    )
+    return out.select(
+        "event_id",
+        F.col("group_metadata.resource_id").alias("resource_id"),
+        F.col("resource").getItem("service.name").alias("service"),
+        F.col("scope.name").alias("scope_name"),
+    )
+
+
+def udf_hook_q(spark, sf_dir):
+    """Lua-hook parity surface: drop / keep / modify / split codes over an
+    Arrow-batched Python callback (the designated escape hatch)."""
+    from fluent_bit_spark.operators.udf_hook import DROP, KEEP, MODIFIED, SPLIT, record_hook
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def cb(tag, ts, rec):
+        if rec["value"] < 10:
+            return DROP, None, None
+        if rec["event_type"] == "error":
+            return SPLIT, None, [rec, {**rec, "event_id": -rec["event_id"], "value": rec["value"] * 2}]
+        if rec["event_type"] == "signup":
+            return MODIFIED, None, {**rec, "value": rec["value"] + 1000}
+        return KEEP, None, None
+
+    out = record_hook(ev, cb, tag_col="event_type", ts_col="__none__")
+    return out.select("event_id", "event_type", F.round("value", 6).alias("value"))
+
+
 # --------------------------------------------------------------------------
 # Spark-natural relational extensions (beyond the reference surface)
 # --------------------------------------------------------------------------
@@ -735,6 +822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_tail_traces": sampling_tail_traces,
         "checklist_watch": checklist_watch,
         "enrich_broadcast_join": enrich_broadcast_join,
+        "content_modifier_actions": content_modifier_actions,
+        "labels_ops": labels_ops,
+        "metrics_selector": metrics_selector_q,
+        "otel_envelope": otel_envelope_q,
+        "udf_hook": udf_hook_q,
         "multiline_sessionize": multiline_sessionize,
         "expect_assertions": expect_assertions,
         "router_split": router_split,
@@ -927,6 +1019,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS uid "
             "FROM customer WHERE c_custkey % 7 = 0 AND c_custkey < 150) w "
             "ON CAST(e.user_id AS VARCHAR) = w.uid"
+        ),
+        "content_modifier_actions": (
+            "SELECT event_id, "
+            "CAST(CASE WHEN regexp_matches(props, '\"k\":\\s*(\\d+)') "
+            "THEN regexp_extract(props, '\"k\":\\s*(\\d+)', 1) END AS BIGINT) AS k_int, "
+            "sha256(event_type) AS etype_sha, 'prod' AS env FROM events"
+        ),
+        "labels_ops": (
+            "SELECT 'events_total' AS metric_name, sha256(event_type) AS etype_sha, "
+            "'prod' AS env, 'fb' AS job, CAST(COUNT(*) AS DOUBLE) AS value "
+            "FROM events GROUP BY event_type"
+        ),
+        "metrics_selector": (
+            "SELECT 'events_total' AS metric_name, 'counter' AS metric_type, event_type, "
+            "ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS value FROM events GROUP BY event_type"
+        ),
+        "otel_envelope": (
+            "SELECT event_id, CAST(0 AS BIGINT) AS resource_id, "
+            "'events-pipeline' AS service, 'fbs' AS scope_name FROM events"
+        ),
+        "udf_hook": (
+            "WITH base AS (SELECT event_id, event_type, value FROM events WHERE value >= 10) "
+            "SELECT event_id, event_type, "
+            "ROUND(CASE WHEN event_type = 'signup' THEN value + 1000 ELSE value END, 6) AS value "
+            "FROM base WHERE event_type <> 'error' "
+            "UNION ALL SELECT event_id, event_type, ROUND(value, 6) FROM base WHERE event_type = 'error' "
+            "UNION ALL SELECT -event_id, event_type, ROUND(value * 2, 6) FROM base WHERE event_type = 'error'"
         ),
         "enrich_broadcast_join": (
             f"SELECT s.s_name AS supplier_name, COUNT(*) AS n_items, "

@@ -152,3 +152,81 @@ def test_checklist_and_enrich(spark, logs):
     dim = spark.createDataFrame([Row(host="web1", dc="us-east"), Row(host="web2", dc="eu-west")])
     enriched = enrich(logs, dim, on="host", select_map={"dc": "datacenter"})
     assert enriched.filter(F.col("datacenter") == "us-east").count() == 2
+
+
+def test_labels_modify(spark):
+    from fluent_bit_spark.operators.labels import (
+        columns_to_labels,
+        labels_modify,
+        labels_to_columns,
+    )
+
+    rows = [Row(metric_name="up", host="web1", value=1.0)]
+    df = columns_to_labels(spark.createDataFrame(rows), ["host"])
+    out = labels_modify(
+        df,
+        [
+            ("insert", "env", "prod"),        # absent -> added
+            ("insert", "host", "nope"),       # present -> untouched
+            ("update", "missing", "x"),       # absent -> no-op
+            ("upsert", "region", "eu"),
+            ("hash", "host"),
+        ],
+    )
+    r = labels_to_columns(out, ["env", "host", "region", "missing"]).collect()[0]
+    assert r.env == "prod" and r.region == "eu" and r.missing is None
+    assert len(r.host) == 64 and r.host != "web1"  # sha256 hex
+    out2 = labels_modify(df, [("delete", "host")])
+    assert out2.collect()[0].labels == {}
+
+
+def test_metrics_selector(spark):
+    from fluent_bit_spark.operators.metrics_selector import delete_label_value, metrics_selector
+
+    rows = [
+        Row(metric_name="http_requests_total", labels={"job": "api"}, value=1.0),
+        Row(metric_name="http_errors_total", labels={"job": "api"}, value=2.0),
+        Row(metric_name="node_cpu_seconds", labels={"job": "node"}, value=3.0),
+    ]
+    df = spark.createDataFrame(rows)
+    assert metrics_selector(df, "http_", operation_type="prefix").count() == 2
+    assert metrics_selector(df, "http_", operation_type="prefix", action="exclude").count() == 1
+    assert metrics_selector(df, "errors", operation_type="substring").count() == 1
+    assert metrics_selector(df, "^node_.*_seconds$").count() == 1
+    assert delete_label_value(df, "job", "node").count() == 2
+
+
+def test_otel_envelope(spark):
+    from fluent_bit_spark.operators.otel_envelope import explode_groups, otel_envelope
+
+    df = spark.createDataFrame([Row(msg="a"), Row(msg="b")])
+    out = otel_envelope(df, resource_attributes={"service.name": "svc"}, scope_name="lib")
+    r = out.collect()[0]
+    assert r.group_metadata.resource_id == 0 and r.scope.name == "lib"
+    assert r.resource["service.name"] == "svc"
+    g = explode_groups(out).collect()
+    assert len(g) == 1 and g[0].n_records == 2
+
+
+def test_record_hook_codes(spark):
+    from fluent_bit_spark.operators.udf_hook import DROP, KEEP, MODIFIED, SPLIT, record_hook
+
+    rows = [
+        Row(tag="t", v=1, name="drop-me"),
+        Row(tag="t", v=5, name="keep"),
+        Row(tag="t", v=10, name="double"),
+        Row(tag="t", v=20, name="split"),
+    ]
+
+    def cb(tag, ts, rec):
+        if rec["name"] == "drop-me":
+            return DROP, None, None
+        if rec["name"] == "double":
+            return MODIFIED, None, {**rec, "v": rec["v"] * 2}
+        if rec["name"] == "split":
+            return SPLIT, None, [rec, {**rec, "v": rec["v"] + 1}]
+        return KEEP, None, None
+
+    out = record_hook(spark.createDataFrame(rows), cb, ts_col="none")
+    got = sorted((r.name, r.v) for r in out.collect())
+    assert got == [("double", 20), ("keep", 5), ("split", 20), ("split", 21)]
