@@ -563,6 +563,58 @@ def otel_envelope_q(spark, sf_dir):
     )
 
 
+def log_to_metrics_summary(spark, sf_dir):
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    out = log_to_metrics(
+        ev, "summary", "value_summary", label_keys=["event_type"],
+        value_field="value", quantiles=(0.5, 0.9),
+    )
+    return out.select(
+        "metric_name", "metric_type", "event_type",
+        F.round("q_0_5", 6).alias("q_0_5"), F.round("q_0_9", 6).alias("q_0_9"),
+        F.round("sum_value", 6).alias("sum_value"), "count_value",
+    )
+
+
+def anomaly_zscore(spark, sf_dir):
+    from fluent_bit_spark.extensions.anomaly import anomaly_scores
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    out = anomaly_scores(
+        ev, "value", ["user_id"], time_col=TS_COL,
+        window_rows=10, z_threshold=2.5, tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("z_score", 6).alias("z_score"),
+        F.round("range_ratio", 6).alias("range_ratio"),
+        "is_anomaly",
+    )
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter + single global aggregate — the plan
+    should be scan-with-pushed-filters -> partial sum -> one-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def udf_hook_q(spark, sf_dir):
     """Lua-hook parity surface: drop / keep / modify / split codes over an
     Arrow-batched Python callback (the designated escape hatch)."""
@@ -827,6 +879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_selector": metrics_selector_q,
         "otel_envelope": otel_envelope_q,
         "udf_hook": udf_hook_q,
+        "log_to_metrics_summary": log_to_metrics_summary,
+        "anomaly_zscore": anomaly_zscore,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "multiline_sessionize": multiline_sessionize,
         "expect_assertions": expect_assertions,
         "router_split": router_split,
@@ -1038,6 +1093,31 @@ def oracle_sql() -> dict[str, str]:
         "otel_envelope": (
             "SELECT event_id, CAST(0 AS BIGINT) AS resource_id, "
             "'events-pipeline' AS service, 'fbs' AS scope_name FROM events"
+        ),
+        "log_to_metrics_summary": (
+            "SELECT 'value_summary' AS metric_name, 'summary' AS metric_type, event_type, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS q_0_5, "
+            "ROUND(quantile_cont(value, 0.9), 6) AS q_0_9, "
+            "ROUND(SUM(value), 6) AS sum_value, CAST(COUNT(*) AS DOUBLE) AS count_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "anomaly_zscore": (
+            "SELECT event_id, user_id, "
+            "ROUND(CASE WHEN n >= 3 AND sd > 0 THEN abs(value - mu) / sd ELSE 0 END, 6) AS z_score, "
+            "ROUND(CASE WHEN n >= 3 THEN greatest(mn - value, value - mx, 0) / "
+            "(CASE WHEN mx - mn > 0 THEN mx - mn ELSE 1 END) ELSE 0 END, 6) AS range_ratio, "
+            "(CASE WHEN n >= 3 AND sd > 0 THEN abs(value - mu) / sd ELSE 0 END) > 2.5 AS is_anomaly "
+            "FROM (SELECT event_id, user_id, value, "
+            "COUNT(value) OVER w AS n, AVG(value) OVER w AS mu, STDDEV_SAMP(value) OVER w AS sd, "
+            "MIN(value) OVER w AS mn, MAX(value) OVER w AS mx FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))"
+        ),
+        "q6_forecast_revenue": (
+            f"SELECT CAST(SUM(CAST(l_extendedprice AS {dec}) * CAST(l_discount AS {dec})) AS DOUBLE) "
+            "AS revenue, COUNT(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24"
         ),
         "udf_hook": (
             "WITH base AS (SELECT event_id, event_type, value FROM events WHERE value >= 10) "

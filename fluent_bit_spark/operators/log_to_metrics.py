@@ -41,9 +41,12 @@ def log_to_metrics(
     window_sec: int | None = None,
     time_col: str = TS_COL,
     buckets: tuple[float, ...] = DEFAULT_BUCKETS,
+    quantiles: tuple[float, ...] | None = None,
 ) -> DataFrame:
     """mode: 'counter' (count records), 'gauge' (latest value_field),
-    'histogram' (bucketed counts of value_field)."""
+    'histogram' (bucketed counts of value_field), 'summary' (quantiles +
+    sum/count, the cmetrics summary type, cmetrics.h:26-30), 'untyped'
+    (raw passthrough value, cmetrics untyped type)."""
     mode = mode.lower()
     labels = label_keys or []
     df = _gate(df, include, exclude)
@@ -87,5 +90,34 @@ def log_to_metrics(
         return agg.select(
             *base_cols, *meta, *[F.col(k) for k in labels],
             *[F.col(bname(b)) for b in buckets], "le_inf", "sum_value",
+        )
+    if mode == "summary":
+        if not value_field:
+            raise ValueError("summary mode requires value_field")
+        v = F.col(value_field).cast("double")
+        # exact percentiles (linear interpolation — matches SQL
+        # percentile_cont); switch to approx_percentile at extreme group
+        # cardinality if exactness isn't required
+        qs = quantiles or (0.5, 0.9, 0.99)
+
+        def qname(q):
+            return f"q_{q}".replace(".", "_")
+
+        q_exprs = [F.percentile(v, F.lit(q)).alias(qname(q)) for q in qs]
+        agg = df.groupBy(*gb).agg(
+            *q_exprs,
+            F.sum(v).alias("sum_value"),
+            F.count(F.lit(1)).cast("double").alias("count_value"),
+        )
+        return agg.select(
+            *base_cols, *meta, *[F.col(k) for k in labels],
+            *[F.col(qname(q)) for q in qs], "sum_value", "count_value",
+        )
+    if mode == "untyped":
+        if not value_field:
+            raise ValueError("untyped mode requires value_field")
+        return df.select(
+            *meta, *[F.col(k) for k in labels],
+            F.col(value_field).cast("double").alias("value"),
         )
     raise ValueError(f"unknown log_to_metrics mode {mode!r}")

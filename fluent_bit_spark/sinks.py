@@ -39,6 +39,34 @@ def template_line(df: DataFrame, template: str) -> Column:
     return F.concat(*out)
 
 
+def gelf_line(
+    df: DataFrame,
+    short_message_key: str = "short_message",
+    host_key: str = "host",
+    timestamp_key: str = "timestamp",
+    level_key: str = "level",
+) -> Column:
+    """GELF 1.1 encoder (src/flb_pack_gelf.c:415-470): version/host/
+    timestamp(epoch sec)/level/short_message are promoted from their
+    configured source keys; every other record key becomes an
+    underscore-prefixed additional field (flb_pack_gelf.c:70)."""
+    fields = [F.lit("1.1").alias("version")]
+    promoted = {host_key: "host", level_key: "level", short_message_key: "short_message"}
+    if host_key in df.columns:
+        fields.append(F.col(host_key).cast("string").alias("host"))
+    if timestamp_key in df.columns:
+        fields.append(F.col(timestamp_key).cast("double").alias("timestamp"))
+        promoted[timestamp_key] = "timestamp"
+    if level_key in df.columns:
+        fields.append(F.col(level_key).alias("level"))
+    if short_message_key in df.columns:
+        fields.append(F.col(short_message_key).cast("string").alias("short_message"))
+    for c in df.columns:
+        if c not in promoted:
+            fields.append(F.col(c).alias(f"_{c}"))
+    return F.to_json(F.struct(*fields))
+
+
 def write_file(
     df: DataFrame,
     path: str,
@@ -49,7 +77,8 @@ def write_file(
     template: str | None = None,
     **options,
 ) -> None:
-    """out_file analog. fmt: json | csv | parquet | ltsv | plain | template.
+    """out_file analog. fmt: json | csv | parquet | ltsv | plain | template
+    | gelf.
 
     partition_by_tag=True writes tag=<value>/ directories — the router +
     out_s3 $TAG-key pattern as a single partitioned write.
@@ -69,6 +98,10 @@ def write_file(
     elif fmt == "plain":
         keep = [TAG_COL] if partition_by_tag and TAG_COL in df.columns else []
         writer_df = df.select(*keep, F.to_json(F.struct(*df.columns)).alias("value"))
+        fmt = "text"
+    elif fmt == "gelf":
+        keep = [TAG_COL] if partition_by_tag and TAG_COL in df.columns else []
+        writer_df = df.select(*keep, gelf_line(df, **options.pop("gelf_keys", {})).alias("value"))
         fmt = "text"
 
     w = writer_df.write.mode(mode)

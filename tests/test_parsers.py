@@ -222,3 +222,32 @@ def test_sampling(spark):
     out = sample_tail(spans, min_latency_sec=3.0, status_col="status")
     kept_traces = {r.trace_id for r in out.select("trace_id").distinct().collect()}
     assert kept_traces == {"t1", "t3"}  # slow + errored; t2 dropped
+
+
+def test_log_to_metrics_summary_untyped(spark):
+    rows = [
+        Row(timestamp="2024-01-01 00:00:01", level="info", ms=10.0),
+        Row(timestamp="2024-01-01 00:00:02", level="info", ms=20.0),
+        Row(timestamp="2024-01-01 00:00:03", level="info", ms=30.0),
+        Row(timestamp="2024-01-01 00:00:04", level="info", ms=100.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    s = log_to_metrics(df, "summary", "ms_summary", label_keys=["level"],
+                       value_field="ms", quantiles=(0.5,)).collect()[0]
+    assert s.q_0_5 == 25.0 and s.sum_value == 160.0 and s.count_value == 4.0
+    u = log_to_metrics(df, "untyped", "ms_raw", label_keys=["level"], value_field="ms")
+    assert u.count() == 4 and u.columns == ["metric_name", "metric_type", "level", "value"]
+
+
+def test_anomaly_scores(spark):
+    from fluent_bit_spark.extensions.anomaly import anomaly_scores
+
+    vals = [10.0] * 10 + [11.0, 500.0]
+    rows = [Row(ts=i, series="s", v=v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    out = anomaly_scores(df, "v", ["series"], time_col="ts", window_rows=10, z_threshold=3.0)
+    got = {r.ts: r for r in out.collect()}
+    assert not got[5].is_anomaly          # flat history
+    assert not got[10].is_anomaly         # zero-variance window -> z=0
+    assert got[11].is_anomaly and got[11].z_score > 100
+    assert got[11].range_ratio > 100      # far outside [10, 11] band

@@ -157,3 +157,20 @@ def test_sinks_roundtrip(spark, tmp_path):
     write_file(df, p3, fmt="template", template="[{tag}] {msg} ({n})")
     lines = sorted(r.value for r in spark.read.text(p3).collect())
     assert lines == ["[a.x] hello (1)", "[a.y] world (2)"]
+
+
+def test_gelf_sink(spark, tmp_path):
+    import json as _json
+
+    from fluent_bit_spark.sinks import write_file
+
+    df = spark.createDataFrame(
+        [("web1", 1.5, 6, "disk full", "app.disk")],
+        ["host", "timestamp", "level", "short_message", "tag"],
+    )
+    p = str(tmp_path / "out_gelf")
+    write_file(df, p, fmt="gelf")
+    rec = _json.loads(spark.read.text(p).collect()[0].value)
+    assert rec["version"] == "1.1" and rec["host"] == "web1"
+    assert rec["timestamp"] == 1.5 and rec["short_message"] == "disk full"
+    assert rec["_tag"] == "app.disk"  # non-promoted keys get underscore prefix
