@@ -158,3 +158,43 @@ def map_fields(
             c = cast_column(c, types[n])
         out[n] = c
     return out
+
+
+# --------------------------------------------------------------------------
+# field decoders (src/flb_parser_decoder.c:39-130: json / escaped /
+# escaped_utf8 / mysql_quoted)
+# --------------------------------------------------------------------------
+def decode_field(col: Column, decoder: str) -> Column:
+    """Decode_Field analog. decoder:
+
+    - 'json': stringified JSON -> VariantType value (decode_json,
+      flb_parser_decoder.c:39-66)
+    - 'escaped' / 'escaped_utf8': unescape backslash sequences
+      (\\n \\t \\r \\" \\\\ \\uXXXX) via JVM-side JSON string decoding —
+      the exotic C escapes (\\a \\v) are not round-tripped
+      (flb_parser_decoder.c:85-112, src/flb_unescape.c)
+    - 'mysql_quoted': strip surrounding quotes, collapse doubled and
+      backslash-escaped quotes (flb_parser_decoder.c:114-130)
+    """
+    d = decoder.lower()
+    if d == "json":
+        return F.parse_json(col)
+    if d in ("escaped", "escaped_utf8"):
+        # wrap as a one-element JSON array literal and let the JSON reader
+        # decode every escape (from_json needs a container schema);
+        # pre-escape bare double quotes so wrapping is safe
+        quoted = F.concat(F.lit('["'), F.regexp_replace(col, r'(?<!\\)"', '\\\\"'), F.lit('"]'))
+        return F.from_json(quoted, "array<string>").getItem(0)
+    if d == "mysql_quoted":
+        inner = F.when(
+            (F.length(col) >= 2)
+            & (
+                (col.startswith("'") & col.endswith("'"))
+                | (col.startswith('"') & col.endswith('"'))
+            ),
+            F.substring(col, 2, F.length(col) - 2),
+        ).otherwise(col)
+        inner = F.regexp_replace(inner, r"''", "'")
+        inner = F.regexp_replace(inner, r"\\'", "'")
+        return F.regexp_replace(inner, r'\\"', '"')
+    raise ValueError(f"unknown decoder {decoder!r}")

@@ -158,10 +158,19 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
         from fluent_bit_spark.operators.expect import expect
 
         out = expect(hit, [tuple(r) for r in fconf["rules"]], action=fconf.get("action", "result_key"))
-    elif name == "lua":
-        raise NotImplementedError(
-            "lua UDF hook: register a python function via pipeline.config "
-            "custom_filters instead (the pandas-UDF escape hatch)"
+    elif name in ("lua", "hook"):
+        # filter_lua analog: the config carries a Python snippet defining
+        # cb(tag, ts, record) -> (code, ts, record) — the same
+        # script-in-config contract as the reference (lua.c:774-812),
+        # with Python as the scripting language (SURVEY §2.10)
+        from fluent_bit_spark.operators.udf_hook import record_hook
+
+        ns: dict = {}
+        exec(fconf["code"], ns)  # noqa: S102 — config scripts are the Lua-filter analog
+        cb = ns[fconf.get("call", "cb")]
+        out = record_hook(
+            hit, cb, schema=fconf.get("schema"),
+            tag_col=fconf.get("tag_col", TAG_COL), ts_col=fconf.get("time_col", TS_COL),
         )
     else:
         raise ValueError(f"unknown filter plugin {name!r}")
@@ -213,6 +222,19 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
             if inp.get("schema"):
                 reader = reader.schema(inp["schema"])
             df = reader.format(fmt).load(inp["path"])
+        elif fmt == "dummy":
+            # in_dummy analog (plugins/in_dummy/): a fixed record repeated
+            # `samples` times, or an explicit `records` list
+            import json as _json
+
+            if "records" in inp:
+                rows = inp["records"]
+            else:
+                rec = inp.get("dummy", {"message": "dummy"})
+                if isinstance(rec, str):
+                    rec = _json.loads(rec)
+                rows = [rec] * int(inp.get("samples", 1))
+            df = spark.createDataFrame(rows)
         else:
             raise ValueError(f"unknown input {fmt!r} (streaming inputs: use streaming.sources)")
         df = df.withColumn(TAG_COL, F.lit(tag))

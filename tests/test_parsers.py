@@ -251,3 +251,47 @@ def test_anomaly_scores(spark):
     assert not got[10].is_anomaly         # zero-variance window -> z=0
     assert got[11].is_anomaly and got[11].z_score > 100
     assert got[11].range_ratio > 100      # far outside [10, 11] band
+
+
+def test_decode_field(spark):
+    from fluent_bit_spark.functions.parsers import decode_field
+
+    df = spark.createDataFrame([
+        Row(esc="line1\\nline2\\ttabbed", uni="caf\\u00e9", my="'it''s \\'ok\\''",
+            js='{"a": 1, "b": "x"}'),
+    ])
+    out = df.select(
+        decode_field(F.col("esc"), "escaped").alias("esc"),
+        decode_field(F.col("uni"), "escaped_utf8").alias("uni"),
+        decode_field(F.col("my"), "mysql_quoted").alias("my"),
+        F.variant_get(decode_field(F.col("js"), "json"), "$.a", "int").alias("ja"),
+    ).collect()[0]
+    assert out.esc == "line1\nline2\ttabbed"
+    assert out.uni == "café"
+    assert out.my == "it's 'ok'"
+    assert out.ja == 1
+
+
+def test_pipeline_hook_filter(spark):
+    from fluent_bit_spark.pipeline.config import load_pipeline
+
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {"name": "dummy", "tag": "app.a",
+                 "records": [{"n": 1}, {"n": -5}]},
+                {"name": "dummy", "tag": "db.x", "records": [{"n": 9}]},
+            ],
+            "filters": [
+                {"name": "hook", "match": "app.*",
+                 "schema": "n long, tag string, timestamp timestamp",
+                 "code": "def cb(tag, ts, rec):\n"
+                         "    if rec['n'] < 0:\n"
+                         "        return -1, None, None\n"
+                         "    return 1, None, {**rec, 'n': rec['n'] * 10}"},
+            ],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    got = {(r.tag, r.n) for r in pipe.source().collect()}
+    assert got == {("app.a", 10), ("db.x", 9)}
