@@ -825,6 +825,18 @@ def text_token_counts_q(spark, sf_dir):
     )
 
 
+def pii_redaction_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.text import redact_pii
+
+    ev = _events(spark, sf_dir)
+    text = F.concat(
+        F.lit("contact u"), F.col("user_id"), F.lit("@example.com or 10.0."),
+        (F.col("user_id") % 256).cast("string"), F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    return ev.select("event_id", redact_pii(text, kinds=("email", "ipv4")).alias("redacted"))
+
+
 def doc_fingerprint_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import fingerprint
 
@@ -902,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality_q,
         "text_token_counts": text_token_counts_q,
         "doc_fingerprint": doc_fingerprint_q,
+        "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
     }
 
@@ -1238,6 +1251,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
+        "pii_redaction": (
+            "SELECT event_id, regexp_replace(regexp_replace("
+            "'contact u' || user_id || '@example.com or 10.0.' || (user_id % 256) || '.' || (event_id % 256), "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED:email]', 'g'), "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED:ipv4]', 'g') AS redacted FROM events"
+        ),
         "multimodal_metadata": (
             "SELECT doc_id AS media_id, 'image' AS kind, "
             "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "

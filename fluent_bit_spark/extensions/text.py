@@ -87,3 +87,35 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (rolling-hash-class
     dedup key; md5 chosen because every SQL engine reproduces it)."""
     return F.md5(normalize_text(col))
+
+
+# --------------------------------------------------------------------------
+# PII scan / redaction (the filter_nightfall capability —
+# plugins/filter_nightfall/ scans via an external API; here the common
+# detector classes run as native regexp_replace, no network, no UDF)
+# --------------------------------------------------------------------------
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b(?:\d[ -]?){13,16}\b",
+}
+PII_ORDER = ("email", "ssn", "credit_card", "ipv4")
+
+
+def redact_pii(col: Column, kinds: tuple[str, ...] | None = None,
+               replacement: str = "[REDACTED:{kind}]") -> Column:
+    """Mask PII spans in place; kinds apply in PII_ORDER (emails before
+    ipv4 so the domain's dots aren't half-eaten, card before bare digit
+    runs)."""
+    for kind in kinds or PII_ORDER:
+        col = F.regexp_replace(col, PII_PATTERNS[kind], replacement.format(kind=kind))
+    return col
+
+
+def pii_flags(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Array of detected PII kinds (the scan-only mode)."""
+    hits = [
+        F.when(col.rlike(PII_PATTERNS[k]), F.lit(k)) for k in (kinds or PII_ORDER)
+    ]
+    return F.array_compact(F.array(*hits))

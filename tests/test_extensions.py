@@ -134,3 +134,21 @@ def test_multimodal_plumbing(spark, docs):
     frames = frame_sample_plan(media, every_ms=500)
     assert frames.count() >= 10
     assert frames.select(F.min("frame_ts_ms")).collect()[0][0] == 0
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.text import pii_flags, redact_pii
+
+    df = spark.createDataFrame([
+        Row(t="mail bob@corp.io from 192.168.0.1 ssn 123-45-6789"),
+        Row(t="clean text, no pii at all"),
+    ])
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"), pii_flags(F.col("t")).alias("f")
+    ).collect()
+    assert out[0].r == "mail [REDACTED:email] from [REDACTED:ipv4] ssn [REDACTED:ssn]"
+    assert out[0].f == ["email", "ssn", "ipv4"]
+    assert out[1].r == out[1].r and out[1].f == []
