@@ -796,6 +796,21 @@ def similarity_lsh_ann_q(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+def similarity_ivf_ann_q(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only check: centroid assignment
+    depends on engine-internal deterministic sampling + float iteration)."""
+    from fluent_bit_spark.extensions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return out.select("query_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
+
+
 def text_langid_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import lang_id
 
@@ -910,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": embedding_dedup_q,
         "similarity_topk": similarity_topk_q,
         "similarity_lsh_ann": similarity_lsh_ann_q,
+        "similarity_ivf_ann": similarity_ivf_ann_q,
         "text_langid": text_langid_q,
         "text_quality": text_quality_q,
         "text_token_counts": text_token_counts_q,

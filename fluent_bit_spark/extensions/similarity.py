@@ -8,8 +8,11 @@
   several independent tables), then exact cosine re-rank. This is the scale
   path: the shuffle key is the bucket id, and the expensive exact cosine
   runs on a tiny candidate set.
-- IVF-style variant: coarse centroids (sampled + kmeans-lite via bisecting
-  assignment) are a follow-up; hyperplane LSH covers the ANN contract here.
+- IVF: a coarse k-means quantizer (deterministic init, Lloyd iterations
+  as DataFrame ops) partitions the corpus into inverted lists; queries
+  probe only their nprobe nearest centroids, then exact cosine re-ranks
+  the probed lists. The centroid table is the only driver-side state
+  (n_centroids × dim floats — model parameters, not data).
 """
 
 from __future__ import annotations
@@ -111,6 +114,119 @@ def lsh_topk(
         cand = cb.join(qb, "__bkt").select(query_id_col, query_vec_col, id_col, vec_col)
         cand_union = cand if cand_union is None else cand_union.unionByName(cand)
     cands = cand_union.dropDuplicates([query_id_col, id_col])
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse k-means: init = rows with the smallest
+    xxhash64(id) (a seedless deterministic sample), then `iters` Lloyd
+    steps. Assignment is a broadcast crossJoin + argmin; the mean step is
+    posexplode -> groupBy(cid, pos) -> avg — both shuffle only on tiny,
+    uniform keys."""
+    init = (
+        corpus.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r[vec_col]) for r in init]
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                ["cid", "cvec"],
+            )
+        )
+        assigned = (
+            corpus.crossJoin(cdf)
+            .select(id_col, vec_col, "cid", cosine(F.col(vec_col), F.col("cvec")).alias("cos"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s.getField("m")).alias("cvec"))
+            .collect()
+        )
+        got = {r.cid: list(r.cvec) for r in means}
+        cents = [got.get(i, cents[i]) for i in range(n_centroids)]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their nearest centroid's
+    inverted list; each query probes its nprobe nearest lists and exact
+    cosine re-ranks only those candidates. At scale the corpus pass is
+    one broadcast-join + shuffle on cid; the probed fraction is
+    nprobe/n_centroids of the data."""
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)], ["cid", "cvec"]
+        )
+    )
+    lists = (
+        corpus.crossJoin(cdf)
+        .select(id_col, vec_col, "cid", cosine(F.col(vec_col), F.col("cvec")).alias("cos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    probes = (
+        queries.crossJoin(cdf)
+        .select(
+            query_id_col, query_vec_col, "cid",
+            cosine(F.col(query_vec_col), F.col("cvec")).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "cid")
+    )
+    cands = lists.join(F.broadcast(probes), "cid")
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -152,3 +152,25 @@ def test_redact_pii(spark):
     assert out[0].r == "mail [REDACTED:email] from [REDACTED:ipv4] ssn [REDACTED:ssn]"
     assert out[0].f == ["email", "ssn", "ipv4"]
     assert out[1].r == out[1].r and out[1].f == []
+
+
+def test_ivf_topk_matches_bruteforce_top1(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.similarity import cosine_topk, ivf_topk
+    from fluent_bit_spark.model import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        r.query_id: r.vec_id
+        for r in cosine_topk(emb, queries, k=1).collect()
+    }
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4).collect()
+    got = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    # the query vector itself lives in some probed list and must win
+    assert got == exact
