@@ -36,9 +36,16 @@ BENCH_QUERIES = [
     "window_rank_topk",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_lsh_ann",
     "text_quality",
     "doc_fingerprint",
+    "q6_forecast_revenue",
+    "anomaly_zscore",
+    "udf_hook",
+    "pii_redaction",
+    "log_to_metrics_summary",
 ]
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,7 +56,12 @@ def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
 
 
 def hyperplane_bucket(vec: Column, dim: int = 64, nbits: int = 8, seed: int = 7) -> Column:
-    """LSH bucket id: sign bits of the vector against nbits hyperplanes."""
+    """LSH bucket id: sign bits of the vector against nbits hyperplanes.
+
+    Pure-Column form — fine for a handful of planes (embedding_dedup).
+    For many planes × tables use ``hyperplane_buckets_batch``: Catalyst
+    higher-order aggregates evaluate per element, so nbits×dim multiplies
+    per row get slow well before numpy would."""
     planes = _hyperplanes(dim, nbits, seed)
     bucket = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
@@ -62,6 +69,31 @@ def hyperplane_bucket(vec: Column, dim: int = 64, nbits: int = 8, seed: int = 7)
         bit = F.when(dot(vec, pl) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit
     return bucket
+
+
+def hyperplane_buckets_batch(
+    vec: Column, dim: int, nbits: int, tables: int, seed: int = 7
+) -> Column:
+    """All `tables` bucket ids at once as array<long>, via one
+    Arrow-batched numpy matmul (N×dim @ dim×(tables·nbits)) — the
+    vectorized path for multi-table LSH. Same deterministic planes as
+    hyperplane_bucket(seed + t)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [p for t in range(tables) for p in _hyperplanes(dim, nbits, seed + t)]
+    )  # (tables*nbits) x dim
+    weights = np.array([1 << b for b in range(nbits)], dtype="int64")
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # N x dim
+        signs = (m @ planes.T) > 0  # N x (tables*nbits)
+        per_table = signs.reshape(len(m), tables, nbits)
+        ids = (per_table * weights).sum(axis=2)  # N x tables
+        return pd.Series(list(ids))
+
+    return buckets(vec)
 
 
 def cosine_topk(
@@ -98,22 +130,23 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: multi-table hyperplane LSH bucketing + exact re-rank of
     candidates. `tables` independent hash tables raise recall; candidates
-    are deduped before scoring."""
-    cand_union = None
-    for t in range(tables):
-        cb = corpus.select(
-            id_col, vec_col, hyperplane_bucket(F.col(vec_col), dim, nbits, seed=7 + t).alias("__bkt")
+    are deduped before scoring. All table buckets are computed in ONE
+    corpus pass (a (table, bucket) struct array exploded per row) — a
+    per-table union would rescan the corpus `tables` times."""
+
+    def with_buckets(df, vcol):
+        b = hyperplane_buckets_batch(F.col(vcol), dim, nbits, tables, seed=7)
+        return df.withColumn("__bs", b).select(
+            *df.columns, F.posexplode(F.col("__bs")).alias("tbl", "bkt")
         )
-        qb = F.broadcast(
-            queries.select(
-                query_id_col,
-                query_vec_col,
-                hyperplane_bucket(F.col(query_vec_col), dim, nbits, seed=7 + t).alias("__bkt"),
-            )
-        )
-        cand = cb.join(qb, "__bkt").select(query_id_col, query_vec_col, id_col, vec_col)
-        cand_union = cand if cand_union is None else cand_union.unionByName(cand)
-    cands = cand_union.dropDuplicates([query_id_col, id_col])
+
+    cb = with_buckets(corpus.select(id_col, vec_col), vec_col)
+    qb = F.broadcast(with_buckets(queries.select(query_id_col, query_vec_col), query_vec_col))
+    cands = (
+        cb.join(qb, ["tbl", "bkt"])
+        .select(query_id_col, query_vec_col, id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # streaming state (windows, applyInPandasWithState throttle/
+        # snapshot/multiline) goes to RocksDB: bounded heap at large key
+        # cardinality, changelog checkpointing keeps commits incremental
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
