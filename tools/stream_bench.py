@@ -1,0 +1,70 @@
+"""Streaming ingest throughput: JSON-lines tail -> parse -> windowed
+count -> memory sink, one availableNow pass. Prints rows/sec.
+
+Usage: python tools/stream_bench.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import get_spark
+from fluent_bit_spark.model import TS_COL
+from fluent_bit_spark.streaming.sources import tail_source
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    spark = get_spark("fbs-stream-bench")
+    d = tempfile.mkdtemp(prefix="fbs_stream_")
+    per_file = n // 8
+    for f_idx in range(8):
+        with open(Path(d) / f"in{f_idx}.json", "w") as f:
+            for i in range(per_file):
+                f.write(
+                    json.dumps(
+                        {"event_type": f"t{i % 5}", "value": float(i % 997), "sec": i % 86400}
+                    )
+                    + "\n"
+                )
+    sdf = tail_source(
+        spark, d, fmt="json",
+        schema="event_type string, value double, sec long",
+        tag_template="bench.stream",
+    ).withColumn(
+        TS_COL,
+        F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec")),
+    )
+    agg = sdf.withWatermark(TS_COL, "10 minutes").groupBy(
+        F.window(TS_COL, "1 hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.format("memory").queryName("sb").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    total = 8 * per_file
+    print(
+        json.dumps(
+            {
+                "metric": "streaming ingest (json tail -> event-time windowed agg)",
+                "rows": total,
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(total / wall),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
