@@ -14,6 +14,8 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -234,24 +236,31 @@ def ngram_jaccard_dedup(
 # --------------------------------------------------------------------------
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens: per-bit weighted vote of token
-    hashes. Pure built-ins: explode tokens, one groupBy(id) with `bits`
-    conditional sums."""
-    def mask(b: int):
-        # bit 63 is the sign bit — two's-complement literal, not 1<<63
-        return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+    hashes. ZERO-shuffle formulation: token hashes are a per-row JVM array
+    (split + xxhash64 transform), and the bit votes run as one
+    Arrow-batched numpy pass per row-batch — an explode + groupBy(id) with
+    64 conditional sums measured ~2× slower and added a full shuffle."""
+    from pyspark.sql.functions import pandas_udf
 
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__t")
-    ).withColumn("__h", F.xxhash64("__t"))
-    votes = [
-        F.sum(F.when(F.col("__h").bitwiseAND(mask(b)) != 0, 1).otherwise(-1)).alias(f"__b{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out.bitwiseOR(F.when(F.col(f"__b{b}") > 0, mask(b)).otherwise(F.lit(0).cast("long")))
-    return agg.select(F.col(id_col), out.alias("simhash"))
+    shifts = np.arange(bits, dtype="uint64")
+
+    @pandas_udf("long")
+    def sim(harrs: pd.Series) -> pd.Series:
+        out = np.empty(len(harrs), dtype="uint64")
+        for i, h in enumerate(harrs):
+            hv = np.asarray(h, dtype="int64").astype("uint64")
+            if hv.size == 0:
+                out[i] = 0
+                continue
+            ones = ((hv[:, None] >> shifts) & 1).sum(axis=0)  # per-bit 1-votes
+            # vote = ones - zeros > 0  <=>  2*ones > n
+            out[i] = np.bitwise_or.reduce(
+                np.where(2 * ones > hv.size, np.uint64(1) << shifts, np.uint64(0))
+            )
+        return pd.Series(out.astype("int64"))
+
+    harr = F.transform(F.split(normalize_text(F.col(text_col)), " "), lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), sim(harr).alias("simhash"))
 
 
 def simhash_dedup(

@@ -295,3 +295,15 @@ def test_pipeline_hook_filter(spark):
     pipe = load_pipeline(spark, conf)
     got = {(r.tag, r.n) for r in pipe.source().collect()}
     assert got == {("app.a", 10), ("db.x", 9)}
+
+
+def test_multiline_rules_ruby(spark):
+    lines = [
+        (0, "app.rb:5:in `boom': divided by 0 (ZeroDivisionError)"),
+        (1, "\tfrom app.rb:9:in `run'"),
+        (2, "\tfrom app.rb:12:in `<main>'"),
+        (3, "plain line"),
+    ]
+    df = spark.createDataFrame([Row(seq=s, line=l) for s, l in lines])
+    rows = multiline_rules(df, "ruby").orderBy("seq").collect()
+    assert [r.n_lines for r in rows] == [3, 1]

@@ -54,3 +54,24 @@ def test_forecast_tumbling(sp):
 def test_windowed_output_carries_bounds(sp):
     df = sp.sql("SELECT COUNT(*) AS c FROM STREAM:FLB WINDOW TUMBLING (5 SECOND);")
     assert df.columns[:2] == ["window_start", "window_end"]
+
+
+def test_forecast_hopping(sp):
+    # sp_window.h check 5: forecast inside each hopping window; with the
+    # whole fixture in one wide hop the slope matches the tumbling golden
+    rows = sp.sql(
+        "SELECT TIMESERIES_FORECAST(usage, 20) AS fc FROM STREAM:FLB "
+        "WINDOW HOPPING (60 SECOND, ADVANCE BY 30 SECOND);"
+    ).collect()
+    assert any(abs(r.fc - 310.0) < 1e-6 for r in rows if r.fc is not None)
+
+
+def test_tumbling_groupby_aggregates(sp):
+    # sp_window.h check 2: aggregates + GROUP BY inside a window
+    rows = sp.sql(
+        "SELECT bool, MIN(id) AS mn, MAX(id) AS mx, COUNT(*) AS c "
+        "FROM STREAM:FLB WINDOW TUMBLING (60 SECOND) "
+        "WHERE word3 IS NOT NULL GROUP BY bool;"
+    ).collect()
+    got = {str(r["bool"]): (r.mn, r.mx, r.c) for r in rows}
+    assert got["true"][2] + got["false"][2] == 10
