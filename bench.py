@@ -55,10 +55,24 @@ def main() -> None:
     qs = entrymod.queries()
 
     # warmup: touch every table once (parquet footers, JVM codegen paths)
+    # and fork the Arrow python workers once (numpy import + worker pool)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
     from fluent_bit_spark.model import TESTDATA_TABLES, load_table
 
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
+
+    @pandas_udf("long")
+    def _warm(s):
+        import numpy as _np  # noqa: F401
+
+        return s
+
+    spark.range(10_000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -106,16 +106,50 @@ def minhash_signatures(
         repartition = df.sparkSession.sparkContext.defaultParallelism
     if repartition:
         df = df.repartition(repartition)
-    # materialize the shingle-hash array in its own projection: it feeds
-    # all num_hashes transforms, and CollapseProject won't inline a
-    # multiply-referenced non-cheap alias — so shingling runs once per
-    # row. Each permutation then rehashes 8-byte longs, not strings.
-    shingled = with_shingle_hashes(df, text_col, "__sh", shingle_n, keep=[id_col])
-    hashes = [
-        F.array_min(F.transform(F.col("__sh"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return shingled.select(F.col(id_col), F.array(*hashes).alias("sig"))
+    # words are hashed ONCE on the JVM side (split + xxhash64 transform);
+    # shingle combination and the k permutation-minima run as one numpy
+    # pass per Arrow batch. MinHash is duplicate-insensitive (min over a
+    # multiset == min over its set), so no distinct step is needed.
+    # Catalyst higher-order expressions for the k minima measured ~3×
+    # slower — per-element interpretation, not codegen.
+    from pyspark.sql.functions import pandas_udf
+
+    # deterministic odd multipliers + offsets for the k permutations
+    # (universal hashing over Z_2^64; wraparound intended)
+    a_k = np.array(
+        [int.from_bytes(__import__("hashlib").sha256(f"a:{i}".encode()).digest()[:8], "big") | 1
+         for i in range(num_hashes)], dtype="uint64",
+    )
+    b_k = np.array(
+        [int.from_bytes(__import__("hashlib").sha256(f"b:{i}".encode()).digest()[:8], "big")
+         for i in range(num_hashes)], dtype="uint64",
+    )
+    c1, c2, c3 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)
+    n = shingle_n
+
+    @pandas_udf("array<long>")
+    def sigs(harrs: pd.Series) -> pd.Series:
+        out = []
+        err = np.seterr(over="ignore")
+        try:
+            for h in harrs:
+                hv = np.asarray(h, dtype="int64").astype("uint64")
+                if hv.size < n:
+                    hv = np.pad(hv, (0, n - hv.size))
+                # combine n consecutive word hashes into one shingle hash
+                s = hv[: hv.size - n + 1] * c1
+                for j in range(1, n):
+                    mult = c2 if j % 2 else c3
+                    s = s ^ (hv[j : hv.size - n + 1 + j] * mult)
+                # k permutation minima: min over (a_k * s + b_k)
+                perms = s[:, None] * a_k[None, :] + b_k[None, :]
+                out.append(perms.min(axis=0).astype("int64"))
+        finally:
+            np.seterr(**err)
+        return pd.Series(out)
+
+    harr = F.transform(F.split(normalize_text(F.col(text_col)), " "), lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), sigs(harr).alias("sig"))
 
 
 def lsh_candidate_pairs(
