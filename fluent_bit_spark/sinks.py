@@ -67,6 +67,35 @@ def gelf_line(
     return F.to_json(F.struct(*fields))
 
 
+def loki_streams(
+    df: DataFrame,
+    label_keys: list[str],
+    line_col: str = "msg",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """out_loki stream shaping (plugins/out_loki/): group records by their
+    label set into Loki push-API streams — (labels map, values array of
+    (epoch_ns, line)), values time-ordered. One shuffle on the label set;
+    a foreachBatch HTTP push consumes this frame directly."""
+    entries = []
+    for k in label_keys:
+        entries.extend([F.lit(k), F.col(k).cast("string")])
+    ns = (F.col(ts_col).cast("double") * 1e9).cast("long").cast("string")
+    return (
+        df.select(
+            F.create_map(*entries).alias("stream"),
+            F.struct(ns.alias("ts"), F.col(line_col).cast("string").alias("line")).alias("v"),
+        )
+        .groupBy("stream")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("v")),
+                lambda s: F.array(s.getField("ts"), s.getField("line")),
+            ).alias("values")
+        )
+    )
+
+
 def write_file(
     df: DataFrame,
     path: str,

@@ -174,3 +174,18 @@ def test_gelf_sink(spark, tmp_path):
     assert rec["version"] == "1.1" and rec["host"] == "web1"
     assert rec["timestamp"] == 1.5 and rec["short_message"] == "disk full"
     assert rec["_tag"] == "app.disk"  # non-promoted keys get underscore prefix
+
+
+def test_loki_streams(spark):
+    from fluent_bit_spark.sinks import loki_streams
+
+    df = spark.createDataFrame(
+        [("app", "web1", 2.0, "second"), ("app", "web1", 1.0, "first"), ("db", "db1", 1.0, "q")],
+        ["job", "host", "timestamp", "msg"],
+    )
+    out = loki_streams(df, ["job", "host"]).collect()
+    streams = {tuple(sorted(r.stream.items())): r.values for r in out}
+    web = streams[(("host", "web1"), ("job", "app"))]
+    assert [v[1] for v in web] == ["first", "second"]  # time-ordered
+    assert web[0][0] == "1000000000"  # epoch ns as string
+    assert len(streams) == 2
