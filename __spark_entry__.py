@@ -635,6 +635,36 @@ def udf_hook_q(spark, sf_dir):
     return out.select("event_id", "event_type", F.round("value", 6).alias("value"))
 
 
+def alter_size_take(spark, sf_dir):
+    from fluent_bit_spark.operators.misc import alter_size
+
+    ev = _events(spark, sf_dir)
+    out = alter_size(ev, n=100, op="take", key="event_type", order_by=["event_id"])
+    return out.select("event_id", "event_type")
+
+
+def session_window_gap(spark, sf_dir):
+    """Session windows (SURVEY §2.9 extension): 30-minute-gap sessions per
+    user — F.session_window, state-store backed in streaming mode."""
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sv"))
+    return out.select(
+        F.col("session_window.start").alias("session_start"), "user_id", "cnt", "sv"
+    )
+
+
+def doc_chunking_q(spark, sf_dir):
+    from fluent_bit_spark.extensions.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", F.md5(F.col("chunk_text")).alias("chunk_md5")
+    )
+
+
 # --------------------------------------------------------------------------
 # Spark-natural relational extensions (beyond the reference surface)
 # --------------------------------------------------------------------------
@@ -909,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_to_metrics_summary": log_to_metrics_summary,
         "anomaly_zscore": anomaly_zscore,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "alter_size_take": alter_size_take,
+        "session_window_gap": session_window_gap,
+        "doc_chunking": doc_chunking_q,
         "multiline_sessionize": multiline_sessionize,
         "expect_assertions": expect_assertions,
         "router_split": router_split,
@@ -1147,6 +1180,29 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue, COUNT(*) AS n_rows FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24"
+        ),
+        "alter_size_take": (
+            "SELECT event_id, event_type FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY event_id) <= 100"
+        ),
+        "session_window_gap": (
+            "WITH s AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) "
+            "SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS cnt, "
+            "ROUND(SUM(value), 6) AS sv FROM g GROUP BY user_id, sid"
+        ),
+        "doc_chunking": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws FROM documents), "
+            "m AS (SELECT doc_id, ws, len(ws) AS n, "
+            "greatest(CAST(ceil((len(ws) - 16) / 48.0) AS INT), 1) AS nc FROM w) "
+            "SELECT doc_id, i AS chunk_idx, "
+            "CAST(least(n - i * 48, 64) AS INT) AS n_chunk_tokens, "
+            "md5(array_to_string(ws[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5 "
+            "FROM m, unnest(generate_series(0, nc - 1)) AS t(i)"
         ),
         "udf_hook": (
             "WITH base AS (SELECT event_id, event_type, value FROM events WHERE value >= 10) "

@@ -230,3 +230,32 @@ def test_record_hook_codes(spark):
     out = record_hook(spark.createDataFrame(rows), cb, ts_col="none")
     got = sorted((r.name, r.v) for r in out.collect())
     assert got == [("double", 20), ("keep", 5), ("split", 20), ("split", 21)]
+
+
+def test_alter_size_and_static_metadata(spark):
+    from fluent_bit_spark.operators.misc import alter_size, static_metadata
+
+    rows = [Row(tag="a", i=i) for i in range(5)] + [Row(tag="b", i=i) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    assert alter_size(df, 2, "take", order_by=["i"]).count() == 4
+    dropped = alter_size(df, 2, "drop", order_by=["i"])
+    assert dropped.count() == 4
+    assert dropped.filter(F.col("tag") == "b").collect()[0].i == 2
+    meta = static_metadata(df, {"az": "us-east-1a", "instance": "i-123"}, prefix="aws_")
+    r = meta.collect()[0]
+    assert r.aws_az == "us-east-1a" and r.aws_instance == "i-123"
+
+
+def test_chunk_documents(spark):
+    from fluent_bit_spark.extensions.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="short")])
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).orderBy("doc_id", "chunk_idx").collect()
+    d1 = [r for r in out if r.doc_id == 1]
+    assert len(d1) == 3  # starts at 0, 3, 6 -> ceil((10-1)/3)=3
+    assert d1[0].chunk_text == "w0 w1 w2 w3" and d1[0].n_chunk_tokens == 4
+    assert d1[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert d1[2].n_chunk_tokens == 4
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "short" and d2[0].n_chunk_tokens == 1
