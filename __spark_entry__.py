@@ -665,6 +665,18 @@ def doc_chunking_q(spark, sf_dir):
     )
 
 
+def chunk_packing_q(spark, sf_dir):
+    """chunking -> concat-and-cut packing pipeline over documents."""
+    from fluent_bit_spark.extensions.chunking import chunk_documents, pack_chunks
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).withColumn(
+        "seq", F.col("doc_id") * 4096 + F.col("chunk_idx")
+    )
+    out = pack_chunks(chunks, token_budget=256, seq_col="seq")
+    return out.select("doc_id", "chunk_idx", "pack_id", "pack_offset")
+
+
 # --------------------------------------------------------------------------
 # Spark-natural relational extensions (beyond the reference surface)
 # --------------------------------------------------------------------------
@@ -942,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alter_size_take": alter_size_take,
         "session_window_gap": session_window_gap,
         "doc_chunking": doc_chunking_q,
+        "chunk_packing": chunk_packing_q,
         "multiline_sessionize": multiline_sessionize,
         "expect_assertions": expect_assertions,
         "router_split": router_split,
@@ -1203,6 +1216,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(n - i * 48, 64) AS INT) AS n_chunk_tokens, "
             "md5(array_to_string(ws[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5 "
             "FROM m, unnest(generate_series(0, nc - 1)) AS t(i)"
+        ),
+        "chunk_packing": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws FROM documents), "
+            "m AS (SELECT doc_id, len(ws) AS n, "
+            "greatest(CAST(ceil((len(ws) - 16) / 48.0) AS INT), 1) AS nc FROM w), "
+            "c AS (SELECT doc_id, i AS chunk_idx, "
+            "CAST(least(n - i * 48, 64) AS BIGINT) AS t "
+            "FROM m, unnest(generate_series(0, nc - 1)) AS t(i)), "
+            "r AS (SELECT doc_id, chunk_idx, "
+            "SUM(t) OVER (ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) - t AS start FROM c) "
+            "SELECT doc_id, chunk_idx, CAST(start // 256 AS BIGINT) AS pack_id, "
+            "CAST(start % 256 AS BIGINT) AS pack_offset FROM r"
         ),
         "udf_hook": (
             "WITH base AS (SELECT event_id, event_type, value FROM events WHERE value >= 10) "

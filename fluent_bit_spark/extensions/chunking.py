@@ -51,3 +51,43 @@ def chunk_documents(
         F.col("__c.txt").alias("chunk_text"),
         F.col("__c.ntok").alias("n_chunk_tokens"),
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_budget: int = 2048,
+    tokens_col: str = "n_chunk_tokens",
+    seq_col: str = "seq",
+    bucket_size: int = 65536,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: lay all chunks end to end in
+    ``seq_col`` order and cut the token stream every ``token_budget``
+    tokens; each chunk's ``pack_id`` is the cut its FIRST token falls in
+    (the GPT-pretraining packing discipline — a chunk may straddle a cut,
+    the consumer splits it while tokenizing).
+
+    pack_id = (running_total - own_tokens) div budget, where the running
+    total is the bucketed distributed prefix sum (operators.multiline) —
+    no single-partition window, scales like a scan. Exact greedy no-split
+    bin packing is inherently sequential (boundary resets depend on every
+    prior decision); concat-and-cut is the scalable standard instead.
+
+    Adds ``pack_id`` and ``pack_offset`` (the chunk's first-token offset
+    within its pack).
+    """
+    from fluent_bit_spark.operators.multiline import _with_running_sum
+
+    out = _with_running_sum(
+        df.withColumn("__t", F.col(tokens_col).cast("long")),
+        "__t",
+        seq_col,
+        [],
+        "__run",
+        bucket_size,
+    )
+    start = F.col("__run") - F.col("__t")
+    return (
+        out.withColumn("pack_id", (start / token_budget).cast("long"))
+        .withColumn("pack_offset", (start % token_budget).cast("long"))
+        .drop("__t", "__run")
+    )

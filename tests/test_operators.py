@@ -259,3 +259,13 @@ def test_chunk_documents(spark):
     assert d1[2].n_chunk_tokens == 4
     d2 = [r for r in out if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].chunk_text == "short" and d2[0].n_chunk_tokens == 1
+
+
+def test_pack_chunks(spark):
+    from fluent_bit_spark.extensions.chunking import pack_chunks
+
+    rows = [Row(seq=i, n_chunk_tokens=t) for i, t in enumerate([6, 6, 6, 2, 10, 4])]
+    out = pack_chunks(spark.createDataFrame(rows), token_budget=10).orderBy("seq").collect()
+    # cumulative starts: 0,6,12,18,20,30 -> packs 0,0,1,1,2,3
+    assert [r.pack_id for r in out] == [0, 0, 1, 1, 2, 3]
+    assert [r.pack_offset for r in out] == [0, 6, 2, 8, 0, 0]
