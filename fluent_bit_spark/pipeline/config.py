@@ -49,16 +49,36 @@ class Pipeline:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
-    def route(self, pattern: str) -> DataFrame:
-        return self.source().filter(F.col(TAG_COL).rlike(tag_pattern_to_regex(pattern)))
+    def route(self, pattern: str, conds: list | None = None, combine: str = "AND") -> DataFrame:
+        """Tag-pattern route, optionally gated by condition rules — the
+        conditional-routing engine (src/flb_router_condition.c:275
+        flb_condition_eval_logs over src/flb_conditionals.c rules)."""
+        df = self.source().filter(F.col(TAG_COL).rlike(tag_pattern_to_regex(pattern)))
+        if conds:
+            from fluent_bit_spark.operators.conditions import Rule, conditions
+
+            rules = [Rule(*c) for c in conds]
+            df = df.filter(conditions(df, rules, combine))
+        return df
 
     def run_outputs(self) -> dict[str, int]:
         """Execute every output route; returns route -> row count written."""
         from fluent_bit_spark.sinks import write_file
 
         written = {}
+
+        def record(out, n):
+            key = out.get("match", "*")
+            while key in written:  # duplicate match patterns stay distinct
+                key += "+"
+            written[key] = n
+
         for out in self.outputs:
-            df = self.route(out.get("match", "*"))
+            df = self.route(
+                out.get("match", "*"),
+                conds=out.get("conditions"),
+                combine=out.get("condition_op", "AND"),
+            )
             name = out.get("name", "file")
             if name == "file":
                 write_file(
@@ -69,12 +89,12 @@ class Pipeline:
                     template=out.get("template"),
                     compression=out.get("compression"),
                 )
-                written[out.get("match", "*")] = df.count()
+                record(out, df.count())
             elif name in ("null", "counter"):
-                written[out.get("match", "*")] = df.count()
+                record(out, df.count())
             elif name == "stdout":
                 df.show(int(out.get("limit", 20)), truncate=False)
-                written[out.get("match", "*")] = df.count()
+                record(out, df.count())
             else:
                 raise ValueError(f"unknown output plugin {name!r}")
         return written

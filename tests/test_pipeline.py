@@ -64,3 +64,26 @@ def test_yaml_pipeline_end_to_end(spark, tmp_path):
     codes = pipe.sp.sql("SELECT code, cnt FROM STREAM:codes;").collect()
     got = {r.code: r.cnt for r in codes}
     assert got == {200: 16, 500: 4}
+
+
+def test_conditional_output_routes(spark):
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {"name": "dummy", "tag": "svc.a",
+                 "records": [{"level": "error", "ms": 900.0},
+                             {"level": "info", "ms": 5.0},
+                             {"level": "error", "ms": 10.0}]},
+            ],
+            "outputs": [
+                {"name": "counter", "match": "svc.*",
+                 "conditions": [["level", "eq", "error"], ["ms", "gt", 100]],
+                 "condition_op": "AND"},
+                {"name": "counter", "match": "svc.*"},
+            ],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    # first route: error AND ms>100 -> 1; second: everything -> 3
+    written = pipe.run_outputs()
+    assert written == {"svc.*": 1, "svc.*+": 3}
