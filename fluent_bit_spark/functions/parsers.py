@@ -30,6 +30,44 @@ from fluent_bit_spark.typecast import cast_column
 _NAMED_GROUP_RE = _re.compile(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>")
 
 
+def _group_indexes(pattern: str) -> dict[str, int]:
+    """Map named-group name -> regex group INDEX, counting unnamed
+    capturing groups too (patterns like ``(?<a>(x|-))`` put later named
+    groups at shifted indexes)."""
+    out: dict[str, int] = {}
+    idx = 0
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            m = _re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", pattern[i:])
+            if m:
+                idx += 1
+                out[m.group(1)] = idx
+                i += m.end()
+                continue
+            if pattern[i : i + 2] == "(?":
+                # (?: (?= (?! (?<= (?<! — non-capturing / lookaround
+                i += 1
+                continue
+            idx += 1
+        i += 1
+    return out
+
+
 class RegexParser:
     """Named-group regex parser (reference: onigmo patterns, src/flb_regex.c;
     e.g. the apache/syslog patterns in conf/parsers.conf).
@@ -47,10 +85,15 @@ class RegexParser:
         time_key: str | None = None,
         time_format: str | None = None,
     ):
-        self.pattern = pattern.replace("(?P<", "(?<")
+        pattern = pattern.replace("(?P<", "(?<")
         self.group_names = _NAMED_GROUP_RE.findall(pattern)
         if not self.group_names:
             raise ValueError("regex parser needs named capture groups")
+        self.group_index = _group_indexes(pattern)
+        # extraction is by index, so strip the names from the JVM pattern:
+        # Java rejects names with underscores (onigmo allows them) and
+        # plain groups avoid the whole naming dialect
+        self.pattern = _NAMED_GROUP_RE.sub("(", pattern)
         self.types = types or {}
         self.time_key = time_key
         self.time_format = time_format
@@ -63,15 +106,15 @@ class RegexParser:
 
     def parse(self, col: Column) -> dict[str, Column]:
         out: dict[str, Column] = {}
-        for i, name in enumerate(self.group_names, start=1):
-            raw = F.regexp_extract(col, self.pattern, i)
+        for name in self.group_names:
+            raw = F.regexp_extract(col, self.pattern, self.group_index[name])
             raw = F.when(col.rlike(self.pattern), raw)  # non-match -> NULL, not ''
             if name in self.types:
                 raw = cast_column(raw, self.types[name])
             out[name] = raw
         if self.time_key and self.time_format and self.time_key in out:
             out[self.time_key] = parse_time(
-                F.regexp_extract(col, self.pattern, self.group_names.index(self.time_key) + 1),
+                F.regexp_extract(col, self.pattern, self.group_index[self.time_key]),
                 self.time_format,
             )
         return out
@@ -198,3 +241,95 @@ def decode_field(col: Column, decoder: str) -> Column:
         inner = F.regexp_replace(inner, r"\\'", "'")
         return F.regexp_replace(inner, r'\\"', '"')
     raise ValueError(f"unknown decoder {decoder!r}")
+
+
+# --------------------------------------------------------------------------
+# standard parser presets — the shipped parser set (conf/parsers.conf),
+# regexes re-expressed for the JVM regex engine (named groups carry over)
+# --------------------------------------------------------------------------
+PRESET_DEFS: dict[str, dict] = {
+    "apache": {
+        "format": "regex",
+        "regex": r'^(?<host>[^ ]*) [^ ]* (?<user>[^ ]*) \[(?<time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)?" (?<code>[^ ]*) (?<size>[^ ]*)(?: "(?<referer>[^\"]*)" "(?<agent>[^\"]*)")?$',
+        "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z",
+        "types": {"code": "int", "size": "int"},
+    },
+    "apache2": {
+        "format": "regex",
+        "regex": r'^(?<host>[^ ]*) [^ ]* (?<user>[^ ]*) \[(?<time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^ ]*) +\S*)?" (?<code>[^ ]*) (?<size>[^ ]*)(?: "(?<referer>[^\"]*)" "(?<agent>.*)")?$',
+        "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z",
+        "types": {"code": "int", "size": "int"},
+    },
+    "apache_error": {
+        "format": "regex",
+        "regex": r"^\[[^ ]* (?<time>[^\]]*)\] \[(?<level>[^\]]*)\](?: \[pid (?<pid>[^\]]*)\])?( \[client (?<client>[^\]]*)\])? (?<message>.*)$",
+    },
+    "nginx": {
+        "format": "regex",
+        "regex": r'^(?<remote>[^ ]*) (?<host>[^ ]*) (?<user>[^ ]*) \[(?<time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)?" (?<code>[^ ]*) (?<size>[^ ]*)(?: "(?<referer>[^\"]*)" "(?<agent>[^\"]*)")',
+        "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z",
+        "types": {"code": "int", "size": "int"},
+    },
+    "json": {"format": "json", "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z"},
+    "logfmt": {"format": "logfmt"},
+    "docker": {"format": "json", "time_key": "time", "time_format": "%Y-%m-%dT%H:%M:%S.%L"},
+    "docker-daemon": {
+        "format": "regex",
+        "regex": r'time="(?<time>[^ ]*)" level=(?<level>[^ ]*) msg="(?<msg>[^ ].*)"',
+        "time_key": "time", "time_format": "%Y-%m-%dT%H:%M:%S.%L",
+    },
+    "syslog-rfc5424": {
+        "format": "regex",
+        "regex": r"^\<(?<pri>[0-9]{1,5})\>1 (?<time>[^ ]+) (?<host>[^ ]+) (?<ident>[^ ]+) (?<pid>[-0-9]+) (?<msgid>[^ ]+) (?<extradata>(\[(.*?)\]|-)) (?<message>.+)$",
+        "time_key": "time", "time_format": "%Y-%m-%dT%H:%M:%S.%L%z",
+        "types": {"pri": "int"},
+    },
+    "syslog-rfc3164-local": {
+        "format": "regex",
+        "regex": r"^\<(?<pri>[0-9]+)\>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<ident>[a-zA-Z0-9_\/\.\-]*)(?:\[(?<pid>[0-9]+)\])?(?:[^\:]*\:)? *(?<message>.*)$",
+        "time_key": "time", "time_format": "%b %d %H:%M:%S",
+        "types": {"pri": "int"},
+    },
+    "syslog-rfc3164": {
+        "format": "regex",
+        "regex": r"^\<(?<pri>[0-9]+)\>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<host>[^ ]*) (?<ident>[a-zA-Z0-9_\/\.\-]*)(?:\[(?<pid>[0-9]+)\])?(?:[^\:]*\:)? *(?<message>.*)$",
+        "time_key": "time", "time_format": "%b %d %H:%M:%S",
+        "types": {"pri": "int"},
+    },
+    "mongodb": {
+        "format": "regex",
+        "regex": r"^(?<time>[^ ]*)\s+(?<severity>\w)\s+(?<component>[^ ]+)\s+\[(?<context>[^\]]+)]\s+(?<message>.*?) *(?<ms>(\d+))?(:?ms)?$",
+        "time_key": "time", "time_format": "%Y-%m-%dT%H:%M:%S.%L",
+    },
+    "envoy": {
+        "format": "regex",
+        "regex": r'^\[(?<start_time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)? (?<protocol>\S+)" (?<code>[^ ]*) (?<response_flags>[^ ]*) (?<bytes_received>[^ ]*) (?<bytes_sent>[^ ]*) (?<duration>[^ ]*) (?<x_envoy_upstream_service_time>[^ ]*) "(?<x_forwarded_for>[^ ]*)" "(?<user_agent>[^\"]*)" "(?<request_id>[^\"]*)" "(?<authority>[^ ]*)" "(?<upstream_host>[^ ]*)"',
+        "time_key": "start_time", "time_format": "%Y-%m-%dT%H:%M:%S.%L%z",
+        "types": {"code": "int", "bytes_received": "int", "bytes_sent": "int", "duration": "int"},
+    },
+    "cri": {
+        "format": "regex",
+        "regex": r"^(?<time>[^ ]+) (?<stream>stdout|stderr) (?<logtag>[^ ]*) (?<message>.*)$",
+        "time_key": "time", "time_format": "%Y-%m-%dT%H:%M:%S.%L%z",
+    },
+    "kube-custom": {
+        "format": "regex",
+        "regex": r"(?<tag>[^.]+)?\.?(?<pod_name>[a-z0-9](?:[-a-z0-9]*[a-z0-9])?(?:\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespace_name>[^_]+)_(?<container_name>.+)-(?<docker_id>[a-z0-9]{64})\.log$",
+    },
+}
+
+
+def preset_parser(name: str):
+    """Build a parser object for a shipped preset (conf/parsers.conf name)."""
+    d = PRESET_DEFS[name]
+    fmt = d["format"]
+    if fmt == "regex":
+        return RegexParser(
+            d["regex"], types=d.get("types"),
+            time_key=d.get("time_key"), time_format=d.get("time_format"),
+        )
+    if fmt == "json":
+        return JsonParser()
+    if fmt == "logfmt":
+        return LogfmtParser()
+    raise ValueError(f"unknown preset format {fmt!r}")

@@ -307,3 +307,43 @@ def test_multiline_rules_ruby(spark):
     df = spark.createDataFrame([Row(seq=s, line=l) for s, l in lines])
     rows = multiline_rules(df, "ruby").orderBy("seq").collect()
     assert [r.n_lines for r in rows] == [3, 1]
+
+
+def test_preset_parsers(spark):
+    from fluent_bit_spark.functions.parsers import PRESET_DEFS, preset_parser
+
+    cases = {
+        "syslog-rfc5424": (
+            "<34>1 2024-01-01T10:00:00.000Z host1 app 1234 MSGID - hello world",
+            {"pri": 34, "host": "host1", "ident": "app", "message": "hello world"},
+        ),
+        "syslog-rfc3164": (
+            "<13>Feb  5 17:32:18 host2 su[1001]: 'su root' failed",
+            {"pri": 13, "host": "host2", "ident": "su", "message": "'su root' failed"},
+        ),
+        "nginx": (
+            '10.1.1.1 example.com alice [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 512 "-" "curl"',
+            {"remote": "10.1.1.1", "code": 200, "size": 512, "agent": "curl"},
+        ),
+        "cri": (
+            "2024-01-01T10:00:00.000Z stdout F full line here",
+            {"stream": "stdout", "logtag": "F", "message": "full line here"},
+        ),
+        "envoy": (
+            '[2024-01-01T10:00:00.000Z] "GET /api HTTP/1.1" 200 - 10 20 5 3 "1.2.3.4" "ua" "rid" "auth" "uh"',
+            {"method": "GET", "code": 200, "bytes_sent": 20},
+        ),
+    }
+    for name, (line, want) in cases.items():
+        p = preset_parser(name)
+        df = spark.createDataFrame([Row(line=line)])
+        r = parser_filter(df, "line", p, reserve_data=False).collect()
+        assert len(r) == 1, f"{name} did not match"
+        for k, v in want.items():
+            assert r[0][k] == v, f"{name}.{k}: {r[0][k]!r} != {v!r}"
+    # every preset must build and evaluate against the JVM regex engine
+    df = spark.createDataFrame([Row(line="no match")])
+    for name in PRESET_DEFS:
+        p = preset_parser(name)
+        parser_filter(df, "line", p, fields=getattr(p, "group_names", None) and p.fields(),
+                      reserve_data=True).collect()
