@@ -345,5 +345,5 @@ def test_preset_parsers(spark):
     df = spark.createDataFrame([Row(line="no match")])
     for name in PRESET_DEFS:
         p = preset_parser(name)
-        parser_filter(df, "line", p, fields=getattr(p, "group_names", None) and p.fields(),
-                      reserve_data=True).collect()
+        fields = p.fields() if hasattr(p, "group_names") else ["time", "log"]
+        parser_filter(df, "line", p, fields=fields, reserve_data=True).collect()
