@@ -313,6 +313,24 @@ def parser_json_props(spark, sf_dir):
     return out.select("event_id", "k")
 
 
+def parser_syslog_preset(spark, sf_dir):
+    """The shipped syslog-rfc5424 preset parser over synthesized lines."""
+    from fluent_bit_spark.functions.parsers import preset_parser
+    from fluent_bit_spark.operators.parser_filter import parser_filter
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(
+            F.lit("<"), (F.col("event_id") % 192), F.lit(">1 2024-01-01T10:00:00.000Z host"),
+            F.col("user_id"), F.lit(" app"), F.col("user_id") % 7, F.lit(" "),
+            F.col("event_id"), F.lit(" MSG"), F.col("event_id") % 10, F.lit(" - "),
+            F.col("event_type"), F.lit(" value="), F.col("value"),
+        ).alias("line"),
+    )
+    out = parser_filter(ev, "line", preset_parser("syslog-rfc5424"), reserve_data=True)
+    return out.select("event_id", "pri", "host", "ident", F.col("pid").cast("long").alias("pid"), "msgid", "message")
+
+
 def type_converter_casts(spark, sf_dir):
     from fluent_bit_spark.typecast import type_converter
 
@@ -931,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_ltsv_roundtrip": parser_ltsv_roundtrip,
         "parser_regex_access_log": parser_regex_access_log,
         "parser_json_props": parser_json_props,
+        "parser_syslog_preset": parser_syslog_preset,
         "type_converter_casts": type_converter_casts,
         "throttle_rate": throttle_rate,
         "throttle_size_budget": throttle_size_budget,
@@ -1085,6 +1104,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "parser_json_props": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "parser_syslog_preset": (
+            "SELECT event_id, CAST(event_id % 192 AS BIGINT) AS pri, "
+            "'host' || user_id AS host, 'app' || (user_id % 7) AS ident, "
+            "CAST(event_id AS BIGINT) AS pid, 'MSG' || (event_id % 10) AS msgid, "
+            "event_type || ' value=' || value AS message FROM events"
         ),
         "type_converter_casts": (
             "SELECT doc_id, n_chars AS n_int, CAST(n_chars AS DOUBLE) AS n_float, "

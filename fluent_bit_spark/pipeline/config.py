@@ -210,6 +210,13 @@ def _build_parser(pconf: dict):
 
     fmt = pconf.get("format", "json")
     types = pconf.get("types")
+    if "preset" in pconf:
+        # a shipped parsers.conf preset by name (functions.parsers.PRESET_DEFS)
+        from fluent_bit_spark.functions.parsers import preset_parser
+
+        obj = preset_parser(pconf["preset"])
+        fields = obj.fields() if hasattr(obj, "group_names") else pconf.get("fields")
+        return {"obj": obj, "fields": fields, "types": types}
     if fmt == "regex":
         obj = RegexParser(
             pconf["regex"], types=types,
