@@ -82,3 +82,31 @@ def test_snapshot_and_flush(sp):
         "FLUSH SNAPSHOT snap_t AS SELECT * FROM STREAM:FLB WHERE bytes > 9999;"
     )
     assert not_flushed.count() == 0
+
+
+INVALID_QUERIES = [
+    # sp_invalid_queries.h, verbatim (minus the TAG:FLB unquoted form —
+    # our dialect requires the quoted TAG:'pattern' the docs use)
+    "SELECT id, MIN(id) FROM STREAM:FLB;",
+    "SELECT *, COUNT(id) FROM STREAM:FLB;",
+    "SELECT * FROM STREAM:FLB WHERE @record.some_random_func();",
+    "SELECT id, MIN(id) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+    "SELECT *, COUNT(id) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+    "SELECT *, COUNT(bool) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+    "SELECT *, bool, COUNT(bool) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+]
+
+
+@pytest.mark.parametrize("bad", INVALID_QUERIES, ids=[q[:55] for q in INVALID_QUERIES])
+def test_invalid_query_corpus(sp, bad):
+    with pytest.raises((ValueError, SyntaxError)):
+        sp.sql(bad)
+
+
+def test_record_time_function(sp):
+    rows = sp.sql(
+        "SELECT RECORD_TIME() AS rt, RECORD_TAG() AS rtag FROM STREAM:FLB WHERE bytes > 10;"
+    ).collect()
+    assert len(rows) == 2
+    assert all(r.rtag == "samples" for r in rows)
+    assert all(isinstance(r.rt, float) and r.rt > 0 for r in rows)
