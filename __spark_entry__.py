@@ -927,6 +927,63 @@ def multimodal_metadata_q(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def es_bulk_encode(spark, sf_dir):
+    """out_es bulk shaping: logstash index rotation + Id_Key extraction +
+    doc serialization, all codegen'd expressions over the scan — no shuffle
+    at any scale (plugins/out_es/es.c:744-838)."""
+    from fluent_bit_spark.connectors import es_bulk
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    return es_bulk(
+        ev,
+        logstash_format=True,
+        logstash_prefix="logs",
+        id_key="event_id",
+        doc_cols=["event_id", "event_type", "user_id"],
+    )
+
+
+def splunk_hec_shape(spark, sf_dir):
+    """out_splunk HEC envelopes: static metadata + key promotion (the
+    promoted key leaves the event body), exact-micros time
+    (plugins/out_splunk/splunk.c:351-470)."""
+    from fluent_bit_spark.connectors import splunk_hec
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    return splunk_hec(
+        ev,
+        event_cols=["event_id", "user_id", "event_type"],
+        host="spark-host",
+        sourcetype="_json",
+        index="main",
+        source_key="event_type",
+    )
+
+
+def otlp_logs_roundtrip(spark, sf_dir):
+    """in/out_opentelemetry: encode events into ExportLogsServiceRequest
+    JSON (one request per event_type batch), decode back through the
+    three-level explode, recover the original rows bit-exactly. The encode
+    shuffles once on the batch key; the decode is shuffle-free."""
+    from fluent_bit_spark.connectors import otlp_logs_decode, otlp_logs_encode
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    enc = otlp_logs_encode(
+        ev,
+        body_col="event_type",
+        attr_cols=["event_id", "user_id"],
+        resource_attributes={"service.name": "events"},
+        batch_col="event_type",
+    )
+    dec = otlp_logs_decode(enc)
+    return dec.select(
+        F.col("attributes").getItem("event_id").cast("long").alias("event_id"),
+        F.col("body"),
+        F.unix_micros(F.col(TS_COL)).alias("time_us"),
+        F.col("resource").getItem("service.name").alias("service"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -997,6 +1054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint_q,
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
+        "es_bulk_encode": es_bulk_encode,
+        "splunk_hec_shape": splunk_hec_shape,
+        "otlp_logs_roundtrip": otlp_logs_roundtrip,
     }
 
 
@@ -1388,5 +1448,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height, "
             "CAST((octet_length(encode(text)) * 7) % 10000 AS INT) AS fake_duration_ms, "
             "sha256(text) AS sha FROM documents"
+        ),
+        "es_bulk_encode": (
+            "SELECT 'logs-' || strftime(ts, '%Y.%m.%d') AS _index, "
+            "CAST(event_id AS VARCHAR) AS _id, "
+            "to_json({'index': {'_index': 'logs-' || strftime(ts, '%Y.%m.%d'), "
+            "'_id': CAST(event_id AS VARCHAR)}}) AS action_line, "
+            "to_json({'event_id': event_id, 'event_type': event_type, "
+            "'user_id': user_id}) AS doc_line FROM events"
+        ),
+        "splunk_hec_shape": (
+            "SELECT epoch_us(ts) AS time_us, 'spark-host' AS host, "
+            "event_type AS source, '_json' AS sourcetype, 'main' AS \"index\", "
+            "to_json({'event_id': event_id, 'user_id': user_id}) AS event FROM events"
+        ),
+        "otlp_logs_roundtrip": (
+            "SELECT event_id, event_type AS body, epoch_us(ts) AS time_us, "
+            "'events' AS service FROM events"
         ),
     }
