@@ -95,6 +95,64 @@ class Pipeline:
             elif name == "stdout":
                 df.show(int(out.get("limit", 20)), truncate=False)
                 record(out, df.count())
+            elif name in ("es", "opensearch"):
+                from fluent_bit_spark.connectors import es_bulk
+
+                shaped = es_bulk(
+                    df,
+                    index=out.get("index", "fluent-bit"),
+                    logstash_format=bool(out.get("logstash_format", False)),
+                    logstash_prefix=out.get("logstash_prefix", "logstash"),
+                    id_key=out.get("id_key"),
+                    include_tag_key=out.get("include_tag_key"),
+                )
+                # bulk body = action line + doc line per record
+                body = shaped.select(
+                    F.concat_ws("\n", "action_line", "doc_line").alias("value")
+                )
+                body.write.mode("overwrite").format("text").save(out["path"])
+                record(out, df.count())
+            elif name == "splunk":
+                from fluent_bit_spark.connectors import splunk_hec
+
+                shaped = splunk_hec(
+                    df,
+                    host=out.get("host"),
+                    source=out.get("source"),
+                    sourcetype=out.get("sourcetype"),
+                    index=out.get("index"),
+                    host_key=out.get("host_key"),
+                    source_key=out.get("source_key"),
+                    send_raw=bool(out.get("send_raw", False)),
+                )
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "opentelemetry":
+                from fluent_bit_spark.connectors import otlp_logs_encode
+
+                shaped = otlp_logs_encode(
+                    df,
+                    body_col=out.get("body_key", "msg"),
+                    attr_cols=out.get("attribute_keys"),
+                    resource_attributes=out.get("resource_attributes"),
+                    batch_col=out.get("batch_key", TAG_COL),
+                )
+                shaped.select("otlp_json").write.mode("overwrite").format("text").save(
+                    out["path"]
+                )
+                record(out, df.count())
+            elif name == "loki":
+                from fluent_bit_spark.sinks import loki_streams
+
+                shaped = loki_streams(
+                    df,
+                    label_keys=out.get("labels", [TAG_COL]),
+                    line_col=out.get("line_key", "msg"),
+                )
+                shaped.select(F.to_json(F.struct("stream", "values")).alias("value")).write.mode(
+                    "overwrite"
+                ).format("text").save(out["path"])
+                record(out, df.count())
             else:
                 raise ValueError(f"unknown output plugin {name!r}")
         return written

@@ -87,3 +87,47 @@ def test_conditional_output_routes(spark):
     # first route: error AND ms>100 -> 1; second: everything -> 3
     written = pipe.run_outputs()
     assert written == {"svc.*": 1, "svc.*+": 3}
+
+
+def test_connector_output_plugins(spark, tmp_path):
+    """es/splunk/opentelemetry/loki outputs write their wire payloads
+    (file-backed stand-ins for the HTTP push)."""
+    import json as _json
+
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {"name": "dummy", "tag": "svc.logs",
+                 "records": [{"msg": "boot ok", "level": "info", "event_id": 1},
+                             {"msg": "disk full", "level": "error", "event_id": 2}]},
+            ],
+            "outputs": [
+                {"name": "es", "match": "*", "path": str(tmp_path / "es"),
+                 "logstash_format": True, "logstash_prefix": "svc", "id_key": "event_id"},
+                {"name": "splunk", "match": "*", "path": str(tmp_path / "hec"),
+                 "sourcetype": "_json", "source_key": "level"},
+                {"name": "opentelemetry", "match": "*", "path": str(tmp_path / "otlp"),
+                 "body_key": "msg", "attribute_keys": ["level"]},
+                {"name": "loki", "match": "*", "path": str(tmp_path / "loki"),
+                 "labels": ["level"], "line_key": "msg"},
+            ],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    written = pipe.run_outputs()
+    assert all(n == 2 for n in written.values())
+
+    bulk = [ln for ln in spark.read.text(str(tmp_path / "es")).toPandas()["value"]]
+    actions = [_json.loads(l) for l in bulk if '"index"' in l and "_index" in l]
+    assert {a["index"]["_id"] for a in actions} == {"1", "2"}
+    assert all(a["index"]["_index"].startswith("svc-") for a in actions)
+
+    hec = spark.read.json(str(tmp_path / "hec"))
+    assert {r.source for r in hec.collect()} == {"info", "error"}
+
+    from fluent_bit_spark.connectors import otlp_logs_decode
+    dec = otlp_logs_decode(spark.read.text(str(tmp_path / "otlp")), "value")
+    assert {r.body for r in dec.collect()} == {"boot ok", "disk full"}
+
+    loki = [_json.loads(l) for l in spark.read.text(str(tmp_path / "loki")).toPandas()["value"]]
+    assert {s["stream"]["level"] for s in loki} == {"info", "error"}
