@@ -984,6 +984,19 @@ def otlp_logs_roundtrip(spark, sf_dir):
     )
 
 
+def ml_inference_scores(spark, sf_dir):
+    """filter_tensorflow-role batch inference: executor-cached stub model
+    over Arrow-batched embeddings (pyspark.ml.functions.predict_batch_udf),
+    thresholded into a predicted flag. Scan-parallel, shuffle-free."""
+    from fluent_bit_spark.extensions.inference import predict_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = predict_batch(emb, "embedding", dim=64, threshold=0.5)
+    return out.select(
+        "vec_id", "label", F.round("score", 6).alias("score"), "predicted"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1057,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
+        "ml_inference_scores": ml_inference_scores,
     }
 
 
@@ -1465,5 +1479,17 @@ def oracle_sql() -> dict[str, str]:
         "otlp_logs_roundtrip": (
             "SELECT event_id, event_type AS body, epoch_us(ts) AS time_us, "
             "'events' AS service FROM events"
+        ),
+        "ml_inference_scores": (
+            # the stub model: sigmoid(dot(embedding, w)), w_i=((i*31)%7-3)/10
+            "SELECT vec_id, label, "
+            "ROUND(1.0 / (1.0 + exp(-list_dot_product("
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(range(0, len(embedding)), i -> ((i*31) % 7 - 3) / 10.0)))), 6) "
+            "AS score, "
+            "(1.0 / (1.0 + exp(-list_dot_product("
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(range(0, len(embedding)), i -> ((i*31) % 7 - 3) / 10.0)))) > 0.5) "
+            "AS predicted FROM embeddings"
         ),
     }

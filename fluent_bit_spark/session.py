@@ -28,6 +28,17 @@ def get_spark(
     the pre-AQE starting point (AQE coalesces down / splits up).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers must be able to import this package even when the
+    # driver only put it on sys.path at runtime (cloudpickle serializes
+    # module-level functions by reference). Locally that's the worker
+    # PYTHONPATH; on a real cluster the same need is met by --py-files /
+    # spark.submit.pyFiles shipping the package.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

@@ -174,3 +174,29 @@ def test_ivf_topk_matches_bruteforce_top1(spark):
     got = {r.query_id: r.vec_id for r in approx if r.rank == 1}
     # the query vector itself lives in some probed list and must win
     assert got == exact
+
+
+def test_ml_inference_stub_model(spark):
+    """predict_batch_udf plumbing: executor-cached stub model, tensor
+    batching, threshold classify — scores match a local numpy run."""
+    import numpy as np
+    from fluent_bit_spark.extensions.inference import predict_batch, stub_weights
+    from fluent_bit_spark.model import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    out = predict_batch(emb, "embedding", dim=64, threshold=0.5, batch_size=16)
+    rows = out.select("vec_id", "embedding", "score", "predicted").collect()
+    w = stub_weights(64)
+    for r in rows:
+        local = 1.0 / (1.0 + np.exp(-(np.asarray(r.embedding, dtype=np.float64) @ w)))
+        assert abs(r.score - local) < 1e-9
+        assert r.predicted == (r.score > 0.5)
+
+
+def test_ml_inference_tf_gate(spark):
+    """The real-framework loader raises NotImplementedError without TF."""
+    import pytest as _pytest
+    from fluent_bit_spark.extensions.inference import make_tf_predict_fn
+
+    with _pytest.raises(NotImplementedError):
+        make_tf_predict_fn("/nonexistent/model.tflite")()
