@@ -984,6 +984,75 @@ def otlp_logs_roundtrip(spark, sf_dir):
     )
 
 
+def es_bulk_roundtrip(spark, sf_dir):
+    """in_elasticsearch bulk receiver: pack events into multi-record NDJSON
+    bulk bodies (one per rotated index), decode via indexed-lambda line
+    pairing (no posexplode+re-pair shuffle), recover action metadata + doc
+    fields (plugins/in_elasticsearch/in_elasticsearch_bulk_conn.c)."""
+    from fluent_bit_spark.connectors import es_bulk, es_bulk_decode
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    enc = es_bulk(
+        ev,
+        logstash_format=True,
+        logstash_prefix="logs",
+        id_key="event_id",
+        doc_cols=["event_id", "event_type", "user_id"],
+    )
+    bodies = enc.groupBy("_index").agg(
+        F.concat_ws(
+            "\n", F.collect_list(F.concat_ws("\n", "action_line", "doc_line"))
+        ).alias("bulk_body")
+    ).drop("_index")
+    dec = es_bulk_decode(bodies)
+    return dec.select(
+        "op",
+        "es_index",
+        F.col("es_id").cast("long").alias("event_id"),
+        F.get_json_object("doc", "$.event_type").alias("event_type"),
+        F.get_json_object("doc", "$.user_id").cast("long").alias("user_id"),
+    )
+
+
+def splunk_hec_roundtrip(spark, sf_dir):
+    """in_splunk HEC receiver: wrap events as HEC JSON envelopes, decode
+    back (fractional epoch time -> exact micros, metadata + raw event text)
+    — both directions shuffle-free (plugins/in_splunk/splunk_prot.c)."""
+    from fluent_bit_spark.connectors import splunk_hec, splunk_hec_decode
+
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", TS_COL)
+    enc = splunk_hec(
+        ev,
+        event_cols=["event_id", "user_id", "event_type"],
+        host="spark-host",
+        sourcetype="_json",
+        index="main",
+        source_key="event_type",
+    )
+    hec = enc.select(
+        F.to_json(
+            F.struct(
+                (F.col("time_us") / 1_000_000).alias("time"),
+                "host",
+                "source",
+                "sourcetype",
+                "index",
+                "event",
+            )
+        ).alias("hec_json")
+    )
+    dec = splunk_hec_decode(hec)
+    return dec.select(
+        F.unix_micros(F.col(TS_COL)).alias("time_us"),
+        "host",
+        "source",
+        "sourcetype",
+        "index",
+        F.get_json_object("event", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("event", "$.user_id").cast("long").alias("user_id"),
+    )
+
+
 def ml_inference_scores(spark, sf_dir):
     """filter_tensorflow-role batch inference: executor-cached stub model
     over Arrow-batched embeddings (pyspark.ml.functions.predict_batch_udf),
@@ -1070,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
+        "es_bulk_roundtrip": es_bulk_roundtrip,
+        "splunk_hec_roundtrip": splunk_hec_roundtrip,
         "ml_inference_scores": ml_inference_scores,
     }
 
@@ -1479,6 +1550,18 @@ def oracle_sql() -> dict[str, str]:
         "otlp_logs_roundtrip": (
             "SELECT event_id, event_type AS body, epoch_us(ts) AS time_us, "
             "'events' AS service FROM events"
+        ),
+        "es_bulk_roundtrip": (
+            "SELECT 'index' AS op, 'logs-' || strftime(ts, '%Y.%m.%d') AS es_index, "
+            "event_id, event_type, user_id FROM events"
+        ),
+        "splunk_hec_roundtrip": (
+            # decode parses `time` as an IEEE double of epoch seconds; Spark's
+            # double->bigint cast truncates, so trunc() explicitly here
+            "SELECT CAST(trunc(CAST(epoch_us(ts) AS DOUBLE) / 1000000 * 1000000) "
+            "AS BIGINT) AS time_us, "
+            "'spark-host' AS host, event_type AS source, '_json' AS sourcetype, "
+            "'main' AS \"index\", event_id, user_id FROM events"
         ),
         "ml_inference_scores": (
             # the stub model: sigmoid(dot(embedding, w)), w_i=((i*31)%7-3)/10

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "udf_hook",
     "pii_redaction",
     "log_to_metrics_summary",
+    "ml_inference_scores",
 ]
 
 

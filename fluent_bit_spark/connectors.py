@@ -74,6 +74,65 @@ def es_bulk(
     )
 
 
+_ES_ACTION_T = T.StructType(
+    [
+        T.StructField(
+            op,
+            T.StructType(
+                [
+                    T.StructField("_index", T.StringType()),
+                    T.StructField("_id", T.StringType()),
+                ]
+            ),
+        )
+        for op in ("index", "create", "update", "delete")
+    ]
+)
+
+
+def es_bulk_decode(df: DataFrame, body_col: str = "bulk_body") -> DataFrame:
+    """Decode ES bulk-API request bodies into per-record rows
+    (in_elasticsearch: plugins/in_elasticsearch/in_elasticsearch_bulk_conn.c
+    — NDJSON of alternating action + source lines).
+
+    Pairs even/odd lines with indexed array lambdas (filter with index +
+    arrays_zip) — no posexplode+groupBy re-pairing, so the whole decode is
+    one generator expansion in a single codegen stage, shuffle-free at any
+    request size. `delete` actions (no source line) are not consumed here;
+    the receiver path fluent-bit models only ingests index/create docs.
+
+    Output: `op` (index/create/...), `es_index`, `es_id`, `doc` (source
+    JSON string).
+    """
+    lines = F.filter(
+        F.split(F.col(body_col), "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    pairs = F.arrays_zip(
+        F.filter(lines, lambda x, i: i % 2 == 0).alias("action"),
+        F.filter(lines, lambda x, i: i % 2 == 1).alias("doc"),
+    )
+    other = [c for c in df.columns if c != body_col]
+    exploded = df.select(*other, F.explode(pairs).alias("p")).select(
+        *other,
+        F.from_json(F.col("p.action"), _ES_ACTION_T).alias("a"),
+        F.col("p.doc").alias("doc"),
+    )
+    op = (
+        F.when(F.col("a.index").isNotNull(), F.lit("index"))
+        .when(F.col("a.create").isNotNull(), F.lit("create"))
+        .when(F.col("a.update").isNotNull(), F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    meta = F.coalesce(F.col("a.index"), F.col("a.create"), F.col("a.update"), F.col("a.delete"))
+    return exploded.select(
+        *other,
+        op.alias("op"),
+        meta["_index"].alias("es_index"),
+        meta["_id"].alias("es_id"),
+        "doc",
+    )
+
+
 # --------------------------------------------------------------------------
 # out_splunk — HTTP Event Collector
 # --------------------------------------------------------------------------
@@ -121,6 +180,40 @@ def splunk_hec(
         meta(sourcetype_key, sourcetype, "sourcetype"),
         meta(index_key, index, "index"),
         event.alias("event"),
+    )
+
+
+_HEC_EVENT_T = T.StructType(
+    [
+        T.StructField("time", T.DoubleType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("sourcetype", T.StringType()),
+        T.StructField("index", T.StringType()),
+    ]
+)
+
+
+def splunk_hec_decode(df: DataFrame, json_col: str = "hec_json") -> DataFrame:
+    """Decode HEC event envelopes (in_splunk: plugins/in_splunk/splunk_prot.c
+    — JSON objects with `time` epoch seconds (fractional allowed), routing
+    metadata, and the user `event`).
+
+    `event` comes back as raw JSON text whether the sender posted an object
+    or a plain string (get_json_object handles both), so downstream parsing
+    is explicit, matching the in_splunk raw-record handoff. Pure
+    from_json/get_json_object — one codegen stage, shuffle-free.
+    """
+    e = F.from_json(F.col(json_col), _HEC_EVENT_T)
+    other = [c for c in df.columns if c != json_col]
+    return df.select(
+        *other,
+        F.timestamp_micros((e["time"] * 1_000_000).cast("bigint")).alias(TS_COL),
+        e["host"].alias("host"),
+        e["source"].alias("source"),
+        e["sourcetype"].alias("sourcetype"),
+        e["index"].alias("index"),
+        F.get_json_object(F.col(json_col), "$.event").alias("event"),
     )
 
 

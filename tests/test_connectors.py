@@ -94,3 +94,65 @@ def test_otlp_roundtrip(ev):
     # microsecond-exact timestamp survives the nano encode
     src = ev.orderBy("timestamp").collect()
     assert [r.timestamp for r in rows] == [r.timestamp for r in src]
+
+
+def test_es_bulk_decode_pairs_and_ops(spark):
+    """Receiver side: NDJSON pairing (index/create), per-request metadata."""
+    from fluent_bit_spark.connectors import es_bulk_decode
+
+    bulk = "\n".join(
+        [
+            '{"index":{"_index":"logs-2024.01.05","_id":"a1"}}',
+            '{"msg":"hello","n":1}',
+            '{"create":{"_index":"other"}}',
+            '{"msg":"world","n":2}',
+            "",  # trailing newline per bulk spec
+        ]
+    )
+    df = spark.createDataFrame([(7, bulk)], "req_id int, bulk_body string")
+    rows = es_bulk_decode(df).orderBy("es_index").collect()
+    assert [(r.req_id, r.op, r.es_index, r.es_id) for r in rows] == [
+        (7, "index", "logs-2024.01.05", "a1"),
+        (7, "create", "other", None),
+    ]
+    assert json.loads(rows[0].doc) == {"msg": "hello", "n": 1}
+
+
+def test_es_bulk_encode_decode_roundtrip(ev):
+    from fluent_bit_spark.connectors import es_bulk_decode
+
+    enc = es_bulk(ev, index="fixed", id_key="event_id", doc_cols=["msg", "level"])
+    body = enc.groupBy().agg(
+        F.concat_ws(
+            "\n", F.collect_list(F.concat_ws("\n", "action_line", "doc_line"))
+        ).alias("bulk_body")
+    )
+    rows = es_bulk_decode(body).orderBy("es_id").collect()
+    assert [(r.op, r.es_index, r.es_id) for r in rows] == [
+        ("index", "fixed", "1"),
+        ("index", "fixed", "2"),
+    ]
+    assert json.loads(rows[1].doc) == {"msg": "ok", "level": "info"}
+
+
+def test_splunk_hec_decode(spark):
+    """Receiver side: fractional epoch time, metadata, object/string event."""
+    from fluent_bit_spark.connectors import splunk_hec_decode
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '{"time":1704448800.123456,"host":"h1","source":"s",'
+                '"sourcetype":"st","index":"main","event":{"msg":"obj"}}',
+            ),
+            (2, '{"time":1704448801,"host":"h2","event":"plain"}'),
+        ],
+        "id int, hec_json string",
+    )
+    rows = splunk_hec_decode(df).orderBy("id").collect()
+    assert rows[0].host == "h1" and rows[0]["index"] == "main"
+    assert json.loads(rows[0].event) == {"msg": "obj"}
+    assert rows[1].event == "plain"
+    assert rows[1].source is None
+    assert rows[0].timestamp.microsecond == 123456
