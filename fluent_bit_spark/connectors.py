@@ -95,21 +95,44 @@ def es_bulk_decode(df: DataFrame, body_col: str = "bulk_body") -> DataFrame:
     (in_elasticsearch: plugins/in_elasticsearch/in_elasticsearch_bulk_conn.c
     — NDJSON of alternating action + source lines).
 
-    Pairs even/odd lines with indexed array lambdas (filter with index +
-    arrays_zip) — no posexplode+groupBy re-pairing, so the whole decode is
-    one generator expansion in a single codegen stage, shuffle-free at any
-    request size. `delete` actions (no source line) are not consumed here;
-    the receiver path fluent-bit models only ingests index/create docs.
+    Pairing is a sequential fold over the line array (F.aggregate with a
+    (pairs, pending-action) accumulator) because `delete` actions carry NO
+    source line — positional even/odd pairing would shift every pairing
+    after the first delete. The fold emits (action, doc) for
+    index/create/update and (action, NULL) for delete, all JVM-side and
+    shuffle-free at any request size; a trailing action with no source
+    line yields a NULL doc rather than being dropped.
 
-    Output: `op` (index/create/...), `es_index`, `es_id`, `doc` (source
-    JSON string).
+    Output: `op` (index/create/update/delete), `es_index`, `es_id`,
+    `doc` (source JSON string; NULL for delete).
     """
     lines = F.filter(
         F.split(F.col(body_col), "\n"), lambda x: F.length(F.trim(x)) > 0
     )
-    pairs = F.arrays_zip(
-        F.filter(lines, lambda x, i: i % 2 == 0).alias("action"),
-        F.filter(lines, lambda x, i: i % 2 == 1).alias("doc"),
+    pair_arr_t = "array<struct<action:string,doc:string>>"
+    null_s = F.lit(None).cast("string")
+
+    def _acc(pairs_col, pending_col):
+        return F.struct(pairs_col.alias("pairs"), pending_col.alias("pending"))
+
+    def _append(pairs_col, action_col, doc_col):
+        return F.concat(
+            pairs_col, F.array(F.struct(action_col.alias("action"), doc_col.alias("doc")))
+        )
+
+    pairs = F.aggregate(
+        lines,
+        _acc(F.expr(f"CAST(array() AS {pair_arr_t})"), null_s),
+        lambda acc, x: F.when(
+            acc["pending"].isNotNull(),  # x is the pending action's source line
+            _acc(_append(acc["pairs"], acc["pending"], x), null_s),
+        ).when(
+            F.get_json_object(x, "$.delete").isNotNull(),  # doc-less action
+            _acc(_append(acc["pairs"], x, null_s), null_s),
+        ).otherwise(_acc(acc["pairs"], x)),
+        lambda acc: F.when(
+            acc["pending"].isNotNull(), _append(acc["pairs"], acc["pending"], null_s)
+        ).otherwise(acc["pairs"]),
     )
     other = [c for c in df.columns if c != body_col]
     exploded = df.select(*other, F.explode(pairs).alias("p")).select(

@@ -133,6 +133,11 @@ def minhash_signatures(
         err = np.seterr(over="ignore")
         try:
             for h in harrs:
+                # NULL text -> NULL token array from split(); treat as an
+                # empty token list (signature of zero-padded shingles)
+                # instead of letting np.asarray raise on None.
+                if h is None:
+                    h = []
                 hv = np.asarray(h, dtype="int64").astype("uint64")
                 if hv.size < n:
                     hv = np.pad(hv, (0, n - hv.size))
@@ -282,6 +287,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     def sim(harrs: pd.Series) -> pd.Series:
         out = np.empty(len(harrs), dtype="uint64")
         for i, h in enumerate(harrs):
+            # NULL text -> None token array; same fingerprint as empty text
+            if h is None:
+                h = []
             hv = np.asarray(h, dtype="int64").astype("uint64")
             if hv.size == 0:
                 out[i] = 0

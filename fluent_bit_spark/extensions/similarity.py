@@ -85,9 +85,13 @@ def hyperplane_buckets_batch(
     )  # (tables*nbits) x dim
     weights = np.array([1 << b for b in range(nbits)], dtype="int64")
 
+    zero_vec = np.zeros(dim)
+
     @pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy())  # N x dim
+        # NULL embeddings would break np.stack; bucket them as the zero
+        # vector (all-sign-negative bucket) rather than failing the batch
+        m = np.stack([zero_vec if e is None else np.asarray(e) for e in v])  # N x dim
         signs = (m @ planes.T) > 0  # N x (tables*nbits)
         per_table = signs.reshape(len(m), tables, nbits)
         ids = (per_table * weights).sum(axis=2)  # N x tables

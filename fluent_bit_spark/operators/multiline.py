@@ -260,9 +260,16 @@ def multiline_rules(
 
     Per line: if a record is buffering, try the rules reachable from the
     current state that are NOT start rules (flb_ml_rule.c:266); on match
-    the line joins the record and the state advances; on miss the record
-    flushes and the line is retried against start rules; a line matching
-    no start rule is emitted alone.
+    the line joins the record and the state advances. On miss the line is
+    retried against start rules; a start match flushes the open record and
+    begins a new one. A TOTAL miss (flb_ml_rule_process returns -1) emits
+    the stray line as its own record while the buffered record and state
+    stay INTACT — an interleaved stray line does not split an open trace.
+    After any match, if a START rule is reachable from the new state, the
+    buffer flushes eagerly (try_flushing_buffer, flb_ml_rule.c:245-278 —
+    e.g. python's final ``Error:`` line emits the trace immediately); the
+    state survives the flush, which matters for custom rule tables whose
+    states mix start and non-start outgoing rules.
 
     Sequential per stream, so it runs as ``applyInPandas`` per
     ``group_keys`` — one task per log stream, the reference's own
@@ -272,6 +279,12 @@ def multiline_rules(
     if isinstance(rules, str):
         rules = BUILTIN_RULES[rules]
     compiled = [(set(r.from_states), re.compile(r.regex), r.to_state, r.is_start) for r in rules]
+    # try_flushing_buffer's check: does any rule reachable from this state
+    # carry the start flag? (to_state_map membership = state in from_states)
+    eager_flush = {
+        to: any(is_start for froms, _rx, _to, is_start in compiled if to in froms)
+        for _f, _r, to, _s in compiled
+    }
     keys = list(group_keys or [])
     key_fields = [df.schema[k] for k in keys]
     seq_type = df.schema[seq_col].dataType
@@ -300,25 +313,29 @@ def multiline_rules(
 
         for s, line in zip(pdf[seq_col], pdf[line_col]):
             line = "" if line is None else str(line)
-            matched = False
+            new_state = None
             if state is not None:
                 for froms, rx, to, is_start in compiled:
                     if state in froms and not is_start and rx.search(line):
                         buf.append((s, line))
-                        state = to
-                        matched = True
+                        new_state = to
                         break
-            if not matched:
-                flush()
-                state = None
+            if new_state is None:
                 for froms, rx, to, is_start in compiled:
                     if is_start and rx.search(line):
+                        flush()  # start match closes any open record
                         buf.append((s, line))
-                        state = to
-                        matched = True
+                        new_state = to
                         break
-                if not matched:
-                    records.append((line, 1, s))
+            if new_state is not None:
+                state = new_state
+                # eager flush when a start state is reachable next; the
+                # state itself survives the flush (reference parity)
+                if eager_flush.get(new_state) and buf:
+                    flush()
+            else:
+                # total miss: stray line is its own record; buf/state kept
+                records.append((line, 1, s))
         flush()
         return pd.DataFrame(
             [(*key_vals, m, n, fs) for m, n, fs in records],

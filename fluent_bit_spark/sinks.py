@@ -80,7 +80,10 @@ def loki_streams(
     entries = []
     for k in label_keys:
         entries.extend([F.lit(k), F.col(k).cast("string")])
-    ns = (F.col(ts_col).cast("double") * 1e9).cast("long").cast("string")
+    # exact epoch-ns: micros*1000 stays integral (a double round-trip loses
+    # precision past 2^53 ns ≈ 2255-03); kept LONG inside the sort struct so
+    # ordering is numeric, stringified only at the end for the push payload
+    ns = F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000).cast("long")
     return (
         df.select(
             F.create_map(*entries).alias("stream"),
@@ -90,7 +93,7 @@ def loki_streams(
         .agg(
             F.transform(
                 F.array_sort(F.collect_list("v")),
-                lambda s: F.array(s.getField("ts"), s.getField("line")),
+                lambda s: F.array(s.getField("ts").cast("string"), s.getField("line")),
             ).alias("values")
         )
     )

@@ -33,10 +33,15 @@ from pyspark.sql import functions as F
 
 CAST_TYPES = ("int", "uint", "float", "string", "bool", "hex")
 
-_INT_PREFIX = r"^[ \t\n]*([+-]?[0-9]+)"
-_UINT_PREFIX = r"^[ \t\n]*(\+?[0-9]+)"
-_FLOAT_PREFIX = r"^[ \t\n]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
-_HEX_PREFIX = r"^[ \t\n]*(?:0[xX])?([0-9a-fA-F]+)"
+# leading-whitespace class mirrors C isspace(): space \t \n \r \v \f
+_WS = r"[ \t\n\r\x0B\f]*"
+_INT_PREFIX = rf"^{_WS}([+-]?[0-9]+)"
+_UINT_PREFIX = rf"^{_WS}(\+?[0-9]+)"
+_FLOAT_PREFIX = rf"^{_WS}([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
+_HEX_PREFIX = rf"^{_WS}(?:0[xX])?([0-9a-fA-F]+)"
+
+# strtoumax wraps a negative input mod 2^64 (uint64 arithmetic)
+_U64_MOD = 18446744073709551616  # 2**64
 
 
 def _prefix(col: Column, pattern: str) -> Column:
@@ -51,6 +56,15 @@ def cast_column(col: Column, to_type: str, mode: str = "parser") -> Column:
     # mode — the C parsers only typecast values that exist.
     t = to_type.lower()
     err_zero = mode == "converter"  # flb_typecast: parsed 0 == error
+    if t == "uint" and err_zero:
+        # strtoumax (flb_typecast.c:111): a SIGN IS accepted and a negative
+        # value wraps mod 2^64 to a huge nonzero uint64 (success, not
+        # error). bigint can't hold >2^63-1, so the result is decimal(20,0).
+        c = _prefix(col, _INT_PREFIX).try_cast("decimal(20,0)")
+        # 2^64 exceeds a py4j long — ship the modulus as a string literal
+        mod = F.lit(str(_U64_MOD)).cast("decimal(20,0)")
+        wrapped = F.when(c < 0, c + mod).otherwise(c).cast("decimal(20,0)")
+        return F.nullif(wrapped, F.lit(0).cast("decimal(20,0)"))
     if t in ("int", "uint"):
         c = _prefix(col, _INT_PREFIX if t == "int" else _UINT_PREFIX).try_cast("bigint")
         if err_zero:

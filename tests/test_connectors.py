@@ -156,3 +156,28 @@ def test_splunk_hec_decode(spark):
     assert rows[1].event == "plain"
     assert rows[1].source is None
     assert rows[0].timestamp.microsecond == 123456
+
+
+def test_es_bulk_decode_delete_has_no_source_line(spark):
+    """`delete` actions carry no source line; pairing must not shift
+    (the even/odd positional form silently mispaired everything after)."""
+    from fluent_bit_spark.connectors import es_bulk_decode
+
+    bulk = "\n".join(
+        [
+            '{"index":{"_index":"a","_id":"1"}}',
+            '{"msg":"first"}',
+            '{"delete":{"_index":"a","_id":"gone"}}',
+            '{"create":{"_index":"b","_id":"2"}}',
+            '{"msg":"second"}',
+            "",
+        ]
+    )
+    df = spark.createDataFrame([(1, bulk)], "req_id int, bulk_body string")
+    rows = es_bulk_decode(df).orderBy("es_id").collect()
+    assert [(r.op, r.es_index, r.es_id, r.doc is None) for r in rows] == [
+        ("index", "a", "1", False),
+        ("create", "b", "2", False),
+        ("delete", "a", "gone", True),
+    ]
+    assert json.loads(rows[1].doc) == {"msg": "second"}

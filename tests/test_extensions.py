@@ -200,3 +200,27 @@ def test_ml_inference_tf_gate(spark):
 
     with _pytest.raises(NotImplementedError):
         make_tf_predict_fn("/nonexistent/model.tflite")()
+
+
+def test_dedup_udfs_tolerate_null_text_and_embeddings(spark):
+    """NULL text/embedding rows must not crash the Arrow batch (ADVICE r1):
+    they hash as empty input instead."""
+    from fluent_bit_spark.extensions.dedup import minhash_signatures, simhash
+    from fluent_bit_spark.extensions.similarity import hyperplane_buckets_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs, repartition=None).collect()}
+    assert len(sigs) == 3 and all(len(s) == 32 for s in sigs.values())
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[2] == 0
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None)], "vec_id bigint, embedding array<double>"
+    )
+    out = emb.select(
+        "vec_id", hyperplane_buckets_batch(F.col("embedding"), dim=8, nbits=4, tables=2).alias("b")
+    ).collect()
+    got = {r.vec_id: r.b for r in out}
+    assert len(got[1]) == 2 and got[2] == [0, 0]  # zero-vector bucket

@@ -269,3 +269,43 @@ def test_pack_chunks(spark):
     # cumulative starts: 0,6,12,18,20,30 -> packs 0,0,1,1,2,3
     assert [r.pack_id for r in out] == [0, 0, 1, 1, 2, 3]
     assert [r.pack_offset for r in out] == [0, 6, 2, 8, 0, 0]
+
+
+def test_typecast_uint_converter_wraps_like_strtoumax(spark):
+    """flb_typecast.c:111 strtoumax: a negative input WRAPS mod 2^64 to a
+    huge nonzero uint64 (success); C isspace() also skips \\r \\v \\f."""
+    from decimal import Decimal
+
+    from fluent_bit_spark.typecast import cast_column
+
+    df = spark.createDataFrame(
+        [("-1",), ("-5",), ("42",), ("\r\x0b\f 7",), ("0",), ("junk",)], ["v"]
+    )
+    got = [r.u for r in df.select(cast_column(F.col("v"), "uint", mode="converter").alias("u")).collect()]
+    assert got == [
+        Decimal(2**64 - 1),
+        Decimal(2**64 - 5),
+        Decimal(42),
+        Decimal(7),
+        None,  # parsed 0 == conversion error
+        None,
+    ]
+
+
+def test_loki_streams_exact_ns_and_numeric_sort(spark):
+    """Epoch-ns must be exact (micros*1000, not a double round-trip) and
+    values sorted numerically — a pre-2002 ts has a shorter ns string and
+    must still sort first."""
+    from fluent_bit_spark.sinks import loki_streams
+
+    rows = [
+        Row(timestamp="2024-01-01 00:00:00.000001", app="x", msg="late"),
+        Row(timestamp="2001-01-01 00:00:00", app="x", msg="early"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    out = loki_streams(df, label_keys=["app"]).collect()
+    assert len(out) == 1
+    vals = out[0]["values"]
+    assert [v[1] for v in vals] == ["early", "late"]
+    assert vals[0][0] == "978307200000000000"  # 2001-01-01 exact ns
+    assert vals[1][0] == "1704067200000001000"  # µs preserved exactly

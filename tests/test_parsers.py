@@ -347,3 +347,21 @@ def test_preset_parsers(spark):
         p = preset_parser(name)
         fields = p.fields() if hasattr(p, "group_names") else ["time", "log"]
         parser_filter(df, "line", p, fields=fields, reserve_data=True).collect()
+
+
+def test_multiline_rules_stray_line_keeps_record_open(spark):
+    """flb_ml_rule_process returns -1 on a total miss: the stray line is
+    emitted alone while the buffered record and state survive, so an
+    interleaved non-matching line does not split an open java trace."""
+    lines = [
+        (0, "Exception in thread main java.lang.NullPointerException: boom"),
+        (1, "\tat com.example.Foo.bar(Foo.java:10)"),
+        (2, "stray interleaved stdout line"),  # matches no rule at all
+        (3, "\tat com.example.Main.main(Main.java:4)"),
+    ]
+    df = spark.createDataFrame([Row(seq=s, line=l) for s, l in lines])
+    rows = multiline_rules(df, "java").orderBy("seq").collect()
+    assert [r.n_lines for r in rows] == [3, 1]
+    trace = rows[0].message
+    assert "Foo.java:10" in trace and "Main.java:4" in trace
+    assert rows[1].message == "stray interleaved stdout line"
