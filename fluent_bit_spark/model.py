@@ -97,6 +97,34 @@ def with_tag(df: DataFrame, tag: str) -> DataFrame:
     return df.withColumn(TAG_COL, F.lit(tag))
 
 
+def _with_global_seq(df: DataFrame, out: str = "_seq") -> DataFrame:
+    """Contiguous 0..n-1 sequence in input order WITHOUT a global
+    single-partition window: per-partition counts -> broadcast prefix
+    offsets -> row_number within each partition. Ordering equals
+    ``orderBy(monotonically_increasing_id())`` (partition id occupies the
+    id's high bits), but every step stays parallel, so reading a large
+    JSON file through this path cannot collapse to one task."""
+    df = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    per = df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # one row per partition: a single-partition window over THIS tiny
+    # table is intentional; the data-derived zero key (pid & 0) avoids the
+    # constant-folded unpartitioned-WindowExec warning
+    wo = (
+        Window.partitionBy(F.col("__pid").bitwiseAND(F.lit(0)))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.select("__pid", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off"))
+    win = Window.partitionBy("__pid").orderBy("__mid")
+    return (
+        df.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__off") + F.row_number().over(win) - 1)
+        .drop("__pid", "__mid", "__off")
+    )
+
+
 def read_json_events_variant(
     spark: SparkSession,
     path_or_lines,
@@ -110,11 +138,9 @@ def read_json_events_variant(
     dynamic types, and the SP engine resolves keys via variant paths.
     """
     if isinstance(path_or_lines, str):
-        df = spark.read.text(path_or_lines).withColumn("_mid", F.monotonically_increasing_id())
         # contiguous 0..n-1 sequence in file order (monotonic ids are
         # partition-offset, NOT contiguous — don't use them as seconds)
-        w = Window.orderBy("_mid")
-        df = df.withColumn("_seq", F.row_number().over(w) - 1).drop("_mid")
+        df = _with_global_seq(spark.read.text(path_or_lines))
     else:
         df = spark.createDataFrame(
             [(i, ln) for i, ln in enumerate(path_or_lines)], ["_seq", "value"]
@@ -144,10 +170,8 @@ def read_json_events(
         df = reader.json(path_or_rows)
     else:
         df = spark.createDataFrame(path_or_rows, schema=schema)
-    w = Window.orderBy(F.monotonically_increasing_id())
     return (
-        df.withColumn(TAG_COL, F.lit(tag))
-        .withColumn("_seq", F.row_number().over(w) - 1)
+        _with_global_seq(df.withColumn(TAG_COL, F.lit(tag)))
         .withColumn(
             TS_COL,
             F.timestamp_seconds(F.unix_timestamp(F.lit(base_ts)) + F.col("_seq")),

