@@ -1066,6 +1066,52 @@ def ml_inference_scores(spark, sf_dir):
     )
 
 
+def kubernetes_enrich(spark, sf_dir):
+    """filter_kubernetes parity: kube_tag_prefix LENGTH-skip +
+    KUBE_TAG_TO_REGEX derivation + broadcast pod-metadata join +
+    search_workload deployment collapse. Reference:
+    plugins/filter_kubernetes/kube_regex.h:25-30, kube_meta.c:1786-1800
+    (tag parse), kube_meta.c:886-976 (workload priority)."""
+    from fluent_bit_spark.operators.kubernetes import kubernetes_filter
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id").cast("string")
+    did = F.concat(F.md5(eid), F.md5(F.concat(eid, F.lit("x"))))  # 64 hex chars
+    pod = F.concat(F.lit("app-"), (F.col("event_id") % 20).cast("string"))
+    tag = F.concat(
+        F.lit("kube.var.log.containers."), pod, F.lit("_"), F.col("event_type"),
+        F.lit("_main-"), did, F.lit(".log"),
+    )
+    logs = ev.select("event_id", tag.alias("tag"))
+    pm = (
+        ev.select(
+            F.col("event_type").alias("namespace_name"),
+            F.concat(F.lit("app-"), (F.col("event_id") % 20).cast("string")).alias("pod_name"),
+        )
+        .distinct()
+        .select(
+            "*",
+            F.concat(
+                F.lit("uid-"), F.col("namespace_name"), F.lit(":"), F.col("pod_name")
+            ).alias("pod_id"),
+            F.concat(F.lit("node-"), F.substring(F.col("pod_name"), 5, 10)).alias("host"),
+            F.lit("ReplicaSet").alias("owner_kind"),
+            F.concat(F.col("pod_name"), F.lit("-7bf9dd")).alias("owner_name"),
+        )
+    )
+    out = kubernetes_filter(logs, pm)
+    return out.select(
+        "event_id",
+        F.col("kubernetes.pod_name").alias("pod_name"),
+        F.col("kubernetes.namespace_name").alias("namespace"),
+        F.col("kubernetes.container_name").alias("container"),
+        F.col("kubernetes.docker_id").alias("docker_id"),
+        F.col("kubernetes.pod_id").alias("pod_id"),
+        F.col("kubernetes.host").alias("host"),
+        F.col("kubernetes.workload").alias("workload"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1142,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bulk_roundtrip": es_bulk_roundtrip,
         "splunk_hec_roundtrip": splunk_hec_roundtrip,
         "ml_inference_scores": ml_inference_scores,
+        "kubernetes_enrich": kubernetes_enrich,
     }
 
 
@@ -1574,5 +1621,32 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(embedding, x -> CAST(x AS DOUBLE)), "
             "list_transform(range(0, len(embedding)), i -> ((i*31) % 7 - 3) / 10.0)))) > 0.5) "
             "AS predicted FROM embeddings"
+        ),
+        "kubernetes_enrich": (
+            # independent re-derivation: same tag synthesis, RE2 extraction
+            # (vs Spark's java.util.regex), same dimension join
+            "WITH logs AS (SELECT event_id, "
+            "'kube.var.log.containers.app-' || CAST(event_id % 20 AS VARCHAR) || '_' || "
+            "event_type || '_main-' || md5(CAST(event_id AS VARCHAR)) || "
+            "md5(CAST(event_id AS VARCHAR) || 'x') || '.log' AS tag FROM events), "
+            "ext AS (SELECT event_id, "
+            "regexp_extract(substr(tag, 25), '([a-z0-9](?:[-a-z0-9]*[a-z0-9])?"
+            "(?:\\.[a-z0-9](?:[-a-z0-9]*[a-z0-9])?)*)_([^_]+)_(.+)-([a-z0-9]{64})\\.log$', 1) AS pod_name, "
+            "regexp_extract(substr(tag, 25), '([a-z0-9](?:[-a-z0-9]*[a-z0-9])?"
+            "(?:\\.[a-z0-9](?:[-a-z0-9]*[a-z0-9])?)*)_([^_]+)_(.+)-([a-z0-9]{64})\\.log$', 2) AS namespace, "
+            "regexp_extract(substr(tag, 25), '([a-z0-9](?:[-a-z0-9]*[a-z0-9])?"
+            "(?:\\.[a-z0-9](?:[-a-z0-9]*[a-z0-9])?)*)_([^_]+)_(.+)-([a-z0-9]{64})\\.log$', 3) AS container, "
+            "regexp_extract(substr(tag, 25), '([a-z0-9](?:[-a-z0-9]*[a-z0-9])?"
+            "(?:\\.[a-z0-9](?:[-a-z0-9]*[a-z0-9])?)*)_([^_]+)_(.+)-([a-z0-9]{64})\\.log$', 4) AS docker_id "
+            "FROM logs), "
+            "pm AS (SELECT DISTINCT event_type AS namespace_name, "
+            "'app-' || CAST(event_id % 20 AS VARCHAR) AS pod_name FROM events) "
+            "SELECT e.event_id, e.pod_name, e.namespace, e.container, e.docker_id, "
+            "'uid-' || p.namespace_name || ':' || p.pod_name AS pod_id, "
+            "'node-' || substr(p.pod_name, 5) AS host, "
+            "regexp_extract(p.pod_name || '-7bf9dd', "
+            "'^(.+)-([bcdfghjklmnpqrstvwxz2456789]{6,10})$', 1) AS workload "
+            "FROM ext e LEFT JOIN pm p "
+            "ON e.namespace = p.namespace_name AND e.pod_name = p.pod_name"
         ),
     }

@@ -309,3 +309,51 @@ def test_loki_streams_exact_ns_and_numeric_sort(spark):
     assert [v[1] for v in vals] == ["early", "late"]
     assert vals[0][0] == "978307200000000000"  # 2001-01-01 exact ns
     assert vals[1][0] == "1704067200000001000"  # µs preserved exactly
+
+
+def test_kubernetes_filter_tag_and_journal(spark):
+    """filter_kubernetes parity (kube_regex.h:25-30, kube_meta.c:1786-1800,
+    886-976): tag prefix skipped by length, meta regex-derived, pod metadata
+    broadcast-joined, workload priority honored."""
+    from fluent_bit_spark.operators.kubernetes import (
+        kube_journal_meta,
+        kubernetes_filter,
+    )
+
+    did = "0123456789abcdef" * 4
+    df = spark.createDataFrame(
+        [
+            Row(tag=f"kube.var.log.containers.web-5c9f7b-abcde_prod_nginx-{did}.log", m="a"),
+            Row(tag="kube.short", m="b"),  # <= prefix: filter skipped
+            Row(tag=f"kube.var.log.containers.db-0_staging_postgres-{did}.log", m="c"),
+            Row(tag=f"kube.var.log.containers.solo_dev_app-{did}.log", m="d"),  # no API entry
+        ]
+    )
+    pm = spark.createDataFrame(
+        [
+            Row(namespace_name="prod", pod_name="web-5c9f7b-abcde", pod_id="u1",
+                owner_kind="ReplicaSet", owner_name="web-5c9f7b"),
+            Row(namespace_name="staging", pod_name="db-0", pod_id="u2",
+                owner_kind="StatefulSet", owner_name="db"),
+        ]
+    )
+    out = {r.m: r.kubernetes for r in kubernetes_filter(df, pm).collect()}
+    assert out["b"] is None
+    k = out["a"]
+    assert (k.pod_name, k.namespace_name, k.container_name) == ("web-5c9f7b-abcde", "prod", "nginx")
+    assert k.docker_id == did and k.pod_id == "u1"
+    assert k.workload == "web"  # ReplicaSet owner collapsed by DEPLOYMENT_REGEX
+    assert out["c"].workload == "db"  # non-ReplicaSet owner passes through
+    assert out["d"].workload == "solo" and out["d"].pod_id is None  # podname fallback
+    # journald mode: CONTAINER_NAME key, optional .hash segment
+    j = spark.createDataFrame(
+        [
+            Row(CONTAINER_NAME="k8s_app.cafe01_pod-1_ns1_uid_0"),
+            Row(CONTAINER_NAME="k8s_app_pod-2_ns2_uid_0"),
+        ]
+    )
+    rows = kube_journal_meta(j).orderBy("pod_name").collect()
+    assert [(r.container_name, r.container_hash, r.pod_name, r.namespace_name) for r in rows] == [
+        ("app", "cafe01", "pod-1", "ns1"),
+        ("app", None, "pod-2", "ns2"),
+    ]
