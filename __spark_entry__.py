@@ -1112,6 +1112,34 @@ def kubernetes_enrich(spark, sf_dir):
     )
 
 
+def geoip_enrich_q(spark, sf_dir):
+    """filter_geoip2 parity (geoip2.c:50-66): IP lookup_key -> range table
+    attributes. The mmdb is modeled as [start,end] u32 intervals (here /16
+    blocks keyed by nation); the join is a broadcast HASH join on a coarse
+    IP bucket + residual BETWEEN — not a nested loop — so it survives
+    GeoLite-sized tables. ~1/6 of IPs fall outside every range and keep
+    NULL attributes (lookup-miss path)."""
+    from fluent_bit_spark.operators.lookup import geoip_enrich
+
+    ev = _events(spark, sf_dir)
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("user_id") % 30).cast("string"),
+        (F.col("user_id") % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    logs = ev.select("event_id", ip.alias("ip"))
+    nation = load_table(spark, sf_dir, "nation")
+    base = F.lit(10 * (1 << 24)).cast("long")
+    ranges = nation.select(
+        (base + F.col("n_nationkey").cast("long") * 65536).alias("range_start"),
+        (base + F.col("n_nationkey").cast("long") * 65536 + 65535).alias("range_end"),
+        F.col("n_name").alias("geo_name"),
+    )
+    return geoip_enrich(logs, ranges, "ip")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1189,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splunk_hec_roundtrip": splunk_hec_roundtrip,
         "ml_inference_scores": ml_inference_scores,
         "kubernetes_enrich": kubernetes_enrich,
+        "geoip_enrich": geoip_enrich_q,
     }
 
 
@@ -1648,5 +1677,23 @@ def oracle_sql() -> dict[str, str]:
             "'^(.+)-([bcdfghjklmnpqrstvwxz2456789]{6,10})$', 1) AS workload "
             "FROM ext e LEFT JOIN pm p "
             "ON e.namespace = p.namespace_name AND e.pod_name = p.pod_name"
+        ),
+        "geoip_enrich": (
+            # independent derivation: string_split octet arithmetic + a
+            # plain interval join (DuckDB IEJoin) vs Spark's bucketed hash
+            "WITH logs AS (SELECT event_id, "
+            "'10.' || CAST(user_id % 30 AS VARCHAR) || '.' || "
+            "CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) AS ip "
+            "FROM events), "
+            "ranges AS (SELECT 167772160 + CAST(n_nationkey AS BIGINT) * 65536 AS range_start, "
+            "167772160 + CAST(n_nationkey AS BIGINT) * 65536 + 65535 AS range_end, "
+            "n_name AS geo_name FROM nation), "
+            "ints AS (SELECT event_id, ip, "
+            "CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 + "
+            "CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 + "
+            "CAST(string_split(ip, '.')[3] AS BIGINT) * 256 + "
+            "CAST(string_split(ip, '.')[4] AS BIGINT) AS ipint FROM logs) "
+            "SELECT i.event_id, i.ip, r.geo_name FROM ints i "
+            "LEFT JOIN ranges r ON i.ipint BETWEEN r.range_start AND r.range_end"
         ),
     }

@@ -38,6 +38,69 @@ def checklist(
     return joined.drop("__wl_key", "__hit")
 
 
+def ip_to_int(col) -> "F.Column":
+    """Dotted-quad IPv4 -> unsigned 32-bit value in a long; malformed
+    input -> NULL. Pure Catalyst fold over the octets."""
+    parts = F.split(col.cast("string"), r"\.")
+    valid = (F.size(parts) == 4) & F.forall(
+        parts, lambda p: p.rlike(r"^\d{1,3}$") & (p.cast("int") <= 255)
+    )
+    packed = F.aggregate(
+        parts, F.lit(0).cast("long"), lambda acc, p: acc * 256 + p.cast("long")
+    )
+    return F.when(valid, packed)
+
+
+def geoip_ranges_bucketed(ranges: DataFrame, bucket_bits: int = 16) -> DataFrame:
+    """Explode each [range_start, range_end] interval into the coarse
+    (ip >> bucket_bits) buckets it spans, turning the interval join into a
+    broadcast HASH join on the bucket + a residual BETWEEN filter.
+
+    Why: a raw `ip BETWEEN start AND end` broadcast join is a nested-loop
+    scan of the whole range table per record — fatal with GeoLite-sized
+    tables (millions of ranges) at log scale. CIDR blocks are almost all
+    /16 or smaller, so the bucket expansion is a small constant factor
+    while the probe becomes O(ranges-in-bucket)."""
+    width = 1 << bucket_bits
+    seq = F.sequence(
+        F.expr(f"CAST(range_start AS BIGINT) DIV {width}"),
+        F.expr(f"CAST(range_end AS BIGINT) DIV {width}"),
+    )
+    return ranges.select("*", F.explode(seq).alias("__bkt"))
+
+
+def geoip_enrich(
+    df: DataFrame,
+    ranges: DataFrame,
+    ip_col: str,
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """filter_geoip2-shaped enrichment (plugins/filter_geoip2/geoip2.c:50-66:
+    `lookup_key` IP -> mmdb attributes added as new record keys).
+
+    ``ranges`` is the mmdb flattened to rows: range_start / range_end
+    (inclusive u32 bounds) plus any attribute columns (city, country_iso,
+    latitude, ...). The join is a broadcast hash join on the coarse IP
+    bucket with a residual range check — never a nested-loop over the full
+    table. A record whose IP matches no range (or fails to parse) keeps
+    NULL attributes, mirroring the reference's lookup-miss path (record
+    passes through unenriched). Assumes disjoint ranges (mmdb guarantee)."""
+    width = 1 << bucket_bits
+    attr_cols = [c for c in ranges.columns if c not in ("range_start", "range_end")]
+    keyed = df.withColumn("__ipint", ip_to_int(F.col(ip_col))).withColumn(
+        "__bkt", F.expr(f"__ipint DIV {width}")
+    )
+    rb = geoip_ranges_bucketed(ranges, bucket_bits)
+    cond = (
+        (keyed["__bkt"] == rb["__bkt"])
+        & keyed["__ipint"].between(rb["range_start"], rb["range_end"])
+    )
+    return (
+        keyed.join(F.broadcast(rb), cond, "left")
+        .select(*df.columns, *[rb[c] for c in attr_cols])
+    )
+
+
 def enrich(
     df: DataFrame,
     dim: DataFrame,

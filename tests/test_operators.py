@@ -357,3 +357,36 @@ def test_kubernetes_filter_tag_and_journal(spark):
         ("app", "cafe01", "pod-1", "ns1"),
         ("app", None, "pod-2", "ns2"),
     ]
+
+
+def test_geoip_range_enrich(spark):
+    """filter_geoip2-shaped interval lookup (geoip2.c:50-66): bucketed
+    broadcast hash join, miss keeps NULL attrs, bad IPs parse to NULL."""
+    from fluent_bit_spark.operators.lookup import geoip_enrich, ip_to_int
+
+    ranges = spark.createDataFrame(
+        [
+            (int("0A000000", 16), int("0A00FFFF", 16), "net-a"),  # 10.0.0.0/16
+            (int("C0A80000", 16), int("C0A800FF", 16), "net-b"),  # 192.168.0.0/24
+        ],
+        "range_start long, range_end long, net string",
+    )
+    df = spark.createDataFrame(
+        [
+            Row(ip="10.0.3.7", m="a"),
+            Row(ip="192.168.0.200", m="b"),
+            Row(ip="192.168.1.1", m="c"),  # outside both ranges
+            Row(ip="999.1.2.3", m="d"),  # malformed
+        ]
+    )
+    out = {r.m: r.net for r in geoip_enrich(df, ranges, "ip").collect()}
+    assert out == {"a": "net-a", "b": "net-b", "c": None, "d": None}
+    # spanning a bucket boundary still matches (range wider than 2^16)
+    wide = spark.createDataFrame(
+        [(int("0A000000", 16), int("0A02FFFF", 16), "wide")],
+        "range_start long, range_end long, net string",
+    )
+    got = geoip_enrich(spark.createDataFrame([Row(ip="10.2.0.1", m="w")]), wide, "ip").collect()
+    assert got[0].net == "wide"
+    vals = spark.createDataFrame([Row(ip="1.2.3.4")]).select(ip_to_int(F.col("ip")).alias("v"))
+    assert vals.collect()[0].v == 16909060
