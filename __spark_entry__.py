@@ -1140,6 +1140,51 @@ def geoip_enrich_q(spark, sf_dir):
     return geoip_enrich(logs, ranges, "ip")
 
 
+def msgpack_roundtrip(spark, sf_dir):
+    """in_forward / flb_pack parity: events packed as V2 msgpack chunks
+    ([[EventTime-ext, metadata], body], flb_log_event.h:29-61) then decoded
+    by the stream decoder (flb_log_event_decoder.c semantics; validated
+    against tests/internal/data/pack goldens in pytest). The oracle is the
+    plain events table — the roundtrip must be lossless to µs."""
+    import pandas as pd
+
+    from fluent_bit_spark.connectors import msgpack_events_decode
+    from fluent_bit_spark.functions.msgpack_codec import EventTime, pack
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "user_id")
+
+    def mk(pdf):
+        buf = b"".join(
+            pack(
+                [
+                    [
+                        EventTime(
+                            int(pd.Timestamp(t).value // 10**9),
+                            int(pd.Timestamp(t).value % 10**9),
+                        ),
+                        {"tag": "ev"},
+                    ],
+                    {"event_id": int(i), "event_type": et, "user_id": int(u)},
+                ]
+            )
+            for i, t, et, u in zip(pdf.event_id, pdf.ts, pdf.event_type, pdf.user_id)
+        )
+        return pd.DataFrame({"chunk": [buf]})
+
+    chunks = (
+        ev.withColumn("__g", F.col("event_id") % 32)
+        .groupBy("__g")
+        .applyInPandas(mk, "chunk binary")
+    )
+    dec = msgpack_events_decode(chunks, "chunk")
+    return dec.select(
+        F.get_json_object("body", "$.event_id").cast("long").alias("event_id"),
+        F.col(TS_COL).alias("ts"),
+        F.get_json_object("body", "$.event_type").alias("event_type"),
+        F.get_json_object("body", "$.user_id").cast("long").alias("user_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1218,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_inference_scores": ml_inference_scores,
         "kubernetes_enrich": kubernetes_enrich,
         "geoip_enrich": geoip_enrich_q,
+        "msgpack_roundtrip": msgpack_roundtrip,
     }
 
 
@@ -1695,5 +1741,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(string_split(ip, '.')[4] AS BIGINT) AS ipint FROM logs) "
             "SELECT i.event_id, i.ip, r.geo_name FROM ints i "
             "LEFT JOIN ranges r ON i.ipint BETWEEN r.range_start AND r.range_end"
+        ),
+        "msgpack_roundtrip": (
+            "SELECT event_id, ts, event_type, user_id FROM events"
         ),
     }

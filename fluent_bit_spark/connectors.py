@@ -157,6 +157,136 @@ def es_bulk_decode(df: DataFrame, body_col: str = "bulk_body") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# in_forward / msgpack event streams
+# --------------------------------------------------------------------------
+_MSGPACK_EVENT_FIELDS = [
+    T.StructField("sec", T.LongType()),
+    T.StructField("nsec", T.LongType()),
+    T.StructField("metadata", T.StringType()),
+    T.StructField("body", T.StringType()),
+]
+
+
+def _json_default(o):
+    import base64
+
+    if isinstance(o, (bytes, bytearray)):
+        return base64.b64encode(bytes(o)).decode("ascii")
+    return repr(o)
+
+
+def msgpack_events_decode(df: DataFrame, bin_col: str = "chunk") -> DataFrame:
+    """Decode fluent-bit msgpack event chunks (V1 ``[ts, body]`` / V2
+    ``[[ts, meta], body]``, EventTime ext, group markers skipped) into
+    per-event rows: passthrough columns + timestamp (µs), ts_nanos
+    (sub-µs remainder), metadata/body as JSON strings.
+
+    flb_pack.c:670 / flb_log_event_decoder.c parity. Pure-Python decode is
+    acceptable here because this is the ingest-boundary protocol adapter,
+    run once per captured chunk through Arrow-batched mapInPandas —
+    downstream processing stays columnar. Scale = one task per chunk
+    partition; no shuffle."""
+    import json
+
+    from fluent_bit_spark.functions.msgpack_codec import decode_event_stream
+
+    other = [c for c in df.columns if c != bin_col]
+    schema = T.StructType(
+        [df.schema[c] for c in other]
+        + [T.StructField(TS_COL, T.TimestampType()), T.StructField("ts_nanos", T.LongType())]
+        + _MSGPACK_EVENT_FIELDS[2:]
+    )
+
+    def run(batches):
+        import datetime as dt
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                payload = rec.pop(bin_col)
+                if payload is None:
+                    continue
+                for sec, nsec, meta, body in decode_event_stream(bytes(payload)):
+                    # exact: whole seconds + integer µs (a float epoch
+                    # add would round near current-epoch magnitudes)
+                    ts = dt.datetime.fromtimestamp(
+                        sec, dt.timezone.utc
+                    ).replace(tzinfo=None) + dt.timedelta(microseconds=nsec // 1000)
+                    rows.append(
+                        {
+                            **{c: rec[c] for c in other},
+                            TS_COL: ts,
+                            "ts_nanos": nsec % 1000,
+                            "metadata": None if meta is None else json.dumps(meta, default=_json_default),
+                            "body": json.dumps(body, default=_json_default),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[*other, TS_COL, "ts_nanos", "metadata", "body"])
+
+    return df.mapInPandas(run, schema)
+
+
+def forward_frames_decode(df: DataFrame, bin_col: str = "frame") -> DataFrame:
+    """in_forward wire decode (plugins/in_forward/fw_prot.c): each binary
+    cell is one transport frame in Message / Forward / PackedForward mode
+    (gzip-compressed payloads undone by magic sniff). Emits per-event rows
+    tagged with the frame's tag. Same Arrow-batched protocol-adapter shape
+    as msgpack_events_decode."""
+    import json
+
+    from fluent_bit_spark.functions.msgpack_codec import decode_forward_frame
+
+    other = [c for c in df.columns if c != bin_col]
+    schema = T.StructType(
+        [df.schema[c] for c in other]
+        + [
+            T.StructField("tag", T.StringType()),
+            T.StructField(TS_COL, T.TimestampType()),
+            T.StructField("ts_nanos", T.LongType()),
+        ]
+        + _MSGPACK_EVENT_FIELDS[2:]
+    )
+
+    def run(batches):
+        import datetime as dt
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                payload = rec.pop(bin_col)
+                if payload is None:
+                    continue
+                tag, events, _opts = decode_forward_frame(bytes(payload))
+                for sec, nsec, meta, body in events:
+                    # exact: whole seconds + integer µs (a float epoch
+                    # add would round near current-epoch magnitudes)
+                    ts = dt.datetime.fromtimestamp(
+                        sec, dt.timezone.utc
+                    ).replace(tzinfo=None) + dt.timedelta(microseconds=nsec // 1000)
+                    rows.append(
+                        {
+                            **{c: rec[c] for c in other},
+                            "tag": tag,
+                            TS_COL: ts,
+                            "ts_nanos": nsec % 1000,
+                            "metadata": None if meta is None else json.dumps(meta, default=_json_default),
+                            "body": json.dumps(body, default=_json_default),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[*other, "tag", TS_COL, "ts_nanos", "metadata", "body"]
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
 # out_splunk — HTTP Event Collector
 # --------------------------------------------------------------------------
 def splunk_hec(

@@ -181,3 +181,52 @@ def test_es_bulk_decode_delete_has_no_source_line(spark):
         ("delete", "a", "gone", True),
     ]
     assert json.loads(rows[1].doc) == {"msg": "second"}
+
+
+def test_msgpack_codec_golden_pairs():
+    """Decoder parity with the reference pack corpus:
+    tests/internal/data/pack/*.mp must decode to their .json values."""
+    import glob
+
+    from fluent_bit_spark.functions.msgpack_codec import pack, unpack_one
+
+    pairs = sorted(glob.glob("/root/reference/tests/internal/data/pack/*.mp"))
+    assert len(pairs) >= 7
+    for mp in pairs:
+        raw = open(mp, "rb").read()
+        want = json.loads(open(mp[:-3] + ".json", encoding="utf-8").read())
+        got, off = unpack_one(raw)
+        assert got == want and off == len(raw), mp
+        assert unpack_one(pack(got))[0] == got  # own-encoder roundtrip
+
+
+def test_msgpack_event_and_forward_decode(spark):
+    """V1/V2 events, EventTime ext, group-marker skip, and the three
+    forward wire modes (fw_prot.c) through the Spark decoders."""
+    import gzip
+
+    from fluent_bit_spark.connectors import forward_frames_decode, msgpack_events_decode
+    from fluent_bit_spark.functions.msgpack_codec import EventTime, pack
+
+    v1 = pack([1700000000, {"k": "v"}])
+    v2 = pack([[EventTime(1700000000, 123456000), {"src": "fw"}], {"k": 2}])
+    grp = pack([EventTime(0xFFFFFFFF, 0), {}])  # group marker: skipped
+    df = spark.createDataFrame([(1, bytearray(v1 + v2 + grp))], "chunk_id int, chunk binary")
+    rows = msgpack_events_decode(df).orderBy("ts_nanos", "body").collect()
+    assert len(rows) == 2
+    assert rows[0].body == '{"k": "v"}' and rows[0].metadata is None
+    assert rows[1].metadata == '{"src": "fw"}'
+    assert rows[1].timestamp.microsecond == 123456
+    # forward frames: Forward + gzip PackedForward + Message modes
+    fwd = pack(["t.fw", [[1700000001, {"a": 1}]], {"size": 1}])
+    pkd = pack(["t.pk", gzip.compress(v1), {"compressed": "gzip"}])
+    msg = pack(["t.msg", 1700000002, {"z": 9}])
+    fdf = spark.createDataFrame(
+        [(bytearray(fwd),), (bytearray(pkd),), (bytearray(msg),)], "frame binary"
+    )
+    out = forward_frames_decode(fdf).orderBy("tag").collect()
+    assert [(r.tag, r.body) for r in out] == [
+        ("t.fw", '{"a": 1}'),
+        ("t.msg", '{"z": 9}'),
+        ("t.pk", '{"k": "v"}'),
+    ]
