@@ -1185,6 +1185,52 @@ def msgpack_roundtrip(spark, sf_dir):
     )
 
 
+def avro_roundtrip(spark, sf_dir):
+    """flb_avro.c parity: events encoded against an Avro record schema into
+    Object Container File blobs (deflate blocks, spec wire format from
+    functions/avro_codec.py) then decoded back. Oracle is the plain events
+    table — the roundtrip must be lossless to µs/double precision."""
+    from fluent_bit_spark.connectors import avro_ocf_decode, avro_ocf_encode
+
+    schema = {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "value", "type": "double"},
+        ],
+    }
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    blobs = avro_ocf_encode(ev, schema)
+    return avro_ocf_decode(blobs, "event_id long, ts timestamp, event_type string, value double")
+
+
+def loki_push_shape(spark, sf_dir):
+    """out_loki parity (plugins/out_loki/loki.c): records grouped by their
+    label set into push-API streams — (labels, [(epoch-ns, line), ...]) with
+    values numerically time-ordered and ns exact (unix_micros*1000, no
+    double round-trip). Flattened back out via posexplode so the oracle can
+    hash-match the full stream contents."""
+    from fluent_bit_spark.sinks import loki_streams
+
+    ev = _events(spark, sf_dir)
+    streams = loki_streams(ev, ["event_type"], line_col="props", ts_col="ts")
+    return (
+        streams.select(
+            F.col("stream")["event_type"].alias("label_event_type"),
+            F.posexplode("values").alias("pos", "v"),
+        )
+        .select(
+            "label_event_type",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("v")[0].alias("ts_ns"),
+            F.col("v")[1].alias("line"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1264,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kubernetes_enrich": kubernetes_enrich,
         "geoip_enrich": geoip_enrich_q,
         "msgpack_roundtrip": msgpack_roundtrip,
+        "loki_push_shape": loki_push_shape,
+        "avro_roundtrip": avro_roundtrip,
     }
 
 
@@ -1744,5 +1792,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "msgpack_roundtrip": (
             "SELECT event_id, ts, event_type, user_id FROM events"
+        ),
+        "loki_push_shape": (
+            # independent re-derivation: row_number over the same numeric
+            # (ns, line) sort the sink's array_sort applies per stream
+            "SELECT event_type AS label_event_type, "
+            "CAST(row_number() OVER (PARTITION BY event_type "
+            "ORDER BY epoch_us(ts) * 1000, props) - 1 AS BIGINT) AS pos, "
+            "CAST(epoch_us(ts) * 1000 AS VARCHAR) AS ts_ns, "
+            "props AS line FROM events"
+        ),
+        "avro_roundtrip": (
+            "SELECT event_id, ts, event_type, value FROM events"
         ),
     }

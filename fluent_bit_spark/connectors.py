@@ -540,3 +540,95 @@ def otlp_logs_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
         attrs_to_map(F.col("__res_attrs")).alias("resource"),
         "scope_name",
     )
+
+
+# --------------------------------------------------------------------------
+# avro — flb_avro.c object-container encode/decode
+# --------------------------------------------------------------------------
+def _avro_py(v, fschema):
+    """One pandas cell -> the python value the avro codec expects."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+        return None
+    s = fschema[1] if isinstance(fschema, list) and len(fschema) == 2 else fschema
+    logical = s.get("logicalType") if isinstance(s, dict) else None
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        us = int(pd.Timestamp(v).value // 1000)
+        return us if logical == "timestamp-micros" else us // 1_000_000
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def avro_ocf_encode(df: DataFrame, schema: dict, bin_col: str = "avro", codec: str = "deflate") -> DataFrame:
+    """Encode rows into Avro Object Container File blobs, one blob per
+    Arrow batch (flb_avro.c record-to-avro parity; container per the public
+    Avro spec). Columns map to the record schema's fields by name;
+    ``["null", X]`` unions carry nullable columns; long fields with
+    logicalType timestamp-micros carry timestamps.
+
+    Map-side only — one Python pass per input partition, no shuffle; blob
+    count scales with partitions, which is exactly what a Kafka/object-store
+    avro sink wants at 100 TB."""
+    from fluent_bit_spark.functions.avro_codec import ocf_bytes
+
+    fields = {f["name"]: f["type"] for f in schema["fields"]}
+    names = [f["name"] for f in schema["fields"]]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            records = [
+                {n: _avro_py(rec[n], fields[n]) for n in names}
+                for rec in pdf[names].to_dict("records")
+            ]
+            yield pd.DataFrame({bin_col: [ocf_bytes(schema, records, codec=codec)]})
+
+    return df.mapInPandas(run, f"{bin_col} binary")
+
+
+def avro_ocf_decode(df: DataFrame, ddl_schema: str, bin_col: str = "avro") -> DataFrame:
+    """Decode Avro OCF blobs back into rows. ``ddl_schema`` names the
+    output columns/types (subset of the record fields); long fields whose
+    writer schema says timestamp-micros come back as timestamps. Same
+    ingest-boundary shape as msgpack_events_decode: one pass per blob
+    partition, no shuffle."""
+    from fluent_bit_spark.functions.avro_codec import read_ocf
+
+    out_schema = T._parse_datatype_string(ddl_schema)
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for payload in pdf[bin_col]:
+                if payload is None:
+                    continue
+                wschema, records = read_ocf(bytes(payload))
+                fields = {f["name"]: f["type"] for f in wschema["fields"]}
+                for rec in records:
+                    row = {}
+                    for c in cols:
+                        v = rec.get(c)
+                        s = fields.get(c)
+                        s = s[1] if isinstance(s, list) and len(s) == 2 else s
+                        if (
+                            v is not None
+                            and isinstance(s, dict)
+                            and s.get("logicalType") == "timestamp-micros"
+                        ):
+                            v = pd.to_datetime(v, unit="us")
+                        row[c] = v
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, out_schema)
