@@ -1231,6 +1231,30 @@ def loki_push_shape(spark, sf_dir):
     )
 
 
+def tda_betti_windows(spark, sf_dir):
+    """processor_tda parity (plugins/processor_tda/tda.c:767-1182 +
+    src/ripser/flb_ripser_wrapper.cpp): per event_type series, 32-sample
+    windows of `value` are delay-embedded (m=2, tau=4), and the exact
+    Vietoris-Rips finite-bar counts (Betti 0/1) are emitted per window with
+    the quantile-sweep threshold selection. Persistent homology is not
+    SQL-expressible, so this query takes the documented rows-only check;
+    the GF(2) reduction itself is verified in tests/test_tda.py against an
+    independent full-boundary-matrix oracle."""
+    from fluent_bit_spark.extensions.tda import tda_betti
+
+    ev = _events(spark, sf_dir)
+    out = tda_betti(
+        ev, ["value"], series_col="event_type", ts_col="ts",
+        window_size=32, embed_dim=2, embed_delay=4, tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_type", "window_id", "n_raw", "n_embed",
+        "betti0", "betti1", "betti2",
+        F.round("best_q", 6).alias("best_q"),
+        F.round("threshold", 6).alias("threshold"),
+    ).orderBy("event_type", "window_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1312,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msgpack_roundtrip": msgpack_roundtrip,
         "loki_push_shape": loki_push_shape,
         "avro_roundtrip": avro_roundtrip,
+        "tda_betti_windows": tda_betti_windows,
     }
 
 
@@ -1648,6 +1673,9 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash / dedup_simhash / similarity_lsh_ann / embedding_dedup:
         # candidate generation depends on engine-internal hash functions
         # (xxhash64 / hyperplane seeds) -> rows-only checks, by design.
+        # tda_betti_windows: persistent homology (GF(2) boundary-matrix
+        # reduction) is not SQL-expressible -> rows-only; the reduction is
+        # verified in tests/test_tda.py against an independent ELZ oracle.
         "dedup_jaccard_pairs": (
             f"WITH ws AS (SELECT doc_id, list_distinct(string_split({norm}, ' ')) AS w "
             "FROM documents WHERE doc_id < 60) "
