@@ -1255,6 +1255,37 @@ def tda_betti_windows(spark, sf_dir):
     ).orderBy("event_type", "window_id")
 
 
+def text_repetition_q(spark, sf_dir):
+    """Gopher-style repetition screens (Rae et al. 2021 A1) on documents:
+    duplicate-line fraction/char-fraction, top 2-gram char coverage,
+    repeated 5-gram char coverage. Pure Catalyst + two keyed explode
+    aggregations; hash-checked against the DuckDB re-derivation."""
+    from fluent_bit_spark.extensions.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_signals(docs, gram_n=2, rep_n=5)
+    return out.select(
+        "doc_id", "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_gram_char_frac", 6).alias("top_gram_char_frac"),
+        F.round("rep_gram_char_frac", 6).alias("rep_gram_char_frac"),
+    )
+
+
+def decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination: every 37th document plays the held-out
+    eval set; corpus docs sharing any distinct word 8-gram with it are
+    flagged. Broadcast blocklist + one corpus explode, per the published
+    GPT-3/PaLM/Llama cleaning procedure."""
+    from fluent_bit_spark.extensions.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    out = decontaminate(docs, bench, n=8, min_hits=1)
+    return out.select("doc_id", "contam_hits", "contaminated")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1337,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loki_push_shape": loki_push_shape,
         "avro_roundtrip": avro_roundtrip,
         "tda_betti_windows": tda_betti_windows,
+        "text_repetition": text_repetition_q,
+        "decontaminate": decontaminate_q,
     }
 
 
@@ -1832,5 +1865,55 @@ def oracle_sql() -> dict[str, str]:
         ),
         "avro_roundtrip": (
             "SELECT event_id, ts, event_type, value FROM events"
+        ),
+        "text_repetition": (
+            "WITH base AS (SELECT doc_id, text, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents), "
+            "ch AS (SELECT doc_id, length(norm) AS chars FROM base), "
+            "lines AS (SELECT doc_id, trim(l) AS line FROM base, "
+            "unnest(string_split(text, chr(10))) AS u(l) WHERE length(trim(l)) > 0), "
+            "ls AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln "
+            "FROM lines GROUP BY doc_id, line), "
+            "la AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines, "
+            "1.0 - COUNT(*)::DOUBLE / SUM(c) AS dup_line_frac, "
+            "SUM(CASE WHEN c > 1 THEN c*ln ELSE 0 END)::DOUBLE / SUM(c*ln) AS dup_line_char_frac "
+            "FROM ls GROUP BY doc_id), "
+            "wt AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base), "
+            "g2 AS (SELECT doc_id, g FROM wt, unnest(CASE WHEN len(w) >= 2 THEN "
+            "list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) "
+            "ELSE []::VARCHAR[] END) AS u(g)), "
+            "g2s AS (SELECT doc_id, g, COUNT(*) AS c, length(g) AS ln FROM g2 GROUP BY doc_id, g), "
+            "t2 AS (SELECT doc_id, c * ln AS top_chars FROM "
+            "(SELECT doc_id, c, ln, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, ln DESC) AS rn FROM g2s) WHERE rn = 1), "
+            "g5 AS (SELECT doc_id, g FROM wt, unnest(CASE WHEN len(w) >= 5 THEN "
+            "list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')) "
+            "ELSE []::VARCHAR[] END) AS u(g)), "
+            "g5s AS (SELECT doc_id, g, COUNT(*) AS c, length(g) AS ln FROM g5 GROUP BY doc_id, g), "
+            "r5 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c*ln ELSE 0 END) AS rep_chars "
+            "FROM g5s GROUP BY doc_id) "
+            "SELECT b.doc_id, COALESCE(la.n_lines, 0) AS n_lines, "
+            "ROUND(COALESCE(la.dup_line_frac, 0), 6) AS dup_line_frac, "
+            "ROUND(COALESCE(la.dup_line_char_frac, 0), 6) AS dup_line_char_frac, "
+            "ROUND(CASE WHEN ch.chars > 0 THEN COALESCE(t2.top_chars, 0)::DOUBLE / ch.chars "
+            "ELSE 0 END, 6) AS top_gram_char_frac, "
+            "ROUND(CASE WHEN ch.chars > 0 THEN COALESCE(r5.rep_chars, 0)::DOUBLE / ch.chars "
+            "ELSE 0 END, 6) AS rep_gram_char_frac "
+            "FROM base b JOIN ch USING (doc_id) LEFT JOIN la USING (doc_id) "
+            "LEFT JOIN t2 USING (doc_id) LEFT JOIN r5 USING (doc_id)"
+        ),
+        "decontaminate": (
+            "WITH base AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents), "
+            "wt AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base), "
+            "grams AS (SELECT doc_id, g FROM wt, unnest(CASE WHEN len(w) >= 8 THEN "
+            "list_distinct(list_transform(range(1, len(w) - 6), "
+            "i -> array_to_string(w[i:i+7], ' '))) ELSE []::VARCHAR[] END) AS u(g)), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0), "
+            "hits AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS contam_hits "
+            "FROM grams c JOIN bench USING (g) GROUP BY c.doc_id) "
+            "SELECT b.doc_id, COALESCE(h.contam_hits, 0) AS contam_hits, "
+            "COALESCE(h.contam_hits, 0) >= 1 AS contaminated "
+            "FROM base b LEFT JOIN hits h USING (doc_id)"
         ),
     }

@@ -83,6 +83,113 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality", F.round((len_ok * punct_ok * stop_ok), 4))
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """All overlapping word n-grams of the normalized text (strict: empty
+    array when the doc has fewer than n words — no degenerate short grams)."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 2,
+    rep_n: int = 5,
+) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher corpus
+    filters (Rae et al. 2021, appendix A1) — the standard pretraining-data
+    screens for boilerplate and degenerate text:
+
+    - ``dup_line_frac``: fraction of non-empty line slots that are repeats
+      of another line in the same doc (1 - distinct/total).
+    - ``dup_line_char_frac``: characters living in duplicated lines over
+      all line characters.
+    - ``top_gram_char_frac``: chars covered by the single most frequent
+      word ``gram_n``-gram (count x gram length / normalized chars);
+      ties by count break to the longer gram.
+    - ``rep_gram_char_frac``: chars covered by all ``rep_n``-grams that
+      occur more than once (count x length summed; overlaps counted, the
+      usual approximation, so the value may exceed 1).
+
+    Scale shape: two explodes, each shuffling on (doc, item) — uniform,
+    high-cardinality keys — then per-doc aggregates joined back. Every
+    expression is Catalyst + one groupBy; no UDFs, fully oracle-checkable.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(normalize_text(t)).alias("__chars"),
+        F.filter(
+            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        ).alias("__lines"),
+        word_ngrams(t, gram_n).alias("__topg"),
+        word_ngrams(t, rep_n).alias("__repg"),
+    )
+
+    line_stats = (
+        base.select(id_col, F.explode("__lines").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ln", F.length("line"))
+    )
+    line_agg = line_stats.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        (1.0 - F.count("*") / F.sum("c")).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("ln")).otherwise(0)).cast("double")
+            / F.sum(F.col("c") * F.col("ln"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    top_stats = (
+        base.select(id_col, F.explode("__topg").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ln", F.length("g"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("c", "ln")).alias("top"))
+        .select(id_col, (F.col("top.c") * F.col("top.ln")).alias("top_chars"))
+    )
+    rep_stats = (
+        base.select(id_col, F.explode("__repg").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ln", F.length("g"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("ln")).otherwise(0)
+            ).alias("rep_chars")
+        )
+    )
+
+    chars = F.col("__chars")
+    return (
+        base.select(id_col, "__chars")
+        .join(line_agg, id_col, "left")
+        .join(top_stats, id_col, "left")
+        .join(rep_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.when(chars > 0, F.coalesce("top_chars", F.lit(0)) / chars)
+            .otherwise(0.0)
+            .alias("top_gram_char_frac"),
+            F.when(chars > 0, F.coalesce("rep_chars", F.lit(0)) / chars)
+            .otherwise(0.0)
+            .alias("rep_gram_char_frac"),
+        )
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (rolling-hash-class
     dedup key; md5 chosen because every SQL engine reproduces it)."""

@@ -224,3 +224,75 @@ def test_dedup_udfs_tolerate_null_text_and_embeddings(spark):
     ).collect()
     got = {r.vec_id: r.b for r in out}
     assert len(got[1]) == 2 and got[2] == [0, 0]  # zero-vector bucket
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition screens: hand-computed expectations on
+    synthetic docs covering dup lines, degenerate repeats, short docs,
+    empty text, and docs with no newlines."""
+    from fluent_bit_spark.extensions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "spam spam" repeated: heavy duplication
+            (1, "spam spam\nspam spam\nham eggs\nspam spam"),
+            # unique lines, no repeated grams
+            (2, "alpha beta\ngamma delta"),
+            # single word: no 2-grams at all
+            (3, "word"),
+            # empty text
+            (4, ""),
+            # one line, internally repetitive ("ab ab ab ab ab")
+            (5, "ab ab ab ab ab"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs, gram_n=2, rep_n=2).collect()}
+
+    r1 = out[1]
+    assert r1.n_lines == 4
+    # 4 line slots, 2 distinct -> 1 - 2/4
+    assert r1.dup_line_frac == pytest.approx(0.5)
+    # "spam spam" (9 chars) x3 duplicated, "ham eggs" (8) unique
+    assert r1.dup_line_char_frac == pytest.approx(27 / 35)
+    # normalized = "spam spam spam spam ham eggs spam spam" (38 chars);
+    # top 2-gram "spam spam" occurs 4x (overlapping), 9 chars -> 36/38
+    assert r1.top_gram_char_frac == pytest.approx(36 / 38)
+
+    r2 = out[2]
+    assert r2.dup_line_frac == 0.0 and r2.dup_line_char_frac == 0.0
+    assert r2.rep_gram_char_frac == 0.0
+
+    r3 = out[3]
+    assert r3.n_lines == 1 and r3.top_gram_char_frac == 0.0  # no 2-grams
+
+    r4 = out[4]
+    assert r4.n_lines == 0 and r4.top_gram_char_frac == 0.0
+
+    r5 = out[5]
+    # "ab ab" occurs 4x overlapping, len 5, chars 14 -> 20/14
+    assert r5.top_gram_char_frac == pytest.approx(20 / 14)
+    assert r5.rep_gram_char_frac == pytest.approx(20 / 14)
+
+
+def test_decontaminate(spark):
+    """8-gram overlap flags the verbatim copy and the doc embedding a
+    benchmark passage; clean and short docs pass."""
+    from fluent_bit_spark.extensions.decontam import decontaminate
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, passage),                                   # verbatim copy
+            (2, "intro words here " + passage + " outro"),  # embeds passage
+            (3, "a completely different document about spark execution plans"),
+            (4, "too short"),                               # < 8 words
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, passage)], "doc_id bigint, text string")
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=8, min_hits=1).collect()}
+    assert out[1].contaminated and out[1].contam_hits == 3  # 10 words -> 3 distinct 8-grams
+    assert out[2].contaminated and out[2].contam_hits == 3
+    assert not out[3].contaminated and out[3].contam_hits == 0
+    assert not out[4].contaminated
