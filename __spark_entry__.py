@@ -1273,6 +1273,46 @@ def text_repetition_q(spark, sf_dir):
     )
 
 
+def dedup_clusters_q(spark, sf_dir):
+    """Transitive near-dup cluster consolidation: exact word-set Jaccard
+    >= 0.7 edges over doc_id < 60 plus two synthesized copies per tenth doc
+    (guaranteed 3-node cliques), resolved to min-id components by hash-min
+    label propagation (extensions/graph.py). Oracle re-derives connectivity
+    with a recursive CTE — the rare case where an iterative algorithm IS
+    SQL-expressible, so this gets the full hash check."""
+    from fluent_bit_spark.extensions.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    c1 = tenth.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("   ")).alias("text"),
+    )
+    c2 = tenth.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text")).alias("text"),
+    )
+    all3 = docs.unionByName(c1).unionByName(c2)
+    words = all3.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("ws"),
+    )
+    a = words.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = words.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    union = F.size(F.array_union("wa", "wb")).cast("double")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.7)
+        .select("id_a", "id_b")
+    )
+    out = dedup_clusters(all3, pairs)
+    return out.select("doc_id", "component", "is_representative")
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -1370,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tda_betti_windows": tda_betti_windows,
         "text_repetition": text_repetition_q,
         "decontaminate": decontaminate_q,
+        "dedup_clusters": dedup_clusters_q,
     }
 
 
@@ -1901,6 +1942,28 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END, 6) AS rep_gram_char_frac "
             "FROM base b JOIN ch USING (doc_id) LEFT JOIN la USING (doc_id) "
             "LEFT JOIN t2 USING (doc_id) LEFT JOIN r5 USING (doc_id)"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE docs3 AS ("
+            "SELECT doc_id, text FROM documents WHERE doc_id < 60 "
+            "UNION ALL SELECT doc_id + 1000000, text || '   ' FROM documents "
+            "WHERE doc_id < 60 AND doc_id % 10 = 0 "
+            "UNION ALL SELECT doc_id + 2000000, ' ' || text FROM documents "
+            "WHERE doc_id < 60 AND doc_id % 10 = 0), "
+            "ws AS (SELECT doc_id, list_distinct(string_split("
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w FROM docs3), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM ws a JOIN ws b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.w, b.w))) >= 0.7), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT src AS id, src AS lbl FROM edges "
+            "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id), "
+            "comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id) "
+            "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, "
+            "d.doc_id = COALESCE(c.component, d.doc_id) AS is_representative "
+            "FROM docs3 d LEFT JOIN comp c ON c.id = d.doc_id"
         ),
         "decontaminate": (
             "WITH base AS (SELECT doc_id, "

@@ -1,0 +1,94 @@
+"""Connected components over candidate-pair edge lists — the cluster
+consolidation stage of near-duplicate dedup.
+
+MinHash/SimHash candidate generation emits PAIRS; keeping one document per
+transitive cluster (A~B, B~C => {A,B,C} keep one) needs connectivity, not
+pairs. This is the hash-min label-propagation algorithm used by the
+standard large-graph frameworks: every node repeatedly adopts the minimum
+label among itself and its neighbors, converging to the component's
+minimum node id in O(component diameter) rounds, each round one shuffle
+join + one aggregate. Near-dup clusters have tiny diameters (stars/cliques
+from banded LSH), so 3-5 rounds settle real corpora; `max_iter` bounds the
+worst case.
+
+Scale shape per round: edges join labels on src (shuffle keyed by node
+id), then min-aggregate on dst — no driver-side state except a one-row
+convergence count per round (a scalar job, same class as the k-means
+centroid state in similarity.py). At 100 TB the edge list is orders of
+magnitude smaller than the corpus (only candidate pairs), so the rounds
+run on the small derived table, never the raw docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve an undirected edge list into (id, component) where
+    ``component`` is the minimum node id reachable from ``id``. Nodes not
+    present in ``pairs`` are absent (join back with coalesce(id) for the
+    full assignment)."""
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # neighbor minimum: for each dst, the min label among its sources;
+        # then keep min(own, neighbor) per node
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Full-corpus component assignment: every doc gets its transitive
+    cluster representative (min doc_id; itself when unpaired) plus a
+    keep/drop flag. Filter ``is_representative`` for the dedup pass."""
+    comp = connected_components(pairs, src_col, dst_col, max_iter)
+    return (
+        df.join(comp, df[id_col] == comp.id, "left")
+        .select(
+            df["*"],
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_representative", F.col(id_col) == F.col("component"))
+    )

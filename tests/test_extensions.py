@@ -296,3 +296,28 @@ def test_decontaminate(spark):
     assert out[2].contaminated and out[2].contam_hits == 3
     assert not out[3].contaminated and out[3].contam_hits == 0
     assert not out[4].contaminated
+
+
+def test_connected_components(spark):
+    """Hash-min label propagation: chain, triangle, and an isolated pair
+    resolve to min-id components; unpaired docs keep themselves."""
+    from fluent_bit_spark.extensions.graph import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "id_a bigint, id_b bigint",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert out[99].component == 99 and out[99].is_representative
+    assert out[4].component == 1 and not out[4].is_representative
+    assert out[1].is_representative
+    assert sum(1 for r in out.values() if r.is_representative) == 4  # {1},{10},{20},{99}
