@@ -1273,6 +1273,33 @@ def text_repetition_q(spark, sf_dir):
     )
 
 
+def domain_mix_q(spark, sf_dir):
+    """Training-data mixing: per-language deterministic keep rates via the
+    portable multiplicative id-hash (no RNG — reproducible across engines
+    and re-runs, which is what a 100 TB corpus rebuild needs)."""
+    from fluent_bit_spark.extensions.mixing import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = domain_mix(docs, "lang", {"en": 0.4, "de": 0.8, "fr": 0.2}, default_rate=1.0)
+    return out.select("doc_id", "lang", "source")
+
+
+def mix_temperature_q(spark, sf_dir):
+    """Temperature-flattened domain weights (p_d ~ n_d^tau, tau=0.7 — the
+    mBERT/XLM-R sampling rule) derived from observed per-source counts;
+    keep_rate normalized so the most-upweighted source keeps everything."""
+    from fluent_bit_spark.extensions.mixing import mix_weights_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_weights_temperature(docs, "source", tau=0.7)
+    return out.select(
+        "strata", "n",
+        F.round("p_obs", 6).alias("p_obs"),
+        F.round("p_target", 6).alias("p_target"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
 def dedup_clusters_q(spark, sf_dir):
     """Transitive near-dup cluster consolidation: exact word-set Jaccard
     >= 0.7 edges over doc_id < 60 plus two synthesized copies per tenth doc
@@ -1411,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition_q,
         "decontaminate": decontaminate_q,
         "dedup_clusters": dedup_clusters_q,
+        "domain_mix": domain_mix_q,
+        "mix_temperature": mix_temperature_q,
     }
 
 
@@ -1942,6 +1971,22 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END, 6) AS rep_gram_char_frac "
             "FROM base b JOIN ch USING (doc_id) LEFT JOIN la USING (doc_id) "
             "LEFT JOIN t2 USING (doc_id) LEFT JOIN r5 USING (doc_id)"
+        ),
+        "domain_mix": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE (doc_id * 2654435761) % 10000 < CAST(round("
+            "(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.2 "
+            "ELSE 1.0 END) * 10000) AS BIGINT)"
+        ),
+        "mix_temperature": (
+            "WITH c AS (SELECT source AS strata, COUNT(*) AS n FROM documents GROUP BY source), "
+            "t AS (SELECT SUM(n) AS tot, SUM(pow(n, 0.7)) AS tot_pow FROM c), "
+            "s AS (SELECT strata, n, n / tot AS p_obs, pow(n, 0.7) / tot_pow AS p_target "
+            "FROM c, t), "
+            "mx AS (SELECT MAX(p_target / p_obs) AS m FROM s) "
+            "SELECT strata, CAST(n AS BIGINT) AS n, ROUND(p_obs, 6) AS p_obs, "
+            "ROUND(p_target, 6) AS p_target, "
+            "ROUND((p_target / p_obs) / m, 6) AS keep_rate FROM s, mx"
         ),
         "dedup_clusters": (
             "WITH RECURSIVE docs3 AS ("

@@ -1,0 +1,85 @@
+"""Domain mixing for training-data assembly: deterministic per-domain
+sampling and temperature-based weight derivation.
+
+A pretraining corpus is drawn from heterogeneous sources at configured
+rates ("mixing weights"). Two pieces:
+
+- ``domain_mix``: keep each row with a per-domain probability, decided by
+  a portable multiplicative hash of the row id (Knuth 2654435761) — fully
+  deterministic, reproducible across engines, and expressible in plain SQL
+  for the oracle gate. No RNG state, no sampleBy nondeterminism.
+- ``mix_weights_temperature``: the multilingual temperature rule
+  (p_d proportional to n_d^tau, as published for mBERT/XLM-R/mT5):
+  converts observed domain counts into keep-rates that flatten the domain
+  distribution, normalized so the most-upweighted domain keeps rate 1.0.
+  Rates > 1 for tiny domains mean "repeat" — reported, and clamped to 1
+  by the sampling step (epoch repetition is a separate concern).
+
+Scale shape: domain_mix is a stateless filter expression (scan-speed, no
+shuffle); mix_weights_temperature is one groupBy over domains plus two
+scalar aggregates broadcast back — domain cardinality is tiny by
+definition, so the cross joins are single-row broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH_MULT = 2654435761
+DEFAULT_MODULUS = 10000
+
+
+def deterministic_keep(
+    id_col: str | Column, rate: Column, modulus: int = DEFAULT_MODULUS
+) -> Column:
+    """True for ~rate of rows, decided by (id * 2654435761) mod modulus —
+    the same portable multiplicative-hash thinning used by the sampling
+    operator (operators/sampling.py)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c * KNUTH_MULT) % modulus < F.round(rate * modulus).cast("long")
+
+
+def domain_mix(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    modulus: int = DEFAULT_MODULUS,
+) -> DataFrame:
+    """Per-domain deterministic downsampling: row kept iff its id-hash
+    falls under its domain's rate. Rates clamp to [0, 1]."""
+    rate = F.lit(float(min(max(default_rate, 0.0), 1.0)))
+    for dom, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == dom, float(min(max(r, 0.0), 1.0))).otherwise(rate)
+    return df.filter(deterministic_keep(id_col, rate, modulus))
+
+
+def mix_weights_temperature(
+    df: DataFrame, strata_col: str, tau: float = 0.7
+) -> DataFrame:
+    """Observed domain counts -> temperature-flattened keep rates.
+
+    q_d = n_d^tau / sum(n^tau) is the target mixture; the keep rate is
+    (q_d / p_d) scaled so its maximum is 1 (sampling can only thin).
+    Returns (strata, n, p_obs, p_target, keep_rate)."""
+    counts = df.groupBy(F.col(strata_col).alias("strata")).agg(F.count("*").alias("n"))
+    tots = counts.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(F.pow(F.col("n").cast("double"), tau)).alias("__tot_pow"),
+    )
+    scored = counts.crossJoin(F.broadcast(tots)).select(
+        "strata",
+        "n",
+        (F.col("n") / F.col("__tot")).alias("p_obs"),
+        (F.pow(F.col("n").cast("double"), tau) / F.col("__tot_pow")).alias("p_target"),
+    )
+    max_ratio = scored.agg(F.max(F.col("p_target") / F.col("p_obs")).alias("__mx"))
+    return scored.crossJoin(F.broadcast(max_ratio)).select(
+        "strata",
+        "n",
+        "p_obs",
+        "p_target",
+        ((F.col("p_target") / F.col("p_obs")) / F.col("__mx")).alias("keep_rate"),
+    )

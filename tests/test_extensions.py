@@ -321,3 +321,35 @@ def test_connected_components(spark):
     assert out[4].component == 1 and not out[4].is_representative
     assert out[1].is_representative
     assert sum(1 for r in out.values() if r.is_representative) == 4  # {1},{10},{20},{99}
+
+
+def test_domain_mix(spark, docs):
+    """Deterministic per-domain thinning: rates respected within hash
+    granularity, stable across runs, rate 1.0 and 0.0 exact."""
+    from fluent_bit_spark.extensions.mixing import domain_mix
+
+    full = docs.count()
+    en = docs.filter(F.col("lang") == "en").count()
+    out1 = domain_mix(docs, "lang", {"en": 0.5}, default_rate=1.0)
+    out2 = domain_mix(docs, "lang", {"en": 0.5}, default_rate=1.0)
+    assert out1.count() == out2.count()  # no RNG
+    kept_en = out1.filter(F.col("lang") == "en").count()
+    assert 0.2 * en <= kept_en <= 0.8 * en          # roughly half
+    assert out1.filter(F.col("lang") != "en").count() == full - en  # untouched
+    assert domain_mix(docs, "lang", {"en": 0.0}).filter(F.col("lang") == "en").count() == 0
+    assert domain_mix(docs, "lang", {}).count() == full
+
+
+def test_mix_weights_temperature(spark, docs):
+    from fluent_bit_spark.extensions.mixing import mix_weights_temperature
+
+    flat = {r.strata: r for r in mix_weights_temperature(docs, "lang", tau=1.0).collect()}
+    # tau=1: target == observed -> every keep_rate 1
+    assert all(abs(r.keep_rate - 1.0) < 1e-9 for r in flat.values())
+
+    t0 = {r.strata: r for r in mix_weights_temperature(docs, "lang", tau=0.0).collect()}
+    # tau=0: uniform target -> smallest domain upweights most (rate 1.0)
+    smallest = min(t0.values(), key=lambda r: r.n)
+    assert abs(smallest.keep_rate - 1.0) < 1e-9
+    biggest = max(t0.values(), key=lambda r: r.n)
+    assert abs(biggest.keep_rate - smallest.n / biggest.n) < 1e-9
