@@ -152,3 +152,32 @@ def multiline_stream(
     return sdf.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def dedup_stream(
+    sdf: DataFrame,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    time_col: str = TS_COL,
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized-content
+    hash passes, later copies inside the watermark horizon are dropped.
+
+    Built on ``dropDuplicatesWithinWatermark`` — the state store keeps one
+    entry per distinct hash and EVICTS it once the watermark passes, which
+    is the piece that makes streaming dedup bounded: exact dedup over an
+    unbounded stream needs unbounded state, so the horizon IS the contract
+    (copies arriving further apart than the watermark both survive; batch
+    `extensions.dedup.exact_dedup` is the global pass). Keys are md5 of the
+    lower/whitespace-collapsed text, matching the batch operator, so the
+    two stages compose into the standard lambda layout."""
+    from pyspark.sql import functions as F
+
+    keyed = sdf.withColumn(
+        "__h", F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    )
+    return (
+        keyed.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

@@ -189,3 +189,27 @@ def test_loki_streams(spark):
     assert [v[1] for v in web] == ["first", "second"]  # time-ordered
     assert web[0][0] == "1000000000"  # epoch ns as string
     assert len(streams) == 2
+
+
+def test_dedup_stream(spark, tmp_path):
+    from fluent_bit_spark.streaming.stateful import dedup_stream
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    rows = [
+        {"text": "alpha beta", "sec": 0},
+        {"text": "Alpha   beta", "sec": 1},   # normalized duplicate
+        {"text": "gamma delta", "sec": 2},
+        {"text": "alpha beta", "sec": 3},     # duplicate again
+        {"text": "unique one", "sec": 4},
+    ]
+    with open(d / "in.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    sdf = tail_source(spark, str(d), fmt="json", schema="text string, sec long").withColumn(
+        TS_COL, F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec"))
+    )
+    out = dedup_stream(sdf, watermark="1 hour")
+    _run_to_memory(out, "dd")
+    texts = sorted(r.text for r in spark.sql("SELECT * FROM dd").collect())
+    assert texts == ["alpha beta", "gamma delta", "unique one"]
