@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "pii_redaction",
     "log_to_metrics_summary",
     "ml_inference_scores",
+    "text_repetition",
+    "decontaminate",
+    "dedup_clusters",
+    "domain_mix",
 ]
 
 

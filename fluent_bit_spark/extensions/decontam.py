@@ -18,15 +18,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fluent_bit_spark.extensions.text import word_ngrams
+from fluent_bit_spark.extensions.dedup import normalize_text
+from fluent_bit_spark.extensions.text import ngrams_of_words
+
+
+def _distinct_grams(df: DataFrame, text_col: str, n: int, keep: list[str]):
+    """Per-row distinct n-grams, with the words array materialized in its
+    own projection so the gram lambda does element access only (see
+    ngrams_of_words)."""
+    staged = df.select(
+        *keep, F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    )
+    return staged.select(
+        *keep,
+        F.explode(F.array_distinct(ngrams_of_words(F.col("__words"), n))).alias("gram"),
+    )
 
 
 def contamination_grams(bench: DataFrame, text_col: str = "text", n: int = 8) -> DataFrame:
     """Distinct word n-grams across the benchmark set (the blocklist)."""
-    return (
-        bench.select(F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
-        .distinct()
-    )
+    return _distinct_grams(bench, text_col, n, keep=[]).distinct()
 
 
 def decontaminate(
@@ -42,9 +53,7 @@ def decontaminate(
     the cleaning pass; keeping the flag makes audits and threshold sweeps
     cheap."""
     grams = contamination_grams(bench, text_col, n)
-    corpus = df.select(
-        id_col, F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
-    )
+    corpus = _distinct_grams(df, text_col, n, keep=[id_col])
     hits = (
         corpus.join(F.broadcast(grams), "gram")
         .groupBy(id_col)

@@ -83,15 +83,31 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality", F.round((len_ok * punct_ok * stop_ok), 4))
 
 
+def ngrams_of_words(words: Column, n: int) -> Column:
+    """Overlapping n-grams from an ALREADY-MATERIALIZED word-array column.
+
+    Callers must project the split into a real column first: referencing a
+    raw `split(regexp_replace(...))` expression from inside the transform
+    lambda re-evaluates the regex once per element access (measured 7x
+    slower at sf0.1), because higher-order lambdas sit outside whole-stage
+    codegen's subexpression elimination."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    if n <= 8:  # unrolled element access beats a per-position array copy
+        def gram(i):
+            return F.concat_ws(" ", *[words[i + j] for j in range(n)])
+    else:
+        def gram(i):
+            return F.concat_ws(" ", F.slice(words, i + 1, n))
+    return F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """All overlapping word n-grams of the normalized text (strict: empty
-    array when the doc has fewer than n words — no degenerate short grams)."""
-    words = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    return F.when(
-        F.size(words) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    array when the doc has fewer than n words). Convenience form; for hot
+    paths materialize the words column and use ngrams_of_words."""
+    return ngrams_of_words(F.split(normalize_text(col), " "), n)
 
 
 def repetition_signals(
@@ -121,24 +137,47 @@ def repetition_signals(
     expression is Catalyst + one groupBy; no UDFs, fully oracle-checkable.
     """
     t = F.col(text_col)
-    base = df.select(
+    # ONE projection materializes the words array; the gram transforms are
+    # applied INSIDE the explode select over it. The Generate node explode
+    # produces does not collapse into its input Project, so the split is
+    # evaluated once per row — chaining Projects instead lets
+    # CollapseProject inline the regex split into every lambda element
+    # access, an O(words^2)-regexes-per-doc blowup (measured 36s vs ~2s at
+    # sf0.1). Lines and both gram families ride ONE tagged explode so the
+    # corpus is scanned and split once, and the three per-item count
+    # aggregates share a single (doc, tag, item) shuffle.
+    staged = df.select(
         F.col(id_col),
         F.length(normalize_text(t)).alias("__chars"),
         F.filter(
             F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
             lambda l: F.length(l) > 0,
         ).alias("__lines"),
-        word_ngrams(t, gram_n).alias("__topg"),
-        word_ngrams(t, rep_n).alias("__repg"),
+        F.split(normalize_text(t), " ").alias("__words"),
+    )
+    w = F.col("__words")
+    tagged = F.concat(
+        F.transform(
+            F.col("__lines"), lambda l: F.struct(F.lit(0).alias("t"), l.alias("item"))
+        ),
+        F.transform(
+            ngrams_of_words(w, gram_n),
+            lambda g: F.struct(F.lit(1).alias("t"), g.alias("item")),
+        ),
+        F.transform(
+            ngrams_of_words(w, rep_n),
+            lambda g: F.struct(F.lit(2).alias("t"), g.alias("item")),
+        ),
+    )
+    stats = (
+        staged.select(id_col, F.explode(tagged).alias("e"))
+        .select(id_col, F.col("e.t").alias("t"), F.col("e.item").alias("item"))
+        .groupBy(id_col, "t", "item")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ln", F.length("item"))
     )
 
-    line_stats = (
-        base.select(id_col, F.explode("__lines").alias("line"))
-        .groupBy(id_col, "line")
-        .agg(F.count("*").alias("c"))
-        .withColumn("ln", F.length("line"))
-    )
-    line_agg = line_stats.groupBy(id_col).agg(
+    line_agg = stats.filter(F.col("t") == 0).groupBy(id_col).agg(
         F.sum("c").alias("n_lines"),
         (1.0 - F.count("*") / F.sum("c")).alias("dup_line_frac"),
         (
@@ -146,21 +185,14 @@ def repetition_signals(
             / F.sum(F.col("c") * F.col("ln"))
         ).alias("dup_line_char_frac"),
     )
-
     top_stats = (
-        base.select(id_col, F.explode("__topg").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .withColumn("ln", F.length("g"))
+        stats.filter(F.col("t") == 1)
         .groupBy(id_col)
         .agg(F.max(F.struct("c", "ln")).alias("top"))
         .select(id_col, (F.col("top.c") * F.col("top.ln")).alias("top_chars"))
     )
     rep_stats = (
-        base.select(id_col, F.explode("__repg").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .withColumn("ln", F.length("g"))
+        stats.filter(F.col("t") == 2)
         .groupBy(id_col)
         .agg(
             F.sum(
@@ -171,7 +203,7 @@ def repetition_signals(
 
     chars = F.col("__chars")
     return (
-        base.select(id_col, "__chars")
+        staged.select(id_col, "__chars")
         .join(line_agg, id_col, "left")
         .join(top_stats, id_col, "left")
         .join(rep_stats, id_col, "left")
