@@ -236,6 +236,52 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
         from fluent_bit_spark.operators.expect import expect
 
         out = expect(hit, [tuple(r) for r in fconf["rules"]], action=fconf.get("action", "result_key"))
+    elif name == "throttle_size":
+        from fluent_bit_spark.operators.throttle import throttle_size
+
+        out = throttle_size(
+            hit, max_bytes=int(fconf["max_bytes"]),
+            size_col_expr=F.octet_length(fconf.get("size_key", "msg")),
+            interval_sec=int(fconf.get("interval", 1)),
+            time_col=fconf.get("time_col", TS_COL), key=fconf.get("key"),
+        )
+    elif name == "multiline":
+        from fluent_bit_spark.operators.multiline import multiline
+
+        out = multiline(
+            hit, line_col=fconf.get("key_content", "line"),
+            seq_col=fconf.get("seq_key", "seq"),
+            group_keys=fconf.get("group_keys"),
+            start_pattern=fconf.get("start_pattern"),
+            mode=fconf.get("mode"),
+        )
+    elif name == "kubernetes":
+        from fluent_bit_spark.operators.kubernetes import kubernetes_filter
+
+        pod_meta = None
+        if fconf.get("pod_metadata"):
+            pod_meta = hit.sparkSession.read.json(fconf["pod_metadata"])
+        out = kubernetes_filter(
+            hit, pod_metadata=pod_meta,
+            kube_tag_prefix=fconf.get("kube_tag_prefix", "kube.var.log.containers."),
+            use_journal=bool(fconf.get("use_journal", False)),
+        )
+    elif name == "geoip2":
+        from fluent_bit_spark.operators.lookup import geoip_enrich
+
+        ranges = hit.sparkSession.read.json(fconf["database"])
+        for c in ("range_start", "range_end"):
+            ranges = ranges.withColumn(c, F.col(c).cast("long"))
+        out = geoip_enrich(hit, ranges, ip_col=fconf["lookup_key"])
+    elif name == "nightfall":
+        from fluent_bit_spark.extensions.text import pii_flags, redact_pii
+
+        key = fconf.get("key", "msg")
+        kinds = tuple(fconf["kinds"]) if fconf.get("kinds") else None
+        out = hit
+        if fconf.get("flag_key"):  # flags read the ORIGINAL text, pre-redaction
+            out = out.withColumn(fconf["flag_key"], pii_flags(F.col(key), kinds))
+        out = out.withColumn(key, redact_pii(F.col(key), kinds))
     elif name in ("lua", "hook"):
         # filter_lua analog: the config carries a Python snippet defining
         # cb(tag, ts, record) -> (code, ts, record) — the same

@@ -131,3 +131,55 @@ def test_connector_output_plugins(spark, tmp_path):
 
     loki = [_json.loads(l) for l in spark.read.text(str(tmp_path / "loki")).toPandas()["value"]]
     assert {s["stream"]["level"] for s in loki} == {"info", "error"}
+
+
+def test_round2_filters_in_yaml(spark, tmp_path):
+    """kubernetes / geoip2 / nightfall / multiline / throttle_size wired
+    through the config loader — the user-facing parity surface for the
+    round-2 operators."""
+    import json as _json
+
+    pods = tmp_path / "pods.json"
+    with open(pods, "w") as f:
+        f.write(_json.dumps({
+            "namespace_name": "prod", "pod_name": "api-1",
+            "pod_id": "uid-1", "host": "node-a",
+        }) + "\n")
+    geodb = tmp_path / "geo.json"
+    with open(geodb, "w") as f:
+        # 10.0.0.0 - 10.0.0.255
+        f.write(_json.dumps({
+            "range_start": 167772160, "range_end": 167772415,
+            "country_iso": "DE", "city": "Berlin",
+        }) + "\n")
+
+    conf = {
+        "pipeline": {
+            "inputs": [{
+                "name": "dummy", "format": "dummy",
+                "tag": "kube.var.log.containers.api-1_prod_app-" + "c0ffee01" * 8 + ".log",
+                "records": [
+                    {"msg": "login ok mail bob@corp.io", "client_ip": "10.0.0.7"},
+                    {"msg": "health check", "client_ip": "192.168.9.9"},
+                ],
+            }],
+            "filters": [
+                {"name": "kubernetes", "match": "kube.*", "pod_metadata": str(pods)},
+                {"name": "geoip2", "match": "*", "database": str(geodb),
+                 "lookup_key": "client_ip"},
+                {"name": "nightfall", "match": "*", "key": "msg", "flag_key": "pii"},
+            ],
+        },
+    }
+    from fluent_bit_spark.pipeline.config import load_pipeline
+
+    pipe = load_pipeline(spark, conf)
+    rows = pipe.source().orderBy("client_ip").collect()
+    assert len(rows) == 2
+    r0 = rows[0]  # 10.0.0.7
+    assert r0.kubernetes.namespace_name == "prod" and r0.kubernetes.pod_name == "api-1"
+    assert r0.kubernetes.pod_id == "uid-1"
+    assert r0.country_iso == "DE" and r0.city == "Berlin"
+    assert r0.msg == "login ok mail [REDACTED:email]" and r0.pii == ["email"]
+    r1 = rows[1]  # 192.168.9.9 — no geo range, clean text
+    assert r1.country_iso is None and r1.pii == []
