@@ -1273,6 +1273,49 @@ def text_repetition_q(spark, sf_dir):
     )
 
 
+def statsd_decode_q(spark, sf_dir):
+    """in_statsd wire parse (plugins/in_statsd/statsd.c:114-201): statsd
+    lines synthesized deterministically from events (int values so string
+    forms are engine-portable), decoded by the Catalyst parser. The oracle
+    re-derives the RESULT semantically from the same modular arithmetic —
+    an independent check of the parse, not a second string parser."""
+    from fluent_bit_spark.functions.statsd import statsd_decode
+
+    ev = _events(spark, sf_dir)
+    mtype = F.element_at(
+        F.array(F.lit("c"), F.lit("g"), F.lit("ms"), F.lit("s")),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    sign = F.when((F.col("event_id") % 7 == 0) & (F.col("event_id") % 4 == 1), "+").otherwise("")
+    rate = F.when(F.col("event_id") % 5 == 0, "|@0.25").otherwise("")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"), F.lit(":"), sign, F.col("user_id").cast("string"),
+            F.lit("|"), mtype, rate,
+        ).alias("line"),
+    )
+    out = statsd_decode(lines)
+    return out.select(
+        "event_id", "metric_type", "bucket", "value", "value_str",
+        "sample_rate", "incremental",
+    )
+
+
+def prom_exposition_q(spark, sf_dir):
+    """out_prometheus_exporter page shape: per-event_type counters rendered
+    as exposition text (one # TYPE header + labeled sample lines, static
+    add_label, spec escaping)."""
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+    from fluent_bit_spark.sinks import prometheus_exposition
+
+    ev = _events(spark, sf_dir)
+    metrics = log_to_metrics(ev, "counter", "fbs_events_total", label_keys=["event_type"])
+    return prometheus_exposition(
+        metrics, label_cols=["event_type"], add_labels={"env": "bench"}, value_fmt="long"
+    )
+
+
 def domain_mix_q(spark, sf_dir):
     """Training-data mixing: per-language deterministic keep rates via the
     portable multiplicative id-hash (no RNG — reproducible across engines
@@ -1440,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters_q,
         "domain_mix": domain_mix_q,
         "mix_temperature": mix_temperature_q,
+        "statsd_decode": statsd_decode_q,
+        "prom_exposition": prom_exposition_q,
     }
 
 
@@ -1971,6 +2016,34 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END, 6) AS rep_gram_char_frac "
             "FROM base b JOIN ch USING (doc_id) LEFT JOIN la USING (doc_id) "
             "LEFT JOIN t2 USING (doc_id) LEFT JOIN r5 USING (doc_id)"
+        ),
+        "statsd_decode": (
+            # semantic re-derivation from the same modular arithmetic that
+            # BUILT the lines — independent of the string parser under test
+            "SELECT event_id, "
+            "CASE event_id % 4 WHEN 0 THEN 'counter' WHEN 1 THEN 'gauge' "
+            "WHEN 2 THEN 'timer' ELSE 'set' END AS metric_type, "
+            "event_type AS bucket, "
+            "CASE WHEN event_id % 4 = 3 THEN NULL "
+            "ELSE CAST(user_id AS DOUBLE) END AS value, "
+            "CASE WHEN event_id % 4 = 3 THEN CAST(user_id AS VARCHAR) "
+            "ELSE NULL END AS value_str, "
+            "CASE WHEN event_id % 4 IN (0, 2) THEN "
+            "(CASE WHEN event_id % 5 = 0 THEN 0.25 ELSE 1.0 END) "
+            "ELSE NULL END AS sample_rate, "
+            "CASE WHEN event_id % 4 = 1 THEN "
+            "(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) "
+            "ELSE NULL END AS incremental "
+            "FROM events"
+        ),
+        "prom_exposition": (
+            "WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type) "
+            "SELECT 0 AS kind, 'fbs_events_total' AS metric, "
+            "'# TYPE fbs_events_total counter' AS line "
+            "UNION ALL "
+            "SELECT 1, 'fbs_events_total', "
+            "concat('fbs_events_total{event_type=\"', event_type, "
+            "'\",env=\"bench\"} ', CAST(n AS VARCHAR)) FROM c"
         ),
         "domain_mix": (
             "SELECT doc_id, lang, source FROM documents "

@@ -353,6 +353,12 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
             if inp.get("schema"):
                 reader = reader.schema(inp["schema"])
             df = reader.format(fmt).load(inp["path"])
+        elif fmt == "statsd":
+            # in_statsd analog: text lines in the UDP datagram wire format
+            from fluent_bit_spark.functions.statsd import statsd_decode
+
+            lines = spark.read.text(inp["path"]).withColumnRenamed("value", "line")
+            df = statsd_decode(lines)
         elif fmt == "dummy":
             # in_dummy analog (plugins/in_dummy/): a fixed record repeated
             # `samples` times, or an explicit `records` list

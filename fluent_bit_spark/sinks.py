@@ -165,3 +165,65 @@ def stream_sink(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def prometheus_exposition(
+    df: DataFrame,
+    name_col: str = "metric_name",
+    type_col: str = "metric_type",
+    label_cols: list[str] | None = None,
+    value_col: str = "value",
+    add_labels: dict[str, str] | None = None,
+    value_fmt: str = "double",
+) -> DataFrame:
+    """out_prometheus_exporter text page (plugins/out_prometheus_exporter/
+    prom.c; rendering per the public Prometheus exposition format that the
+    cmetrics encoder emits): one ``# TYPE name type`` header per metric
+    plus ``name{k="v",...} value`` sample lines. ``add_labels`` mirrors the
+    plugin's add_label config (static labels appended to every sample).
+    Label values get the spec's escaping (backslash, quote, newline).
+    ``value_fmt='long'`` renders integral counters without a decimal tail
+    so the text is engine-portable.
+
+    Returns (kind, ord, line): kind 0 = header, 1 = sample; ``ord`` orders
+    samples under their header for page assembly. Pure expressions —
+    map-side only until the tiny per-metric-name header distinct."""
+    labels = list(label_cols or [])
+    statics = sorted((add_labels or {}).items())
+
+    def esc(c):
+        return F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(c.cast("string"), r"\\", r"\\\\"), '"', '\\\\"'),
+            "\n", r"\\n",
+        )
+
+    parts = []
+    for k in labels:
+        parts.append(F.concat(F.lit(f'{k}="'), esc(F.col(k)), F.lit('"')))
+    for k, v in statics:
+        parts.append(F.lit(f'{k}="{v}"'))
+    labelset = (
+        F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}")) if parts else F.lit("")
+    )
+    val = (
+        F.col(value_col).cast("long").cast("string")
+        if value_fmt == "long"
+        else F.col(value_col).cast("double").cast("string")
+    )
+    samples = df.select(
+        F.lit(1).alias("kind"),
+        F.col(name_col).alias("__n"),
+        F.concat(F.col(name_col), labelset, F.lit(" "), val).alias("line"),
+    )
+    headers = (
+        df.select(F.col(name_col).alias("__n"), F.col(type_col).alias("__t"))
+        .distinct()
+        .select(
+            F.lit(0).alias("kind"),
+            "__n",
+            F.concat(F.lit("# TYPE "), F.col("__n"), F.lit(" "), F.col("__t")).alias("line"),
+        )
+    )
+    return headers.unionByName(samples).select(
+        "kind", F.col("__n").alias("metric"), "line"
+    )

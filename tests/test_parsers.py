@@ -365,3 +365,59 @@ def test_multiline_rules_stray_line_keeps_record_open(spark):
     trace = rows[0].message
     assert "Foo.java:10" in trace and "Main.java:4" in trace
     assert rows[1].message == "stray interleaved stdout line"
+
+
+def test_statsd_decode(spark):
+    """statsd.c:114-201 parse grid: types, atof prefixes, sample-rate
+    defaulting, gauge incremental flags, malformed-line drops."""
+    from fluent_bit_spark.functions.statsd import statsd_decode
+
+    lines = [
+        "gorets:1|c",                  # counter, rate 1.0
+        "gorets:7|c|@0.1",             # counter, rate 0.1
+        "gaugor:+333|g",               # gauge incremental +
+        "gaugor:-10|g",                # gauge incremental -
+        "gaugor:333|g",                # gauge absolute
+        "glork:320|ms|@0.5",           # timer with rate
+        "uniques:765|s",               # set keeps the raw string
+        "weird:3.5abc|c",              # atof prefix -> 3.5
+        "fallback:2|x",                # unknown type char -> counter
+        "zero-rate:5|c|@0",            # @0 -> back to 1.0
+        "nocolon",                     # dropped
+        "nobar:42",                    # dropped
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    rows = {r.line: r for r in statsd_decode(df).collect()}
+    assert len(rows) == 10
+    assert rows["gorets:1|c"].metric_type == "counter" and rows["gorets:1|c"].sample_rate == 1.0
+    assert rows["gorets:7|c|@0.1"].sample_rate == 0.1
+    g = rows["gaugor:+333|g"]
+    assert g.metric_type == "gauge" and g.value == 333.0 and g.incremental == 1
+    assert rows["gaugor:-10|g"].incremental == 1 and rows["gaugor:-10|g"].value == -10.0
+    assert rows["gaugor:333|g"].incremental == 0
+    t = rows["glork:320|ms|@0.5"]
+    assert t.metric_type == "timer" and t.value == 320.0 and t.sample_rate == 0.5
+    s = rows["uniques:765|s"]
+    assert s.metric_type == "set" and s.value is None and s.value_str == "765"
+    assert rows["weird:3.5abc|c"].value == 3.5
+    assert rows["fallback:2|x"].metric_type == "counter"
+    assert rows["zero-rate:5|c|@0"].sample_rate == 1.0
+
+
+def test_prometheus_exposition(spark):
+    from fluent_bit_spark.sinks import prometheus_exposition
+
+    df = spark.createDataFrame(
+        [
+            ("http_requests_total", "counter", "api", 'a"b\\c', 1027.0),
+            ("http_requests_total", "counter", "web", "plain", 3.0),
+        ],
+        "metric_name string, metric_type string, svc string, note string, value double",
+    )
+    out = prometheus_exposition(
+        df, label_cols=["svc", "note"], add_labels={"env": "prod"}, value_fmt="long"
+    ).collect()
+    lines = sorted((r.kind, r.line) for r in out)
+    assert lines[0] == (0, "# TYPE http_requests_total counter")
+    assert (1, 'http_requests_total{svc="api",note="a\\"b\\\\c",env="prod"} 1027') in lines
+    assert (1, 'http_requests_total{svc="web",note="plain",env="prod"} 3') in lines

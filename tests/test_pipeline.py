@@ -183,3 +183,19 @@ def test_round2_filters_in_yaml(spark, tmp_path):
     assert r0.msg == "login ok mail [REDACTED:email]" and r0.pii == ["email"]
     r1 = rows[1]  # 192.168.9.9 — no geo range, clean text
     assert r1.country_iso is None and r1.pii == []
+
+
+def test_statsd_input_in_yaml(spark, tmp_path):
+    src = tmp_path / "statsd_in"
+    src.mkdir()
+    with open(src / "datagrams.txt", "w") as f:
+        f.write("gorets:1|c\ngaugor:+33|g\nuniques:765|s\nbad-line\n")
+    from fluent_bit_spark.pipeline.config import load_pipeline
+
+    pipe = load_pipeline(spark, {
+        "pipeline": {"inputs": [{"name": "statsd", "format": "statsd",
+                                 "path": str(src), "tag": "metrics.statsd"}]},
+    })
+    rows = {r.bucket: r for r in pipe.source().collect()}
+    assert set(rows) == {"gorets", "gaugor", "uniques"}
+    assert rows["gaugor"].incremental == 1 and rows["uniques"].value_str == "765"
