@@ -979,7 +979,7 @@ def otlp_logs_roundtrip(spark, sf_dir):
     return dec.select(
         F.col("attributes").getItem("event_id").cast("long").alias("event_id"),
         F.col("body"),
-        F.unix_micros(F.col(TS_COL)).alias("time_us"),
+        F.unix_micros(F.col(TS_COL).cast("timestamp")).alias("time_us"),
         F.col("resource").getItem("service.name").alias("service"),
     )
 
@@ -1043,7 +1043,7 @@ def splunk_hec_roundtrip(spark, sf_dir):
     )
     dec = splunk_hec_decode(hec)
     return dec.select(
-        F.unix_micros(F.col(TS_COL)).alias("time_us"),
+        F.unix_micros(F.col(TS_COL).cast("timestamp")).alias("time_us"),
         "host",
         "source",
         "sourcetype",

@@ -327,7 +327,7 @@ def splunk_hec(
         return F.lit(static).cast("string").alias(name)
 
     return df.select(
-        F.unix_micros(F.col(ts_col)).alias("time_us"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("time_us"),
         meta(host_key, host, "host"),
         meta(source_key, source, "source"),
         meta(sourcetype_key, sourcetype, "sourcetype"),
@@ -402,7 +402,7 @@ def otlp_logs_encode(
     """
     attr_cols = attr_cols or []
     rec = F.struct(
-        (F.unix_micros(F.col(ts_col)) * 1000).cast("string").alias("timeUnixNano"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) * 1000).cast("string").alias("timeUnixNano"),
         F.struct(F.col(body_col).cast("string").alias("stringValue")).alias("body"),
         F.array(*[_otlp_attr(c, F.col(c)) for c in attr_cols]).alias("attributes"),
     )

@@ -73,6 +73,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV, not floor(x/1000.0): epoch-ns (~1.7e18) exceeds
             # double's 2^53 mantissa, so float division drifts by ~1 us
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(f_.dataType, T.TimestampNTZType):
+            # parquet with isAdjustedToUTC=false reads as TIMESTAMP_NTZ,
+            # which rejects numeric casts (unix_micros, cast double). The
+            # session tz is pinned to UTC, so NTZ->TIMESTAMP is wall-clock
+            # identical to DuckDB's naive-timestamp reading of the same file.
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 
