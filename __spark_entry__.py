@@ -1396,6 +1396,72 @@ def decontaminate_q(spark, sf_dir):
     return out.select("doc_id", "contam_hits", "contaminated")
 
 
+def influxdb_lines_q(spark, sf_dir):
+    """out_influxdb line-protocol encode (plugins/out_influxdb/influxdb.c:
+    61-315 influxdb_format + influxdb_bulk.c escaping): measurement from the
+    tag, event_type as a tag-set entry, integers i-suffixed, doubles %f,
+    strings JSON-then-quote escaped, epoch-ns timestamps. The oracle
+    re-derives every line with DuckDB printf/replace — a full-string hash
+    check of the wire format."""
+    from fluent_bit_spark.connectors import influxdb_line
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("app.events").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        "props",
+    )
+    return influxdb_line(ev, tag_keys=["event_type"], use_influxdb_integer=True)
+
+
+def datadog_shape_q(spark, sf_dir):
+    """out_datadog intake shaping with ECS remapping (plugins/out_datadog/
+    datadog.c:93-340 + datadog_remap.c:248-255): epoch-ms timestamp, tag
+    key, ddsource/service metadata, dd_message_key renamed to message, and
+    synthesized container/task attributes folded into ddtags exactly as the
+    remap table specifies (family/version split, region + task_id parsed
+    from the ARN)."""
+    from fluent_bit_spark.connectors import datadog_records
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("app").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.col("props").alias("log"),
+        F.concat(F.lit("c-"), F.col("event_id")).alias("container_id"),
+        F.concat(F.lit("/"), F.col("event_type")).alias("container_name"),
+        F.concat(
+            F.col("event_type"), F.lit(":"), (F.col("user_id") % 5).cast("string")
+        ).alias("ecs_task_definition"),
+        F.concat(
+            F.lit("arn:aws:ecs:us-east-1:111:task/"), F.col("event_id").cast("string")
+        ).alias("ecs_task_arn"),
+    )
+    return datadog_records(
+        ev,
+        include_tag_key=True,
+        dd_source="spark",
+        dd_service="events",
+        dd_tags="env:bench",
+        dd_message_key="log",
+        remap=True,
+    )
+
+
+def flowcounter_q(spark, sf_dir):
+    """out_flowcounter per-minute throughput counters (plugins/
+    out_flowcounter/out_flowcounter.c:100-125): counts/bytes per tumbling
+    tick keyed by the closing epoch, with integer per-unit rates. One
+    shuffle on the time-uniform window key."""
+    from fluent_bit_spark.sinks import flowcounter
+
+    ev = _events(spark, sf_dir).select(F.col("ts").alias("timestamp"), "props")
+    return flowcounter(ev, unit="minute", size_col=F.octet_length("props"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1485,6 +1551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": mix_temperature_q,
         "statsd_decode": statsd_decode_q,
         "prom_exposition": prom_exposition_q,
+        "influxdb_lines": influxdb_lines_q,
+        "datadog_shape": datadog_shape_q,
+        "flowcounter_rates": flowcounter_q,
     }
 
 
@@ -2096,5 +2165,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b.doc_id, COALESCE(h.contam_hits, 0) AS contam_hits, "
             "COALESCE(h.contam_hits, 0) >= 1 AS contaminated "
             "FROM base b LEFT JOIN hits h USING (doc_id)"
+        ),
+        "influxdb_lines": (
+            # full-string re-derivation of the line protocol: JSON-escape
+            # then quote-escape for the string field, %f doubles, i-suffixed
+            # ints, epoch-ns tail
+            "SELECT 'app.events,event_type=' || event_type || "
+            "' event_id=' || event_id || 'i,user_id=' || user_id || "
+            "'i,value=' || printf('%f', value) || ',props=\"' || "
+            "regexp_replace(replace(replace(props, '\\', '\\\\'), '\"', '\\\"'), "
+            "'([\\\\\"])', '\\\\\\0', 'g') || '\"' || ' ' || "
+            "CAST(epoch_us(ts) * 1000 AS VARCHAR) AS line FROM events"
+        ),
+        "datadog_shape": (
+            'SELECT epoch_us(ts) // 1000 AS "timestamp", '
+            "'app' AS tagkey, 'spark' AS ddsource, 'events' AS service, "
+            "event_id, props AS message, "
+            "'container_id:c-' || event_id || "
+            "',container_name:' || event_type || "
+            "',task_family:' || event_type || ',task_version:' || user_id % 5 || "
+            "',task_arn:arn:aws:ecs:us-east-1:111:task/' || event_id || "
+            "',region:us-east-1,task_id:' || event_id || ',env:bench' AS ddtags "
+            "FROM events"
+        ),
+        "flowcounter_rates": (
+            "SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 + 60 AS until, "
+            "CAST(COUNT(*) AS BIGINT) AS counts, "
+            "CAST(SUM(strlen(props)) AS BIGINT) AS bytes, "
+            "COUNT(*) // 60 AS counts_per_minute, "
+            "CAST(SUM(strlen(props)) AS BIGINT) // 60 AS bytes_per_minute "
+            "FROM events GROUP BY 1"
         ),
     }

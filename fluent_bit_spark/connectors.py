@@ -632,3 +632,245 @@ def avro_ocf_decode(df: DataFrame, ddl_schema: str, bin_col: str = "avro") -> Da
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# out_influxdb — InfluxDB line protocol
+# --------------------------------------------------------------------------
+# Escape rules (plugins/out_influxdb/influxdb_bulk.c:31-44 influxdb_escape):
+# unquoted positions (keys, tag values) prefix a backslash before any of
+# isspace/','/'=' and before a literal backslash; quoted string values are
+# first JSON-escaped (flb_utils_write_str_buf in influxdb.c:215-221) and then
+# backslash-prefixed for '"' and '\'.
+_INFLUX_KEY_ESC = r"([\\\s,=])"
+
+
+def _influx_json_body_escape(c):
+    """flb_utils_write_str_buf equivalent: JSON string-body escaping of the
+    common classes (backslash, quote, \\n, \\r, \\t, \\b, \\f). Rare <0x20
+    control chars (C emits \\uXXXX) are passed through — documented deviation,
+    they do not occur in line-protocol-bound telemetry."""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', r'\\"')
+    for raw, esc in (("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t"), ("\x08", r"\\b"), ("\x0c", r"\\f")):
+        c = F.regexp_replace(c, raw, esc)
+    return c
+
+
+def _influx_quote_escape(c):
+    return F.regexp_replace(c, r'([\\"])', r"\\$1")
+
+
+def influxdb_line(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    field_cols: list[str] | None = None,
+    tag_keys: list[str] | None = None,
+    auto_tags: bool = False,
+    sequence_tag: str | None = None,
+    seq_col: str | None = None,
+    use_influxdb_integer: bool = False,
+    dedupe_ts_order: str | None = None,
+) -> DataFrame:
+    """Encode records as InfluxDB line protocol
+    (plugins/out_influxdb/influxdb.c:61-315 influxdb_format):
+
+    ``<tag>[,<sequence_tag>=<n>][,tagk=tagv]* fieldk=fieldv[,..] <epoch_ns>``
+
+    - measurement = the fluent-bit tag, unescaped (influxdb_bulk.c:98-135
+      append_header copies it verbatim).
+    - a key is a *tag* when it appears in ``tag_keys`` or when ``auto_tags``
+      and its value is a string (influxdb.c:604-624 is_tagged_key).
+    - values: nil skipped; bool TRUE/FALSE; integers bare (suffix ``i`` when
+      ``use_influxdb_integer``); floats printf %f; strings JSON-escaped then
+      quoted with '"'/backslash escaping (influxdb.c:160-221).
+    - records whose field set is empty are dropped with a warning in the
+      reference (influxdb.c:273-278) — dropped silently here.
+    - the reference's per-flush ``_seq`` counter (influxdb.c:121-127, cyclic
+      1..99999) is driver state; supply ``seq_col`` (e.g. the bucketed
+      distributed prefix sum in model._with_global_seq) to reproduce it
+      scale-safely. Off by default, matching ``sequence_tag off``.
+    - duplicate-timestamp disambiguation (influxdb.c:43-55 influxdb_tsmod
+      bumps ns until unique, sequential driver state): pass
+      ``dedupe_ts_order`` to add rank-1 ns within equal-ns groups — same
+      uniqueness guarantee, deterministic and distributed (the window key is
+      the ns value: bounded groups, uniform spread).
+    """
+    from pyspark.sql import Window
+
+    fields = field_cols or [c for c in df.columns if c not in (tag_col, ts_col, seq_col)]
+    tag_set = set(tag_keys or [])
+
+    def is_tag(name: str) -> bool:
+        if name in tag_set:
+            return True
+        return auto_tags and isinstance(df.schema[name].dataType, T.StringType)
+
+    import re as _re
+
+    def esc_key(name: str) -> str:
+        return _re.sub(r"([\\\s,=])", r"\\\1", name)
+
+    def field_value(name: str):
+        dt = df.schema[name].dataType
+        col = F.col(name)
+        if isinstance(dt, T.BooleanType):
+            return F.when(col, F.lit("TRUE")).otherwise(F.lit("FALSE"))
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            s = col.cast("string")
+            return F.concat(s, F.lit("i")) if use_influxdb_integer else s
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return F.format_string("%f", col.cast("double"))
+        # string/binary: JSON-escape then quote-escape, wrapped in quotes
+        body = _influx_quote_escape(_influx_json_body_escape(col.cast("string")))
+        return F.concat(F.lit('"'), body, F.lit('"'))
+
+    def tag_value(name: str):
+        dt = df.schema[name].dataType
+        col = F.col(name)
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            # JSON-escaped (quote path ran first in the C loop), then
+            # key-position escaping — no surrounding quotes for tag values.
+            return F.regexp_replace(_influx_json_body_escape(col.cast("string")), _INFLUX_KEY_ESC, r"\\$1")
+        return field_value(name)
+
+    tag_frags, field_frags = [], []
+    for name in fields:
+        frag = F.concat(F.lit(esc_key(name) + "="), (tag_value if is_tag(name) else field_value)(name))
+        frag = F.when(F.col(name).isNotNull(), frag)
+        (tag_frags if is_tag(name) else field_frags).append(frag)
+
+    ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast("long")
+    if dedupe_ts_order is not None:
+        w = Window.partitionBy(ns).orderBy(F.col(dedupe_ts_order))
+        ns = ns + F.row_number().over(w) - F.lit(1)
+
+    head = F.col(tag_col).cast("string")
+    if sequence_tag is not None and seq_col is not None:
+        head = F.concat(
+            head,
+            F.lit("," + esc_key(sequence_tag) + "="),
+            (F.col(seq_col).cast("long") % F.lit(100000)).cast("string"),
+        )
+    if tag_frags:
+        tag_part = F.array_join(F.array_compact(F.array(*tag_frags)), ",")
+        head = F.when(tag_part == "", head).otherwise(F.concat(head, F.lit(","), tag_part))
+
+    body = F.array_compact(F.array(*field_frags))
+    line = F.concat(head, F.lit(" "), F.array_join(body, ","), F.lit(" "), ns.cast("string"))
+    return (
+        df.withColumn("__body_n", F.size(body))
+        .where(F.col("__body_n") > 0)
+        .select(line.alias("line"))
+    )
+
+
+# --------------------------------------------------------------------------
+# out_datadog — Datadog logs intake payload
+# --------------------------------------------------------------------------
+def datadog_records(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    json_date_key: str = "timestamp",
+    include_tag_key: bool = False,
+    tag_key: str = "tagkey",
+    dd_source: str | None = None,
+    dd_service: str | None = None,
+    dd_hostname: str | None = None,
+    dd_tags: str | None = None,
+    dd_message_key: str = "log",
+    remap: bool = False,
+    dedupe_ts_order: str | None = None,
+) -> DataFrame:
+    """Shape records for the Datadog logs intake API
+    (plugins/out_datadog/datadog.c:93-340 datadog_format): per record emit
+    ``timestamp`` (epoch ms), optional ``tagkey``/``ddsource``/``service``/
+    ``hostname``/``ddtags`` metadata, the record attributes with
+    ``dd_message_key`` renamed to ``message``, and — with ``remap`` (the
+    ``provider ecs`` mode) — the six ECS attributes folded into ``ddtags``
+    (datadog_remap.c:248-255 remapping table):
+
+    - container_id / container_image -> ``<name>:<value>`` verbatim
+    - container_name -> leading '/' stripped
+    - ecs_cluster -> value after ``cluster/`` (verbatim if absent)
+    - ecs_task_definition -> ``task_family:<fam>,task_version:<ver>`` on a
+      ':' split (verbatim under its own name if malformed)
+    - ecs_task_arn -> ``task_arn:<arn>`` + ``region`` parsed from the ARN +
+      ``task_id`` after ``task/``
+
+    The duplicate-ms bump (datadog.c:54-66 timestamp_format) is sequential
+    driver state; ``dedupe_ts_order`` reproduces it as rank-1 ms within
+    equal-ms groups. Returns structured columns; ``to_json(struct(*))`` of a
+    collected array is the request body.
+    """
+    from pyspark.sql import Window
+
+    ms = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000)).cast("long")
+    if dedupe_ts_order is not None:
+        w = Window.partitionBy(ms).orderBy(F.col(dedupe_ts_order))
+        ms = ms + F.row_number().over(w) - F.lit(1)
+
+    remap_rules = {
+        "container_id",
+        "container_name",
+        "container_image",
+        "ecs_cluster",
+        "ecs_task_definition",
+        "ecs_task_arn",
+    }
+    present_remaps = [c for c in df.columns if remap and c in remap_rules]
+
+    def remap_frag(name: str):
+        col = F.col(name).cast("string")
+        if name == "container_name":
+            val = F.concat(F.lit("container_name:"), F.regexp_replace(col, "^/", ""))
+        elif name == "ecs_cluster":
+            after = F.substring_index(col, "cluster/", -1)
+            val = F.concat(F.lit("cluster_name:"), F.when(col.contains("cluster/"), after).otherwise(col))
+        elif name == "ecs_task_definition":
+            fam = F.substring_index(col, ":", 1)
+            ver = F.substring_index(col, ":", -1)
+            val = F.when(
+                col.contains(":"),
+                F.concat(F.lit("task_family:"), fam, F.lit(",task_version:"), ver),
+            ).otherwise(F.concat(F.lit("ecs_task_definition:"), col))
+        elif name == "ecs_task_arn":
+            region = F.split(F.regexp_replace(col, "^arn:aws:ecs:", ""), ":").getItem(0)
+            task_id = F.substring_index(col, "task/", -1)
+            val = F.concat(
+                F.lit("task_arn:"),
+                col,
+                F.when(col.startswith("arn:aws:ecs:"), F.concat(F.lit(",region:"), region)).otherwise(F.lit("")),
+                F.lit(",task_id:"),
+                F.when(col.contains("task/"), task_id).otherwise(col),
+            )
+        else:
+            val = F.concat(F.lit(name + ":"), col)
+        return F.when(F.col(name).isNotNull(), val)
+
+    ddtags_parts = [remap_frag(c) for c in present_remaps]
+    if dd_tags is not None:
+        ddtags_parts.append(F.lit(dd_tags))
+    ddtags = (
+        F.array_join(F.array_compact(F.array(*ddtags_parts)), ",") if ddtags_parts else None
+    )
+
+    cols = [ms.alias(json_date_key)]
+    if include_tag_key:
+        cols.append(F.col(tag_col).cast("string").alias(tag_key))
+    if dd_source is not None:
+        cols.append(F.lit(dd_source).alias("ddsource"))
+    if dd_service is not None:
+        cols.append(F.lit(dd_service).alias("service"))
+    if dd_hostname is not None:
+        cols.append(F.lit(dd_hostname).alias("hostname"))
+    skip = {tag_col, ts_col} | set(present_remaps)
+    for c in df.columns:
+        if c in skip:
+            continue
+        cols.append(F.col(c).alias("message") if c == dd_message_key else F.col(c))
+    if ddtags is not None:
+        cols.append(ddtags.alias("ddtags"))
+    return df.select(*cols)

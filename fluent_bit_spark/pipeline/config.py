@@ -153,6 +153,42 @@ class Pipeline:
                     "overwrite"
                 ).format("text").save(out["path"])
                 record(out, df.count())
+            elif name == "influxdb":
+                from fluent_bit_spark.connectors import influxdb_line
+
+                shaped = influxdb_line(
+                    df,
+                    field_cols=out.get("field_keys"),
+                    tag_keys=out.get("tag_keys"),
+                    auto_tags=bool(out.get("auto_tags", False)),
+                    use_influxdb_integer=bool(out.get("add_integer_suffix", False)),
+                )
+                shaped.select(F.col("line").alias("value")).write.mode(
+                    "overwrite"
+                ).format("text").save(out["path"])
+                record(out, df.count())
+            elif name == "datadog":
+                from fluent_bit_spark.connectors import datadog_records
+
+                shaped = datadog_records(
+                    df,
+                    include_tag_key=bool(out.get("include_tag_key", False)),
+                    tag_key=out.get("tag_key", "tagkey"),
+                    dd_source=out.get("dd_source"),
+                    dd_service=out.get("dd_service"),
+                    dd_hostname=out.get("dd_hostname"),
+                    dd_tags=out.get("dd_tags"),
+                    dd_message_key=out.get("dd_message_key", "log"),
+                    remap=bool(out.get("remap", False)),
+                )
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "flowcounter":
+                from fluent_bit_spark.sinks import flowcounter
+
+                shaped = flowcounter(df, unit=out.get("unit", "minute"))
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
             else:
                 raise ValueError(f"unknown output plugin {name!r}")
         return written

@@ -227,3 +227,44 @@ def prometheus_exposition(
     return headers.unionByName(samples).select(
         "kind", F.col("__n").alias("metric"), "line"
     )
+
+
+def flowcounter(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    unit: str = "minute",
+    size_col: Column | None = None,
+) -> DataFrame:
+    """out_flowcounter: per-interval record/byte throughput counters
+    (plugins/out_flowcounter/out_flowcounter.c:100-116 output_fcount):
+    ``counts``, ``bytes``, ``counts/<unit>`` and ``bytes/<unit>`` (integer
+    division by the tick length), keyed by the interval's ``until`` epoch.
+
+    The reference buckets by *processing* wall-clock anchored at startup
+    (configure() base=time(NULL)); a distributed engine buckets by event
+    time on epoch-aligned tumbling windows — same tick widths, deterministic
+    placement. ``bytes`` counts the serialized record: pass ``size_col``
+    (e.g. octet_length of the raw line) or default to the JSON-encoded row
+    size, mirroring the msgpack event size the reference accumulates
+    (out_flowcounter.c:119-125 count_up).
+
+    One shuffle on (window) — time-uniform key, scale-safe.
+    """
+    ticks = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit not in ticks:
+        raise ValueError(f"unit must be one of {sorted(ticks)}, got {unit!r}")
+    tick = ticks[unit]
+    size = size_col if size_col is not None else F.octet_length(F.to_json(F.struct(*df.columns)))
+    w = F.window(F.col(ts_col).cast("timestamp"), f"{tick} seconds")
+    out = (
+        df.groupBy(w.alias("__w"))
+        .agg(F.count(F.lit(1)).alias("counts"), F.sum(size).cast("long").alias("bytes"))
+        .select(
+            F.unix_seconds(F.col("__w.end")).alias("until"),
+            "counts",
+            "bytes",
+            (F.col("counts") / F.lit(tick)).cast("long").alias(f"counts_per_{unit}"),
+            (F.col("bytes") / F.lit(tick)).cast("long").alias(f"bytes_per_{unit}"),
+        )
+    )
+    return out

@@ -309,3 +309,95 @@ def test_avro_ocf_spark_roundtrip(spark):
     assert [(r.id, r.ts, r.msg, r.v) for r in rows] == [
         (1, t0, "hello", 1.5), (2, t0, None, -2.0),
     ]
+
+
+def test_influxdb_line_protocol(spark):
+    """out_influxdb parity (plugins/out_influxdb/influxdb.c:61-315): tag in
+    the measurement slot, tag_keys become tag-set entries (unquoted,
+    key-escaped), integer fields bare or i-suffixed, doubles %f, strings
+    JSON-then-quote escaped, epoch-ns exact."""
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import influxdb_line
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 500000)
+    df = spark.createDataFrame(
+        [("cpu.0", t0, "us east", 3, 0.5, 'say "hi"', True)],
+        "tag string, timestamp timestamp, region string, n long, load double, note string, up boolean",
+    )
+    out = influxdb_line(
+        df, tag_keys=["region"], use_influxdb_integer=True
+    ).collect()
+    ns = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+    # region: tag value -> space escaped; note: JSON escape then quote escape
+    assert out[0].line == (
+        f'cpu.0,region=us\\ east n=3i,load=0.500000,'
+        f'note="say \\\\\\"hi\\\\\\"",up=TRUE {ns}'
+    )
+
+
+def test_influxdb_line_null_and_empty_fields(spark):
+    """nil values are skipped (influxdb.c:160); records with an empty field
+    set are dropped (influxdb.c:273-278)."""
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import influxdb_line
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("m", t0, None, 1.0), ("m", t0, None, None)],
+        "tag string, timestamp timestamp, a string, b double",
+    )
+    rows = influxdb_line(df).collect()
+    assert len(rows) == 1
+    assert rows[0].line.startswith("m b=1.000000 ")
+
+
+def test_datadog_records_remap(spark):
+    """out_datadog ECS remapping (plugins/out_datadog/datadog_remap.c:248-255):
+    the six ECS attributes fold into ddtags; dd_message_key renames to
+    message; timestamp is epoch-ms."""
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import datadog_records
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 250000)
+    df = spark.createDataFrame(
+        [(
+            "app", t0, "hello world",
+            "abc123", "/web-1", "nginx:1.25",
+            "arn:aws:ecs:us-west-2:111:cluster/prod",
+            "webfam:42",
+            "arn:aws:ecs:us-west-2:111:task/prod/deadbeef",
+        )],
+        "tag string, timestamp timestamp, log string, container_id string, "
+        "container_name string, container_image string, ecs_cluster string, "
+        "ecs_task_definition string, ecs_task_arn string",
+    )
+    r = datadog_records(
+        df, include_tag_key=True, dd_source="ecs", dd_service="svc",
+        dd_tags="env:prod", remap=True,
+    ).collect()[0]
+    assert r.timestamp == int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert r.tagkey == "app" and r.ddsource == "ecs" and r.service == "svc"
+    assert r.message == "hello world"
+    assert r.ddtags == (
+        "container_id:abc123,container_name:web-1,container_image:nginx:1.25,"
+        "cluster_name:prod,task_family:webfam,task_version:42,"
+        "task_arn:arn:aws:ecs:us-west-2:111:task/prod/deadbeef,"
+        "region:us-west-2,task_id:prod/deadbeef,env:prod"
+    )
+
+
+def test_datadog_records_no_remap_defaults(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import datadog_records
+
+    df = spark.createDataFrame(
+        [("t", dt.datetime(2024, 1, 1), "m1", 7)],
+        "tag string, timestamp timestamp, log string, n long",
+    )
+    r = datadog_records(df).collect()[0]
+    assert set(r.asDict()) == {"timestamp", "message", "n"}
+    assert r.message == "m1" and r.n == 7

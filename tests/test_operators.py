@@ -390,3 +390,35 @@ def test_geoip_range_enrich(spark):
     assert got[0].net == "wide"
     vals = spark.createDataFrame([Row(ip="1.2.3.4")]).select(ip_to_int(F.col("ip")).alias("v"))
     assert vals.collect()[0].v == 16909060
+
+
+def test_flowcounter_minute_buckets(spark):
+    """out_flowcounter (plugins/out_flowcounter/out_flowcounter.c:100-125):
+    per-tick record/byte counters with integer per-unit rates, keyed by the
+    interval's closing epoch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.sinks import flowcounter
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 10), "aaaa"),
+        (dt.datetime(2024, 1, 1, 0, 0, 50), "bb"),
+        (dt.datetime(2024, 1, 1, 0, 1, 5), "cccccc"),
+    ]
+    df = spark.createDataFrame(rows, "timestamp timestamp, payload string")
+    out = {
+        r.until: r
+        for r in flowcounter(
+            df, unit="minute", size_col=F.octet_length("payload")
+        ).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    first, second = out[base + 60], out[base + 120]
+    assert (first.counts, first.bytes) == (2, 6)
+    assert (second.counts, second.bytes) == (1, 6)
+    assert first.counts_per_minute == 0  # integer division by the tick
+    assert first.bytes_per_minute == 0
+    with pytest.raises(ValueError):
+        flowcounter(df, unit="fortnight")

@@ -199,3 +199,43 @@ def test_statsd_input_in_yaml(spark, tmp_path):
     rows = {r.bucket: r for r in pipe.source().collect()}
     assert set(rows) == {"gorets", "gaugor", "uniques"}
     assert rows["gaugor"].incremental == 1 and rows["uniques"].value_str == "765"
+
+
+def test_telemetry_output_plugins(spark, tmp_path):
+    """influxdb/datadog/flowcounter outputs write their wire payloads
+    (file-backed stand-ins, same pattern as the es/splunk routes)."""
+    import json as _json
+
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {"name": "dummy", "tag": "metrics.cpu",
+                 "records": [{"host": "a", "load": 0.5, "n": 3},
+                             {"host": "b", "load": 1.5, "n": 4}]},
+            ],
+            "outputs": [
+                {"name": "influxdb", "match": "*", "path": str(tmp_path / "influx"),
+                 "tag_keys": ["host"], "add_integer_suffix": True},
+                {"name": "datadog", "match": "*", "path": str(tmp_path / "dd"),
+                 "dd_source": "spark", "include_tag_key": True,
+                 "dd_message_key": "host"},
+                {"name": "flowcounter", "match": "*", "path": str(tmp_path / "fc"),
+                 "unit": "second"},
+            ],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    written = pipe.run_outputs()
+    assert all(n == 2 for n in written.values())
+
+    lines = sorted(spark.read.text(str(tmp_path / "influx")).toPandas()["value"])
+    assert lines[0].startswith("metrics.cpu,host=a ")
+    assert "load=0.500000" in lines[0] and "n=3i" in lines[0]
+
+    dd = spark.read.json(str(tmp_path / "dd"))
+    rows = dd.collect()
+    assert {r.message for r in rows} == {"a", "b"}
+    assert all(r.ddsource == "spark" and r.tagkey == "metrics.cpu" for r in rows)
+
+    fc = spark.read.json(str(tmp_path / "fc")).collect()
+    assert sum(r.counts for r in fc) == 2
