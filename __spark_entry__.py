@@ -1451,6 +1451,90 @@ def datadog_shape_q(spark, sf_dir):
     )
 
 
+def forward_wire_roundtrip(spark, sf_dir):
+    """out_forward -> in_forward loop closed on the wire: events encoded as
+    Forward-mode frames ([tag, [[EventTime, record], ...], {size}],
+    plugins/out_forward/forward.c) by forward_frames_encode, then decoded
+    by the in_forward frame decoder. Oracle is the plain events table —
+    lossless to µs through the EventTime ext type."""
+    from fluent_bit_spark.connectors import forward_frames_decode, forward_frames_encode
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("event_type")).alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "user_id",
+    )
+    frames = forward_frames_encode(ev, send_options=True, events_per_frame=256)
+    dec = forward_frames_decode(frames.select("frame"))
+    return dec.select(
+        F.get_json_object("body", "$.event_id").cast("long").alias("event_id"),
+        F.col(TS_COL).alias("ts"),
+        F.expr("substring(tag, 4)").alias("event_type"),
+        F.get_json_object("body", "$.user_id").cast("long").alias("user_id"),
+    )
+
+
+def cloudwatch_shape_q(spark, sf_dir):
+    """out_cloudwatch_logs PutLogEvents shaping (plugins/out_cloudwatch_logs/
+    cloudwatch_api.c): $TAG[n]-templated stream names, epoch-ms timestamps,
+    log_key message extraction. Pure Catalyst; hash-checked end to end."""
+    from fluent_bit_spark.connectors import cloudwatch_events
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("app."), F.col("event_type")).alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "props",
+    )
+    out = cloudwatch_events(
+        ev,
+        "fbs-group",
+        log_stream_name="stream-$TAG[1]",
+        log_key="props",
+    )
+    return out
+
+
+def stackdriver_shape_q(spark, sf_dir):
+    """out_stackdriver LogEntry shaping (plugins/out_stackdriver/
+    stackdriver.c:2343-2674): severity parsed through the case-insensitive
+    alias table (mixed-case aliases synthesized from event_type), 9-digit
+    nano RFC3339 timestamps, jsonPayload of the remaining body."""
+    from fluent_bit_spark.connectors import stackdriver_entries
+
+    sev = (
+        F.when(F.col("event_type") == "error", "eRr")
+        .when(F.col("event_type") == "purchase", "warn")
+        .when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "view", "debug")
+        .otherwise("Notice")
+    )
+    ev = _events(spark, sf_dir).select(
+        F.lit("app").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        sev.alias("severity"),
+        "event_id",
+        "props",
+    )
+    return stackdriver_entries(ev, "proj-bench")
+
+
+def bigquery_shape_q(spark, sf_dir):
+    """out_bigquery insertAll row shaping (plugins/out_bigquery/bigquery.c:
+    961-970): one {"json": {...}} row per record, optional insert_id."""
+    from fluent_bit_spark.connectors import bigquery_rows
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("bq").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "event_type",
+        "user_id",
+    )
+    return bigquery_rows(ev, insert_id_col="event_id")
+
+
 def flowcounter_q(spark, sf_dir):
     """out_flowcounter per-minute throughput counters (plugins/
     out_flowcounter/out_flowcounter.c:100-125): counts/bytes per tumbling
@@ -1554,6 +1638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influxdb_lines": influxdb_lines_q,
         "datadog_shape": datadog_shape_q,
         "flowcounter_rates": flowcounter_q,
+        "forward_wire_roundtrip": forward_wire_roundtrip,
+        "cloudwatch_shape": cloudwatch_shape_q,
+        "stackdriver_shape": stackdriver_shape_q,
+        "bigquery_shape": bigquery_shape_q,
     }
 
 
@@ -2195,5 +2283,31 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) // 60 AS counts_per_minute, "
             "CAST(SUM(strlen(props)) AS BIGINT) // 60 AS bytes_per_minute "
             "FROM events GROUP BY 1"
+        ),
+        "forward_wire_roundtrip": (
+            "SELECT event_id, ts, event_type, user_id FROM events"
+        ),
+        "cloudwatch_shape": (
+            "SELECT 'fbs-group' AS log_group, "
+            "'stream-' || event_type AS log_stream, "
+            'epoch_us(ts) // 1000 AS "timestamp", '
+            "props AS message FROM events"
+        ),
+        "stackdriver_shape": (
+            # independent re-derivation: severity from the SAME event_type
+            # rule that synthesized the mixed-case aliases, nanos via lpad
+            "SELECT 'projects/proj-bench/logs/app' AS log_name, "
+            "CASE event_type WHEN 'error' THEN 500 WHEN 'purchase' THEN 400 "
+            "WHEN 'signup' THEN 200 WHEN 'view' THEN 100 ELSE 300 END AS severity, "
+            "strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' || "
+            "lpad(CAST((epoch_us(ts) % 1000000) * 1000 AS VARCHAR), 9, '0') || 'Z' "
+            'AS "timestamp", '
+            "'{\"event_id\":' || event_id || ',\"props\":' || to_json(props) || '}' "
+            "AS json_payload FROM events"
+        ),
+        "bigquery_shape": (
+            "SELECT CAST(event_id AS VARCHAR) AS insert_id, "
+            "'{\"event_type\":' || to_json(event_type) || "
+            "',\"user_id\":' || user_id || '}' AS json FROM events"
         ),
     }

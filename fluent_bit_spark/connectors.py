@@ -874,3 +874,213 @@ def datadog_records(
     if ddtags is not None:
         cols.append(ddtags.alias("ddtags"))
     return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# out_forward — fluentd forward protocol (wire encode)
+# --------------------------------------------------------------------------
+def forward_frames_encode(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    time_as_integer: bool = False,
+    send_options: bool = False,
+    events_per_frame: int = 1000,
+) -> DataFrame:
+    """Encode records as fluentd Forward-mode transport frames
+    (plugins/out_forward/forward.c: ``[tag, [[time, record], ...]]``, plus
+    an options map ``{"size": n}`` when ``send_options`` — forward.c:983-997).
+    ``time`` is the EventTime ext type (fixext8 0x00, sec+nsec — the
+    fluent-bit default) or a plain integer epoch when ``time_as_integer``
+    (forward.c:974-979).
+
+    The inverse of forward_frames_decode — the two roundtrip losslessly to
+    µs precision. Framing mirrors the reference's chunking: one frame per
+    (tag, ≤events_per_frame slice) within each Arrow batch, so frames are
+    bounded like flush chunks and no shuffle is introduced; co-locate tags
+    beforehand with repartition(tag) if single-frame-per-tag is wanted."""
+    from fluent_bit_spark.functions.msgpack_codec import EventTime, pack
+
+    other = [c for c in df.columns if c not in (tag_col, ts_col)]
+    schema = T.StructType(
+        [T.StructField("tag", T.StringType()), T.StructField("frame", T.BinaryType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        def native(v):
+            if v is None or v != v:  # None / NaN
+                return None
+            if hasattr(v, "item"):  # numpy scalar
+                return v.item()
+            return v
+
+        for pdf in batches:
+            frames = []
+            by_tag: dict = {}
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                tag, t = rec[tag_col], rec[ts_col]
+                sec = int(t.timestamp())
+                nsec = t.microsecond * 1000
+                ev_time = sec if time_as_integer else EventTime(sec, nsec)
+                body = {k: native(rec[k]) for k in other if native(rec[k]) is not None}
+                by_tag.setdefault(tag, []).append([ev_time, body])
+            for tag, entries in by_tag.items():
+                for i in range(0, len(entries), events_per_frame):
+                    chunk = entries[i : i + events_per_frame]
+                    frame = [tag, chunk]
+                    if send_options:
+                        frame.append({"size": len(chunk)})
+                    frames.append({"tag": tag, "frame": pack(frame)})
+            yield pd.DataFrame(frames, columns=["tag", "frame"])
+
+    return df.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
+# out_cloudwatch_logs — PutLogEvents shaping
+# --------------------------------------------------------------------------
+def cloudwatch_events(
+    df: DataFrame,
+    log_group: str,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    log_stream_name: str | None = None,
+    log_stream_prefix: str | None = None,
+    log_key: str | None = None,
+    max_event_len: int = 1_000_000,
+) -> DataFrame:
+    """Shape records for CloudWatch PutLogEvents
+    (plugins/out_cloudwatch_logs/cloudwatch_api.c): per record emit
+    ``log_group``, ``log_stream`` (explicit name with ``$TAG``/``$TAG[n]``
+    substituted, or ``log_stream_prefix`` + tag — cloudwatch_logs.h:164-165),
+    ``timestamp`` (epoch ms) and ``message`` — the ``log_key`` value alone
+    when configured, else the full record as JSON — truncated to
+    MAX_EVENT_LEN (cloudwatch_api.h:57, truncate_log at cloudwatch_api.c:630;
+    character-based here vs C's bytes — equal for the ASCII-dominant
+    payloads this models). Chronological ordering within a put batch is the
+    uploader's concern; the ms key is emitted for it to sort on."""
+    if log_stream_name is None and log_stream_prefix is None:
+        raise ValueError("need log_stream_name or log_stream_prefix")
+    tag = F.col(tag_col).cast("string")
+    if log_stream_name is not None:
+        stream = F.lit(log_stream_name)
+        # $TAG[n] parts then whole-$TAG, same accessor semantics as out_s3
+        for n in range(10):
+            if f"$TAG[{n}]" in log_stream_name:
+                stream = F.replace(
+                    stream, F.lit(f"$TAG[{n}]"), F.split(tag, r"\.").getItem(n)
+                )
+        stream = F.replace(stream, F.lit("$TAG"), tag)
+    else:
+        stream = F.concat(F.lit(log_stream_prefix), tag)
+
+    others = [c for c in df.columns if c not in (tag_col, ts_col)]
+    message = (
+        F.col(log_key).cast("string")
+        if log_key
+        else F.to_json(F.struct(*others))
+    )
+    ms = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000)).cast("long")
+    return df.select(
+        F.lit(log_group).alias("log_group"),
+        stream.alias("log_stream"),
+        ms.alias("timestamp"),
+        F.substring(message, 1, max_event_len).alias("message"),
+    )
+
+
+# --------------------------------------------------------------------------
+# out_stackdriver — Cloud Logging LogEntry shaping
+# --------------------------------------------------------------------------
+# plugins/out_stackdriver/stackdriver.c:1471-1520 validate_severity_level:
+# case-insensitive aliases -> the numeric LogSeverity enum the plugin packs
+# (msgpack_pack_int at stackdriver.c:2518).
+_STACKDRIVER_SEVERITY = {
+    "EMERGENCY": 800, "EMERG": 800,
+    "A": 700, "ALERT": 700,
+    "C": 600, "F": 600, "CRIT": 600, "FATAL": 600, "CRITICAL": 600,
+    "E": 500, "ERR": 500, "ERROR": 500, "SEVERE": 500,
+    "W": 400, "WARN": 400, "WARNING": 400,
+    "N": 300, "NOTICE": 300,
+    "I": 200, "INFO": 200,
+    "D": 100, "DEBUG": 100, "TRACE": 100, "TRACE_INT": 100,
+    "FINE": 100, "FINER": 100, "FINEST": 100, "CONFIG": 100,
+    "DEFAULT": 0,
+}
+
+
+def stackdriver_severity(col: Column) -> Column:
+    """Map a severity string to the Cloud Logging enum value, NULL when
+    unrecognized (the reference then omits the field)."""
+    m = F.create_map(
+        *[F.lit(x) for kv in _STACKDRIVER_SEVERITY.items() for x in kv]
+    )
+    return F.element_at(m, F.upper(F.trim(col.cast("string"))))
+
+
+def stackdriver_entries(
+    df: DataFrame,
+    project_id: str,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    severity_key: str = "severity",
+    trace_key: str | None = None,
+    span_id_key: str | None = None,
+) -> DataFrame:
+    """Shape records as Cloud Logging LogEntry rows
+    (plugins/out_stackdriver/stackdriver.c:2343-2674): ``log_name`` =
+    projects/<project>/logs/<tag>, ``severity`` = the numeric enum from the
+    case-insensitive alias table (severity_key consumed from the body),
+    ``timestamp`` = RFC3339 with 9-digit nanoseconds
+    (FLB_STD_TIME_FMT + ".%09luZ", stackdriver.c:2663-2668), ``json_payload``
+    = the remaining record as JSON, plus optional trace/span id promotion."""
+    consumed = {tag_col, ts_col, severity_key} | {
+        k for k in (trace_key, span_id_key) if k
+    }
+    others = [c for c in df.columns if c not in consumed]
+    ts = F.col(ts_col).cast("timestamp")
+    nanos = F.format_string(
+        "%09d", ((F.unix_micros(ts) % 1_000_000 + 1_000_000) % 1_000_000) * F.lit(1000)
+    )
+    cols = [
+        F.concat(
+            F.lit(f"projects/{project_id}/logs/"), F.col(tag_col).cast("string")
+        ).alias("log_name"),
+        (
+            stackdriver_severity(F.col(severity_key))
+            if severity_key in df.columns
+            else F.lit(None).cast("int")
+        ).alias("severity"),
+        F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), nanos, F.lit("Z")
+        ).alias("timestamp"),
+        F.to_json(F.struct(*others)).alias("json_payload"),
+    ]
+    if trace_key:
+        cols.append(F.col(trace_key).cast("string").alias("trace"))
+    if span_id_key:
+        cols.append(F.col(span_id_key).cast("string").alias("span_id"))
+    return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# out_bigquery — insertAll row shaping
+# --------------------------------------------------------------------------
+def bigquery_rows(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    insert_id_col: str | None = None,
+) -> DataFrame:
+    """Shape records for the BigQuery tabledata.insertAll body
+    (plugins/out_bigquery/bigquery.c flb_bigquery_format: each record is
+    ``{"json": {...record...}}``; the plugin sends no insertId — best-effort
+    dedup off — so it is optional here too)."""
+    others = [c for c in df.columns if c not in (tag_col, ts_col, insert_id_col)]
+    cols = [F.to_json(F.struct(*others)).alias("json")]
+    if insert_id_col:
+        cols.insert(0, F.col(insert_id_col).cast("string").alias("insert_id"))
+    return df.select(*cols)

@@ -189,6 +189,46 @@ class Pipeline:
                 shaped = flowcounter(df, unit=out.get("unit", "minute"))
                 shaped.write.mode("overwrite").format("json").save(out["path"])
                 record(out, df.count())
+            elif name == "forward":
+                from fluent_bit_spark.connectors import forward_frames_encode
+
+                shaped = forward_frames_encode(
+                    df,
+                    time_as_integer=bool(out.get("time_as_integer", False)),
+                    send_options=bool(out.get("send_options", False)),
+                )
+                shaped.write.mode("overwrite").format("parquet").save(out["path"])
+                record(out, df.count())
+            elif name == "cloudwatch_logs":
+                from fluent_bit_spark.connectors import cloudwatch_events
+
+                shaped = cloudwatch_events(
+                    df,
+                    out["log_group_name"],
+                    log_stream_name=out.get("log_stream_name"),
+                    log_stream_prefix=out.get("log_stream_prefix"),
+                    log_key=out.get("log_key"),
+                )
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "stackdriver":
+                from fluent_bit_spark.connectors import stackdriver_entries
+
+                shaped = stackdriver_entries(
+                    df,
+                    out.get("google_service_credentials", "default-project"),
+                    severity_key=out.get("severity_key", "severity"),
+                    trace_key=out.get("trace_key"),
+                    span_id_key=out.get("span_id_key"),
+                )
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "bigquery":
+                from fluent_bit_spark.connectors import bigquery_rows
+
+                shaped = bigquery_rows(df, insert_id_col=out.get("insert_id_key"))
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
             else:
                 raise ValueError(f"unknown output plugin {name!r}")
         return written

@@ -401,3 +401,120 @@ def test_datadog_records_no_remap_defaults(spark):
     r = datadog_records(df).collect()[0]
     assert set(r.asDict()) == {"timestamp", "message", "n"}
     assert r.message == "m1" and r.n == 7
+
+
+def test_forward_frames_roundtrip(spark):
+    """out_forward Forward-mode frames (forward.c) decode back through
+    forward_frames_decode losslessly: EventTime ext carries sec+nsec, tag
+    groups entries, options map when send_options."""
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import forward_frames_decode, forward_frames_encode
+    from fluent_bit_spark.functions.msgpack_codec import unpack_one
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 123456)
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 2, 654321)
+    df = spark.createDataFrame(
+        [("svc.a", t0, "boot", 1), ("svc.a", t1, "ready", 2), ("svc.b", t0, "other", 3)],
+        "tag string, timestamp timestamp, msg string, n long",
+    )
+    frames = forward_frames_encode(df.coalesce(1), send_options=True).collect()
+    assert {r.tag for r in frames} == {"svc.a", "svc.b"}
+    raw, _ = unpack_one(bytes(next(r.frame for r in frames if r.tag == "svc.a")))
+    assert raw[0] == "svc.a" and len(raw[1]) == 2 and raw[2] == {"size": 2}
+
+    back = forward_frames_decode(
+        spark.createDataFrame([(bytes(r.frame),) for r in frames], "frame binary")
+    )
+    rows = sorted(back.collect(), key=lambda r: (r.tag, r.timestamp))
+    assert [(r.tag, r.timestamp) for r in rows] == [
+        ("svc.a", t0), ("svc.a", t1), ("svc.b", t0),
+    ]
+    assert _json.loads(rows[0].body) == {"msg": "boot", "n": 1}
+
+    # integer-time mode drops sub-second precision, stays decodable
+    ints = forward_frames_decode(
+        spark.createDataFrame(
+            [(bytes(r.frame),) for r in forward_frames_encode(df, time_as_integer=True).collect()],
+            "frame binary",
+        )
+    )
+    assert all(r.timestamp.microsecond == 0 for r in ints.collect())
+
+
+def test_cloudwatch_events_shape(spark):
+    """out_cloudwatch_logs PutLogEvents shaping: $TAG[n]/$TAG stream
+    templates, log_key message extraction, ms timestamps, MAX_EVENT_LEN
+    truncation (cloudwatch_api.c:630)."""
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import cloudwatch_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 250000)
+    df = spark.createDataFrame(
+        [("kube.web.pod1", t0, "hello", "x" * 50)],
+        "tag string, timestamp timestamp, msg string, blob string",
+    )
+    r = cloudwatch_events(
+        df, "my-group", log_stream_name="$TAG[1]/stream-$TAG", log_key="msg"
+    ).collect()[0]
+    assert r.log_group == "my-group"
+    assert r.log_stream == "web/stream-kube.web.pod1"
+    assert r.timestamp == 1704067201250
+    assert r.message == "hello"
+
+    r2 = cloudwatch_events(
+        df, "g", log_stream_prefix="pfx-", max_event_len=10
+    ).collect()[0]
+    assert r2.log_stream == "pfx-kube.web.pod1"
+    assert len(r2.message) == 10  # truncated JSON body
+    full = cloudwatch_events(df, "g", log_stream_prefix="p").collect()[0]
+    assert _json.loads(full.message) == {"msg": "hello", "blob": "x" * 50}
+
+    with pytest.raises(ValueError):
+        cloudwatch_events(df, "g")
+
+
+def test_stackdriver_entries_severity_and_ts(spark):
+    """out_stackdriver LogEntry shaping: the case-insensitive severity alias
+    table (stackdriver.c:1471-1520), 9-digit-nano RFC3339 timestamps, and
+    jsonPayload of the remaining body."""
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import stackdriver_entries
+
+    t0 = dt.datetime(2024, 1, 1, 12, 30, 45, 123456)
+    df = spark.createDataFrame(
+        [
+            ("app", t0, "eRr", "m1", "tr-1"),
+            ("app", t0, "FINEST", "m2", None),
+            ("app", t0, "bogus", "m3", None),
+        ],
+        "tag string, timestamp timestamp, severity string, msg string, trace string",
+    )
+    rows = stackdriver_entries(
+        df, "proj-1", trace_key="trace"
+    ).orderBy("json_payload").collect()
+    assert [r.severity for r in rows] == [500, 100, None]
+    assert rows[0].log_name == "projects/proj-1/logs/app"
+    assert rows[0].timestamp == "2024-01-01T12:30:45.123456000Z"
+    assert _json.loads(rows[0].json_payload) == {"msg": "m1"}
+    assert rows[0].trace == "tr-1"
+
+
+def test_bigquery_rows_shape(spark):
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import bigquery_rows
+
+    df = spark.createDataFrame(
+        [("t", dt.datetime(2024, 1, 1), 7, "ok")],
+        "tag string, timestamp timestamp, rid long, status string",
+    )
+    r = bigquery_rows(df, insert_id_col="rid").collect()[0]
+    assert r.insert_id == "7"
+    assert _json.loads(r.json) == {"status": "ok"}
