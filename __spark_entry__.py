@@ -1535,6 +1535,67 @@ def bigquery_shape_q(spark, sf_dir):
     return bigquery_rows(ev, insert_id_col="event_id")
 
 
+def syslog_5424_q(spark, sf_dir):
+    """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
+    severity/facility resolved through the digit-or-name tables, µs
+    timestamps, SD params escaped, BOM-prefixed MSG. Full-string oracle."""
+    from fluent_bit_spark.sinks import syslog_encode
+
+    sev = (
+        F.when(F.col("event_type") == "error", "Err")
+        .when(F.col("event_type") == "purchase", "warning")
+        .when(F.col("event_type") == "signup", "info")
+        .when(F.col("event_type") == "view", "7")
+        .otherwise("notice")
+    )
+    fac = F.when(F.col("user_id") % 2 == 0, "local0").otherwise("daemon")
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("timestamp"),
+        sev.alias("sev"),
+        fac.alias("fac"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string")).alias("host"),
+        F.col("event_type").alias("app"),
+        F.col("event_id").cast("string").alias("procid"),
+        F.create_map(
+            F.lit("k"), F.get_json_object("props", "$.k")
+        ).alias("meta"),
+        F.col("props").alias("msg"),
+    )
+    return syslog_encode(
+        ev,
+        format="rfc5424",
+        message_key="msg",
+        hostname_key="host",
+        appname_key="app",
+        procid_key="procid",
+        sd_keys=["meta"],
+        severity_key="sev",
+        facility_key="fac",
+    )
+
+
+def syslog_3164_q(spark, sf_dir):
+    """out_syslog RFC3164 encode (syslog.c:382-460): BSD header with
+    space-padded day, app[procid]: body, preset PRI fallbacks."""
+    from fluent_bit_spark.sinks import syslog_encode
+
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string")).alias("host"),
+        F.col("event_type").alias("app"),
+        F.col("event_id").cast("string").alias("procid"),
+        F.col("props").alias("msg"),
+    )
+    return syslog_encode(
+        ev,
+        format="rfc3164",
+        message_key="msg",
+        hostname_key="host",
+        appname_key="app",
+        procid_key="procid",
+    )
+
+
 def flowcounter_q(spark, sf_dir):
     """out_flowcounter per-minute throughput counters (plugins/
     out_flowcounter/out_flowcounter.c:100-125): counts/bytes per tumbling
@@ -1642,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudwatch_shape": cloudwatch_shape_q,
         "stackdriver_shape": stackdriver_shape_q,
         "bigquery_shape": bigquery_shape_q,
+        "syslog_5424_lines": syslog_5424_q,
+        "syslog_3164_lines": syslog_3164_q,
     }
 
 
@@ -2309,5 +2372,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(event_id AS VARCHAR) AS insert_id, "
             "'{\"event_type\":' || to_json(event_type) || "
             "',\"user_id\":' || user_id || '}' AS json FROM events"
+        ),
+        "syslog_5424_lines": (
+            # independent re-derivation from the same synth rules; BOM via
+            # chr(65279); props values have no SD-escapable chars
+            "SELECT '<' || CAST("
+            "(CASE WHEN user_id % 2 = 0 THEN 16 ELSE 3 END) * 8 + "
+            "(CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 4 "
+            "WHEN 'signup' THEN 6 WHEN 'view' THEN 7 ELSE 5 END) AS VARCHAR) "
+            "|| '>1 ' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' || "
+            "lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z ' || "
+            "'host-' || user_id % 8 || ' ' || event_type || ' ' || event_id || "
+            "' - [meta k=\"' || json_extract_string(props, '$.k') || '\"] ' || "
+            "chr(65279) || props AS line FROM events"
+        ),
+        "syslog_3164_lines": (
+            "SELECT '<14>' || strftime(ts, '%b') || ' ' || "
+            "lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' || "
+            "strftime(ts, '%H:%M:%S') || ' ' || 'host-' || user_id % 8 || ' ' || "
+            "event_type || '[' || event_id || ']: ' || props AS line FROM events"
         ),
     }

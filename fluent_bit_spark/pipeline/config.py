@@ -229,6 +229,28 @@ class Pipeline:
                 shaped = bigquery_rows(df, insert_id_col=out.get("insert_id_key"))
                 shaped.write.mode("overwrite").format("json").save(out["path"])
                 record(out, df.count())
+            elif name == "syslog":
+                from fluent_bit_spark.sinks import syslog_encode
+
+                shaped = syslog_encode(
+                    df,
+                    format=out.get("syslog_format", "rfc5424"),
+                    message_key=out.get("syslog_message_key", "message"),
+                    hostname_key=out.get("syslog_hostname_key"),
+                    appname_key=out.get("syslog_appname_key"),
+                    procid_key=out.get("syslog_procid_key"),
+                    msgid_key=out.get("syslog_msgid_key"),
+                    sd_keys=out.get("syslog_sd_key"),
+                    severity_key=out.get("syslog_severity_key"),
+                    facility_key=out.get("syslog_facility_key"),
+                    severity_preset=int(out.get("syslog_severity_preset", 6)),
+                    facility_preset=int(out.get("syslog_facility_preset", 1)),
+                    maxsize=out.get("syslog_maxsize"),
+                )
+                shaped.select(F.col("line").alias("value")).write.mode(
+                    "overwrite"
+                ).format("text").save(out["path"])
+                record(out, df.count())
             else:
                 raise ValueError(f"unknown output plugin {name!r}")
         return written

@@ -268,3 +268,200 @@ def flowcounter(
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# out_syslog — RFC5424 / RFC3164 message encode
+# --------------------------------------------------------------------------
+# plugins/out_syslog/syslog.c:62-103 name tables (case-insensitive lookup at
+# syslog.c:729,761); single-digit severity and 1-2-digit facility numerics
+# accepted verbatim (syslog.c:722-757).
+_SYSLOG_SEVERITY = {
+    "emerg": 0, "alert": 1, "crit": 2, "err": 3,
+    "warning": 4, "notice": 5, "info": 6, "debug": 7,
+}
+_SYSLOG_FACILITY = {
+    "kern": 0, "user": 1, "mail": 2, "daemon": 3, "auth": 4, "syslog": 5,
+    "lpr": 6, "news": 7, "uucp": 8, "cron": 9, "authpriv": 10, "ftp": 11,
+    "ntp": 12, "security": 13, "console": 14, "local0": 16, "local1": 17,
+    "local2": 18, "local3": 19, "local4": 20, "local5": 21, "local6": 22,
+    "local7": 23,
+}
+
+
+def _syslog_name_lookup(col: Column, table: dict) -> Column:
+    m = F.create_map(*[F.lit(x) for kv in table.items() for x in kv])
+    return F.element_at(m, F.lower(F.trim(col.cast("string"))))
+
+
+def syslog_severity_num(col: Column) -> Column:
+    s = F.trim(col.cast("string"))
+    return F.when(s.rlike("^[0-7]$"), s.cast("int")).otherwise(
+        _syslog_name_lookup(col, _SYSLOG_SEVERITY)
+    )
+
+
+def syslog_facility_num(col: Column) -> Column:
+    s = F.trim(col.cast("string"))
+    two = F.when(s.cast("int") <= 23, s.cast("int"))
+    return (
+        F.when(s.rlike("^[0-9]$"), s.cast("int"))
+        .when(s.rlike("^[0-2][0-9]$"), two)
+        .otherwise(_syslog_name_lookup(col, _SYSLOG_FACILITY))
+    )
+
+
+# SD-NAME chars: printable US-ASCII except '=', SP, ']', '"'
+# (rfc5424_sp_name table, syslog.c:210-227); invalid bytes become '_'.
+_SD_NAME_INVALID = r"[^!#-<>-\\^-~]"
+
+
+def _sd_escape_value(c: Column) -> Column:
+    # '"', '\', ']' get a backslash prefix (rfc5424_sp_value, syslog.c:190)
+    return F.regexp_replace(c.cast("string"), r'([\\"\]])', r"\\$1")
+
+
+def syslog_encode(
+    df: DataFrame,
+    format: str = "rfc5424",
+    ts_col: str = "timestamp",
+    message_key: str | None = "message",
+    hostname_key: str | None = None,
+    appname_key: str | None = None,
+    procid_key: str | None = None,
+    msgid_key: str | None = None,
+    sd_keys: list[str] | None = None,
+    severity_key: str | None = None,
+    facility_key: str | None = None,
+    severity_preset: int = 6,
+    facility_preset: int = 1,
+    maxsize: int | None = None,
+) -> DataFrame:
+    """Encode records as syslog wire messages
+    (plugins/out_syslog/syslog.c:229-380 syslog_rfc5424, 382-460
+    syslog_rfc3164):
+
+    - ``rfc5424``: ``<pri>1 ts host app procid msgid sd [BOM]msg`` with the
+      field truncations the reference applies (host 255, app 48, procid 128,
+      msgid 32), NILVALUE ``-`` for absent fields, structured data rendered
+      from map-typed ``sd_keys`` columns (SD-NAME sanitization to ``_``,
+      value escaping), and the UTF-8 BOM before MSG (syslog.c:368).
+    - ``rfc3164``: ``<pri>Mon %2d HH:MM:SS [host ][app[procid]: ]msg``.
+    - severity/facility resolved from record keys via the reference's
+      digit-or-name rules with preset fallbacks (6/1); PRI = fac*8 + sev.
+    - a message already starting with ``<`` passes through verbatim
+      (pre-formatted syslog, syslog.c:237-244).
+    - final line truncated to ``syslog_maxsize`` (2048/1024 defaults,
+      syslog.c:40-41,859).
+
+    Pure Catalyst — shuffle-free encode."""
+    if format not in ("rfc5424", "rfc3164"):
+        raise ValueError(f"format must be rfc5424 or rfc3164, got {format!r}")
+    if maxsize is None:
+        maxsize = 2048 if format == "rfc5424" else 1024
+
+    sev = F.lit(int(severity_preset))
+    if severity_key and severity_key in df.columns:
+        sev = F.coalesce(syslog_severity_num(F.col(severity_key)), sev)
+    fac = F.lit(int(facility_preset))
+    if facility_key and facility_key in df.columns:
+        fac = F.coalesce(syslog_facility_num(F.col(facility_key)), fac)
+    pri = F.concat(F.lit("<"), (fac * 8 + sev).cast("string"), F.lit(">"))
+
+    ts = F.col(ts_col).cast("timestamp")
+
+    def field(key, limit):
+        if key and key in df.columns:
+            return F.coalesce(
+                F.substring(F.col(key).cast("string"), 1, limit), F.lit("-")
+            )
+        return F.lit("-")
+
+    msg = (
+        F.col(message_key).cast("string")
+        if message_key and message_key in df.columns
+        else F.lit(None).cast("string")
+    )
+
+    if format == "rfc5424":
+        micros = F.format_string("%06d", (F.unix_micros(ts) % 1_000_000).cast("int"))
+        header = F.concat(
+            pri, F.lit("1 "),
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), micros, F.lit("Z "),
+            field(hostname_key, 255), F.lit(" "),
+            field(appname_key, 48), F.lit(" "),
+            field(procid_key, 128), F.lit(" "),
+            field(msgid_key, 32), F.lit(" "),
+        )
+        sd_frags = []
+        for key in sd_keys or []:
+            if key not in df.columns:
+                continue
+            import re as _re
+
+            sdid = _re.sub(_SD_NAME_INVALID, "_", key[:32])
+            params = F.aggregate(
+                F.map_entries(F.col(key)),
+                F.lit(""),
+                lambda acc, e: F.concat(
+                    acc,
+                    F.lit(" "),
+                    F.regexp_replace(F.substring(e["key"], 1, 32), _SD_NAME_INVALID, "_"),
+                    F.lit('="'),
+                    _sd_escape_value(e["value"]),
+                    F.lit('"'),
+                ),
+            )
+            sd_frags.append(
+                F.when(
+                    F.col(key).isNotNull(),
+                    F.concat(F.lit("[" + sdid), params, F.lit("]")),
+                )
+            )
+        sd = (
+            F.coalesce(F.concat_ws("", F.array_compact(F.array(*sd_frags))), F.lit("-"))
+            if sd_frags
+            else F.lit("-")
+        )
+        sd = F.when(sd == "", F.lit("-")).otherwise(sd) if sd_frags else sd
+        line = F.concat(
+            header,
+            sd,
+            F.coalesce(F.concat(F.lit(" \ufeff"), msg), F.lit("")),
+        )
+    else:
+        header = F.concat(
+            pri,
+            F.date_format(ts, "MMM"), F.lit(" "),
+            F.format_string("%2d", F.dayofmonth(ts)), F.lit(" "),
+            F.date_format(ts, "HH:mm:ss"), F.lit(" "),
+        )
+        host = (
+            F.concat(F.col(hostname_key).cast("string"), F.lit(" "))
+            if hostname_key and hostname_key in df.columns
+            else F.lit("")
+        )
+        procid = (
+            F.concat(F.lit("["), F.col(procid_key).cast("string"), F.lit("]"))
+            if procid_key and procid_key in df.columns
+            else F.lit(None)
+        )
+        app = (
+            F.concat(
+                F.col(appname_key).cast("string"),
+                F.coalesce(procid, F.lit("")),
+                F.lit(": "),
+            )
+            if appname_key and appname_key in df.columns
+            else F.lit("")
+        )
+        line = F.concat(
+            header,
+            F.coalesce(host, F.lit("")),
+            F.coalesce(app, F.lit("")),
+            F.coalesce(msg, F.lit("")),
+        )
+
+    raw = msg.isNotNull() & msg.startswith("<")
+    out = F.when(raw, msg).otherwise(F.substring(line, 1, maxsize))
+    return df.select(out.alias("line"))

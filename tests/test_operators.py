@@ -422,3 +422,63 @@ def test_flowcounter_minute_buckets(spark):
     assert first.bytes_per_minute == 0
     with pytest.raises(ValueError):
         flowcounter(df, unit="fortnight")
+
+
+def test_syslog_encode_rfc5424(spark):
+    """out_syslog RFC5424 (plugins/out_syslog/syslog.c:229-380): PRI from
+    name/digit severity+facility, µs timestamp, field truncation, NILVALUE,
+    SD rendering with name sanitization + value escaping, BOM before MSG."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.sinks import syslog_encode
+
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0, 123456)
+    df = spark.createDataFrame(
+        [("Err", "local0", "h1", "myapp", "77", "ID1", "disk ]full\\", {"k=y": 'v"1'})],
+        "sev string, fac string, host string, app string, procid string, "
+        "msgid string, msg string, meta map<string,string>",
+    ).withColumn("timestamp", F.lit(t0))
+    line = syslog_encode(
+        df, format="rfc5424", message_key="msg", hostname_key="host",
+        appname_key="app", procid_key="procid", msgid_key="msgid",
+        sd_keys=["meta"], severity_key="sev", facility_key="fac",
+    ).collect()[0].line
+    # pri = 16*8 + 3 = 131; '=' in param name -> '_'; '"' escaped; BOM
+    assert line == (
+        '<131>1 2024-01-05T10:00:00.123456Z h1 myapp 77 ID1 '
+        '[meta k_y="v\\"1"] ﻿disk ]full\\'
+    )
+
+
+def test_syslog_encode_rfc3164_and_presets(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.sinks import syslog_encode
+
+    t0 = dt.datetime(2024, 3, 7, 9, 5, 6)
+    df = spark.createDataFrame(
+        [("web-1", "nginx", "12", "boot ok")],
+        "host string, app string, pid string, msg string",
+    ).withColumn("timestamp", F.lit(t0))
+    line = syslog_encode(
+        df, format="rfc3164", message_key="msg", hostname_key="host",
+        appname_key="app", procid_key="pid",
+    ).collect()[0].line
+    # presets: facility 1, severity 6 -> <14>; day %2d space-padded
+    assert line == "<14>Mar  7 09:05:06 web-1 nginx[12]: boot ok"
+
+    # pre-formatted messages pass through verbatim
+    raw = spark.createDataFrame(
+        [("<34>1 2003-10-11T22:14:15.003Z mach su - - - raw",)], "msg string"
+    ).withColumn("timestamp", F.lit(t0))
+    assert (
+        syslog_encode(raw, message_key="msg").collect()[0].line
+        == "<34>1 2003-10-11T22:14:15.003Z mach su - - - raw"
+    )
+
+    with pytest.raises(ValueError):
+        syslog_encode(df, format="rfc9999")

@@ -239,3 +239,23 @@ def test_telemetry_output_plugins(spark, tmp_path):
 
     fc = spark.read.json(str(tmp_path / "fc")).collect()
     assert sum(r.counts for r in fc) == 2
+
+
+def test_syslog_output_plugin(spark, tmp_path):
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {"name": "dummy", "tag": "sys.app",
+                 "records": [{"message": "hello", "host": "h1", "level": "err"}]},
+            ],
+            "outputs": [
+                {"name": "syslog", "match": "*", "path": str(tmp_path / "sl"),
+                 "syslog_format": "rfc3164", "syslog_hostname_key": "host",
+                 "syslog_severity_key": "level"},
+            ],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    assert all(n == 1 for n in pipe.run_outputs().values())
+    line = spark.read.text(str(tmp_path / "sl")).collect()[0].value
+    assert line.startswith("<11>") and line.endswith(" h1 hello")
