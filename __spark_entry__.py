@@ -1535,6 +1535,36 @@ def bigquery_shape_q(spark, sf_dir):
     return bigquery_rows(ev, insert_id_col="event_id")
 
 
+def _c4_docs(spark, sf_dir):
+    """Synthesized multi-line corpus exercising every C4 rule: a long
+    punctuated line (keep), a short line, a boilerplate line, and — for
+    every 7th doc — a brace line that triggers the doc-level drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(".\ntoo short.\nthis line mentions terms of use policy here."),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\n{ brace }")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", synth.alias("text"))
+
+
+def c4_line_filter_q(spark, sf_dir):
+    """C4 line-level cleaning signals (Raffel et al. 2020 §2.2) over the
+    synthesized multi-line corpus: per line, the keep verdict plus the
+    doc-level brace/lorem flags. One tagged explode, no extra shuffle."""
+    from fluent_bit_spark.extensions.text import c4_line_signals
+
+    return c4_line_signals(_c4_docs(spark, sf_dir))
+
+
+def c4_clean_docs_q(spark, sf_dir):
+    """Full C4 procedure: doc-level drops + line filter + rejoin. One
+    groupBy on the uniform doc id."""
+    from fluent_bit_spark.extensions.text import c4_clean
+
+    return c4_clean(_c4_docs(spark, sf_dir))
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -1705,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigquery_shape": bigquery_shape_q,
         "syslog_5424_lines": syslog_5424_q,
         "syslog_3164_lines": syslog_3164_q,
+        "c4_line_filter": c4_line_filter_q,
+        "c4_clean_docs": c4_clean_docs_q,
     }
 
 
@@ -2391,5 +2423,50 @@ def oracle_sql() -> dict[str, str]:
             "lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' || "
             "strftime(ts, '%H:%M:%S') || ' ' || 'host-' || user_id % 8 || ' ' || "
             "event_type || '[' || event_id || ']: ' || props AS line FROM events"
+        ),
+        "c4_line_filter": (
+            "WITH synth AS (SELECT doc_id, text || '.' || chr(10) || 'too short.' "
+            "|| chr(10) || 'this line mentions terms of use policy here.' || "
+            "CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{ brace }' ELSE '' END AS text "
+            "FROM documents), "
+            "base AS (SELECT doc_id, string_split(text, chr(10)) AS parts, "
+            "contains(lower(text), '{') AS doc_has_brace, "
+            "contains(lower(text), 'lorem ipsum') AS doc_has_lorem FROM synth), "
+            "l AS (SELECT doc_id, doc_has_brace, doc_has_lorem, "
+            "CAST(i - 1 AS INT) AS line_no, trim(parts[i]) AS line "
+            "FROM base, unnest(range(1, len(parts) + 1)) AS r(i)) "
+            "SELECT doc_id, line_no, line, doc_has_brace, doc_has_lorem, "
+            "regexp_matches(line, '[.!?\"]$') "
+            "AND len(regexp_split_to_array(line, '\\s+')) >= 5 "
+            "AND NOT (contains(lower(line), 'lorem ipsum') "
+            "OR contains(lower(line), 'javascript') "
+            "OR contains(lower(line), 'terms of use') "
+            "OR contains(lower(line), 'privacy policy') "
+            "OR contains(lower(line), 'cookie policy') "
+            "OR contains(lower(line), 'uses cookies')) AS keep FROM l"
+        ),
+        "c4_clean_docs": (
+            "WITH synth AS (SELECT doc_id, text || '.' || chr(10) || 'too short.' "
+            "|| chr(10) || 'this line mentions terms of use policy here.' || "
+            "CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{ brace }' ELSE '' END AS text "
+            "FROM documents), "
+            "base AS (SELECT doc_id, string_split(text, chr(10)) AS parts, "
+            "contains(lower(text), '{') AS doc_has_brace, "
+            "contains(lower(text), 'lorem ipsum') AS doc_has_lorem FROM synth), "
+            "l AS (SELECT doc_id, doc_has_brace, doc_has_lorem, "
+            "CAST(i - 1 AS INT) AS line_no, trim(parts[i]) AS line "
+            "FROM base, unnest(range(1, len(parts) + 1)) AS r(i)), "
+            "kept AS (SELECT * FROM l WHERE NOT doc_has_brace AND NOT doc_has_lorem "
+            "AND regexp_matches(line, '[.!?\"]$') "
+            "AND len(regexp_split_to_array(line, '\\s+')) >= 5 "
+            "AND NOT (contains(lower(line), 'lorem ipsum') "
+            "OR contains(lower(line), 'javascript') "
+            "OR contains(lower(line), 'terms of use') "
+            "OR contains(lower(line), 'privacy policy') "
+            "OR contains(lower(line), 'cookie policy') "
+            "OR contains(lower(line), 'uses cookies'))) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text, "
+            "CAST(COUNT(*) AS BIGINT) AS n_kept_lines FROM kept "
+            "GROUP BY doc_id HAVING COUNT(*) >= 1"
         ),
     }

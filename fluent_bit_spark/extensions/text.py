@@ -258,3 +258,85 @@ def pii_flags(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
         F.when(col.rlike(PII_PATTERNS[k]), F.lit(k)) for k in (kinds or PII_ORDER)
     ]
     return F.array_compact(F.array(*hits))
+
+
+# --------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the published
+# heuristics; no reference-plugin counterpart, this is the training-data
+# pipeline surface)
+# --------------------------------------------------------------------------
+_C4_BAD_PHRASES = ("lorem ipsum", "javascript", "terms of use", "privacy policy",
+                   "cookie policy", "uses cookies")
+
+
+def c4_line_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+) -> DataFrame:
+    """Per-line C4 cleaning signals: one row per line with ``keep`` = the
+    line survives the published rules — ends in terminal punctuation
+    (. ! ? "), has >= ``min_words_per_line`` words, and is not a bare
+    boilerplate marker. Document-level rules (curly brace anywhere,
+    "lorem ipsum" anywhere, dedup) are surfaced as doc_* flags so callers
+    can drop whole documents.
+
+    One explode per document — the same tagged-explode shape as
+    repetition_signals; no shuffle beyond the explode."""
+    lines = df.select(
+        id_col,
+        F.lower(F.col(text_col)).contains("{").alias("doc_has_brace"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("doc_has_lorem"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line", F.trim(F.col("line")))
+    line_l = F.lower(F.col("line"))
+    bad = F.lit(False)
+    for p in _C4_BAD_PHRASES:
+        bad = bad | line_l.contains(p)
+    keep = (
+        F.col("line").rlike('[.!?"]$')
+        & (F.size(F.split(F.col("line"), r"\s+")) >= min_words_per_line)
+        & ~bad
+    )
+    return lines.select(
+        id_col,
+        "line_no",
+        "line",
+        "doc_has_brace",
+        "doc_has_lorem",
+        keep.alias("keep"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 1,
+) -> DataFrame:
+    """Apply the C4 procedure: drop documents containing a curly brace or
+    "lorem ipsum", keep only surviving lines, rejoin with newlines, drop
+    documents left with fewer than ``min_lines`` lines. Returns
+    (id, clean_text, n_kept_lines). Aggregation is a single groupBy on the
+    uniform doc id — scale-safe."""
+    sig = c4_line_signals(df, text_col, id_col, min_words_per_line)
+    kept = (
+        sig.filter(~F.col("doc_has_brace") & ~F.col("doc_has_lorem") & F.col("keep"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept_lines"),
+        )
+        .filter(F.col("n_kept_lines") >= min_lines)
+    )
+    return kept

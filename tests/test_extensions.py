@@ -353,3 +353,33 @@ def test_mix_weights_temperature(spark, docs):
     assert abs(smallest.keep_rate - 1.0) < 1e-9
     biggest = max(t0.values(), key=lambda r: r.n)
     assert abs(biggest.keep_rate - smallest.n / biggest.n) < 1e-9
+
+
+def test_c4_line_signals_and_clean(spark):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): terminal punctuation,
+    min words, boilerplate phrases, doc-level brace / lorem-ipsum drops."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.text import c4_clean, c4_line_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'good sentence with enough words here.\nshort.\nthis page uses cookies ok yes.\nno punct at all'),
+            (2, 'function f() { return 1; }\nfine long sentence right here today.'),
+            (3, 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'),
+        ],
+        "doc_id long, text string",
+    )
+    sig = c4_line_signals(docs)
+    rows = {(r.doc_id, r.line_no): r for r in sig.collect()}
+    assert rows[(1, 0)].keep is True
+    assert rows[(1, 1)].keep is False    # < 5 words
+    assert rows[(1, 2)].keep is False    # "uses cookies"
+    assert rows[(1, 3)].keep is False    # no terminal punctuation
+    assert rows[(2, 1)].keep is True and rows[(2, 1)].doc_has_brace is True
+    assert rows[(3, 0)].doc_has_lorem is True
+
+    clean = {r.doc_id: r for r in c4_clean(docs).collect()}
+    assert set(clean) == {1}             # 2 dropped (brace), 3 dropped (lorem)
+    assert clean[1].clean_text == "good sentence with enough words here."
+    assert clean[1].n_kept_lines == 1
