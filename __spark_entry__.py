@@ -1548,6 +1548,32 @@ def _c4_docs(spark, sf_dir):
     return docs.select("doc_id", synth.alias("text"))
 
 
+def plot_lines_q(spark, sf_dir):
+    """out_plot gnuplot feed (plugins/out_plot/plot.c:181-196): %f epoch +
+    value per record. Full-string oracle."""
+    from fluent_bit_spark.sinks import plot_lines
+
+    ev = _events(spark, sf_dir).select(F.col("ts").alias("timestamp"), "value")
+    return plot_lines(ev, "value")
+
+
+def http_body_q(spark, sf_dir):
+    """out_http NDJSON bodies (plugins/out_http/http.c) with iso8601
+    json_date_format (src/flb_pack.c:1414): one body per tag batch,
+    records (ts, json)-sorted. Full-string oracle via ordered string_agg."""
+    from fluent_bit_spark.sinks import http_payload
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("event_type")).alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "props",
+    )
+    return http_payload(
+        ev, "json_lines", json_date_key="date", json_date_format="iso8601"
+    )
+
+
 def c4_line_filter_q(spark, sf_dir):
     """C4 line-level cleaning signals (Raffel et al. 2020 §2.2) over the
     synthesized multi-line corpus: per line, the keep verdict plus the
@@ -1737,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_3164_lines": syslog_3164_q,
         "c4_line_filter": c4_line_filter_q,
         "c4_clean_docs": c4_clean_docs_q,
+        "http_body": http_body_q,
+        "plot_lines": plot_lines_q,
     }
 
 
@@ -2468,5 +2496,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text, "
             "CAST(COUNT(*) AS BIGINT) AS n_kept_lines FROM kept "
             "GROUP BY doc_id HAVING COUNT(*) >= 1"
+        ),
+        "http_body": (
+            "WITH rec AS (SELECT 'ev.' || event_type AS batch, ts, "
+            "'{\"date\":\"' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' || "
+            "lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z\"' || "
+            "',\"event_id\":' || event_id || ',\"props\":' || to_json(props) || '}' "
+            "AS j FROM events) "
+            "SELECT batch, string_agg(j, chr(10) ORDER BY ts, j) AS body "
+            "FROM rec GROUP BY batch"
+        ),
+        "plot_lines": (
+            "SELECT printf('%f', epoch_us(ts) / 1000000.0) || ' ' || "
+            "printf('%f', value) AS line FROM events WHERE value IS NOT NULL"
         ),
     }

@@ -229,6 +229,17 @@ class Pipeline:
                 shaped = bigquery_rows(df, insert_id_col=out.get("insert_id_key"))
                 shaped.write.mode("overwrite").format("json").save(out["path"])
                 record(out, df.count())
+            elif name == "http":
+                from fluent_bit_spark.sinks import http_payload
+
+                shaped = http_payload(
+                    df,
+                    body_format=out.get("format", "json"),
+                    json_date_key=out.get("json_date_key", "date"),
+                    json_date_format=out.get("json_date_format", "double"),
+                )
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
             elif name == "syslog":
                 from fluent_bit_spark.sinks import syslog_encode
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fluent_bit_spark.model import TAG_COL
 
@@ -465,3 +466,99 @@ def syslog_encode(
     raw = msg.isNotNull() & msg.startswith("<")
     out = F.when(raw, msg).otherwise(F.substring(line, 1, maxsize))
     return df.select(out.alias("line"))
+
+
+# --------------------------------------------------------------------------
+# out_http — JSON body framing + the shared json_date_format semantics
+# --------------------------------------------------------------------------
+def json_date_value(ts_col: Column, fmt: str = "double") -> Column:
+    """The flb_pack json_date_format value (src/flb_pack.c:1395-1427):
+    ``double`` = float seconds (µs exact under the 2^53 mantissa),
+    ``iso8601`` = %Y-%m-%dT%H:%M:%S.%06dZ, ``java_sql_timestamp`` =
+    %Y-%m-%d %H:%M:%S.%06d, ``epoch`` = whole seconds, ``epoch_ms``/
+    ``milliseconds`` = epoch ms."""
+    ts = ts_col.cast("timestamp")
+    us = F.unix_micros(ts)
+    micros = F.format_string("%06d", (us % 1_000_000).cast("int"))
+    if fmt == "double":
+        return (us.cast("double") / F.lit(1e6)).alias("date")
+    if fmt == "iso8601":
+        return F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), micros, F.lit("Z")
+        )
+    if fmt == "java_sql_timestamp":
+        return F.concat(
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), F.lit("."), micros
+        )
+    if fmt == "epoch":
+        return F.floor(us / F.lit(1_000_000)).cast("long")
+    if fmt in ("epoch_ms", "milliseconds"):
+        return F.floor(us / F.lit(1000)).cast("long")
+    raise ValueError(f"unknown json_date_format {fmt!r}")
+
+
+def http_payload(
+    df: DataFrame,
+    body_format: str = "json",
+    tag_col: str = "tag",
+    ts_col: str = "timestamp",
+    json_date_key: str | None = "date",
+    json_date_format: str = "double",
+    batch_col: str | None = None,
+) -> DataFrame:
+    """out_http request-body shaping (plugins/out_http/http.c): each record
+    becomes a JSON object with ``json_date_key`` injected per
+    ``json_date_format``; bodies are framed per batch key (default the tag,
+    mirroring one request per flushed chunk) as
+
+    - ``json``: a JSON array ``[{...},{...}]``
+    - ``json_stream``: objects concatenated with no separator
+    - ``json_lines``: NDJSON
+
+    Returns (batch, body). Record order inside a body is (ts, record-json)
+    sorted — deterministic where the reference preserves arrival order.
+    One shuffle on the batch key. C renders ``double`` dates with %.17g
+    trailing-zero stripping; here the numeric value is identical but Spark's
+    JSON float rendering differs textually — use iso8601/epoch formats for
+    byte-identical bodies."""
+    seps = {"json": ",", "json_stream": "", "json_lines": "\n"}
+    if body_format not in seps:
+        raise ValueError(f"body_format must be one of {sorted(seps)}")
+    others = [c for c in df.columns if c not in (tag_col, ts_col)]
+    date_cols = []
+    if json_date_key:
+        date_cols = [json_date_value(F.col(ts_col), json_date_format).alias(json_date_key)]
+    rec = F.to_json(F.struct(*date_cols, *[F.col(c) for c in others]))
+    batch = F.col(batch_col) if batch_col else F.col(tag_col)
+    lines = df.select(
+        batch.alias("batch"),
+        F.struct(F.col(ts_col).cast("timestamp").alias("t"), rec.alias("j")).alias("e"),
+    )
+    joined = F.array_join(
+        F.transform(F.array_sort(F.collect_list("e")), lambda s: s["j"]),
+        seps[body_format],
+    )
+    body = (
+        F.concat(F.lit("["), joined, F.lit("]"))
+        if body_format == "json"
+        else joined
+    )
+    return lines.groupBy("batch").agg(body.alias("body"))
+
+
+def plot_lines(
+    df: DataFrame, key: str, ts_col: str = "timestamp"
+) -> DataFrame:
+    """out_plot gnuplot feed (plugins/out_plot/plot.c:181-196): per record
+    ``<epoch.%06f> <value>`` — integer values printed bare, floats %f.
+    Catalyst-only."""
+    dt_ = df.schema[key].dataType
+    val = F.col(key)
+    if isinstance(dt_, (T.FloatType, T.DoubleType, T.DecimalType)):
+        val = F.format_string("%f", val.cast("double"))
+    else:
+        val = val.cast("long").cast("string")
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / F.lit(1e6)
+    return df.where(F.col(key).isNotNull()).select(
+        F.concat(F.format_string("%f", secs), F.lit(" "), val).alias("line")
+    )

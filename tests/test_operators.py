@@ -482,3 +482,70 @@ def test_syslog_encode_rfc3164_and_presets(spark):
 
     with pytest.raises(ValueError):
         syslog_encode(df, format="rfc9999")
+
+
+def test_http_payload_formats(spark):
+    """out_http body framing (plugins/out_http/http.c) + the flb_pack
+    json_date_format value grid (src/flb_pack.c:1395-1427)."""
+    import datetime as dt
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.sinks import http_payload, json_date_value
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 250000)
+    df = spark.createDataFrame(
+        [("a", t0, "m1"), ("a", t0 + dt.timedelta(seconds=1), "m2"), ("b", t0, "m3")],
+        "tag string, timestamp timestamp, msg string",
+    )
+    out = {r.batch: r.body for r in http_payload(
+        df, "json", json_date_format="iso8601"
+    ).collect()}
+    arr = _json.loads(out["a"])
+    assert [e["msg"] for e in arr] == ["m1", "m2"]
+    assert arr[0]["date"] == "2024-01-01T00:00:01.250000Z"
+    assert _json.loads(out["b"]) == [
+        {"date": "2024-01-01T00:00:01.250000Z", "msg": "m3"}
+    ]
+
+    nd = {r.batch: r.body for r in http_payload(
+        df, "json_lines", json_date_format="epoch_ms"
+    ).collect()}
+    l1, l2 = nd["a"].split("\n")
+    assert _json.loads(l1) == {"date": 1704067201250, "msg": "m1"}
+    assert _json.loads(l2)["date"] == 1704067202250
+
+    stream = {r.batch: r.body for r in http_payload(
+        df, "json_stream", json_date_key=None
+    ).collect()}
+    assert stream["a"] == '{"msg":"m1"}{"msg":"m2"}'
+
+    grid = df.select(
+        json_date_value(F.col("timestamp"), "double").alias("d"),
+        json_date_value(F.col("timestamp"), "epoch").alias("e"),
+        json_date_value(F.col("timestamp"), "java_sql_timestamp").alias("j"),
+    ).collect()[0]
+    assert grid.d == 1704067201.25 and grid.e == 1704067201
+    assert grid.j == "2024-01-01 00:00:01.250000"
+
+    with pytest.raises(ValueError):
+        http_payload(df, "msgpack_v9")
+    with pytest.raises(ValueError):
+        json_date_value(F.col("timestamp"), "stardate")
+
+
+def test_plot_lines(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.sinks import plot_lines
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 500000)
+    df = spark.createDataFrame(
+        [(t0, 3, 0.5), (t0, None, 1.0)],
+        "timestamp timestamp, n long, v double",
+    )
+    ints = plot_lines(df, "n").collect()
+    assert len(ints) == 1 and ints[0].line == "1704067201.500000 3"
+    floats = sorted(r.line for r in plot_lines(df, "v").collect())
+    assert floats == ["1704067201.500000 0.500000", "1704067201.500000 1.000000"]
