@@ -446,10 +446,22 @@ def _build_parser(pconf: dict):
 
 
 def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
-    """Build a Pipeline from YAML text/path or a dict."""
+    """Build a Pipeline from YAML or classic-mode text/path, or a dict."""
     if isinstance(conf, str):
-        text = open(conf).read() if "\n" not in conf and conf.endswith((".yml", ".yaml")) else conf
-        conf = yaml.safe_load(text)
+        import os as _os
+
+        from fluent_bit_spark.pipeline.classic import classic_to_dict
+
+        is_path = "\n" not in conf and conf.endswith((".yml", ".yaml", ".conf"))
+        text = open(conf).read() if is_path else conf
+        base_dir = _os.path.dirname(_os.path.abspath(conf)) if is_path else None
+        stripped = "\n".join(
+            ln for ln in text.splitlines() if ln.strip() and not ln.strip().startswith("#")
+        )
+        if stripped.lstrip().startswith(("[", "@")):
+            conf = classic_to_dict(text, base_dir)
+        else:
+            conf = yaml.safe_load(text)
 
     parsers = {p["name"]: _build_parser(p) for p in conf.get("parsers", [])}
     pipe = Pipeline(spark=spark)

@@ -259,3 +259,74 @@ def test_syslog_output_plugin(spark, tmp_path):
     assert all(n == 1 for n in pipe.run_outputs().values())
     line = spark.read.text(str(tmp_path / "sl")).collect()[0].value
     assert line.startswith("<11>") and line.endswith(" h1 hello")
+
+
+def test_classic_conf_end_to_end(spark, tmp_path, monkeypatch):
+    """Classic-mode .conf (src/config_format/flb_cf_fluentbit.c): sections,
+    repeated filter keys -> rule lists, @SET/@INCLUDE/${} expansion, the
+    [STREAM_TASK] hookup, and a [PARSER] from parsers.conf."""
+    monkeypatch.setenv("APP_TAG", "svc.app")
+
+    (tmp_path / "parsers.conf").write_text(
+        "[PARSER]\n"
+        "    Name    kvpairs\n"
+        "    Format  logfmt\n"
+        "    Fields  level size\n"
+    )
+    conf = tmp_path / "fluent-bit.conf"
+    conf.write_text(
+        "@SET out_dir=" + str(tmp_path) + "\n"
+        "@INCLUDE parsers.conf\n"
+        "# comment line\n"
+        "[SERVICE]\n"
+        "    Flush        1\n"
+        "[INPUT]\n"
+        "    Name    dummy\n"
+        "    Tag     ${APP_TAG}\n"
+        "    Dummy   {\"log\": \"level=info size=42\", \"n\": 1}\n"
+        "    Samples 3\n"
+        "[FILTER]\n"
+        "    Name    parser\n"
+        "    Match   svc.*\n"
+        "    Key_Name log\n"
+        "    Parser  kvpairs\n"
+        "    Reserve_Data true\n"
+        "[FILTER]\n"
+        "    Name    grep\n"
+        "    Match   *\n"
+        "    Regex   level info\n"
+        "[FILTER]\n"
+        "    Name    modify\n"
+        "    Match   *\n"
+        "    Set     env prod\n"
+        "    Rename  size bytes\n"
+        "[OUTPUT]\n"
+        "    Name    file\n"
+        "    Match   *\n"
+        "    Path    ${out_dir}/out\n"
+        "    Format  json\n"
+    )
+    pipe = load_pipeline(spark, str(conf))
+    written = pipe.run_outputs()
+    assert all(n == 3 for n in written.values())
+    rows = spark.read.json(str(tmp_path / "out")).collect()
+    assert len(rows) == 3
+    r = rows[0]
+    assert r.level == "info" and r.env == "prod" and r.bytes == "42"
+    assert r.tag == "svc.app" and r.n == 1
+
+
+def test_classic_conf_rewrite_and_stream_task(spark, tmp_path):
+    conf = (
+        "[INPUT]\n"
+        "    Name    dummy\n"
+        "    Tag     app.a\n"
+        "    Dummy   {\"msg\": \"x\", \"value\": 10}\n"
+        "    Samples 4\n"
+        "[STREAM_TASK]\n"
+        "    Name    agg\n"
+        "    Exec    CREATE STREAM agg AS SELECT SUM(value) AS total FROM STREAM:pipeline;\n"
+    )
+    pipe = load_pipeline(spark, conf)
+    got = pipe.sp.streams["agg"].collect()
+    assert got[0].total == 40.0
