@@ -170,6 +170,30 @@ def _translate_parser(pairs: list[tuple[str, str]]) -> dict:
     return conf
 
 
+def _translate_multiline_parser(pairs: list[tuple[str, str]]) -> dict:
+    # [MULTILINE_PARSER] sections (flb_ml_rule.c + flb_ml_parser.c): repeated
+    # quoted `rule "state" "/regex/" "next"` lines become an ordered rule
+    # table; regexes keep fluent-bit's /.../-delimited form stripped.
+    import shlex
+
+    conf: dict = {}
+    rules: list = []
+    for k, v in pairs:
+        if k == "rule":
+            parts = shlex.split(v)
+            if len(parts) != 3:
+                raise ValueError(f"multiline rule needs 3 quoted parts: {v!r}")
+            state, regex, to_state = parts
+            if regex.startswith("/") and regex.endswith("/") and len(regex) > 1:
+                regex = regex[1:-1]
+            rules.append([state, regex, to_state])
+        else:
+            conf[k] = _coerce(v)
+    if rules:
+        conf["rules"] = rules
+    return conf
+
+
 def classic_to_dict(text: str, base_dir: str | None = None) -> dict:
     """Translate classic-mode config text into the YAML-loader dict."""
     sections = parse_classic(text, base_dir)
@@ -186,7 +210,9 @@ def classic_to_dict(text: str, base_dir: str | None = None) -> dict:
         elif section == "parser":
             out.setdefault("parsers", []).append(_translate_parser(pairs))
         elif section == "multiline_parser":
-            out.setdefault("multiline_parsers", []).append(_plain(pairs))
+            out.setdefault("multiline_parsers", []).append(
+                _translate_multiline_parser(pairs)
+            )
         elif section == "stream_task":
             out.setdefault("stream_tasks", []).append(_plain(pairs))
         else:

@@ -355,15 +355,36 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
             time_col=fconf.get("time_col", TS_COL), key=fconf.get("key"),
         )
     elif name == "multiline":
-        from fluent_bit_spark.operators.multiline import multiline
-
-        out = multiline(
-            hit, line_col=fconf.get("key_content", "line"),
-            seq_col=fconf.get("seq_key", "seq"),
-            group_keys=fconf.get("group_keys"),
-            start_pattern=fconf.get("start_pattern"),
-            mode=fconf.get("mode"),
+        from fluent_bit_spark.operators.multiline import (
+            BUILTIN_RULES,
+            MLRule,
+            multiline,
+            multiline_rules,
         )
+
+        ml_ref = fconf.get("multiline.parser") or fconf.get("mode")
+        custom = fconf.get("rules_table")
+        if custom is not None:
+            table = [MLRule((r[0],), r[1], r[2]) for r in custom]
+            out = multiline_rules(
+                hit, table, line_col=fconf.get("key_content", "line"),
+                seq_col=fconf.get("seq_key", "seq"),
+                group_keys=fconf.get("group_keys"),
+            )
+        elif ml_ref in BUILTIN_RULES:
+            out = multiline_rules(
+                hit, ml_ref, line_col=fconf.get("key_content", "line"),
+                seq_col=fconf.get("seq_key", "seq"),
+                group_keys=fconf.get("group_keys"),
+            )
+        else:
+            out = multiline(
+                hit, line_col=fconf.get("key_content", "line"),
+                seq_col=fconf.get("seq_key", "seq"),
+                group_keys=fconf.get("group_keys"),
+                start_pattern=fconf.get("start_pattern"),
+                mode=ml_ref if fconf.get("start_pattern") is None else fconf.get("mode"),
+            )
     elif name == "kubernetes":
         from fluent_bit_spark.operators.kubernetes import kubernetes_filter
 
@@ -504,8 +525,16 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
         pipe.inputs[tag] = df
 
     # filters compose in config order over the merged stream
+    ml_defs = {
+        p.get("name"): p.get("rules")
+        for p in conf.get("multiline_parsers", [])
+        if p.get("rules")
+    }
     merged = pipe.source()
     for fconf in conf.get("pipeline", {}).get("filters", []):
+        ml_ref = fconf.get("multiline.parser")
+        if fconf.get("name") == "multiline" and ml_ref in ml_defs:
+            fconf = {**fconf, "rules_table": ml_defs[ml_ref]}
         merged = _apply_filter(merged, fconf, parsers)
     pipe.inputs = {"__filtered__": merged}
 

@@ -330,3 +330,50 @@ def test_classic_conf_rewrite_and_stream_task(spark, tmp_path):
     pipe = load_pipeline(spark, conf)
     got = pipe.sp.streams["agg"].collect()
     assert got[0].total == 40.0
+
+
+def test_classic_multiline_parser_custom_rules(spark, tmp_path):
+    """[MULTILINE_PARSER] rule tables (flb_ml_rule.c) flow from classic
+    config into the state-machine reassembler."""
+    conf = (
+        "[MULTILINE_PARSER]\n"
+        "    Name          exc\n"
+        "    Type          regex\n"
+        '    Rule "start_state" "/^BEGIN/" "body"\n'
+        '    Rule "body" "/^  /" "body"\n'
+        "[INPUT]\n"
+        "    Name    dummy\n"
+        "    Tag     app.ml\n"
+        '    Dummy   {"seq": 1, "line": "BEGIN trace"}\n'
+        "[FILTER]\n"
+        "    Name              multiline\n"
+        "    Match             *\n"
+        "    multiline.parser  exc\n"
+        "    Key_content       line\n"
+        "    Seq_key           seq\n"
+        "[OUTPUT]\n"
+        "    Name   null\n"
+        "    Match  *\n"
+    )
+    from fluent_bit_spark.pipeline.config import load_pipeline as lp
+
+    pipe = lp(spark, conf)
+    assert [r.message for r in pipe.source().collect()] == ["BEGIN trace"]
+
+    lines = spark.createDataFrame(
+        [(1, "BEGIN trace"), (2, "  frame a"), (3, "  frame b"), (4, "BEGIN other")],
+        "seq long, line string",
+    )
+    from fluent_bit_spark.operators.multiline import MLRule, multiline_rules
+
+    from fluent_bit_spark.pipeline.classic import classic_to_dict
+
+    d = classic_to_dict(conf)
+    mlp = d["multiline_parsers"][0]
+    assert mlp["name"] == "exc"
+    assert mlp["rules"] == [
+        ["start_state", "^BEGIN", "body"], ["body", "^  ", "body"],
+    ]
+    table = [MLRule((r[0],), r[1], r[2]) for r in mlp["rules"]]
+    msgs = [r.message for r in multiline_rules(lines, table).orderBy("seq").collect()]
+    assert msgs == ["BEGIN trace\n  frame a\n  frame b", "BEGIN other"]
