@@ -505,6 +505,7 @@ def http_payload(
     json_date_key: str | None = "date",
     json_date_format: str = "double",
     batch_col: str | None = None,
+    per_partition: bool = False,
 ) -> DataFrame:
     """out_http request-body shaping (plugins/out_http/http.c): each record
     becomes a JSON object with ``json_date_key`` injected per
@@ -520,7 +521,14 @@ def http_payload(
     One shuffle on the batch key. C renders ``double`` dates with %.17g
     trailing-zero stripping; here the numeric value is identical but Spark's
     JSON float rendering differs textually — use iso8601/epoch formats for
-    byte-identical bodies."""
+    byte-identical bodies.
+
+    SCALE: one body per batch key is unbounded — a hot tag accumulates its
+    whole day into one string. ``per_partition=True`` frames one body per
+    (batch, input partition) instead — group sizes bounded by partition
+    size like the reference's per-chunk flush, so a hot key cannot OOM an
+    executor — at the cost of non-reproducible body boundaries (the oracle
+    checks the keyed mode)."""
     seps = {"json": ",", "json_stream": "", "json_lines": "\n"}
     if body_format not in seps:
         raise ValueError(f"body_format must be one of {sorted(seps)}")
@@ -543,7 +551,11 @@ def http_payload(
         if body_format == "json"
         else joined
     )
-    return lines.groupBy("batch").agg(body.alias("body"))
+    keys = ["batch"]
+    if per_partition:
+        lines = lines.withColumn("__part", F.spark_partition_id())
+        keys.append("__part")
+    return lines.groupBy(*keys).agg(body.alias("body")).select("batch", "body")
 
 
 def plot_lines(

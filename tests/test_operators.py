@@ -549,3 +549,25 @@ def test_plot_lines(spark):
     assert len(ints) == 1 and ints[0].line == "1704067201.500000 3"
     floats = sorted(r.line for r in plot_lines(df, "v").collect())
     assert floats == ["1704067201.500000 0.500000", "1704067201.500000 1.000000"]
+
+
+def test_http_payload_per_partition_bound(spark):
+    """per_partition=True bounds body size by input partition (hot-key
+    safety); total record coverage is unchanged."""
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.sinks import http_payload
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("hot", t0 + dt.timedelta(seconds=i), f"m{i}") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "tag string, timestamp timestamp, msg string"
+    ).repartition(4)
+    out = http_payload(df, "json_lines", per_partition=True).collect()
+    assert len(out) > 1                    # hot key split across partitions
+    msgs = [
+        _json.loads(l)["msg"] for r in out for l in r.body.split("\n")
+    ]
+    assert sorted(msgs, key=lambda m: int(m[1:])) == [f"m{i}" for i in range(40)]
+    assert all(r.batch == "hot" for r in out)
