@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "decontaminate",
     "dedup_clusters",
     "domain_mix",
+    "c4_clean_docs",
+    "syslog_5424_lines",
+    "influxdb_lines",
+    "http_body",
+    "forward_wire_roundtrip",
 ]
 
 
