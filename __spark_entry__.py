@@ -1548,6 +1548,28 @@ def _c4_docs(spark, sf_dir):
     return docs.select("doc_id", synth.alias("text"))
 
 
+def kafka_messages_q(spark, sf_dir):
+    """out_kafka message shaping (plugins/out_kafka/kafka.c:187-300):
+    iso8601 timestamp injection, message_key_field, topic_key routing with
+    a configured topic list. Shuffle-free projection; full hash check."""
+    from fluent_bit_spark.connectors import kafka_messages
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("ev").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.col("event_type").alias("dest"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return kafka_messages(
+        ev,
+        ["events_default", "error", "purchase"],
+        timestamp_format="iso8601",
+        message_key_field="uid",
+        topic_key="dest",
+    )
+
+
 def plot_lines_q(spark, sf_dir):
     """out_plot gnuplot feed (plugins/out_plot/plot.c:181-196): %f epoch +
     value per record. Full-string oracle."""
@@ -1765,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": c4_clean_docs_q,
         "http_body": http_body_q,
         "plot_lines": plot_lines_q,
+        "kafka_messages": kafka_messages_q,
     }
 
 
@@ -2509,5 +2532,15 @@ def oracle_sql() -> dict[str, str]:
         "plot_lines": (
             "SELECT printf('%f', epoch_us(ts) / 1000000.0) || ' ' || "
             "printf('%f', value) AS line FROM events WHERE value IS NOT NULL"
+        ),
+        "kafka_messages": (
+            "SELECT CASE WHEN event_type IN ('error', 'purchase') "
+            "THEN event_type ELSE 'events_default' END AS topic, "
+            "CAST(user_id AS VARCHAR) AS key, "
+            "'{\"@timestamp\":\"' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' || "
+            "lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z\"' || "
+            "',\"event_id\":' || event_id || "
+            "',\"dest\":' || to_json(event_type) || "
+            "',\"uid\":\"' || user_id || '\"}' AS value FROM events"
         ),
     }

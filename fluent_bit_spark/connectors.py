@@ -1084,3 +1084,99 @@ def bigquery_rows(
     if insert_id_col:
         cols.insert(0, F.col(insert_id_col).cast("string").alias("insert_id"))
     return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# out_kafka — message shaping for the Kafka producer
+# --------------------------------------------------------------------------
+def kafka_messages(
+    df: DataFrame,
+    topics: list[str],
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    timestamp_key: str = "@timestamp",
+    timestamp_format: str = "double",
+    message_key: str | None = None,
+    message_key_field: str | None = None,
+    topic_key: str | None = None,
+    dynamic_topic: bool = False,
+    raw_log_key: str | None = None,
+) -> DataFrame:
+    """Shape records into (topic, key, value) rows — the exact columns
+    Spark's Kafka writer consumes — with out_kafka's semantics
+    (plugins/out_kafka/kafka.c:187-300 produce_message):
+
+    - ``value``: the record JSON with ``timestamp_key`` injected per
+      ``timestamp_format`` (double | iso8601 µs | iso8601_ns; kafka.c:
+      193-231). With ``raw_log_key`` the value is that field verbatim
+      (FLB_KAFKA_FMT_RAW) and nothing is injected.
+    - ``key``: the string value of ``message_key_field`` when present,
+      else the static ``message_key`` (kafka.c:243-250).
+    - ``topic``: the ``topic_key`` field's value when it names a configured
+      topic; with ``dynamic_topic`` any value is accepted unless it has a
+      comma or exceeds 249 chars (kafka.c:262-286); else the default
+      (first) topic.
+
+    Shuffle-free projection; at scale the Kafka writer partitions by key.
+    Spark renders the ``double`` timestamp value textually differently
+    than C's %.17g (value identical) — use iso8601 for byte parity."""
+    if not topics:
+        raise ValueError("need at least one topic")
+    ts = F.col(ts_col).cast("timestamp")
+    us = F.unix_micros(ts)
+    micros = F.format_string("%06d", (us % 1_000_000).cast("int"))
+    if timestamp_format == "double":
+        ts_val = us.cast("double") / F.lit(1e6)
+    elif timestamp_format == "iso8601":
+        ts_val = F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), micros, F.lit("Z")
+        )
+    elif timestamp_format == "iso8601_ns":
+        ts_val = F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("."), micros, F.lit("000Z"),
+        )
+    else:
+        raise ValueError(f"unknown timestamp_format {timestamp_format!r}")
+
+    others = [c for c in df.columns if c not in (tag_col, ts_col)]
+    if raw_log_key:
+        value = F.col(raw_log_key).cast("string")
+    else:
+        value = F.to_json(F.struct(ts_val.alias(timestamp_key), *[F.col(c) for c in others]))
+
+    key = F.lit(message_key).cast("string") if message_key else F.lit(None).cast("string")
+    if message_key_field and message_key_field in df.columns:
+        key = F.coalesce(F.col(message_key_field).cast("string"), key)
+
+    topic = F.lit(topics[0])
+    if topic_key and topic_key in df.columns:
+        tv = F.col(topic_key).cast("string")
+        known = tv.isin(topics)
+        ok_dynamic = (
+            F.lit(dynamic_topic)
+            & tv.isNotNull()
+            & ~tv.contains(",")
+            & (F.length(tv) <= 249)
+        )
+        topic = F.when(known | ok_dynamic, tv).otherwise(topic)
+
+    return df.select(topic.alias("topic"), key.alias("key"), value.alias("value"))
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topics: list[str],
+    checkpoint: str,
+    **shape_opts,
+):
+    """Streaming Kafka delivery: kafka_messages shaping -> writeStream
+    format("kafka") with checkpointed exactly-once-per-epoch delivery
+    (the engine-side replacement for rdkafka's queue/retry machinery)."""
+    msgs = kafka_messages(df, topics, **shape_opts)
+    return (
+        msgs.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -229,6 +229,26 @@ class Pipeline:
                 shaped = bigquery_rows(df, insert_id_col=out.get("insert_id_key"))
                 shaped.write.mode("overwrite").format("json").save(out["path"])
                 record(out, df.count())
+            elif name == "kafka":
+                from fluent_bit_spark.connectors import kafka_messages
+
+                topics = out.get("topics", "fluent-bit")
+                if isinstance(topics, str):
+                    topics = [t.strip() for t in topics.split(",")]
+                shaped = kafka_messages(
+                    df,
+                    topics,
+                    timestamp_key=out.get("timestamp_key", "@timestamp"),
+                    timestamp_format=out.get("timestamp_format", "double"),
+                    message_key=out.get("message_key"),
+                    message_key_field=out.get("message_key_field"),
+                    topic_key=out.get("topic_key"),
+                    dynamic_topic=bool(out.get("dynamic_topic", False)),
+                    raw_log_key=out.get("raw_log_key"),
+                )
+                # file-backed stand-in for the producer, like the es route
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
             elif name == "http":
                 from fluent_bit_spark.sinks import http_payload
 

@@ -518,3 +518,46 @@ def test_bigquery_rows_shape(spark):
     r = bigquery_rows(df, insert_id_col="rid").collect()[0]
     assert r.insert_id == "7"
     assert _json.loads(r.json) == {"status": "ok"}
+
+
+def test_kafka_messages_shaping(spark):
+    """out_kafka produce_message semantics (plugins/out_kafka/kafka.c:
+    187-300): timestamp injection, message_key_field, topic_key with
+    dynamic_topic validation, raw format."""
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import kafka_messages
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 250000)
+    df = spark.createDataFrame(
+        [
+            ("t", t0, "u1", "logs_b", "hello"),
+            ("t", t0, "u2", "other", "raw line"),
+            ("t", t0, None, "bad,comma", "x"),
+        ],
+        "tag string, timestamp timestamp, uid string, dest string, log string",
+    )
+    rows = kafka_messages(
+        df, ["logs_a", "logs_b"], timestamp_format="iso8601",
+        message_key="static", message_key_field="uid", topic_key="dest",
+    ).collect()
+    by_uid = {(_json.loads(r.value)["uid"] if _json.loads(r.value).get("uid") else None): r for r in rows}
+    assert by_uid["u1"].topic == "logs_b"      # configured topic matched
+    assert by_uid["u2"].topic == "logs_a"      # unknown -> default
+    assert by_uid["u1"].key == "u1" and by_uid[None].key == "static"
+    assert _json.loads(by_uid["u1"].value)["@timestamp"] == "2024-01-01T00:00:01.250000Z"
+
+    dyn = kafka_messages(
+        df, ["logs_a"], topic_key="dest", dynamic_topic=True
+    ).collect()
+    topics = sorted(r.topic for r in dyn)
+    assert topics == ["logs_a", "logs_b", "other"]  # comma topic rejected
+
+    raw = kafka_messages(df, ["logs_a"], raw_log_key="log").collect()
+    assert sorted(r.value for r in raw) == ["hello", "raw line", "x"]
+
+    with pytest.raises(ValueError):
+        kafka_messages(df, [])
+    with pytest.raises(ValueError):
+        kafka_messages(df, ["a"], timestamp_format="stardate")
