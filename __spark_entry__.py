@@ -1548,6 +1548,26 @@ def _c4_docs(spark, sf_dir):
     return docs.select("doc_id", synth.alias("text"))
 
 
+def similarity_pq_ann_q(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): per-subspace L2
+    codebooks on a deterministic bounded sample, uint8 codes (32x smaller
+    scan), ADC table-lookup top-k. Rows-only check — codebooks depend on
+    float k-means iteration; recall vs exact search is asserted in
+    tests/test_extensions.py."""
+    from fluent_bit_spark.extensions.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    books = pq_train(emb, m=8, ksub=16, iters=3, sample=1024)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(codes, queries, books, k=5)
+    return out.select("query_id", "vec_id", "rank", F.round("adist", 4).alias("adist"))
+
+
 def kafka_messages_q(spark, sf_dir):
     """out_kafka message shaping (plugins/out_kafka/kafka.c:187-300):
     iso8601 timestamp injection, message_key_field, topic_key routing with
@@ -1788,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_body": http_body_q,
         "plot_lines": plot_lines_q,
         "kafka_messages": kafka_messages_q,
+        "similarity_pq_ann": similarity_pq_ann_q,
     }
 
 

@@ -271,3 +271,140 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN for the 100 TB regime
+# (Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search").
+# 64-dim float32 -> m uint8 codes = 32x smaller scan; the codebook
+# (m x ksub x dsub floats) is the only driver-side state.
+# --------------------------------------------------------------------------
+def _l2_kmeans_subspace(
+    sub: pd.DataFrame, ksub: int, iters: int
+) -> np.ndarray:
+    """Driver-side Lloyd steps on an already-sampled subspace matrix
+    (numpy; the sample is bounded, the full corpus never leaves executors)."""
+    X = np.stack(sub["v"].to_numpy())
+    # deterministic init: rows with smallest xxhash-like key (already sorted)
+    cents = X[:ksub].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(ksub):
+            mask = assign == c
+            if mask.any():
+                cents[c] = X[mask].mean(axis=0)
+    return cents
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+) -> list:
+    """Train per-subspace L2 codebooks on a deterministic bounded sample
+    (smallest xxhash64(id) rows — same sample every run/executor). Returns
+    an (m, ksub, dsub) nested list. Driver state is the codebook + the
+    sample only; at 100 TB `sample` stays a few thousand rows, the
+    published PQ training regime."""
+    rows = (
+        corpus.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample)
+        .toPandas()
+    )
+    vecs = np.stack(rows[vec_col].apply(lambda v: np.asarray(v, dtype="float64")))
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = pd.DataFrame({"v": list(vecs[:, s * dsub : (s + 1) * dsub])})
+        books.append(_l2_kmeans_subspace(sub, ksub, iters).tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: array<int>) — per-subspace argmin against the broadcast
+    codebook, one Arrow/numpy pass per batch. Map-side only; no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype="float64")  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype="float64").reshape(m, dsub)
+            # (m, ksub) distances, argmin per subspace
+            d = ((x[:, None, :] - cb) ** 2).sum(axis=2)
+            out.append(d.argmin(axis=1).astype("int32"))
+        return pd.Series(out)
+
+    return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k: per query build the (m, ksub) distance table once, then
+    score every code row as a table-lookup sum (asymmetric distance
+    computation). The scan touches only the uint8 codes — the compressed
+    dataset — and the per-query table is a closure broadcast. Output
+    (query_id, vec_id, adist, rank) ascending distance.
+
+    Scale: one pass over codes per query batch, top-k via per-query
+    window on the scored (tiny) output."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype="float64")
+    m, ksub, dsub = cb.shape
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qmat = np.stack([np.asarray(r[query_vec_col], dtype="float64") for r in qrows])
+    # (nq, m, ksub) lookup tables
+    tables = ((qmat.reshape(len(qids), m, 1, dsub) - cb[None]) ** 2).sum(axis=3)
+
+    @pandas_udf("array<double>")
+    def adist(codes_s: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(m)
+        for c in codes_s:
+            if c is None:
+                out.append(None)
+                continue
+            code = np.asarray(c, dtype="int64")
+            out.append(tables[:, idx, code].sum(axis=1))
+        return pd.Series(out)
+
+    scored = codes.select(
+        F.col(id_col), F.posexplode(adist(F.col("codes"))).alias("qi", "adist")
+    )
+    qmap = F.array(*[F.lit(q) for q in qids])
+    scored = scored.select(
+        F.element_at(qmap, F.col("qi") + 1).alias(query_id_col),
+        id_col,
+        "adist",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

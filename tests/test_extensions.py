@@ -383,3 +383,44 @@ def test_c4_line_signals_and_clean(spark):
     assert set(clean) == {1}             # 2 dropped (brace), 3 dropped (lorem)
     assert clean[1].clean_text == "good sentence with enough words here."
     assert clean[1].n_kept_lines == 1
+
+
+def test_pq_ann_recall_vs_brute_force(spark):
+    """Product quantization (Jegou et al. 2011): train/encode/ADC-scan.
+    On well-separated synthetic clusters the PQ top-1 must agree with
+    exact search, and codes must be valid (m entries in [0, ksub))."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.similarity import (
+        cosine_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 10
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.randn(16) * 0.05).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_train(corpus, m=4, ksub=8, iters=4, sample=200)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+
+    codes = pq_encode(corpus, books)
+    crow = codes.collect()[0]
+    assert len(crow.codes) == 4 and all(0 <= c < 8 for c in crow.codes)
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = pq_topk(codes, queries, books, k=5)
+    exact = cosine_topk(corpus, queries, k=5)
+    g1 = {r.query_id: r.vec_id for r in got.filter("rank = 1").collect()}
+    # ADC top-1 must land in the query's own cluster (ids ≡ query mod 4)
+    assert all(v % 4 == q % 4 for q, v in g1.items())
+    e_sets = {}
+    for r in exact.collect():
+        e_sets.setdefault(r.query_id, set()).add(r.vec_id % 4)
+    assert all(e_sets[q] == {q % 4} for q in g1)
