@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -78,4 +78,106 @@ def kafka_source(
         F.col("timestamp").alias(TS_COL),
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
+    )
+
+
+def random_source(
+    spark: SparkSession,
+    rows_per_second: int = 1,
+    tag: str = "random.0",
+    seed: int = 42,
+) -> DataFrame:
+    """in_random analog (plugins/in_random/random.c:52-105: one
+    ``rand_value`` per interval). The reference draws from the OS entropy
+    pool; a distributed engine needs reproducible values, so rand_value =
+    xxhash64(seq, seed) — uniform over int64 and identical on re-run/retry
+    (the property the engine actually needs from a test source)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.lit(tag).alias(TAG_COL),
+            F.col("timestamp").alias(TS_COL),
+            F.xxhash64(F.col("value"), F.lit(seed)).alias("rand_value"),
+        )
+    )
+
+
+def head_source(
+    spark: SparkSession,
+    path: str,
+    lines: int = 0,
+    split_line: bool = False,
+    key: str = "head",
+    tag: str = "head.0",
+) -> DataFrame:
+    """in_head analog (plugins/in_head/in_head.c): the first ``lines``
+    lines of each matched file, either as one record per file under
+    ``key`` (joined) or one record per line (``split_line``,
+    in_head.c:173-227). Batch source — the reference re-reads per
+    interval; here one read per trigger/run is the engine's model."""
+    df = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn(
+            "__n",
+            F.row_number().over(
+                Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+    )
+    if lines > 0:
+        df = df.filter(F.col("__n") <= lines)
+    if split_line:
+        out = df.select(
+            F.lit(tag).alias(TAG_COL),
+            F.current_timestamp().alias(TS_COL),
+            "file",
+            F.col("__n").alias("line_no"),
+            F.col("value").alias(key),
+        )
+    else:
+        out = (
+            df.groupBy("file")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__n", "value"))),
+                        lambda s: s["value"],
+                    ),
+                    "\n",
+                ).alias(key)
+            )
+            .select(
+                F.lit(tag).alias(TAG_COL),
+                F.current_timestamp().alias(TS_COL),
+                "file",
+                key,
+            )
+        )
+    return out
+
+
+def exec_source(
+    spark: SparkSession,
+    records: list[dict] | None = None,
+    tag: str = "exec.0",
+    key: str = "exec",
+) -> DataFrame:
+    """in_exec analog (plugins/in_exec/): the reference shells out and
+    captures stdout lines. Running arbitrary commands inside executors is
+    a cluster-policy decision, so this is the documented STUB shape: the
+    caller supplies the captured output lines (e.g. from a driver-side
+    subprocess) and gets the same (tag, ts, key) envelope the plugin
+    emits."""
+    if records is None:
+        raise NotImplementedError(
+            "exec_source needs the captured command output passed in; "
+            "arbitrary executor-side exec is deliberately not provided"
+        )
+    rows = [(tag, r if isinstance(r, str) else str(r)) for r in records]
+    return (
+        spark.createDataFrame(rows, f"{TAG_COL} string, {key} string")
+        .withColumn(TS_COL, F.current_timestamp())
     )

@@ -213,3 +213,38 @@ def test_dedup_stream(spark, tmp_path):
     _run_to_memory(out, "dd")
     texts = sorted(r.text for r in spark.sql("SELECT * FROM dd").collect())
     assert texts == ["alpha beta", "gamma delta", "unique one"]
+
+
+def test_head_source_modes(spark, tmp_path):
+    """in_head (plugins/in_head/in_head.c): first N lines per file, joined
+    under a key or split one-record-per-line."""
+    from fluent_bit_spark.streaming.sources import head_source
+
+    (tmp_path / "a.log").write_text("l1\nl2\nl3\nl4\n")
+    (tmp_path / "b.log").write_text("x1\nx2\n")
+    joined = head_source(spark, str(tmp_path / "*.log"), lines=2).collect()
+    got = {r.file.rsplit("/", 1)[-1]: r.head for r in joined}
+    assert got == {"a.log": "l1\nl2", "b.log": "x1\nx2"}
+
+    split = head_source(
+        spark, str(tmp_path / "a.log"), lines=3, split_line=True
+    ).orderBy("line_no").collect()
+    assert [r.head for r in split] == ["l1", "l2", "l3"]
+    assert split[0].tag == "head.0"
+
+
+def test_exec_source_stub_and_random_shape(spark):
+    import pytest as _pytest
+
+    from fluent_bit_spark.streaming.sources import exec_source, random_source
+
+    df = exec_source(spark, ["out1", "out2"], tag="exec.cmd")
+    rows = df.collect()
+    assert [r.exec for r in rows] == ["out1", "out2"]
+    assert all(r.tag == "exec.cmd" for r in rows)
+    with _pytest.raises(NotImplementedError):
+        exec_source(spark)
+
+    stream = random_source(spark, rows_per_second=5)
+    assert stream.isStreaming
+    assert set(stream.columns) == {"tag", "timestamp", "rand_value"}
