@@ -1548,6 +1548,39 @@ def _c4_docs(spark, sf_dir):
     return docs.select("doc_id", synth.alias("text"))
 
 
+def kinesis_shape_q(spark, sf_dir):
+    """out_kinesis_streams data shaping (kinesis_api.c): base64(record JSON
+    + strftime time_key). The partition key uses engine-side xxhash64
+    (pytest-checked) so the oracle checks the data payload."""
+    from fluent_bit_spark.connectors import kinesis_records
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("kin").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "event_type",
+    )
+    return kinesis_records(ev, time_key="time").select("data")
+
+
+def azure_shape_q(spark, sf_dir):
+    """out_azure Log Analytics shaping (azure.c:95-160): ISO-ms time_key
+    (time_generated mode), per-record log_type resolution."""
+    from fluent_bit_spark.connectors import azure_records
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("az").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("lt"),
+        "props",
+    )
+    out = azure_records(
+        ev, time_generated=True, log_type="fbs", log_type_key="lt"
+    )
+    return out.withColumnRenamed("@timestamp", "time_gen")
+
+
 def similarity_pq_ann_q(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011): per-subspace L2
     codebooks on a deterministic bounded sample, uint8 codes (32x smaller
@@ -1809,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plot_lines": plot_lines_q,
         "kafka_messages": kafka_messages_q,
         "similarity_pq_ann": similarity_pq_ann_q,
+        "kinesis_shape": kinesis_shape_q,
+        "azure_shape": azure_shape_q,
     }
 
 
@@ -2563,5 +2598,18 @@ def oracle_sql() -> dict[str, str]:
             "',\"event_id\":' || event_id || "
             "',\"dest\":' || to_json(event_type) || "
             "',\"uid\":\"' || user_id || '\"}' AS value FROM events"
+        ),
+        "kinesis_shape": (
+            "SELECT to_base64(encode('{\"event_id\":' || event_id || "
+            "',\"event_type\":' || to_json(event_type) || "
+            "',\"time\":\"' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '\"}')) "
+            "AS data FROM events"
+        ),
+        "azure_shape": (
+            "SELECT CASE WHEN event_id % 3 = 0 THEN event_type ELSE 'fbs' END "
+            "AS log_type, "
+            "strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' || "
+            "lpad(CAST(epoch_us(ts) % 1000000 // 1000 AS VARCHAR), 3, '0') || 'Z' "
+            "AS time_gen, event_id, props FROM events"
         ),
     }

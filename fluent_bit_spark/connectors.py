@@ -1180,3 +1180,115 @@ def kafka_sink(
         .option("kafka.bootstrap.servers", brokers)
         .option("checkpointLocation", checkpoint)
     )
+
+
+# --------------------------------------------------------------------------
+# out_kinesis_streams — PutRecords entry shaping
+# --------------------------------------------------------------------------
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%j": "DDD", "%z": "Z", "%b": "MMM", "%y": "yy",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """strftime -> Java DateTimeFormatter, quoting literal runs so chars
+    like 'T' aren't read as pattern letters."""
+    out, lit = [], []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        tok = fmt[i : i + 2]
+        if tok in _STRFTIME_MAP:
+            flush()
+            out.append(_STRFTIME_MAP[tok])
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def kinesis_records(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    log_key: str | None = None,
+    time_key: str | None = None,
+    time_key_format: str = "%Y-%m-%dT%H:%M:%S",
+) -> DataFrame:
+    """Shape records into Kinesis PutRecords entries
+    (plugins/out_kinesis_streams/kinesis_api.c): ``data`` =
+    base64(record JSON [+ ``time_key`` strftime] or the ``log_key`` value),
+    ``partition_key`` = two mod-7919 hash fragments concatenated
+    (kinesis_api.c:109-140 random_partition_key). The reference mixes
+    wall-clock entropy into the key for shard spreading; a deterministic
+    engine derives both fragments from (tag, ts, position) — the same
+    uniform shard distribution, reproducible on retry."""
+    others = [c for c in df.columns if c not in (tag_col, ts_col)]
+    ts = F.col(ts_col).cast("timestamp")
+    if log_key:
+        body = F.col(log_key).cast("string")
+    else:
+        fields = [F.col(c) for c in others]
+        if time_key:
+            fields.append(F.date_format(ts, _strftime_to_java(time_key_format)).alias(time_key))
+        body = F.to_json(F.struct(*fields))
+    h1 = F.pmod(F.xxhash64(F.col(tag_col)), F.lit(7919)).cast("string")
+    h2 = F.pmod(F.xxhash64(F.col(tag_col), ts, body), F.lit(7919)).cast("string")
+    # Spark's base64 is MIME-chunked (CRLF every 76 chars); the wire format
+    # is the unchunked RFC 4648 form
+    b64 = F.regexp_replace(F.base64(body.cast("binary")), "[\\r\\n]", "")
+    return df.select(
+        F.concat(h1, h2).alias("partition_key"),
+        b64.alias("data"),
+    )
+
+
+# --------------------------------------------------------------------------
+# out_azure — Log Analytics record shaping
+# --------------------------------------------------------------------------
+def azure_records(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    time_key: str = "@timestamp",
+    time_generated: bool = False,
+    log_type: str = "fluentbit",
+    log_type_key: str | None = None,
+) -> DataFrame:
+    """Shape records for the Azure Log Analytics collector API
+    (plugins/out_azure/azure.c:95-160): per record the body fields plus
+    ``time_key`` — ISO8601 with milliseconds when ``time_generated``
+    (azure.c:130-144, also sent as the time-generated-field header), else
+    float seconds — and ``log_type`` resolved per record from
+    ``log_type_key`` when configured (azure.c:105-120), else the static
+    ``Log_Type``."""
+    others = [
+        c for c in df.columns if c not in (tag_col, ts_col, log_type_key)
+    ]
+    ts = F.col(ts_col).cast("timestamp")
+    us = F.unix_micros(ts)
+    if time_generated:
+        ms = F.format_string("%03d", ((us % 1_000_000) / 1000).cast("int"))
+        t_val = F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), ms, F.lit("Z")
+        )
+    else:
+        t_val = us.cast("double") / F.lit(1e6)
+    lt = (
+        F.coalesce(F.col(log_type_key).cast("string"), F.lit(log_type))
+        if log_type_key and log_type_key in df.columns
+        else F.lit(log_type)
+    )
+    return df.select(
+        lt.alias("log_type"),
+        t_val.alias(time_key),
+        *[F.col(c) for c in others],
+    )

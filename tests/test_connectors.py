@@ -561,3 +561,51 @@ def test_kafka_messages_shaping(spark):
         kafka_messages(df, [])
     with pytest.raises(ValueError):
         kafka_messages(df, ["a"], timestamp_format="stardate")
+
+
+def test_kinesis_records_shape(spark):
+    """out_kinesis_streams PutRecords entries (kinesis_api.c): base64 data
+    with optional time_key injection, mod-7919 partition key fragments."""
+    import base64
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import kinesis_records
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1)
+    df = spark.createDataFrame(
+        [("app", t0, "hello", 3)],
+        "tag string, timestamp timestamp, msg string, n long",
+    )
+    r = kinesis_records(df, time_key="ts").collect()[0]
+    body = _json.loads(base64.b64decode(r.data))
+    assert body == {"msg": "hello", "n": 3, "ts": "2024-01-01T00:00:01"}
+    a, b = int(r.partition_key[: len(r.partition_key) // 2] or 0), 0
+    assert r.partition_key.isdigit()
+    assert int(r.partition_key) >= 0  # two concatenated mod-7919 fragments
+
+    raw = kinesis_records(df, log_key="msg").collect()[0]
+    assert base64.b64decode(raw.data).decode() == "hello"
+
+
+def test_azure_records_shape(spark):
+    """out_azure Log Analytics records (azure.c:95-160): time_generated
+    ISO-ms vs float seconds, per-record log_type resolution."""
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import azure_records
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 250000)
+    df = spark.createDataFrame(
+        [("app", t0, "m1", "custom"), ("app", t0, "m2", None)],
+        "tag string, timestamp timestamp, msg string, lt string",
+    )
+    rows = azure_records(
+        df, time_generated=True, log_type="dflt", log_type_key="lt"
+    ).orderBy("msg").collect()
+    assert rows[0]["@timestamp"] == "2024-01-01T00:00:01.250Z"
+    assert rows[0].log_type == "custom" and rows[1].log_type == "dflt"
+    assert set(rows[0].asDict()) == {"log_type", "@timestamp", "msg"}
+
+    flt = azure_records(df).collect()[0]
+    assert abs(flt["@timestamp"] - 1704067201.25) < 1e-9
