@@ -1548,6 +1548,34 @@ def _c4_docs(spark, sf_dir):
     return docs.select("doc_id", synth.alias("text"))
 
 
+def http_requests_q(spark, sf_dir):
+    """in_http receiver roundtrip (plugins/in_http/http_prot.c:630-700):
+    events framed into per-type JSON-array request bodies, decoded back to
+    records with the tag from the URI path. Oracle is the plain table."""
+    from fluent_bit_spark.connectors import http_requests_decode
+
+    ev = _events(spark, sf_dir)
+    bodies = (
+        ev.select(
+            "event_type",
+            F.to_json(F.struct("event_id", "user_id")).alias("j"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.concat(
+                F.lit("["), F.array_join(F.collect_list("j"), ","), F.lit("]")
+            ).alias("body")
+        )
+        .select(F.concat(F.lit("/"), F.col("event_type")).alias("uri"), "body")
+    )
+    dec = http_requests_decode(bodies, uri_col="uri")
+    return dec.select(
+        F.col("tag").alias("event_type"),
+        F.get_json_object("record", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("record", "$.user_id").cast("long").alias("user_id"),
+    )
+
+
 def kinesis_shape_q(spark, sf_dir):
     """out_kinesis_streams data shaping (kinesis_api.c): base64(record JSON
     + strftime time_key). The partition key uses engine-side xxhash64
@@ -1844,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_ann": similarity_pq_ann_q,
         "kinesis_shape": kinesis_shape_q,
         "azure_shape": azure_shape_q,
+        "http_requests": http_requests_q,
     }
 
 
@@ -2611,5 +2640,8 @@ def oracle_sql() -> dict[str, str]:
             "strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' || "
             "lpad(CAST(epoch_us(ts) % 1000000 // 1000 AS VARCHAR), 3, '0') || 'Z' "
             "AS time_gen, event_id, props FROM events"
+        ),
+        "http_requests": (
+            "SELECT event_type, event_id, user_id FROM events"
         ),
     }

@@ -1292,3 +1292,41 @@ def azure_records(
         t_val.alias(time_key),
         *[F.col(c) for c in others],
     )
+
+
+# --------------------------------------------------------------------------
+# in_http — HTTP JSON receiver decode
+# --------------------------------------------------------------------------
+def http_requests_decode(
+    df: DataFrame,
+    body_col: str = "body",
+    uri_col: str | None = None,
+    tag_key: str | None = None,
+    default_tag: str = "http.0",
+) -> DataFrame:
+    """Decode in_http request bodies (plugins/in_http/http_prot.c:630-700):
+    each body is one JSON object or a JSON array of objects; every object
+    becomes a record. The tag is resolved per record — the ``tag_key``
+    field when present and a string (http_prot.c:205-233), else the URI
+    path with the leading '/' stripped, else the default.
+
+    Catalyst-only: array bodies are exploded via from_json to
+    array<string> (elements come back as their raw JSON text). Scale =
+    shuffle-free; one explode per request row."""
+    body = F.trim(F.col(body_col))
+    arr = F.when(body.startswith("["), body).otherwise(
+        F.concat(F.lit("["), body, F.lit("]"))
+    )
+    others = [c for c in df.columns if c != body_col]
+    out = df.select(
+        *others, F.explode(F.from_json(arr, "array<string>")).alias("record")
+    )
+    tag = F.lit(default_tag)
+    if uri_col and uri_col in df.columns:
+        uri_tag = F.regexp_replace(F.col(uri_col).cast("string"), "^/", "")
+        tag = F.when(uri_tag != "", uri_tag).otherwise(tag)
+    if tag_key:
+        tag = F.coalesce(
+            F.get_json_object(F.col("record"), f"$.{tag_key}"), tag
+        )
+    return out.select(tag.alias("tag"), "record", *[c for c in others])

@@ -609,3 +609,25 @@ def test_azure_records_shape(spark):
 
     flt = azure_records(df).collect()[0]
     assert abs(flt["@timestamp"] - 1704067201.25) < 1e-9
+
+
+def test_http_requests_decode(spark):
+    """in_http receiver (http_prot.c:630-700): object vs array bodies,
+    tag from tag_key field else URI path else default."""
+    import json as _json
+
+    from fluent_bit_spark.connectors import http_requests_decode
+
+    df = spark.createDataFrame(
+        [
+            (1, "/app.logs", '[{"m": "a", "t": "custom"}, {"m": "b"}]'),
+            (2, "/", '{"m": "c"}'),
+        ],
+        "req int, uri string, body string",
+    )
+    rows = http_requests_decode(
+        df, uri_col="uri", tag_key="t"
+    ).orderBy("record").collect()
+    got = [(r.tag, _json.loads(r.record)["m"]) for r in rows]
+    assert got == [("custom", "a"), ("app.logs", "b"), ("http.0", "c")]
+    assert rows[0].req == 1 and rows[2].req == 2
