@@ -316,6 +316,28 @@ PRESET_DEFS: dict[str, dict] = {
         "format": "regex",
         "regex": r"(?<tag>[^.]+)?\.?(?<pod_name>[a-z0-9](?:[-a-z0-9]*[a-z0-9])?(?:\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespace_name>[^_]+)_(?<container_name>.+)-(?<docker_id>[a-z0-9]{64})\.log$",
     },
+    # conf/parsers.conf k8s-nginx-ingress (Oniguruma -> Python translation)
+    "k8s-nginx-ingress": {
+        "format": "regex",
+        "regex": r'^(?<host>[^ ]*) - (?<user>[^ ]*) \[(?<time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)?" (?<code>[^ ]*) (?<size>[^ ]*) "(?<referer>[^\"]*)" "(?<agent>[^\"]*)" (?<request_length>[^ ]*) (?<request_time>[^ ]*) \[(?<proxy_upstream_name>[^ ]*)\] (?:\[(?<proxy_alternative_upstream_name>[^ ]*)\] )?(?<upstream_addr>[^ ]*) (?<upstream_response_length>[^ ]*) (?<upstream_response_time>[^ ]*) (?<upstream_status>[^ ]*) (?<reg_id>[^ ]*).*$',
+        "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z",
+        "types": {"code": "int", "size": "int"},
+    },
+    # conf/parsers.conf istio-envoy-proxy
+    "istio-envoy-proxy": {
+        "format": "regex",
+        "regex": r'^\[(?<start_time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)? (?<protocol>\S+)" (?<response_code>[^ ]*) (?<response_flags>[^ ]*) (?<response_code_details>[^ ]*) (?<connection_termination_details>[^ ]*) "(?<upstream_transport_failure_reason>[^ ]*)" (?<bytes_received>[^ ]*) (?<bytes_sent>[^ ]*) (?<duration>[^ ]*) (?<x_envoy_upstream_service_time>[^ ]*) "(?<x_forwarded_for>[^ ]*)" "(?<user_agent>[^\"]*)" "(?<x_request_id>[^\"]*)" "(?<authority>[^ ]*)" "(?<upstream_host>[^ ]*)" (?<upstream_cluster>[^ ]*) (?<upstream_local_address>[^ ]*) (?<downstream_local_address>[^ ]*) (?<downstream_remote_address>[^ ]*) (?<requested_server_name>[^ ]*) (?<route_name>[^  ]*)$',
+        "time_key": "start_time", "time_format": "%Y-%m-%dT%H:%M:%S.%L%z",
+        "types": {"response_code": "int", "bytes_received": "int", "bytes_sent": "int", "duration": "int"},
+    },
+    # conf/parsers.conf kmsg-netfilter-log (named groups only; the C regex's
+    # anonymous (D*F*) flag group is non-capturing here)
+    "kmsg-netfilter-log": {
+        "format": "regex",
+        "regex": r"^\<(?<pri>[0-9]{1,5})\>1 (?<time>[^ ]+) (?<host>[^ ]+) kernel - - - \[[0-9\.]*\] (?<logprefix>[^ ]*)\s?IN=(?<in>[^ ]*) OUT=(?<out>[^ ]*) MAC=(?<macsrc>[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}):(?<macdst>[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}):(?<ethtype>[0-9a-f]{2}:[0-9a-f]{2}) SRC=(?<saddr>[^ ]*) DST=(?<daddr>[^ ]*) LEN=(?<len>[^ ]*) TOS=(?<tos>[^ ]*) PREC=(?<prec>[^ ]*) TTL=(?<ttl>[^ ]*) ID=(?<id>[^ ]*) (?:D*F*)\s*PROTO=(?<proto>[^ ]*)\s?(?:(?:SPT=)?(?<sport>[0-9]*))\s?(?:(?:DPT=)?(?<dport>[0-9]*))\s?(?:(?:LEN=)?(?<protolen>[0-9]*))\s?(?:(?:WINDOW=)?(?<window>[0-9]*))\s?(?:(?:RES=)?(?<res>0?x?[0-9]*))\s?(?<flag>[^ ]*)\s?(?:(?:URGP=)?(?<urgp>[0-9]*))",
+        "time_key": "time", "time_format": "%Y-%m-%dT%H:%M:%S.%L%z",
+        "types": {"pri": "int"},
+    },
 }
 
 

@@ -333,6 +333,33 @@ def test_preset_parsers(spark):
             '[2024-01-01T10:00:00.000Z] "GET /api HTTP/1.1" 200 - 10 20 5 3 "1.2.3.4" "ua" "rid" "auth" "uh"',
             {"method": "GET", "code": 200, "bytes_sent": 20},
         ),
+        "k8s-nginx-ingress": (
+            '10.0.0.1 - bob [10/Oct/2000:13:55:36 -0700] "GET /svc HTTP/1.1" '
+            '200 512 "-" "curl" 400 0.005 [default-svc-80] [alt-svc] '
+            "10.1.0.5:80 512 0.004 200 abc123",
+            {"host": "10.0.0.1", "code": 200,
+             "proxy_upstream_name": "default-svc-80",
+             "proxy_alternative_upstream_name": "alt-svc",
+             "upstream_addr": "10.1.0.5:80", "reg_id": "abc123"},
+        ),
+        "istio-envoy-proxy": (
+            '[2024-01-01T10:00:00.000Z] "GET /api HTTP/1.1" 200 - via_upstream '
+            '- "-" 10 20 5 3 "1.2.3.4" "ua" "rid" "auth" "10.1.0.7:80" '
+            "outbound|80||svc.default 10.1.0.2:52000 10.2.0.1:80 10.3.0.1:41000 - default",
+            {"method": "GET", "response_code": 200, "bytes_sent": 20,
+             "upstream_cluster": "outbound|80||svc.default",
+             "route_name": "default"},
+        ),
+        "kmsg-netfilter-log": (
+            "<5>1 2024-01-01T10:00:00.000000+00:00 host1 kernel - - - [123.456] "
+            "nflog: IN=eth0 OUT= "
+            "MAC=aa:bb:cc:dd:ee:ff:11:22:33:44:55:66:08:00 "
+            "SRC=10.0.0.1 DST=10.0.0.2 LEN=60 TOS=0x00 PREC=0x00 TTL=64 "
+            "ID=12345 DF PROTO=TCP SPT=44000 DPT=443 WINDOW=64240 RES=0x00 SYN URGP=0",
+            {"pri": 5, "in": "eth0", "macsrc": "aa:bb:cc:dd:ee:ff",
+             "saddr": "10.0.0.1", "proto": "TCP", "sport": "44000",
+             "dport": "443", "flag": "SYN"},
+        ),
     }
     for name, (line, want) in cases.items():
         p = preset_parser(name)
