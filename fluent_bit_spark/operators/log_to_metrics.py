@@ -42,6 +42,8 @@ def log_to_metrics(
     time_col: str = TS_COL,
     buckets: tuple[float, ...] = DEFAULT_BUCKETS,
     quantiles: tuple[float, ...] | None = None,
+    approx_quantiles: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """mode: 'counter' (count records), 'gauge' (latest value_field),
     'histogram' (bucketed counts of value_field), 'summary' (quantiles +
@@ -95,15 +97,23 @@ def log_to_metrics(
         if not value_field:
             raise ValueError("summary mode requires value_field")
         v = F.col(value_field).cast("double")
-        # exact percentiles (linear interpolation — matches SQL
-        # percentile_cont); switch to approx_percentile at extreme group
-        # cardinality if exactness isn't required
+        # exact percentiles by default (linear interpolation — matches SQL
+        # percentile_cont). approx_quantiles=True switches to the
+        # Greenwald-Khanna sketch (percentile_approx): bounded memory per
+        # group regardless of group size — the 100 TB path when a hot label
+        # set would otherwise buffer its whole value list in the exact agg.
         qs = quantiles or (0.5, 0.9, 0.99)
 
         def qname(q):
             return f"q_{q}".replace(".", "_")
 
-        q_exprs = [F.percentile(v, F.lit(q)).alias(qname(q)) for q in qs]
+        if approx_quantiles:
+            q_exprs = [
+                F.percentile_approx(v, F.lit(q), F.lit(approx_accuracy)).alias(qname(q))
+                for q in qs
+            ]
+        else:
+            q_exprs = [F.percentile(v, F.lit(q)).alias(qname(q)) for q in qs]
         agg = df.groupBy(*gb).agg(
             *q_exprs,
             F.sum(v).alias("sum_value"),

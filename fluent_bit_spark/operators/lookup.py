@@ -117,3 +117,37 @@ def enrich(
         ]
         dim = dim.select(*cols)
     return df.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-safe equi-join for when the dimension is too large to
+    broadcast AND the fact side's key distribution is skewed: the dim side
+    is replicated ``salt`` times with a salt id, the big side picks a
+    deterministic salt from its row content, and the join key becomes
+    (key, salt) — a hot key's rows spread over ``salt`` reducers instead of
+    one straggler.
+
+    AQE's skew-join split (spark.sql.adaptive.skewJoin) handles most cases
+    at runtime and should be preferred; explicit salting is for the
+    AQE-ineligible shapes (e.g. a skewed key under a windowed agg pipeline
+    where the join and agg must share partitioning). Deterministic salt =
+    pmod(xxhash64(all big-side columns), salt) — reproducible on retry,
+    unlike rand()."""
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    salted_dim = dim.crossJoin(
+        F.broadcast(
+            dim.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+    )
+    out = big_salted.join(salted_dim, [key, "__salt"], how)
+    return out.drop("__salt")

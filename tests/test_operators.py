@@ -571,3 +571,46 @@ def test_http_payload_per_partition_bound(spark):
     ]
     assert sorted(msgs, key=lambda m: int(m[1:])) == [f"m{i}" for i in range(40)]
     assert all(r.batch == "hot" for r in out)
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """Explicit skew salting: (key, salt) join equals the plain join while
+    spreading a hot key over `salt` reducers."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.lookup import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 0)], "k string, n long"
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k string, label string"
+    )
+    got = salted_join(big, dim, "k", salt=8)
+    assert got.count() == 501
+    assert got.filter("label IS NULL").count() == 0
+    plain = big.join(dim, "k", "left")
+    assert (
+        got.groupBy("k", "label").count().orderBy("k").collect()
+        == plain.groupBy("k", "label").count().orderBy("k").collect()
+    )
+    with pytest.raises(ValueError):
+        salted_join(big, dim, "k", salt=0)
+
+
+def test_log_to_metrics_summary_approx(spark):
+    """approx_quantiles uses the GK sketch — bounded state per group; on
+    clean data the q50 must land on the true median."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 102)], "g string, v double"
+    ).withColumn("timestamp", F.current_timestamp())
+    out = log_to_metrics(
+        df, "summary", "lat", label_keys=["g"], value_field="v",
+        approx_quantiles=True,
+    ).collect()[0]
+    assert out.q_0_5 == 51.0
+    assert out.count_value == 101.0
