@@ -1548,6 +1548,37 @@ def _c4_docs(spark, sf_dir):
     return docs.select("doc_id", synth.alias("text"))
 
 
+def logdna_shape_q(spark, sf_dir):
+    """out_logdna line shaping (plugins/out_logdna/logdna.c:62-180):
+    epoch-ms timestamp, severity promoted to level, static app fallback,
+    the rest folded into the JSON line."""
+    from fluent_bit_spark.connectors import logdna_lines
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("ld").alias("tag"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("severity"),
+        "event_id",
+        "props",
+    )
+    return logdna_lines(ev, app="bench")
+
+
+def nats_body_q(spark, sf_dir):
+    """out_nats subject payloads (plugins/out_nats/nats.c:81-150): JSON
+    arrays of [epoch.micros, record] pairs per subject, (ts, entry)
+    sorted."""
+    from fluent_bit_spark.connectors import nats_body
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("event_type")).alias("tag"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "user_id",
+    )
+    return nats_body(ev)
+
+
 def http_requests_q(spark, sf_dir):
     """in_http receiver roundtrip (plugins/in_http/http_prot.c:630-700):
     events framed into per-type JSON-array request bodies, decoded back to
@@ -1873,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kinesis_shape": kinesis_shape_q,
         "azure_shape": azure_shape_q,
         "http_requests": http_requests_q,
+        "logdna_shape": logdna_shape_q,
+        "nats_body": nats_body_q,
     }
 
 
@@ -2643,5 +2676,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "http_requests": (
             "SELECT event_type, event_id, user_id FROM events"
+        ),
+        "logdna_shape": (
+            'SELECT epoch_us(ts) // 1000 AS "timestamp", '
+            "event_type AS level, 'bench' AS app, "
+            "'{\"event_id\":' || event_id || ',\"props\":' || to_json(props) || '}' "
+            "AS line FROM events"
+        ),
+        "nats_body": (
+            "WITH rec AS (SELECT 'ev.' || event_type AS subject, ts, "
+            "'[' || (epoch_us(ts) // 1000000) || '.' || "
+            "lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || ',' || "
+            "'{\"event_id\":' || event_id || ',\"user_id\":' || user_id || '}]' AS e "
+            "FROM events) "
+            "SELECT subject, '[' || string_agg(e, ',' ORDER BY ts, e) || ']' AS body "
+            "FROM rec GROUP BY subject"
         ),
     }

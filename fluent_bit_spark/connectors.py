@@ -1330,3 +1330,142 @@ def http_requests_decode(
             F.get_json_object(F.col("record"), f"$.{tag_key}"), tag
         )
     return out.select(tag.alias("tag"), "record", *[c for c in others])
+
+
+# --------------------------------------------------------------------------
+# out_td / out_nats / out_slack / out_logdna — remaining wire shapes
+# --------------------------------------------------------------------------
+def td_records(
+    df: DataFrame, tag_col: str = "tag", ts_col: str = TS_COL
+) -> DataFrame:
+    """Treasure Data import shape (plugins/out_td/td.c:44-90 td_format):
+    each record re-packed as a msgpack map with ``time`` = whole epoch
+    seconds added. Emits one binary msgpack cell per record (concatenate a
+    partition for the request body). Arrow-batched protocol adapter, like
+    the forward encoder."""
+    from fluent_bit_spark.functions.msgpack_codec import pack
+
+    others = [c for c in df.columns if c not in (tag_col, ts_col)]
+    schema = T.StructType([T.StructField("msgpack", T.BinaryType())])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                t = rec[ts_col]
+                body = {
+                    k: (v.item() if hasattr(v, "item") else v)
+                    for k, v in rec.items()
+                    if k in others and v is not None and v == v
+                }
+                body["time"] = int(t.timestamp())
+                out.append({"msgpack": pack(body)})
+            yield pd.DataFrame(out, columns=["msgpack"])
+
+    return df.mapInPandas(run, schema)
+
+
+def nats_body(
+    df: DataFrame, tag_col: str = "tag", ts_col: str = TS_COL
+) -> DataFrame:
+    """out_nats payload (plugins/out_nats/nats.c:81-150 msgpack_to_json):
+    per tag (the NATS subject) a JSON array of ``[epoch.nanos, record]``
+    pairs. Entry order is (ts, record)-sorted — deterministic where the
+    reference preserves chunk order. One shuffle on the subject key."""
+    others = [c for c in df.columns if c not in (tag_col, ts_col)]
+    ts = F.col(ts_col).cast("timestamp")
+    us = F.unix_micros(ts)
+    epoch = F.concat(
+        F.floor(us / 1_000_000).cast("long").cast("string"),
+        F.lit("."),
+        F.format_string("%06d", (us % 1_000_000).cast("int")),
+    )
+    entry = F.concat(
+        F.lit("["), epoch, F.lit(","),
+        F.to_json(F.struct(*[F.col(c) for c in others])), F.lit("]"),
+    )
+    lines = df.select(
+        F.col(tag_col).alias("subject"),
+        F.struct(ts.alias("t"), entry.alias("e")).alias("x"),
+    )
+    return lines.groupBy("subject").agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("x")), lambda s: s["e"]), ","
+            ),
+            F.lit("]"),
+        ).alias("body")
+    )
+
+
+def slack_text(
+    df: DataFrame, tag_col: str = "tag", ts_col: str = TS_COL
+) -> DataFrame:
+    """out_slack webhook payload (plugins/out_slack/slack.c:158-232): all
+    records rendered as ``[<epoch>.<micros>, <record>]`` lines folded into
+    one ``{"text": ...}`` message per tag. The C prints records through
+    msgpack_object_print (Ruby-ish ``=>`` maps); JSON rendering here —
+    same content, cleaner consumers. Slack bodies are human-scale; the
+    per-tag group is bounded by use."""
+    others = [c for c in df.columns if c not in (tag_col, ts_col)]
+    ts = F.col(ts_col).cast("timestamp")
+    us = F.unix_micros(ts)
+    line = F.concat(
+        F.lit("["),
+        F.floor(us / 1_000_000).cast("long").cast("string"),
+        F.lit("."),
+        F.format_string("%06d", (us % 1_000_000).cast("int")),
+        F.lit(", "),
+        F.to_json(F.struct(*[F.col(c) for c in others])),
+        F.lit("]"),
+    )
+    lines = df.select(
+        F.col(tag_col).alias("tag"), F.struct(ts.alias("t"), line.alias("e")).alias("x")
+    )
+    return lines.groupBy("tag").agg(
+        F.to_json(
+            F.struct(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("x")), lambda s: s["e"]),
+                    "\n",
+                ).alias("text")
+            )
+        ).alias("payload")
+    )
+
+
+def logdna_lines(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = TS_COL,
+    app: str = "Fluent Bit",
+) -> DataFrame:
+    """LogDNA ingestion lines (plugins/out_logdna/logdna.c:62-180): per
+    record ``timestamp`` (epoch ms), promoted ``level``/``meta``/``file``/
+    ``app`` keys when present (level falls back to severity, app to the
+    static config), and ``line`` = the remaining record as JSON."""
+    promoted = {"level", "severity", "meta", "file", "app"}
+    others = [c for c in df.columns if c not in promoted | {tag_col, ts_col}]
+    ms = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / 1000).cast("long")
+    level = None
+    if "level" in df.columns or "severity" in df.columns:
+        cands = [F.col(c).cast("string") for c in ("level", "severity") if c in df.columns]
+        level = F.coalesce(*cands) if len(cands) > 1 else cands[0]
+    cols = [ms.alias("timestamp")]
+    if level is not None:
+        cols.append(level.alias("level"))
+    for k in ("meta", "file"):
+        if k in df.columns:
+            cols.append(F.col(k).cast("string").alias(k))
+    app_col = (
+        F.coalesce(F.col("app").cast("string"), F.lit(app))
+        if "app" in df.columns
+        else F.lit(app)
+    )
+    cols.append(app_col.alias("app"))
+    cols.append(F.to_json(F.struct(*[F.col(c) for c in others])).alias("line"))
+    return df.select(*cols)

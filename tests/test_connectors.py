@@ -631,3 +631,46 @@ def test_http_requests_decode(spark):
     got = [(r.tag, _json.loads(r.record)["m"]) for r in rows]
     assert got == [("custom", "a"), ("app.logs", "b"), ("http.0", "c")]
     assert rows[0].req == 1 and rows[2].req == 2
+
+
+def test_td_nats_slack_logdna_shapes(spark):
+    """Remaining wire shapes: td msgpack maps (td.c:44-90), nats
+    [[ts, record]] arrays (nats.c:81-150), slack text fold
+    (slack.c:158-232), logdna promoted-key lines (logdna.c:62-180)."""
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import (
+        logdna_lines, nats_body, slack_text, td_records,
+    )
+    from fluent_bit_spark.functions.msgpack_codec import unpack_one
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 250000)
+    df = spark.createDataFrame(
+        [("app.a", t0, "boot", 1), ("app.a", t0 + dt.timedelta(seconds=1), "ready", 2)],
+        "tag string, timestamp timestamp, msg string, n long",
+    )
+
+    td = td_records(df).collect()
+    maps = sorted((unpack_one(bytes(r.msgpack))[0] for r in td), key=lambda m: m["n"])
+    assert maps[0] == {"msg": "boot", "n": 1, "time": 1704067201}
+
+    nb = nats_body(df).collect()[0]
+    arr = _json.loads(nb.body)
+    assert nb.subject == "app.a" and len(arr) == 2
+    assert arr[0][0] == 1704067201.25 and arr[0][1] == {"msg": "boot", "n": 1}
+
+    sl = _json.loads(slack_text(df).collect()[0].payload)
+    l1, l2 = sl["text"].split("\n")
+    assert l1 == '[1704067201.250000, {"msg":"boot","n":1}]'
+
+    ld = spark.createDataFrame(
+        [("t", t0, "warn", "disk", "svc", 9)],
+        "tag string, timestamp timestamp, severity string, msg string, app string, n long",
+    )
+    r = logdna_lines(ld).collect()[0]
+    assert r.timestamp == 1704067201250
+    assert r.level == "warn" and r.app == "svc"
+    assert _json.loads(r.line) == {"msg": "disk", "n": 9}
+    r2 = logdna_lines(df).collect()[0]
+    assert r2.app == "Fluent Bit" and "level" not in r2.asDict()
