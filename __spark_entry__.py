@@ -1548,6 +1548,29 @@ def _c4_docs(spark, sf_dir):
     return docs.select("doc_id", synth.alias("text"))
 
 
+def remote_write_roundtrip_q(spark, sf_dir):
+    """out_prometheus_remote_write loop: samples encoded as snappy'd
+    protobuf WriteRequests (hand-rolled wire format, pyarrow raw-snappy)
+    then decoded back. Oracle re-derives the sample set with ms-truncated
+    timestamps — the wire's precision."""
+    from fluent_bit_spark.connectors import remote_write_decode, remote_write_encode
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("fbs_"), F.col("event_type")).alias("metric"),
+        (F.col("user_id") % 4).cast("string").alias("shard"),
+        F.col("ts").alias("timestamp"),
+        "value",
+    )
+    bodies = remote_write_encode(ev, label_cols=["shard"])
+    dec = remote_write_decode(bodies.select("body"))
+    return dec.select(
+        "metric",
+        F.get_json_object("labels", "$.shard").alias("shard"),
+        "value",
+        F.col(TS_COL).alias("ts_ms"),
+    )
+
+
 def logdna_shape_q(spark, sf_dir):
     """out_logdna line shaping (plugins/out_logdna/logdna.c:62-180):
     epoch-ms timestamp, severity promoted to level, static app fallback,
@@ -1906,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_requests": http_requests_q,
         "logdna_shape": logdna_shape_q,
         "nats_body": nats_body_q,
+        "remote_write_roundtrip": remote_write_roundtrip_q,
     }
 
 
@@ -2691,5 +2715,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT subject, '[' || string_agg(e, ',' ORDER BY ts, e) || ']' AS body "
             "FROM rec GROUP BY subject"
+        ),
+        "remote_write_roundtrip": (
+            "SELECT 'fbs_' || event_type AS metric, "
+            "CAST(user_id % 4 AS VARCHAR) AS shard, value, "
+            "make_timestamp(epoch_us(ts) // 1000 * 1000) AS ts_ms FROM events"
         ),
     }

@@ -1469,3 +1469,160 @@ def logdna_lines(
     cols.append(app_col.alias("app"))
     cols.append(F.to_json(F.struct(*[F.col(c) for c in others])).alias("line"))
     return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# out_prometheus_remote_write — snappy'd protobuf WriteRequest
+# --------------------------------------------------------------------------
+def remote_write_encode(
+    df: DataFrame,
+    name_col: str = "metric",
+    label_cols: list[str] | None = None,
+    value_col: str = "value",
+    ts_col: str = TS_COL,
+    batch_col: str | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Encode metric samples as Prometheus remote-write request bodies
+    (plugins/out_prometheus_remote_write + the cmetrics remote-write
+    encoder): a snappy-block-compressed protobuf ``WriteRequest`` —
+    repeated TimeSeries{labels: [__name__ + label cols], samples:
+    [(double value, int64 epoch-ms)]} per (name, label-set) series,
+    samples time-ordered. One body per ``batch_col`` group (default: the
+    metric name — bounded series sets per request). Snappy is pyarrow's
+    raw-block codec, the format the spec requires."""
+    import pyarrow as pa
+
+    from fluent_bit_spark.functions.msgpack_codec import pb_field, pb_len_delim, pb_varint
+
+    labels = label_cols or []
+    batch = batch_col or name_col
+    out_schema = T.StructType(
+        [T.StructField("batch", T.StringType()), T.StructField("body", T.BinaryType())]
+    )
+    import struct as _struct
+
+    def encode_group(pdf):
+        import pandas as pd
+
+        series: dict = {}
+        for rec in pdf.itertuples(index=False):
+            rec = rec._asdict()
+            key = (str(rec[name_col]),) + tuple(
+                (l, "" if rec[l] is None else str(rec[l])) for l in labels
+            )
+            ms = int(rec[ts_col].timestamp() * 1000)
+            series.setdefault(key, []).append((float(rec[value_col]), ms))
+        ts_msgs = []
+        for key, samples in sorted(series.items()):
+            name, lbls = key[0], key[1:]
+            parts = [
+                pb_len_delim(
+                    1,
+                    pb_len_delim(1, b"__name__") + pb_len_delim(2, name.encode()),
+                )
+            ]
+            for ln, lv in lbls:
+                parts.append(
+                    pb_len_delim(1, pb_len_delim(1, ln.encode()) + pb_len_delim(2, lv.encode()))
+                )
+            for v, ms in sorted(samples, key=lambda s: s[1]):
+                sample = (
+                    pb_field(1, 1) + _struct.pack("<d", v) + pb_field(2, 0) + pb_varint(ms)
+                )
+                parts.append(pb_len_delim(2, sample))
+            ts_msgs.append(pb_len_delim(1, b"".join(parts)))
+        body = b"".join(ts_msgs)
+        if compress:
+            body = bytes(pa.Codec("snappy").compress(body))
+        return pd.DataFrame(
+            [{"batch": str(pdf[batch].iloc[0]), "body": body}],
+            columns=["batch", "body"],
+        )
+
+    return df.groupBy(batch).applyInPandas(encode_group, out_schema)
+
+
+def remote_write_decode(
+    df: DataFrame, bin_col: str = "body", compressed: bool = True
+) -> DataFrame:
+    """Decode remote-write bodies back into (metric, labels-json, value,
+    timestamp) sample rows — the receiver side and the roundtrip check."""
+    import json
+
+    import pyarrow as pa
+
+    from fluent_bit_spark.functions.msgpack_codec import pb_fields
+
+    other = [c for c in df.columns if c != bin_col]
+    schema = T.StructType(
+        [df.schema[c] for c in other]
+        + [
+            T.StructField("metric", T.StringType()),
+            T.StructField("labels", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField(TS_COL, T.TimestampType()),
+        ]
+    )
+    import struct as _struct
+
+    def run(batches):
+        import datetime as dt
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                raw = rec.pop(bin_col)
+                if raw is None:
+                    continue
+                raw = bytes(raw)
+                if compressed:
+                    # raw snappy's leading varint is the uncompressed size
+                    from fluent_bit_spark.functions.msgpack_codec import pb_read_varint
+
+                    size, _ = pb_read_varint(raw, 0)
+                    raw = bytes(pa.Codec("snappy").decompress(raw, size))
+                for fno, _, ts_msg in pb_fields(raw):
+                    if fno != 1:
+                        continue
+                    name, lbls, samples = None, {}, []
+                    for f2, _, v2 in pb_fields(ts_msg):
+                        if f2 == 1:  # Label
+                            ln = lv = None
+                            for f3, _, v3 in pb_fields(v2):
+                                if f3 == 1:
+                                    ln = v3.decode()
+                                elif f3 == 2:
+                                    lv = v3.decode()
+                            if ln == "__name__":
+                                name = lv
+                            else:
+                                lbls[ln] = lv
+                        elif f2 == 2:  # Sample
+                            val = ms = None
+                            for f3, wt3, v3 in pb_fields(v2):
+                                if f3 == 1:
+                                    val = _struct.unpack("<d", v3.to_bytes(8, "little"))[0]
+                                elif f3 == 2:
+                                    ms = v3
+                            samples.append((val, ms))
+                    for val, ms in samples:
+                        rows.append(
+                            {
+                                **{c: rec[c] for c in other},
+                                "metric": name,
+                                "labels": json.dumps(lbls, sort_keys=True),
+                                "value": val,
+                                TS_COL: dt.datetime.fromtimestamp(
+                                    ms / 1000, dt.timezone.utc
+                                ).replace(tzinfo=None),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[*other, "metric", "labels", "value", TS_COL]
+            )
+
+    return df.mapInPandas(run, schema)

@@ -319,3 +319,62 @@ def decode_forward_frame(buf: bytes) -> tuple[str, list, dict | None]:
         if d is not None:
             events.append(d)
     return tag, events, options
+
+
+# --------------------------------------------------------------------------
+# Minimal protobuf wire helpers (for the Prometheus remote-write payload —
+# varint + length-delimited + fixed64 are the only wire types it uses)
+# --------------------------------------------------------------------------
+def pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def pb_read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[off]
+        off += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, off
+        shift += 7
+
+
+def pb_field(field_no: int, wire_type: int) -> bytes:
+    return pb_varint((field_no << 3) | wire_type)
+
+
+def pb_len_delim(field_no: int, payload: bytes) -> bytes:
+    return pb_field(field_no, 2) + pb_varint(len(payload)) + payload
+
+
+def pb_fields(buf: bytes):
+    """Yield (field_no, wire_type, value) — value is bytes for
+    length-delimited, int for varint/fixed64 raw bits."""
+    off = 0
+    while off < len(buf):
+        key, off = pb_read_varint(buf, off)
+        field_no, wt = key >> 3, key & 7
+        if wt == 0:
+            v, off = pb_read_varint(buf, off)
+        elif wt == 1:
+            v = int.from_bytes(buf[off : off + 8], "little")
+            off += 8
+        elif wt == 2:
+            ln, off = pb_read_varint(buf, off)
+            v = buf[off : off + ln]
+            off += ln
+        elif wt == 5:
+            v = int.from_bytes(buf[off : off + 4], "little")
+            off += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field_no, wt, v

@@ -674,3 +674,34 @@ def test_td_nats_slack_logdna_shapes(spark):
     assert _json.loads(r.line) == {"msg": "disk", "n": 9}
     r2 = logdna_lines(df).collect()[0]
     assert r2.app == "Fluent Bit" and "level" not in r2.asDict()
+
+
+def test_remote_write_roundtrip(spark):
+    """Prometheus remote-write WriteRequest: hand-rolled protobuf + raw
+    snappy blocks; encode -> decode recovers every sample with labels."""
+    import datetime as dt
+    import json as _json
+
+    from fluent_bit_spark.connectors import remote_write_decode, remote_write_encode
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1, 250000)
+    df = spark.createDataFrame(
+        [
+            ("http_requests_total", "api", "200", t0, 5.0),
+            ("http_requests_total", "api", "500", t0, 1.0),
+            ("http_requests_total", "api", "200", t0 + dt.timedelta(seconds=60), 7.0),
+            ("node_load1", "api", None, t0, 0.25),
+        ],
+        "metric string, svc string, code string, timestamp timestamp, value double",
+    )
+    bodies = remote_write_encode(df, label_cols=["svc", "code"])
+    assert bodies.count() == 2  # one request per metric batch
+    back = remote_write_decode(bodies.select("body")).orderBy("metric", "labels", "timestamp")
+    rows = back.collect()
+    assert len(rows) == 4
+    r = rows[0]
+    assert r.metric == "http_requests_total"
+    assert _json.loads(r.labels) == {"svc": "api", "code": "200"}
+    assert (r.value, r.timestamp) == (5.0, t0.replace(microsecond=250000))
+    assert rows[1].timestamp == t0 + dt.timedelta(seconds=60)
+    assert rows[3].metric == "node_load1" and rows[3].value == 0.25
