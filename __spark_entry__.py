@@ -1414,6 +1414,10 @@ def influxdb_lines_q(spark, sf_dir):
         "value",
         "props",
     )
+    # single-row-group input parquet pins the scan to one task; pre-spread
+    # before the string-heavy projection (the minhash_signatures pattern —
+    # measured 1.16s -> 0.78s at sf0.1)
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
     return influxdb_line(ev, tag_keys=["event_type"], use_influxdb_integer=True)
 
 
@@ -1774,6 +1778,8 @@ def syslog_5424_q(spark, sf_dir):
         ).alias("meta"),
         F.col("props").alias("msg"),
     )
+    # pre-spread the single-row-group scan before the string-heavy encode
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
     return syslog_encode(
         ev,
         format="rfc5424",
