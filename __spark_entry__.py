@@ -1469,6 +1469,9 @@ def forward_wire_roundtrip(spark, sf_dir):
         "event_id",
         "user_id",
     )
+    # pre-spread the single-row-group scan so the Python protocol adapter
+    # runs one Arrow batch per core (measured 3.6s -> 1.2s at sf0.1)
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
     frames = forward_frames_encode(ev, send_options=True, events_per_frame=256)
     dec = forward_frames_decode(frames.select("frame"))
     return dec.select(
