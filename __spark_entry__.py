@@ -1262,7 +1262,10 @@ def text_repetition_q(spark, sf_dir):
     aggregations; hash-checked against the DuckDB re-derivation."""
     from fluent_bit_spark.extensions.text import repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents")
+    # pre-spread the single-row-group scan before the explode-heavy map side
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = repetition_signals(docs, gram_n=2, rep_n=5)
     return out.select(
         "doc_id", "n_lines",
