@@ -260,6 +260,73 @@ class Pipeline:
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
                 record(out, df.count())
+            elif name in ("kinesis_streams", "kinesis_firehose"):
+                from fluent_bit_spark.connectors import kinesis_records
+
+                shaped = kinesis_records(
+                    df,
+                    log_key=out.get("log_key"),
+                    time_key=out.get("time_key"),
+                    time_key_format=out.get("time_key_format", "%Y-%m-%dT%H:%M:%S"),
+                )
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "azure":
+                from fluent_bit_spark.connectors import azure_records
+
+                shaped = azure_records(
+                    df,
+                    time_key=out.get("time_key", "@timestamp"),
+                    time_generated=bool(out.get("time_generated", False)),
+                    log_type=out.get("log_type", "fluentbit"),
+                    log_type_key=out.get("log_type_key"),
+                )
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "logdna":
+                from fluent_bit_spark.connectors import logdna_lines
+
+                shaped = logdna_lines(df, app=out.get("app", "Fluent Bit"))
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "nats":
+                from fluent_bit_spark.connectors import nats_body
+
+                shaped = nats_body(df)
+                shaped.write.mode("overwrite").format("json").save(out["path"])
+                record(out, df.count())
+            elif name == "slack":
+                from fluent_bit_spark.connectors import slack_text
+
+                shaped = slack_text(df)
+                shaped.select(F.col("payload").alias("value")).write.mode(
+                    "overwrite"
+                ).format("text").save(out["path"])
+                record(out, df.count())
+            elif name == "td":
+                from fluent_bit_spark.connectors import td_records
+
+                td_records(df).write.mode("overwrite").format("parquet").save(out["path"])
+                record(out, df.count())
+            elif name == "prometheus_remote_write":
+                from fluent_bit_spark.connectors import remote_write_encode
+
+                shaped = remote_write_encode(
+                    df,
+                    name_col=out.get("metric_key", "metric"),
+                    label_cols=out.get("label_keys"),
+                    value_col=out.get("value_key", "value"),
+                )
+                shaped.write.mode("overwrite").format("parquet").save(out["path"])
+                record(out, df.count())
+            elif name == "plot":
+                from fluent_bit_spark.sinks import plot_lines
+
+                shaped = plot_lines(df, out["key"])
+                shaped.select(F.col("line").alias("value")).write.mode(
+                    "overwrite"
+                ).format("text").save(out["path"])
+                record(out, df.count())
             elif name == "syslog":
                 from fluent_bit_spark.sinks import syslog_encode
 

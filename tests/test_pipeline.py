@@ -377,3 +377,46 @@ def test_classic_multiline_parser_custom_rules(spark, tmp_path):
     table = [MLRule((r[0],), r[1], r[2]) for r in mlp["rules"]]
     msgs = [r.message for r in multiline_rules(lines, table).orderBy("seq").collect()]
     assert msgs == ["BEGIN trace\n  frame a\n  frame b", "BEGIN other"]
+
+
+def test_cloud_output_plugins(spark, tmp_path):
+    """kinesis/azure/logdna/nats/slack/td/remote_write/plot routes write
+    their wire payloads (file-backed stand-ins)."""
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {"name": "dummy", "tag": "m.cpu",
+                 "records": [{"metric": "load", "value": 0.5, "host": "a"},
+                             {"metric": "load", "value": 1.5, "host": "b"}]},
+            ],
+            "outputs": [
+                {"name": "kinesis_streams", "match": "*", "path": str(tmp_path / "kin")},
+                {"name": "azure", "match": "*", "path": str(tmp_path / "az"),
+                 "time_generated": True},
+                {"name": "logdna", "match": "*", "path": str(tmp_path / "ld"), "app": "x"},
+                {"name": "nats", "match": "*", "path": str(tmp_path / "nats")},
+                {"name": "slack", "match": "*", "path": str(tmp_path / "sl")},
+                {"name": "td", "match": "*", "path": str(tmp_path / "td")},
+                {"name": "prometheus_remote_write", "match": "*",
+                 "path": str(tmp_path / "rw"), "label_keys": ["host"]},
+                {"name": "plot", "match": "*", "path": str(tmp_path / "plot"),
+                 "key": "value"},
+            ],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    written = pipe.run_outputs()
+    assert all(n == 2 for n in written.values())
+    assert spark.read.json(str(tmp_path / "kin")).count() == 2
+    az = spark.read.json(str(tmp_path / "az")).collect()
+    assert all(r.log_type == "fluentbit" for r in az)
+    assert spark.read.json(str(tmp_path / "ld")).collect()[0].app == "x"
+    assert spark.read.json(str(tmp_path / "nats")).count() == 1  # one subject
+    assert spark.read.text(str(tmp_path / "sl")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "td")).count() == 2
+    from fluent_bit_spark.connectors import remote_write_decode
+
+    rw = remote_write_decode(spark.read.parquet(str(tmp_path / "rw")).select("body"))
+    assert rw.count() == 2
+    lines = [r.value for r in spark.read.text(str(tmp_path / "plot")).collect()]
+    assert sorted(l.split(" ")[1] for l in lines) == ["0.500000", "1.500000"]
