@@ -197,3 +197,114 @@ def test_typecast_float_exact_on_clean_input(spark, vals):
     df = spark.createDataFrame([(v,) for v in vals], "v string")
     got = [r.f for r in df.select(cast_column(F.col("v"), "float").alias("f")).collect()]
     assert got == [float(v) for v in vals]
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(2**63), max_value=2**64 - 1),
+            st.floats(allow_nan=False, allow_infinity=True),
+            st.text(max_size=40),
+            st.binary(max_size=40),
+        ),
+        max_size=8,
+    )
+)
+def test_msgpack_pack_unpack_roundtrip(vals):
+    """Pure-Python msgpack codec: pack -> unpack is identity for every
+    scalar type the wire supports, nested in arrays and maps."""
+    from fluent_bit_spark.functions.msgpack_codec import pack, unpack_one
+
+    obj = {"arr": vals, "nested": {"k": vals}}
+    got, off = unpack_one(pack(obj))
+    raw = pack(obj)
+    assert off == len(raw)
+    assert got == obj
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z_][a-z0-9_]{0,12}", fullmatch=True),  # metric
+            st.text(max_size=12),                                      # label value
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.integers(min_value=0, max_value=2**41),                 # epoch ms
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_remote_write_proto_roundtrip_pure(series):
+    """The hand-rolled protobuf wire survives arbitrary label values and
+    sample magnitudes (pure-Python level, no Spark per example)."""
+    import struct
+
+    from fluent_bit_spark.functions.msgpack_codec import (
+        pb_field, pb_fields, pb_len_delim, pb_varint,
+    )
+
+    msgs = []
+    for name, lv, val, ms in series:
+        labels = pb_len_delim(1, pb_len_delim(1, b"__name__") + pb_len_delim(2, name.encode()))
+        labels += pb_len_delim(1, pb_len_delim(1, b"host") + pb_len_delim(2, lv.encode()))
+        sample = pb_field(1, 1) + struct.pack("<d", val) + pb_field(2, 0) + pb_varint(ms)
+        msgs.append(pb_len_delim(1, labels + pb_len_delim(2, sample)))
+    body = b"".join(msgs)
+
+    out = []
+    for fno, _, ts_msg in pb_fields(body):
+        assert fno == 1
+        name = host = val = ms = None
+        for f2, _, v2 in pb_fields(ts_msg):
+            if f2 == 1:
+                kv = {}
+                for f3, _, v3 in pb_fields(v2):
+                    kv[f3] = v3
+                if kv[1] == b"__name__":
+                    name = kv[2].decode()
+                else:
+                    host = kv[2].decode()
+            else:
+                for f3, wt3, v3 in pb_fields(v2):
+                    if f3 == 1:
+                        val = struct.unpack("<d", v3.to_bytes(8, "little"))[0]
+                    else:
+                        ms = v3
+        out.append((name, host, val, ms))
+    assert out == list(series)
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF), max_size=30
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_influx_escape_matches_python_model(spark, text):
+    """The Jackson-based JSON-body escape + quote escape equals the
+    straightforward Python model of influxdb.c's two-stage escaping."""
+    import json as _json
+    import re as _re
+
+    from fluent_bit_spark.connectors import (
+        _influx_json_body_escape, _influx_quote_escape,
+    )
+
+    df = spark.createDataFrame([(text,)], "s string")
+    got = df.select(
+        _influx_quote_escape(_influx_json_body_escape(F.col("s"))).alias("e")
+    ).collect()[0].e
+    json_escaped = _json.dumps(text, ensure_ascii=False)[1:-1]
+    # Jackson renders \uXXXX hex uppercase (C's flb emits lowercase —
+    # cosmetic deviation documented on the encoder)
+    json_escaped = _re.sub(
+        r"\\u([0-9a-f]{4})", lambda m: "\\u" + m.group(1).upper(), json_escaped
+    )
+    want = _re.sub(r'([\\"])', r"\\\1", json_escaped)
+    assert got == want
