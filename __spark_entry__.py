@@ -1835,7 +1835,44 @@ def flowcounter_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
+# The driver's correctness gate verifies the FIRST 50 registry entries in dict
+# order.  Rounds 1-2 verified the same 50 (all green — their rows stand in
+# CORRECTNESS_r01/r02.json); round 3 rotates the 55 never-checked queries to
+# the front so they get driver rows too.  LLM-pipeline operators first, then
+# connectors/codecs; previously-verified queries follow at the tail and keep
+# local-oracle coverage via tools/oracle_check.py.
+_DRIVER_WINDOW_R3 = [
+    # LLM-data-pipeline operators
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard_pairs",
+    "embedding_dedup", "dedup_clusters", "decontaminate", "domain_mix",
+    "mix_temperature", "similarity_topk", "similarity_lsh_ann",
+    "similarity_ivf_ann", "similarity_pq_ann", "text_langid", "text_quality",
+    "text_token_counts", "text_repetition", "doc_fingerprint", "pii_redaction",
+    "c4_line_filter", "c4_clean_docs", "multimodal_metadata",
+    "ml_inference_scores", "join_q5_region",
+    # connectors / codecs
+    "msgpack_roundtrip", "forward_wire_roundtrip", "avro_roundtrip",
+    "kubernetes_enrich", "geoip_enrich", "loki_push_shape",
+    "remote_write_roundtrip", "es_bulk_encode", "es_bulk_roundtrip",
+    "splunk_hec_shape", "splunk_hec_roundtrip", "otlp_logs_roundtrip",
+    "statsd_decode", "prom_exposition", "influxdb_lines", "syslog_5424_lines",
+    "syslog_3164_lines", "http_requests", "http_body", "datadog_shape",
+    "cloudwatch_shape", "stackdriver_shape", "bigquery_shape",
+    "flowcounter_rates", "kafka_messages", "tda_betti_windows",
+    # positions 50-54: shape-only connector queries (lowest information value;
+    # siblings above cover the same code paths)
+    "plot_lines", "kinesis_shape", "azure_shape", "logdna_shape", "nats_body",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _query_registry()
+    ordered = {name: base[name] for name in _DRIVER_WINDOW_R3}
+    ordered.update({name: fn for name, fn in base.items() if name not in ordered})
+    return ordered
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "sp_projection": sp_projection,
