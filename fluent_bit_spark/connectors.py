@@ -752,7 +752,9 @@ def influxdb_line(
         head = F.concat(
             head,
             F.lit("," + esc_key(sequence_tag) + "="),
-            (F.col(seq_col).cast("long") % F.lit(100000)).cast("string"),
+            # reference counter cycles 1..99999 and never emits 0
+            # (plugins/out_influxdb/influxdb.c:119-127)
+            ((F.col(seq_col).cast("long") % F.lit(99999)) + F.lit(1)).cast("string"),
         )
     if tag_frags:
         tag_part = F.array_join(F.array_compact(F.array(*tag_frags)), ",")
@@ -928,8 +930,11 @@ def forward_frames_encode(
             for rec in pdf.itertuples(index=False):
                 rec = rec._asdict()
                 tag, t = rec[tag_col], rec[ts_col]
-                sec = int(t.timestamp())
-                nsec = t.microsecond * 1000
+                # integer nanos (.value): float .timestamp() truncates toward
+                # zero, pairing a too-high sec with a positive nsec pre-1970
+                sec, rem = divmod(t.value, 1_000_000_000)
+                nsec = int(rem)
+                sec = int(sec)
                 ev_time = sec if time_as_integer else EventTime(sec, nsec)
                 body = {k: native(rec[k]) for k in other if native(rec[k]) is not None}
                 by_tag.setdefault(tag, []).append([ev_time, body])
@@ -1367,7 +1372,7 @@ def td_records(
                     for k, v in rec.items()
                     if k in others and v is not None and v == v
                 }
-                body["time"] = int(t.timestamp())
+                body["time"] = t.value // 1_000_000_000  # floor, exact pre-1970
                 out.append({"msgpack": pack(body)})
             yield pd.DataFrame(out, columns=["msgpack"])
 
@@ -1517,7 +1522,7 @@ def remote_write_encode(
             key = (str(rec[name_col]),) + tuple(
                 (l, "" if rec[l] is None else str(rec[l])) for l in labels
             )
-            ms = int(rec[ts_col].timestamp() * 1000)
+            ms = rec[ts_col].value // 1_000_000  # integer ns → ms, exact
             series.setdefault(key, []).append((float(rec[value_col]), ms))
         ts_msgs = []
         for key, samples in sorted(series.items()):
@@ -1613,7 +1618,9 @@ def remote_write_decode(
                                 if f3 == 1:
                                     val = _struct.unpack("<d", v3.to_bytes(8, "little"))[0]
                                 elif f3 == 2:
-                                    ms = v3
+                                    # int64 varint: sign-extend 10-byte
+                                    # two's-complement negatives
+                                    ms = v3 - (1 << 64) if v3 >= (1 << 63) else v3
                             samples.append((val, ms))
                     for val, ms in samples:
                         rows.append(

@@ -57,7 +57,11 @@ def _take(buf: bytes, off: int, n: int) -> bytes:
 
 def _ext(code: int, data: bytes):
     if code == 0 and len(data) == 8:
-        sec, nsec = struct.unpack(">II", data)
+        # sec read signed: pre-1970 events roundtrip through the encoder's
+        # two's-complement masking (& 0xFFFFFFFF). The fluentd spec leaves
+        # signedness ambiguous; signed trades the 2038-2106 unsigned range
+        # for a correct negative-epoch path.
+        sec, nsec = struct.unpack(">iI", data)
         return EventTime(sec, nsec)
     return Ext(code, data)
 
@@ -226,11 +230,14 @@ def decode_timestamp(ts: Any) -> tuple[int, int]:
     """(sec, nsec) per flb_log_event_decoder_decode_timestamp. Group
     markers come back as (-1, 0)/(-2, 0); invalid types raise."""
     if isinstance(ts, EventTime):
-        if ts.sec == 0xFFFFFFFF:
+        # the ext decoder reads sec signed, so the reference's uint32
+        # markers 0xFFFFFFFF/0xFFFFFFFE arrive as -1/-2; those two seconds
+        # (1969-12-31 23:59:58/59) are reserved in the wire format itself
+        if ts.sec in (-1, 0xFFFFFFFF):
             if ts.nsec != 0:
                 raise ValueError("invalid group marker nsec")
             return GROUP_START, 0
-        if ts.sec == 0xFFFFFFFE:
+        if ts.sec in (-2, 0xFFFFFFFE):
             if ts.nsec != 0:
                 raise ValueError("invalid group marker nsec")
             return GROUP_END, 0
@@ -326,6 +333,10 @@ def decode_forward_frame(buf: bytes) -> tuple[str, list, dict | None]:
 # varint + length-delimited + fixed64 are the only wire types it uses)
 # --------------------------------------------------------------------------
 def pb_varint(n: int) -> bytes:
+    # Protobuf int64 varints encode negatives as 10-byte two's complement
+    # (proto wire spec); without the mask a negative n never reaches 0 and
+    # the loop hangs — e.g. remote-write with a pre-1970 epoch-ms timestamp.
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

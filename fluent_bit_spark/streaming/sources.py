@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -117,16 +117,21 @@ def head_source(
     ``key`` (joined) or one record per line (``split_line``,
     in_head.c:173-227). Batch source — the reference re-reads per
     interval; here one read per trigger/run is the engine's model."""
-    df = (
-        spark.read.text(path)
-        .withColumn("file", F.input_file_name())
-        .withColumn(
-            "__n",
-            F.row_number().over(
-                Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
-            ),
-        )
-    )
+    # wholetext: one record per file, so line order is the file's byte order
+    # (split files could interleave partition IDs and misorder line_no).
+    # in_head reads a bounded buffer from the file head, so files are small
+    # by construction and never need splitting.
+    raw = spark.read.text(path, wholetext=True).withColumn("file", F.input_file_name())
+    arr = F.split(F.col("value"), "\r\n|\r|\n")
+    # a trailing newline yields one empty trailing element — drop it to
+    # match line-reader semantics
+    arr = F.when(
+        (F.size(arr) > 1) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, 1, F.size(arr) - 1),
+    ).otherwise(arr)
+    df = raw.select(
+        "file", F.posexplode(arr).alias("__p", "value")
+    ).withColumn("__n", F.col("__p") + 1).drop("__p")
     if lines > 0:
         df = df.filter(F.col("__n") <= lines)
     if split_line:

@@ -443,6 +443,24 @@ def test_forward_frames_roundtrip(spark):
     assert all(r.timestamp.microsecond == 0 for r in ints.collect())
 
 
+def test_forward_frames_pre1970_roundtrip(spark):
+    """Pre-1970 timestamps roundtrip exactly: sec is floored (not truncated
+    toward zero) so (sec, nsec) normalizes with nsec in [0, 1e9)."""
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import forward_frames_decode, forward_frames_encode
+
+    # NOT 23:59:58/59 of 1969-12-31 — sec -1/-2 are the wire format's
+    # reserved group markers
+    t = dt.datetime(1969, 6, 1, 12, 30, 15, 750000)
+    df = spark.createDataFrame([("old.a", t, "x")], "tag string, timestamp timestamp, msg string")
+    frames = forward_frames_encode(df.coalesce(1)).collect()
+    back = forward_frames_decode(
+        spark.createDataFrame([(bytes(frames[0].frame),)], "frame binary")
+    ).collect()
+    assert back[0].timestamp == t
+
+
 def test_cloudwatch_events_shape(spark):
     """out_cloudwatch_logs PutLogEvents shaping: $TAG[n]/$TAG stream
     templates, log_key message extraction, ms timestamps, MAX_EVENT_LEN

@@ -230,7 +230,7 @@ def test_msgpack_pack_unpack_roundtrip(vals):
             st.from_regex(r"[a-z_][a-z0-9_]{0,12}", fullmatch=True),  # metric
             st.text(max_size=12),                                      # label value
             st.floats(allow_nan=False, allow_infinity=False, width=64),
-            st.integers(min_value=0, max_value=2**41),                 # epoch ms
+            st.integers(min_value=-(2**41), max_value=2**41),          # epoch ms (incl. pre-1970)
         ),
         min_size=1,
         max_size=12,
@@ -271,9 +271,24 @@ def test_remote_write_proto_roundtrip_pure(series):
                     if f3 == 1:
                         val = struct.unpack("<d", v3.to_bytes(8, "little"))[0]
                     else:
-                        ms = v3
+                        # int64 varint sign extension (negatives arrive as
+                        # 10-byte two's complement)
+                        ms = v3 - (1 << 64) if v3 >= (1 << 63) else v3
         out.append((name, host, val, ms))
     assert out == list(series)
+
+
+def test_pb_varint_negative_is_ten_byte_twos_complement():
+    """proto int64: negative values encode as 10-byte two's complement and
+    must not hang the encoder (regression: pb_varint(-1) looped forever)."""
+    from fluent_bit_spark.functions.msgpack_codec import pb_read_varint, pb_varint
+
+    for n in (-1, -62135596800000, -(2**63)):
+        enc = pb_varint(n)
+        assert len(enc) == 10
+        raw, off = pb_read_varint(enc, 0)
+        assert off == len(enc)
+        assert raw - (1 << 64) == n or raw == n
 
 
 @given(
