@@ -24,12 +24,21 @@ from dataclasses import dataclass, field
 
 import yaml
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.model import TAG_COL, TS_COL
 from fluent_bit_spark.sp import SPContext
 from fluent_bit_spark.sp.compiler import tag_pattern_to_regex
+
+
+def _listopt(v) -> list | None:
+    """List-valued config options arrive as real lists from YAML but as
+    bare/comma-separated strings from classic .conf; a lone string fed to a
+    `for key in keys` loop silently iterates characters. Normalize here."""
+    if v is None or isinstance(v, (list, tuple)):
+        return list(v) if v is not None else None
+    return [s.strip() for s in str(v).split(",") if s.strip()]
 
 
 @dataclass
@@ -71,7 +80,9 @@ class Pipeline:
             key = out.get("match", "*")
             while key in written:  # duplicate match patterns stay distinct
                 key += "+"
-            written[key] = n
+            # Observation metrics ride the sink's own write job — one scan
+            # per output instead of a second count() pass over the route.
+            written[key] = int(n.get["n"]) if isinstance(n, Observation) else n
 
         for out in self.outputs:
             df = self.route(
@@ -79,6 +90,8 @@ class Pipeline:
                 conds=out.get("conditions"),
                 combine=out.get("condition_op", "AND"),
             )
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
             name = out.get("name", "file")
             if name == "file":
                 write_file(
@@ -89,10 +102,13 @@ class Pipeline:
                     template=out.get("template"),
                     compression=out.get("compression"),
                 )
-                record(out, df.count())
+                record(out, obs)
             elif name in ("null", "counter"):
+                # no write job to ride — the count IS the action
                 record(out, df.count())
             elif name == "stdout":
+                # show(limit) stops early, so observe() would undercount;
+                # a debug sink can afford the explicit count
                 df.show(int(out.get("limit", 20)), truncate=False)
                 record(out, df.count())
             elif name in ("es", "opensearch"):
@@ -111,7 +127,7 @@ class Pipeline:
                     F.concat_ws("\n", "action_line", "doc_line").alias("value")
                 )
                 body.write.mode("overwrite").format("text").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "splunk":
                 from fluent_bit_spark.connectors import splunk_hec
 
@@ -126,47 +142,47 @@ class Pipeline:
                     send_raw=bool(out.get("send_raw", False)),
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "opentelemetry":
                 from fluent_bit_spark.connectors import otlp_logs_encode
 
                 shaped = otlp_logs_encode(
                     df,
                     body_col=out.get("body_key", "msg"),
-                    attr_cols=out.get("attribute_keys"),
+                    attr_cols=_listopt(out.get("attribute_keys")),
                     resource_attributes=out.get("resource_attributes"),
                     batch_col=out.get("batch_key", TAG_COL),
                 )
                 shaped.select("otlp_json").write.mode("overwrite").format("text").save(
                     out["path"]
                 )
-                record(out, df.count())
+                record(out, obs)
             elif name == "loki":
                 from fluent_bit_spark.sinks import loki_streams
 
                 shaped = loki_streams(
                     df,
-                    label_keys=out.get("labels", [TAG_COL]),
+                    label_keys=_listopt(out.get("labels")) or [TAG_COL],
                     line_col=out.get("line_key", "msg"),
                 )
                 shaped.select(F.to_json(F.struct("stream", "values")).alias("value")).write.mode(
                     "overwrite"
                 ).format("text").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "influxdb":
                 from fluent_bit_spark.connectors import influxdb_line
 
                 shaped = influxdb_line(
                     df,
-                    field_cols=out.get("field_keys"),
-                    tag_keys=out.get("tag_keys"),
+                    field_cols=_listopt(out.get("field_keys")),
+                    tag_keys=_listopt(out.get("tag_keys")),
                     auto_tags=bool(out.get("auto_tags", False)),
                     use_influxdb_integer=bool(out.get("add_integer_suffix", False)),
                 )
                 shaped.select(F.col("line").alias("value")).write.mode(
                     "overwrite"
                 ).format("text").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "datadog":
                 from fluent_bit_spark.connectors import datadog_records
 
@@ -182,13 +198,13 @@ class Pipeline:
                     remap=bool(out.get("remap", False)),
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "flowcounter":
                 from fluent_bit_spark.sinks import flowcounter
 
                 shaped = flowcounter(df, unit=out.get("unit", "minute"))
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "forward":
                 from fluent_bit_spark.connectors import forward_frames_encode
 
@@ -198,7 +214,7 @@ class Pipeline:
                     send_options=bool(out.get("send_options", False)),
                 )
                 shaped.write.mode("overwrite").format("parquet").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "cloudwatch_logs":
                 from fluent_bit_spark.connectors import cloudwatch_events
 
@@ -210,7 +226,7 @@ class Pipeline:
                     log_key=out.get("log_key"),
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "stackdriver":
                 from fluent_bit_spark.connectors import stackdriver_entries
 
@@ -222,19 +238,17 @@ class Pipeline:
                     span_id_key=out.get("span_id_key"),
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "bigquery":
                 from fluent_bit_spark.connectors import bigquery_rows
 
                 shaped = bigquery_rows(df, insert_id_col=out.get("insert_id_key"))
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "kafka":
                 from fluent_bit_spark.connectors import kafka_messages
 
-                topics = out.get("topics", "fluent-bit")
-                if isinstance(topics, str):
-                    topics = [t.strip() for t in topics.split(",")]
+                topics = _listopt(out.get("topics", "fluent-bit"))
                 shaped = kafka_messages(
                     df,
                     topics,
@@ -248,7 +262,7 @@ class Pipeline:
                 )
                 # file-backed stand-in for the producer, like the es route
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "http":
                 from fluent_bit_spark.sinks import http_payload
 
@@ -259,7 +273,7 @@ class Pipeline:
                     json_date_format=out.get("json_date_format", "double"),
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name in ("kinesis_streams", "kinesis_firehose"):
                 from fluent_bit_spark.connectors import kinesis_records
 
@@ -270,7 +284,7 @@ class Pipeline:
                     time_key_format=out.get("time_key_format", "%Y-%m-%dT%H:%M:%S"),
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "azure":
                 from fluent_bit_spark.connectors import azure_records
 
@@ -282,19 +296,19 @@ class Pipeline:
                     log_type_key=out.get("log_type_key"),
                 )
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "logdna":
                 from fluent_bit_spark.connectors import logdna_lines
 
                 shaped = logdna_lines(df, app=out.get("app", "Fluent Bit"))
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "nats":
                 from fluent_bit_spark.connectors import nats_body
 
                 shaped = nats_body(df)
                 shaped.write.mode("overwrite").format("json").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "slack":
                 from fluent_bit_spark.connectors import slack_text
 
@@ -302,23 +316,23 @@ class Pipeline:
                 shaped.select(F.col("payload").alias("value")).write.mode(
                     "overwrite"
                 ).format("text").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "td":
                 from fluent_bit_spark.connectors import td_records
 
                 td_records(df).write.mode("overwrite").format("parquet").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "prometheus_remote_write":
                 from fluent_bit_spark.connectors import remote_write_encode
 
                 shaped = remote_write_encode(
                     df,
                     name_col=out.get("metric_key", "metric"),
-                    label_cols=out.get("label_keys"),
+                    label_cols=_listopt(out.get("label_keys")),
                     value_col=out.get("value_key", "value"),
                 )
                 shaped.write.mode("overwrite").format("parquet").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "plot":
                 from fluent_bit_spark.sinks import plot_lines
 
@@ -326,7 +340,7 @@ class Pipeline:
                 shaped.select(F.col("line").alias("value")).write.mode(
                     "overwrite"
                 ).format("text").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             elif name == "syslog":
                 from fluent_bit_spark.sinks import syslog_encode
 
@@ -338,7 +352,7 @@ class Pipeline:
                     appname_key=out.get("syslog_appname_key"),
                     procid_key=out.get("syslog_procid_key"),
                     msgid_key=out.get("syslog_msgid_key"),
-                    sd_keys=out.get("syslog_sd_key"),
+                    sd_keys=_listopt(out.get("syslog_sd_key")),
                     severity_key=out.get("syslog_severity_key"),
                     facility_key=out.get("syslog_facility_key"),
                     severity_preset=int(out.get("syslog_severity_preset", 6)),
@@ -348,7 +362,7 @@ class Pipeline:
                 shaped.select(F.col("line").alias("value")).write.mode(
                     "overwrite"
                 ).format("text").save(out["path"])
-                record(out, df.count())
+                record(out, obs)
             else:
                 raise ValueError(f"unknown output plugin {name!r}")
         return written

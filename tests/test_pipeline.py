@@ -261,6 +261,29 @@ def test_syslog_output_plugin(spark, tmp_path):
     assert line.startswith("<11>") and line.endswith(" h1 hello")
 
 
+def test_syslog_sd_key_string_normalized(spark, tmp_path):
+    """Classic .conf delivers list options as bare strings; a lone string in
+    sd_keys must select the named column, not iterate its characters
+    (regression: structured data silently became '-')."""
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {"name": "dummy", "tag": "sys.app",
+                 "records": [{"message": "hi", "sdid": {"k": "v"}}]},
+            ],
+            "outputs": [
+                {"name": "syslog", "match": "*", "path": str(tmp_path / "sl"),
+                 "syslog_format": "rfc5424", "syslog_sd_key": "sdid"},
+            ],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    counts = pipe.run_outputs()
+    assert all(n == 1 for n in counts.values())
+    line = spark.read.text(str(tmp_path / "sl")).collect()[0].value
+    assert "sdid" in line or "x@1" in line  # SD present, not '-'
+
+
 def test_classic_conf_end_to_end(spark, tmp_path, monkeypatch):
     """Classic-mode .conf (src/config_format/flb_cf_fluentbit.c): sections,
     repeated filter keys -> rule lists, @SET/@INCLUDE/${} expansion, the
