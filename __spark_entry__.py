@@ -903,7 +903,8 @@ def text_token_counts_q(spark, sf_dir):
 def pii_redaction_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import redact_pii
 
-    ev = _events(spark, sf_dir)
+    # single-row-group scan → pre-spread so the regex map runs on all cores
+    ev = _events(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     text = F.concat(
         F.lit("contact u"), F.col("user_id"), F.lit("@example.com or 10.0."),
         (F.col("user_id") % 256).cast("string"), F.lit("."),

@@ -21,7 +21,7 @@ run on the small derived table, never the raw docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -54,20 +54,21 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the convergence count rides the eager checkpoint's own job via
+        # observe() — no extra join or probe job per round
+        obs = Observation()
         new_labels = (
             labels.join(neigh, "id", "left")
-            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
+            )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("chg")
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select("id", F.col("lbl").alias("component"))
 
