@@ -913,6 +913,48 @@ def pii_redaction_q(spark, sf_dir):
     return ev.select("event_id", redact_pii(text, kinds=("email", "ipv4")).alias("redacted"))
 
 
+def multimodal_headers_q(spark, sf_dir):
+    """Real container-header decode: synthesize valid PNG/JPEG/GIF/BMP/WAV
+    payloads from doc_id arithmetic, then parse dimensions/channels/rate
+    back out of the raw bytes (extensions/multimodal.py parse_media_header).
+    The oracle recomputes the expected metadata arithmetically, so the
+    encode->decode path is fully hash-checked."""
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.multimodal import (
+        extract_media_headers, make_bmp, make_gif, make_jpeg, make_png, make_wav,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                m, w, h = i % 5, (i % 640) + 1, (i % 480) + 1
+                if m == 0:
+                    b = make_png(w, h)
+                elif m == 1:
+                    b = make_jpeg(w, h)
+                elif m == 2:
+                    b = make_gif(w, h)
+                elif m == 3:
+                    b = make_bmp(w, h)
+                else:
+                    b = make_wav((i % 2) + 1, 8000, 16, ((i % 100) + 1) * 8)
+                rows.append({"media_id": i, "kind": "media", "content": b})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    media = docs.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        build, "media_id bigint, kind string, content binary"
+    )
+    return extract_media_headers(media).select(
+        "media_id", "format", "width", "height", "channels",
+        "bit_depth", "sample_rate", "duration_ms",
+    )
+
+
 def doc_fingerprint_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import fingerprint
 
@@ -1850,7 +1892,7 @@ _DRIVER_WINDOW_R3 = [
     "similarity_ivf_ann", "similarity_pq_ann", "text_langid", "text_quality",
     "text_token_counts", "text_repetition", "doc_fingerprint", "pii_redaction",
     "c4_line_filter", "c4_clean_docs", "multimodal_metadata",
-    "ml_inference_scores", "join_q5_region",
+    "multimodal_headers", "ml_inference_scores", "join_q5_region",
     # connectors / codecs
     "msgpack_roundtrip", "forward_wire_roundtrip", "avro_roundtrip",
     "kubernetes_enrich", "geoip_enrich", "loki_push_shape",
@@ -1859,10 +1901,11 @@ _DRIVER_WINDOW_R3 = [
     "statsd_decode", "prom_exposition", "influxdb_lines", "syslog_5424_lines",
     "syslog_3164_lines", "http_requests", "http_body", "datadog_shape",
     "cloudwatch_shape", "stackdriver_shape", "bigquery_shape",
-    "flowcounter_rates", "kafka_messages", "tda_betti_windows",
-    # positions 50-54: shape-only connector queries (lowest information value;
-    # siblings above cover the same code paths)
-    "plot_lines", "kinesis_shape", "azure_shape", "logdna_shape", "nats_body",
+    "flowcounter_rates", "kafka_messages",
+    # positions 50+: rows-only / shape-only queries (lowest information value;
+    # tda is rows-only by policy, the shapes' code paths are covered above)
+    "tda_betti_windows", "plot_lines", "kinesis_shape", "azure_shape",
+    "logdna_shape", "nats_body",
 ]
 
 
@@ -1940,6 +1983,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint_q,
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
+        "multimodal_headers": multimodal_headers_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -2374,6 +2418,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height, "
             "CAST((octet_length(encode(text)) * 7) % 10000 AS INT) AS fake_duration_ms, "
             "sha256(text) AS sha FROM documents"
+        ),
+        "multimodal_headers": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+            "WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'wav' END AS format, "
+            "CAST(CASE WHEN doc_id % 5 <= 3 THEN (doc_id % 640) + 1 END AS INT) AS width, "
+            "CAST(CASE WHEN doc_id % 5 <= 3 THEN (doc_id % 480) + 1 END AS INT) AS height, "
+            "CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 3 "
+            "WHEN doc_id % 5 = 4 THEN (doc_id % 2) + 1 END AS INT) AS channels, "
+            "CAST(CASE doc_id % 5 WHEN 3 THEN 24 WHEN 4 THEN 16 ELSE 8 END AS INT) AS bit_depth, "
+            "CAST(CASE WHEN doc_id % 5 = 4 THEN 8000 END AS INT) AS sample_rate, "
+            "CAST(CASE WHEN doc_id % 5 = 4 THEN (doc_id % 100) + 1 END AS INT) AS duration_ms "
+            "FROM documents"
         ),
         "es_bulk_encode": (
             "SELECT 'logs-' || strftime(ts, '%Y.%m.%d') AS _index, "

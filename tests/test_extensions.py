@@ -136,6 +136,45 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.select(F.min("frame_ts_ms")).collect()[0][0] == 0
 
 
+def test_media_header_parsers_roundtrip():
+    """Encode->parse for every supported public container format, plus
+    graceful unknown/truncated handling (pure Python, no Spark)."""
+    from fluent_bit_spark.extensions.multimodal import (
+        make_bmp, make_gif, make_jpeg, make_png, make_wav, parse_media_header,
+    )
+
+    png = parse_media_header(make_png(320, 200))
+    assert (png["format"], png["width"], png["height"], png["channels"],
+            png["bit_depth"]) == ("png", 320, 200, 3, 8)
+    jpg = parse_media_header(make_jpeg(1920, 1080, channels=3))
+    assert (jpg["format"], jpg["width"], jpg["height"], jpg["channels"]) == (
+        "jpeg", 1920, 1080, 3)
+    gif = parse_media_header(make_gif(16, 9))
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 16, 9)
+    bmp = parse_media_header(make_bmp(640, 480))
+    assert (bmp["format"], bmp["width"], bmp["height"], bmp["bit_depth"]) == (
+        "bmp", 640, 480, 24)
+    wav = parse_media_header(make_wav(2, 44100, 16, 44100))
+    assert (wav["format"], wav["channels"], wav["sample_rate"],
+            wav["bit_depth"], wav["duration_ms"]) == ("wav", 2, 44100, 16, 1000)
+    # grayscale+alpha png color type
+    ga = parse_media_header(make_png(8, 8, color_type=4))
+    assert ga["channels"] == 2
+    assert parse_media_header(b"")["format"] == "unknown"
+    assert parse_media_header(b"garbage bytes")["format"] == "unknown"
+    assert parse_media_header(make_png(9, 9)[:12])["format"] == "unknown"
+
+
+def test_extract_media_headers_spark(spark, docs):
+    from fluent_bit_spark.extensions.multimodal import extract_media_headers, make_gif
+
+    rows = [(i, "image", bytearray(make_gif(i + 1, 2 * i + 1))) for i in range(5)]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    out = {r.media_id: r for r in extract_media_headers(media).collect()}
+    assert all(out[i].format == "gif" and out[i].width == i + 1
+               and out[i].height == 2 * i + 1 for i in range(5))
+
+
 def test_redact_pii(spark):
     from pyspark.sql import Row
     from pyspark.sql import functions as F
