@@ -1109,6 +1109,28 @@ def ml_inference_scores(spark, sf_dir):
     )
 
 
+def ml_inference_mlp_q(spark, sf_dir):
+    """Serialized-checkpoint inference: a 64->4 (ReLU) ->1 (sigmoid) numpy
+    MLP written to an .npz file, loaded once per executor by
+    predict_batch_udf, scored over Arrow-batched embeddings. The weights are
+    deterministic so the oracle recomputes every score in SQL."""
+    import os
+    import tempfile
+
+    from fluent_bit_spark.extensions.inference import (
+        make_demo_mlp, make_npz_mlp_predict_fn, predict_batch, save_mlp_npz,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "fbs_demo_mlp_64x4.npz")
+    if not os.path.exists(path):
+        save_mlp_npz(path, make_demo_mlp(64, 4))
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = predict_batch(
+        emb, "embedding", dim=64, make_predict_fn=make_npz_mlp_predict_fn(path)
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def kubernetes_enrich(spark, sf_dir):
     """filter_kubernetes parity: kube_tag_prefix LENGTH-skip +
     KUBE_TAG_TO_REGEX derivation + broadcast pod-metadata join +
@@ -1892,7 +1914,8 @@ _DRIVER_WINDOW_R3 = [
     "similarity_ivf_ann", "similarity_pq_ann", "text_langid", "text_quality",
     "text_token_counts", "text_repetition", "doc_fingerprint", "pii_redaction",
     "c4_line_filter", "c4_clean_docs", "multimodal_metadata",
-    "multimodal_headers", "ml_inference_scores", "join_q5_region",
+    "multimodal_headers", "ml_inference_scores", "ml_inference_mlp",
+    "join_q5_region",
     # connectors / codecs
     "msgpack_roundtrip", "forward_wire_roundtrip", "avro_roundtrip",
     "kubernetes_enrich", "geoip_enrich", "loki_push_shape",
@@ -1900,12 +1923,12 @@ _DRIVER_WINDOW_R3 = [
     "splunk_hec_shape", "splunk_hec_roundtrip", "otlp_logs_roundtrip",
     "statsd_decode", "prom_exposition", "influxdb_lines", "syslog_5424_lines",
     "syslog_3164_lines", "http_requests", "http_body", "datadog_shape",
-    "cloudwatch_shape", "stackdriver_shape", "bigquery_shape",
+    "cloudwatch_shape", "stackdriver_shape",
     "flowcounter_rates", "kafka_messages",
     # positions 50+: rows-only / shape-only queries (lowest information value;
     # tda is rows-only by policy, the shapes' code paths are covered above)
-    "tda_betti_windows", "plot_lines", "kinesis_shape", "azure_shape",
-    "logdna_shape", "nats_body",
+    "tda_betti_windows", "bigquery_shape", "plot_lines", "kinesis_shape",
+    "azure_shape", "logdna_shape", "nats_body",
 ]
 
 
@@ -2017,6 +2040,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_body": http_body_q,
         "plot_lines": plot_lines_q,
         "kafka_messages": kafka_messages_q,
+        "ml_inference_mlp": ml_inference_mlp_q,
         "similarity_pq_ann": similarity_pq_ann_q,
         "kinesis_shape": kinesis_shape_q,
         "azure_shape": azure_shape_q,
@@ -2025,6 +2049,27 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nats_body": nats_body_q,
         "remote_write_roundtrip": remote_write_roundtrip_q,
     }
+
+
+def _mlp_oracle_sql(dim: int = 64, hidden: int = 4) -> str:
+    """Recompute the demo MLP (extensions/inference.py make_demo_mlp) as
+    explicit SQL: one list_dot_product per hidden unit, ReLU via greatest,
+    sigmoid output — weights from the same deterministic formula."""
+    from fluent_bit_spark.extensions.inference import mlp_bias, mlp_weight
+
+    terms = []
+    for j in range(hidden):
+        w = ", ".join(repr(mlp_weight(i, j)) for i in range(dim))
+        w1 = ((j * 5) % 9 - 4) / 10.0
+        terms.append(
+            f"greatest(0.0, list_dot_product(emb, [{w}]) + {mlp_bias(j)!r}) * {w1!r}"
+        )
+    z = " + ".join(terms) + " + 0.05"
+    return (
+        "SELECT vec_id, ROUND(1.0 / (1.0 + exp(-(" + z + "))), 6) AS score "
+        "FROM (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2473,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(0, len(embedding)), i -> ((i*31) % 7 - 3) / 10.0)))) > 0.5) "
             "AS predicted FROM embeddings"
         ),
+        "ml_inference_mlp": _mlp_oracle_sql(64, 4),
         "kubernetes_enrich": (
             # independent re-derivation: same tag synthesis, RE2 extraction
             # (vs Spark's java.util.regex), same dimension join

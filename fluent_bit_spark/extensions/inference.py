@@ -8,11 +8,12 @@ numpy arrays, and the udf pipelines with the surrounding codegen stages —
 the same role the TFLite interpreter plays in the C filter, minus the
 per-record msgpack decode.
 
-No deep-learning runtime ships in this container, so the default model is a
-deterministic linear+sigmoid stub (weights derived from the feature index)
-— the *plumbing* (executor-cached model, tensor batching, threshold
-classify) is real and oracle-checked; swap ``make_predict_fn`` for a real
-framework loader (the import-try below shows the TF shape).
+Two real model paths run end-to-end here: a linear+sigmoid model with
+deterministic weights, and a serialized numpy MLP (ReLU hidden + sigmoid
+out) loaded from an .npz checkpoint per executor
+(``make_npz_mlp_predict_fn``) — both oracle-checked score-for-score. The
+TFLite loader (``make_tf_predict_fn``) has a complete invoke path but is
+import-gated since no DL runtime ships in this container.
 """
 
 from __future__ import annotations
@@ -48,22 +49,95 @@ def make_stub_predict_fn(dim: int):
     return make
 
 
+# --------------------------------------------------------------------------
+# Real serialized-model path: a numpy MLP loaded from an .npz weights file.
+# This is a genuine load-weights->forward-pass pipeline through
+# predict_batch_udf (model read once per executor, Arrow-batched inputs);
+# the npz format stands in for a framework checkpoint since no DL runtime
+# ships in this container. On a cluster, ship the file via spark.files or
+# shared storage.
+# --------------------------------------------------------------------------
+def save_mlp_npz(path: str, layers: list[tuple[np.ndarray, np.ndarray]]) -> None:
+    """Serialize [(W0, b0), (W1, b1), ...] to an npz checkpoint."""
+    arrays = {}
+    for i, (w, b) in enumerate(layers):
+        arrays[f"W{i}"] = np.asarray(w, dtype=np.float64)
+        arrays[f"b{i}"] = np.asarray(b, dtype=np.float64)
+    np.savez(path, **arrays)
+
+
+def mlp_weight(i: int, j: int) -> float:
+    """Deterministic weight formula shared with the SQL oracle."""
+    return ((i * 7 + j * 13) % 11 - 5) / 10.0
+
+
+def mlp_bias(j: int) -> float:
+    return ((j * 3) % 5 - 2) / 10.0
+
+
+def make_demo_mlp(dim: int, hidden: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """dim -> hidden (ReLU) -> 1 (sigmoid) with deterministic weights, so an
+    independent oracle can recompute every score."""
+    w0 = np.array([[mlp_weight(i, j) for j in range(hidden)] for i in range(dim)])
+    b0 = np.array([mlp_bias(j) for j in range(hidden)])
+    w1 = np.array([[((j * 5) % 9 - 4) / 10.0] for j in range(hidden)])
+    b1 = np.array([0.05])
+    return [(w0, b0), (w1, b1)]
+
+
+def make_npz_mlp_predict_fn(model_path: str):
+    """Model-maker for predict_batch_udf: loads the npz checkpoint once per
+    executor; forward pass is ReLU hidden layers + sigmoid output."""
+
+    def make():
+        import numpy as _np
+
+        data = _np.load(model_path)
+        layers = []
+        i = 0
+        while f"W{i}" in data:
+            layers.append((data[f"W{i}"], data[f"b{i}"]))
+            i += 1
+        if not layers:
+            raise ValueError(f"no W0/b0 arrays in {model_path}")
+
+        def predict(inputs: _np.ndarray) -> _np.ndarray:
+            x = inputs.astype(_np.float64)
+            for k, (w, b) in enumerate(layers):
+                x = x @ w + b
+                if k < len(layers) - 1:
+                    x = _np.maximum(x, 0.0)
+            x = 1.0 / (1.0 + _np.exp(-x))
+            return x[:, 0] if x.ndim == 2 and x.shape[1] == 1 else x
+
+        return predict
+
+    return make
+
+
 def make_tf_predict_fn(model_path: str):  # pragma: no cover - no TF in container
-    """The real-framework shape (kept import-gated; raises without TF)."""
+    """TFLite loader for predict_batch_udf (filter_tensorflow's engine).
+    Import-gated: complete invoke path when tensorflow is installed."""
 
     def make():
         try:
-            import tensorflow as tf  # noqa: F401
+            import tensorflow as tf
         except ImportError as e:
-            raise NotImplementedError(
+            raise ImportError(
                 "tensorflow is not installed in this environment; "
-                "use make_stub_predict_fn or install a runtime"
+                "use make_npz_mlp_predict_fn or make_stub_predict_fn"
             ) from e
         interp = tf.lite.Interpreter(model_path=model_path)
-        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        outd = interp.get_output_details()[0]
 
         def predict(inputs: np.ndarray) -> np.ndarray:
-            raise NotImplementedError("wire interp invoke here")
+            interp.resize_tensor_input(inp["index"], list(inputs.shape))
+            interp.allocate_tensors()
+            interp.set_tensor(inp["index"], inputs.astype(inp["dtype"]))
+            interp.invoke()
+            out = interp.get_tensor(outd["index"])
+            return out[:, 0] if out.ndim == 2 and out.shape[1] == 1 else out
 
         return predict
 

@@ -233,12 +233,37 @@ def test_ml_inference_stub_model(spark):
 
 
 def test_ml_inference_tf_gate(spark):
-    """The real-framework loader raises NotImplementedError without TF."""
+    """The TFLite loader raises ImportError without TF installed."""
     import pytest as _pytest
     from fluent_bit_spark.extensions.inference import make_tf_predict_fn
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ImportError):
         make_tf_predict_fn("/nonexistent/model.tflite")()
+
+
+def test_ml_inference_npz_mlp(spark, tmp_path):
+    """Serialized-model path end-to-end: write an .npz MLP checkpoint, load
+    it through predict_batch_udf, and match a local numpy forward pass."""
+    import numpy as np
+    from fluent_bit_spark.extensions.inference import (
+        make_demo_mlp, make_npz_mlp_predict_fn, predict_batch, save_mlp_npz,
+    )
+    from fluent_bit_spark.model import load_table
+
+    path = str(tmp_path / "mlp.npz")
+    layers = make_demo_mlp(64, 4)
+    save_mlp_npz(path, layers)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    out = predict_batch(
+        emb, "embedding", dim=64, make_predict_fn=make_npz_mlp_predict_fn(path)
+    )
+    (w0, b0), (w1, b1) = layers
+    for r in out.select("vec_id", "embedding", "score").collect():
+        x = np.asarray(r.embedding, dtype=np.float64)
+        h = np.maximum(x @ w0 + b0, 0.0)
+        local = 1.0 / (1.0 + np.exp(-(h @ w1 + b1)))[0]
+        assert abs(r.score - local) < 1e-9
 
 
 def test_dedup_udfs_tolerate_null_text_and_embeddings(spark):
