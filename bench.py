@@ -59,7 +59,72 @@ BENCH_QUERIES = [
     "influxdb_lines",
     "http_body",
     "forward_wire_roundtrip",
+    "pipeline_e2e",
 ]
+
+
+def _pipeline_e2e(spark, sf_dir: str) -> dict:
+    """Config-driven end-to-end: classic .conf -> tagged input -> filters ->
+    five sink routes (file/es/loki/influxdb/null), counts riding each write
+    via observe(). This is the 'config is the plan' path a migrating
+    fluent-bit user runs."""
+    import shutil
+    import tempfile
+
+    from fluent_bit_spark.pipeline import load_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="fbs_bench_pipe_")
+    conf_text = f"""
+[INPUT]
+    Name parquet
+    Path {sf_dir}/events.parquet
+    Tag app.events
+    Time_Key ts
+    Repartition auto
+
+[FILTER]
+    Name grep
+    Match app.*
+    Regex event_type ^(view|click|purchase|error|signup)$
+
+[FILTER]
+    Name modify
+    Match *
+    Add env prod
+
+[OUTPUT]
+    Name file
+    Match *
+    Path {tmp}/file
+    Format json
+
+[OUTPUT]
+    Name es
+    Match *
+    Path {tmp}/es
+
+[OUTPUT]
+    Name loki
+    Match *
+    Path {tmp}/loki
+    Line_Key props
+
+[OUTPUT]
+    Name influxdb
+    Match *
+    Path {tmp}/influx
+    Field_Keys value
+    Tag_Keys event_type
+
+[OUTPUT]
+    Name null
+    Match *
+"""
+    try:
+        pipe = load_pipeline(spark, conf_text)
+        return pipe.run_outputs()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -94,10 +159,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(runs):
         for name in BENCH_QUERIES:
-            fn = qs[name]
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            if name == "pipeline_e2e":
+                _pipeline_e2e(spark, sf_dir)  # runs its own sink writes
+            else:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             took = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, float("inf")), took), 3)
 

@@ -135,6 +135,43 @@ def resolve(df: DataFrame, acc: RecordAccessor) -> tuple[Column, T.DataType] | N
     return col, dtype
 
 
+# strftime -> Spark date_format token map (the subset fluent-bit's key
+# templates use; see plugins/out_s3/s3.c flb_get_s3_key)
+_STRFTIME_TOKENS = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"),
+]
+
+
+def tag_template(
+    template: str,
+    tag_col: str | Column = TAG_COL,
+    ts_col: str | Column | None = None,
+) -> Column:
+    """Expand a fluent-bit key/stream/index template into a Column:
+    ``$TAG[n]`` -> the n-th dot-delimited tag part, ``$TAG`` -> the whole
+    tag, strftime tokens (%Y %m %d %H %M %S ...) -> the record timestamp
+    formatted accordingly. The accessor semantics of flb_get_s3_key
+    (plugins/out_s3/s3.c) / flb_pack_msgpack_extract_log_key's tag path,
+    shared by the s3 / cloudwatch / es templated sinks."""
+    tag = (F.col(tag_col) if isinstance(tag_col, str) else tag_col).cast("string")
+    out = F.lit(template)
+    for n in range(10):
+        token = f"$TAG[{n}]"
+        if token in template:
+            # F.get: NULL (not ANSI error) for out-of-range parts
+            out = F.replace(out, F.lit(token), F.coalesce(
+                F.get(F.split(tag, r"\."), n), F.lit("")))
+    if "$TAG" in template:
+        out = F.replace(out, F.lit("$TAG"), tag)
+    if ts_col is not None and "%" in template:
+        ts = (F.col(ts_col) if isinstance(ts_col, str) else ts_col).cast("timestamp")
+        for strf, sparkf in _STRFTIME_TOKENS:
+            if strf in template:
+                out = F.replace(out, F.lit(strf), F.date_format(ts, sparkf))
+    return out
+
+
 def exists(df: DataFrame, acc: RecordAccessor) -> Column:
     """@record.contains(key) semantics: key present (and non-null) in record.
 

@@ -57,6 +57,12 @@ def es_bulk(
         idx = F.concat(
             F.lit(logstash_prefix + "-"), F.date_format(F.col(ts_col), logstash_dateformat)
         )
+    elif "$TAG" in index or "%" in index:
+        # templated index: $TAG/$TAG[n] + strftime, same accessor semantics
+        # as the s3/cloudwatch key templates
+        from fluent_bit_spark.accessor import tag_template
+
+        idx = tag_template(index, ts_col=ts_col)
     else:
         idx = F.lit(index)
     action_fields = [idx.alias("_index")]
@@ -977,14 +983,10 @@ def cloudwatch_events(
         raise ValueError("need log_stream_name or log_stream_prefix")
     tag = F.col(tag_col).cast("string")
     if log_stream_name is not None:
-        stream = F.lit(log_stream_name)
         # $TAG[n] parts then whole-$TAG, same accessor semantics as out_s3
-        for n in range(10):
-            if f"$TAG[{n}]" in log_stream_name:
-                stream = F.replace(
-                    stream, F.lit(f"$TAG[{n}]"), F.split(tag, r"\.").getItem(n)
-                )
-        stream = F.replace(stream, F.lit("$TAG"), tag)
+        from fluent_bit_spark.accessor import tag_template
+
+        stream = tag_template(log_stream_name, tag_col=tag_col, ts_col=ts_col)
     else:
         stream = F.concat(F.lit(log_stream_prefix), tag)
 

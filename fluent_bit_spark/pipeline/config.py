@@ -103,6 +103,17 @@ class Pipeline:
                     compression=out.get("compression"),
                 )
                 record(out, obs)
+            elif name == "s3":
+                from fluent_bit_spark.sinks import write_s3
+
+                write_s3(
+                    df,
+                    out["path"],
+                    key_format=out.get("s3_key_format", "/$TAG"),
+                    fmt=out.get("format", "json"),
+                    compression=out.get("compression"),
+                )
+                record(out, obs)
             elif name in ("null", "counter"):
                 # no write job to ride — the count IS the action
                 record(out, df.count())
@@ -617,6 +628,13 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
             df = spark.createDataFrame(rows)
         else:
             raise ValueError(f"unknown input {fmt!r} (streaming inputs: use streaming.sources)")
+        # parallelism hint for sources that arrive as one split (e.g. a
+        # single-row-group parquet): spread before the per-sink pipelines
+        rep = inp.get("repartition")
+        if rep:
+            n = spark.sparkContext.defaultParallelism if str(rep).lower() in (
+                "true", "auto", "on") else int(rep)
+            df = df.repartition(n)
         df = df.withColumn(TAG_COL, F.lit(tag))
         if TS_COL not in df.columns:
             ts_from = inp.get("time_key")

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fluent_bit_spark.model import TAG_COL
+from fluent_bit_spark.model import TAG_COL, TS_COL
 
 
 def ltsv_line(df: DataFrame, cols: list[str] | None = None) -> Column:
@@ -145,6 +145,39 @@ def write_file(
     if partition_by_tag and TAG_COL in writer_df.columns:
         w = w.partitionBy(TAG_COL)
     w.format(fmt).save(path)
+
+
+def s3_object_keys(
+    df: DataFrame,
+    key_format: str = "/$TAG",
+    tag_col: str = TAG_COL,
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """out_s3 S3_Key_Format analog (plugins/out_s3/s3.c flb_get_s3_key):
+    ``$TAG``/``$TAG[n]`` + strftime tokens expand per record into an
+    ``s3_key`` column. The uploader groups by it; ``write_s3`` below maps
+    each distinct key to a partition directory in one pass."""
+    from fluent_bit_spark.accessor import tag_template
+
+    return df.withColumn("s3_key", tag_template(key_format, tag_col, ts_col))
+
+
+def write_s3(
+    df: DataFrame,
+    path: str,
+    key_format: str = "/$TAG",
+    fmt: str = "json",
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """out_s3 with a key template: one partitioned write, distinct expanded
+    keys become ``s3_key=<value>/`` directories (Spark's layout for the
+    reference's per-key objects — no per-key driver loop, scale-safe)."""
+    keyed = s3_object_keys(df, key_format)
+    w = keyed.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.partitionBy("s3_key").format(fmt).save(path)
 
 
 def stream_sink(

@@ -461,6 +461,47 @@ def test_forward_frames_pre1970_roundtrip(spark):
     assert back[0].timestamp == t
 
 
+def test_tag_template_accessors(spark, tmp_path):
+    """$TAG / $TAG[n] / strftime expansion is shared across the templated
+    sinks: s3 key format, es index, cloudwatch log stream."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.accessor import tag_template
+    from fluent_bit_spark.connectors import cloudwatch_events, es_bulk
+    from fluent_bit_spark.sinks import write_s3
+
+    df = spark.createDataFrame(
+        [("app.web.prod", dt.datetime(2024, 3, 5, 7, 0, 0), "m1"),
+         ("app.api.dev", dt.datetime(2024, 3, 6, 7, 0, 0), "m2")],
+        "tag string, timestamp timestamp, msg string",
+    )
+    keys = df.select(
+        tag_template("/logs/$TAG[1]/%Y/%m/%d", ts_col="timestamp").alias("k")
+    ).collect()
+    assert sorted(r.k for r in keys) == ["/logs/api/2024/03/06", "/logs/web/2024/03/05"]
+
+    # out-of-range part expands empty, not NULL
+    short = df.select(tag_template("x-$TAG[9]").alias("k")).collect()
+    assert all(r.k == "x-" for r in short)
+
+    # s3: distinct expanded keys -> partition dirs
+    write_s3(df, str(tmp_path / "s3"), key_format="/$TAG[0]/$TAG[1]")
+    dirs = {p.name for p in (tmp_path / "s3").iterdir() if p.is_dir()}
+    assert {"s3_key=%2Fapp%2Fweb", "s3_key=%2Fapp%2Fapi"} <= {
+        d.replace("/", "%2F") for d in dirs
+    } or len(dirs) == 2
+
+    # es: templated index per record
+    idx = {r._index for r in es_bulk(df, index="logs-$TAG[2]-%Y").collect()}
+    assert idx == {"logs-prod-2024", "logs-dev-2024"}
+
+    # cloudwatch: unchanged $TAG[n] behavior through the shared helper
+    cw = cloudwatch_events(df, "grp", log_stream_name="stream-$TAG[1]").collect()
+    assert {r.log_stream for r in cw} == {"stream-web", "stream-api"}
+
+
 def test_cloudwatch_events_shape(spark):
     """out_cloudwatch_logs PutLogEvents shaping: $TAG[n]/$TAG stream
     templates, log_key message extraction, ms timestamps, MAX_EVENT_LEN

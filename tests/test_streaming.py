@@ -233,6 +233,44 @@ def test_head_source_modes(spark, tmp_path):
     assert split[0].tag == "head.0"
 
 
+def test_forward_frames_stream_decode(spark, tmp_path):
+    """The fluentd-replay scenario: forward wire frames land as files, a
+    file stream decodes them (mapInPandas works unchanged on streaming
+    frames) and feeds an event-time windowed count with a watermark."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.connectors import forward_frames_decode, forward_frames_encode
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        ("svc.a", base + dt.timedelta(seconds=10 * i), f"msg{i}") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "tag string, timestamp timestamp, msg string")
+    frames = forward_frames_encode(df.coalesce(1), events_per_frame=4)
+    src = tmp_path / "frames"
+    frames.write.mode("overwrite").format("parquet").save(str(src))
+
+    sdf = (
+        spark.readStream.schema("tag string, frame binary")
+        .format("parquet")
+        .load(str(src))
+    )
+    decoded = forward_frames_decode(sdf.select("frame"))
+    agg = (
+        decoded.withWatermark("timestamp", "1 minute")
+        .groupBy(F.window("timestamp", "60 seconds"), "tag")
+        .agg(F.count("*").alias("n"))
+    )
+    # complete mode: one availableNow microbatch never advances the
+    # watermark past the windows, so append would emit nothing yet
+    _run_to_memory(agg, "fwd_stream", mode="complete")
+    out = spark.sql("SELECT tag, n FROM fwd_stream ORDER BY n").collect()
+    # 12 events at 10s spacing -> windows of 6 events each
+    assert [r.n for r in out] == [6, 6] and all(r.tag == "svc.a" for r in out)
+
+
 def test_exec_source_stub_and_random_shape(spark):
     import pytest as _pytest
 
