@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "influxdb_lines",
     "http_body",
     "forward_wire_roundtrip",
+    "multimodal_headers",
+    "ml_inference_mlp",
     "pipeline_e2e",
 ]
 

@@ -278,6 +278,47 @@ def test_remote_write_proto_roundtrip_pure(series):
     assert out == list(series)
 
 
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    fmt=st.sampled_from(["png", "jpeg", "gif", "bmp"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_media_header_encode_parse_property(w, h, fmt):
+    """parse_media_header inverts the encoders across the full u16
+    dimension range for every image container format."""
+    from fluent_bit_spark.extensions.multimodal import (
+        make_bmp, make_gif, make_jpeg, make_png, parse_media_header,
+    )
+
+    b = {"png": make_png, "jpeg": make_jpeg, "gif": make_gif, "bmp": make_bmp}[fmt](w, h)
+    m = parse_media_header(b)
+    assert (m["format"], m["width"], m["height"]) == (fmt, w, h)
+
+
+@given(
+    parts=st.lists(
+        st.from_regex(r"[a-z][a-z0-9_-]{0,8}", fullmatch=True), min_size=1, max_size=4
+    ),
+    n=st.integers(min_value=0, max_value=9),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tag_template_part_extraction(spark, parts, n):
+    """$TAG[n] always yields the n-th dot part or empty — never NULLs the
+    whole expansion (ANSI out-of-range regression)."""
+    from fluent_bit_spark.accessor import tag_template
+
+    tag = ".".join(parts)
+    df = spark.createDataFrame([(tag,)], "tag string")
+    got = df.select(tag_template(f"x/$TAG[{n}]/y").alias("k")).collect()[0].k
+    expect = parts[n] if n < len(parts) else ""
+    assert got == f"x/{expect}/y"
+
+
 def test_pb_varint_negative_is_ten_byte_twos_complement():
     """proto int64: negative values encode as 10-byte two's complement and
     must not hang the encoder (regression: pb_varint(-1) looped forever)."""
