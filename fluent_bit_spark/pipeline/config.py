@@ -613,6 +613,19 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
 
             lines = spark.read.text(inp["path"]).withColumnRenamed("value", "line")
             df = statsd_decode(lines)
+        elif fmt == "exec":
+            # in_exec: driver-side subprocess, gated on an explicit
+            # Allow_Exec opt-in in the config (cluster policy)
+            from fluent_bit_spark.streaming.sources import exec_source
+
+            df = exec_source(
+                spark,
+                command=inp["command"],
+                allow_exec=bool(inp.get("allow_exec", False)),
+                tag=tag,
+                key=inp.get("key", "exec"),
+                propagate_exit_code=bool(inp.get("propagate_exit_code", False)),
+            )
         elif fmt == "dummy":
             # in_dummy analog (plugins/in_dummy/): a fixed record repeated
             # `samples` times, or an explicit `records` list

@@ -169,20 +169,50 @@ def exec_source(
     records: list[dict] | None = None,
     tag: str = "exec.0",
     key: str = "exec",
+    command: str | list[str] | None = None,
+    allow_exec: bool = False,
+    timeout_sec: float = 30.0,
+    propagate_exit_code: bool = False,
 ) -> DataFrame:
-    """in_exec analog (plugins/in_exec/): the reference shells out and
-    captures stdout lines. Running arbitrary commands inside executors is
-    a cluster-policy decision, so this is the documented STUB shape: the
-    caller supplies the captured output lines (e.g. from a driver-side
-    subprocess) and gets the same (tag, ts, key) envelope the plugin
-    emits."""
-    if records is None:
-        raise NotImplementedError(
-            "exec_source needs the captured command output passed in; "
-            "arbitrary executor-side exec is deliberately not provided"
+    """in_exec analog (plugins/in_exec/in_exec.c): run a command, one
+    record per stdout line under ``key``.
+
+    Two modes:
+    - captured (default): the caller supplies the output ``records`` — the
+      envelope shape without any exec.
+    - live (``command=`` + explicit ``allow_exec=True``): a DRIVER-side
+      subprocess, mirroring the reference's collector-thread exec. Running
+      commands is a cluster-policy decision, so it is opt-in and never
+      executor-side. ``propagate_exit_code`` adds the exit code column
+      (in_exec.c Propagate_Exit_Code).
+    """
+    exit_code = None
+    if command is not None:
+        if not allow_exec:
+            raise PermissionError(
+                "exec_source(command=...) requires allow_exec=True — running "
+                "configured commands is an explicit opt-in (cluster policy)"
+            )
+        import subprocess
+
+        proc = subprocess.run(
+            command if isinstance(command, list) else ["/bin/sh", "-c", command],
+            capture_output=True,
+            text=True,
+            timeout=timeout_sec,
+        )
+        records = proc.stdout.splitlines()
+        exit_code = proc.returncode
+    elif records is None:
+        raise ValueError(
+            "exec_source needs either captured `records` or a `command` "
+            "with allow_exec=True; executor-side exec is never provided"
         )
     rows = [(tag, r if isinstance(r, str) else str(r)) for r in records]
-    return (
+    df = (
         spark.createDataFrame(rows, f"{TAG_COL} string, {key} string")
         .withColumn(TS_COL, F.current_timestamp())
     )
+    if propagate_exit_code and exit_code is not None:
+        df = df.withColumn("exit_code", F.lit(exit_code))
+    return df

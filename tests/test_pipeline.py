@@ -261,6 +261,25 @@ def test_syslog_output_plugin(spark, tmp_path):
     assert line.startswith("<11>") and line.endswith(" h1 hello")
 
 
+def test_exec_input_opt_in(spark, tmp_path):
+    """[INPUT] Name exec runs only with Allow_Exec true in the config."""
+    import pytest as _pytest
+
+    conf = {
+        "pipeline": {
+            "inputs": [{"name": "exec", "command": "printf 'x\\ny\\n'",
+                        "allow_exec": True, "tag": "cmd.out"}],
+            "outputs": [{"name": "null", "match": "*"}],
+        },
+    }
+    pipe = load_pipeline(spark, conf)
+    assert pipe.run_outputs() == {"*": 2}
+
+    conf["pipeline"]["inputs"][0]["allow_exec"] = False
+    with _pytest.raises(PermissionError):
+        load_pipeline(spark, conf)
+
+
 def test_syslog_sd_key_string_normalized(spark, tmp_path):
     """Classic .conf delivers list options as bare strings; a lone string in
     sd_keys must select the named column, not iterate its characters

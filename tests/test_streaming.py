@@ -280,8 +280,17 @@ def test_exec_source_stub_and_random_shape(spark):
     rows = df.collect()
     assert [r.exec for r in rows] == ["out1", "out2"]
     assert all(r.tag == "exec.cmd" for r in rows)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         exec_source(spark)
+    # live mode is an explicit opt-in (never executor-side)
+    with _pytest.raises(PermissionError):
+        exec_source(spark, command="echo hi")
+    live = exec_source(
+        spark, command="printf 'a\\nb\\n'; exit 3", allow_exec=True,
+        propagate_exit_code=True,
+    ).collect()
+    assert [r.exec for r in live] == ["a", "b"]
+    assert all(r.exit_code == 3 for r in live)
 
     stream = random_source(spark, rows_per_second=5)
     assert stream.isStreaming
