@@ -1823,6 +1823,28 @@ def c4_clean_docs_q(spark, sf_dir):
     return c4_clean(_c4_docs(spark, sf_dir))
 
 
+def line_dedup_q(spark, sf_dir):
+    """Corpus-level duplicate-line removal (RefinedWeb §3.2 / Dolma
+    paragraph dedup) over the synthesized multi-line corpus: lines present
+    in more than 2 distinct documents (the injected boilerplate) are
+    stripped everywhere. Two shuffles — the global line-frequency groupBy
+    and the join back — both keyed on the line text."""
+    from fluent_bit_spark.extensions.text import corpus_line_dedup
+
+    return corpus_line_dedup(_c4_docs(spark, sf_dir), max_docs=2)
+
+
+def embedding_quantize_q(spark, sf_dir):
+    """Scalar int8 quantization of the embedding corpus: per-dimension
+    min/max stats (model-sized aggregate) then a JVM-side transform()
+    quantize pass. Output keeps scalar integrity columns (sum/min/max of
+    each code vector) for exact oracle comparison."""
+    from fluent_bit_spark.extensions.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select("vec_id", "code_sum", "code_min", "code_max")
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2048,6 +2070,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logdna_shape": logdna_shape_q,
         "nats_body": nats_body_q,
         "remote_write_roundtrip": remote_write_roundtrip_q,
+        "line_dedup": line_dedup_q,
+        "embedding_quantize": embedding_quantize_q,
     }
 
 
@@ -2873,5 +2897,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'fbs_' || event_type AS metric, "
             "CAST(user_id % 4 AS VARCHAR) AS shard, value, "
             "make_timestamp(epoch_us(ts) // 1000 * 1000) AS ts_ms FROM events"
+        ),
+        "line_dedup": (
+            "WITH synth AS (SELECT doc_id, text || '.' || chr(10) || 'too short.' "
+            "|| chr(10) || 'this line mentions terms of use policy here.' || "
+            "CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{ brace }' ELSE '' END AS text "
+            "FROM documents), "
+            "base AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM synth), "
+            "l AS (SELECT doc_id, CAST(i - 1 AS INT) AS line_no, trim(parts[i]) AS line "
+            "FROM base, unnest(range(1, len(parts) + 1)) AS r(i)), "
+            "freq AS (SELECT line FROM l WHERE len(line) >= 1 "
+            "GROUP BY line HAVING COUNT(DISTINCT doc_id) > 2), "
+            "m AS (SELECT l.doc_id, l.line_no, l.line, "
+            "(len(l.line) >= 1 AND l.line IN (SELECT line FROM freq)) AS dropped FROM l) "
+            "SELECT doc_id, COALESCE(string_agg(line, chr(10) ORDER BY line_no) "
+            "FILTER (WHERE NOT dropped), '') AS clean_text, "
+            "COUNT(*) FILTER (WHERE NOT dropped) AS n_kept_lines, "
+            "COUNT(*) FILTER (WHERE dropped) AS n_dropped_lines "
+            "FROM m GROUP BY doc_id"
+        ),
+        "embedding_quantize": (
+            "WITH d AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, "
+            "CAST(embedding[i] AS DOUBLE) AS val "
+            "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)), "
+            "s AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM d GROUP BY dim), "
+            "sc AS (SELECT dim, lo, CASE WHEN hi > lo THEN (hi - lo) / 255.0 "
+            "ELSE 1.0 END AS scale FROM s), "
+            "c AS (SELECT vec_id, CAST(round((val - lo) / scale) AS INT) AS code "
+            "FROM d JOIN sc USING (dim)) "
+            "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, "
+            "MIN(code) AS code_min, MAX(code) AS code_max FROM c GROUP BY vec_id"
         ),
     }

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "forward_wire_roundtrip",
     "multimodal_headers",
     "ml_inference_mlp",
+    "line_dedup",
+    "embedding_quantize",
     "pipeline_e2e",
 ]
 

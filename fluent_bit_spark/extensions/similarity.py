@@ -408,3 +408,60 @@ def pq_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of an embedding
+    column — the storage-side counterpart of PQ: 4x smaller vectors with
+    a per-dimension affine dequant ``v ~ lo + code * (hi - lo) / levels``.
+
+    Scale shape: the stats pass is one posexplode + groupBy on the
+    dimension index (key cardinality = dim, a model-sized aggregate with
+    full map-side partial aggregation); the stats land on the driver as
+    model parameters (one row per dimension — same policy as the IVF
+    centroid table) and ship back as literal arrays, so the quantize pass
+    rebuilds the code array JVM-side with transform() — no Python in
+    either pass, one corpus scan each.
+
+    Returns (id_col, codes array<int>, plus per-vector code_sum/code_min/
+    code_max for cheap integrity checks).
+    """
+    dims = df.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    # dim-indexed arrays of lo/scale, broadcast-joined as literals-by-array
+    stats_df = (
+        stats.withColumn(
+            "scale",
+            F.when(F.col("hi") > F.col("lo"),
+                   (F.col("hi") - F.col("lo")) / F.lit(float(levels)))
+            .otherwise(F.lit(1.0)),
+        )
+        .orderBy("dim")
+    )
+    rows = stats_df.collect()  # model-sized: one row per dimension
+    lo_arr = F.array(*[F.lit(float(r["lo"])) for r in rows])
+    sc_arr = F.array(*[F.lit(float(r["scale"])) for r in rows])
+
+    codes = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.round(
+            (v - F.element_at(lo_arr, i + 1)) / F.element_at(sc_arr, i + 1)
+        ).cast("int"),
+    )
+    out = df.select(id_col, codes.alias("codes"))
+    return out.select(
+        id_col,
+        "codes",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, v: a + v).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    )

@@ -269,6 +269,65 @@ _C4_BAD_PHRASES = ("lorem ipsum", "javascript", "terms of use", "privacy policy"
                    "cookie policy", "uses cookies")
 
 
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (RefinedWeb §3.2 / Dolma
+    paragraph dedup): a trimmed line that occurs in more than ``max_docs``
+    distinct documents is boilerplate (nav bars, cookie banners, footers)
+    and is stripped from every document; lines shorter than ``min_chars``
+    are kept untouched (blank separators are not boilerplate evidence).
+
+    Scale shape: one explode, one partial-aggregated groupBy on the line
+    text (the global frequency pass), one shuffle join back on the same
+    key, then the keyed per-doc rebuild — the canonical two-shuffle plan
+    for corpus-frequency filtering. No driver-side state; the frequency
+    table lives distributed, never collected.
+
+    Returns (id_col, clean_text, n_kept_lines, n_dropped_lines).
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line", F.trim(F.col("line")))
+    eligible = F.length("line") >= min_chars
+    freq = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("line")
+    )
+    marked = lines.join(
+        freq.withColumn("_dup", F.lit(True)), on="line", how="left"
+    ).withColumn("drop", eligible & F.coalesce(F.col("_dup"), F.lit(False)))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(~F.col("drop"), 1).otherwise(0)).alias("n_kept_lines"),
+            F.sum(F.when(F.col("drop"), 1).otherwise(0)).alias("n_dropped_lines"),
+        )
+    )
+
+
 def c4_line_signals(
     df: DataFrame,
     text_col: str = "text",

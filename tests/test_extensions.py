@@ -488,3 +488,45 @@ def test_pq_ann_recall_vs_brute_force(spark):
     for r in exact.collect():
         e_sets.setdefault(r.query_id, set()).add(r.vec_id % 4)
     assert all(e_sets[q] == {q % 4} for q in g1)
+
+
+def test_corpus_line_dedup(spark):
+    from fluent_bit_spark.extensions.text import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique opener one.\ncookie banner here\nbody text a"),
+            (2, "unique opener two.\ncookie banner here\nbody text b"),
+            (3, "unique opener three.\ncookie banner here\n\nbody text c"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = corpus_line_dedup(docs, max_docs=2).orderBy("doc_id").collect()
+    # "cookie banner here" appears in 3 docs > max_docs=2 -> stripped
+    assert all("cookie banner" not in r["clean_text"] for r in out)
+    assert [r["n_dropped_lines"] for r in out] == [1, 1, 1]
+    # unique lines survive; the blank line in doc 3 is never boilerplate
+    assert out[0]["clean_text"] == "unique opener one.\nbody text a"
+    assert out[2]["clean_text"] == "unique opener three.\n\nbody text c"
+    assert out[2]["n_kept_lines"] == 3
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    import numpy as np
+
+    from fluent_bit_spark.extensions.similarity import quantize_int8
+
+    rng = [(i, [float(((i * 31 + j * 7) % 97) / 97.0 - 0.5) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    out = quantize_int8(df, levels=255).collect()
+    assert len(out) == 20
+    by_id = {r["vec_id"]: r for r in out}
+    # codes live in [0, 255] and the extremes are hit per construction
+    assert all(0 <= r["code_min"] <= r["code_max"] <= 255 for r in out)
+    # dequantized values reconstruct originals within half a quantization step
+    vals = np.array([v for _, vec in rng for v in vec]).reshape(20, 8)
+    lo, hi = vals.min(axis=0), vals.max(axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    codes = np.array([by_id[i]["codes"] for i in range(20)], dtype=float)
+    recon = lo + codes * scale
+    assert np.abs(recon - vals).max() <= scale.max() / 2 + 1e-9
