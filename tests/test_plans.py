@@ -1,0 +1,117 @@
+"""Physical-plan regression guards for the 100 TB scale properties.
+
+Correctness tests prove the operators compute the right answer at small
+SF; these prove the *plans* keep the shape that survives a 1000-executor
+cluster: filters reach the parquet scan, small join sides broadcast, no
+cartesian products sneak in, and the pure-Catalyst operators stay free of
+row/batch Python eval nodes. A refactor that silently turns a broadcast
+join into a shuffle join, or drops a pushed filter, fails here — not in a
+benchmark three rounds later.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+# operators whose contract is "pure Catalyst, whole-stage codegen, no
+# Python in the plan" — the scan-speed tier
+PURE_JVM = [
+    "q1_pricing_summary",
+    "sp_projection",
+    "sp_window_tumbling",
+    "grep_filter",
+    "text_quality",
+    "text_langid",
+    "doc_fingerprint",
+    "pii_redaction",
+    "text_repetition",
+    "c4_clean_docs",
+    "line_dedup",
+    "dedup_exact",
+    "similarity_topk",
+    "throttle_rate",
+    "cumulative_to_delta",
+    "influxdb_lines",
+    "syslog_5424_lines",
+]
+
+PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+@pytest.mark.parametrize("name", PURE_JVM)
+def test_no_python_eval_nodes(spark, name):
+    plan = plan_of(spark, name)
+    hits = [n for n in PY_NODES if n in plan]
+    assert not hits, f"{name}: Python eval nodes {hits} in physical plan"
+
+
+@pytest.mark.parametrize("name", PURE_JVM)
+def test_whole_stage_codegen_present(spark, name):
+    # formatted explain marks fused operators with "[codegen id : N]";
+    # under AQE the annotation only materializes at execution time, so an
+    # AdaptiveSparkPlan root is accepted as codegen-eligible (the
+    # no-Python-nodes test above is the strong guard either way)
+    plan = plan_of(spark, name)
+    assert "codegen id" in plan or "AdaptiveSparkPlan" in plan
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+    # column pruning: comment/name columns must not be read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_q3_shipping", "join_q5_region", "checklist_watch", "kubernetes_enrich",
+     "geoip_enrich", "enrich_broadcast_join", "decontaminate"],
+)
+def test_joins_broadcast_not_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, (
+        f"{name}: no broadcast join and a nested-loop fallback present"
+    )
+
+
+@pytest.mark.parametrize("name", ["join_q3_shipping", "join_q5_region"])
+def test_tpch_joins_use_broadcast(spark, name):
+    # dims (customer/region/nation) are explicitly broadcast
+    assert "BroadcastHashJoin" in plan_of(spark, name)
+
+
+def _exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_line_dedup_bounded_shuffles(spark):
+    # frequency pass (partial-agg exchange), join-back exchange on the
+    # shared line key, and the doc-id rebuild exchange; more means a lost
+    # co-partitioning
+    plan = plan_of(spark, "line_dedup")
+    assert _exchanges(plan) <= 4, plan
+
+
+def test_exact_dedup_single_agg_shuffle(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # one hash-partitioned exchange for the hash groupBy; a second for the
+    # min-id tie-break join at most
+    assert _exchanges(plan) <= 3, plan
