@@ -70,8 +70,18 @@ class Pipeline:
             df = df.filter(conditions(df, rules, combine))
         return df
 
-    def run_outputs(self) -> dict[str, int]:
-        """Execute every output route; returns route -> row count written."""
+    def run_outputs(self, persist_routes: bool = True) -> dict[str, int]:
+        """Execute every output route; returns route -> row count written.
+
+        With more than one output and ``persist_routes`` (default), the
+        filtered source is persisted once and every sink reads the cached
+        partitions — the fluent-bit dataflow (a chunk is ingested/filtered
+        once, then fanned to all matching outputs) instead of K full
+        re-computations of the input scan + filter chain. MEMORY_AND_DISK
+        so an input bigger than executor memory spills instead of OOMing;
+        pass ``persist_routes=False`` to trade re-scan CPU for zero cache
+        footprint (the right call when sinks are few and the filter chain
+        is cheap relative to storage)."""
         from fluent_bit_spark.sinks import write_file
 
         written = {}
@@ -84,6 +94,21 @@ class Pipeline:
             # per output instead of a second count() pass over the route.
             written[key] = int(n.get["n"]) if isinstance(n, Observation) else n
 
+        cached = saved_inputs = None
+        if persist_routes and len(self.outputs) > 1:
+            from pyspark.storagelevel import StorageLevel
+
+            cached = self.source().persist(StorageLevel.MEMORY_AND_DISK)
+            saved_inputs, self.inputs = self.inputs, {"__cached__": cached}
+        try:
+            self._run_outputs_inner(written, record, write_file)
+        finally:
+            if cached is not None:
+                self.inputs = saved_inputs
+                cached.unpersist()
+        return written
+
+    def _run_outputs_inner(self, written, record, write_file) -> None:
         for out in self.outputs:
             df = self.route(
                 out.get("match", "*"),
@@ -376,7 +401,6 @@ class Pipeline:
                 record(out, obs)
             else:
                 raise ValueError(f"unknown output plugin {name!r}")
-        return written
 
 
 def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
