@@ -1,6 +1,12 @@
 """Streaming ingest throughput: JSON-lines tail -> parse -> windowed
 count -> memory sink, one availableNow pass. Prints rows/sec.
 
+Protocol: one warmup pass over a small directory first (the first
+streaming query in a session pays ~4 s of codegen/JIT/state-store class
+loading that steady-state ingest never sees), then best of
+$SPARK_GRAFT_BENCH_RUNS timed passes (default 2) — same min-discards-noise
+rule as bench.py.
+
 Usage: python tools/stream_bench.py [n_rows]
 """
 
@@ -21,12 +27,10 @@ from fluent_bit_spark.model import TS_COL
 from fluent_bit_spark.streaming.sources import tail_source
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    spark = get_spark("fbs-stream-bench")
+def _write_corpus(n_rows: int, n_files: int = 8) -> tuple[str, int]:
     d = tempfile.mkdtemp(prefix="fbs_stream_")
-    per_file = n // 8
-    for f_idx in range(8):
+    per_file = n_rows // n_files
+    for f_idx in range(n_files):
         with open(Path(d) / f"in{f_idx}.json", "w") as f:
             for i in range(per_file):
                 f.write(
@@ -35,6 +39,10 @@ def main() -> None:
                     )
                     + "\n"
                 )
+    return d, n_files * per_file
+
+
+def _one_pass(spark, d: str, name: str) -> float:
     sdf = tail_source(
         spark, d, fmt="json",
         schema="event_type string, value double, sec long",
@@ -48,12 +56,23 @@ def main() -> None:
     ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
     t0 = time.perf_counter()
     q = (
-        agg.writeStream.format("memory").queryName("sb").outputMode("append")
+        agg.writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(availableNow=True).start()
     )
     q.awaitTermination(600)
-    wall = time.perf_counter() - t0
-    total = 8 * per_file
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import os
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    spark = get_spark("fbs-stream-bench")
+    warm_dir, _ = _write_corpus(10_000)
+    _one_pass(spark, warm_dir, "sb_warm")
+    d, total = _write_corpus(n)
+    wall = min(_one_pass(spark, d, f"sb{i}") for i in range(runs))
     print(
         json.dumps(
             {
