@@ -1845,6 +1845,40 @@ def embedding_quantize_q(spark, sf_dir):
     return quantize_int8(emb).select("vec_id", "code_sum", "code_min", "code_max")
 
 
+def sketch_distinct_q(spark, sf_dir):
+    """Distinct users per event type via native HLL sketches — map-side
+    combinable, KB-bounded per-group state (vs the distinct-set shuffle an
+    exact COUNT(DISTINCT) needs). Exact in the sparse regime the gate
+    runs in; published error bounds at scale."""
+    from fluent_bit_spark.extensions.sketches import distinct_counts
+
+    ev = _events(spark, sf_dir)
+    return distinct_counts(ev, ["event_type"], "user_id")
+
+
+def sketch_rollup_q(spark, sf_dir):
+    """Mergeable-sketch rollup: per-(type, hour) HLL sketches unioned up
+    to per-hour distinct users — the coarse slice derives from the fine
+    sketches without rescanning raw data (pre-aggregated sketch tables)."""
+    from fluent_bit_spark.extensions.sketches import distinct_rollup
+
+    ev = _events(spark, sf_dir).withColumn("hour", F.date_trunc("hour", "ts"))
+    return distinct_rollup(
+        ev, ["event_type", "hour"], ["hour"], "user_id"
+    )
+
+
+def sketch_quantiles_q(spark, sf_dir):
+    """p50/p95/p99 of the value column per event type from one KLL sketch
+    per group — bounded state instead of a per-group sort; item semantics
+    (discrete quantiles) so the DuckDB quantile_disc oracle is exact at
+    gate scale."""
+    from fluent_bit_spark.extensions.sketches import quantile_summary
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return quantile_summary(ev, ["event_type"], "value")
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2072,6 +2106,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remote_write_roundtrip": remote_write_roundtrip_q,
         "line_dedup": line_dedup_q,
         "embedding_quantize": embedding_quantize_q,
+        "sketch_distinct": sketch_distinct_q,
+        "sketch_rollup": sketch_rollup_q,
+        "sketch_quantiles": sketch_quantiles_q,
     }
 
 
@@ -2927,5 +2964,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM d JOIN sc USING (dim)) "
             "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, "
             "MIN(code) AS code_min, MAX(code) AS code_max FROM c GROUP BY vec_id"
+        ),
+        "sketch_distinct": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        "sketch_rollup": (
+            "SELECT date_trunc('hour', ts) AS hour, "
+            "COUNT(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1"
+        ),
+        "sketch_quantiles": (
+            "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
+            "quantile_disc(value, 0.95) AS p95, "
+            "quantile_disc(value, 0.99) AS p99 "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type"
         ),
     }

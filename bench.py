@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "ml_inference_mlp",
     "line_dedup",
     "embedding_quantize",
+    "sketch_rollup",
+    "sketch_quantiles",
     "pipeline_e2e",
 ]
 

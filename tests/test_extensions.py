@@ -530,3 +530,39 @@ def test_quantize_int8_roundtrip_error(spark):
     codes = np.array([by_id[i]["codes"] for i in range(20)], dtype=float)
     recon = lo + codes * scale
     assert np.abs(recon - vals).max() <= scale.max() / 2 + 1e-9
+
+
+def test_sketch_distinct_and_rollup_merge_property(spark):
+    from fluent_bit_spark.extensions.sketches import distinct_counts, distinct_rollup
+
+    rows = [(f"t{i % 3}", f"h{i % 4}", i % 50) for i in range(600)]
+    df = spark.createDataFrame(rows, ["typ", "hour", "uid"])
+    direct = {
+        r["typ"]: r["n_distinct"]
+        for r in distinct_counts(df, ["typ"], "uid").collect()
+    }
+    # rolling fine (typ, hour) sketches up to typ must agree with the
+    # direct sketch over raw data (mergeability), and both are exact in
+    # the sparse regime
+    rolled = {
+        r["typ"]: r["n_distinct"]
+        for r in distinct_rollup(df, ["typ", "hour"], ["typ"], "uid").collect()
+    }
+    exact = {
+        r["typ"]: r["n"]
+        for r in df.groupBy("typ").agg(F.count_distinct("uid").alias("n")).collect()
+    }
+    assert direct == rolled == exact
+
+
+def test_sketch_quantiles_item_semantics(spark):
+    from fluent_bit_spark.extensions.sketches import quantile_summary
+
+    rows = [("a", float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_summary(df, ["g"], "v", quantiles=(0.5, 0.95, 0.99)).collect()[0]
+    # KLL returns actual items; exact below compaction
+    assert out["p50"] in (49.0, 50.0)
+    assert out["p95"] in (94.0, 95.0)
+    assert out["p99"] in (98.0, 99.0)
+    assert out["p50"] <= out["p95"] <= out["p99"]
