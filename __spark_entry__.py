@@ -1879,6 +1879,22 @@ def sketch_quantiles_q(spark, sf_dir):
     return quantile_summary(ev, ["event_type"], "value")
 
 
+def sketch_overlap_q(spark, sf_dir):
+    """Audience overlap via theta sketch set algebra: engaged users
+    (>= 8 events of a type) per segment, then pairwise union/intersection/
+    difference estimates from the KB-sized per-segment sketches — raw data
+    is scanned once and never self-joined."""
+    from fluent_bit_spark.extensions.sketches import segment_overlap
+
+    ev = _events(spark, sf_dir)
+    engaged = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 8)
+    )
+    return segment_overlap(engaged, "event_type", "user_id")
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2109,6 +2125,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": sketch_distinct_q,
         "sketch_rollup": sketch_rollup_q,
         "sketch_quantiles": sketch_quantiles_q,
+        "sketch_overlap": sketch_overlap_q,
     }
 
 
@@ -2978,5 +2995,18 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(value, 0.95) AS p95, "
             "quantile_disc(value, 0.99) AS p99 "
             "FROM events WHERE value IS NOT NULL GROUP BY event_type"
+        ),
+        "sketch_overlap": (
+            "WITH s AS (SELECT event_type AS t, user_id AS u FROM events "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 8), "
+            "c AS (SELECT t, COUNT(*) AS n FROM s GROUP BY t), "
+            "i AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS nb "
+            "FROM s a JOIN s b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2) "
+            "SELECT ca.t AS seg_a, cb.t AS seg_b, "
+            "CAST(ca.n + cb.n - COALESCE(i.nb, 0) AS BIGINT) AS n_union, "
+            "CAST(COALESCE(i.nb, 0) AS BIGINT) AS n_both, "
+            "CAST(ca.n - COALESCE(i.nb, 0) AS BIGINT) AS n_only_a "
+            "FROM c ca JOIN c cb ON ca.t < cb.t "
+            "LEFT JOIN i ON i.ta = ca.t AND i.tb = cb.t"
         ),
     }

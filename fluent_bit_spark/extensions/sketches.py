@@ -93,3 +93,41 @@ def quantile_summary(
             name, F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(float(q)))
         )
     return out.drop("_sk")
+
+
+def segment_overlap(
+    df: DataFrame,
+    segment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise audience overlap between segments via theta sketches:
+    for every segment pair (a < b), the estimated distinct-value count of
+    their union, intersection, and a-minus-b difference — the set algebra
+    HLL cannot do (HLL unions only; theta sketches support
+    intersection/difference with bounded error).
+
+    Scale shape: one pass builds a KB-sized sketch per segment; the
+    pairwise stage joins the tiny per-segment sketch table with itself
+    (segments x segments rows, model-sized — broadcast by AQE), so raw
+    data is never self-joined. Exact in the sparse regime (all hashes
+    retained below the sketch's nominal capacity).
+
+    Returns (seg_a, seg_b, n_union, n_both, n_only_a).
+    """
+    sk = df.groupBy(segment_col).agg(F.theta_sketch_agg(value_col).alias("_sk"))
+    a, b = sk.alias("a"), sk.alias("b")
+    return a.join(
+        b, F.col(f"a.{segment_col}") < F.col(f"b.{segment_col}")
+    ).select(
+        F.col(f"a.{segment_col}").alias("seg_a"),
+        F.col(f"b.{segment_col}").alias("seg_b"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("a._sk"), F.col("b._sk"))
+        ).alias("n_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("a._sk"), F.col("b._sk"))
+        ).alias("n_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("a._sk"), F.col("b._sk"))
+        ).alias("n_only_a"),
+    )

@@ -566,3 +566,16 @@ def test_sketch_quantiles_item_semantics(spark):
     assert out["p95"] in (94.0, 95.0)
     assert out["p99"] in (98.0, 99.0)
     assert out["p50"] <= out["p95"] <= out["p99"]
+
+
+def test_segment_overlap_set_algebra(spark):
+    from fluent_bit_spark.extensions.sketches import segment_overlap
+
+    # A = {0..59}, B = {40..99}: |A∪B| = 100, |A∩B| = 20, |A\B| = 40
+    rows = [("A", u) for u in range(60)] + [("B", u) for u in range(40, 100)]
+    df = spark.createDataFrame(rows, ["seg", "uid"])
+    out = segment_overlap(df, "seg", "uid").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["seg_a"], r["seg_b"]) == ("A", "B")
+    assert (r["n_union"], r["n_both"], r["n_only_a"]) == (100, 20, 40)
