@@ -1895,6 +1895,41 @@ def sketch_overlap_q(spark, sf_dir):
     return segment_overlap(engaged, "event_type", "user_id")
 
 
+def ts_downsample_q(spark, sf_dir):
+    """Continuous-aggregate downsample: per (event_type, 5-minute bucket)
+    count and mean — one shuffle on the uniform composite key, exact
+    integer bucket arithmetic (extensions/timeseries.py)."""
+    from fluent_bit_spark.extensions.timeseries import downsample
+
+    ev = _events(spark, sf_dir)
+    return downsample(
+        ev.filter(F.col("value").isNotNull()),
+        ["event_type"],
+        "ts",
+        300,
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+    )
+
+
+def ts_gapfill_locf_q(spark, sf_dir):
+    """Gap-filled sparse series: a 1-in-13 sample of events downsampled to
+    minute buckets leaves holes; gap_fill materializes each series' full
+    bucket spine and carries the last observation forward. Windows
+    partition by series — the canonical scale-out layout."""
+    from fluent_bit_spark.extensions.timeseries import downsample, gap_fill
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & (F.col("event_id") % 13 == 0)
+    )
+    d = downsample(
+        ev, ["event_type"], "ts", 60, [F.round(F.avg("value"), 6).alias("avg_v")]
+    )
+    return gap_fill(d, ["event_type"], 60, ["avg_v"], method="locf")
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2126,6 +2161,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": sketch_rollup_q,
         "sketch_quantiles": sketch_quantiles_q,
         "sketch_overlap": sketch_overlap_q,
+        "ts_downsample": ts_downsample_q,
+        "ts_gapfill_locf": ts_gapfill_locf_q,
     }
 
 
@@ -3008,5 +3045,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ca.n - COALESCE(i.nb, 0) AS BIGINT) AS n_only_a "
             "FROM c ca JOIN c cb ON ca.t < cb.t "
             "LEFT JOIN i ON i.ta = ca.t AND i.tb = cb.t"
+        ),
+        "ts_downsample": (
+            "SELECT event_type, "
+            "make_timestamp((epoch_us(ts) // 1000000 // 300) * 300 * 1000000) "
+            "AS bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(AVG(value), 6) AS avg_value FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1, 2"
+        ),
+        "ts_gapfill_locf": (
+            "WITH d AS (SELECT event_type, "
+            "make_timestamp((epoch_us(ts) // 1000000 // 60) * 60 * 1000000) "
+            "AS bucket, ROUND(AVG(value), 6) AS avg_v FROM events "
+            "WHERE value IS NOT NULL AND event_id % 13 = 0 GROUP BY 1, 2), "
+            "r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi "
+            "FROM d GROUP BY 1), "
+            "sp AS (SELECT event_type, "
+            "unnest(generate_series(lo, hi, INTERVAL 60 SECOND)) AS bucket FROM r), "
+            "j AS (SELECT sp.event_type, sp.bucket, d.avg_v, "
+            "d.avg_v IS NULL AS is_gap "
+            "FROM sp LEFT JOIN d ON d.event_type = sp.event_type "
+            "AND d.bucket = sp.bucket) "
+            "SELECT event_type, bucket, "
+            "last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type "
+            "ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS avg_v, is_gap FROM j"
         ),
     }

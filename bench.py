@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "sketch_rollup",
     "sketch_quantiles",
+    "ts_gapfill_locf",
     "pipeline_e2e",
 ]
 

@@ -579,3 +579,43 @@ def test_segment_overlap_set_algebra(spark):
     r = out[0]
     assert (r["seg_a"], r["seg_b"]) == ("A", "B")
     assert (r["n_union"], r["n_both"], r["n_only_a"]) == (100, 20, 40)
+
+
+def test_gap_fill_methods(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.timeseries import downsample, gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("s1", t0, 10.0),
+        ("s1", t0 + dt.timedelta(minutes=3), 40.0),
+        ("s2", t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["series", "ts", "v"])
+    d = downsample(df, ["series"], "ts", 60, [F.avg("v").alias("v")])
+
+    filled_null = gap_fill(d, ["series"], 60, ["v"], method="null")
+    s1 = {r["bucket"].minute: (r["v"], r["is_gap"])
+          for r in filled_null.filter(F.col("series") == "s1").collect()}
+    assert set(s1) == {0, 1, 2, 3}
+    assert s1[1] == (None, True) and s1[2] == (None, True)
+    assert s1[0] == (10.0, False) and s1[3] == (40.0, False)
+
+    locf = {r["bucket"].minute: r["v"]
+            for r in gap_fill(d, ["series"], 60, ["v"], method="locf")
+            .filter(F.col("series") == "s1").collect()}
+    assert locf == {0: 10.0, 1: 10.0, 2: 10.0, 3: 40.0}
+
+    lin = {r["bucket"].minute: r["v"]
+           for r in gap_fill(d, ["series"], 60, ["v"], method="linear")
+           .filter(F.col("series") == "s1").collect()}
+    assert lin == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+
+    # single-observation series: spine collapses to one real row
+    s2 = gap_fill(d, ["series"], 60, ["v"], method="linear").filter(
+        F.col("series") == "s2").collect()
+    assert len(s2) == 1 and s2[0]["v"] == 5.0 and not s2[0]["is_gap"]
+
+    with pytest.raises(ValueError):
+        gap_fill(d, ["series"], 60, ["v"], method="spline")
