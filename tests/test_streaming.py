@@ -295,3 +295,39 @@ def test_exec_source_stub_and_random_shape(spark):
     stream = random_source(spark, rows_per_second=5)
     assert stream.isStreaming
     assert set(stream.columns) == {"tag", "timestamp", "rand_value"}
+
+
+def test_streaming_sketch_distinct_window(spark, jsonl_dir):
+    """HLL distinct-count sketches run inside a streaming event-time
+    window aggregate (mergeable partial aggregation is exactly what the
+    state store needs — KB-bounded per-window state)."""
+    from fluent_bit_spark.streaming.sources import tail_source
+
+    sdf = tail_source(
+        spark, jsonl_dir, fmt="json",
+        schema="event_type string, value double, sec long",
+        tag_template="sk.stream",
+    ).withColumn(
+        TS_COL,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec")
+        ),
+    )
+    agg = (
+        sdf.withWatermark(TS_COL, "1 minute")
+        .groupBy(F.window(TS_COL, "10 seconds"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("value").cast("long"), F.lit(12))
+            ).alias("n_distinct")
+        )
+    )
+    _run_to_memory(agg, "sk_stream", mode="complete")
+    rows = spark.sql("SELECT * FROM sk_stream").collect()
+    assert rows, "no windows emitted"
+    # 30 rows, sec 0..29 -> three 10s windows; values are all distinct, so
+    # per-(window, type) distinct == row count in that slice (sparse-exact)
+    got = {(r["window"].start.second, r["event_type"]): r["n_distinct"] for r in rows}
+    assert got[(0, "error")] == 4    # sec 0,3,6,9
+    assert got[(0, "click")] == 6
+    assert sum(v for (s, t), v in got.items()) == 30
