@@ -1930,6 +1930,28 @@ def ts_gapfill_locf_q(spark, sf_dir):
     return gap_fill(d, ["event_type"], 60, ["avg_v"], method="locf")
 
 
+def ts_rate_q(spark, sf_dir):
+    """PromQL-style rate() over a wrapping cumulative counter (running
+    per-type event count mod 500, so resets exercise the
+    cumulative_to_delta reset rule): per-series lag window, one shuffle
+    on the series key."""
+    from pyspark.sql import Window
+
+    from fluent_bit_spark.extensions.timeseries import downsample, rate
+
+    ev = _events(spark, sf_dir)
+    d = downsample(ev, ["event_type"], "ts", 60, [F.count(F.lit(1)).alias("n")])
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    c = d.select(
+        "event_type",
+        "bucket",
+        (F.sum("n").over(w) % 500).alias("counter"),
+    )
+    return rate(c, ["event_type"], "counter", "bucket").select(
+        "event_type", "bucket", "counter", F.round("rate", 6).alias("rate")
+    )
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2163,6 +2185,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_overlap": sketch_overlap_q,
         "ts_downsample": ts_downsample_q,
         "ts_gapfill_locf": ts_gapfill_locf_q,
+        "ts_rate": ts_rate_q,
     }
 
 
@@ -3070,5 +3093,21 @@ def oracle_sql() -> dict[str, str]:
             "last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type "
             "ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             "AS avg_v, is_gap FROM j"
+        ),
+        "ts_rate": (
+            "WITH d AS (SELECT event_type, "
+            "make_timestamp((epoch_us(ts) // 1000000 // 60) * 60 * 1000000) "
+            "AS bucket, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+            "c AS (SELECT event_type, bucket, "
+            "CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) % 500 "
+            "AS BIGINT) AS counter FROM d), "
+            "r AS (SELECT event_type, bucket, counter, "
+            "lag(counter) OVER (PARTITION BY event_type ORDER BY bucket) AS pv, "
+            "epoch_us(bucket) // 1000000 - lag(epoch_us(bucket) // 1000000) "
+            "OVER (PARTITION BY event_type ORDER BY bucket) AS el FROM c) "
+            "SELECT event_type, bucket, counter, "
+            "ROUND(CASE WHEN pv IS NULL OR el <= 0 THEN NULL "
+            "WHEN counter >= pv THEN (counter - pv) / CAST(el AS DOUBLE) "
+            "ELSE counter / CAST(el AS DOUBLE) END, 6) AS rate FROM r"
         ),
     }

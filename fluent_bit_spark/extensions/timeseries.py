@@ -128,3 +128,37 @@ def gap_fill(
                 ),
             )
     return out
+
+
+def rate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    time_col: str = "bucket",
+    out_col: str = "rate",
+) -> DataFrame:
+    """Per-second rate of a cumulative counter series — the PromQL
+    ``rate()`` shape composed from the cumulative_to_delta semantics
+    (plugins/processor_cumulative_to_delta/cumulative_to_delta.c:109-120):
+    delta between consecutive observations with counter-reset detection
+    (a drop means the counter restarted, so the new value IS the
+    increase), divided by the elapsed seconds between the observations.
+
+    First point of each series has NULL rate (no elapsed interval).
+    Same one-shuffle-per-series layout as gap_fill; composes with it —
+    gap-fill the downsampled counter first and rates come out spaced on
+    the regular bucket grid.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col))
+    prev_v = F.lag(F.col(value_col)).over(w)
+    prev_t = F.lag(F.unix_timestamp(F.col(time_col))).over(w)
+    elapsed = F.unix_timestamp(F.col(time_col)) - prev_t
+    inc = F.when(F.col(value_col) >= prev_v, F.col(value_col) - prev_v).otherwise(
+        F.col(value_col)  # reset: counter restarted from 0
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            prev_v.isNotNull() & (elapsed > 0), inc / elapsed
+        ),
+    )

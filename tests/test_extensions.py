@@ -619,3 +619,24 @@ def test_gap_fill_methods(spark):
 
     with pytest.raises(ValueError):
         gap_fill(d, ["series"], 60, ["v"], method="spline")
+
+
+def test_rate_reset_detection(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.timeseries import rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0, 100.0),
+        ("s", t0 + dt.timedelta(seconds=60), 160.0),   # +60 over 60s -> 1.0/s
+        ("s", t0 + dt.timedelta(seconds=120), 30.0),   # reset -> 30/60 = 0.5/s
+        ("s", t0 + dt.timedelta(seconds=180), 30.0),   # flat -> 0
+    ]
+    df = spark.createDataFrame(rows, ["series", "bucket", "counter"])
+    got = {
+        r["bucket"].second + r["bucket"].minute * 60: r["rate"]
+        for r in rate(df, ["series"], "counter").collect()
+    }
+    assert got[0] is None
+    assert got[60] == 1.0 and got[120] == 0.5 and got[180] == 0.0
