@@ -46,6 +46,13 @@ PURE_JVM = [
     "cumulative_to_delta",
     "influxdb_lines",
     "syslog_5424_lines",
+    "sketch_distinct",
+    "sketch_rollup",
+    "sketch_quantiles",
+    "sketch_overlap",
+    "ts_downsample",
+    "ts_gapfill_locf",
+    "ts_rate",
 ]
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
