@@ -364,3 +364,65 @@ def test_influx_escape_matches_python_model(spark, text):
     )
     want = _re.sub(r'([\\"])', r"\\\1", json_escaped)
     assert got == want
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha line", "beta line", "gamma", "delta x", ""]),
+                 min_size=1, max_size=6),
+        min_size=2, max_size=12,
+    )
+)
+def test_corpus_line_dedup_frequency_property(spark, docs):
+    """No surviving line may occur in more than max_docs distinct docs,
+    and kept+dropped always equals the doc's line count. One Spark action
+    per hypothesis example set (examples folded into one frame)."""
+    from collections import Counter
+
+    from fluent_bit_spark.extensions.text import corpus_line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus_line_dedup(df, max_docs=2).collect()
+
+    # reference computation in plain Python
+    freq = Counter()
+    for i, lines in enumerate(docs):
+        for ln in {l.strip() for l in lines if l.strip()}:
+            freq[ln] += 1
+    banned = {ln for ln, n in freq.items() if n > 2}
+
+    assert len(out) == len(docs)
+    for r in out:
+        lines = docs[r["doc_id"]]
+        assert r["n_kept_lines"] + r["n_dropped_lines"] == len(lines)
+        for ln in r["clean_text"].split("\n"):
+            assert ln.strip() not in banned or not ln.strip()
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    obs=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=10,
+                 unique=True)
+)
+def test_gap_fill_spine_and_locf_properties(spark, obs):
+    """The spine covers [min, max] buckets inclusive with no holes, is_gap
+    marks exactly the materialized rows, and LOCF leaves no nulls."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("s", t0 + dt.timedelta(minutes=m), float(m)) for m in obs]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    out = sorted(
+        gap_fill(df, ["k"], 60, ["v"], method="locf").collect(),
+        key=lambda r: r["bucket"],
+    )
+    lo, hi = min(obs), max(obs)
+    assert len(out) == hi - lo + 1
+    mins = [r["bucket"].minute + 60 * r["bucket"].hour for r in out]
+    assert mins == list(range(lo, hi + 1))
+    assert sum(r["is_gap"] for r in out) == (hi - lo + 1) - len(obs)
+    assert all(r["v"] is not None for r in out)
