@@ -1,0 +1,75 @@
+"""Dataset layout: partitioned, size-targeted, sorted parquet writes.
+
+At 100 TB the storage layout IS the query plan: partition directories
+give Catalyst partition pruning (a time/tag predicate never lists the
+other directories), bounded file sizes keep task granularity even
+(no 10 GB stragglers, no million-file listings), and sorting within
+files clusters values so parquet row-group min/max statistics skip IO
+for selective predicates. The reference's closest analog is out_s3's
+$TAG-templated object keys + ~fixed upload sizes (plugins/out_s3/s3.c,
+total_file_size); this module is that idea expressed as a Spark
+dataset-layout contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    target_rows_per_file: int | None = None,
+    approx_rows: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Write ``df`` as a pruned-layout dataset.
+
+    - ``partition_by``: directory-partition columns (low-cardinality —
+      date buckets, tag, source). Queries filtering on them prune at the
+      file listing, before any IO.
+    - ``sort_by``: cluster rows inside each file so row-group min/max
+      statistics skip non-matching groups (poor man's z-order for one
+      dimension; for the common (time, key) telemetry predicates sort by
+      time first).
+    - ``target_rows_per_file``: bound file sizes two ways — a
+      repartition to ceil(approx_rows/target) shuffles the data into
+      evenly-sized tasks (``approx_rows`` defaults to a cheap count), and
+      ``maxRecordsPerFile`` caps stragglers a skewed partition column
+      would otherwise produce.
+    """
+    writer_df = df
+    if target_rows_per_file:
+        n = approx_rows if approx_rows is not None else df.count()
+        parts = max(1, math.ceil(n / target_rows_per_file))
+        if partition_by:
+            # co-locate each directory-partition's rows while spreading
+            # volume: hash on (partition cols, bucket of sort key)
+            writer_df = df.repartition(parts, *partition_by)
+        else:
+            writer_df = df.repartition(parts)
+    if sort_by:
+        writer_df = writer_df.sortWithinPartitions(*sort_by)
+    w = writer_df.write.mode(mode).format(fmt)
+    if target_rows_per_file:
+        w = w.option("maxRecordsPerFile", target_rows_per_file)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def with_date_bucket(
+    df: DataFrame, ts_col: str = "ts", col_name: str = "dt"
+) -> DataFrame:
+    """Standard telemetry partition column: the event date as a string
+    (directory-friendly, prunable by `dt >= '...'` range predicates)."""
+    return df.withColumn(col_name, F.date_format(F.col(ts_col), "yyyy-MM-dd"))

@@ -1,0 +1,54 @@
+"""Dataset-layout tests: partition pruning, file sizing, row-group sort."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.model import load_table
+from fluent_bit_spark.storage import with_date_bucket, write_dataset
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_write_dataset_partition_pruning(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    ev = with_date_bucket(load_table(spark, SF_DIR, "events"))
+    write_dataset(
+        ev,
+        out,
+        partition_by=["dt", "event_type"],
+        sort_by=["ts"],
+        target_rows_per_file=200,
+    )
+    # layout: dt=.../event_type=... directories exist
+    assert glob.glob(os.path.join(out, "dt=*", "event_type=*", "*.parquet"))
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    # a filter on the partition columns must prune at listing time
+    q = back.filter((F.col("event_type") == "error") & (F.col("dt") >= "2024-01-01"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = q._jdf.queryExecution().explainString(mode)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf and "dt" in pf
+    assert q.count() == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_write_dataset_file_sizing_and_sort(spark, tmp_path):
+    out = str(tmp_path / "sized")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    write_dataset(ev, out, sort_by=["ts"], target_rows_per_file=1000)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files, "no files written"
+    # every file respects the cap
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 1000
+    # rows inside each file are time-sorted (row-group stats usable)
+    for f in files[:3]:
+        ts = [r["ts"] for r in spark.read.parquet(f).select("ts").collect()]
+        assert ts == sorted(ts)
