@@ -73,3 +73,26 @@ def with_date_bucket(
     """Standard telemetry partition column: the event date as a string
     (directory-friendly, prunable by `dt >= '...'` range predicates)."""
     return df.withColumn(col_name, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (hash-clustered) managed table.
+
+    Bucketing pre-shuffles the data at write time: two tables bucketed on
+    the same key with the same bucket count join WITHOUT a runtime
+    exchange, and aggregations on the bucket key skip their shuffle too.
+    The right call for the repeatedly-joined big fact tables (events by
+    user_id, lineitem by orderkey) where one write-time shuffle amortizes
+    over every downstream query. Requires saveAsTable (bucket metadata
+    lives in the catalog, not the parquet files).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    w = w.sortBy(*(sort_by or bucket_by))
+    w.saveAsTable(table)

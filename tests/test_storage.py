@@ -52,3 +52,34 @@ def test_write_dataset_file_sizing_and_sort(spark, tmp_path):
     for f in files[:3]:
         ts = [r["ts"] for r in spark.read.parquet(f).select("ts").collect()]
         assert ts == sorted(ts)
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    import re
+
+    from fluent_bit_spark.storage import write_bucketed_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    write_bucketed_table(
+        ev.select("event_id", "user_id", "value"), "ev_b", ["user_id"], 8
+    )
+    write_bucketed_table(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")), "usr_b", ["user_id"], 8
+    )
+    try:
+        j = spark.table("ev_b").join(spark.table("usr_b"), "user_id")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        # co-located: the sort-merge join reads both bucketed scans with
+        # zero runtime exchanges
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
+        assert j.count() == ev.count()
+        # aggregation on the bucket key also skips its shuffle
+        agg = spark.table("ev_b").groupBy("user_id").agg(F.sum("value"))
+        aplan = agg._jdf.queryExecution().explainString(mode)
+        assert not re.findall(r"\(\d+\) Exchange", aplan), aplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS usr_b")
