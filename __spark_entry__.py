@@ -1952,6 +1952,26 @@ def ts_rate_q(spark, sf_dir):
     )
 
 
+def interval_band_join_q(spark, sf_dir):
+    """Generic bucketed range join (the geoip2 interval technique on an
+    arbitrary numeric domain): every event's value matched to its width-8
+    band via bucket-equality hash join + residual bound check — no
+    nested loop."""
+    from fluent_bit_spark.operators.lookup import interval_join
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_id", "value"
+    )
+    bands = spark.range(62).select(
+        (F.col("id") * 8.0).alias("lo"),
+        ((F.col("id") + 1) * 8.0).alias("hi"),
+        F.col("id").alias("band"),
+    )
+    return interval_join(ev, bands, "value", closed="left").select(
+        "event_id", "value", "band"
+    )
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2186,6 +2206,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_downsample": ts_downsample_q,
         "ts_gapfill_locf": ts_gapfill_locf_q,
         "ts_rate": ts_rate_q,
+        "interval_band_join": interval_band_join_q,
     }
 
 
@@ -3109,5 +3130,12 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN pv IS NULL OR el <= 0 THEN NULL "
             "WHEN counter >= pv THEN (counter - pv) / CAST(el AS DOUBLE) "
             "ELSE counter / CAST(el AS DOUBLE) END, 6) AS rate FROM r"
+        ),
+        "interval_band_join": (
+            "WITH bands AS (SELECT k * 8.0 AS lo, (k + 1) * 8.0 AS hi, "
+            "k AS band FROM range(62) r(k)) "
+            "SELECT e.event_id, e.value, b.band FROM events e "
+            "JOIN bands b ON e.value >= b.lo AND e.value < b.hi "
+            "WHERE e.value IS NOT NULL"
         ),
     }

@@ -151,3 +151,56 @@ def salted_join(
     )
     out = big_salted.join(salted_dim, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 16.0,
+    closed: str = "both",
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Generic bucketed range join: match each point to the interval(s)
+    containing it — the geoip2 technique (geoip_ranges_bucketed above,
+    plugins/filter_geoip2/geoip2.c:50-66 semantics) generalized to any
+    numeric domain (IP ranges, value bands, time windows).
+
+    Each interval explodes to the fixed-width buckets it spans, turning
+    the range predicate into an EQUALITY join on the bucket plus a
+    residual bound check — a hash join (broadcast when the interval table
+    is dim-sized, shuffle otherwise), never a nested-loop over points x
+    intervals. Pick ``bucket_width`` near the typical interval length so
+    the explode factor stays a small constant.
+
+    ``closed``: "both" (lo <= p <= hi), "left" (lo <= p < hi), or
+    "right" (lo < p <= hi). Overlapping intervals emit one row per match.
+    """
+    if closed not in ("both", "left", "right"):
+        raise ValueError(f"unknown closed mode {closed!r}")
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    b = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        b = F.broadcast(b)
+    p = points.withColumn("__bkt", F.floor(F.col(point_col) / w).cast("long"))
+    pc = F.col(point_col)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    bound = {
+        "both": (pc >= lo) & (pc <= hi),
+        "left": (pc >= lo) & (pc < hi),
+        "right": (pc > lo) & (pc <= hi),
+    }[closed]
+    return p.join(b, "__bkt", how).filter(bound).drop("__bkt")

@@ -614,3 +614,25 @@ def test_log_to_metrics_summary_approx(spark):
     ).collect()[0]
     assert out.q_0_5 == 51.0
     assert out.count_value == 101.0
+
+
+def test_interval_join_modes_and_overlaps(spark):
+    from fluent_bit_spark.operators.lookup import interval_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 25.0)], ["pid", "x"])
+    iv = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 20.0, "b"), (4.0, 6.0, "c")],
+        ["lo", "hi", "name"],
+    )
+    both = {(r["pid"], r["name"]) for r in
+            interval_join(pts, iv, "x", bucket_width=8).collect()}
+    # x=10 hits both [0,10] and [10,20]; x=5 hits [0,10] and the overlap [4,6]
+    assert both == {(1, "a"), (1, "c"), (2, "a"), (2, "b")}
+    left = {(r["pid"], r["name"]) for r in
+            interval_join(pts, iv, "x", bucket_width=8, closed="left").collect()}
+    assert left == {(1, "a"), (1, "c"), (2, "b")}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        interval_join(pts, iv, "x", closed="open")
+    with _pt.raises(ValueError):
+        interval_join(pts, iv, "x", bucket_width=0)
