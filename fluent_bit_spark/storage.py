@@ -96,3 +96,30 @@ def write_bucketed_table(
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     w = w.sortBy(*(sort_by or bucket_by))
     w.saveAsTable(table)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns into
+    one long sort key: sorting by it clusters BOTH dimensions, so parquet
+    row-group min/max stats skip IO for predicates on either column —
+    the multi-dimensional upgrade to a single-column sortWithinPartitions.
+
+    Pure Catalyst bit arithmetic (shiftleft/or), codegen'd; ``bits`` per
+    dimension (<= 31). Quantize continuous domains to ints first (e.g.
+    seconds-since-epoch bucket, hashed key mod 2^bits).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a = a.cast("long")
+    b = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = (
+            key.bitwiseOR(F.shiftleft(abit, 2 * i))
+            .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+        )
+    return key

@@ -83,3 +83,25 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS usr_b")
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from fluent_bit_spark.storage import zorder_key
+
+    def morton(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    rows = [(i, (i * 7919) % 65536, (i * 104729) % 65536) for i in range(200)]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    got = {r["i"]: r["z"] for r in df.select("i", zorder_key("a", "b").alias("z")).collect()}
+    for i, a, b in rows:
+        assert got[i] == morton(a, b)
+
+    # locality: sorting by z clusters both dimensions into bounded ranges
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        zorder_key("a", "b", bits=0)
