@@ -355,3 +355,30 @@ def preset_parser(name: str):
     if fmt == "logfmt":
         return LogfmtParser()
     raise ValueError(f"unknown preset format {fmt!r}")
+
+
+def utf8_sanitize(col, policy: str = "replace"):
+    """UTF-8 validation/repair for bytes-derived string columns — the
+    flb_utf8 surface (src/flb_utf8.c, simdutf-backed validation on
+    ingest), as Spark-native expressions:
+
+    - ``"replace"``: invalid sequences become U+FFFD (make_valid_utf8 —
+      the reference's lossy-repair path);
+    - ``"strict"``: raise on invalid input (validate_utf8);
+    - ``"null"``: NULL out invalid values (try_validate_utf8);
+    - ``"flag"``: return a boolean validity column (is_valid_utf8).
+
+    Accepts string or binary input (binary is checked as UTF-8 bytes).
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    if policy == "replace":
+        return F.make_valid_utf8(c)
+    if policy == "strict":
+        return F.validate_utf8(c)
+    if policy == "null":
+        return F.try_validate_utf8(c)
+    if policy == "flag":
+        return F.is_valid_utf8(c)
+    raise ValueError(f"unknown utf8 policy {policy!r}")

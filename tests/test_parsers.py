@@ -448,3 +448,29 @@ def test_prometheus_exposition(spark):
     assert lines[0] == (0, "# TYPE http_requests_total counter")
     assert (1, 'http_requests_total{svc="api",note="a\\"b\\\\c",env="prod"} 1027') in lines
     assert (1, 'http_requests_total{svc="web",note="plain",env="prod"} 3') in lines
+
+
+def test_utf8_sanitize_policies(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.functions.parsers import utf8_sanitize
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok ascii")), (2, bytearray(b"caf\xc3\xa9")),
+         (3, bytearray(b"bad \xff\xfe bytes"))],
+        "id int, raw binary",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        utf8_sanitize("raw", "flag").alias("ok"),
+        utf8_sanitize("raw", "replace").alias("fixed"),
+        utf8_sanitize("raw", "null").alias("maybe"),
+    ).collect()}
+    assert rows[1]["ok"] and rows[2]["ok"] and not rows[3]["ok"]
+    assert rows[2]["fixed"] == "café"
+    assert "�" in rows[3]["fixed"] and rows[3]["fixed"].startswith("bad ")
+    assert rows[3]["maybe"] is None and rows[1]["maybe"] == "ok ascii"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        utf8_sanitize("raw", "mangle")
