@@ -21,6 +21,8 @@ run on the small derived table, never the raw docs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -30,6 +32,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    hops_per_round: int = 2,
 ) -> DataFrame:
     """Resolve an undirected edge list into (id, component) where
     ``component`` is the minimum node id reachable from ``id``. Nodes not
@@ -46,27 +49,37 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    def one_hop(lbls: DataFrame) -> DataFrame:
         # neighbor minimum: for each dst, the min label among its sources;
         # then keep min(own, neighbor) per node
         neigh = (
-            edges.join(labels, edges.src == labels.id)
+            edges.join(lbls, edges.src == lbls.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        return lbls.join(neigh, "id", "left").select(
+            "id",
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
+        )
+
+    # ``hops_per_round`` propagation steps compose lazily between
+    # checkpoints: small-diameter duplicate graphs (stars/cliques from
+    # banded LSH) settle in 1-2 hops, so batching halves the number of
+    # eager materialization jobs while lineage depth stays bounded. The
+    # convergence probe checks only the LAST hop — propagation is
+    # monotone, so a no-change hop is a fixpoint regardless of what the
+    # earlier hops in the same round did.
+    for _ in range(max(1, math.ceil(max_iter / hops_per_round))):
+        stepped = labels
+        for _h in range(hops_per_round):
+            stepped = one_hop(stepped.select("id", "lbl"))
         # the convergence count rides the eager checkpoint's own job via
         # observe() — no extra join or probe job per round
         obs = Observation()
-        new_labels = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
-                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
-            )
-            .observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
-            .localCheckpoint(eager=True)
-        )
+        new_labels = stepped.observe(
+            obs, F.sum(F.col("chg").cast("long")).alias("changed")
+        ).localCheckpoint(eager=True)
         labels = new_labels.drop("chg")
         if (obs.get["changed"] or 0) == 0:
             break
