@@ -1972,6 +1972,16 @@ def interval_band_join_q(spark, sf_dir):
     )
 
 
+def sketch_ranks_q(spark, sf_dir):
+    """Inverse quantiles from one KLL sketch per group: the fraction of
+    values <= each probe (inclusive rank) — 'what percentile is latency
+    100?'. Bounded per-group state, exact below compaction."""
+    from fluent_bit_spark.extensions.sketches import rank_summary
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return rank_summary(ev, ["event_type"], "value", (50.0, 100.0, 150.0))
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2207,6 +2217,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gapfill_locf": ts_gapfill_locf_q,
         "ts_rate": ts_rate_q,
         "interval_band_join": interval_band_join_q,
+        "sketch_ranks": sketch_ranks_q,
     }
 
 
@@ -3137,5 +3148,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.value, b.band FROM events e "
             "JOIN bands b ON e.value >= b.lo AND e.value < b.hi "
             "WHERE e.value IS NOT NULL"
+        ),
+        "sketch_ranks": (
+            "SELECT event_type, "
+            "ROUND(COUNT(*) FILTER (WHERE value <= 50.0) * 1.0 / COUNT(*), 9) "
+            "AS rank_at_50_0, "
+            "ROUND(COUNT(*) FILTER (WHERE value <= 100.0) * 1.0 / COUNT(*), 9) "
+            "AS rank_at_100_0, "
+            "ROUND(COUNT(*) FILTER (WHERE value <= 150.0) * 1.0 / COUNT(*), 9) "
+            "AS rank_at_150_0 "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type"
         ),
     }

@@ -65,7 +65,10 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "sketch_rollup",
     "sketch_quantiles",
+    "sketch_overlap",
     "ts_gapfill_locf",
+    "ts_rate",
+    "interval_band_join",
     "pipeline_e2e",
 ]
 

@@ -131,3 +131,29 @@ def segment_overlap(
             F.theta_difference(F.col("a._sk"), F.col("b._sk"))
         ).alias("n_only_a"),
     )
+
+
+def rank_summary(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    at_values: tuple[float, ...],
+    k: int = 8192,
+) -> DataFrame:
+    """Inverse quantiles: for each group, the fraction of observations
+    <= each probe value (KLL rank — "what percentile is a 2-second
+    latency?"). Same bounded-state sketch as quantile_summary; exact
+    below the sketch's compaction threshold. Probe columns are named
+    ``rank_at_<value>`` with dots mapped to underscores."""
+    out = df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias("_sk")
+    )
+    for v in at_values:
+        name = f"rank_at_{str(v).replace('.', '_')}"
+        out = out.withColumn(
+            name,
+            F.round(
+                F.kll_sketch_get_rank_double(F.col("_sk"), F.lit(float(v))), 9
+            ),
+        )
+    return out.drop("_sk")
