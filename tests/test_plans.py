@@ -53,6 +53,8 @@ PURE_JVM = [
     "ts_downsample",
     "ts_gapfill_locf",
     "ts_rate",
+    "sketch_ranks",
+    "interval_band_join",
 ]
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
