@@ -181,3 +181,71 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def snapshot_stream_tws(
+    sdf: DataFrame,
+    limit: int,
+    flush_value: str,
+    key: str = "tag",
+    value_col: str = "value",
+    time_col: str = TS_COL,
+) -> DataFrame:
+    """snapshot_stream on the Spark 4 stateful API
+    (transformWithStateInPandas + ListState): identical CREATE SNAPSHOT /
+    FLUSH SNAPSHOT semantics (flb_sp_snapshot.c:46-277), but per-key state
+    lives in a typed ListState the store manages incrementally — the
+    forward-looking replacement for applyInPandasWithState, with TTL and
+    timers available when eviction policies need them.
+
+    Environment gate: the TWS state-server protocol needs the
+    ``protobuf`` python package (pyspark imports
+    ``google.protobuf.descriptor`` in its driver worker). When it is
+    absent — as in this container — raise immediately with a clear
+    message instead of crashing the streaming query mid-flight;
+    ``snapshot_stream`` (same semantics on applyInPandasWithState) is the
+    tested fallback."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - env-specific
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's TWS state protocol); use snapshot_stream() as the "
+            "applyInPandasWithState fallback in environments without it"
+        ) from ex
+    from pyspark.sql.streaming import StatefulProcessor
+
+    out_schema = f"{key} string, {time_col} timestamp, {value_col} string"
+
+    class SnapshotProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._buf = handle.getListState("buf", "t timestamp, v string")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            buf = [(t, v) for t, v in self._buf.get()] if self._buf.exists() else []
+            flushed = []
+            for pdf in rows:
+                pdf = pdf.sort_values(time_col)
+                for t, v in zip(pdf[time_col], pdf[value_col]):
+                    if str(v) == flush_value:
+                        flushed.extend(buf)
+                        buf = []
+                    buf.append((t, str(v)))
+                    if len(buf) > limit:
+                        buf = buf[-limit:]
+            self._buf.put(buf)
+            if flushed:
+                yield pd.DataFrame(
+                    {
+                        key: key_tuple[0],
+                        time_col: [t for t, _ in flushed],
+                        value_col: [v for _, v in flushed],
+                    }
+                )
+
+        def close(self):
+            pass
+
+    return sdf.groupBy(key).transformWithStateInPandas(
+        SnapshotProcessor(), out_schema, "append", "none"
+    )
