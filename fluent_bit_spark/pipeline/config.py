@@ -548,6 +548,42 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
         if fconf.get("flag_key"):  # flags read the ORIGINAL text, pre-redaction
             out = out.withColumn(fconf["flag_key"], pii_flags(F.col(key), kinds))
         out = out.withColumn(key, redact_pii(F.col(key), kinds))
+    elif name == "content_modifier":
+        from fluent_bit_spark.operators.conditions import Rule
+        from fluent_bit_spark.operators.content_modifier import content_modifier
+
+        conds = [Rule(*c) for c in fconf.get("conditions", [])]
+        out = content_modifier(
+            hit,
+            action=fconf["action"],
+            key=fconf["key"],
+            value=fconf.get("value"),
+            pattern=fconf.get("pattern"),
+            converted_type=fconf.get("converted_type"),
+            conds=conds or None,
+            combine=fconf.get("condition_op", "AND"),
+        )
+    elif name == "log_to_metrics":
+        # filter_log_to_metrics swaps matching log records for metric
+        # records on the stream (log_to_metrics.c:970-1283); the derived
+        # metrics frame merges back with allowMissingColumns, like the
+        # reference's metrics-typed chunks riding the same pipeline
+        from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+        def _kv(opt):
+            v = fconf.get(opt)
+            return tuple(v.split(None, 1)) if isinstance(v, str) else (tuple(v) if v else None)
+
+        out = log_to_metrics(
+            hit,
+            mode=fconf.get("metric_mode", fconf.get("mode", "counter")),
+            metric_name=fconf.get("metric_name", "log_metric"),
+            label_keys=_listopt(fconf.get("label_field")),
+            value_field=fconf.get("value_field"),
+            include=_kv("regex"),
+            exclude=_kv("exclude"),
+            window_sec=int(fconf["window"]) if fconf.get("window") else None,
+        ).withColumn(TAG_COL, F.lit(fconf.get("tag", "log_metrics")))
     elif name in ("lua", "hook"):
         # filter_lua analog: the config carries a Python snippet defining
         # cb(tag, ts, record) -> (code, ts, record) — the same

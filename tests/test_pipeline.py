@@ -462,3 +462,46 @@ def test_cloud_output_plugins(spark, tmp_path):
     assert rw.count() == 2
     lines = [r.value for r in spark.read.text(str(tmp_path / "plot")).collect()]
     assert sorted(l.split(" ")[1] for l in lines) == ["0.500000", "1.500000"]
+
+
+def test_content_modifier_and_log_to_metrics_routes(spark):
+    from fluent_bit_spark.pipeline import load_pipeline
+
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {
+                    "name": "parquet",
+                    "path": "/root/testdata/sf0.001/events.parquet",
+                    "tag": "ev.app",
+                    "time_key": "ts",
+                }
+            ],
+            "filters": [
+                {
+                    "name": "content_modifier",
+                    "match": "ev.*",
+                    "action": "insert",
+                    "key": "source",
+                    "value": "edge",
+                },
+                {
+                    "name": "log_to_metrics",
+                    "match": "ev.*",
+                    "metric_mode": "counter",
+                    "metric_name": "events_total",
+                    "label_field": "event_type",
+                },
+            ],
+            "outputs": [{"name": "null", "match": "*"}],
+        }
+    }
+    pipe = load_pipeline(spark, conf)
+    rows = pipe.source().collect()
+    # filter replaced log records with one metric record per event_type
+    assert {r["metric_name"] for r in rows} == {"events_total"}
+    assert {r["metric_type"] for r in rows} == {"counter"}
+    assert sum(r["value"] for r in rows) == 1000
+    assert len(rows) == 5
+    counts = pipe.run_outputs()
+    assert counts["*"] == 5
