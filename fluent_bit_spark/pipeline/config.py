@@ -115,6 +115,9 @@ class Pipeline:
                 conds=out.get("conditions"),
                 combine=out.get("condition_op", "AND"),
             )
+            procs = (out.get("processors") or {}).get("logs") or []
+            if procs:
+                df = _apply_processors(df, procs)
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("n"))
             name = out.get("name", "file")
@@ -606,6 +609,86 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
     return out.unionByName(miss, allowMissingColumns=True)
 
 
+def _apply_processors(df: DataFrame, procs: list[dict]) -> DataFrame:
+    """Entry point C: the YAML ``processors:`` unit list attached to an
+    input/output instance (flb_processor.c:796-810, stages run in config
+    order on the instance's records — no Match patterns; attachment IS
+    the scope)."""
+    for p in procs:
+        name = p.get("name")
+        if name == "content_modifier":
+            from fluent_bit_spark.operators.conditions import Rule
+            from fluent_bit_spark.operators.content_modifier import content_modifier
+
+            conds = [Rule(*c) for c in p.get("conditions", [])]
+            df = content_modifier(
+                df,
+                action=p["action"],
+                key=p["key"],
+                value=p.get("value"),
+                pattern=p.get("pattern"),
+                converted_type=p.get("converted_type"),
+                conds=conds or None,
+                combine=p.get("condition_op", "AND"),
+            )
+        elif name == "sql":
+            # processor_sql: per-record SELECT/WHERE on the instance
+            # stream (plugins/processor_sql/sql.c)
+            from fluent_bit_spark.sp import SPContext
+
+            ctx = SPContext()
+            ctx.register_stream("stream", df)
+            df = ctx.sql(p["query"])
+        elif name == "labels":
+            from fluent_bit_spark.operators.labels import labels_modify
+
+            df = labels_modify(
+                df, [tuple(op) for op in p["ops"]],
+                labels_col=p.get("labels_col", "labels"),
+            )
+        elif name == "metrics_selector":
+            from fluent_bit_spark.operators.metrics_selector import metrics_selector
+
+            df = metrics_selector(
+                df,
+                metric_name=p["metric_name"],
+                action=p.get("action", "include"),
+                operation_type=p.get("operation_type", "regex"),
+                name_col=p.get("name_col", "metric_name"),
+            )
+        elif name == "cumulative_to_delta":
+            from fluent_bit_spark.operators.cumulative_to_delta import (
+                cumulative_to_delta,
+            )
+
+            df = cumulative_to_delta(
+                df,
+                value_col=p.get("value_col", "value"),
+                series_keys=_listopt(p.get("series_keys")) or [],
+                time_col=p.get("time_col", TS_COL),
+            )
+        elif name == "opentelemetry_envelope":
+            from fluent_bit_spark.operators.otel_envelope import otel_envelope
+
+            df = otel_envelope(
+                df,
+                resource_attributes=p.get("resource_attributes"),
+                scope_name=p.get("scope_name"),
+                scope_version=p.get("scope_version"),
+            )
+        elif name == "sampling":
+            from fluent_bit_spark.operators.sampling import sample_probabilistic
+
+            df = sample_probabilistic(
+                df,
+                percentage=float(p["percentage"]),
+                key=p.get("key", "trace_id"),
+            )
+        else:
+            raise ValueError(f"unknown processor {name!r}")
+    return df
+
+
 def _build_parser(pconf: dict):
     from fluent_bit_spark.functions.parsers import (
         JsonParser,
@@ -714,6 +797,9 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
             df = df.withColumn(
                 TS_COL, F.col(ts_from).cast("timestamp") if ts_from else F.current_timestamp()
             )
+        procs = (inp.get("processors") or {}).get("logs") or []
+        if procs:
+            df = _apply_processors(df, procs)
         pipe.inputs[tag] = df
 
     # filters compose in config order over the merged stream

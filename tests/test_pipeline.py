@@ -505,3 +505,62 @@ def test_content_modifier_and_log_to_metrics_routes(spark):
     assert len(rows) == 5
     counts = pipe.run_outputs()
     assert counts["*"] == 5
+
+
+def test_yaml_processors_section(spark):
+    """Entry point C: processors attached to an input run in config order
+    before filters; output-attached processors run on the routed stream."""
+    from fluent_bit_spark.pipeline import load_pipeline
+
+    conf = {
+        "pipeline": {
+            "inputs": [
+                {
+                    "name": "parquet",
+                    "path": "/root/testdata/sf0.001/events.parquet",
+                    "tag": "ev.app",
+                    "time_key": "ts",
+                    "processors": {
+                        "logs": [
+                            {"name": "content_modifier", "action": "insert",
+                             "key": "stage", "value": "ingest"},
+                            {"name": "sql",
+                             "query": "SELECT event_id, event_type, stage "
+                                      "FROM STREAM:stream WHERE event_type = 'error';"},
+                        ]
+                    },
+                }
+            ],
+            "outputs": [
+                {
+                    "name": "null",
+                    "match": "*",
+                    "processors": {
+                        "logs": [
+                            {"name": "sampling", "percentage": 50.0,
+                             "key": "event_id"}
+                        ]
+                    },
+                }
+            ],
+        }
+    }
+    pipe = load_pipeline(spark, conf)
+    src = pipe.source()
+    assert set(src.columns) >= {"event_id", "event_type", "stage"}
+    n_src = src.count()
+    assert n_src == 201                      # error records only
+    assert src.filter(F.col("stage") == "ingest").count() == n_src
+    counts = pipe.run_outputs()
+    assert 0 < counts["*"] < n_src           # ~50% deterministic sample
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown processor"):
+        load_pipeline(spark, {
+            "pipeline": {"inputs": [{
+                "name": "parquet",
+                "path": "/root/testdata/sf0.001/events.parquet",
+                "tag": "t", "time_key": "ts",
+                "processors": {"logs": [{"name": "bogus"}]},
+            }], "outputs": []}
+        })
