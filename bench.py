@@ -63,9 +63,12 @@ BENCH_QUERIES = [
     "ml_inference_mlp",
     "line_dedup",
     "embedding_quantize",
+    "sketch_distinct",
     "sketch_rollup",
     "sketch_quantiles",
+    "sketch_ranks",
     "sketch_overlap",
+    "ts_downsample",
     "ts_gapfill_locf",
     "ts_rate",
     "interval_band_join",
