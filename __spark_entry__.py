@@ -1982,6 +1982,26 @@ def sketch_ranks_q(spark, sf_dir):
     return rank_summary(ev, ["event_type"], "value", (50.0, 100.0, 150.0))
 
 
+def dataset_split_q(spark, sf_dir):
+    """Deterministic train/val/test split of the corpus (80/10/10): a
+    Knuth multiplicative hash of doc_id (reproducible in any engine)
+    places each doc in exactly one split — shuffle-free, stable under
+    re-partitioning. Output: per-split doc counts and char volume."""
+    from fluent_bit_spark.extensions.mixing import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    out = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, bucket_expr=bucket
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2218,6 +2238,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate": ts_rate_q,
         "interval_band_join": interval_band_join_q,
         "sketch_ranks": sketch_ranks_q,
+        "dataset_split": dataset_split_q,
     }
 
 
@@ -3158,5 +3179,15 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(COUNT(*) FILTER (WHERE value <= 150.0) * 1.0 / COUNT(*), 9) "
             "AS rank_at_150_0 "
             "FROM events WHERE value IS NOT NULL GROUP BY event_type"
+        ),
+        "dataset_split": (
+            "WITH b AS (SELECT *, "
+            "((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS bkt "
+            "FROM documents) "
+            "SELECT CASE WHEN bkt < 0.8 THEN 'train' "
+            "WHEN bkt < 0.9 THEN 'val' ELSE 'test' END AS split, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM b GROUP BY 1"
         ),
     }

@@ -83,3 +83,44 @@ def mix_weights_temperature(
         "p_target",
         ((F.col("p_target") / F.col("p_obs")) / F.col("__mx")).alias("keep_rate"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    bucket_expr: Column | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in exactly
+    one named split with probability proportional to its weight, decided
+    by a hash of its id — shuffle-free, reproducible across runs and
+    cluster sizes (no rand(), no sampling state), and stable under
+    re-partitioning, which is what makes the split usable as a corpus
+    CONTRACT (a doc never migrates between train and test when data is
+    re-laid-out).
+
+    ``bucket_expr`` overrides the default xxhash64 bucket with a custom
+    [0, 1) double (e.g. the Knuth multiplicative hash used by the driver
+    query so other engines can reproduce the assignment exactly).
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {name: weight} dict")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    if bucket_expr is None:
+        bucket_expr = (
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) / 1_000_000.0
+        )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket_expr < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)

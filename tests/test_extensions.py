@@ -640,3 +640,22 @@ def test_rate_reset_detection(spark):
     }
     assert got[0] is None
     assert got[60] == 1.0 and got[120] == 0.5 and got[180] == 0.0
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from fluent_bit_spark.extensions.mixing import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every row in exactly one split, proportions near weights
+    assert sum(counts.values()) == 2000
+    assert 1450 < counts["train"] < 1750
+    assert 100 < counts["val"] < 300 and 100 < counts["test"] < 300
+    # re-running (and re-partitioning) yields the identical assignment
+    again = hash_split(df.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).isEmpty()
+
+    with pytest.raises(ValueError):
+        hash_split(df, {})
