@@ -2002,6 +2002,47 @@ def dataset_split_q(spark, sf_dir):
     )
 
 
+def otlp_traces_roundtrip_q(spark, sf_dir):
+    """out/in_opentelemetry traces (ctraces span model): synthesize spans
+    from events, encode to ExportTraceServiceRequest JSON batched per
+    event_type, decode through the three-level explode, recover the span
+    fields bit-exactly. One shuffle (the batch collect), decode
+    shuffle-free."""
+    from fluent_bit_spark.connectors import otlp_traces_decode, otlp_traces_encode
+
+    ev = _events(spark, sf_dir)
+    spans = ev.select(
+        F.lower(F.lpad(F.hex(F.col("user_id")), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(F.col("event_id")), 16, "0")).alias("span_id"),
+        F.col("event_type").alias("name"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts")) + F.col("event_id") % 1000000
+        ).alias("end_ts"),
+        (F.col("event_id") % 3).alias("status"),
+        F.col("user_id"),
+        F.col("event_type"),
+    )
+    enc = otlp_traces_encode(
+        spans,
+        status_code_col="status",
+        attr_cols=["user_id"],
+        resource_attributes={"service.name": "events"},
+        batch_col="event_type",
+    )
+    dec = otlp_traces_decode(enc)
+    return dec.select(
+        "trace_id",
+        "span_id",
+        "name",
+        "start_ts",
+        "end_ts",
+        "status_code",
+        F.col("attributes").getItem("user_id").cast("long").alias("user_id"),
+        F.col("resource").getItem("service.name").alias("service"),
+    )
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2239,6 +2280,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_band_join": interval_band_join_q,
         "sketch_ranks": sketch_ranks_q,
         "dataset_split": dataset_split_q,
+        "otlp_traces_roundtrip": otlp_traces_roundtrip_q,
     }
 
 
@@ -3189,5 +3231,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM b GROUP BY 1"
+        ),
+        "otlp_traces_roundtrip": (
+            "SELECT lower(lpad(hex(user_id), 32, '0')) AS trace_id, "
+            "lower(lpad(hex(event_id), 16, '0')) AS span_id, "
+            "event_type AS name, "
+            "ts AS start_ts, "
+            "make_timestamp(epoch_us(ts) + event_id % 1000000) AS end_ts, "
+            "CAST(event_id % 3 AS BIGINT) AS status_code, "
+            "user_id, 'events' AS service FROM events"
         ),
     }

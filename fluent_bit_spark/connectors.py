@@ -1641,3 +1641,165 @@ def remote_write_decode(
             )
 
     return df.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
+# OTLP traces — ExportTraceServiceRequest JSON (ctraces analog)
+# --------------------------------------------------------------------------
+OTLP_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", _OTLP_ATTR_T)]),
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [T.StructField("name", T.StringType())]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "spans",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("traceId", T.StringType()),
+                                                        T.StructField("spanId", T.StringType()),
+                                                        T.StructField("parentSpanId", T.StringType()),
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField("kind", T.LongType()),
+                                                        T.StructField("startTimeUnixNano", T.StringType()),
+                                                        T.StructField("endTimeUnixNano", T.StringType()),
+                                                        T.StructField("attributes", _OTLP_ATTR_T),
+                                                        T.StructField(
+                                                            "status",
+                                                            T.StructType(
+                                                                [T.StructField("code", T.LongType())]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def otlp_traces_encode(
+    df: DataFrame,
+    trace_id_col: str = "trace_id",
+    span_id_col: str = "span_id",
+    parent_col: str | None = None,
+    name_col: str = "name",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    kind_col: str | None = None,
+    status_code_col: str | None = None,
+    attr_cols: list[str] | None = None,
+    resource_attributes: dict[str, str] | None = None,
+    scope_name: str = "fluent-bit-spark",
+    batch_col: str | None = None,
+) -> DataFrame:
+    """Encode span rows as ExportTraceServiceRequest JSON lines (the
+    ctraces signal the reference carries for out_opentelemetry traces —
+    lib/ctraces/ span model: trace/span/parent ids, name, kind,
+    start/end ns, attributes, status). Same batch/collect_list shape as
+    otlp_logs_encode: one request per ``batch_col`` group, all JVM-side.
+    """
+    attr_cols = attr_cols or []
+    span = F.struct(
+        F.col(trace_id_col).cast("string").alias("traceId"),
+        F.col(span_id_col).cast("string").alias("spanId"),
+        (F.col(parent_col) if parent_col else F.lit("")).cast("string").alias("parentSpanId"),
+        F.col(name_col).cast("string").alias("name"),
+        (F.col(kind_col) if kind_col else F.lit(1)).cast("long").alias("kind"),
+        (F.unix_micros(F.col(start_col).cast("timestamp")) * 1000)
+        .cast("string").alias("startTimeUnixNano"),
+        (F.unix_micros(F.col(end_col).cast("timestamp")) * 1000)
+        .cast("string").alias("endTimeUnixNano"),
+        F.array(*[_otlp_attr(c, F.col(c)) for c in attr_cols]).alias("attributes"),
+        F.struct(
+            (F.col(status_code_col) if status_code_col else F.lit(0))
+            .cast("long").alias("code")
+        ).alias("status"),
+    )
+    res_attrs = F.array(
+        *[_otlp_attr(k, F.lit(v)) for k, v in (resource_attributes or {}).items()]
+    )
+    grouped = (
+        df.groupBy(
+            F.col(batch_col).alias("__batch") if batch_col else F.lit(0).alias("__batch")
+        ).agg(F.collect_list(span).alias("__spans"))
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                F.struct(res_attrs.alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit(scope_name).alias("name")).alias("scope"),
+                        F.col("__spans").alias("spans"),
+                    )
+                ).alias("scopeSpans"),
+            )
+        ).alias("resourceSpans")
+    )
+    return grouped.select(F.col("__batch").alias("batch"), F.to_json(req).alias("otlp_json"))
+
+
+def otlp_traces_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
+    """Decode OTLP/JSON trace payloads into flat span rows: three
+    generator expansions (resourceSpans -> scopeSpans -> spans), zero
+    shuffles, zero UDFs — mirrors otlp_logs_decode."""
+    parsed = df.select(F.from_json(F.col(json_col), OTLP_TRACES_SCHEMA).alias("r"))
+    rs = parsed.select(F.explode("r.resourceSpans").alias("rs"))
+    ss = rs.select(
+        F.col("rs.resource.attributes").alias("__res_attrs"),
+        F.explode("rs.scopeSpans").alias("ss"),
+    )
+    sp = ss.select(
+        "__res_attrs",
+        F.col("ss.scope.name").alias("scope_name"),
+        F.explode("ss.spans").alias("sp"),
+    )
+
+    def attrs_to_map(c):
+        return F.map_from_entries(
+            F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
+        )
+
+    return sp.select(
+        F.col("sp.traceId").alias("trace_id"),
+        F.col("sp.spanId").alias("span_id"),
+        F.col("sp.parentSpanId").alias("parent_span_id"),
+        F.col("sp.name").alias("name"),
+        F.col("sp.kind").alias("kind"),
+        F.timestamp_micros(
+            F.expr("CAST(sp.startTimeUnixNano AS BIGINT) div 1000")
+        ).alias("start_ts"),
+        F.timestamp_micros(
+            F.expr("CAST(sp.endTimeUnixNano AS BIGINT) div 1000")
+        ).alias("end_ts"),
+        F.col("sp.status.code").alias("status_code"),
+        attrs_to_map(F.col("sp.attributes")).alias("attributes"),
+        attrs_to_map(F.col("__res_attrs")).alias("resource"),
+        "scope_name",
+    )

@@ -764,3 +764,34 @@ def test_remote_write_roundtrip(spark):
     assert (r.value, r.timestamp) == (5.0, t0.replace(microsecond=250000))
     assert rows[1].timestamp == t0 + dt.timedelta(seconds=60)
     assert rows[3].metric == "node_load1" and rows[3].value == 0.25
+
+
+def test_otlp_traces_roundtrip_with_hierarchy(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import otlp_traces_decode, otlp_traces_encode
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spans = spark.createDataFrame(
+        [
+            ("t1", "s1", "", "root", t0, t0 + dt.timedelta(seconds=2), 1, 0, "web"),
+            ("t1", "s2", "s1", "db.query", t0, t0 + dt.timedelta(seconds=1), 3, 2, "web"),
+        ],
+        ["trace_id", "span_id", "parent", "name", "start_ts", "end_ts",
+         "kind", "status", "svc"],
+    )
+    enc = otlp_traces_encode(
+        spans,
+        parent_col="parent",
+        kind_col="kind",
+        status_code_col="status",
+        attr_cols=["svc"],
+        resource_attributes={"service.name": "api"},
+    )
+    assert enc.count() == 1  # one request batch
+    dec = {r["span_id"]: r for r in otlp_traces_decode(enc).collect()}
+    assert dec["s2"]["parent_span_id"] == "s1" and dec["s1"]["parent_span_id"] == ""
+    assert dec["s2"]["kind"] == 3 and dec["s2"]["status_code"] == 2
+    assert dec["s2"]["attributes"]["svc"] == "web"
+    assert dec["s1"]["resource"]["service.name"] == "api"
+    assert (dec["s1"]["end_ts"] - dec["s1"]["start_ts"]).total_seconds() == 2.0
