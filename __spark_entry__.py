@@ -2043,6 +2043,41 @@ def otlp_traces_roundtrip_q(spark, sf_dir):
     )
 
 
+def otlp_metrics_roundtrip_q(spark, sf_dir):
+    """out/in_opentelemetry metrics (cmetrics counter -> OTLP monotonic
+    sum): per-(type, minute) event counts encoded as one
+    ExportMetricsServiceRequest per metric, decoded back to flat data
+    points bit-exactly. Composes the downsample rollup with the OTLP
+    wire shape."""
+    from fluent_bit_spark.connectors import otlp_metrics_decode, otlp_metrics_encode
+    from fluent_bit_spark.extensions.timeseries import downsample
+
+    ev = _events(spark, sf_dir)
+    pts = downsample(
+        ev, ["event_type"], "ts", 60, [F.count(F.lit(1)).alias("value")]
+    ).select(
+        F.lit("events_total").alias("metric_name"),
+        F.lit("counter").alias("mtype"),
+        F.col("bucket").alias("timestamp"),
+        F.col("value").cast("double").alias("value"),
+        "event_type",
+    )
+    enc = otlp_metrics_encode(
+        pts,
+        metric_type_col="mtype",
+        label_cols=["event_type"],
+        resource_attributes={"service.name": "events"},
+    )
+    dec = otlp_metrics_decode(enc)
+    return dec.select(
+        "metric_name",
+        "metric_type",
+        F.col("timestamp").alias("bucket"),
+        "value",
+        F.col("attributes").getItem("event_type").alias("event_type"),
+    )
+
+
 def syslog_5424_q(spark, sf_dir):
     """out_syslog RFC5424 encode (plugins/out_syslog/syslog.c:229-380):
     severity/facility resolved through the digit-or-name tables, µs
@@ -2281,6 +2316,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ranks": sketch_ranks_q,
         "dataset_split": dataset_split_q,
         "otlp_traces_roundtrip": otlp_traces_roundtrip_q,
+        "otlp_metrics_roundtrip": otlp_metrics_roundtrip_q,
     }
 
 
@@ -3240,5 +3276,11 @@ def oracle_sql() -> dict[str, str]:
             "make_timestamp(epoch_us(ts) + event_id % 1000000) AS end_ts, "
             "CAST(event_id % 3 AS BIGINT) AS status_code, "
             "user_id, 'events' AS service FROM events"
+        ),
+        "otlp_metrics_roundtrip": (
+            "SELECT 'events_total' AS metric_name, 'counter' AS metric_type, "
+            "make_timestamp((epoch_us(ts) // 1000000 // 60) * 60 * 1000000) "
+            "AS bucket, CAST(COUNT(*) AS DOUBLE) AS value, event_type "
+            "FROM events GROUP BY 3, 5"
         ),
     }

@@ -1803,3 +1803,207 @@ def otlp_traces_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
         attrs_to_map(F.col("__res_attrs")).alias("resource"),
         "scope_name",
     )
+
+
+# --------------------------------------------------------------------------
+# OTLP metrics — ExportMetricsServiceRequest JSON (cmetrics analog)
+# --------------------------------------------------------------------------
+OTLP_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceMetrics",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", _OTLP_ATTR_T)]),
+                        ),
+                        T.StructField(
+                            "scopeMetrics",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [T.StructField("name", T.StringType())]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "metrics",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField("unit", T.StringType()),
+                                                        T.StructField(
+                                                            "gauge",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("asDouble", T.DoubleType()),
+                                                                                    T.StructField("attributes", _OTLP_ATTR_T),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    )
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "sum",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("asDouble", T.DoubleType()),
+                                                                                    T.StructField("attributes", _OTLP_ATTR_T),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    ),
+                                                                    T.StructField("isMonotonic", T.BooleanType()),
+                                                                    T.StructField("aggregationTemporality", T.LongType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def otlp_metrics_encode(
+    df: DataFrame,
+    name_col: str = "metric_name",
+    value_col: str = "value",
+    metric_type_col: str | None = None,
+    label_cols: list[str] | None = None,
+    unit: str = "1",
+    resource_attributes: dict[str, str] | None = None,
+    scope_name: str = "fluent-bit-spark",
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Encode metric rows as ExportMetricsServiceRequest JSON — the
+    cmetrics context the reference carries (cmetrics.h:26-30 counter/
+    gauge types map to OTLP sum/gauge). One request per metric name;
+    each row becomes one data point with its labels as attributes.
+    Counters (metric_type 'counter') emit monotonic cumulative sums,
+    everything else gauges. All JVM-side.
+    """
+    label_cols = label_cols or []
+    mtype = (
+        F.col(metric_type_col) if metric_type_col else F.lit("gauge")
+    ).cast("string")
+    dp = F.struct(
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) * 1000)
+        .cast("string").alias("timeUnixNano"),
+        F.col(value_col).cast("double").alias("asDouble"),
+        F.array(*[_otlp_attr(c, F.col(c)) for c in label_cols]).alias("attributes"),
+    )
+    grouped = df.groupBy(
+        F.col(name_col).alias("__name"), mtype.alias("__type")
+    ).agg(F.collect_list(dp).alias("__dps"))
+    gauge = F.when(
+        F.col("__type") != "counter",
+        F.struct(F.col("__dps").alias("dataPoints")),
+    )
+    msum = F.when(
+        F.col("__type") == "counter",
+        F.struct(
+            F.col("__dps").alias("dataPoints"),
+            F.lit(True).alias("isMonotonic"),
+            F.lit(2).cast("long").alias("aggregationTemporality"),  # CUMULATIVE
+        ),
+    )
+    metric = F.struct(
+        F.col("__name").alias("name"),
+        F.lit(unit).alias("unit"),
+        gauge.alias("gauge"),
+        msum.alias("sum"),
+    )
+    res_attrs = F.array(
+        *[_otlp_attr(k, F.lit(v)) for k, v in (resource_attributes or {}).items()]
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                F.struct(res_attrs.alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit(scope_name).alias("name")).alias("scope"),
+                        F.array(metric).alias("metrics"),
+                    )
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return grouped.select(
+        F.col("__name").alias("metric"), F.to_json(req).alias("otlp_json")
+    )
+
+
+def otlp_metrics_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
+    """Decode OTLP/JSON metric payloads into flat data-point rows
+    (metric_name, metric_type, ts, value, attributes map) — mirrors the
+    logs/traces decoders: generator expansions only, no shuffles."""
+    parsed = df.select(F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA).alias("r"))
+    rm = parsed.select(F.explode("r.resourceMetrics").alias("rm"))
+    sm = rm.select(
+        F.col("rm.resource.attributes").alias("__res_attrs"),
+        F.explode("rm.scopeMetrics").alias("sm"),
+    )
+    mt = sm.select(
+        "__res_attrs",
+        F.col("sm.scope.name").alias("scope_name"),
+        F.explode("sm.metrics").alias("m"),
+    )
+    dps = mt.select(
+        "__res_attrs",
+        "scope_name",
+        F.col("m.name").alias("metric_name"),
+        F.col("m.unit").alias("unit"),
+        F.when(F.col("m.sum").isNotNull(), "counter")
+        .otherwise("gauge").alias("metric_type"),
+        F.explode(
+            F.coalesce(F.col("m.sum.dataPoints"), F.col("m.gauge.dataPoints"))
+        ).alias("dp"),
+    )
+
+    def attrs_to_map(c):
+        return F.map_from_entries(
+            F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
+        )
+
+    return dps.select(
+        "metric_name",
+        "metric_type",
+        "unit",
+        F.timestamp_micros(
+            F.expr("CAST(dp.timeUnixNano AS BIGINT) div 1000")
+        ).alias(TS_COL),
+        F.col("dp.asDouble").alias("value"),
+        attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        attrs_to_map(F.col("__res_attrs")).alias("resource"),
+        "scope_name",
+    )

@@ -795,3 +795,34 @@ def test_otlp_traces_roundtrip_with_hierarchy(spark):
     assert dec["s2"]["attributes"]["svc"] == "web"
     assert dec["s1"]["resource"]["service.name"] == "api"
     assert (dec["s1"]["end_ts"] - dec["s1"]["start_ts"]).total_seconds() == 2.0
+
+
+def test_otlp_metrics_gauge_and_counter_shapes(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import otlp_metrics_decode, otlp_metrics_encode
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("reqs", "counter", t0, 10.0, "web"),
+        ("reqs", "counter", t0 + dt.timedelta(minutes=1), 14.0, "web"),
+        ("mem", "gauge", t0, 0.5, "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["metric_name", "mtype", "timestamp", "value", "host"]
+    )
+    enc = otlp_metrics_encode(df, metric_type_col="mtype", label_cols=["host"],
+                              resource_attributes={"service.name": "api"})
+    assert enc.count() == 2  # one request per metric
+    import json as _json
+    reqs_json = _json.loads(
+        enc.filter(F.col("metric") == "reqs").collect()[0]["otlp_json"]
+    )
+    m = reqs_json["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]
+    assert "sum" in m and m["sum"]["isMonotonic"] and "gauge" not in m
+    dec = otlp_metrics_decode(enc).collect()
+    got = {(r["metric_name"], r["value"]): r for r in dec}
+    assert got[("reqs", 14.0)]["metric_type"] == "counter"
+    assert got[("mem", 0.5)]["metric_type"] == "gauge"
+    assert got[("mem", 0.5)]["attributes"]["host"] == "web"
+    assert len(dec) == 3
