@@ -1384,6 +1384,33 @@ def prom_exposition_q(spark, sf_dir):
     )
 
 
+def prom_scrape_roundtrip_q(spark, sf_dir):
+    """in_prometheus_scrape counterpart: the exposition page rendered by
+    out_prometheus_exporter parsed back into metric rows — TYPE headers
+    re-attached via broadcast join, labels unescaped, values recovered
+    exactly."""
+    from fluent_bit_spark.connectors import prom_exposition_decode
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+    from fluent_bit_spark.sinks import prometheus_exposition
+
+    ev = _events(spark, sf_dir)
+    metrics = log_to_metrics(
+        ev, "counter", "fbs_events_total", label_keys=["event_type"]
+    )
+    page = prometheus_exposition(
+        metrics, label_cols=["event_type"], add_labels={"env": "bench"},
+        value_fmt="long",
+    )
+    dec = prom_exposition_decode(page)
+    return dec.select(
+        "metric_name",
+        "metric_type",
+        F.col("labels").getItem("event_type").alias("event_type"),
+        F.col("labels").getItem("env").alias("env"),
+        "value",
+    )
+
+
 def domain_mix_q(spark, sf_dir):
     """Training-data mixing: per-language deterministic keep rates via the
     portable multiplicative id-hash (no RNG — reproducible across engines
@@ -2317,6 +2344,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": dataset_split_q,
         "otlp_traces_roundtrip": otlp_traces_roundtrip_q,
         "otlp_metrics_roundtrip": otlp_metrics_roundtrip_q,
+        "prom_scrape_roundtrip": prom_scrape_roundtrip_q,
     }
 
 
@@ -3282,5 +3310,10 @@ def oracle_sql() -> dict[str, str]:
             "make_timestamp((epoch_us(ts) // 1000000 // 60) * 60 * 1000000) "
             "AS bucket, CAST(COUNT(*) AS DOUBLE) AS value, event_type "
             "FROM events GROUP BY 3, 5"
+        ),
+        "prom_scrape_roundtrip": (
+            "SELECT 'fbs_events_total' AS metric_name, "
+            "'counter' AS metric_type, event_type, 'bench' AS env, "
+            "CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY event_type"
         ),
     }

@@ -2007,3 +2007,64 @@ def otlp_metrics_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame
         attrs_to_map(F.col("__res_attrs")).alias("resource"),
         "scope_name",
     )
+
+
+# --------------------------------------------------------------------------
+# Prometheus text exposition — scrape-side parse (in_prometheus_scrape)
+# --------------------------------------------------------------------------
+def prom_exposition_decode(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse Prometheus text-exposition pages back into metric rows — the
+    scrape side of out_prometheus_exporter (the reference's
+    in_prometheus_scrape consumes the same public format via cmetrics).
+
+    Emits one row per sample line: (metric_name, metric_type from the
+    page's ``# TYPE`` header, labels map, value double, ts_ms when the
+    optional trailing timestamp is present). Pure Catalyst: regex
+    extraction per line plus a broadcast join of the tiny header table
+    onto the samples. Label values reverse the spec escaping (backslash,
+    quote, newline) via a sentinel pass so ``\\\\`` before ``"`` decodes
+    correctly.
+    """
+    l = F.col(line_col)
+    lines = df.select(l.alias("__l"))
+    headers = (
+        lines.filter(F.col("__l").startswith("# TYPE "))
+        .select(
+            F.regexp_extract("__l", r"^# TYPE (\S+) (\S+)\s*$", 1).alias("metric_name"),
+            F.regexp_extract("__l", r"^# TYPE (\S+) (\S+)\s*$", 2).alias("metric_type"),
+        )
+        .distinct()
+    )
+    sample_re = r"^([^#{\s]+)(\{(.*)\})?\s+(\S+)(\s+(\S+))?\s*$"
+    raw = lines.filter(
+        ~F.col("__l").startswith("#") & (F.length(F.trim(F.col("__l"))) > 0)
+    ).select(
+        F.regexp_extract("__l", sample_re, 1).alias("metric_name"),
+        F.regexp_extract("__l", sample_re, 3).alias("__labels"),
+        F.regexp_extract("__l", sample_re, 4).alias("__val"),
+        F.regexp_extract("__l", sample_re, 6).alias("__ts"),
+    )
+    pair_re = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+    keys = F.regexp_extract_all(F.col("__labels"), F.lit(pair_re), F.lit(1))
+    vals = F.regexp_extract_all(F.col("__labels"), F.lit(pair_re), F.lit(2))
+
+    def unescape(c):
+        # sentinel pass so an escaped backslash never re-combines with a
+        # following quote/n escape
+        s = F.regexp_replace(c, r"\\\\", "\u0000")
+        s = F.regexp_replace(s, r'\\"', '"')
+        s = F.regexp_replace(s, r"\\n", "\n")
+        return F.regexp_replace(s, "\u0000", r"\\")
+
+    out = raw.select(
+        "metric_name",
+        F.map_from_arrays(keys, F.transform(vals, unescape)).alias("labels"),
+        # try_cast: a malformed sample line degrades to a NULL value
+        # instead of failing the scrape (and keeps the cast safe under
+        # ANSI mode if the optimizer evaluates it speculatively)
+        F.col("__val").try_cast("double").alias("value"),
+        F.when(F.col("__ts") != "", F.col("__ts").try_cast("long")).alias("ts_ms"),
+    )
+    return out.join(F.broadcast(headers), "metric_name", "left").select(
+        "metric_name", "metric_type", "labels", "value", "ts_ms"
+    )

@@ -826,3 +826,27 @@ def test_otlp_metrics_gauge_and_counter_shapes(spark):
     assert got[("mem", 0.5)]["metric_type"] == "gauge"
     assert got[("mem", 0.5)]["attributes"]["host"] == "web"
     assert len(dec) == 3
+
+
+def test_prom_exposition_decode_escapes_and_malformed(spark):
+    from fluent_bit_spark.connectors import prom_exposition_decode
+
+    df = spark.createDataFrame(
+        [
+            ("# TYPE reqs counter",),
+            ('reqs{env="prod",msg="a\\"b\\\\c\\nd"} 42 1700000000000',),
+            ("reqs 7",),
+            ("# HELP reqs something",),
+            ("reqs{env=\"x\"} not_a_number",),
+            ("",),
+        ],
+        ["line"],
+    )
+    rows = prom_exposition_decode(df).collect()
+    by_val = {r["value"]: r for r in rows}
+    r = by_val[42.0]
+    assert r["metric_type"] == "counter" and r["ts_ms"] == 1700000000000
+    assert r["labels"]["msg"] == 'a"b\\c\nd'   # spec unescaping
+    assert by_val[7.0]["labels"] == {}
+    assert by_val[None]["labels"]["env"] == "x"  # malformed value -> NULL
+    assert len(rows) == 3
