@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "ts_gapfill_locf",
     "ts_rate",
     "interval_band_join",
+    "dataset_split",
+    "otlp_traces_roundtrip",
+    "otlp_metrics_roundtrip",
+    "prom_scrape_roundtrip",
     "pipeline_e2e",
 ]
 
