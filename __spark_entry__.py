@@ -1411,6 +1411,34 @@ def prom_scrape_roundtrip_q(spark, sf_dir):
     )
 
 
+def otlp_histogram_roundtrip_q(spark, sf_dir):
+    """cmetrics histogram -> OTLP HistogramDataPoint roundtrip: the
+    log_to_metrics cumulative le_* buckets difference into OTLP
+    bucketCounts on encode and re-accumulate on decode, recovering the
+    Prometheus cumulative form bit-exactly per (type, boundary)."""
+    from fluent_bit_spark.connectors import (
+        otlp_histogram_decode,
+        otlp_histogram_encode,
+    )
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    buckets = (50.0, 100.0, 150.0)
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    hist = log_to_metrics(
+        ev, "histogram", "fbs_value_hist", label_keys=["event_type"],
+        value_field="value", buckets=buckets,
+    )
+    enc = otlp_histogram_encode(hist, buckets, label_cols=["event_type"])
+    dec = otlp_histogram_decode(enc)
+    return dec.select(
+        "metric_name",
+        F.col("attributes").getItem("event_type").alias("event_type"),
+        "count",
+        "le",
+        "cumulative_count",
+    )
+
+
 def domain_mix_q(spark, sf_dir):
     """Training-data mixing: per-language deterministic keep rates via the
     portable multiplicative id-hash (no RNG — reproducible across engines
@@ -2345,6 +2373,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_traces_roundtrip": otlp_traces_roundtrip_q,
         "otlp_metrics_roundtrip": otlp_metrics_roundtrip_q,
         "prom_scrape_roundtrip": prom_scrape_roundtrip_q,
+        "otlp_histogram_roundtrip": otlp_histogram_roundtrip_q,
     }
 
 
@@ -3315,5 +3344,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'fbs_events_total' AS metric_name, "
             "'counter' AS metric_type, event_type, 'bench' AS env, "
             "CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY event_type"
+        ),
+        "otlp_histogram_roundtrip": (
+            "WITH b AS (SELECT unnest(['50.0', '100.0', '150.0', 'inf']) AS le), "
+            "g AS (SELECT event_type, COUNT(*) AS total FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1) "
+            "SELECT 'fbs_value_hist' AS metric_name, g.event_type, "
+            "CAST(g.total AS BIGINT) AS count, b.le, "
+            "CAST((SELECT COUNT(*) FROM events e WHERE e.value IS NOT NULL "
+            "AND e.event_type = g.event_type "
+            "AND (b.le = 'inf' OR e.value <= CAST(b.le AS DOUBLE))) AS BIGINT) "
+            "AS cumulative_count "
+            "FROM g CROSS JOIN b"
         ),
     }

@@ -2068,3 +2068,180 @@ def prom_exposition_decode(df: DataFrame, line_col: str = "line") -> DataFrame:
     return out.join(F.broadcast(headers), "metric_name", "left").select(
         "metric_name", "metric_type", "labels", "value", "ts_ms"
     )
+
+
+def otlp_histogram_encode(
+    df: DataFrame,
+    buckets: tuple,
+    name_col: str = "metric_name",
+    label_cols: list[str] | None = None,
+    count_col: str = "le_inf",
+    sum_col: str = "sum_value",
+    resource_attributes: dict[str, str] | None = None,
+    scope_name: str = "fluent-bit-spark",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Encode log_to_metrics histogram rows (cumulative Prometheus-style
+    le_* columns, cmetrics histogram type) as OTLP HistogramDataPoints:
+    explicitBounds = the bucket boundaries, bucketCounts = the
+    per-bucket (non-cumulative) counts derived by differencing the
+    cumulative columns, count/sum carried through. One request per
+    metric name; all JVM-side arithmetic.
+    """
+    label_cols = label_cols or []
+
+    def bname(b):
+        return f"le_{b}".replace(".", "_")
+
+    cum = [F.col(bname(b)) for b in buckets] + [F.col(count_col)]
+    bucket_counts = [cum[0].cast("long").cast("string")] + [
+        (cum[i] - cum[i - 1]).cast("long").cast("string")
+        for i in range(1, len(cum))
+    ]
+    ts_expr = (
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) * 1000).cast("string")
+        if ts_col
+        else F.lit("0")
+    )
+    dp = F.struct(
+        ts_expr.alias("timeUnixNano"),
+        F.col(count_col).cast("long").cast("string").alias("count"),
+        F.col(sum_col).cast("double").alias("sum"),
+        F.array(*[F.lit(float(b)) for b in buckets]).alias("explicitBounds"),
+        F.array(*bucket_counts).alias("bucketCounts"),
+        F.array(*[_otlp_attr(c, F.col(c)) for c in label_cols]).alias("attributes"),
+    )
+    grouped = df.groupBy(F.col(name_col).alias("__name")).agg(
+        F.collect_list(dp).alias("__dps")
+    )
+    res_attrs = F.array(
+        *[_otlp_attr(k, F.lit(v)) for k, v in (resource_attributes or {}).items()]
+    )
+    metric = F.struct(
+        F.col("__name").alias("name"),
+        F.struct(
+            F.col("__dps").alias("dataPoints"),
+            F.lit(2).cast("long").alias("aggregationTemporality"),
+        ).alias("histogram"),
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                F.struct(res_attrs.alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit(scope_name).alias("name")).alias("scope"),
+                        F.array(metric).alias("metrics"),
+                    )
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return grouped.select(
+        F.col("__name").alias("metric"), F.to_json(req).alias("otlp_json")
+    )
+
+
+_OTLP_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceMetrics",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "scopeMetrics",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "metrics",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField(
+                                                            "histogram",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("count", T.StringType()),
+                                                                                    T.StructField("sum", T.DoubleType()),
+                                                                                    T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
+                                                                                    T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+                                                                                    T.StructField("attributes", _OTLP_ATTR_T),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    )
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def otlp_histogram_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
+    """Decode OTLP histogram payloads into one row per (data point,
+    boundary): (metric_name, attributes, le boundary or +Inf,
+    cumulative_count) — re-accumulating the bucketCounts back to the
+    Prometheus cumulative form the log_to_metrics operator emits."""
+    parsed = df.select(F.from_json(F.col(json_col), _OTLP_HIST_SCHEMA).alias("r"))
+    dp = (
+        parsed.select(F.explode("r.resourceMetrics").alias("rm"))
+        .select(F.explode("rm.scopeMetrics").alias("sm"))
+        .select(F.explode("sm.metrics").alias("m"))
+        .select(
+            F.col("m.name").alias("metric_name"),
+            F.explode("m.histogram.dataPoints").alias("dp"),
+        )
+    )
+
+    def attrs_to_map(c):
+        return F.map_from_entries(
+            F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
+        )
+
+    counts = F.transform(F.col("dp.bucketCounts"), lambda c: c.cast("long"))
+    bounds = F.concat(
+        F.transform(F.col("dp.explicitBounds"), lambda b: b.cast("string")),
+        F.array(F.lit("inf")),
+    )
+    # cumulative prefix over the (small, fixed-size) bucket array
+    cum = F.transform(
+        F.sequence(F.lit(1), F.size(counts)),
+        lambda i: F.aggregate(
+            F.slice(counts, 1, i), F.lit(0).cast("long"), lambda a, v: a + v
+        ),
+    )
+    return dp.select(
+        "metric_name",
+        attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        F.col("dp.count").cast("long").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.explode(F.arrays_zip(bounds.alias("le"), cum.alias("cumulative"))).alias("z"),
+    ).select(
+        "metric_name",
+        "attributes",
+        "count",
+        "sum",
+        F.col("z.le").alias("le"),
+        F.col("z.cumulative").alias("cumulative_count"),
+    )

@@ -850,3 +850,30 @@ def test_prom_exposition_decode_escapes_and_malformed(spark):
     assert by_val[7.0]["labels"] == {}
     assert by_val[None]["labels"]["env"] == "x"  # malformed value -> NULL
     assert len(rows) == 3
+
+
+def test_otlp_histogram_bucket_differencing(spark):
+    from fluent_bit_spark.connectors import (
+        otlp_histogram_decode,
+        otlp_histogram_encode,
+    )
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 5, 20, 20, 99]], ["grp", "v"]
+    )
+    hist = log_to_metrics(
+        df, "histogram", "h", label_keys=["grp"], value_field="v",
+        buckets=(10.0, 50.0),
+    )
+    enc = otlp_histogram_encode(hist, (10.0, 50.0), label_cols=["grp"])
+    import json as _json
+    dp = _json.loads(enc.collect()[0]["otlp_json"])[
+        "resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]["histogram"]["dataPoints"][0]
+    # cumulative (2, 4, 5) -> per-bucket (2, 2, 1)
+    assert dp["bucketCounts"] == ["2", "2", "1"]
+    assert dp["explicitBounds"] == [10.0, 50.0]
+    dec = otlp_histogram_decode(enc).collect()
+    got = {r["le"]: r["cumulative_count"] for r in dec}
+    assert got == {"10.0": 2, "50.0": 4, "inf": 5}
+    assert all(r["count"] == 5 for r in dec)
