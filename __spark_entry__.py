@@ -2122,6 +2122,7 @@ def otlp_metrics_roundtrip_q(spark, sf_dir):
         metric_type_col="mtype",
         label_cols=["event_type"],
         resource_attributes={"service.name": "events"},
+        batch_col="event_type",
     )
     dec = otlp_metrics_decode(enc)
     return dec.select(

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dataset_split",
     "otlp_traces_roundtrip",
     "otlp_metrics_roundtrip",
+    "otlp_histogram_roundtrip",
     "prom_scrape_roundtrip",
     "pipeline_e2e",
 ]

@@ -1903,13 +1903,19 @@ def otlp_metrics_encode(
     resource_attributes: dict[str, str] | None = None,
     scope_name: str = "fluent-bit-spark",
     ts_col: str = TS_COL,
+    batch_col: str | None = None,
 ) -> DataFrame:
     """Encode metric rows as ExportMetricsServiceRequest JSON — the
     cmetrics context the reference carries (cmetrics.h:26-30 counter/
-    gauge types map to OTLP sum/gauge). One request per metric name;
-    each row becomes one data point with its labels as attributes.
-    Counters (metric_type 'counter') emit monotonic cumulative sums,
-    everything else gauges. All JVM-side.
+    gauge types map to OTLP sum/gauge). One request per (metric name,
+    ``batch_col`` group); each row becomes one data point with its labels
+    as attributes. Counters (metric_type 'counter') emit monotonic
+    cumulative sums, everything else gauges. All JVM-side.
+
+    At scale ALWAYS pass ``batch_col`` (a label, tag, or time window):
+    the per-group collect_list is the request body, so the batch key is
+    what bounds a single request's size — the chunk-granularity batching
+    the reference gets from its 2 MB chunks.
     """
     label_cols = label_cols or []
     mtype = (
@@ -1922,7 +1928,9 @@ def otlp_metrics_encode(
         F.array(*[_otlp_attr(c, F.col(c)) for c in label_cols]).alias("attributes"),
     )
     grouped = df.groupBy(
-        F.col(name_col).alias("__name"), mtype.alias("__type")
+        F.col(name_col).alias("__name"),
+        mtype.alias("__type"),
+        (F.col(batch_col) if batch_col else F.lit(0)).alias("__batch"),
     ).agg(F.collect_list(dp).alias("__dps"))
     gauge = F.when(
         F.col("__type") != "counter",
@@ -1959,14 +1967,24 @@ def otlp_metrics_encode(
         ).alias("resourceMetrics")
     )
     return grouped.select(
-        F.col("__name").alias("metric"), F.to_json(req).alias("otlp_json")
+        F.col("__name").alias("metric"),
+        F.col("__batch").alias("batch"),
+        F.to_json(req).alias("otlp_json")
     )
 
 
 def otlp_metrics_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
     """Decode OTLP/JSON metric payloads into flat data-point rows
-    (metric_name, metric_type, ts, value, attributes map) — mirrors the
-    logs/traces decoders: generator expansions only, no shuffles."""
+    (metric_name, metric_type, ts, value, attributes map).
+
+    Unlike the logs/traces decoders, a repartition sits between the
+    envelope explosion and the data-point explosion: whole-stage codegen
+    otherwise fuses all four Generates into one stage whose per-row copy
+    re-materializes the multi-MB remaining subtree once per data point —
+    measured as a heap blowup on ~2 MB requests. The shuffle both breaks
+    that fusion (the point explode then reads a pruned (metadata, points
+    array) row) and spreads per-request decode across executors, which is
+    the layout a scrape/ingest fleet wants anyway."""
     parsed = df.select(F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA).alias("r"))
     rm = parsed.select(F.explode("r.resourceMetrics").alias("rm"))
     sm = rm.select(
@@ -1978,16 +1996,24 @@ def otlp_metrics_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame
         F.col("sm.scope.name").alias("scope_name"),
         F.explode("sm.metrics").alias("m"),
     )
-    dps = mt.select(
+    pruned = mt.select(
         "__res_attrs",
         "scope_name",
         F.col("m.name").alias("metric_name"),
         F.col("m.unit").alias("unit"),
         F.when(F.col("m.sum").isNotNull(), "counter")
         .otherwise("gauge").alias("metric_type"),
-        F.explode(
-            F.coalesce(F.col("m.sum.dataPoints"), F.col("m.gauge.dataPoints"))
-        ).alias("dp"),
+        F.coalesce(F.col("m.sum.dataPoints"), F.col("m.gauge.dataPoints")).alias(
+            "__dps"
+        ),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    dps = pruned.select(
+        "__res_attrs",
+        "scope_name",
+        "metric_name",
+        "unit",
+        "metric_type",
+        F.explode("__dps").alias("dp"),
     )
 
     def attrs_to_map(c):
@@ -2080,13 +2106,16 @@ def otlp_histogram_encode(
     resource_attributes: dict[str, str] | None = None,
     scope_name: str = "fluent-bit-spark",
     ts_col: str | None = None,
+    batch_col: str | None = None,
 ) -> DataFrame:
     """Encode log_to_metrics histogram rows (cumulative Prometheus-style
     le_* columns, cmetrics histogram type) as OTLP HistogramDataPoints:
     explicitBounds = the bucket boundaries, bucketCounts = the
     per-bucket (non-cumulative) counts derived by differencing the
     cumulative columns, count/sum carried through. One request per
-    metric name; all JVM-side arithmetic.
+    (metric name, ``batch_col`` group) — pass ``batch_col`` at scale so a
+    hot metric's label sets don't accumulate into one giant request. All
+    JVM-side arithmetic.
     """
     label_cols = label_cols or []
 
@@ -2111,9 +2140,10 @@ def otlp_histogram_encode(
         F.array(*bucket_counts).alias("bucketCounts"),
         F.array(*[_otlp_attr(c, F.col(c)) for c in label_cols]).alias("attributes"),
     )
-    grouped = df.groupBy(F.col(name_col).alias("__name")).agg(
-        F.collect_list(dp).alias("__dps")
-    )
+    grouped = df.groupBy(
+        F.col(name_col).alias("__name"),
+        (F.col(batch_col) if batch_col else F.lit(0)).alias("__batch"),
+    ).agg(F.collect_list(dp).alias("__dps"))
     res_attrs = F.array(
         *[_otlp_attr(k, F.lit(v)) for k, v in (resource_attributes or {}).items()]
     )
@@ -2138,7 +2168,9 @@ def otlp_histogram_encode(
         ).alias("resourceMetrics")
     )
     return grouped.select(
-        F.col("__name").alias("metric"), F.to_json(req).alias("otlp_json")
+        F.col("__name").alias("metric"),
+        F.col("__batch").alias("batch"),
+        F.to_json(req).alias("otlp_json"),
     )
 
 
