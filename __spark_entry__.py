@@ -2217,6 +2217,13 @@ def flowcounter_q(spark, sf_dir):
 # the front so they get driver rows too.  LLM-pipeline operators first, then
 # connectors/codecs; previously-verified queries follow at the tail and keep
 # local-oracle coverage via tools/oracle_check.py.
+#
+# ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, swap in the remaining
+# never-driver-checked names — the window's own tail (tda_betti_windows,
+# bigquery_shape, plot_lines, kinesis_shape, azure_shape, logdna_shape,
+# nats_body) plus every round-3 addition appended after the window
+# (line_dedup .. otlp_histogram_roundtrip, see the registry tail) — and
+# move this round's 50 freshly-verified names behind them.
 _DRIVER_WINDOW_R3 = [
     # LLM-data-pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard_pairs",
