@@ -1,0 +1,62 @@
+"""Gate-window invariant check for query rotations.
+
+The driver's correctness gate reads the FIRST 50 entries of queries() in
+dict order. When rotating the window between rounds, two invariants keep
+coverage honest:
+
+1. every window name exists in the registry (no typos strand a slot);
+2. the window holds the names with the FEWEST driver rows — i.e. no
+   never-checked query sits behind an already-verified one.
+
+Usage: python tools/verify_window.py [CORRECTNESS_r*.json ...]
+(pass every prior round's file; defaults to all CORRECTNESS_r*.json in
+the repo root).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry
+
+
+def main() -> int:
+    files = sys.argv[1:] or sorted(
+        glob.glob(str(Path(__file__).resolve().parents[1] / "CORRECTNESS_r*.json"))
+    )
+    verified: set[str] = set()
+    for f in files:
+        verified |= set(json.load(open(f)))
+    names = list(entry.queries())
+    window, tail = names[:50], names[50:]
+
+    missing = [n for n in window if n not in names]
+    never_checked_behind = [
+        n for n in tail if n not in verified and any(w in verified for w in window)
+    ]
+    window_already_verified = [n for n in window if n in verified]
+
+    print(f"registry: {len(names)} queries; prior driver rows: {len(verified)}")
+    print(f"window[0:50]: {len(window_already_verified)} already verified")
+    print(f"tail: {len([n for n in tail if n not in verified])} never checked")
+    ok = True
+    if missing:
+        print(f"ERROR: window names missing from registry: {missing}")
+        ok = False
+    if window_already_verified and never_checked_behind:
+        print(
+            "WARN: window wastes slots on already-verified queries while "
+            f"{len(never_checked_behind)} never-checked wait in the tail: "
+            f"{never_checked_behind[:10]}..."
+        )
+    print("OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
