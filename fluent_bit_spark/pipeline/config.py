@@ -372,6 +372,26 @@ class Pipeline:
                 )
                 shaped.write.mode("overwrite").format("parquet").save(out["path"])
                 record(out, obs)
+            elif name == "prometheus_exporter":
+                from fluent_bit_spark.sinks import prometheus_exposition
+
+                statics = {}
+                for kv in _listopt(out.get("add_label")) or []:
+                    k, _, v = str(kv).partition(" ")
+                    statics[k.strip()] = v.strip()
+                shaped = prometheus_exposition(
+                    df,
+                    name_col=out.get("metric_key", "metric_name"),
+                    type_col=out.get("type_key", "metric_type"),
+                    label_cols=_listopt(out.get("label_keys")),
+                    value_col=out.get("value_key", "value"),
+                    add_labels=statics or None,
+                    value_fmt=out.get("value_format", "double"),
+                )
+                shaped.select(F.col("line").alias("value")).write.mode(
+                    "overwrite"
+                ).format("text").save(out["path"])
+                record(out, obs)
             elif name == "plot":
                 from fluent_bit_spark.sinks import plot_lines
 

@@ -564,3 +564,39 @@ def test_yaml_processors_section(spark):
                 "processors": {"logs": [{"name": "bogus"}]},
             }], "outputs": []}
         })
+
+
+def test_prometheus_exporter_output_route(spark, tmp_path):
+    """log_to_metrics filter feeding the prometheus_exporter output: the
+    full fluent-bit log->metric->exposition chain from one config."""
+    from fluent_bit_spark.pipeline import load_pipeline
+
+    out_dir = str(tmp_path / "prom")
+    conf = {
+        "pipeline": {
+            "inputs": [{
+                "name": "parquet",
+                "path": "/root/testdata/sf0.001/events.parquet",
+                "tag": "ev.app", "time_key": "ts",
+            }],
+            "filters": [{
+                "name": "log_to_metrics", "match": "ev.*",
+                "metric_mode": "counter", "metric_name": "ev_total",
+                "label_field": "event_type", "tag": "metrics.ev",
+            }],
+            "outputs": [{
+                "name": "prometheus_exporter", "match": "metrics.*",
+                "path": out_dir, "label_keys": "event_type",
+                "add_label": "env prod", "value_format": "long",
+            }],
+        }
+    }
+    pipe = load_pipeline(spark, conf)
+    pipe.run_outputs()
+    lines = sorted(r.value for r in spark.read.text(out_dir).collect())
+    assert "# TYPE ev_total counter" in lines
+    samples = [l for l in lines if not l.startswith("#")]
+    assert len(samples) == 5
+    assert all('env="prod"' in s and s.startswith("ev_total{") for s in samples)
+    total = sum(int(s.rsplit(" ", 1)[1]) for s in samples)
+    assert total == 1000
