@@ -785,7 +785,9 @@ def dedup_exact_q(spark, sf_dir):
     return exact_dedup(_docs_with_copies(spark, sf_dir)).select("doc_id")
 
 
-def dedup_minhash_q(spark, sf_dir):
+def dedup_minhash_raw(spark, sf_dir):
+    """The bare MinHash+LSH dedup (kept doc ids) — the benched form; the
+    registry query wraps it in a soundness invariant the oracle can check."""
     from fluent_bit_spark.extensions.dedup import minhash_dedup
 
     return minhash_dedup(
@@ -794,10 +796,84 @@ def dedup_minhash_q(spark, sf_dir):
     ).select("doc_id")
 
 
-def dedup_simhash_q(spark, sf_dir):
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash+LSH dedup, SOUNDNESS-gated: which docs survive depends on
+    engine-internal hash seeds, but the output CONTRACT does not — a doc
+    may only be dropped if some smaller-id doc with exact shingle-Jaccard
+    >= threshold exists (chains drop via intermediate partners, so the
+    witness search spans ALL smaller-id docs, not just kept ones). The
+    query emits one row per input doc with that invariant as a boolean;
+    the oracle is the literal truth table, so any false drop hash-fails.
+    The witness join is brute-force on purpose (dropped × smaller-id): an
+    independent recomputation, not a replay of the LSH candidate path."""
+    from fluent_bit_spark.extensions.dedup import minhash_dedup, with_shingle_hashes
+
+    all_docs = _docs_with_copies(spark, sf_dir)
+    kept = minhash_dedup(
+        all_docs, num_hashes=32, num_bands=16, jaccard_threshold=0.9
+    ).select("doc_id")
+    dropped = all_docs.select("doc_id").join(kept, "doc_id", "left_anti")
+    sh = with_shingle_hashes(all_docs, "text", "sh", 3, keep=["doc_id"])
+    d = sh.join(F.broadcast(dropped), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_d"), F.col("sh").alias("sh_d")
+    )
+    o = sh.select(F.col("doc_id").alias("id_o"), F.col("sh").alias("sh_o"))
+    inter = F.size(F.array_intersect("sh_d", "sh_o")).cast("double")
+    union = F.size(F.array_union("sh_d", "sh_o")).cast("double")
+    witness = (
+        o.join(F.broadcast(d), F.col("id_o") < F.col("id_d"))
+        .filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= 0.9)
+        .select(F.col("id_d").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        all_docs.select("doc_id")
+        .join(kept.withColumn("__k", F.lit(True)), "doc_id", "left")
+        .join(witness.withColumn("__w", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("__k", F.lit(False)) | F.coalesce("__w", F.lit(False))).alias("sound"),
+        )
+    )
+
+
+def dedup_simhash_raw(spark, sf_dir):
+    """Bare SimHash dedup (kept doc ids) — the benched form."""
     from fluent_bit_spark.extensions.dedup import simhash_dedup
 
     return simhash_dedup(_docs_with_copies(spark, sf_dir), hamming_threshold=2).select("doc_id")
+
+
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash dedup, EXACTNESS-gated: with num_bands (4) > threshold+1
+    (3), pigeonhole banding is lossless, so the dropped set must equal the
+    brute-force definition exactly — {doc | ∃ smaller-id doc within
+    hamming<=2 of its simhash}. The query emits (doc_id, exact) for every
+    input doc, comparing the engine's banded drop decision against an
+    all-pairs recomputation; the oracle is the literal truth table."""
+    from fluent_bit_spark.extensions.dedup import simhash, simhash_dedup
+
+    all_docs = _docs_with_copies(spark, sf_dir)
+    kept = simhash_dedup(all_docs, hamming_threshold=2).select("doc_id")
+    sh = simhash(all_docs)
+    l = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    r = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute_losers = (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        all_docs.select("doc_id")
+        .join(kept.withColumn("__k", F.lit(True)), "doc_id", "left")
+        .join(brute_losers.withColumn("__b", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            # engine dropped it  <=>  brute force says drop it
+            (F.coalesce("__k", F.lit(False)) != F.coalesce("__b", F.lit(False))).alias("exact"),
+        )
+    )
 
 
 def dedup_jaccard_pairs_q(spark, sf_dir):
@@ -820,14 +896,46 @@ def dedup_jaccard_pairs_q(spark, sf_dir):
     ).filter(F.col("jaccard") >= 0.8)
 
 
-def embedding_dedup_q(spark, sf_dir):
-    from fluent_bit_spark.extensions.dedup import embedding_dedup
-
+def _emb_with_copies(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dups = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
-    return embedding_dedup(emb.unionByName(dups), threshold=0.999).select("vec_id")
+    return emb.unionByName(dups)
+
+
+def embedding_dedup_q(spark, sf_dir):
+    """Embedding cosine near-dup removal, SOUNDNESS-gated: the LSH bucket
+    layout is engine-internal, but a vec may only be dropped if a
+    smaller-id vec with exact cosine >= threshold exists. Emits one row
+    per input vec with that invariant as a boolean (brute-force witness
+    recomputation over dropped × smaller-id, independent of the bucketed
+    candidate path); the oracle is the literal truth table."""
+    from fluent_bit_spark.extensions.dedup import embedding_dedup
+    from fluent_bit_spark.extensions.similarity import cosine
+
+    allv = _emb_with_copies(spark, sf_dir)
+    kept = embedding_dedup(allv, threshold=0.999).select("vec_id")
+    dropped = allv.select("vec_id").join(kept, "vec_id", "left_anti")
+    d = allv.join(F.broadcast(dropped), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("id_d"), F.col("embedding").alias("v_d")
+    )
+    o = allv.select(F.col("vec_id").alias("id_o"), F.col("embedding").alias("v_o"))
+    witness = (
+        o.join(F.broadcast(d), F.col("id_o") < F.col("id_d"))
+        .filter(cosine(F.col("v_d"), F.col("v_o")) >= 0.999)
+        .select(F.col("id_d").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        allv.select("vec_id")
+        .join(kept.withColumn("__k", F.lit(True)), "vec_id", "left")
+        .join(witness.withColumn("__w", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            (F.coalesce("__k", F.lit(False)) | F.coalesce("__w", F.lit(False))).alias("sound"),
+        )
+    )
 
 
 def similarity_topk_q(spark, sf_dir):
@@ -843,32 +951,74 @@ def similarity_topk_q(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
-def similarity_lsh_ann_q(spark, sf_dir):
-    from fluent_bit_spark.extensions.similarity import lsh_topk
-
+def _emb_and_queries(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    return emb, queries
+
+
+def _ann_gate(ann, exact, k=5, min_hits=1):
+    """Reduce an ANN top-k result to its oracle-checkable contract, per
+    query: exactly k rows returned, the query's own vector retrieved
+    (queries are corpus members, so exact rank-1 is self at cos 1.0 — an
+    ANN that can't find it has broken candidate generation), and
+    recall@k against the exact brute-force top-k >= min_hits/k. The
+    thresholds are deterministic for fixed seeds/data; the synthetic
+    embeddings are near-uniform (all cosines cluster), so high recall@5
+    is not achievable by ANY sublinear method — self-retrieval plus a
+    recall floor is the invariant that separates working from broken."""
+    agg = ann.groupBy("query_id").agg(
+        F.count("*").alias("n_returned"),
+        F.max((F.col("vec_id") == F.col("query_id")).cast("int")).alias("__self"),
+    )
+    hits = (
+        ann.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return agg.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_returned",
+        (F.col("__self") == 1).alias("self_found"),
+        (F.coalesce("__hits", F.lit(0)) >= min_hits).alias("recall_ok"),
+    )
+
+
+def similarity_lsh_ann_raw(spark, sf_dir):
+    """Bare LSH ANN top-k — the benched form."""
+    from fluent_bit_spark.extensions.similarity import lsh_topk
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
     out = lsh_topk(emb, queries, k=5, nbits=6, tables=4)
     return out.select("query_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
-def similarity_ivf_ann_q(spark, sf_dir):
-    """IVF coarse-quantizer ANN (rows-only check: centroid assignment
-    depends on engine-internal deterministic sampling + float iteration)."""
-    from fluent_bit_spark.extensions.similarity import ivf_topk
+def similarity_lsh_ann_q(spark, sf_dir):
+    """Multi-table hyperplane-LSH ANN, invariant-gated against the
+    already-oracled exact brute force (see _ann_gate)."""
+    from fluent_bit_spark.extensions.similarity import cosine_topk, lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    )
-    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
-    return out.select("query_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    ann = lsh_topk(emb, queries, k=5, nbits=6, tables=4)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_gate(ann, exact)
+
+
+def similarity_ivf_ann_q(spark, sf_dir):
+    """IVF coarse-quantizer ANN, invariant-gated against the exact brute
+    force (see _ann_gate; centroids come from engine-internal
+    deterministic sampling + float Lloyd iteration, so the top-k rows
+    themselves are not SQL-replayable — the contract is)."""
+    from fluent_bit_spark.extensions.similarity import cosine_topk, ivf_topk
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    ann = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_gate(ann, exact)
 
 
 def text_langid_q(spark, sf_dir):
@@ -1796,21 +1946,24 @@ def azure_shape_q(spark, sf_dir):
 def similarity_pq_ann_q(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011): per-subspace L2
     codebooks on a deterministic bounded sample, uint8 codes (32x smaller
-    scan), ADC table-lookup top-k. Rows-only check — codebooks depend on
-    float k-means iteration; recall vs exact search is asserted in
+    scan), ADC table-lookup top-k. Invariant-gated against the exact
+    cosine brute force (see _ann_gate) — the codebooks depend on float
+    k-means iteration, so the top-k rows themselves are not
+    SQL-replayable; recall vs exact search is additionally asserted in
     tests/test_extensions.py."""
-    from fluent_bit_spark.extensions.similarity import pq_encode, pq_topk, pq_train
-
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    from fluent_bit_spark.extensions.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
     )
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
     books = pq_train(emb, m=8, ksub=16, iters=3, sample=1024)
     codes = pq_encode(emb, books)
-    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = pq_topk(codes, queries, books, k=5)
-    return out.select("query_id", "vec_id", "rank", F.round("adist", 4).alias("adist"))
+    ann = pq_topk(codes, queries, books, k=5)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_gate(ann, exact)
 
 
 def kafka_messages_q(spark, sf_dir):
@@ -2212,47 +2365,42 @@ def flowcounter_q(spark, sf_dir):
 # registry
 # --------------------------------------------------------------------------
 # The driver's correctness gate verifies the FIRST 50 registry entries in dict
-# order.  Rounds 1-2 verified the same 50 (all green — their rows stand in
-# CORRECTNESS_r01/r02.json); round 3 rotates the 55 never-checked queries to
-# the front so they get driver rows too.  LLM-pipeline operators first, then
-# connectors/codecs; previously-verified queries follow at the tail and keep
-# local-oracle coverage via tools/oracle_check.py.
+# order.  Rounds 1-2 verified the same 50; round 3 rotated 50 never-checked
+# LLM-pipeline/connector queries to the front (all green, CORRECTNESS_r03).
 #
-# ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, swap in the remaining
-# never-driver-checked names — the window's own tail (tda_betti_windows,
-# bigquery_shape, plot_lines, kinesis_shape, azure_shape, logdna_shape,
-# nats_body) plus every round-3 addition appended after the window
-# (line_dedup .. otlp_histogram_roundtrip, see the registry tail) — and
-# move this round's 50 freshly-verified names behind them.
-_DRIVER_WINDOW_R3 = [
-    # LLM-data-pipeline operators
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard_pairs",
-    "embedding_dedup", "dedup_clusters", "decontaminate", "domain_mix",
-    "mix_temperature", "similarity_topk", "similarity_lsh_ann",
-    "similarity_ivf_ann", "similarity_pq_ann", "text_langid", "text_quality",
-    "text_token_counts", "text_repetition", "doc_fingerprint", "pii_redaction",
-    "c4_line_filter", "c4_clean_docs", "multimodal_metadata",
-    "multimodal_headers", "ml_inference_scores", "ml_inference_mlp",
-    "join_q5_region",
-    # connectors / codecs
-    "msgpack_roundtrip", "forward_wire_roundtrip", "avro_roundtrip",
-    "kubernetes_enrich", "geoip_enrich", "loki_push_shape",
-    "remote_write_roundtrip", "es_bulk_encode", "es_bulk_roundtrip",
-    "splunk_hec_shape", "splunk_hec_roundtrip", "otlp_logs_roundtrip",
-    "statsd_decode", "prom_exposition", "influxdb_lines", "syslog_5424_lines",
-    "syslog_3164_lines", "http_requests", "http_body", "datadog_shape",
-    "cloudwatch_shape", "stackdriver_shape",
-    "flowcounter_rates", "kafka_messages",
-    # positions 50+: rows-only / shape-only queries (lowest information value;
-    # tda is rows-only by policy, the shapes' code paths are covered above)
+# ROUND-4 WINDOW: (a) the 23 queries that have never had a driver row — the
+# r3 window's own tail plus every round-3 addition; (b) the 6 previously
+# rows-only dedup/ANN queries, re-verified now that they emit invariant
+# contracts with real oracles; (c) the 21 stalest r01/r02-era core names
+# (registry order) as re-verification backfill. The 29 remaining r02-era
+# names rotate in next round.
+_DRIVER_WINDOW = [
+    # (a) never driver-checked
     "tda_betti_windows", "bigquery_shape", "plot_lines", "kinesis_shape",
-    "azure_shape", "logdna_shape", "nats_body",
+    "azure_shape", "logdna_shape", "nats_body", "line_dedup",
+    "embedding_quantize", "sketch_distinct", "sketch_rollup",
+    "sketch_quantiles", "sketch_overlap", "sketch_ranks", "ts_downsample",
+    "ts_gapfill_locf", "ts_rate", "interval_band_join", "dataset_split",
+    "otlp_traces_roundtrip", "otlp_metrics_roundtrip",
+    "otlp_histogram_roundtrip", "prom_scrape_roundtrip",
+    # (b) upgraded from rows-only to invariant-gated oracles this round
+    "dedup_minhash", "dedup_simhash", "embedding_dedup",
+    "similarity_lsh_ann", "similarity_ivf_ann", "similarity_pq_ann",
+    # (c) stalest core backfill (last driver rows: round 2)
+    "q1_pricing_summary", "sp_projection", "sp_where_coercion",
+    "sp_tag_routing", "sp_window_tumbling", "sp_window_hopping",
+    "sp_forecast", "sp_snapshot_last", "sp_create_stream_chain",
+    "grep_filter", "modify_rules", "nest_lift_roundtrip",
+    "record_modifier_allowlist", "parser_logfmt_roundtrip",
+    "parser_ltsv_roundtrip", "parser_regex_access_log", "parser_json_props",
+    "parser_syslog_preset", "type_converter_casts", "throttle_rate",
+    "throttle_size_budget",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _query_registry()
-    ordered = {name: base[name] for name in _DRIVER_WINDOW_R3}
+    ordered = {name: base[name] for name in _DRIVER_WINDOW}
     ordered.update({name: fn for name, fn in base.items() if name not in ordered})
     return ordered
 
@@ -2736,12 +2884,42 @@ def oracle_sql() -> dict[str, str]:
             f"keyed AS (SELECT doc_id, md5({norm}) AS h FROM all_docs) "
             "SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY h"
         ),
-        # dedup_minhash / dedup_simhash / similarity_lsh_ann / embedding_dedup:
-        # candidate generation depends on engine-internal hash functions
-        # (xxhash64 / hyperplane seeds) -> rows-only checks, by design.
         # tda_betti_windows: persistent homology (GF(2) boundary-matrix
         # reduction) is not SQL-expressible -> rows-only; the reduction is
         # verified in tests/test_tda.py against an independent ELZ oracle.
+        #
+        # dedup_minhash / dedup_simhash / embedding_dedup / similarity_*_ann:
+        # candidate generation depends on engine-internal hash functions
+        # (xxhash64 / hyperplane seeds / float k-means), so the queries emit
+        # their INVARIANT CONTRACT per input row (soundness witness /
+        # banded-vs-brute exactness / self-retrieval + recall floor) and the
+        # oracle is the literal truth table — a single false drop or lost
+        # candidate hash-fails the row.
+        "dedup_minhash": (
+            f"WITH all_docs AS ({docs_with_copies}) "
+            "SELECT doc_id, TRUE AS sound FROM all_docs"
+        ),
+        "dedup_simhash": (
+            f"WITH all_docs AS ({docs_with_copies}) "
+            "SELECT doc_id, TRUE AS exact FROM all_docs"
+        ),
+        "embedding_dedup": (
+            "WITH allv AS (SELECT vec_id FROM embeddings UNION ALL "
+            "SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 25 = 0) "
+            "SELECT vec_id, TRUE AS sound FROM allv"
+        ),
+        "similarity_lsh_ann": (
+            "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
+            "TRUE AS recall_ok FROM (VALUES (0), (1), (2)) t(query_id)"
+        ),
+        "similarity_ivf_ann": (
+            "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
+            "TRUE AS recall_ok FROM (VALUES (0), (1), (2)) t(query_id)"
+        ),
+        "similarity_pq_ann": (
+            "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
+            "TRUE AS recall_ok FROM (VALUES (0), (1), (2)) t(query_id)"
+        ),
         "dedup_jaccard_pairs": (
             f"WITH ws AS (SELECT doc_id, list_distinct(string_split({norm}, ' ')) AS w "
             "FROM documents WHERE doc_id < 60) "

@@ -2062,13 +2062,19 @@ def prom_exposition_decode(df: DataFrame, line_col: str = "line") -> DataFrame:
         .distinct()
     )
     sample_re = r"^([^#{\s]+)(\{(.*)\})?\s+(\S+)(\s+(\S+))?\s*$"
-    raw = lines.filter(
-        ~F.col("__l").startswith("#") & (F.length(F.trim(F.col("__l"))) > 0)
-    ).select(
-        F.regexp_extract("__l", sample_re, 1).alias("metric_name"),
-        F.regexp_extract("__l", sample_re, 3).alias("__labels"),
-        F.regexp_extract("__l", sample_re, 4).alias("__val"),
-        F.regexp_extract("__l", sample_re, 6).alias("__ts"),
+    raw = (
+        lines.filter(
+            ~F.col("__l").startswith("#") & (F.length(F.trim(F.col("__l"))) > 0)
+        )
+        .select(
+            F.regexp_extract("__l", sample_re, 1).alias("metric_name"),
+            F.regexp_extract("__l", sample_re, 3).alias("__labels"),
+            F.regexp_extract("__l", sample_re, 4).alias("__val"),
+            F.regexp_extract("__l", sample_re, 6).alias("__ts"),
+        )
+        # a line that fails the sample regex extracts to all-empty groups;
+        # drop it rather than emit a nameless NULL-valued row
+        .filter(F.col("metric_name") != "")
     )
     pair_re = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
     keys = F.regexp_extract_all(F.col("__labels"), F.lit(pair_re), F.lit(1))
@@ -2091,8 +2097,28 @@ def prom_exposition_decode(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.col("__val").try_cast("double").alias("value"),
         F.when(F.col("__ts") != "", F.col("__ts").try_cast("long")).alias("ts_ms"),
     )
-    return out.join(F.broadcast(headers), "metric_name", "left").select(
-        "metric_name", "metric_type", "labels", "value", "ts_ms"
+    out = out.join(F.broadcast(headers), "metric_name", "left")
+    # histogram/summary child series (name_bucket / name_sum / name_count)
+    # carry their family's # TYPE header, which is keyed on the bare name —
+    # strip the suffix and fall back to the family's type, but only when
+    # the family is actually declared histogram/summary (a plain counter
+    # legitimately named *_count must not inherit anything).
+    fam_headers = headers.filter(
+        F.col("metric_type").isin("histogram", "summary")
+    ).select(
+        F.col("metric_name").alias("__family"),
+        F.col("metric_type").alias("__fam_type"),
+    )
+    out = out.withColumn(
+        "__family", F.regexp_replace("metric_name", r"_(bucket|sum|count)$", "")
+    ).join(F.broadcast(fam_headers), "__family", "left")
+    return out.select(
+        "metric_name",
+        F.coalesce(
+            "metric_type",
+            F.when(F.col("metric_name") != F.col("__family"), F.col("__fam_type")),
+        ).alias("metric_type"),
+        "labels", "value", "ts_ms",
     )
 
 

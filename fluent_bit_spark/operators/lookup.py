@@ -181,11 +181,19 @@ def interval_join(
     """
     if closed not in ("both", "left", "right"):
         raise ValueError(f"unknown closed mode {closed!r}")
+    # only point-preserving joins are meaningful here: the interval side is
+    # bucket-EXPLODED, so a right/full outer would emit one null-extended
+    # row per unmatched (interval, bucket) pair — nonsense multiplicity.
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+        raise ValueError(
+            f"interval_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     w = float(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
     b = intervals.withColumn(
-        "__bkt",
+        "__ibkt",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w).cast("long"),
@@ -195,7 +203,7 @@ def interval_join(
     )
     if broadcast_intervals:
         b = F.broadcast(b)
-    p = points.withColumn("__bkt", F.floor(F.col(point_col) / w).cast("long"))
+    p = points.withColumn("__pbkt", F.floor(F.col(point_col) / w).cast("long"))
     pc = F.col(point_col)
     lo, hi = F.col(lo_col), F.col(hi_col)
     bound = {
@@ -203,4 +211,11 @@ def interval_join(
         "left": (pc >= lo) & (pc < hi),
         "right": (pc > lo) & (pc <= hi),
     }[closed]
-    return p.join(b, "__bkt", how).filter(bound).drop("__bkt")
+    # the residual bound lives IN the join condition: a post-join filter
+    # would silently turn left joins into inner (null lo/hi -> NULL bound
+    # -> row dropped) and discard semi/anti semantics entirely. A (point,
+    # interval) pair can match on at most one bucket (the point's), so no
+    # per-pair duplicates arise.
+    cond = (F.col("__pbkt") == F.col("__ibkt")) & bound
+    out = p.join(b, cond, how)
+    return out.drop("__pbkt", "__ibkt")

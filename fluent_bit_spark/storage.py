@@ -50,9 +50,15 @@ def write_dataset(
         n = approx_rows if approx_rows is not None else df.count()
         parts = max(1, math.ceil(n / target_rows_per_file))
         if partition_by:
-            # co-locate each directory-partition's rows while spreading
-            # volume: hash on (partition cols, bucket of sort key)
-            writer_df = df.repartition(parts, *partition_by)
+            # hash on (partition cols, spread bucket): the spread component
+            # lets a hot partition value occupy multiple tasks — hashing on
+            # the partition cols alone would pin each value to ONE task, so
+            # maxRecordsPerFile could split its files but never its task.
+            # Keyed on the sort columns when given (deterministic, and
+            # pre-clusters the in-file sort) else on all columns.
+            spread_src = [F.col(c) for c in (sort_by or df.columns)]
+            spread = F.pmod(F.xxhash64(*spread_src), F.lit(parts)).cast("int")
+            writer_df = df.repartition(parts, *partition_by, spread)
         else:
             writer_df = df.repartition(parts)
     if sort_by:

@@ -852,6 +852,41 @@ def test_prom_exposition_decode_escapes_and_malformed(spark):
     assert len(rows) == 3
 
 
+def test_prom_exposition_decode_family_types_and_junk_lines(spark):
+    """Histogram/summary child series (_bucket/_sum/_count) inherit the
+    family's # TYPE; a plain counter that happens to end in _count does
+    not; lines failing the sample regex are dropped, not emitted as
+    nameless NULL rows."""
+    from fluent_bit_spark.connectors import prom_exposition_decode
+
+    df = spark.createDataFrame(
+        [
+            ("# TYPE http_req_duration histogram",),
+            ('http_req_duration_bucket{le="0.1"} 3',),
+            ("http_req_duration_sum 1.5",),
+            ("http_req_duration_count 3",),
+            ("# TYPE rpc summary",),
+            ('rpc{quantile="0.5"} 0.2',),
+            ("rpc_count 9",),
+            ("# TYPE jobs_count counter",),
+            ("jobs_count 4",),
+            ("untyped_count 2",),
+            ("just_a_name_no_value",),
+        ],
+        ["line"],
+    )
+    rows = prom_exposition_decode(df).collect()
+    types = {r["metric_name"]: r["metric_type"] for r in rows}
+    assert types["http_req_duration_bucket"] == "histogram"
+    assert types["http_req_duration_sum"] == "histogram"
+    assert types["http_req_duration_count"] == "histogram"
+    assert types["rpc"] == "summary"
+    assert types["rpc_count"] == "summary"
+    assert types["jobs_count"] == "counter"  # exact header wins
+    assert types["untyped_count"] is None    # no family declared
+    assert "just_a_name_no_value" not in types and len(rows) == 7
+
+
 def test_otlp_histogram_bucket_differencing(spark):
     from fluent_bit_spark.connectors import (
         otlp_histogram_decode,

@@ -636,3 +636,26 @@ def test_interval_join_modes_and_overlaps(spark):
         interval_join(pts, iv, "x", closed="open")
     with _pt.raises(ValueError):
         interval_join(pts, iv, "x", bucket_width=0)
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    """Non-inner semantics: the residual bound is part of the join
+    condition, so a left join null-extends unmatched points instead of
+    silently behaving as inner (the pre-fix failure mode)."""
+    from fluent_bit_spark.operators.lookup import interval_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 99.0)], ["pid", "x"])
+    iv = spark.createDataFrame([(0.0, 10.0, "a")], ["lo", "hi", "name"])
+    rows = {r["pid"]: r for r in
+            interval_join(pts, iv, "x", bucket_width=8, how="left").collect()}
+    assert rows[1]["name"] == "a"
+    assert rows[2]["name"] is None and rows[2]["lo"] is None
+    anti = [r["pid"] for r in
+            interval_join(pts, iv, "x", bucket_width=8, how="left_anti").collect()]
+    assert anti == [2]
+    semi = [r["pid"] for r in
+            interval_join(pts, iv, "x", bucket_width=8, how="left_semi").collect()]
+    assert semi == [1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        interval_join(pts, iv, "x", how="full")

@@ -35,7 +35,13 @@ def main() -> int:
     names = list(entry.queries())
     window, tail = names[:50], names[50:]
 
-    missing = [n for n in window if n not in names]
+    # invariant 1 checks the DECLARED window list against the registry —
+    # names[:50] is a subset of names by construction, so checking it
+    # would be vacuous; a typo in _DRIVER_WINDOW must fail HERE, not as
+    # an import-time KeyError somewhere else.
+    declared = list(getattr(entry, "_DRIVER_WINDOW", window))
+    registry = set(entry._query_registry())
+    missing = [n for n in declared if n not in registry]
     never_checked_behind = [
         n for n in tail if n not in verified and any(w in verified for w in window)
     ]
