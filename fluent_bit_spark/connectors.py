@@ -2038,6 +2038,28 @@ def otlp_metrics_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame
 # --------------------------------------------------------------------------
 # Prometheus text exposition — scrape-side parse (in_prometheus_scrape)
 # --------------------------------------------------------------------------
+_PROM_HEADER_RE = r"^# TYPE (\S+) (\S+)\s*$"
+_PROM_SAMPLE_RE = r"^([^#{\s]+)(\{(.*)\})?\s+(\S+)(\s+(\S+))?\s*$"
+_PROM_PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+
+
+def _prom_unescape(c):
+    # sentinel pass so an escaped backslash never re-combines with a
+    # following quote/n escape
+    s = F.regexp_replace(c, r"\\\\", "\u0000")
+    s = F.regexp_replace(s, r'\\"', '"')
+    s = F.regexp_replace(s, r"\\n", "\n")
+    return F.regexp_replace(s, "\u0000", r"\\")
+
+
+def _prom_labels(labels_col):
+    """Parse a sample line's {k="v",...} body into a map, reversing the
+    spec escaping."""
+    keys = F.regexp_extract_all(labels_col, F.lit(_PROM_PAIR_RE), F.lit(1))
+    vals = F.regexp_extract_all(labels_col, F.lit(_PROM_PAIR_RE), F.lit(2))
+    return F.map_from_arrays(keys, F.transform(vals, _prom_unescape))
+
+
 def prom_exposition_decode(df: DataFrame, line_col: str = "line") -> DataFrame:
     """Parse Prometheus text-exposition pages back into metric rows — the
     scrape side of out_prometheus_exporter (the reference's
@@ -2061,36 +2083,23 @@ def prom_exposition_decode(df: DataFrame, line_col: str = "line") -> DataFrame:
         )
         .distinct()
     )
-    sample_re = r"^([^#{\s]+)(\{(.*)\})?\s+(\S+)(\s+(\S+))?\s*$"
     raw = (
         lines.filter(
             ~F.col("__l").startswith("#") & (F.length(F.trim(F.col("__l"))) > 0)
         )
         .select(
-            F.regexp_extract("__l", sample_re, 1).alias("metric_name"),
-            F.regexp_extract("__l", sample_re, 3).alias("__labels"),
-            F.regexp_extract("__l", sample_re, 4).alias("__val"),
-            F.regexp_extract("__l", sample_re, 6).alias("__ts"),
+            F.regexp_extract("__l", _PROM_SAMPLE_RE, 1).alias("metric_name"),
+            F.regexp_extract("__l", _PROM_SAMPLE_RE, 3).alias("__labels"),
+            F.regexp_extract("__l", _PROM_SAMPLE_RE, 4).alias("__val"),
+            F.regexp_extract("__l", _PROM_SAMPLE_RE, 6).alias("__ts"),
         )
         # a line that fails the sample regex extracts to all-empty groups;
         # drop it rather than emit a nameless NULL-valued row
         .filter(F.col("metric_name") != "")
     )
-    pair_re = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
-    keys = F.regexp_extract_all(F.col("__labels"), F.lit(pair_re), F.lit(1))
-    vals = F.regexp_extract_all(F.col("__labels"), F.lit(pair_re), F.lit(2))
-
-    def unescape(c):
-        # sentinel pass so an escaped backslash never re-combines with a
-        # following quote/n escape
-        s = F.regexp_replace(c, r"\\\\", "\u0000")
-        s = F.regexp_replace(s, r'\\"', '"')
-        s = F.regexp_replace(s, r"\\n", "\n")
-        return F.regexp_replace(s, "\u0000", r"\\")
-
     out = raw.select(
         "metric_name",
-        F.map_from_arrays(keys, F.transform(vals, unescape)).alias("labels"),
+        _prom_labels(F.col("__labels")).alias("labels"),
         # try_cast: a malformed sample line degrades to a NULL value
         # instead of failing the scrape (and keeps the cast safe under
         # ANSI mode if the optimizer evaluates it speculatively)
@@ -2119,6 +2128,62 @@ def prom_exposition_decode(df: DataFrame, line_col: str = "line") -> DataFrame:
             F.when(F.col("metric_name") != F.col("__family"), F.col("__fam_type")),
         ).alias("metric_type"),
         "labels", "value", "ts_ms",
+    )
+
+
+def prom_exposition_decode_pages(
+    df: DataFrame, page_col: str = "page"
+) -> DataFrame:
+    """STREAMING-shaped scrape decode: one input row per whole exposition
+    PAGE (the unit a scrape actually produces), decoded without any join
+    or aggregation — # TYPE headers become a per-row map literal, samples
+    explode from the same row, so header scope is naturally the page and
+    the plan is a stateless projection Structured Streaming accepts
+    as-is (`readStream` the scrape dir with wholetext, then this).
+
+    Same output contract as prom_exposition_decode, including
+    histogram/summary child-series family typing. Per-page header maps
+    also fix a subtle batch-mode hazard: the line-wise decoder's global
+    header join would mix families if two scraped targets disagree on a
+    metric's type — pages keep them separate."""
+    lines = F.split(F.col(page_col), "\n")
+    hdr_entries = F.array_distinct(
+        F.transform(
+            F.filter(lines, lambda l: l.startswith("# TYPE ")),
+            lambda l: F.struct(
+                F.regexp_extract(l, _PROM_HEADER_RE, 1).alias("key"),
+                F.regexp_extract(l, _PROM_HEADER_RE, 2).alias("value"),
+            ),
+        )
+    )
+    samples = F.filter(
+        lines, lambda l: ~l.startswith("#") & (F.length(F.trim(l)) > 0)
+    )
+    rows = df.select(
+        hdr_entries.alias("__hdrs"), F.explode(samples).alias("__l")
+    ).select(
+        "__hdrs",
+        F.regexp_extract("__l", _PROM_SAMPLE_RE, 1).alias("metric_name"),
+        F.regexp_extract("__l", _PROM_SAMPLE_RE, 3).alias("__labels"),
+        F.regexp_extract("__l", _PROM_SAMPLE_RE, 4).alias("__val"),
+        F.regexp_extract("__l", _PROM_SAMPLE_RE, 6).alias("__ts"),
+    ).filter(F.col("metric_name") != "")
+    hmap = F.map_from_entries(F.col("__hdrs"))
+    family = F.regexp_replace("metric_name", r"_(bucket|sum|count)$", "")
+    fam_type = F.element_at(hmap, family)
+    return rows.select(
+        "metric_name",
+        F.coalesce(
+            F.element_at(hmap, F.col("metric_name")),
+            F.when(
+                (F.col("metric_name") != family)
+                & fam_type.isin("histogram", "summary"),
+                fam_type,
+            ),
+        ).alias("metric_type"),
+        _prom_labels(F.col("__labels")).alias("labels"),
+        F.col("__val").try_cast("double").alias("value"),
+        F.when(F.col("__ts") != "", F.col("__ts").try_cast("long")).alias("ts_ms"),
     )
 
 

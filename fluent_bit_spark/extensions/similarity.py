@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -223,6 +224,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF ANN top-k: corpus rows live in their nearest centroid's
     inverted list; each query probes its nprobe nearest lists and exact
@@ -263,7 +265,11 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(query_id_col, query_vec_col, "cid")
     )
-    cands = lists.join(F.broadcast(probes), "cid")
+    # probes = nprobe rows per query: broadcast for interactive query
+    # batches; pass broadcast_probes=False for query sets beyond broadcast
+    # size — the join falls back to a shuffle hash join on cid (both sides
+    # keyed on the small uniform centroid id), queries never collected.
+    cands = lists.join(F.broadcast(probes) if broadcast_probes else probes, "cid")
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
@@ -366,6 +372,7 @@ def pq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_driver_queries: int = 10_000,
 ) -> DataFrame:
     """ADC top-k: per query build the (m, ksub) distance table once, then
     score every code row as a table-lookup sum (asymmetric distance
@@ -374,12 +381,21 @@ def pq_topk(
     (query_id, vec_id, adist, rank) ascending distance.
 
     Scale: one pass over codes per query batch, top-k via per-query
-    window on the scored (tiny) output."""
+    window on the scored (tiny) output. This path COLLECTS the query set
+    to the driver (right for interactive query batches); beyond
+    ``max_driver_queries`` rows it refuses — use :func:`pq_topk_join`,
+    which keeps query vectors on executors."""
     from pyspark.sql.functions import pandas_udf
 
     cb = np.asarray(codebooks, dtype="float64")
     m, ksub, dsub = cb.shape
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = queries.select(query_id_col, query_vec_col).limit(max_driver_queries + 1).collect()
+    if len(qrows) > max_driver_queries:
+        raise ValueError(
+            f"pq_topk collects the query set to the driver; got more than "
+            f"{max_driver_queries} query rows. Use pq_topk_join() for "
+            "driver-size-exceeding query sets."
+        )
     qids = [r[query_id_col] for r in qrows]
     qmat = np.stack([np.asarray(r[query_vec_col], dtype="float64") for r in qrows])
     # (nq, m, ksub) lookup tables
@@ -408,6 +424,100 @@ def pq_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_adc_tables(
+    queries: DataFrame,
+    codebooks: list,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, qtable: array<double> of length m*ksub) — each query's
+    flattened ADC lookup table, computed ON EXECUTORS (one Arrow/numpy
+    batch pass; only the model-sized codebook ships in the closure). The
+    building block that lets PQ scoring scale past driver-sized query
+    sets."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype="float64")  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+
+    @pandas_udf("array<double>")
+    def tab(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype="float64").reshape(m, 1, dsub)
+            out.append(((x - cb) ** 2).sum(axis=2).ravel())
+        return pd.Series(out)
+
+    return queries.select(
+        F.col(query_id_col), tab(F.col(query_vec_col)).alias("qtable")
+    )
+
+
+def pq_topk_join(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    target_chunk_bytes: int = 64 << 20,
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Distributed ADC top-k for query sets beyond driver size: query
+    vectors never reach the driver. Queries map to per-row ADC tables on
+    executors (:func:`pq_adc_tables`), then score against the code scan
+    via CHUNKED BROADCAST joins — the query set is hash-split into chunks
+    sized to ``target_chunk_bytes`` of table data, each chunk broadcast
+    against the codes (BroadcastNestedLoopJoin, never a shuffle
+    CartesianProduct), scored JVM-side (per-subspace table lookups via
+    get() + aggregate — no Python in the scoring hot path), and reduced
+    to per-query top-k WITHIN its chunk (chunks partition queries, so the
+    per-chunk top-k is final; the union never re-shuffles scored rows).
+
+    The driver holds only chunk count + codebook; each chunk rescans the
+    compressed codes — the unavoidable cost of brute ADC, 32x cheaper
+    than rescanning raw vectors. Same output contract as pq_topk.
+    """
+    cb = np.asarray(codebooks, dtype="float64")
+    m, ksub, _ = cb.shape
+    if num_chunks is None:
+        nq = queries.count()
+        bytes_per_row = m * ksub * 8
+        num_chunks = max(1, math.ceil(nq * bytes_per_row / target_chunk_bytes))
+    qtab = pq_adc_tables(queries, codebooks, query_id_col, query_vec_col)
+    qtab = qtab.withColumn(
+        "__chunk", F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(num_chunks))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col(id_col))
+    # per-pair distance: sum over subspaces s of qtable[s*ksub + codes[s]]
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.get(F.col("qtable"), s * ksub + c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    parts = []
+    for i in range(num_chunks):
+        chunk = F.broadcast(qtab.filter(F.col("__chunk") == i).drop("__chunk"))
+        scored = codes.crossJoin(chunk).select(
+            F.col(query_id_col), F.col(id_col), adist.alias("adist")
+        )
+        parts.append(
+            scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def quantize_int8(

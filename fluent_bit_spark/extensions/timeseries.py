@@ -46,6 +46,34 @@ def downsample(
     )
 
 
+def downsample_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    every_seconds: int,
+    aggs: list[Column],
+    watermark: str = "1 minute",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Streaming continuous-aggregate form of :func:`downsample`: the
+    same per-(series, bucket) aggregation expressed as an event-time
+    TUMBLING window with a watermark, so the state store holds only the
+    open windows (closed ones emit and evict once the watermark passes —
+    bounded state at any ingest rate). Output schema matches the batch
+    downsample (bucket = window start), so the downstream gap_fill /
+    rate() steps run unchanged on the materialized aggregate — the
+    telemetry shape: stream maintains the rollup, queries read it."""
+    out = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{every_seconds} seconds"), *keys)
+        .agg(*aggs)
+    )
+    agg_cols = [c for c in out.columns if c not in ("window", *keys)]
+    return out.select(
+        F.col("window.start").alias(bucket_col), *keys, *agg_cols
+    )
+
+
 def gap_fill(
     df: DataFrame,
     keys: list[str],

@@ -27,10 +27,13 @@ def tail_source(
     schema: T.StructType | str | None = None,
     tag_template: str = "tail.0",
     max_files_per_trigger: int | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
     """File-tail stream: each discovered file's lines/records become tagged
     events; `file` column carries the origin path (tail_file.c keeps this
-    in per-file state)."""
+    in per-file state). ``options`` passes reader options through — e.g.
+    ``{"wholetext": "true"}`` to consume each file as ONE record (scrape
+    pages, multiline payloads) instead of line-wise."""
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
@@ -38,6 +41,8 @@ def tail_source(
         reader = reader.schema("value string")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     df = reader.format(fmt).load(path_glob)
     return (
         df.withColumn("file", F.input_file_name())

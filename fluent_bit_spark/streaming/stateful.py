@@ -249,3 +249,38 @@ def snapshot_stream_tws(
     return sdf.groupBy(key).transformWithStateInPandas(
         SnapshotProcessor(), out_schema, "append", "none"
     )
+
+
+def tws_available() -> bool:
+    """True when the Spark 4 transformWithStateInPandas path can run here:
+    the API exists on GroupedData AND its state-server protocol dependency
+    (google.protobuf) imports. Capability detection, not version sniffing —
+    a backported or stripped build answers correctly either way."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.group import GroupedData
+
+        return hasattr(GroupedData, "transformWithStateInPandas")
+    except ImportError:
+        return False
+
+
+def snapshot_stream_auto(
+    sdf: DataFrame,
+    limit: int,
+    flush_value: str,
+    key: str = "tag",
+    value_col: str = "value",
+    time_col: str = TS_COL,
+) -> DataFrame:
+    """CREATE/FLUSH SNAPSHOT on whichever stateful API this runtime
+    supports: transformWithStateInPandas (typed ListState, TTL/timers
+    available) where live, else the applyInPandasWithState implementation
+    — both produce identical output (asserted record-for-record in
+    tests/test_streaming.py). Callers get capability dispatch instead of
+    an import gate."""
+    impl = snapshot_stream_tws if tws_available() else snapshot_stream
+    return impl(
+        sdf, limit=limit, flush_value=flush_value, key=key,
+        value_col=value_col, time_col=time_col,
+    )

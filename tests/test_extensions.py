@@ -490,6 +490,52 @@ def test_pq_ann_recall_vs_brute_force(spark):
     assert all(e_sets[q] == {q % 4} for q in g1)
 
 
+def test_pq_topk_join_distributed_matches_collect_path(spark):
+    """pq_topk_join must (1) agree with the driver-collect pq_topk on the
+    same inputs, (2) execute a >10k-row query set WITHOUT collecting
+    query vectors to the driver, with broadcast chunk joins — never a
+    shuffle CartesianProduct; and pq_topk itself must refuse a query set
+    over its driver guard instead of OOMing."""
+    import numpy as np
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.similarity import (
+        pq_encode, pq_topk, pq_topk_join, pq_train,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(corpus, m=4, ksub=8, iters=3, sample=60)
+    codes = pq_encode(corpus, books)
+
+    small_q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {(r.query_id, r.rank): (r.vec_id, round(r.adist, 9))
+         for r in pq_topk(codes, small_q, books, k=3).collect()}
+    b = {(r.query_id, r.rank): (r.vec_id, round(r.adist, 9))
+         for r in pq_topk_join(codes, small_q, books, k=3, num_chunks=2).collect()}
+    assert a == b
+
+    # >10k queries, never collected: derive them distributively from range()
+    base = F.array(*[F.lit(float(x)) for x in rng.randn(8)])
+    big_q = spark.range(12_000).select(
+        F.col("id").alias("query_id"),
+        F.transform(base, lambda v, i: v + F.col("id") % 7).alias("query_vec"),
+    )
+    out = pq_topk_join(codes, big_q, books, k=2, target_chunk_bytes=2 << 20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert out.count() == 12_000 * 2
+
+    with pytest.raises(ValueError, match="pq_topk_join"):
+        pq_topk(codes, big_q, books, k=2, max_driver_queries=1000)
+
+
 def test_corpus_line_dedup(spark):
     from fluent_bit_spark.extensions.text import corpus_line_dedup
 

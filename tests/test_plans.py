@@ -124,3 +124,21 @@ def test_exact_dedup_single_agg_shuffle(spark):
     # one hash-partitioned exchange for the hash groupBy; a second for the
     # min-id tie-break join at most
     assert _exchanges(plan) <= 3, plan
+
+
+def test_minhash_dedup_runtime_exchange_reuse(spark):
+    """RUNTIME guard for the dedup_minhash plan bet: the signature subtree
+    appears once per band in the STATIC plan (dozens of exchanges), and we
+    deliberately rely on AQE's ReusedExchange — measured faster than an
+    explicit persist — to collapse them at execution. If a refactor or a
+    conf change ever breaks that reuse, the static plan would silently
+    materialize for real; this asserts the EXECUTED adaptive plan still
+    contains ReusedExchange nodes."""
+    df = entry.dedup_minhash_raw(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, (
+        "AQE no longer reuses the repeated signature exchange — "
+        "re-measure persist vs reuse before shipping this plan"
+    )

@@ -333,6 +333,89 @@ def test_streaming_sketch_distinct_window(spark, jsonl_dir):
     assert sum(v for (s, t), v in got.items()) == 30
 
 
+def test_streaming_ts_downsample_then_rate(spark, jsonl_dir):
+    """The hypertable shape a telemetry user actually runs: the STREAM
+    maintains the per-(series, bucket) rollup (event-time tumbling window
+    + watermark, bounded state), queries apply rate()/gap_fill() on the
+    materialized aggregate. The streamed rollup must match the batch
+    downsample row-for-row, and the downstream rate must see counter
+    semantics intact."""
+    from fluent_bit_spark.extensions.timeseries import downsample, downsample_stream, rate
+    from fluent_bit_spark.streaming.sources import tail_source
+
+    schema = "event_type string, value double, sec long"
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+    sdf = tail_source(
+        spark, jsonl_dir, fmt="json", schema=schema, tag_template="ts.stream"
+    ).withColumn(TS_COL, F.timestamp_seconds(base + F.col("sec")))
+    aggs = [F.max("value").alias("v_max"), F.count("*").alias("n")]
+    streamed = downsample_stream(sdf, ["event_type"], TS_COL, 10, aggs)
+    _run_to_memory(streamed, "ts_ds_stream", mode="complete")
+    got = {
+        (r["bucket"], r["event_type"]): (r["v_max"], r["n"])
+        for r in spark.sql("SELECT * FROM ts_ds_stream").collect()
+    }
+
+    batch_df = (
+        spark.read.json(jsonl_dir, schema=schema)
+        .withColumn(TS_COL, F.timestamp_seconds(base + F.col("sec")))
+    )
+    want = {
+        (r["bucket"], r["event_type"]): (r["v_max"], r["n"])
+        for r in downsample(batch_df, ["event_type"], TS_COL, 10, aggs).collect()
+    }
+    assert got == want and len(got) == 6  # 3 windows x 2 types
+
+    # query-time rate over the materialized rollup: v_max is monotonically
+    # increasing per series (value == sec), so rate = delta/10s, no resets
+    rates = rate(
+        spark.sql("SELECT * FROM ts_ds_stream"), ["event_type"], "v_max"
+    ).collect()
+    by = {(r["event_type"], r["bucket"].second): r["rate"] for r in rates}
+    assert by[("click", 0)] is None          # first point: no interval
+    # click maxima per window: 8, 19, 29 -> rate (19-8)/10 then (29-19)/10
+    assert abs(by[("click", 10)] - 1.1) < 1e-9
+    assert abs(by[("click", 20)] - 1.0) < 1e-9
+    assert all(r["rate"] is None or r["rate"] >= 0 for r in rates)
+
+
+def test_streaming_prom_scrape_pages(spark, tmp_path):
+    """Scrape pages arriving as a file stream (wholetext: one record per
+    page) decode statelessly — per-page header maps, no join, so the plan
+    is streaming-legal and two targets disagreeing on a metric's TYPE
+    never cross-contaminate."""
+    from fluent_bit_spark.connectors import prom_exposition_decode_pages
+    from fluent_bit_spark.streaming.sources import tail_source
+
+    d = tmp_path / "scrapes"
+    d.mkdir()
+    (d / "t1.prom").write_text(
+        "# TYPE reqs counter\n"
+        'reqs{path="/a"} 4\n'
+        "# TYPE lat histogram\n"
+        'lat_bucket{le="0.1"} 2\n'
+        "lat_count 2\n"
+    )
+    (d / "t2.prom").write_text(
+        "# TYPE reqs gauge\n"      # same name, DIFFERENT type on target 2
+        'reqs{path="/b"} 9\n'
+    )
+    sdf = tail_source(
+        spark, str(d), fmt="text", tag_template="prom.scrape",
+        options={"wholetext": "true"},
+    ).withColumnRenamed("value", "page")
+    dec = prom_exposition_decode_pages(sdf, "page")
+    _run_to_memory(dec, "prom_pages")
+    rows = spark.sql("SELECT * FROM prom_pages").collect()
+    by = {(r["metric_name"], r["value"]): r for r in rows}
+    assert by[("reqs", 4.0)]["metric_type"] == "counter"
+    assert by[("reqs", 9.0)]["metric_type"] == "gauge"   # page-scoped headers
+    assert by[("lat_bucket", 2.0)]["metric_type"] == "histogram"
+    assert by[("lat_count", 2.0)]["metric_type"] == "histogram"
+    assert by[("reqs", 4.0)]["labels"]["path"] == "/a"
+    assert len(rows) == 4
+
+
 def test_snapshot_stream_tws_matches_legacy(spark, tmp_path):
     """The transformWithStateInPandas snapshot must reproduce the
     applyInPandasWithState one record-for-record. Skips where pyspark's
@@ -373,6 +456,41 @@ def test_snapshot_stream_tws_matches_legacy(spark, tmp_path):
     tws = build(snapshot_stream_tws, "snap_tws")
     assert legacy, "legacy snapshot emitted nothing"
     assert tws == legacy
+
+
+def test_snapshot_stream_auto_dispatch(spark, tmp_path):
+    """snapshot_stream_auto must pick the live stateful API (TWS on
+    runtimes with the state-server protocol, applyInPandasWithState
+    otherwise) and produce the snapshot semantics either way — the
+    capability-dispatch replacement for the old import gate."""
+    import json as _json
+
+    from fluent_bit_spark.streaming.sources import tail_source
+    from fluent_bit_spark.streaming.stateful import (
+        snapshot_stream_auto,
+        tws_available,
+    )
+
+    d = tmp_path / "snapauto"
+    d.mkdir()
+    rows = [{"value": "FLUSH" if i == 5 else f"v{i}", "sec": i} for i in range(8)]
+    with open(d / "in.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    sdf = tail_source(
+        spark, str(d), fmt="json", schema="value string, sec long",
+        tag_template="snap.auto",
+    ).withColumn(
+        TS_COL,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec")
+        ),
+    ).select("tag", TS_COL, "value")
+    out = snapshot_stream_auto(sdf, limit=3, flush_value="FLUSH")
+    _run_to_memory(out, "snap_auto")
+    got = sorted(r["value"] for r in spark.sql("SELECT * FROM snap_auto").collect())
+    # ring buffer of 3 at the flush point: v2, v3, v4
+    assert got == ["v2", "v3", "v4"], (got, tws_available())
 
 
 def test_snapshot_stream_tws_gate_without_protobuf(spark):
