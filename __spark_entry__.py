@@ -1040,6 +1040,52 @@ def text_quality_q(spark, sf_dir):
     )
 
 
+def gopher_quality_q(spark, sf_dir):
+    """Gopher quality-rule filter (Rae et al. 2021 A1.1): the published
+    heuristic set — word-count band, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, 2-of-8
+    stopwords — as per-rule booleans + conjunctive keep. Pure projection;
+    full hash check against an exact DuckDB replica."""
+    from fluent_bit_spark.extensions.text import gopher_quality
+
+    out = gopher_quality(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "g_words", "r_word_count", "r_mean_word_len",
+        "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+        "r_alpha_words", "r_stopwords", "keep",
+    )
+
+
+def url_canonicalize_q(spark, sf_dir):
+    """URL hygiene stage (C4/RefinedWeb preprocessing): synthesize messy
+    crawl URLs from event fields (mixed case, default/explicit ports,
+    tracking params, unsorted query, trailing slashes, fragments), then
+    normalize + extract registrable domain + blocklist-filter + keep one
+    doc per canonical URL. The oracle does NOT replay the parser — it
+    CONSTRUCTS each canonical form directly from the same event fields,
+    so parser and normalizer are verified against an independent
+    derivation."""
+    from fluent_bit_spark.extensions.urls import url_filter_dedup
+
+    ev = _events(spark, sf_dir)
+    eid, uid, et = F.col("event_id"), F.col("user_id"), F.col("event_type")
+    url = F.concat(
+        F.when(eid % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW."), F.upper(et), (uid % 3).cast("string"), F.lit(".Com"),
+        F.when(eid % 7 == 0, F.lit(":8080"))
+        .when(eid % 2 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p"), (eid % 50).cast("string"),
+        F.when(eid % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=feed&a=1"),
+        F.when(eid % 5 == 0, F.lit("&fbclid=x")).otherwise(F.lit("")),
+        F.lit("#sec"),
+    )
+    docs = ev.select(eid.alias("doc_id"), url.alias("url"))
+    out = url_filter_dedup(docs, blocklist=("error1.com", "view2.com"))
+    return out.select("doc_id", "norm_url", "domain")
+
+
 def text_token_counts_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import bpe_ish_token_count, token_count
 
@@ -2469,6 +2515,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid_q,
         "text_quality": text_quality_q,
         "text_token_counts": text_token_counts_q,
+        "gopher_quality": gopher_quality_q,
+        "url_canonicalize": url_canonicalize_q,
         "doc_fingerprint": doc_fingerprint_q,
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
@@ -2960,6 +3008,55 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens "
             "FROM documents"
+        ),
+        "gopher_quality": (
+            "WITH f AS (SELECT doc_id, text, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words, "
+            "string_split_regex(trim(text), '\\s+') AS words, "
+            "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+            "x -> len(x) > 0) AS lines FROM documents), "
+            "g AS (SELECT doc_id, n_words, "
+            "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) "
+            "/ greatest(n_words, 1) AS mean_wl, "
+            "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE) "
+            "/ greatest(n_words, 1) AS sym_ratio, "
+            "CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•](\\s|$)'))) AS DOUBLE) "
+            "/ greatest(len(lines), 1) AS bullet_frac, "
+            "CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE) "
+            "/ greatest(len(lines), 1) AS ellipsis_frac, "
+            "CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) "
+            "/ greatest(n_words, 1) AS alpha_frac, "
+            + " + ".join(
+                f"(CASE WHEN regexp_matches(lower(text), '\\b{s}\\b') THEN 1 ELSE 0 END)"
+                for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+            )
+            + " AS stop_hits FROM f) "
+            "SELECT doc_id, n_words AS g_words, "
+            "n_words BETWEEN 50 AND 100000 AS r_word_count, "
+            "mean_wl BETWEEN 3.0 AND 10.0 AS r_mean_word_len, "
+            "sym_ratio <= 0.1 AS r_symbol_ratio, "
+            "bullet_frac <= 0.9 AS r_bullet_lines, "
+            "ellipsis_frac <= 0.3 AS r_ellipsis_lines, "
+            "alpha_frac >= 0.8 AS r_alpha_words, "
+            "stop_hits >= 2 AS r_stopwords, "
+            "(n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3.0 AND 10.0) "
+            "AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 "
+            "AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep FROM g"
+        ),
+        "url_canonicalize": (
+            # independent derivation: canonical URL built straight from the
+            # event fields the Spark side synthesized its messy URL from
+            "WITH n AS (SELECT event_id, "
+            "(CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://www.' || "
+            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' || "
+            "(CASE WHEN event_id % 7 = 0 THEN ':8080' ELSE '' END) || "
+            "'/p' || CAST(event_id % 50 AS VARCHAR) || '?a=1&b=2' AS norm_url, "
+            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' AS domain "
+            "FROM events) "
+            "SELECT MIN(event_id) AS doc_id, norm_url, domain FROM n "
+            "WHERE domain NOT IN ('error1.com', 'view2.com') "
+            "GROUP BY norm_url, domain"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "pii_redaction": (

@@ -194,6 +194,21 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def _source_is_cached(df: DataFrame) -> bool:
+    """True when the plan reads an InMemoryRelation (a .cache()d source).
+
+    Why it matters: AQE's ReusedExchange dedupes repeated subtrees by
+    CANONICAL PLAN EQUALITY, and InMemoryTableScan instances defeat that
+    equality — measured on the banded minhash plan, a cached source turns
+    6 reused exchanges into ~80 independently-executed stages (every band
+    recomputes the signatures). Operators that bet on exchange reuse must
+    switch to an explicit persist in this regime."""
+    try:
+        return "InMemoryRelation" in df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -202,17 +217,37 @@ def minhash_dedup(
     num_bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float | None = None,
+    signature_reuse: str = "auto",
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with exact
     shingle Jaccard) -> each doc joins its smallest candidate neighbor;
     keep docs that are their own group minimum.
 
     The signature subtree appears on both self-join sides and under
-    ids / verification / losers; AQE's ReusedExchange deduplicates the
-    repeated computation at runtime, and measured wall-clock beats an
-    explicit persist + eager materialization (which adds job barriers),
-    so no caching here."""
+    ids / verification / losers. ``signature_reuse`` controls how the
+    repeated computation collapses:
+
+    - ``"aqe"``: rely on AQE's ReusedExchange (runtime-guarded in
+      tests/test_plans.py). Measured faster than persist on file-scan
+      sources — no job barriers.
+    - ``"persist"``: cache the signature frame explicitly.
+    - ``"auto"`` (default): "aqe" normally, but "persist" when the INPUT
+      is itself .cache()d — InMemoryTableScan breaks AQE's canonical
+      plan equality, silently re-running the Arrow signature pass once
+      per band (measured: 6 reused exchanges -> ~80 live stages).
+    """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if signature_reuse not in ("auto", "aqe", "persist"):
+        raise ValueError(f"unknown signature_reuse {signature_reuse!r}")
+    if signature_reuse == "persist" or (
+        signature_reuse == "auto" and _source_is_cached(df)
+    ):
+        # EAGER materialization is the point: a lazy persist inside one
+        # action lets every band-side reference race the still-empty
+        # cache and recompute anyway. One extra job computes the Arrow
+        # signature pass exactly once; everything downstream reads blocks.
+        sig = sig.persist()
+        sig.count()
     pairs = lsh_candidate_pairs(sig, id_col, num_bands, sig_len=num_hashes)
     if jaccard_threshold is not None:
         verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_n)

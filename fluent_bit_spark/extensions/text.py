@@ -83,6 +83,68 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality", F.round((len_ok * punct_ok * stop_ok), 4))
 
 
+# Gopher rules (Rae et al. 2021, "Scaling Language Models: ...Gopher",
+# Appendix A1.1 quality heuristics) — the published filter set large-scale
+# corpus pipelines apply before training. Deterministic Catalyst
+# expressions with an exact DuckDB replica (see __spark_entry__ oracle).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality rules: word-count band, mean-word-length
+    band, symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction, and the 2-of-8 stopword requirement. Emits
+    one boolean per rule plus the conjunctive ``keep`` — downstream
+    pipelines either filter on keep or log per-rule rejection stats.
+
+    Scale shape: pure per-row projection (no shuffle, whole-stage
+    codegen); runs at scan speed over any corpus size."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    words = F.split(trimmed, r"\s+")
+    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(words))
+    nw1 = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / nw1
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    nl1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•](\s|$)"))).cast("double") / nl1
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))).cast("double") / nl1
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nw1
+    )
+    stop_hits = F.lit(0)
+    for s in _GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(
+            F.lower(t).rlike(rf"\b{s}\b"), 1
+        ).otherwise(0)
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "r_symbol_ratio": (n_sym.cast("double") / nw1) <= 0.1,
+        "r_bullet_lines": bullet_frac <= 0.9,
+        "r_ellipsis_lines": ellipsis_frac <= 0.3,
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_stopwords": stop_hits >= 2,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return df.select(
+        "*",
+        n_words.alias("g_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
 def ngrams_of_words(words: Column, n: int) -> Column:
     """Overlapping n-grams from an ALREADY-MATERIALIZED word-array column.
 

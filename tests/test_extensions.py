@@ -536,6 +536,77 @@ def test_pq_topk_join_distributed_matches_collect_path(spark):
         pq_topk(codes, big_q, books, k=2, max_driver_queries=1000)
 
 
+def test_gopher_quality_rules(spark):
+    """Gopher A1.1 heuristics: each rule trips on its own pathology."""
+    from fluent_bit_spark.extensions.text import gopher_quality
+
+    good = ("the data we have to work with is good and clean prose that " * 6).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                    # passes everything
+            (2, "too short to have fifty words the end"),  # word count
+            (3, good + " " + "#" * 1 + " ## # # # # # # #"),  # symbols
+            (4, "\n".join(["- bullet item the and of to be that have with ok"] * 60)),  # bullets
+            (5, good.replace("prose", "1234 5678 9999 0000 1111 2222 3333 4444 5555 6666 7777 8888")),
+            (6, ("zz " * 60).strip()),                     # no stopwords, short words
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert rows[1].keep is True
+    assert rows[2].r_word_count is False and rows[2].keep is False
+    assert rows[3].r_symbol_ratio is False
+    assert rows[4].r_bullet_lines is False           # 100% bullet lines
+    assert rows[5].r_alpha_words is False            # digit tokens dilute
+    assert rows[6].r_stopwords is False and rows[6].r_mean_word_len is False
+
+
+def test_url_normalize_and_filter_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.urls import (
+        registrable_domain, url_filter_dedup, url_normalize,
+    )
+
+    cases = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Ex.COM:443/a/b/?z=1&utm_source=x&a=2#f"),
+            (2, "http://ex.com:8080"),
+            (3, "http://ex.com/?utm_campaign=only"),
+            (4, "not a url"),
+            (5, "https://sub.news.co.uk/story/"),
+        ],
+        ["doc_id", "url"],
+    )
+    got = {
+        r.doc_id: (r.n, r.d)
+        for r in cases.select(
+            "doc_id",
+            url_normalize(F.col("url")).alias("n"),
+            registrable_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert got[1] == ("https://www.ex.com/a/b?a=2&z=1", "ex.com")  # port/frag/utm gone, params sorted
+    assert got[2] == ("http://ex.com:8080/", "ex.com")             # non-default port kept, root path
+    assert got[3] == ("http://ex.com/", "ex.com")                  # all-tracking query -> none
+    assert got[4][0] == ""                                         # unparseable -> empty
+    assert got[5] == ("https://sub.news.co.uk/story", "co.uk")     # documented PSL approximation
+
+    dups = spark.createDataFrame(
+        [
+            (10, "https://A.com/x/"),
+            (11, "HTTPS://a.COM/x"),          # same canonical as 10
+            (12, "https://bad.com/x"),
+            (13, "nope"),
+        ],
+        ["doc_id", "url"],
+    )
+    kept = sorted(
+        r.doc_id for r in url_filter_dedup(dups, blocklist=("bad.com",)).collect()
+    )
+    assert kept == [10]  # 11 deduped, 12 blocklisted, 13 unparseable
+
+
 def test_corpus_line_dedup(spark):
     from fluent_bit_spark.extensions.text import corpus_line_dedup
 
