@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "otlp_metrics_roundtrip",
     "otlp_histogram_roundtrip",
     "prom_scrape_roundtrip",
+    "gopher_quality",
+    "url_canonicalize",
     "pipeline_e2e",
 ]
 

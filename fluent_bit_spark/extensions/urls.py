@@ -16,10 +16,9 @@ file, not an algorithm; callers with the PSL can pass their own map).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 # tracking parameters stripped during canonicalization (utm_* plus the
 # common click identifiers) — present in the published C4 cleanup regimes
 _TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
@@ -29,17 +28,45 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 def url_parts(col: Column) -> dict[str, Column]:
     """Decompose a URL into scheme/host/port/path/query/fragment columns.
-    Unparseable URLs yield empty strings throughout (regexp_extract's
-    no-match value) — callers treat an empty host as invalid."""
-    scheme = F.lower(F.regexp_extract(col, _URL_RE, 1))
-    hostport = F.lower(F.regexp_extract(col, _URL_RE, 2))
+    Unparseable URLs (no ``://``, malformed scheme, empty authority)
+    yield empty strings throughout — callers treat an empty host as
+    invalid.
+
+    Deliberately regex-light: an earlier single-regex version evaluated
+    the full URL pattern once PER EXTRACTED GROUP (Catalyst does not CSE
+    across regexp_extract calls) and measured ~18 µs/row; this form is
+    substring_index/instr chains — codegen intrinsics — with regexes only
+    on the short scheme/port fragments."""
+    scheme_raw = F.substring_index(col, "://", 1)
+    valid = (F.instr(col, "://") > 0) & scheme_raw.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*$")
+    scheme = F.lower(scheme_raw)
+    rest = col.substr(F.length(scheme_raw) + 4, F.length(col))
+    frag_at = F.instr(rest, "#")
+    nofrag = F.when(frag_at > 0, F.substring_index(rest, "#", 1)).otherwise(rest)
+    fragment = F.when(frag_at > 0, rest.substr(frag_at, F.length(rest))).otherwise(F.lit(""))
+    q_at = F.instr(nofrag, "?")
+    query = F.when(q_at > 0, nofrag.substr(q_at, F.length(nofrag))).otherwise(F.lit(""))
+    hostpath = F.substring_index(nofrag, "?", 1)
+    hostport = F.lower(F.substring_index(hostpath, "/", 1))
+    path = F.when(
+        F.instr(hostpath, "/") > 0,
+        hostpath.substr(F.length(hostport) + 1, F.length(hostpath)),
+    ).otherwise(F.lit(""))
+    port_raw = F.substring_index(hostport, ":", -1)
+    has_port = (F.instr(hostport, ":") > 0) & port_raw.rlike(r"^\d+$")
+    host = F.when(has_port, F.substring_index(hostport, ":", 1)).otherwise(hostport)
+    blank = F.lit("")
+
+    def guard(c):
+        return F.when(valid, c).otherwise(blank)
+
     return {
-        "scheme": scheme,
-        "host": F.regexp_replace(hostport, r":\d+$", ""),
-        "port": F.regexp_extract(hostport, r":(\d+)$", 1),
-        "path": F.regexp_extract(col, _URL_RE, 3),
-        "query": F.regexp_extract(col, _URL_RE, 4),
-        "fragment": F.regexp_extract(col, _URL_RE, 5),
+        "scheme": guard(scheme),
+        "host": guard(host),
+        "port": guard(F.when(has_port, port_raw).otherwise(blank)),
+        "path": guard(path),
+        "query": guard(query),
+        "fragment": guard(fragment),
     }
 
 
@@ -86,6 +113,127 @@ def registrable_domain(col: Column) -> Column:
     return F.regexp_extract(bare, r"([^.]+\.[^.]+)$", 1)
 
 
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", validity_col: str | None = None
+) -> DataFrame:
+    """Add ``norm_url`` + ``domain`` via STAGED projections.
+
+    Same semantics as the Column-level url_normalize/registrable_domain,
+    but each parse level materializes as a real column before the next
+    references it. The Column form inlines its parent expression at every
+    reference site, and F.when branches block codegen subexpression
+    elimination — measured on the bench query, the nested Column tree
+    expanded the source expression ~80x and ran 5x SLOWER than even the
+    regex-per-group version. Staged selects keep every step evaluated
+    once; this is the dataset-scale path (url_filter_dedup uses it).
+
+    ``validity_col``: when set, also emit a cheap boolean validity column
+    under that name. Filter on IT, never on ``norm_url != ''`` — the
+    optimizer pushes filters below the projection by RE-SUBSTITUTING the
+    filtered expression, so a norm_url predicate re-evaluates the whole
+    canonicalization per row (measured 5x on the bench query), while the
+    validity flag re-expands to two short-string checks."""
+    u = F.col(url_col)
+    s1 = df.select(
+        "*",
+        F.substring_index(u, "://", 1).alias("__scheme_raw"),
+    )
+    s2 = s1.select(
+        "*",
+        (
+            (F.instr(u, "://") > 0)
+            & F.col("__scheme_raw").rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*$")
+        ).alias("__valid"),
+        F.lower(F.col("__scheme_raw")).alias("__scheme"),
+        F.substring_index(
+            u.substr(F.length("__scheme_raw") + 4, F.length(u)), "#", 1
+        ).alias("__nofrag"),
+    )
+    s3 = s2.select(
+        "*",
+        F.instr(F.col("__nofrag"), "?").alias("__q_at"),
+        F.substring_index(F.col("__nofrag"), "?", 1).alias("__hostpath"),
+    )
+    s4 = s3.select(
+        "*",
+        F.when(
+            F.col("__q_at") > 0,
+            F.col("__nofrag").substr(F.col("__q_at") + 1, F.length("__nofrag")),
+        ).otherwise(F.lit("")).alias("__qbody"),
+        F.lower(F.substring_index(F.col("__hostpath"), "/", 1)).alias("__hostport"),
+    )
+    s5 = s4.select(
+        "*",
+        F.when(
+            F.instr(F.col("__hostpath"), "/") > 0,
+            F.col("__hostpath").substr(
+                F.length("__hostport") + 1, F.length("__hostpath")
+            ),
+        ).otherwise(F.lit("")).alias("__path"),
+        F.substring_index(F.col("__hostport"), ":", -1).alias("__port_raw"),
+        F.instr(F.col("__hostport"), ":").alias("__colon_at"),
+    )
+    s6 = s5.select(
+        "*",
+        ((F.col("__colon_at") > 0) & F.col("__port_raw").rlike(r"^\d+$")).alias("__has_port"),
+    )
+    s7 = s6.select(
+        "*",
+        F.when(
+            F.col("__has_port"), F.substring_index(F.col("__hostport"), ":", 1)
+        ).otherwise(F.col("__hostport")).alias("__host"),
+        F.when(
+            F.col("__has_port")
+            & ~(
+                ((F.col("__scheme") == "http") & (F.col("__port_raw") == "80"))
+                | ((F.col("__scheme") == "https") & (F.col("__port_raw") == "443"))
+            ),
+            F.concat(F.lit(":"), F.col("__port_raw")),
+        ).otherwise(F.lit("")).alias("__portsuf"),
+        F.filter(
+            F.split(F.col("__qbody"), "&"),
+            lambda kv: (F.length(kv) > 0) & ~kv.rlike(_TRACKING_PARAM_RE),
+        ).alias("__params"),
+        F.when(F.col("__path") == "", F.lit("/")).otherwise(
+            F.regexp_replace(F.col("__path"), r"(.)/$", r"$1")
+        ).alias("__pathn"),
+    )
+    s8 = s7.select(
+        "*",
+        F.when(
+            F.col("__valid") & (F.col("__host") != ""),
+            F.concat(
+                F.col("__scheme"), F.lit("://"), F.col("__host"),
+                F.col("__portsuf"), F.col("__pathn"),
+                F.when(
+                    F.size("__params") > 0,
+                    F.concat(
+                        F.lit("?"), F.array_join(F.array_sort("__params"), "&")
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(F.lit("")).alias("norm_url"),
+        F.when(
+            F.col("__valid"),
+            F.regexp_extract(
+                F.regexp_replace(F.col("__host"), r"^www\.", ""),
+                r"([^.]+\.[^.]+)$", 1,
+            ),
+        ).otherwise(F.lit("")).alias("domain"),
+        *(
+            [(F.col("__valid") & (F.col("__host") != "")).alias(validity_col)]
+            if validity_col
+            else []
+        ),
+    )
+    return s8.drop(
+        "__scheme_raw", "__valid", "__scheme", "__nofrag", "__q_at",
+        "__hostpath", "__qbody", "__hostport", "__path", "__port_raw",
+        "__colon_at", "__has_port", "__host", "__portsuf", "__params",
+        "__pathn",
+    )
+
+
 def url_filter_dedup(
     df: DataFrame,
     url_col: str = "url",
@@ -95,18 +243,33 @@ def url_filter_dedup(
     """The full URL stage: normalize -> drop unparseable -> drop
     blocklisted domains -> keep the min-id row per canonical URL.
 
-    Scale shape: normalization/filtering are map-side; the dedup is ONE
-    shuffle on the canonical URL (uniform key — URLs hash well), min-id
-    window instead of groupBy+self-join, same pattern as exact_dedup."""
-    out = df.withColumn("norm_url", url_normalize(F.col(url_col))).withColumn(
-        "domain", registrable_domain(F.col(url_col))
+    Scale shape — and WHERE the filters sit, which dominated measured
+    cost: the unparseable-URL drop runs at the SCAN on the raw column
+    (instr + a short-string scheme regex — no canonicalization involved),
+    the dedup is one min_by groupBy shuffle on the canonical URL (uniform
+    key, map-side partial agg), and the residual filters (rare empty-host
+    group, blocklist) run on the ~|distinct URLs| post-aggregation rows
+    behind a pushdown barrier. Filtering mid-pipeline on norm_url/domain
+    instead re-substitutes the whole canonicalization chain into the
+    pushed-down predicate and re-evaluates it per input row — measured 5x
+    wall-clock on the bench query."""
+    u = F.col(url_col)
+    pre = df.filter(
+        (F.instr(u, "://") > 0)
+        & F.substring_index(u, "://", 1).rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*$")
     )
-    out = out.filter(F.col("norm_url") != "")
+    canon = with_canonical_url(pre, url_col)
+    keep_cols = canon.columns
+    out = (
+        canon.groupBy("norm_url")
+        .agg(F.min_by(F.struct(*keep_cols), F.col(id_col)).alias("__r"))
+        .select("__r.*")
+    )
+    residual = F.col("norm_url") != ""
     if blocklist:
-        out = out.filter(~F.col("domain").isin(*blocklist))
-    w = Window.partitionBy("norm_url")
-    return (
-        out.withColumn("__min_id", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("__min_id"))
-        .drop("__min_id")
-    )
+        residual = residual & ~F.col("domain").isin(*blocklist)
+    # `| rand() < -1` is always false but marks the predicate
+    # nondeterministic, which pins the filter HERE (post-agg, tiny row
+    # set) — otherwise Catalyst pushes it below the aggregate and the
+    # projections, re-expanding norm_url/domain per input row
+    return out.filter(residual | (F.rand(7) < F.lit(-1.0)))

@@ -55,6 +55,8 @@ PURE_JVM = [
     "ts_rate",
     "sketch_ranks",
     "interval_band_join",
+    "gopher_quality",
+    "url_canonicalize",
 ]
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -426,3 +426,63 @@ def test_gap_fill_spine_and_locf_properties(spark, obs):
     assert mins == list(range(lo, hi + 1))
     assert sum(r["is_gap"] for r in out) == (hi - lo + 1) - len(obs)
     assert all(r["v"] is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties
+# ---------------------------------------------------------------------------
+_HOST_LABEL = st.text(alphabet="abcdefghij", min_size=1, max_size=5)
+_PATH_SEG = st.text(alphabet="abcXYZ019", min_size=0, max_size=6)
+_PARAM = st.tuples(
+    st.sampled_from(["a", "b", "zz", "utm_source", "utm_campaign", "fbclid", "ref"]),
+    st.text(alphabet="abc123", min_size=0, max_size=4),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    urls=st.lists(
+        st.tuples(
+            st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+            st.lists(_HOST_LABEL, min_size=2, max_size=4),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.lists(_PATH_SEG, min_size=0, max_size=3),
+            st.booleans(),  # trailing slash
+            st.lists(_PARAM, min_size=0, max_size=4),
+            st.sampled_from(["", "#frag"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_url_normalize_idempotent_and_shape(spark, urls):
+    """normalize(normalize(u)) == normalize(u) for any URL from the
+    grammar (canonical forms are fixed points), and every canonical form
+    is free of fragments, tracking params, default ports, and uppercase
+    scheme/host."""
+    from fluent_bit_spark.extensions.urls import url_normalize
+
+    raw = []
+    for scheme, labels, port, segs, slash, params, frag in urls:
+        u = scheme + "://" + ".".join(labels) + port + "/" + "/".join(segs)
+        if slash and not u.endswith("/"):
+            u += "/"
+        if params:
+            u += "?" + "&".join(f"{k}={v}" for k, v in params)
+        u += frag
+        raw.append((u,))
+    df = spark.createDataFrame(raw, ["url"])
+    once = df.select(url_normalize(F.col("url")).alias("n1"))
+    twice = once.select("n1", url_normalize(F.col("n1")).alias("n2"))
+    for r in twice.collect():
+        assert r.n2 == r.n1, (r.n1, r.n2)
+        assert "#" not in r.n1 and "utm_" not in r.n1 and "fbclid" not in r.n1
+        scheme, rest = r.n1.split("://", 1)
+        # DEFAULT ports are stripped (80 only for http, 443 only for https —
+        # a cross pairing like http://h:443 is non-default and stays)
+        if scheme == "http":
+            assert ":80/" not in r.n1
+        if scheme == "https":
+            assert ":443/" not in r.n1
+        assert scheme == scheme.lower()
+        assert rest.split("/", 1)[0] == rest.split("/", 1)[0].lower()
