@@ -2420,6 +2420,19 @@ def flowcounter_q(spark, sf_dir):
 # contracts with real oracles; (c) the 21 stalest r01/r02-era core names
 # (registry order) as re-verification backfill. The 29 remaining r02-era
 # names rotate in next round.
+#
+# ROUND-5 ROTATION PLAN: window = the 29 r02-era names not covered here
+# (rewrite_tag_rules, log_to_metrics_counter/gauge/histogram/summary,
+# cumulative_to_delta, sampling_deterministic, sampling_tail_traces,
+# checklist_watch, enrich_broadcast_join, content_modifier_actions,
+# labels_ops, metrics_selector, otel_envelope, udf_hook, anomaly_zscore,
+# q6_forecast_revenue, alter_size_take, session_window_gap, doc_chunking,
+# chunk_packing, multiline_sessionize, expect_assertions, router_split,
+# union_tag_merge, window_rank_topk, asof_last_signup,
+# pivot_status_revenue, join_q3_shipping) + the round-4 additions
+# (gopher_quality, url_canonicalize) + the 19 then-stalest r03 names;
+# after it lands, the oldest row anywhere is r04. Run
+# tools/verify_window.py + a full tools/oracle_check.py preflight.
 _DRIVER_WINDOW = [
     # (a) never driver-checked
     "tda_betti_windows", "bigquery_shape", "plot_lines", "kinesis_shape",

@@ -17,3 +17,23 @@ def test_classic_example_pipeline(spark, tmp_path):
     assert written["errors.*"] == 201     # rewrite_tag keep=true duplicates
     assert written["*"] == 1201           # catch-all sees both routes
     assert spark.read.json(str(tmp_path / "app")).count() == 1000
+
+
+def test_corpus_pipeline_example(spark, tmp_path):
+    """The shipped corpus-prep example must keep running end-to-end and
+    only ever shrink the corpus monotonically across stages."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import corpus_pipeline
+
+    counts = corpus_pipeline.run(spark, "/root/testdata/sf0.001", str(tmp_path / "out"))
+    order = ["input", "gopher", "line_dedup", "exact_dedup",
+             "minhash_dedup", "decontaminated"]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], (a, b, counts)
+    assert counts["written"] == counts["decontaminated"]
+    assert 0 < counts["train"] <= counts["decontaminated"]
+    # partitioned layout: split directories exist
+    assert (tmp_path / "out" / "split=train").exists()
