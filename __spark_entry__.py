@@ -1086,6 +1086,36 @@ def url_canonicalize_q(spark, sf_dir):
     return out.select("doc_id", "norm_url", "domain")
 
 
+def domain_cap_q(spark, sf_dir):
+    """Per-domain document quota on top of the URL stage (the
+    Common-Crawl cap-per-domain pass): canonical-URL dedup, then at most
+    50 docs per registrable domain by ascending doc id. cap_per_key
+    ranks ONLY over-cap keys (count + broadcast semi/anti split), so the
+    ranking shuffle moves just the heavy domains' rows."""
+    from fluent_bit_spark.extensions.mixing import cap_per_key
+    from fluent_bit_spark.extensions.urls import url_filter_dedup
+
+    ev = _events(spark, sf_dir)
+    eid, uid, et = F.col("event_id"), F.col("user_id"), F.col("event_type")
+    url = F.concat(
+        F.when(eid % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW."), F.upper(et), (uid % 3).cast("string"), F.lit(".Com"),
+        F.when(eid % 7 == 0, F.lit(":8080"))
+        .when(eid % 2 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p"), (eid % 50).cast("string"),
+        F.when(eid % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=feed&a=1"),
+        F.when(eid % 5 == 0, F.lit("&fbclid=x")).otherwise(F.lit("")),
+        F.lit("#sec"),
+    )
+    docs = ev.select(eid.alias("doc_id"), url.alias("url"))
+    deduped = url_filter_dedup(docs, blocklist=("error1.com", "view2.com"))
+    return cap_per_key(deduped, ["domain"], ["doc_id"], 50).select(
+        "doc_id", "domain"
+    )
+
+
 def text_token_counts_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import bpe_ish_token_count, token_count
 
@@ -2530,6 +2560,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": text_token_counts_q,
         "gopher_quality": gopher_quality_q,
         "url_canonicalize": url_canonicalize_q,
+        "domain_cap": domain_cap_q,
         "doc_fingerprint": doc_fingerprint_q,
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
@@ -3070,6 +3101,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(event_id) AS doc_id, norm_url, domain FROM n "
             "WHERE domain NOT IN ('error1.com', 'view2.com') "
             "GROUP BY norm_url, domain"
+        ),
+        "domain_cap": (
+            "WITH n AS (SELECT event_id, "
+            "(CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://www.' || "
+            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' || "
+            "(CASE WHEN event_id % 7 = 0 THEN ':8080' ELSE '' END) || "
+            "'/p' || CAST(event_id % 50 AS VARCHAR) || '?a=1&b=2' AS norm_url, "
+            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' AS domain "
+            "FROM events), "
+            "d AS (SELECT MIN(event_id) AS doc_id, norm_url, domain FROM n "
+            "WHERE domain NOT IN ('error1.com', 'view2.com') "
+            "GROUP BY norm_url, domain) "
+            "SELECT doc_id, domain FROM d "
+            "QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 50"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "pii_redaction": (

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "prom_scrape_roundtrip",
     "gopher_quality",
     "url_canonicalize",
+    "domain_cap",
     "pipeline_e2e",
 ]
 

@@ -124,3 +124,44 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn(out_col, expr)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key, chosen by ascending ``order_cols``
+    — the Common-Crawl "cap documents per domain" stage (and any other
+    per-entity quota: per-user samples, per-source docs).
+
+    Scale shape: the naive form is one global window, which shuffles the
+    ENTIRE corpus on the key and funnels each hot key through a single
+    task. This form first finds the over-cap keys with a map-side
+    combinable count (over-cap keys are FEW by definition — a cap exists
+    because most keys are small), broadcasts that key set, passes
+    under-cap rows through shuffle-free, and ranks ONLY the over-cap
+    subset. The ranking shuffle moves just the heavy keys' rows; a
+    residual single-key hot spot is bounded by that key's own row count,
+    which the cap is about to cut to ``n`` anyway.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window
+
+    over_keys = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > n)
+        .select(*key_cols)
+    )
+    under = df.join(F.broadcast(over_keys), key_cols, "left_anti")
+    over = df.join(F.broadcast(over_keys), key_cols, "left_semi")
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    capped = (
+        over.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    return under.unionByName(capped)

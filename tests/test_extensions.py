@@ -776,3 +776,27 @@ def test_hash_split_deterministic_and_exhaustive(spark):
 
     with pytest.raises(ValueError):
         hash_split(df, {})
+
+
+def test_cap_per_key_quota_and_plan(spark):
+    """At most n rows per key by ascending order; under-cap keys pass
+    through untouched, and the ranking window only ever sees rows of
+    over-cap keys (the count + broadcast semi/anti split)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.mixing import cap_per_key
+
+    rows = [("big", i) for i in range(10)] + [("small", i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id"])
+    out = cap_per_key(df, ["domain"], ["doc_id"], 5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.domain, []).append(r.doc_id)
+    assert sorted(got["big"]) == [0, 1, 2, 3, 4]     # lowest-order 5 kept
+    assert sorted(got["small"]) == [0, 1, 2]          # under cap: untouched
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        cap_per_key(df, ["domain"], ["doc_id"], 0)

@@ -215,6 +215,45 @@ def test_dedup_stream(spark, tmp_path):
     assert texts == ["alpha beta", "gamma delta", "unique one"]
 
 
+def test_streaming_url_dedup(spark, tmp_path):
+    """The crawl-stream shape: canonicalize URLs statelessly in-stream
+    (with_canonical_url is pure projections, streaming-legal), then
+    dropDuplicatesWithinWatermark on the canonical form — case/port/
+    tracking-param variants of one page collapse to a single record with
+    watermark-bounded state."""
+    from fluent_bit_spark.extensions.urls import with_canonical_url
+
+    d = tmp_path / "crawl_in"
+    d.mkdir()
+    rows = [
+        {"url": "HTTPS://A.com:443/x/?utm_source=f&b=1", "sec": 0},
+        {"url": "https://a.com/x?b=1", "sec": 1},          # same canonical
+        {"url": "https://a.com/y?b=1", "sec": 2},
+        {"url": "not a url", "sec": 3},                    # invalid, dropped
+        {"url": "https://a.com/x?b=1&fbclid=z", "sec": 4}, # same canonical
+    ]
+    with open(d / "in.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    sdf = tail_source(
+        spark, str(d), fmt="json", schema="url string, sec long"
+    ).withColumn(
+        TS_COL,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("sec")
+        ),
+    )
+    canon = with_canonical_url(sdf, "url", validity_col="ok")
+    out = (
+        canon.filter(F.col("ok"))
+        .withWatermark(TS_COL, "1 hour")
+        .dropDuplicatesWithinWatermark(["norm_url"])
+    )
+    _run_to_memory(out, "urldd")
+    urls = sorted(r.norm_url for r in spark.sql("SELECT * FROM urldd").collect())
+    assert urls == ["https://a.com/x?b=1", "https://a.com/y?b=1"]
+
+
 def test_head_source_modes(spark, tmp_path):
     """in_head (plugins/in_head/in_head.c): first N lines per file, joined
     under a key or split one-record-per-line."""
