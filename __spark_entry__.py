@@ -1116,6 +1116,21 @@ def domain_cap_q(spark, sf_dir):
     )
 
 
+def lm_quality_q(spark, sf_dir):
+    """Unigram LM quality scoring (the CCNet LM-filter shape, unigram
+    core): model the doc_id%7==0 slice as the trusted target corpus,
+    score every document's mean token log-prob under it with add-one
+    smoothing. Deterministic; hash-exact against the DuckDB replica."""
+    from fluent_bit_spark.extensions.text import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    out = unigram_logprob(docs, target)
+    return out.select(
+        "doc_id", F.round("avg_logp", 6).alias("avg_logp"), "n_tokens"
+    )
+
+
 def text_token_counts_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import bpe_ish_token_count, token_count
 
@@ -2561,6 +2576,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality_q,
         "url_canonicalize": url_canonicalize_q,
         "domain_cap": domain_cap_q,
+        "lm_quality": lm_quality_q,
         "doc_fingerprint": doc_fingerprint_q,
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
@@ -3115,6 +3131,19 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY norm_url, domain) "
             "SELECT doc_id, domain FROM d "
             "QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 50"
+        ),
+        "lm_quality": (
+            f"WITH tw AS (SELECT unnest(string_split({norm}, ' ')) AS word "
+            "FROM documents WHERE doc_id % 7 = 0), "
+            "tc AS (SELECT word, COUNT(*) AS c FROM tw WHERE word <> '' GROUP BY word), "
+            "st AS (SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom FROM tc), "
+            f"dw AS (SELECT doc_id, unnest(string_split({norm}, ' ')) AS word FROM documents), "
+            "sc AS (SELECT d.doc_id, "
+            "coalesce(ln((tc.c + 1) / st.denom), ln(1.0 / st.denom)) AS lp "
+            "FROM dw d CROSS JOIN st LEFT JOIN tc ON d.word = tc.word "
+            "WHERE d.word <> '') "
+            "SELECT doc_id, ROUND(AVG(lp), 6) AS avg_logp, COUNT(*) AS n_tokens "
+            "FROM sc GROUP BY doc_id"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "pii_redaction": (

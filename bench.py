@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "url_canonicalize",
     "domain_cap",
+    "lm_quality",
     "pipeline_e2e",
 ]
 

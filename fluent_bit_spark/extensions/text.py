@@ -145,6 +145,61 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, c) counts over the normalized corpus — the model-build pass
+    for unigram LM scoring. One map-side-combinable shuffle on the word."""
+    words = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean token log-probability under an add-one-smoothed
+    unigram model of ``target`` — the CCNet-style LM quality filter with
+    the n-gram model reduced to its unigram core: documents whose word
+    distribution matches the trusted target corpus score high, word-salad
+    and boilerplate score low. Fully deterministic and SQL-replicable
+    (unlike a KenLM binary), so the oracle gate checks it hash-exact.
+
+    Returns (id_col, avg_logp, n_tokens) for every doc with >= 1 token.
+
+    Scale shape: the model is vocab-sized (broadcast); the scoring join
+    is map-side against the broadcast vocab; one shuffle builds the model
+    and one aggregates per doc. The only driver state is the smoothing
+    denominator (two scalars)."""
+    import math
+
+    counts = unigram_counts(target, text_col)
+    stats = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float((stats["n"] or 0) + stats["v"])
+    if denom <= 0:
+        raise ValueError("target corpus has no tokens to model")
+    oov = math.log(1.0 / denom)
+    model = counts.select(
+        "word", F.log((F.col("c") + 1) / F.lit(denom)).alias("logp")
+    )
+    doc_words = df.select(
+        id_col,
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        doc_words.join(F.broadcast(model), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.avg(F.coalesce("logp", F.lit(oov))).alias("avg_logp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def ngrams_of_words(words: Column, n: int) -> Column:
     """Overlapping n-grams from an ALREADY-MATERIALIZED word-array column.
 

@@ -800,3 +800,35 @@ def test_cap_per_key_quota_and_plan(spark):
     assert "CartesianProduct" not in plan
     with pytest.raises(ValueError):
         cap_per_key(df, ["domain"], ["doc_id"], 0)
+
+
+def test_unigram_logprob_ranks_target_like_docs_higher(spark):
+    import math
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.text import unigram_logprob
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the rug"),     # in-vocabulary
+            (2, "zyx wvu tsr qpo nml kji"),    # fully out-of-vocabulary
+            (3, "   "),                        # no tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in unigram_logprob(docs, target).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].avg_logp > got[2].avg_logp
+    assert got[1].n_tokens == 6 and got[2].n_tokens == 6
+    # every OOV token scores exactly ln(1/(N+V)): N=12 tokens, V=7 words
+    assert abs(got[2].avg_logp - math.log(1 / 19)) < 1e-12
+
+    with pytest.raises(ValueError, match="no tokens"):
+        unigram_logprob(docs, spark.createDataFrame([(9, " ")], ["doc_id", "text"]))

@@ -57,6 +57,7 @@ PURE_JVM = [
     "interval_band_join",
     "gopher_quality",
     "url_canonicalize",
+    "lm_quality",
 ]
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
