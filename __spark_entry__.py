@@ -2466,17 +2466,19 @@ def flowcounter_q(spark, sf_dir):
 # (registry order) as re-verification backfill. The 29 remaining r02-era
 # names rotate in next round.
 #
-# ROUND-5 ROTATION PLAN: window = the 29 r02-era names not covered here
-# (rewrite_tag_rules, log_to_metrics_counter/gauge/histogram/summary,
-# cumulative_to_delta, sampling_deterministic, sampling_tail_traces,
-# checklist_watch, enrich_broadcast_join, content_modifier_actions,
-# labels_ops, metrics_selector, otel_envelope, udf_hook, anomaly_zscore,
+# ROUND-5 ROTATION PLAN: window = the 33 r02-era names not covered here
+# (parser_syslog_preset, type_converter_casts, throttle_rate,
+# throttle_size_budget, rewrite_tag_rules,
+# log_to_metrics_counter/gauge/histogram/summary, cumulative_to_delta,
+# sampling_deterministic, sampling_tail_traces, checklist_watch,
+# enrich_broadcast_join, content_modifier_actions, labels_ops,
+# metrics_selector, otel_envelope, udf_hook, anomaly_zscore,
 # q6_forecast_revenue, alter_size_take, session_window_gap, doc_chunking,
 # chunk_packing, multiline_sessionize, expect_assertions, router_split,
 # union_tag_merge, window_rank_topk, asof_last_signup,
-# pivot_status_revenue, join_q3_shipping) + the round-4 additions
-# (gopher_quality, url_canonicalize) + the 19 then-stalest r03 names;
-# after it lands, the oldest row anywhere is r04. Run
+# pivot_status_revenue, join_q3_shipping) + any round-5 additions + the
+# then-stalest r03 names to fill 50; after it lands, the oldest row
+# anywhere is r03 (one more round retires those). Run
 # tools/verify_window.py + a full tools/oracle_check.py preflight.
 _DRIVER_WINDOW = [
     # (a) never driver-checked
@@ -2490,6 +2492,8 @@ _DRIVER_WINDOW = [
     # (b) upgraded from rows-only to invariant-gated oracles this round
     "dedup_minhash", "dedup_simhash", "embedding_dedup",
     "similarity_lsh_ann", "similarity_ivf_ann", "similarity_pq_ann",
+    # (b') round-4 additions — never checked, take precedence over backfill
+    "gopher_quality", "url_canonicalize", "domain_cap", "lm_quality",
     # (c) stalest core backfill (last driver rows: round 2)
     "q1_pricing_summary", "sp_projection", "sp_where_coercion",
     "sp_tag_routing", "sp_window_tumbling", "sp_window_hopping",
@@ -2497,8 +2501,6 @@ _DRIVER_WINDOW = [
     "grep_filter", "modify_rules", "nest_lift_roundtrip",
     "record_modifier_allowlist", "parser_logfmt_roundtrip",
     "parser_ltsv_roundtrip", "parser_regex_access_log", "parser_json_props",
-    "parser_syslog_preset", "type_converter_casts", "throttle_rate",
-    "throttle_size_budget",
 ]
 
 

@@ -94,9 +94,10 @@ def url_normalize(col: Column) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
     ).otherwise(F.lit(""))
-    path = F.when(p["path"] == "", F.lit("/")).otherwise(
-        F.regexp_replace(p["path"], r"(.)/$", r"$1")
-    )
+    # collapse ALL trailing slashes in one pass ('/x//' and '///' must be
+    # fixed points after one normalize), then restore the bare root
+    stripped = F.regexp_replace(p["path"], r"/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
     return F.when(
         p["host"] != "",
         F.concat(p["scheme"], F.lit("://"), p["host"], keep_port, path, query),
@@ -194,9 +195,11 @@ def with_canonical_url(
             F.split(F.col("__qbody"), "&"),
             lambda kv: (F.length(kv) > 0) & ~kv.rlike(_TRACKING_PARAM_RE),
         ).alias("__params"),
-        F.when(F.col("__path") == "", F.lit("/")).otherwise(
-            F.regexp_replace(F.col("__path"), r"(.)/$", r"$1")
-        ).alias("__pathn"),
+        # all trailing slashes at once (idempotence: '/x//' -> '/x',
+        # '///' -> '/'), bare root restored from the empty remainder
+        F.when(
+            F.regexp_replace(F.col("__path"), r"/+$", "") == "", F.lit("/")
+        ).otherwise(F.regexp_replace(F.col("__path"), r"/+$", "")).alias("__pathn"),
     )
     s8 = s7.select(
         "*",

@@ -2,7 +2,10 @@
 queries()[name] on Spark and oracle_sql()[name] on DuckDB at a given SF,
 compare row count, schema width, and order-insensitive values.
 
-Usage: python tools/oracle_check.py [sf_dir] [only_query ...]
+Usage: python tools/oracle_check.py [sf_dir] [only_query ...] [--report FILE]
+
+--report FILE additionally writes a markdown report (the ORACLE_LOCAL_r*
+artifact) with totals and the per-query result block.
 """
 
 from __future__ import annotations
@@ -43,8 +46,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    report_path = None
+    if "--report" in args:
+        i = args.index("--report")
+        report_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from fluent_bit_spark import get_spark
@@ -57,7 +66,12 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
-    failures, rows_only = [], []
+    failures, rows_only, lines = [], [], []
+
+    def emit(line: str) -> None:
+        lines.append(line)
+        print(line)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,38 +79,54 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
-            print(f"FAIL {name}: spark error {str(ex)[:200]}")
+            emit(f"FAIL {name}: spark error {str(ex)[:200]}")
             continue
         if name not in oracles:
             rows_only.append((name, len(got)))
-            print(f"rows {name}: {len(got)} rows (no oracle, by design)")
+            emit(f"rows {name}: {len(got)} rows (no oracle, by design)")
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             failures.append((name, f"ORACLE ERROR: {ex}"))
-            print(f"FAIL {name}: oracle error {str(ex)[:200]}")
+            emit(f"FAIL {name}: oracle error {str(ex)[:200]}")
             continue
         if len(got) != len(want):
             failures.append((name, f"rowcount {len(got)} != {len(want)}"))
-            print(f"FAIL {name}: rowcount {len(got)} != {len(want)}")
+            emit(f"FAIL {name}: rowcount {len(got)} != {len(want)}")
             continue
         if sorted(got.columns) != sorted(want.columns):
             failures.append((name, f"columns {sorted(got.columns)} != {sorted(want.columns)}"))
-            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+            emit(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
             continue
         g, w = canon(got), canon(want)
         if not g.equals(w):
             diff_cols = [c for c in g.columns if not g[c].equals(w[c])]
             failures.append((name, f"values differ in {diff_cols}"))
-            print(f"FAIL {name}: values differ in {diff_cols}")
+            emit(f"FAIL {name}: values differ in {diff_cols}")
             neq = ~(g[diff_cols[0]] == w[diff_cols[0]])
             print("  spark:", g.loc[neq, diff_cols].head(3).to_dict("records"))
             print("  duck :", w.loc[neq, diff_cols].head(3).to_dict("records"))
             continue
-        print(f"OK   {name}: {len(got)} rows")
+        emit(f"OK   {name}: {len(got)} rows")
 
     print(f"\n{len(failures)} failures, {len(rows_only)} rows-only")
+    if report_path:
+        n_ok = sum(1 for l in lines if l.startswith("OK"))
+        body = (
+            "# Local oracle verification (driver t2-gate replica)\n\n"
+            f"`python tools/oracle_check.py {sf_dir} --report ...` — every\n"
+            "registry query run on Spark vs its DuckDB oracle on the same\n"
+            "parquet (row count, schema width, order-insensitive values).\n\n"
+            "| | count |\n|---|---|\n"
+            f"| hash-green (rows + schema + values) | {n_ok} |\n"
+            f"| rows-only (no oracle, by documented policy) | {len(rows_only)} |\n"
+            f"| failures | {len(failures)} |\n\n"
+            f"## Per-query results ({sf_dir})\n\n```\n"
+            + "\n".join(lines) + "\n```\n"
+        )
+        Path(report_path).write_text(body)
+        print(f"report written: {report_path}")
     return 1 if failures else 0
 
 
