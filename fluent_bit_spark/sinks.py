@@ -219,9 +219,10 @@ def prometheus_exposition(
     ``value_fmt='long'`` renders integral counters without a decimal tail
     so the text is engine-portable.
 
-    Returns (kind, ord, line): kind 0 = header, 1 = sample; ``ord`` orders
-    samples under their header for page assembly. Pure expressions —
-    map-side only until the tiny per-metric-name header distinct."""
+    Returns (kind, metric, line): kind 0 = header, 1 = sample; sorting by
+    (metric, kind) places each header above its samples for page
+    assembly. Pure expressions — map-side only until the tiny
+    per-metric-name header distinct."""
     labels = list(label_cols or [])
     statics = sorted((add_labels or {}).items())
 

@@ -37,3 +37,25 @@ def test_corpus_pipeline_example(spark, tmp_path):
     assert 0 < counts["train"] <= counts["decontaminated"]
     # partitioned layout: split directories exist
     assert (tmp_path / "out" / "split=train").exists()
+
+
+def test_telemetry_pipeline_example(spark):
+    """The shipped telemetry example: scrape pages -> decode -> rollup ->
+    LOCF gap fill -> rate -> re-encoded exposition page, with the counter
+    reset on instance b surfacing as a small positive rate, never a
+    negative one."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import telemetry_pipeline
+
+    counts = telemetry_pipeline.run(spark)
+    page = counts.pop("_page")
+    assert counts["decoded_samples"] == 12
+    assert counts["buckets"] == counts["filled"] == 8
+    assert counts["rated"] == 6
+    assert "# TYPE http_requests_total:rate30s gauge" in page
+    # reset on instance b: new value IS the increase -> 15/30s = 0.5
+    assert 'http_requests_total:rate30s{instance="b"} 0.5' in page
+    assert "-" not in page.split("gauge", 1)[1]  # no negative rates

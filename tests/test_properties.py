@@ -486,3 +486,33 @@ def test_url_normalize_idempotent_and_shape(spark, urls):
             assert ":443/" not in r.n1
         assert scheme == scheme.lower()
         assert rest.split("/", 1)[0] == rest.split("/", 1)[0].lower()
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 50)),
+        min_size=1, max_size=40,
+    ),
+    n=st.integers(1, 6),
+)
+def test_cap_per_key_quota_property(spark, rows, n):
+    """For any key/order multiset and quota n: every key keeps
+    min(count, n) rows, and the kept rows are exactly the n smallest by
+    (order, tiebreak) — the over-cap/under-cap split must be invisible."""
+    from collections import Counter
+
+    from fluent_bit_spark.extensions.mixing import cap_per_key
+
+    # unique ids as deterministic tiebreak for duplicate order values
+    data = [(k, o, i) for i, (k, o) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "o", "id"])
+    out = cap_per_key(df, ["k"], ["o", "id"], n)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append((r.o, r.id))
+    counts = Counter(k for k, _ in rows)
+    for k, c in counts.items():
+        expect = sorted(((o, i) for i, (kk, o) in enumerate(rows) if kk == k))[:n]
+        assert sorted(got.get(k, [])) == expect, (k, n)
+        assert len(got.get(k, [])) == min(c, n)

@@ -254,6 +254,55 @@ def test_streaming_url_dedup(spark, tmp_path):
     assert urls == ["https://a.com/x?b=1", "https://a.com/y?b=1"]
 
 
+def test_streaming_lm_quality_scoring(spark, tmp_path):
+    """LM quality filtering on a document stream: the unigram model is a
+    BATCH-built vocab table, the stream scores against it via a
+    stream-static broadcast join + windowless per-doc aggregation — the
+    deploy shape for quality-gating an ingest pipeline (model refreshes
+    are a batch concern; the stream only reads it)."""
+    import math
+
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    from fluent_bit_spark.extensions.text import unigram_counts
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    counts = unigram_counts(target)
+    stats = counts.groupBy().agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(stats["n"] + stats["v"])
+    model = counts.select("word", F.log((F.col("c") + 1) / F.lit(denom)).alias("logp"))
+
+    d = tmp_path / "lm_in"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the rug", "sec": 0},
+        {"doc_id": 2, "text": "zyx wvu tsr qpo nml kji", "sec": 1},
+    ]
+    with open(d / "in.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    sdf = tail_source(
+        spark, str(d), fmt="json", schema="doc_id long, text string, sec long"
+    )
+    words = sdf.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    scored = (
+        words.join(F.broadcast(model), "word", "left")
+        .groupBy("doc_id")
+        .agg(F.avg(F.coalesce("logp", F.lit(math.log(1.0 / denom)))).alias("avg_logp"))
+    )
+    _run_to_memory(scored, "lm_stream", mode="complete")
+    got = {r.doc_id: r.avg_logp for r in spark.sql("SELECT * FROM lm_stream").collect()}
+    assert got[1] > got[2]                       # in-vocab beats word salad
+    assert abs(got[2] - math.log(1 / 19)) < 1e-12  # pure-OOV doc exact
+
+
 def test_head_source_modes(spark, tmp_path):
     """in_head (plugins/in_head/in_head.c): first N lines per file, joined
     under a key or split one-record-per-line."""
