@@ -131,6 +131,7 @@ def cap_per_key(
     key_cols: list[str],
     order_cols: list[str],
     n: int,
+    salt: int = 1,
 ) -> DataFrame:
     """Keep at most ``n`` rows per key, chosen by ascending ``order_cols``
     — the Common-Crawl "cap documents per domain" stage (and any other
@@ -142,9 +143,13 @@ def cap_per_key(
     combinable count (over-cap keys are FEW by definition — a cap exists
     because most keys are small), broadcasts that key set, passes
     under-cap rows through shuffle-free, and ranks ONLY the over-cap
-    subset. The ranking shuffle moves just the heavy keys' rows; a
-    residual single-key hot spot is bounded by that key's own row count,
-    which the cap is about to cut to ``n`` anyway.
+    subset.
+
+    Hot keys: even the over-cap-only ranking funnels each key through
+    one task. ``salt`` > 1 runs a salted two-phase top-n — phase 1 keeps
+    n rows per (key, hash-salt) slice, spreading a hot key across
+    ``salt`` tasks and bounding phase 2's input at salt*n rows per key
+    (global top-n is always contained in the union of slice top-ns).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -159,6 +164,19 @@ def cap_per_key(
     under = df.join(F.broadcast(over_keys), key_cols, "left_anti")
     over = df.join(F.broadcast(over_keys), key_cols, "left_semi")
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    if salt > 1:
+        pre = Window.partitionBy(
+            *key_cols, "__salt"
+        ).orderBy(*[F.col(c) for c in order_cols])
+        over = (
+            over.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt)),
+            )
+            .withColumn("__prn", F.row_number().over(pre))
+            .filter(F.col("__prn") <= n)
+            .drop("__salt", "__prn")
+        )
     capped = (
         over.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)

@@ -507,12 +507,13 @@ def test_cap_per_key_quota_property(spark, rows, n):
     # unique ids as deterministic tiebreak for duplicate order values
     data = [(k, o, i) for i, (k, o) in enumerate(rows)]
     df = spark.createDataFrame(data, ["k", "o", "id"])
-    out = cap_per_key(df, ["k"], ["o", "id"], n)
-    got = {}
-    for r in out.collect():
-        got.setdefault(r.k, []).append((r.o, r.id))
     counts = Counter(k for k, _ in rows)
-    for k, c in counts.items():
-        expect = sorted(((o, i) for i, (kk, o) in enumerate(rows) if kk == k))[:n]
-        assert sorted(got.get(k, [])) == expect, (k, n)
-        assert len(got.get(k, [])) == min(c, n)
+    for salt in (1, 4):  # salted two-phase must be output-identical
+        out = cap_per_key(df, ["k"], ["o", "id"], n, salt=salt)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.k, []).append((r.o, r.id))
+        for k, c in counts.items():
+            expect = sorted(((o, i) for i, (kk, o) in enumerate(rows) if kk == k))[:n]
+            assert sorted(got.get(k, [])) == expect, (k, n, salt)
+            assert len(got.get(k, [])) == min(c, n)
