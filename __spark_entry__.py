@@ -1021,6 +1021,55 @@ def similarity_ivf_ann_q(spark, sf_dir):
     return _ann_gate(ann, exact)
 
 
+def fuzzy_decontaminate_q(spark, sf_dir):
+    """GPT-3-style fuzzy decontamination, SOUNDNESS-gated: the corpus
+    (documents + planted paraphrases of the benchmark slice) is scrubbed
+    of near-duplicates of the doc_id%97==0 benchmark set via MinHash
+    banding + exact-Jaccard verify. Candidate generation is
+    engine-hash-dependent, so the query emits the contract per input
+    doc: a doc may only be dropped if some benchmark doc with exact
+    shingle-Jaccard >= threshold exists (brute-force witness over
+    dropped x bench — an independent recomputation). Oracle = literal
+    truth table."""
+    from fluent_bit_spark.extensions.decontam import fuzzy_decontaminate
+    from fluent_bit_spark.extensions.dedup import with_shingle_hashes
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    planted = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  extra tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(planted)
+    kept = fuzzy_decontaminate(
+        corpus, bench, jaccard_threshold=0.5
+    ).select("doc_id")
+    dropped = corpus.select("doc_id").join(kept, "doc_id", "left_anti")
+    dsh = with_shingle_hashes(
+        corpus.join(F.broadcast(dropped), "doc_id", "left_semi"),
+        "text", "sh_d", 3, keep=["doc_id"],
+    )
+    bsh = with_shingle_hashes(bench, "text", "sh_b", 3, keep=[])
+    inter = F.size(F.array_intersect("sh_d", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_d", "sh_b")).cast("double")
+    witness = (
+        dsh.crossJoin(F.broadcast(bsh))
+        .filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= 0.5)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        corpus.select("doc_id")
+        .join(kept.withColumn("__k", F.lit(True)), "doc_id", "left")
+        .join(witness.withColumn("__w", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("__k", F.lit(False)) | F.coalesce("__w", F.lit(False))).alias("sound"),
+        )
+    )
+
+
 def text_langid_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import lang_id
 
@@ -2466,8 +2515,8 @@ def flowcounter_q(spark, sf_dir):
 # (registry order) as re-verification backfill. The 29 remaining r02-era
 # names rotate in next round.
 #
-# ROUND-5 ROTATION PLAN: window = the 33 r02-era names not covered here
-# (parser_syslog_preset, type_converter_casts, throttle_rate,
+# ROUND-5 ROTATION PLAN: window = the 34 r02-era names not covered here
+# (parser_json_props, parser_syslog_preset, type_converter_casts, throttle_rate,
 # throttle_size_budget, rewrite_tag_rules,
 # log_to_metrics_counter/gauge/histogram/summary, cumulative_to_delta,
 # sampling_deterministic, sampling_tail_traces, checklist_watch,
@@ -2494,13 +2543,14 @@ _DRIVER_WINDOW = [
     "similarity_lsh_ann", "similarity_ivf_ann", "similarity_pq_ann",
     # (b') round-4 additions — never checked, take precedence over backfill
     "gopher_quality", "url_canonicalize", "domain_cap", "lm_quality",
+    "fuzzy_decontaminate",
     # (c) stalest core backfill (last driver rows: round 2)
     "q1_pricing_summary", "sp_projection", "sp_where_coercion",
     "sp_tag_routing", "sp_window_tumbling", "sp_window_hopping",
     "sp_forecast", "sp_snapshot_last", "sp_create_stream_chain",
     "grep_filter", "modify_rules", "nest_lift_roundtrip",
     "record_modifier_allowlist", "parser_logfmt_roundtrip",
-    "parser_ltsv_roundtrip", "parser_regex_access_log", "parser_json_props",
+    "parser_ltsv_roundtrip", "parser_regex_access_log",
 ]
 
 
@@ -2579,6 +2629,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize_q,
         "domain_cap": domain_cap_q,
         "lm_quality": lm_quality_q,
+        "fuzzy_decontaminate": fuzzy_decontaminate_q,
         "doc_fingerprint": doc_fingerprint_q,
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
@@ -3146,6 +3197,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.word <> '') "
             "SELECT doc_id, ROUND(AVG(lp), 6) AS avg_logp, COUNT(*) AS n_tokens "
             "FROM sc GROUP BY doc_id"
+        ),
+        "fuzzy_decontaminate": (
+            "WITH corpus AS (SELECT doc_id FROM documents UNION ALL "
+            "SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 97 = 0) "
+            "SELECT doc_id, TRUE AS sound FROM corpus"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "pii_redaction": (

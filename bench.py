@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "domain_cap",
     "lm_quality",
+    "fuzzy_decontaminate",
     "pipeline_e2e",
 ]
 

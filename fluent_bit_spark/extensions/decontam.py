@@ -40,6 +40,86 @@ def contamination_grams(bench: DataFrame, text_col: str = "text", n: int = 8) ->
     return _distinct_grams(bench, text_col, n, keep=[]).distinct()
 
 
+def fuzzy_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate decontamination (the GPT-3-style fuzzy variant):
+    drop training docs that are near-copies of any benchmark doc even
+    when no long exact n-gram survives (paraphrase, reflowed whitespace,
+    light edits). Exact-overlap decontamination (:func:`decontaminate`)
+    misses these; this catches them via MinHash banding between the
+    corpus and the benchmark side, then exact shingle-Jaccard
+    verification of the candidates only.
+
+    Scale shape: signatures are one map-side Arrow pass per side; the
+    band join is corpus x bench on (band, band-hash) — the bench side is
+    eval-set-sized and broadcast, so the corpus never self-shuffles; the
+    exact-Jaccard verify touches candidates only. Returns the KEPT
+    corpus rows.
+    """
+    from fluent_bit_spark.extensions.dedup import (
+        minhash_signatures,
+        with_shingle_hashes,
+    )
+
+    def bands_of(sig_df, idc):
+        rows_per_band = max(1, num_hashes // num_bands)
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ).alias("bh"),
+            )
+            for b in range(num_bands)
+        ]
+        return sig_df.select(
+            F.col(idc), F.explode(F.array(*structs)).alias("bx")
+        ).select(idc, "bx.band", "bx.bh")
+
+    csig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # bench id = content hash, NOT monotonically_increasing_id: the bench
+    # frame is referenced by two plan subtrees (signatures + verify
+    # shingles), and a nondeterministic id can differ between their
+    # evaluations, silently unpairing candidates from their texts
+    bench_ids = bench.select(
+        F.xxhash64(F.col(text_col)).alias("__bid"), F.col(text_col)
+    ).dropDuplicates(["__bid"])
+    bsig = minhash_signatures(bench_ids, text_col, "__bid", num_hashes, shingle_n)
+    cands = (
+        bands_of(csig, id_col)
+        .join(F.broadcast(bands_of(bsig, "__bid")), ["band", "bh"])
+        .select(id_col, "__bid")
+        .distinct()
+    )
+    # exact verify: shingle Jaccard between candidate (corpus, bench) pairs
+    csh = with_shingle_hashes(
+        df.join(F.broadcast(cands.select(id_col).distinct()), id_col, "left_semi"),
+        text_col, "sh_c", shingle_n, keep=[id_col],
+    )
+    bsh = with_shingle_hashes(bench_ids, text_col, "sh_b", shingle_n, keep=["__bid"])
+    inter = F.size(F.array_intersect("sh_c", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_c", "sh_b")).cast("double")
+    contaminated = (
+        cands.join(csh, id_col)
+        .join(F.broadcast(bsh), "__bid")
+        .filter(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            >= jaccard_threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
 def decontaminate(
     df: DataFrame,
     bench: DataFrame,

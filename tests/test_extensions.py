@@ -832,3 +832,36 @@ def test_unigram_logprob_ranks_target_like_docs_higher(spark):
 
     with pytest.raises(ValueError, match="no tokens"):
         unigram_logprob(docs, spark.createDataFrame([(9, " ")], ["doc_id", "text"]))
+
+
+def test_fuzzy_decontaminate_catches_paraphrases(spark):
+    """Near-copies of benchmark docs are dropped even when whitespace is
+    reflowed and words appended (exact n-gram decontamination would need
+    a long surviving gram); unrelated docs survive."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.decontam import decontaminate, fuzzy_decontaminate
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    bench = spark.createDataFrame([(base,)], ["text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, base + "  phi"),                      # near-copy, light edit
+            (2, base.replace(" ", "   ") + " chi"),   # reflowed whitespace
+            (3, "totally unrelated words about spark plans and shuffles " * 2),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in fuzzy_decontaminate(
+        corpus, bench, jaccard_threshold=0.5
+    ).collect())
+    assert kept == [3]
+    # the exact-overlap pass agrees here (long shared grams exist), so the
+    # fuzzy variant is a superset-detector on harder inputs, not a rename
+    exact = decontaminate(corpus, bench)
+    assert sorted(
+        r.doc_id for r in exact.filter(~F.col("contaminated")).collect()
+    ) == [3]
