@@ -1701,6 +1701,66 @@ def prom_scrape_roundtrip_q(spark, sf_dir):
     )
 
 
+def prom_pages_roundtrip_q(spark, sf_dir):
+    """Whole-PAGE scrape decode (the streaming-legal shape): the
+    exposition page rendered by out_prometheus_exporter is assembled
+    into one string per scrape target (here: one page per event_type
+    bucket) and decoded via per-page header maps — no joins, so the
+    same plan runs under readStream. Values recover exactly; full hash
+    check."""
+    from fluent_bit_spark.connectors import prom_exposition_decode_pages
+    from fluent_bit_spark.operators.log_to_metrics import log_to_metrics
+    from fluent_bit_spark.sinks import prometheus_exposition
+
+    ev = _events(spark, sf_dir)
+    metrics = log_to_metrics(
+        ev, "counter", "fbs_events_total", label_keys=["event_type"]
+    )
+    lines = prometheus_exposition(
+        metrics, label_cols=["event_type"], value_fmt="long"
+    )
+    # one page per metric: headers first, then samples in a stable order
+    pages = (
+        lines.groupBy("metric")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("kind", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("page")
+        )
+    )
+    dec = prom_exposition_decode_pages(pages, "page")
+    return dec.select(
+        "metric_name",
+        "metric_type",
+        F.col("labels").getItem("event_type").alias("event_type"),
+        "value",
+    )
+
+
+def similarity_pq_join_q(spark, sf_dir):
+    """The DISTRIBUTED PQ query path (pq_topk_join: executor-side ADC
+    tables + chunked broadcast scoring — query vectors never reach the
+    driver), held to the same invariant contract as the collect-path PQ
+    query (see _ann_gate)."""
+    from fluent_bit_spark.extensions.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk_join,
+        pq_train,
+    )
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    books = pq_train(emb, m=8, ksub=16, iters=3, sample=1024)
+    codes = pq_encode(emb, books)
+    ann = pq_topk_join(codes, queries, books, k=5, num_chunks=2)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_gate(ann, exact)
+
+
 def otlp_histogram_roundtrip_q(spark, sf_dir):
     """cmetrics histogram -> OTLP HistogramDataPoint roundtrip: the
     log_to_metrics cumulative le_* buckets difference into OTLP
@@ -2515,8 +2575,9 @@ def flowcounter_q(spark, sf_dir):
 # (registry order) as re-verification backfill. The 29 remaining r02-era
 # names rotate in next round.
 #
-# ROUND-5 ROTATION PLAN: window = the 34 r02-era names not covered here
-# (parser_json_props, parser_syslog_preset, type_converter_casts, throttle_rate,
+# ROUND-5 ROTATION PLAN: window = the 36 r02-era names not covered here
+# (parser_ltsv_roundtrip, parser_regex_access_log, parser_json_props,
+# parser_syslog_preset, type_converter_casts, throttle_rate,
 # throttle_size_budget, rewrite_tag_rules,
 # log_to_metrics_counter/gauge/histogram/summary, cumulative_to_delta,
 # sampling_deterministic, sampling_tail_traces, checklist_watch,
@@ -2543,14 +2604,13 @@ _DRIVER_WINDOW = [
     "similarity_lsh_ann", "similarity_ivf_ann", "similarity_pq_ann",
     # (b') round-4 additions — never checked, take precedence over backfill
     "gopher_quality", "url_canonicalize", "domain_cap", "lm_quality",
-    "fuzzy_decontaminate",
+    "fuzzy_decontaminate", "prom_pages_roundtrip", "similarity_pq_join",
     # (c) stalest core backfill (last driver rows: round 2)
     "q1_pricing_summary", "sp_projection", "sp_where_coercion",
     "sp_tag_routing", "sp_window_tumbling", "sp_window_hopping",
     "sp_forecast", "sp_snapshot_last", "sp_create_stream_chain",
     "grep_filter", "modify_rules", "nest_lift_roundtrip",
     "record_modifier_allowlist", "parser_logfmt_roundtrip",
-    "parser_ltsv_roundtrip", "parser_regex_access_log",
 ]
 
 
@@ -2630,6 +2690,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": domain_cap_q,
         "lm_quality": lm_quality_q,
         "fuzzy_decontaminate": fuzzy_decontaminate_q,
+        "prom_pages_roundtrip": prom_pages_roundtrip_q,
+        "similarity_pq_join": similarity_pq_join_q,
         "doc_fingerprint": doc_fingerprint_q,
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
@@ -3202,6 +3264,15 @@ def oracle_sql() -> dict[str, str]:
             "WITH corpus AS (SELECT doc_id FROM documents UNION ALL "
             "SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 97 = 0) "
             "SELECT doc_id, TRUE AS sound FROM corpus"
+        ),
+        "prom_pages_roundtrip": (
+            "SELECT 'fbs_events_total' AS metric_name, "
+            "'counter' AS metric_type, event_type, "
+            "CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY event_type"
+        ),
+        "similarity_pq_join": (
+            "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
+            "TRUE AS recall_ok FROM (VALUES (0), (1), (2)) t(query_id)"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "pii_redaction": (
