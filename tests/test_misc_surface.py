@@ -1,0 +1,104 @@
+"""Behavioral coverage for the small utility surface that larger suites
+only exercise indirectly — every public function a migrating user can
+call gets at least one direct contract check."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.model import TAG_COL, TS_COL, load_all, with_tag
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_load_all_and_with_tag(spark):
+    tables = load_all(spark, SF)
+    assert set(tables) == {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    assert tables["region"].count() == 5
+    tagged = with_tag(tables["region"], "dim.region")
+    assert tagged.select(TAG_COL).distinct().collect()[0][0] == "dim.region"
+
+
+def test_debug_stdout_passthrough(spark, capsys):
+    from fluent_bit_spark.operators.misc import debug_stdout
+
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    out = debug_stdout(df, n=1)
+    assert out is df                       # identity, not a copy
+    assert "x" in capsys.readouterr().out  # sample actually printed
+
+
+def test_stream_sink_writes_checkpointed_files(spark, tmp_path):
+    from fluent_bit_spark.sinks import stream_sink
+    from fluent_bit_spark.streaming.sources import tail_source
+
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "in.json", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"v": i}) + "\n")
+    sdf = tail_source(spark, str(d), fmt="json", schema="v long")
+    q = stream_sink(
+        sdf.select("v"), str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"), trigger_once=True,
+    )  # returns an already-started StreamingQuery
+    q.awaitTermination(120)
+    assert sorted(
+        r.v for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ) == [0, 1, 2, 3, 4]
+    assert (tmp_path / "ck").exists()      # offsets survive for resume
+
+
+def test_kafka_source_and_sink_wiring(spark, tmp_path):
+    """No broker/connector jar in this container: the functions must fail
+    at the Spark DataSource boundary (provider lookup / broker connect),
+    proving the envelope wiring is reached — not with a Python-side error
+    in our code."""
+    from fluent_bit_spark.connectors import kafka_sink
+    from fluent_bit_spark.streaming.sources import kafka_source
+
+    try:
+        df = kafka_source(spark, "localhost:9092", "t")
+        # connector jar present: envelope columns must be standardized
+        assert {TAG_COL, TS_COL, "key", "value"} <= set(df.columns)
+    except Exception as ex:
+        assert "kafka" in str(ex).lower()
+
+    from fluent_bit_spark.streaming.sources import dummy_source
+
+    ev = dummy_source(spark).select(
+        "tag", F.col("timestamp"), F.col("seq").alias("event_id"),
+        F.lit("t").alias("dest"),
+    )
+    try:
+        w = kafka_sink(
+            ev, "localhost:9092", ["t"], str(tmp_path / "ck"),
+            topic_key="dest",
+        )
+        w.start().awaitTermination(5)
+    except Exception as ex:
+        assert "kafka" in str(ex).lower()
+
+
+def test_real_decode_and_ngram_wrapper(spark):
+    from fluent_bit_spark.extensions.dedup import ngram_jaccard_dedup
+    from fluent_bit_spark.extensions.multimodal import make_png, real_decode
+
+    meta = real_decode(make_png(12, 34), "image")
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 12, 34)
+    assert real_decode(b"", "image")["format"] == "unknown"
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six "),   # whitespace twin
+            (3, "totally different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in ngram_jaccard_dedup(docs, threshold=0.8).collect())
+    assert kept == [1, 3]
