@@ -1021,6 +1021,26 @@ def similarity_ivf_ann_q(spark, sf_dir):
     return _ann_gate(ann, exact)
 
 
+def _fuzzy_decontam_inputs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    planted = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  extra tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(planted), bench
+
+
+def fuzzy_decontaminate_raw(spark, sf_dir):
+    """Bare fuzzy decontamination (kept doc ids) — the benched form; the
+    registry query wraps it in the soundness invariant."""
+    from fluent_bit_spark.extensions.decontam import fuzzy_decontaminate
+
+    corpus, bench = _fuzzy_decontam_inputs(spark, sf_dir)
+    return fuzzy_decontaminate(corpus, bench, jaccard_threshold=0.5).select("doc_id")
+
+
 def fuzzy_decontaminate_q(spark, sf_dir):
     """GPT-3-style fuzzy decontamination, SOUNDNESS-gated: the corpus
     (documents + planted paraphrases of the benchmark slice) is scrubbed
@@ -1034,14 +1054,7 @@ def fuzzy_decontaminate_q(spark, sf_dir):
     from fluent_bit_spark.extensions.decontam import fuzzy_decontaminate
     from fluent_bit_spark.extensions.dedup import with_shingle_hashes
 
-    docs = _docs(spark, sf_dir)
-    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-    planted = docs.filter(F.col("doc_id") % 97 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit("  extra tail")).alias("text"),
-        "lang", "source", "n_chars",
-    )
-    corpus = docs.unionByName(planted)
+    corpus, bench = _fuzzy_decontam_inputs(spark, sf_dir)
     kept = fuzzy_decontaminate(
         corpus, bench, jaccard_threshold=0.5
     ).select("doc_id")
@@ -1105,18 +1118,12 @@ def gopher_quality_q(spark, sf_dir):
     )
 
 
-def url_canonicalize_q(spark, sf_dir):
-    """URL hygiene stage (C4/RefinedWeb preprocessing): synthesize messy
-    crawl URLs from event fields (mixed case, default/explicit ports,
-    tracking params, unsorted query, trailing slashes, fragments), then
-    normalize + extract registrable domain + blocklist-filter + keep one
-    doc per canonical URL. The oracle does NOT replay the parser — it
-    CONSTRUCTS each canonical form directly from the same event fields,
-    so parser and normalizer are verified against an independent
-    derivation."""
-    from fluent_bit_spark.extensions.urls import url_filter_dedup
-
-    ev = _events(spark, sf_dir)
+def _messy_urls(ev):
+    """(doc_id, url): messy crawl URLs synthesized from event fields —
+    mixed case, default/explicit ports, tracking params, unsorted query,
+    trailing slashes, fragments. Shared by url_canonicalize / domain_cap
+    and mirrored by the ORACLE_MESSY_URL_CTE the oracles derive canonical
+    forms from; keep all four in sync."""
     eid, uid, et = F.col("event_id"), F.col("user_id"), F.col("event_type")
     url = F.concat(
         F.when(eid % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
@@ -1130,7 +1137,22 @@ def url_canonicalize_q(spark, sf_dir):
         F.when(eid % 5 == 0, F.lit("&fbclid=x")).otherwise(F.lit("")),
         F.lit("#sec"),
     )
-    docs = ev.select(eid.alias("doc_id"), url.alias("url"))
+    return ev.select(eid.alias("doc_id"), url.alias("url"))
+
+
+def url_canonicalize_q(spark, sf_dir):
+    """URL hygiene stage (C4/RefinedWeb preprocessing): synthesize messy
+    crawl URLs from event fields (mixed case, default/explicit ports,
+    tracking params, unsorted query, trailing slashes, fragments), then
+    normalize + extract registrable domain + blocklist-filter + keep one
+    doc per canonical URL. The oracle does NOT replay the parser — it
+    CONSTRUCTS each canonical form directly from the same event fields,
+    so parser and normalizer are verified against an independent
+    derivation."""
+    from fluent_bit_spark.extensions.urls import url_filter_dedup
+
+    ev = _events(spark, sf_dir)
+    docs = _messy_urls(ev)
     out = url_filter_dedup(docs, blocklist=("error1.com", "view2.com"))
     return out.select("doc_id", "norm_url", "domain")
 
@@ -1145,20 +1167,7 @@ def domain_cap_q(spark, sf_dir):
     from fluent_bit_spark.extensions.urls import url_filter_dedup
 
     ev = _events(spark, sf_dir)
-    eid, uid, et = F.col("event_id"), F.col("user_id"), F.col("event_type")
-    url = F.concat(
-        F.when(eid % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
-        F.lit("://WWW."), F.upper(et), (uid % 3).cast("string"), F.lit(".Com"),
-        F.when(eid % 7 == 0, F.lit(":8080"))
-        .when(eid % 2 == 0, F.lit(":443"))
-        .otherwise(F.lit("")),
-        F.lit("/p"), (eid % 50).cast("string"),
-        F.when(eid % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?b=2&utm_source=feed&a=1"),
-        F.when(eid % 5 == 0, F.lit("&fbclid=x")).otherwise(F.lit("")),
-        F.lit("#sec"),
-    )
-    docs = ev.select(eid.alias("doc_id"), url.alias("url"))
+    docs = _messy_urls(ev)
     deduped = url_filter_dedup(docs, blocklist=("error1.com", "view2.com"))
     return cap_per_key(deduped, ["domain"], ["doc_id"], 50).select(
         "doc_id", "domain"
@@ -2571,9 +2580,10 @@ def flowcounter_q(spark, sf_dir):
 # ROUND-4 WINDOW: (a) the 23 queries that have never had a driver row — the
 # r3 window's own tail plus every round-3 addition; (b) the 6 previously
 # rows-only dedup/ANN queries, re-verified now that they emit invariant
-# contracts with real oracles; (c) the 21 stalest r01/r02-era core names
-# (registry order) as re-verification backfill. The 29 remaining r02-era
-# names rotate in next round.
+# contracts with real oracles; (b') the 7 round-4 additions; (c) the 14
+# stalest r01/r02-era core names (registry order) as re-verification
+# backfill — 23+6+7+14 = 50. The 36 remaining r02-era names rotate in
+# next round.
 #
 # ROUND-5 ROTATION PLAN: window = the 36 r02-era names not covered here
 # (parser_ltsv_roundtrip, parser_regex_access_log, parser_json_props,
@@ -2780,6 +2790,18 @@ def _mlp_oracle_sql(dim: int = 64, hidden: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     dec = "DECIMAL(12,2)"
     disc = f"CAST(l_extendedprice AS {dec}) * (1 - CAST(l_discount AS {dec}))"
+    # canonical-form derivation of _messy_urls(ev), shared by the
+    # url_canonicalize and domain_cap oracles (independent construction,
+    # not a parser replay) — keep in sync with _messy_urls
+    messy_url_cte = (
+        "WITH n AS (SELECT event_id, "
+        "(CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://www.' || "
+        "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' || "
+        "(CASE WHEN event_id % 7 = 0 THEN ':8080' ELSE '' END) || "
+        "'/p' || CAST(event_id % 50 AS VARCHAR) || '?a=1&b=2' AS norm_url, "
+        "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' AS domain "
+        "FROM events)"
+    )
     docs_with_copies = (
         "SELECT * FROM documents UNION ALL "
         "SELECT doc_id + 1000000 AS doc_id, text || '   ' AS text, lang, source, n_chars "
@@ -3222,25 +3244,13 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": (
             # independent derivation: canonical URL built straight from the
             # event fields the Spark side synthesized its messy URL from
-            "WITH n AS (SELECT event_id, "
-            "(CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://www.' || "
-            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' || "
-            "(CASE WHEN event_id % 7 = 0 THEN ':8080' ELSE '' END) || "
-            "'/p' || CAST(event_id % 50 AS VARCHAR) || '?a=1&b=2' AS norm_url, "
-            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' AS domain "
-            "FROM events) "
+            f"{messy_url_cte} "
             "SELECT MIN(event_id) AS doc_id, norm_url, domain FROM n "
             "WHERE domain NOT IN ('error1.com', 'view2.com') "
             "GROUP BY norm_url, domain"
         ),
         "domain_cap": (
-            "WITH n AS (SELECT event_id, "
-            "(CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://www.' || "
-            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' || "
-            "(CASE WHEN event_id % 7 = 0 THEN ':8080' ELSE '' END) || "
-            "'/p' || CAST(event_id % 50 AS VARCHAR) || '?a=1&b=2' AS norm_url, "
-            "lower(event_type) || CAST(user_id % 3 AS VARCHAR) || '.com' AS domain "
-            "FROM events), "
+            f"{messy_url_cte}, "
             "d AS (SELECT MIN(event_id) AS doc_id, norm_url, domain FROM n "
             "WHERE domain NOT IN ('error1.com', 'view2.com') "
             "GROUP BY norm_url, domain) "

@@ -187,6 +187,7 @@ def main() -> None:
         "dedup_minhash": entrymod.dedup_minhash_raw,
         "dedup_simhash": entrymod.dedup_simhash_raw,
         "similarity_lsh_ann": entrymod.similarity_lsh_ann_raw,
+        "fuzzy_decontaminate": entrymod.fuzzy_decontaminate_raw,
     }
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))

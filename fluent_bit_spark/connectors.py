@@ -2147,6 +2147,9 @@ def prom_exposition_decode_pages(
     header join would mix families if two scraped targets disagree on a
     metric's type — pages keep them separate."""
     lines = F.split(F.col(page_col), "\n")
+    # the cast names the struct fields: aliases set INSIDE a higher-order
+    # lambda don't survive analysis (they come out col1/col2), and the
+    # first-wins dedup below needs e["key"] by name
     hdr_entries = F.array_distinct(
         F.transform(
             F.filter(lines, lambda l: l.startswith("# TYPE ")),
@@ -2155,7 +2158,7 @@ def prom_exposition_decode_pages(
                 F.regexp_extract(l, _PROM_HEADER_RE, 2).alias("value"),
             ),
         )
-    )
+    ).cast("array<struct<key:string,value:string>>")
     samples = F.filter(
         lines, lambda l: ~l.startswith("#") & (F.length(F.trim(l)) > 0)
     )
@@ -2168,7 +2171,18 @@ def prom_exposition_decode_pages(
         F.regexp_extract("__l", _PROM_SAMPLE_RE, 4).alias("__val"),
         F.regexp_extract("__l", _PROM_SAMPLE_RE, 6).alias("__ts"),
     ).filter(F.col("metric_name") != "")
-    hmap = F.map_from_entries(F.col("__hdrs"))
+    # first declaration wins on duplicate # TYPE keys: map_from_entries
+    # under the default mapKeyDedupPolicy=EXCEPTION would otherwise throw
+    # on a page where a buggy exporter (or two concatenated targets)
+    # declares the same metric twice — killing the whole streaming query
+    # this decoder exists to keep alive
+    hdr_keys = F.transform(F.col("__hdrs"), lambda e: e["key"])
+    hmap = F.map_from_entries(
+        F.filter(
+            F.col("__hdrs"),
+            lambda e, i: (F.array_position(hdr_keys, e["key"]) - 1) == i,
+        )
+    )
     family = F.regexp_replace("metric_name", r"_(bucket|sum|count)$", "")
     fam_type = F.element_at(hmap, family)
     return rows.select(

@@ -244,10 +244,12 @@ def minhash_dedup(
     ):
         # EAGER materialization is the point: a lazy persist inside one
         # action lets every band-side reference race the still-empty
-        # cache and recompute anyway. One extra job computes the Arrow
-        # signature pass exactly once; everything downstream reads blocks.
-        sig = sig.persist()
-        sig.count()
+        # cache and recompute anyway. localCheckpoint rather than
+        # persist(): one job computes the Arrow signature pass exactly
+        # once, downstream reads blocks, and the blocks are auto-cleaned
+        # when the RDD is garbage-collected — a cacheManager persist
+        # would leak one session-lifetime cache entry per call.
+        sig = sig.localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sig, id_col, num_bands, sig_len=num_hashes)
     if jaccard_threshold is not None:
         verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_n)

@@ -168,10 +168,13 @@ def cap_per_key(
         pre = Window.partitionBy(
             *key_cols, "__salt"
         ).orderBy(*[F.col(c) for c in order_cols])
+        # salt hashes ALL columns, not just order_cols: a low-cardinality
+        # order column (5 quality bands) would collapse a hot key into at
+        # most 5 slices — exactly the skew case the salt exists for
         over = (
             over.withColumn(
                 "__salt",
-                F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt)),
+                F.pmod(F.xxhash64(*[F.col(c) for c in over.columns]), F.lit(salt)),
             )
             .withColumn("__prn", F.row_number().over(pre))
             .filter(F.col("__prn") <= n)

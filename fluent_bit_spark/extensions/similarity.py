@@ -486,11 +486,19 @@ def pq_topk_join(
     """
     cb = np.asarray(codebooks, dtype="float64")
     m, ksub, _ = cb.shape
+    # materialize the ADC tables ONCE: each per-chunk filter below is an
+    # independent plan subtree, so without this every chunk would re-run
+    # the pandas-UDF table computation over ALL queries and discard
+    # (N-1)/N of it. localCheckpoint (not persist) so the blocks are
+    # auto-unpersisted when the RDD is garbage-collected — no session-
+    # lifetime cacheManager entry per call.
+    qtab = pq_adc_tables(
+        queries, codebooks, query_id_col, query_vec_col
+    ).localCheckpoint(eager=True)
     if num_chunks is None:
-        nq = queries.count()
+        nq = qtab.count()  # cheap: counts the materialized blocks
         bytes_per_row = m * ksub * 8
         num_chunks = max(1, math.ceil(nq * bytes_per_row / target_chunk_bytes))
-    qtab = pq_adc_tables(queries, codebooks, query_id_col, query_vec_col)
     qtab = qtab.withColumn(
         "__chunk", F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(num_chunks))
     )

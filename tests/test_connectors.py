@@ -852,6 +852,26 @@ def test_prom_exposition_decode_escapes_and_malformed(spark):
     assert len(rows) == 3
 
 
+def test_prom_pages_duplicate_type_declarations_survive(spark):
+    """A page declaring the same metric with two TYPEs (buggy exporter,
+    concatenated targets) must decode with first-declaration-wins — not
+    die on Spark's duplicate-map-key exception, which would kill the
+    streaming query this decoder exists to keep alive."""
+    from fluent_bit_spark.connectors import prom_exposition_decode_pages
+
+    page = (
+        "# TYPE reqs counter\n"
+        "reqs 1\n"
+        "# TYPE reqs gauge\n"   # conflicting redeclaration
+        "reqs 2\n"
+    )
+    rows = prom_exposition_decode_pages(
+        spark.createDataFrame([(page,)], ["page"])
+    ).collect()
+    assert len(rows) == 2
+    assert all(r.metric_type == "counter" for r in rows)  # first wins
+
+
 def test_prom_exposition_decode_family_types_and_junk_lines(spark):
     """Histogram/summary child series (_bucket/_sum/_count) inherit the
     family's # TYPE; a plain counter that happens to end in _count does

@@ -170,8 +170,9 @@ def test_minhash_dedup_survives_cached_source(spark):
     canonical plan equality — measured, the 6 reused exchanges become ~80
     independently-executed stages, re-running the Arrow signature pass
     once per band. minhash_dedup(signature_reuse='auto') must detect the
-    cached source and switch to an eagerly-materialized persist of the
-    signature frame, so the executed plan reads signatures from cache."""
+    cached source and switch to an eagerly-materialized local checkpoint
+    of the signature frame, so the executed plan reads signature blocks
+    instead of recomputing the subtree per band."""
     import re
 
     from fluent_bit_spark.model import load_table
@@ -182,8 +183,10 @@ def test_minhash_dedup_survives_cached_source(spark):
         df = entry.dedup_minhash_raw(spark, SF_DIR)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # signature columns served from the persisted relation
-        assert re.search(r"InMemoryTableScan \[[^\]]*\bsig#", plan), plan[:2000]
+        # signature columns served from the materialized checkpoint RDD
+        assert re.search(r"Scan ExistingRDD[^\n]*\bsig#", plan), plan[:2000]
+        # and the Arrow signature UDF is GONE from the executed query
+        assert "ArrowEvalPython" not in plan
     finally:
         cached.unpersist()
         spark.catalog.clearCache()

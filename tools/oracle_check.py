@@ -50,6 +50,9 @@ def main() -> int:
     report_path = None
     if "--report" in args:
         i = args.index("--report")
+        if i + 1 >= len(args):
+            print("usage: oracle_check.py [sf_dir] [only_query ...] --report FILE")
+            return 2
         report_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

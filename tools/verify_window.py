@@ -32,16 +32,20 @@ def main() -> int:
     verified: set[str] = set()
     for f in files:
         verified |= set(json.load(open(f)))
+    # invariant 1 checks the DECLARED window list against the registry
+    # BEFORE touching entry.queries() — queries() itself indexes the
+    # registry with the declared names, so a typo would raise a bare
+    # KeyError there and this check must run first to fail usefully.
+    registry = set(entry._query_registry())
+    declared = list(getattr(entry, "_DRIVER_WINDOW", []))
+    missing = [n for n in declared if n not in registry]
+    if missing:
+        print(f"ERROR: window names missing from registry: {missing}")
+        print("FAIL")
+        return 1
+
     names = list(entry.queries())
     window, tail = names[:50], names[50:]
-
-    # invariant 1 checks the DECLARED window list against the registry —
-    # names[:50] is a subset of names by construction, so checking it
-    # would be vacuous; a typo in _DRIVER_WINDOW must fail HERE, not as
-    # an import-time KeyError somewhere else.
-    declared = list(getattr(entry, "_DRIVER_WINDOW", window))
-    registry = set(entry._query_registry())
-    missing = [n for n in declared if n not in registry]
     never_checked_behind = [
         n for n in tail if n not in verified and any(w in verified for w in window)
     ]
@@ -51,9 +55,6 @@ def main() -> int:
     print(f"window[0:50]: {len(window_already_verified)} already verified")
     print(f"tail: {len([n for n in tail if n not in verified])} never checked")
     ok = True
-    if missing:
-        print(f"ERROR: window names missing from registry: {missing}")
-        ok = False
     if window_already_verified and never_checked_behind:
         print(
             "WARN: window wastes slots on already-verified queries while "
