@@ -85,6 +85,18 @@ BENCH_QUERIES = [
     "pipeline_e2e",
 ]
 
+# the registry versions of these wrap the operator in an oracle-checkable
+# verification harness (brute-force witness joins / exact-topk recall
+# gates); the bench — and tools/plan_audit.py — time/audit the bare
+# OPERATOR under the same name so the numbers stay comparable to
+# BASELINE.md, which recorded the operator alone.
+BENCH_FORMS = {
+    "dedup_minhash": entrymod.dedup_minhash_raw,
+    "dedup_simhash": entrymod.dedup_simhash_raw,
+    "similarity_lsh_ann": entrymod.similarity_lsh_ann_raw,
+    "fuzzy_decontaminate": entrymod.fuzzy_decontaminate_raw,
+}
+
 
 def _pipeline_e2e(spark, sf_dir: str) -> dict:
     """Config-driven end-to-end: classic .conf -> tagged input -> filters ->
@@ -178,23 +190,11 @@ def main() -> None:
     # Whole-suite passes with per-query min ACROSS passes: a CPU-steal burst
     # from a co-tenant VM lasts seconds, so two back-to-back attempts of the
     # same query both eat it — attempts ~30s apart (one full pass) don't.
-    # the registry versions of these three wrap the operator in an
-    # oracle-checkable verification harness (brute-force witness joins /
-    # exact-topk recall gates); the bench times the bare OPERATOR under
-    # the same name so the numbers stay comparable to BASELINE.md, which
-    # recorded the operator alone.
-    bench_forms = {
-        "dedup_minhash": entrymod.dedup_minhash_raw,
-        "dedup_simhash": entrymod.dedup_simhash_raw,
-        "similarity_lsh_ann": entrymod.similarity_lsh_ann_raw,
-        "fuzzy_decontaminate": entrymod.fuzzy_decontaminate_raw,
-    }
-
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for _ in range(runs):
         for name in BENCH_QUERIES:
-            fn = bench_forms.get(name, qs.get(name))
+            fn = BENCH_FORMS.get(name, qs.get(name))
             t0 = time.perf_counter()
             if name == "pipeline_e2e":
                 _pipeline_e2e(spark, sf_dir)  # runs its own sink writes
