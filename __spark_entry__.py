@@ -1189,6 +1189,37 @@ def lm_quality_q(spark, sf_dir):
     )
 
 
+def bpe_roundtrip_q(spark, sf_dir):
+    """Real BPE tokenization (Sennrich et al. 2016, library-free):
+    merge ranks trained on the deterministic sample, applied Arrow-batched
+    to every document. The token stream itself depends on the learned
+    merges (not SQL-replayable), so the query emits the contract: decode
+    must reconstruct the normalized text EXACTLY (BPE is lossless), and
+    token counts must sit in their structural bounds (>= words — every
+    word is at least one token; <= chars + words — merges only shrink).
+    Oracle = literal truth table; a single corrupted merge or off-by-one
+    in the apply loop hash-fails its row."""
+    from fluent_bit_spark.extensions.bpe import bpe_decode, bpe_encode, bpe_train
+    from fluent_bit_spark.extensions.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, num_merges=150, sample=512)
+    enc = bpe_encode(docs, merges)
+    norm = normalize_text(F.col("text"))
+    joined = docs.select("doc_id", norm.alias("__norm")).join(enc, "doc_id")
+    n_words = F.when(F.length("__norm") == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.col("__norm"), " "))
+    )
+    return joined.select(
+        "doc_id",
+        (bpe_decode(F.col("tokens")) == F.col("__norm")).alias("roundtrip_ok"),
+        (
+            (F.col("n_tokens") >= n_words)
+            & (F.col("n_tokens") <= F.length("__norm") + n_words)
+        ).alias("tokens_bounded"),
+    )
+
+
 def text_token_counts_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import bpe_ish_token_count, token_count
 
@@ -2580,13 +2611,13 @@ def flowcounter_q(spark, sf_dir):
 # ROUND-4 WINDOW: (a) the 23 queries that have never had a driver row — the
 # r3 window's own tail plus every round-3 addition; (b) the 6 previously
 # rows-only dedup/ANN queries, re-verified now that they emit invariant
-# contracts with real oracles; (b') the 7 round-4 additions; (c) the 14
+# contracts with real oracles; (b') the 8 round-4 additions; (c) the 13
 # stalest r01/r02-era core names (registry order) as re-verification
-# backfill — 23+6+7+14 = 50. The 36 remaining r02-era names rotate in
+# backfill — 23+6+8+13 = 50. The 37 remaining r02-era names rotate in
 # next round.
 #
-# ROUND-5 ROTATION PLAN: window = the 36 r02-era names not covered here
-# (parser_ltsv_roundtrip, parser_regex_access_log, parser_json_props,
+# ROUND-5 ROTATION PLAN: window = the 37 r02-era names not covered here
+# (parser_logfmt_roundtrip, parser_ltsv_roundtrip, parser_regex_access_log, parser_json_props,
 # parser_syslog_preset, type_converter_casts, throttle_rate,
 # throttle_size_budget, rewrite_tag_rules,
 # log_to_metrics_counter/gauge/histogram/summary, cumulative_to_delta,
@@ -2615,12 +2646,13 @@ _DRIVER_WINDOW = [
     # (b') round-4 additions — never checked, take precedence over backfill
     "gopher_quality", "url_canonicalize", "domain_cap", "lm_quality",
     "fuzzy_decontaminate", "prom_pages_roundtrip", "similarity_pq_join",
+    "bpe_roundtrip",
     # (c) stalest core backfill (last driver rows: round 2)
     "q1_pricing_summary", "sp_projection", "sp_where_coercion",
     "sp_tag_routing", "sp_window_tumbling", "sp_window_hopping",
     "sp_forecast", "sp_snapshot_last", "sp_create_stream_chain",
     "grep_filter", "modify_rules", "nest_lift_roundtrip",
-    "record_modifier_allowlist", "parser_logfmt_roundtrip",
+    "record_modifier_allowlist",
 ]
 
 
@@ -2700,6 +2732,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": domain_cap_q,
         "lm_quality": lm_quality_q,
         "fuzzy_decontaminate": fuzzy_decontaminate_q,
+        "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
         "doc_fingerprint": doc_fingerprint_q,
@@ -3283,6 +3316,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_pq_join": (
             "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
             "TRUE AS recall_ok FROM (VALUES (0), (1), (2)) t(query_id)"
+        ),
+        "bpe_roundtrip": (
+            "SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS tokens_bounded "
+            "FROM documents"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "pii_redaction": (

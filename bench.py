@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "lm_quality",
     "fuzzy_decontaminate",
+    "bpe_roundtrip",
     "pipeline_e2e",
 ]
 

@@ -1,0 +1,139 @@
+"""Byte-pair-encoding tokenizer — trained and applied without any
+tokenizer library (Sennrich et al. 2016, the published BPE algorithm).
+
+Why it's here: token COUNTS drive every real training-data decision
+(packing, pricing, mixture weights), and the regex proxy in text.py only
+approximates them. This is the real algorithm: train merge ranks on a
+bounded deterministic sample, apply them distributed.
+
+Scale shape (same policy as pq_train / kmeans_centroids): training runs
+driver-side on a word-FREQUENCY table built from a deterministic sample
+(smallest xxhash64(id) rows) — model-sized state, the published BPE
+training regime; encoding is one Arrow-batched pass with a per-batch
+word cache (corpus word distributions are Zipfian, so the cache hit rate
+is extreme), no shuffle.
+
+Tokens are word-internal character merges with a word-end marker, so
+decode(encode(x)) == x exactly for any normalized text — the lossless
+roundtrip is the oracle gate's invariant (for any text free of the
+ASCII record-separator marker character).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.extensions.dedup import normalize_text
+
+# word-end marker: the ASCII record-separator control char — normalization
+# never produces it and real text never contains it; a pathological doc
+# that does would fail the roundtrip gate LOUDLY rather than silently
+_END = "\x1e"
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 200,
+    sample: int = 1024,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merge rules from a deterministic sample.
+
+    Classic frequency-table BPE: words (with their corpus counts) start
+    as character sequences + end marker; each step merges the most
+    frequent adjacent pair (ties broken lexicographically so the model
+    is run-order independent). Returns the ordered merge list — the
+    entire model, a few KB."""
+    rows = (
+        df.select(id_col, text_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample)
+        .collect()
+    )
+    freq: Counter = Counter()
+    for r in rows:
+        text = (r[text_col] or "").lower().split()
+        freq.update(text)
+    words = {w: list(w) + [_END] for w in freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            c = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [_END]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — merges applied in rank
+    order per word, one Arrow batch pass, per-batch word cache."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, ranks)
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col), enc(norm).alias("tokens")
+    ).withColumn("n_tokens", F.size("tokens"))
+
+
+def bpe_decode(tokens: Column) -> Column:
+    """Tokens -> normalized text: concatenate, turn end markers back into
+    single spaces, trim the trailing one. Pure Catalyst — the lossless
+    inverse of bpe_encode for any normalize_text output."""
+    return F.rtrim(
+        F.regexp_replace(F.array_join(tokens, ""), _END, " ")
+    )

@@ -865,3 +865,54 @@ def test_fuzzy_decontaminate_catches_paraphrases(spark):
     assert sorted(
         r.doc_id for r in exact.filter(~F.col("contaminated")).collect()
     ) == [3]
+
+
+def test_bpe_train_encode_decode(spark):
+    """Library-free BPE: merges learn the frequent pairs, encoding
+    compresses repeated words into single tokens, decode reconstructs the
+    normalized text exactly, and counts respect structural bounds."""
+    from fluent_bit_spark.extensions.bpe import (
+        bpe_decode, bpe_encode, bpe_train, _encode_word,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the theme thesis then " * 5) for i in range(8)]
+        + [(100, "zq xv")],  # rare words stay character-level
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, num_merges=40, sample=100)
+    assert ("t", "h") in [tuple(m) for m in merges]  # most frequent pair
+    enc = bpe_encode(docs, merges)
+    rows = {r.doc_id: r for r in enc.collect()}
+    # 20 words of 'the...' family; heavy merging -> near one token per word
+    assert rows[0].n_tokens <= 2 * 20
+    # with NO merges every word is chars + end marker (the structural max)
+    base = {r.doc_id: r.n_tokens
+            for r in bpe_encode(docs, []).collect()}
+    assert base[100] == 6 and rows[100].n_tokens <= base[100]
+    dec = enc.join(docs, "doc_id").select(
+        "doc_id", (bpe_decode(F.col("tokens"))).alias("rt"), "text"
+    )
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    chk = dec.select(
+        (F.col("rt") == normalize_text(F.col("text"))).alias("ok")
+    ).collect()
+    assert all(r.ok for r in chk)
+    # apply loop is deterministic and leftmost-lowest-rank
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert _encode_word("the", ranks) == _encode_word("the", ranks)
+
+
+def test_bpe_more_merges_never_increase_tokens(spark):
+    from fluent_bit_spark.extensions.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "pack my box with five dozen liquor jugs " * 3) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    small = bpe_train(docs, num_merges=10, sample=50)
+    big = bpe_train(docs, num_merges=60, sample=50)
+    assert small == big[:len(small)]     # merge list grows monotonically
+    n_small = bpe_encode(docs, small).agg(F.sum("n_tokens")).collect()[0][0]
+    n_big = bpe_encode(docs, big).agg(F.sum("n_tokens")).collect()[0][0]
+    assert n_big <= n_small
