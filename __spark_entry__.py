@@ -1189,6 +1189,19 @@ def lm_quality_q(spark, sf_dir):
     )
 
 
+def dsir_select_q(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bag models over target (doc_id%7==0) vs raw, per-doc mean gram
+    log-ratio, deterministic-Gumbel top-k sample. The md5 bucket hash and
+    the Knuth-hash Gumbel make the selected SET a pure function of the
+    data — the DuckDB oracle replays the whole pipeline hash-exact."""
+    from fluent_bit_spark.extensions.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return dsir_select(docs, target, k=50, buckets=1024)
+
+
 def bpe_roundtrip_q(spark, sf_dir):
     """Real BPE tokenization (Sennrich et al. 2016, library-free):
     merge ranks trained on the deterministic sample, applied Arrow-batched
@@ -2732,6 +2745,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": domain_cap_q,
         "lm_quality": lm_quality_q,
         "fuzzy_decontaminate": fuzzy_decontaminate_q,
+        "dsir_select": dsir_select_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3302,6 +3316,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.word <> '') "
             "SELECT doc_id, ROUND(AVG(lp), 6) AS avg_logp, COUNT(*) AS n_tokens "
             "FROM sc GROUP BY doc_id"
+        ),
+        "dsir_select": (
+            # full replay of the DSIR pipeline: hashed unigram+bigram bag
+            # models (md5-prefix buckets, add-one smoothing), per-doc mean
+            # gram log-ratio, deterministic-Gumbel top-50.
+            f"WITH dw AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents), "
+            "uni AS (SELECT doc_id, unnest(ws) AS g FROM dw), "
+            "bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g "
+            "FROM dw CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) t), "
+            "grams AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket "
+            "FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) WHERE g <> ''), "
+            "tcnt AS (SELECT bucket, COUNT(*) AS ct FROM grams WHERE doc_id % 7 = 0 GROUP BY bucket), "
+            "rcnt AS (SELECT bucket, COUNT(*) AS cr FROM grams GROUP BY bucket), "
+            "tots AS (SELECT (SELECT CAST(coalesce(SUM(ct), 0) + 1024 AS DOUBLE) FROM tcnt) AS dt, "
+            "(SELECT CAST(SUM(cr) + 1024 AS DOUBLE) FROM rcnt) AS dr), "
+            "model AS (SELECT r.bucket, "
+            "ln((coalesce(t.ct, 0) + 1) / tots.dt) - ln((r.cr + 1) / tots.dr) AS logratio "
+            "FROM rcnt r LEFT JOIN tcnt t USING (bucket) CROSS JOIN tots), "
+            "docw AS (SELECT g.doc_id, SUM(m.logratio) / COUNT(*) AS base "
+            "FROM grams g JOIN model m USING (bucket) GROUP BY g.doc_id), "
+            "scored AS (SELECT doc_id, ROUND(base + "
+            "-ln(-ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)), 6) AS score "
+            "FROM docw) "
+            "SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank "
+            "FROM scored ORDER BY score DESC, doc_id LIMIT 50"
         ),
         "fuzzy_decontaminate": (
             "WITH corpus AS (SELECT doc_id FROM documents UNION ALL "

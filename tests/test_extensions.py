@@ -916,3 +916,50 @@ def test_bpe_more_merges_never_increase_tokens(spark):
     n_small = bpe_encode(docs, small).agg(F.sum("n_tokens")).collect()[0][0]
     n_big = bpe_encode(docs, big).agg(F.sum("n_tokens")).collect()[0][0]
     assert n_big <= n_small
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs whose hashed-n-gram profile matches the target corpus score a
+    higher importance weight than off-distribution docs; the weight table
+    covers exactly the docs with >= 1 gram."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.dsir import dsir_select, dsir_weights
+
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "the quick red fox runs past the sleeping dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox naps beside the lazy dog"),  # target-like
+            (2, "jetzt kommen ganz andere worte ohne jede nähe"),  # off-dist
+            (3, "   "),                                            # no grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in dsir_weights(docs, target, buckets=256).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].logw / got[1].n_grams > got[2].logw / got[2].n_grams
+    # unigrams + bigrams of a 9-word doc: 9 + 8
+    assert got[1].n_grams == 17
+
+    sel = dsir_select(docs, target, k=1, buckets=256, gumbel=False)
+    assert [r.doc_id for r in sel.collect()] == [1]
+
+
+def test_dsir_select_deterministic_and_ranked(spark):
+    """Gumbel top-k is a pure function of the data: two runs pick the
+    identical set in the identical order, ranks are 1..k."""
+    from fluent_bit_spark.extensions.dsir import dsir_select
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    a = dsir_select(docs, target, k=10).collect()
+    b = dsir_select(docs, target, k=10).collect()
+    assert a == b
+    assert [r.rank for r in a] == list(range(1, 11))
+    scores = [r.score for r in a]
+    assert scores == sorted(scores, reverse=True)
