@@ -938,6 +938,40 @@ def embedding_dedup_q(spark, sf_dir):
     )
 
 
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (k-means + within-cluster cosine prune), SOUNDNESS-gated
+    like embedding_dedup: the cluster layout is engine-internal, but a
+    vec may only be dropped if ANOTHER vec with exact cosine >= eps
+    exists (brute-force witness recomputation over dropped x all,
+    independent of the clustered path); the oracle is the truth table."""
+    from fluent_bit_spark.extensions.dedup import semantic_dedup
+    from fluent_bit_spark.extensions.similarity import cosine
+
+    eps = 0.999
+    allv = _emb_with_copies(spark, sf_dir)
+    kept = semantic_dedup(allv, n_clusters=8, eps=eps).select("vec_id")
+    dropped = allv.select("vec_id").join(kept, "vec_id", "left_anti")
+    d = allv.join(F.broadcast(dropped), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("id_d"), F.col("embedding").alias("v_d")
+    )
+    o = allv.select(F.col("vec_id").alias("id_o"), F.col("embedding").alias("v_o"))
+    witness = (
+        o.join(F.broadcast(d), F.col("id_o") != F.col("id_d"))
+        .filter(cosine(F.col("v_d"), F.col("v_o")) >= eps)
+        .select(F.col("id_d").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        allv.select("vec_id")
+        .join(kept.withColumn("__k", F.lit(True)), "vec_id", "left")
+        .join(witness.withColumn("__w", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            (F.coalesce("__k", F.lit(False)) | F.coalesce("__w", F.lit(False))).alias("sound"),
+        )
+    )
+
+
 def similarity_topk_q(spark, sf_dir):
     from fluent_bit_spark.extensions.similarity import cosine_topk
 
@@ -2734,6 +2768,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash_q,
         "dedup_jaccard_pairs": dedup_jaccard_pairs_q,
         "embedding_dedup": embedding_dedup_q,
+        "semantic_dedup": semantic_dedup_q,
         "similarity_topk": similarity_topk_q,
         "similarity_lsh_ann": similarity_lsh_ann_q,
         "similarity_ivf_ann": similarity_ivf_ann_q,
@@ -3196,6 +3231,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, TRUE AS exact FROM all_docs"
         ),
         "embedding_dedup": (
+            "WITH allv AS (SELECT vec_id FROM embeddings UNION ALL "
+            "SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 25 = 0) "
+            "SELECT vec_id, TRUE AS sound FROM allv"
+        ),
+        "semantic_dedup": (
             "WITH allv AS (SELECT vec_id FROM embeddings UNION ALL "
             "SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 25 = 0) "
             "SELECT vec_id, TRUE AS sound FROM allv"

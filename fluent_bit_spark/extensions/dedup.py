@@ -421,3 +421,71 @@ def embedding_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.95,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal via k-means clustering + within-cluster cosine pruning.
+
+    Each vector joins its nearest centroid's cluster; within a cluster,
+    vectors are ordered by (cosine-to-centroid ASC, id) — the paper keeps
+    the LOW centroid-similarity member of a duplicate group, preserving
+    cluster-edge diversity — and a vector is dropped when any
+    earlier-ordered clustermate has cosine >= eps to it (the paper's
+    triangular-max scan, expressed as one self-join instead of a loop).
+
+    Scale shape: the centroid table is the only driver state (k x dim —
+    model-sized); assignment is a broadcast join; the pair space is
+    within-cluster only, so the self-join shuffles on the cluster id and
+    costs sum(m_c^2) instead of N^2 — pick n_clusters ~ N/target_cluster
+    size exactly as the paper does (they run k ~ 10^4-10^5 at web scale).
+    Unbalanced clusters are AQE skew-join territory; the deterministic
+    k-means init keeps the layout reproducible run-to-run.
+
+    Returns the KEPT rows of ``emb`` (same schema).
+    """
+    from fluent_bit_spark.extensions.similarity import cosine, kmeans_centroids
+
+    cents = kmeans_centroids(emb, n_clusters, iters, id_col, vec_col)
+    spark = emb.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            ["cid", "cvec"],
+        )
+    )
+    from pyspark.sql import Window
+
+    assigned = (
+        emb.crossJoin(cdf)
+        .select(
+            id_col, vec_col, "cid",
+            cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    earlier = (F.col("l.ccos") < F.col("r.ccos")) | (
+        (F.col("l.ccos") == F.col("r.ccos")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    dropped = (
+        l.join(r, (F.col("l.cid") == F.col("r.cid")) & earlier)
+        .filter(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) >= eps)
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dropped, id_col, "left_anti")

@@ -963,3 +963,43 @@ def test_dsir_select_deterministic_and_ranked(spark):
     assert [r.rank for r in a] == list(range(1, 11))
     scores = [r.score for r in a]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_semantic_dedup_prunes_within_cluster_copies(spark):
+    """Near-identical vectors collapse to one representative; distinct
+    directions all survive. Soundness: every dropped vec has a surviving
+    partner with cosine >= eps."""
+    from fluent_bit_spark.extensions.dedup import semantic_dedup
+    from fluent_bit_spark.extensions.similarity import cosine
+    from pyspark.sql import functions as F
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    rows = [
+        (1, v(1, 0, 0, 0)), (2, v(0.999, 0.01, 0, 0)),   # dup pair A
+        (3, v(0, 1, 0, 0)), (4, v(0.01, 0.999, 0, 0)),   # dup pair B
+        (5, v(0, 0, 1, 0)),                               # singleton
+        (6, v(0, 0, 0, 1)), (7, v(0, 0, 0.01, 0.999)),   # dup pair C
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = semantic_dedup(emb, n_clusters=3, eps=0.99, iters=2)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert 5 in kept_ids
+    # exactly one of each dup pair survives
+    for pair in [{1, 2}, {3, 4}, {6, 7}]:
+        assert len(kept_ids & pair) == 1
+    # soundness: each dropped vec has a kept partner with cos >= eps
+    dropped = emb.join(kept.select("vec_id"), "vec_id", "left_anti")
+    d = dropped.select(F.col("vec_id").alias("id_d"), F.col("embedding").alias("vd"))
+    k = kept.select(F.col("vec_id").alias("id_k"), F.col("embedding").alias("vk"))
+    uncovered = (
+        d.join(k, F.col("id_d") != F.col("id_k"))
+        .filter(cosine(F.col("vd"), F.col("vk")) >= 0.99)
+        .select("id_d").distinct()
+    )
+    assert uncovered.count() == dropped.count()
+    # determinism: same layout on a second run
+    kept2 = {r.vec_id for r in semantic_dedup(emb, n_clusters=3, eps=0.99, iters=2)
+             .select("vec_id").collect()}
+    assert kept2 == kept_ids
