@@ -1227,7 +1227,7 @@ def dsir_select_q(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bag models over target (doc_id%7==0) vs raw, per-doc mean gram
     log-ratio, deterministic-Gumbel top-k sample. The md5 bucket hash and
-    the Knuth-hash Gumbel make the selected SET a pure function of the
+    the md5-prefix Gumbel make the selected SET a pure function of the
     data — the DuckDB oracle replays the whole pipeline hash-exact."""
     from fluent_bit_spark.extensions.dsir import dsir_select
 
@@ -3377,7 +3377,8 @@ def oracle_sql() -> dict[str, str]:
             "docw AS (SELECT g.doc_id, SUM(m.logratio) / COUNT(*) AS base "
             "FROM grams g JOIN model m USING (bucket) GROUP BY g.doc_id), "
             "scored AS (SELECT doc_id, ROUND(base + "
-            "-ln(-ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)), 6) AS score "
+            "-ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)"
+            " / 4294967296.0))), 6) AS score "
             "FROM docw) "
             "SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 50"

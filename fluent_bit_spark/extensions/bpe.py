@@ -21,6 +21,7 @@ ASCII record-separator marker character).
 
 from __future__ import annotations
 
+import json
 from collections import Counter
 
 import pandas as pd
@@ -33,6 +34,11 @@ from fluent_bit_spark.extensions.dedup import normalize_text
 # never produces it and real text never contains it; a pathological doc
 # that does would fail the roundtrip gate LOUDLY rather than silently
 _END = "\x1e"
+
+# training collects the sample to the driver (the published BPE regime —
+# model-sized state); same refuse-threshold policy as pq_topk so a caller
+# can't accidentally driver-collect a corpus
+_MAX_TRAIN_SAMPLE = 100_000
 
 
 def bpe_train(
@@ -49,6 +55,12 @@ def bpe_train(
     frequent adjacent pair (ties broken lexicographically so the model
     is run-order independent). Returns the ordered merge list — the
     entire model, a few KB."""
+    if sample > _MAX_TRAIN_SAMPLE:
+        raise ValueError(
+            f"sample={sample} exceeds the driver-collect bound "
+            f"{_MAX_TRAIN_SAMPLE}; BPE training state is meant to be "
+            "model-sized — train on a bounded sample"
+        )
     rows = (
         df.select(id_col, text_col, F.xxhash64(F.col(id_col)).alias("__h"))
         .orderBy("__h")
@@ -84,6 +96,27 @@ def bpe_train(
                     i += 1
             words[w] = out
     return merges
+
+
+def bpe_save(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge list as JSON (the whole model) so tokenization is
+    reusable across jobs — the same checkpointing role as the .npz MLP
+    weights in extensions/inference.py."""
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"version": 1, "merges": [list(m) for m in merges]}, f)
+
+
+def bpe_load(path: str) -> list[tuple[str, str]]:
+    """Inverse of bpe_save; validates shape so a truncated or foreign file
+    fails loudly instead of producing a silently different tokenization."""
+    with open(path, encoding="utf-8") as f:
+        model = json.load(f)
+    merges = model.get("merges")
+    if not isinstance(merges, list) or any(
+        not (isinstance(m, list) and len(m) == 2) for m in merges
+    ):
+        raise ValueError(f"{path} is not a BPE merge model")
+    return [tuple(m) for m in merges]
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

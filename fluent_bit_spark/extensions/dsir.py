@@ -162,8 +162,11 @@ def dsir_select(
     largest logw/temperature + Gumbel(doc) key — i.e. sample without
     replacement proportional to w^(1/temperature) (Vieira 2014 Gumbel
     top-k trick), with the Gumbel noise a deterministic function of the
-    doc id:  u = ((id * 2654435761) mod 2^32 + 0.5) / 2^32,
-    g = -ln(-ln(u)).  gumbel=False degrades to plain top-k by weight.
+    doc id's md5 prefix (sign-safe and type-agnostic — string doc ids
+    and ids beyond 2^32 hash the same way as small ints, with no NULL
+    or overflow path):
+    u = (int(md5(str(id))[:8], 16) + 0.5) / 2^32,  g = -ln(-ln(u)).
+    gumbel=False degrades to plain top-k by weight.
 
     ``length_normalize`` scores by mean (not summed) gram log-ratio so
     long documents don't dominate purely by token count — the summed
@@ -175,23 +178,32 @@ def dsir_select(
 
     Returns (id_col, score, rank), rank 1..k.
     """
+    if k is None:
+        # a rank over the full corpus would funnel everything through one
+        # task — use dsir_weights directly for unranked scoring.
+        raise ValueError(
+            "k must be an int; for unranked per-doc scores use dsir_weights()"
+        )
     w = dsir_weights(raw, target, text_col, id_col, buckets, ns)
     base = (F.col("logw") / F.col("n_grams")) if length_normalize else F.col("logw")
     score = base / F.lit(float(temperature))
     if gumbel:
+        # md5-prefix uniform: same cross-engine trick as _bucket — works
+        # for string ids, never NULL, never overflows (8 hex chars < 2^32).
         u = (
-            (F.col(id_col).cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
             + F.lit(0.5)
         ) / F.lit(4294967296.0)
         score = score + -F.log(-F.log(u))
     from pyspark.sql import Window
 
     scored = w.select(id_col, F.round(score, 6).alias("score"))
-    if k is not None:
-        # sort+limit compiles to TakeOrderedAndProject — per-partition
-        # partial top-k, no single-partition global sort; the rank window
-        # then runs over only k rows.
-        scored = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
+    # sort+limit compiles to TakeOrderedAndProject — per-partition
+    # partial top-k, no single-partition global sort; the rank window
+    # then runs over only k rows.
+    scored = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
     return scored.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),

@@ -132,6 +132,7 @@ def cap_per_key(
     order_cols: list[str],
     n: int,
     salt: int = 1,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keep at most ``n`` rows per key, chosen by ascending ``order_cols``
     — the Common-Crawl "cap documents per domain" stage (and any other
@@ -150,6 +151,10 @@ def cap_per_key(
     n rows per (key, hash-salt) slice, spreading a hot key across
     ``salt`` tasks and bounding phase 2's input at salt*n rows per key
     (global top-n is always contained in the union of slice top-ns).
+    ``salt_cols`` names the columns the salt hashes (default: every
+    hashable column — map-typed columns are skipped since xxhash64
+    rejects them, and hashing huge payload columns is wasted work when a
+    unique id column is available to name here).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -168,13 +173,26 @@ def cap_per_key(
         pre = Window.partitionBy(
             *key_cols, "__salt"
         ).orderBy(*[F.col(c) for c in order_cols])
-        # salt hashes ALL columns, not just order_cols: a low-cardinality
-        # order column (5 quality bands) would collapse a hot key into at
-        # most 5 slices — exactly the skew case the salt exists for
+        # salt hashes beyond order_cols alone: a low-cardinality order
+        # column (5 quality bands) would collapse a hot key into at most
+        # 5 slices — exactly the skew case the salt exists for. Default
+        # to every hashable column; xxhash64 rejects map types.
+        if salt_cols is None:
+            from pyspark.sql.types import MapType
+
+            salt_cols = [
+                f.name
+                for f in over.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
+            if not salt_cols:
+                raise ValueError(
+                    "no hashable columns for salting; pass salt_cols"
+                )
         over = (
             over.withColumn(
                 "__salt",
-                F.pmod(F.xxhash64(*[F.col(c) for c in over.columns]), F.lit(salt)),
+                F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)),
             )
             .withColumn("__prn", F.row_number().over(pre))
             .filter(F.col("__prn") <= n)

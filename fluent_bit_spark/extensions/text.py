@@ -120,11 +120,12 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_frac = (
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nw1
     )
-    stop_hits = F.lit(0)
-    for s in _GOPHER_STOPWORDS:
-        stop_hits = stop_hits + F.when(
-            F.lower(t).rlike(rf"\b{s}\b"), 1
-        ).otherwise(0)
+    # one combined regex pass; array_distinct keeps the rule's semantics
+    # (count of DISTINCT stopwords present, not total occurrences)
+    stop_re = r"\b(" + "|".join(_GOPHER_STOPWORDS) + r")\b"
+    stop_hits = F.size(
+        F.array_distinct(F.regexp_extract_all(F.lower(t), F.lit(stop_re), 1))
+    )
     rules = {
         "r_word_count": (n_words >= 50) & (n_words <= 100_000),
         "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
@@ -134,6 +135,15 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         "r_alpha_words": alpha_frac >= 0.8,
         "r_stopwords": stop_hits >= 2,
     }
+    out_names = {"g_words", "keep", *rules}
+    clash = out_names & set(df.columns)
+    if clash:
+        # a silent duplicate 'keep' column makes downstream F.col('keep')
+        # ambiguous far from the cause — fail here instead
+        raise ValueError(
+            f"input columns collide with gopher_quality outputs: {sorted(clash)}; "
+            "rename or drop them first"
+        )
     keep = F.lit(True)
     for c in rules.values():
         keep = keep & c

@@ -29,6 +29,7 @@ def write_dataset(
     fmt: str = "parquet",
     mode: str = "overwrite",
     compression: str | None = None,
+    spread_factor: int = 4,
 ) -> None:
     """Write ``df`` as a pruned-layout dataset.
 
@@ -44,6 +45,11 @@ def write_dataset(
       evenly-sized tasks (``approx_rows`` defaults to a cheap count), and
       ``maxRecordsPerFile`` caps stragglers a skewed partition column
       would otherwise produce.
+    - ``spread_factor``: with ``partition_by``, bounds how many tasks a
+      single partition value may land in (so file count scales
+      ~spread_factor x n_partition_values, not parts x n_values — the
+      unbounded spread was a small-files regression for many-valued
+      partition columns like daily dates).
     """
     writer_df = df
     if target_rows_per_file:
@@ -57,7 +63,8 @@ def write_dataset(
             # Keyed on the sort columns when given (deterministic, and
             # pre-clusters the in-file sort) else on all columns.
             spread_src = [F.col(c) for c in (sort_by or df.columns)]
-            spread = F.pmod(F.xxhash64(*spread_src), F.lit(parts)).cast("int")
+            n_spread = max(1, min(parts, int(spread_factor)))
+            spread = F.pmod(F.xxhash64(*spread_src), F.lit(n_spread)).cast("int")
             writer_df = df.repartition(parts, *partition_by, spread)
         else:
             writer_df = df.repartition(parts)

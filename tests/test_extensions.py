@@ -1003,3 +1003,101 @@ def test_semantic_dedup_prunes_within_cluster_copies(spark):
     kept2 = {r.vec_id for r in semantic_dedup(emb, n_clusters=3, eps=0.99, iters=2)
              .select("vec_id").collect()}
     assert kept2 == kept_ids
+
+
+def test_bpe_train_guard_and_model_persistence(spark, tmp_path):
+    """sample beyond the driver-collect bound refuses (pq_topk policy);
+    a saved model reloads byte-identical and encodes identically."""
+    import pytest
+
+    from fluent_bit_spark.extensions.bpe import (
+        bpe_encode, bpe_load, bpe_save, bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "she sells sea shells by the sea shore " * 2) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="driver-collect bound"):
+        bpe_train(docs, sample=10_000_000)
+
+    merges = bpe_train(docs, num_merges=30, sample=50)
+    path = str(tmp_path / "bpe.json")
+    bpe_save(merges, path)
+    assert bpe_load(path) == merges
+    a = {r.doc_id: r.tokens for r in bpe_encode(docs, merges).collect()}
+    b = {r.doc_id: r.tokens for r in bpe_encode(docs, bpe_load(path)).collect()}
+    assert a == b
+    # truncated / foreign file fails loudly
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"merges": "oops"}')
+    with pytest.raises(ValueError, match="not a BPE merge model"):
+        bpe_load(str(bad))
+
+
+def test_dsir_select_string_ids_and_k_required(spark):
+    """String doc ids get real (non-NULL) Gumbel scores — the md5-prefix
+    hash is type-agnostic; huge int ids don't overflow; k=None refuses."""
+    import pytest
+
+    from fluent_bit_spark.extensions.dsir import dsir_select
+
+    target = spark.createDataFrame(
+        [("t1", "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox naps beside the lazy dog"),
+         ("b", "the slow brown fox walks around the lazy dog"),
+         ("c", "voellig andere worte ohne jede aehnlichkeit hier")],
+        ["doc_id", "text"],
+    )
+    sel = dsir_select(docs, target, k=3, buckets=128).collect()
+    assert len(sel) == 3 and all(r.score is not None for r in sel)
+    assert [r.rank for r in sel] == [1, 2, 3]
+
+    huge = spark.createDataFrame(
+        [(2**62 + 11, "the quick brown fox naps beside the lazy dog"),
+         (2**62 + 12, "unrelated words entirely different from anything")],
+        ["doc_id", "text"],
+    )
+    sel2 = dsir_select(huge, target, k=2, buckets=128).collect()
+    assert all(r.score is not None for r in sel2)
+
+    with pytest.raises(ValueError, match="k must be an int"):
+        dsir_select(docs, target, k=None)
+
+
+def test_cap_per_key_salt_skips_map_columns(spark):
+    """The salted path must survive frames carrying map-typed columns
+    (telemetry label maps): xxhash64 rejects maps, so salting hashes only
+    hashable columns by default and honors explicit salt_cols."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.mixing import cap_per_key
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("domain"),
+        F.col("id").alias("doc_id"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("labels"),
+    )
+    out = cap_per_key(df, ["domain"], ["doc_id"], 10, salt=4)
+    counts = {r.domain: r.c for r in
+              out.groupBy("domain").agg(F.count("*").alias("c")).collect()}
+    assert all(c == 10 for c in counts.values())
+    # explicit salt_cols works too and yields the same quota
+    out2 = cap_per_key(df, ["domain"], ["doc_id"], 10, salt=4,
+                       salt_cols=["doc_id"])
+    assert out2.count() == 30
+
+
+def test_gopher_quality_output_collision_raises(spark):
+    import pytest
+
+    from fluent_bit_spark.extensions.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(1, "some text", True)], ["doc_id", "text", "keep"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        gopher_quality(df)
