@@ -135,6 +135,39 @@ def sp_where_coercion(spark, sf_dir):
     return ctx.sql("SELECT event_id FROM STREAM:ev WHERE k > 50;")
 
 
+def sp_projection_variant(spark, sf_dir):
+    """Variant-body SELECT through the SP compiler's try_variant_get path
+    (accessor.py:113-128, sp/compiler.py variant arms): the stream body is
+    a parse_json VariantType holding scalars plus a nested map; the SP
+    query projects top-level variant keys and a nested subkey with aliases
+    and applies the numeric coercion grid on a variant leaf in WHERE.
+    Variant outputs are cast to concrete types after the SP query (a
+    presentation concern) so the DuckDB oracle replays from the source
+    columns the JSON body was built from."""
+    ev = _events(spark, sf_dir)
+    body = F.parse_json(F.to_json(F.struct(
+        F.col("event_type").alias("etype"),
+        F.col("user_id").alias("uid"),
+        F.struct(F.col("value").alias("v")).alias("meta"),
+    )))
+    src = ev.select(
+        "event_id", F.lit("events").alias(TAG_COL), F.col("ts").alias(TS_COL),
+        body.alias("body"),
+    )
+    ctx = SPContext()
+    ctx.register_stream("ev", src)
+    out = ctx.sql(
+        "SELECT event_id, etype, uid, meta['v'] AS v "
+        "FROM STREAM:ev WHERE uid >= 100;"
+    )
+    return out.select(
+        "event_id",
+        F.col("etype").try_cast("string").alias("etype"),
+        F.col("uid").try_cast("long").alias("uid"),
+        F.round(F.col("v").try_cast("double"), 6).alias("v"),
+    )
+
+
 def sp_tag_routing(spark, sf_dir):
     ctx = _sp_events_ctx(spark, sf_dir)
     return ctx.sql("SELECT event_id, user_id FROM TAG:'events.err*' WHERE value >= 10;")
@@ -1673,28 +1706,133 @@ def loki_push_shape(spark, sf_dir):
     )
 
 
+def _naive_vr_sweep(dist, min_persist):
+    """Independent witness for the quantile sweep: ONE boundary matrix over
+    the full interleaved filtration (vertices, edges, triangles in diameter
+    order) — the textbook ELZ reduction, a separate code path from
+    extensions/tda.py's per-dimension reduction — then the tda.c:948-995
+    best-quantile selection replayed over its bars. Returns
+    (betti0, betti1, best_q)."""
+    import itertools
+
+    import numpy as np
+
+    from fluent_bit_spark.extensions.tda import Q_CANDIDATES, _quantile_threshold
+
+    n = dist.shape[0]
+    iu, ju = np.triu_indices(n, 1)
+    tri = dist[iu, ju]
+    thrs = [_quantile_threshold(tri, q) for q in Q_CANDIDATES]
+    threshold = max(thrs)
+
+    simp = [(0.0, (v,)) for v in range(n)]
+    for i, j in itertools.combinations(range(n), 2):
+        if dist[i, j] <= threshold:
+            simp.append((float(dist[i, j]), (i, j)))
+    for c in itertools.combinations(range(n), 3):
+        d = max(dist[a][b] for a, b in itertools.combinations(c, 2))
+        if d <= threshold:
+            simp.append((float(d), c))
+    simp.sort(key=lambda s: (s[0], len(s[1]), s[1]))
+    index = {s: k for k, (_, s) in enumerate(simp)}
+    diam = [d for d, _ in simp]
+    bars = {0: [], 1: []}
+    pivot_owner = {}
+    for k, (_, s) in enumerate(simp):
+        col = 0
+        if len(s) > 1:
+            for f in itertools.combinations(s, len(s) - 1):
+                col |= 1 << index[f]
+        while col:
+            low = col.bit_length() - 1
+            if low not in pivot_owner:
+                pivot_owner[low] = col
+                birth, death = diam[low], diam[k]
+                if death > birth:
+                    bars[len(simp[low][1]) - 1].append((birth, death))
+                break
+            col ^= pivot_owner[low]
+
+    best_b0 = best_b1 = 0
+    best_q = 0.0
+    for q, thr in zip(Q_CANDIDATES, thrs):
+        b0, b1 = (
+            sum(1 for b, d in bars[dim] if d <= thr and d - b >= min_persist)
+            for dim in (0, 1)
+        )
+        if b1 > best_b1:
+            best_b1, best_b0, best_q = b1, b0, q
+        elif best_b1 == 0 and b0 > best_b0:
+            best_b0, best_q = b0, q
+    return best_b0, best_b1, best_q
+
+
 def tda_betti_windows(spark, sf_dir):
     """processor_tda parity (plugins/processor_tda/tda.c:767-1182 +
-    src/ripser/flb_ripser_wrapper.cpp): per event_type series, 32-sample
-    windows of `value` are delay-embedded (m=2, tau=4), and the exact
-    Vietoris-Rips finite-bar counts (Betti 0/1) are emitted per window with
-    the quantile-sweep threshold selection. Persistent homology is not
-    SQL-expressible, so this query takes the documented rows-only check;
-    the GF(2) reduction itself is verified in tests/test_tda.py against an
-    independent full-boundary-matrix oracle."""
-    from fluent_bit_spark.extensions.tda import tda_betti
+    src/ripser/flb_ripser_wrapper.cpp): per event_type series, full
+    32-sample windows of `value` are delay-embedded (m=2, tau=4) and run
+    through the exact Vietoris-Rips reduction. Invariant-contract form
+    (the technique that made the dedup/ANN rows hash-green):
+
+    - event_type/window_id/n_raw/n_embed are structural — the oracle
+      replays the row_number windowing from the raw table;
+    - b0_q90 is Betti-0 at the FIXED 0.90-quantile threshold, which IS
+      SQL-expressible: finite H0 bars are single-linkage merges, so the
+      count in [1e-3, thr] equals C(<1e-3) - C(<=thr) where C() is the
+      component count of the distance-threshold graph — the DuckDB oracle
+      rebuilds the embedding, the C-rule quantile (idx round(0.9*377)=339
+      on the 378 off-diagonal distances), and the components via a
+      recursive-CTE transitive closure;
+    - sweep_indep_ok replays the full 9-quantile sweep against an
+      INDEPENDENT single-matrix ELZ reduction (_naive_vr_sweep) and
+      compares (betti0, betti1, best_q) — the oracle is the literal truth
+      table, so a single disagreeing window hash-fails the row."""
+    import numpy as np
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.tda import MIN_PERSIST, tda_window_betti
 
     ev = _events(spark, sf_dir)
-    out = tda_betti(
-        ev, ["value"], series_col="event_type", ts_col="ts",
-        window_size=32, embed_dim=2, embed_delay=4, tiebreak=["event_id"],
+    seq = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ) - 1
+    win = ev.select("event_type", "ts", "event_id", "value").withColumn(
+        "__win", (seq / 32).cast("long")
     )
-    return out.select(
-        "event_type", "window_id", "n_raw", "n_embed",
-        "betti0", "betti1", "betti2",
-        F.round("best_q", 6).alias("best_q"),
-        F.round("threshold", 6).alias("threshold"),
-    ).orderBy("event_type", "window_id")
+    cols = ["event_type", "window_id", "n_raw", "n_embed", "b0_q90",
+            "sweep_indep_ok"]
+    schema = ("event_type string, window_id long, n_raw int, n_embed int, "
+              "b0_q90 int, sweep_indep_ok boolean")
+
+    def run(key, pdf):
+        if len(pdf) < 32:  # partial tail window: not oracle-replayable len
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf[["value"]].to_numpy(dtype=float)
+        fixed = tda_window_betti(vals, embed_dim=2, embed_delay=4,
+                                 threshold=0.9)
+        sweep = tda_window_betti(vals, embed_dim=2, embed_delay=4)
+        # independent embedding + distance matrix for the witness
+        emb = np.hstack([vals[4:32], vals[0:28]])
+        diff = emb[:, None, :] - emb[None, :, :]
+        dist = np.sqrt((diff * diff).sum(axis=2))
+        nb0, nb1, nq = _naive_vr_sweep(dist, MIN_PERSIST)
+        ok = (
+            sweep["betti0"] == nb0
+            and sweep["betti1"] == nb1
+            and abs(sweep["best_q"] - nq) < 1e-12
+        )
+        return pd.DataFrame([{
+            "event_type": key[0], "window_id": int(key[1]),
+            "n_raw": len(pdf), "n_embed": int(fixed["n_embed"]),
+            "b0_q90": int(fixed["betti0"]), "sweep_indep_ok": bool(ok),
+        }])
+
+    return (
+        win.groupBy("event_type", "__win")
+        .applyInPandas(run, schema)
+        .orderBy("event_type", "window_id")
+    )
 
 
 def text_repetition_q(spark, sf_dir):
@@ -2715,6 +2853,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "sp_projection": sp_projection,
         "sp_where_coercion": sp_where_coercion,
+        "sp_projection_variant": sp_projection_variant,
         "sp_tag_routing": sp_tag_routing,
         "sp_window_tumbling": sp_window_tumbling,
         "sp_window_hopping": sp_window_hopping,
@@ -2927,6 +3066,13 @@ def oracle_sql() -> dict[str, str]:
         "sp_where_coercion": (
             "SELECT event_id FROM events "
             "WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50"
+        ),
+        # sp_projection_variant: the variant body is built from these very
+        # columns, so the oracle replays from the source — an independent
+        # check that the JSON->variant->cast path is value-preserving
+        "sp_projection_variant": (
+            "SELECT event_id, event_type AS etype, user_id AS uid, "
+            "ROUND(value, 6) AS v FROM events WHERE user_id >= 100"
         ),
         "sp_tag_routing": (
             "SELECT event_id, user_id FROM events "
@@ -3211,10 +3357,61 @@ def oracle_sql() -> dict[str, str]:
             f"keyed AS (SELECT doc_id, md5({norm}) AS h FROM all_docs) "
             "SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY h"
         ),
-        # tda_betti_windows: persistent homology (GF(2) boundary-matrix
-        # reduction) is not SQL-expressible -> rows-only; the reduction is
-        # verified in tests/test_tda.py against an independent ELZ oracle.
-        #
+        # tda_betti_windows (invariant contract): Betti-0 at a FIXED
+        # threshold IS SQL-expressible — H0 finite bars are single-linkage
+        # merges, so b0 in [1e-3, thr] = C(<1e-3) - C(<=thr) with C() the
+        # threshold-graph component count (recursive-CTE closure below).
+        # The full quantile sweep (betti1 needs the GF(2) reduction) is
+        # witnessed Spark-side against an independent single-matrix ELZ
+        # reduction and emitted as the truth-table column sweep_indep_ok.
+        "tda_betti_windows": (
+            "WITH RECURSIVE "
+            "ev AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn "
+            "FROM events), "
+            "w AS (SELECT event_type, rn // 32 AS win, rn % 32 AS pos, value FROM ev), "
+            "fullw AS (SELECT event_type, win FROM w "
+            "GROUP BY event_type, win HAVING COUNT(*) = 32), "
+            "x AS (SELECT w.* FROM w JOIN fullw USING (event_type, win)), "
+            # delay embedding m=2 tau=4: point j = (value[j+4], value[j])
+            "pts AS (SELECT a.event_type, a.win, a.pos - 4 AS j, "
+            "a.value AS c0, b.value AS c1 "
+            "FROM x a JOIN x b ON a.event_type = b.event_type "
+            "AND a.win = b.win AND a.pos = b.pos + 4), "
+            "edges AS (SELECT p.event_type, p.win, p.j AS a, q.j AS b, "
+            "sqrt((p.c0 - q.c0) * (p.c0 - q.c0) + (p.c1 - q.c1) * (p.c1 - q.c1)) AS d "
+            "FROM pts p JOIN pts q ON p.event_type = q.event_type "
+            "AND p.win = q.win AND p.j < q.j), "
+            # the C-rule 0.90 quantile: idx = round(0.9 * 377) = 339 -> rank 340
+            "thr AS (SELECT event_type, win, d AS thr FROM ("
+            "SELECT event_type, win, d, "
+            "row_number() OVER (PARTITION BY event_type, win ORDER BY d) AS rk "
+            "FROM edges) WHERE rk = 340), "
+            "lab AS (SELECT 't' AS tag, e.event_type, e.win, e.a, e.b "
+            "FROM edges e JOIN thr USING (event_type, win) WHERE e.d <= thr.thr "
+            "UNION ALL "
+            "SELECT 'e' AS tag, event_type, win, a, b FROM edges WHERE d < 0.001), "
+            "sym AS (SELECT * FROM lab UNION ALL "
+            "SELECT tag, event_type, win, b AS a, a AS b FROM lab), "
+            "reach AS (SELECT tags.tag, p.event_type, p.win, p.j AS a, p.j AS b "
+            "FROM pts p CROSS JOIN (VALUES ('t'), ('e')) tags(tag) "
+            "UNION "
+            "SELECT r.tag, r.event_type, r.win, r.a, s.b "
+            "FROM reach r JOIN sym s ON r.tag = s.tag "
+            "AND r.event_type = s.event_type AND r.win = s.win AND r.b = s.a), "
+            "comp AS (SELECT tag, event_type, win, a, MIN(b) AS label "
+            "FROM reach GROUP BY tag, event_type, win, a), "
+            "ncomp AS (SELECT tag, event_type, win, COUNT(DISTINCT label) AS c "
+            "FROM comp GROUP BY tag, event_type, win) "
+            "SELECT f.event_type, f.win AS window_id, 32 AS n_raw, 28 AS n_embed, "
+            "CAST(ce.c - ct.c AS INT) AS b0_q90, TRUE AS sweep_indep_ok "
+            "FROM fullw f "
+            "JOIN ncomp ct ON ct.tag = 't' AND ct.event_type = f.event_type "
+            "AND ct.win = f.win "
+            "JOIN ncomp ce ON ce.tag = 'e' AND ce.event_type = f.event_type "
+            "AND ce.win = f.win "
+            "ORDER BY f.event_type, window_id"
+        ),
         # dedup_minhash / dedup_simhash / embedding_dedup / similarity_*_ann:
         # candidate generation depends on engine-internal hash functions
         # (xxhash64 / hyperplane seeds / float k-means), so the queries emit

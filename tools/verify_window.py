@@ -1,12 +1,17 @@
 """Gate-window invariant check for query rotations.
 
 The driver's correctness gate reads the FIRST 50 entries of queries() in
-dict order. When rotating the window between rounds, two invariants keep
-coverage honest:
+dict order. When rotating the window between rounds, three invariants
+keep coverage honest:
 
 1. every window name exists in the registry (no typos strand a slot);
 2. the window holds the names with the FEWEST driver rows — i.e. no
-   never-checked query sits behind an already-verified one.
+   never-checked query sits behind an already-verified one;
+3. the NEWEST checked-in ORACLE_LOCAL_r*.md report covers the whole
+   registry — a query registered after the report regen has no current
+   local verification on record (the round-4 dsir_select/semantic_dedup
+   slip); report regen must be the last pre-snapshot step. This check
+   FAILS, not warns.
 
 Usage: python tools/verify_window.py [CORRECTNESS_r*.json ...]
 (pass every prior round's file; defaults to all CORRECTNESS_r*.json in
@@ -17,12 +22,26 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entry
+
+
+def report_covers_registry(registry: set[str]) -> list[str]:
+    """Names in the registry missing from the newest ORACLE_LOCAL report
+    (empty when covered, or when no report exists yet)."""
+    reports = sorted(
+        glob.glob(str(Path(__file__).resolve().parents[1] / "ORACLE_LOCAL_r*.md"))
+    )
+    if not reports:
+        return []
+    text = Path(reports[-1]).read_text()
+    seen = set(re.findall(r"^(?:OK|rows|FAIL)\s+(\S+):", text, re.M))
+    return sorted(registry - seen)
 
 
 def main() -> int:
@@ -55,6 +74,15 @@ def main() -> int:
     print(f"window[0:50]: {len(window_already_verified)} already verified")
     print(f"tail: {len([n for n in tail if n not in verified])} never checked")
     ok = True
+    # invariant 3: the newest checked-in report must cover the registry
+    uncovered = report_covers_registry(registry)
+    if uncovered:
+        print(
+            f"ERROR: newest ORACLE_LOCAL report misses {len(uncovered)} "
+            f"registry queries: {uncovered[:10]} — regenerate the report "
+            "(tools/oracle_check.py --report) as the LAST pre-snapshot step"
+        )
+        ok = False
     if window_already_verified and never_checked_behind:
         print(
             "WARN: window wastes slots on already-verified queries while "
