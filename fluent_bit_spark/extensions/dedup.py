@@ -157,14 +157,15 @@ def minhash_signatures(
     return df.select(F.col(id_col), sigs(harr).alias("sig"))
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 8,
     sig_len: int | None = None,
 ) -> DataFrame:
-    """Banding: docs sharing any band of their signature become candidate
-    pairs (a < b). groupBy key = (band index, band hash) — uniform."""
+    """(id, band, bh): each doc's LSH bucket key per band — the join/shuffle
+    key of the banding stage, exposed so skew tests and diagnostics can
+    measure bucket-size distributions directly."""
     if sig_len is None:
         sig_len = sig_df.selectExpr("size(sig) AS n").limit(1).collect()[0].n
     rows_per_band = max(1, sig_len // num_bands)
@@ -176,9 +177,22 @@ def lsh_candidate_pairs(
         )
         for b in range(num_bands)
     ]
-    bands = sig_df.select(
+    return sig_df.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bx")
     ).select(id_col, "bx.band", "bx.bh")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """Banding: docs sharing any band of their signature become candidate
+    pairs (a < b). groupBy key = (band index, band hash) — uniform over
+    DISTINCT texts; exact duplicates must be pre-collapsed (see
+    minhash_dedup) or a bucket of m identical docs emits m^2/2 pairs."""
+    bands = band_buckets(sig_df, id_col, num_bands, sig_len)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -218,10 +232,21 @@ def minhash_dedup(
     shingle_n: int = 3,
     jaccard_threshold: float | None = None,
     signature_reuse: str = "auto",
+    exact_precollapse: bool = True,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with exact
     shingle Jaccard) -> each doc joins its smallest candidate neighbor;
     keep docs that are their own group minimum.
+
+    ``exact_precollapse`` (default on) first collapses EXACT normalized
+    duplicates to their min-id representative with one uniform content-hash
+    shuffle. This is the adversarial-skew guard: a boilerplate page
+    repeated m times shares every band hash, so the banding self-join
+    would emit m^2/2 pairs in one bucket (10M copies -> 5e13 pairs). The
+    keep-set is provably unchanged — identical docs share signatures (LSH
+    would collapse them to the same min id) and jaccard(identical)=1
+    passes any threshold, so pre-collapsing only reroutes those drops
+    through the cheap exact stage.
 
     The signature subtree appears on both self-join sides and under
     ids / verification / losers. ``signature_reuse`` controls how the
@@ -236,7 +261,8 @@ def minhash_dedup(
       plan equality, silently re-running the Arrow signature pass once
       per band (measured: 6 reused exchanges -> ~80 live stages).
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    work = exact_dedup(df, text_col, id_col) if exact_precollapse else df
+    sig = minhash_signatures(work, text_col, id_col, num_hashes, shingle_n)
     if signature_reuse not in ("auto", "aqe", "persist"):
         raise ValueError(f"unknown signature_reuse {signature_reuse!r}")
     if signature_reuse == "persist" or (
@@ -250,13 +276,37 @@ def minhash_dedup(
         # when the RDD is garbage-collected — a cacheManager persist
         # would leak one session-lifetime cache entry per call.
         sig = sig.localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sig, id_col, num_bands, sig_len=num_hashes)
-    if jaccard_threshold is not None:
-        verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_n)
+    if jaccard_threshold is None:
+        # UNVERIFIED path: the keep rule is "dropped iff some smaller-id
+        # candidate shares a band", and a candidate c < d in bucket b
+        # implies bucket_min(b) <= c < d — so star edges to each bucket's
+        # min id give the IDENTICAL keep set as all pairwise candidates,
+        # in O(bucket) instead of O(bucket^2). This is the template-
+        # cluster skew guard: 10M near-identical pages share buckets even
+        # after the exact pre-collapse, and the pairwise self-join would
+        # emit 5e13 rows there. groupBy min is map-side combinable and
+        # the co-partitioned join back is AQE-skew-splittable.
+        bands = band_buckets(sig, id_col, num_bands, sig_len=num_hashes)
+        bmin = bands.groupBy("band", "bh").agg(F.min(id_col).alias("__bmin"))
+        losers = (
+            bands.join(bmin, ["band", "bh"])
+            .filter(F.col(id_col) > F.col("__bmin"))
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        # VERIFIED path: star edges are not equivalent (a doc may fail
+        # verification against the bucket min yet pass against another
+        # member), so candidates stay pairwise — bounded by the exact
+        # pre-collapse for identical docs; template-scale NEAR-dup
+        # clusters remain quadratic here by the semantics of pairwise
+        # verification itself.
+        pairs = lsh_candidate_pairs(sig, id_col, num_bands, sig_len=num_hashes)
+        verified = ngram_jaccard_pairs(work, pairs, text_col, id_col, shingle_n)
         pairs = verified.filter(F.col("jaccard") >= jaccard_threshold).select("id_a", "id_b")
-    # a doc is dropped if a smaller-id near-duplicate exists
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # exact losers (df minus work) were already dropped by the pre-collapse
+    return work.join(losers, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -190,3 +190,122 @@ def test_minhash_dedup_survives_cached_source(spark):
     finally:
         cached.unpersist()
         spark.catalog.clearCache()
+
+
+def test_cap_per_key_salted_skew_bound(spark):
+    """Adversarial skew: one domain is 50% of the corpus. The salted
+    phase-1 window must (a) shuffle on (key, __salt) — visible in the
+    executed plan — and (b) actually spread the hot key: materializing
+    the same HashPartitioning(domain, __salt) the window uses, no single
+    task may hold more than a fraction of the hot key's rows (the unsalted
+    plan funnels all of them through one task)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.mixing import cap_per_key
+
+    n_hot, salt = 10_000, 8
+    hot = spark.range(n_hot).select(
+        F.lit("hot.example").alias("domain"), F.col("id").alias("doc_id")
+    )
+    cold = spark.range(n_hot).select(
+        F.concat(F.lit("d"), (F.col("id") % 100).cast("string")).alias("domain"),
+        (F.col("id") + n_hot).alias("doc_id"),
+    )
+    df = hot.unionByName(cold)
+
+    out = cap_per_key(df, ["domain"], ["doc_id"], 10, salt=salt)
+    assert out.filter(F.col("domain") == "hot.example").count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "salted phase-1 window missing from plan"
+
+    # per-task bound: replay the window's shuffle key with the default
+    # salt source (hashable columns) and measure real partition sizes
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64("domain", "doc_id"), F.lit(salt))
+    )
+    sizes = (
+        salted.repartition(32, F.col("domain"), F.col("__salt"))
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("domain") == "hot.example")
+        .groupBy("pid").count()
+    )
+    per_task = [r["count"] for r in sizes.collect()]
+    assert len(per_task) >= salt // 2, f"hot key landed in only {len(per_task)} tasks"
+    # ideal is n_hot/salt = 1250; allow slack for salt-hash imbalance and
+    # two salt slices hashing into one of the 32 partitions
+    assert max(per_task) < 0.45 * n_hot, (
+        f"hot key not skew-bounded: max task holds {max(per_task)}/{n_hot}"
+    )
+
+
+def test_minhash_banding_skew_resistant(spark):
+    """Two adversarial regimes for the banding shuffle:
+
+    1. EXACT duplicates (boilerplate page × m): without mitigation every
+       copy lands in the same (band, bh) bucket and the self-join emits
+       m^2/2 pairs. minhash_dedup's exact pre-collapse must reduce the
+       candidate-pair stage to representatives — bucket sizes stay O(1).
+    2. NEAR duplicates (shared template, distinct suffixes): band hashes
+       must stay diverse — the largest bucket holds a small fraction of
+       the corpus, so no single reducer sees a quadratic bucket."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.dedup import (
+        band_buckets, exact_dedup, minhash_dedup, minhash_signatures,
+    )
+
+    m = 1000
+    boiler = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("cookie policy accept our terms and conditions apply now").alias("text"),
+    )
+    # fully distinct token streams (every word carries the doc id), so no
+    # two docs share a 3-shingle — zero legitimate near-dup signal
+    distinct = spark.range(m).select(
+        (F.col("id") + m).alias("doc_id"),
+        F.concat(
+            F.lit("a"), F.col("id").cast("string"),
+            F.lit(" b"), F.col("id").cast("string"),
+            F.lit(" c"), F.col("id").cast("string"),
+            F.lit(" d"), F.col("id").cast("string"),
+            F.lit(" e"), F.col("id").cast("string"),
+            F.lit(" f"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = boiler.unionByName(distinct)
+
+    # regime 1: after the pre-collapse the boilerplate group is ONE
+    # representative; the biggest bucket over the deduped work-set is tiny
+    work = exact_dedup(corpus)
+    sig = minhash_signatures(work)
+    buckets = band_buckets(sig).groupBy("band", "bh").count()
+    max_bucket = buckets.agg(F.max("count")).collect()[0][0]
+    # small template-sharing buckets are LSH doing its job; the failure
+    # mode is the m-sized boilerplate bucket (m^2/2 pairs)
+    assert max_bucket <= 32, f"bucket of {max_bucket} docs survived pre-collapse"
+    # and the end-to-end keep-set still collapses the boilerplate to 1 row
+    kept = minhash_dedup(corpus)
+    assert kept.filter(F.col("doc_id") < m).count() == 1
+    assert kept.count() >= 1 + 0.9 * m  # distinct docs survive
+
+    # regime 2: NEAR-dup template corpus (distinct texts, shared 10-word
+    # prefix) — exact pre-collapse is a no-op and most docs share a band
+    # bucket. The unverified path must use the linear star-edge
+    # formulation (edges to the bucket min), never the pairwise
+    # self-join whose hot bucket would emit ~m^2/2 rows.
+    near = spark.range(2 * m).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("breaking news update weather report sports scores "
+                  "local traffic section id "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    ndedup = minhash_dedup(near)
+    n_kept = ndedup.count()
+    assert n_kept >= 1  # template cluster collapses toward its min id
+    plan = ndedup._jdf.queryExecution().executedPlan().toString()
+    assert "id_a" not in plan and "id_b" not in plan, (
+        "unverified minhash_dedup fell back to the pairwise candidate "
+        "join — quadratic on template clusters"
+    )
