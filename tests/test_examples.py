@@ -59,3 +59,37 @@ def test_telemetry_pipeline_example(spark):
     # reset on instance b: new value IS the increase -> 15/30s = 0.5
     assert 'http_requests_total:rate30s{instance="b"} 0.5' in page
     assert "-" not in page.split("gauge", 1)[1]  # no negative rates
+
+
+def test_corpus_stream_pipeline_example(spark, tmp_path):
+    """The streaming ingest twin: tail -> gopher structural gate ->
+    watermarked content-hash dedup -> date-partitioned parquet. Junk docs
+    never land, exact duplicates collapse to one row, the partition
+    directory layout is the batch sweep's expected input."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import corpus_stream_pipeline as csp
+
+    in_dir = str(tmp_path / "drop")
+    out_dir = str(tmp_path / "dataset")
+    cp = str(tmp_path / "cp")
+    csp.synthesize(in_dir, n_docs=400, dup_every=4, junk_every=10)
+    csp.run(spark, in_dir, out_dir, cp)
+
+    got = spark.read.parquet(out_dir)
+    good_ids = [i for i in range(400) if i % 10 != 0]
+    distinct_texts = len({i - (i % 4) for i in good_ids})
+    assert got.count() == distinct_texts
+    # every junk doc gated out before the sink
+    from pyspark.sql import functions as F
+    assert got.filter(F.col("doc_id") % 10 == 0).count() == 0
+    # duplicates collapsed: one row per content hash
+    assert got.select("content_h").distinct().count() == got.count()
+    # date-partitioned layout on disk
+    assert any(p.name.startswith("dt=") for p in Path(out_dir).iterdir())
+    # exactly-once restart: a second availableNow pass with the same
+    # checkpoint adds nothing
+    csp.run(spark, in_dir, out_dir, cp)
+    assert spark.read.parquet(out_dir).count() == distinct_texts

@@ -8,6 +8,9 @@ $SPARK_GRAFT_BENCH_RUNS timed passes (default 2) — same min-discards-noise
 rule as bench.py.
 
 Usage: python tools/stream_bench.py [n_rows]
+       python tools/stream_bench.py corpus [n_docs]
+(the second form benches examples/corpus_stream_pipeline.py: tail ->
+gopher gate -> watermarked content-hash dedup -> partitioned parquet)
 """
 
 from __future__ import annotations
@@ -63,9 +66,50 @@ def _one_pass(spark, d: str, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def _corpus_pass(spark, in_dir: str, tag: str) -> float:
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import corpus_stream_pipeline as csp
+
+    out = tempfile.mkdtemp(prefix=f"fbs_cb_out_{tag}_")
+    cp = tempfile.mkdtemp(prefix=f"fbs_cb_cp_{tag}_")
+    t0 = time.perf_counter()
+    csp.run(spark, in_dir, out, cp)
+    return time.perf_counter() - t0
+
+
+def corpus_main() -> None:
+    import os
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    spark = get_spark("fbs-corpus-stream-bench")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import corpus_stream_pipeline as csp
+
+    warm = tempfile.mkdtemp(prefix="fbs_cb_warm_")
+    csp.synthesize(warm, n_docs=2_000)
+    _corpus_pass(spark, warm, "warm")
+    d = tempfile.mkdtemp(prefix="fbs_cb_in_")
+    expect = csp.synthesize(d, n_docs=n)
+    wall = min(_corpus_pass(spark, d, str(i)) for i in range(runs))
+    print(
+        json.dumps(
+            {
+                "metric": "corpus stream pipeline (tail -> gopher gate -> "
+                          "watermark dedup -> partitioned parquet)",
+                "rows": expect["input"],
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(expect["input"] / wall),
+            }
+        )
+    )
+
+
 def main() -> None:
     import os
 
+    if len(sys.argv) > 1 and sys.argv[1] == "corpus":
+        return corpus_main()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     spark = get_spark("fbs-stream-bench")
