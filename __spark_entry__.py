@@ -2801,43 +2801,37 @@ def flowcounter_q(spark, sf_dir):
 # backfill — 23+6+8+13 = 50. The 37 remaining r02-era names rotate in
 # next round.
 #
-# ROUND-5 ROTATION PLAN: window = the 37 r02-era names not covered here
-# (parser_logfmt_roundtrip, parser_ltsv_roundtrip, parser_regex_access_log, parser_json_props,
-# parser_syslog_preset, type_converter_casts, throttle_rate,
-# throttle_size_budget, rewrite_tag_rules,
-# log_to_metrics_counter/gauge/histogram/summary, cumulative_to_delta,
-# sampling_deterministic, sampling_tail_traces, checklist_watch,
-# enrich_broadcast_join, content_modifier_actions, labels_ops,
-# metrics_selector, otel_envelope, udf_hook, anomaly_zscore,
-# q6_forecast_revenue, alter_size_take, session_window_gap, doc_chunking,
-# chunk_packing, multiline_sessionize, expect_assertions, router_split,
-# union_tag_merge, window_rank_topk, asof_last_signup,
-# pivot_status_revenue, join_q3_shipping) + any round-5 additions + the
-# then-stalest r03 names to fill 50; after it lands, the oldest row
-# anywhere is r03 (one more round retires those). Run
-# tools/verify_window.py + a full tools/oracle_check.py preflight.
+# ROUND-5 WINDOW (the rotation the round-4 plan called for): (a) the 3
+# never driver-checked queries (round-5 additions + the two registered
+# after the r4 report regen); (b) tda_betti_windows re-verified now that
+# it has a real invariant oracle (its only row was rows-only); (c) the
+# 37 r02-era names whose last driver rows are round 2; (d) the 9
+# stalest r03 names in registry order as backfill — 3+1+37+9 = 50.
+# After this lands the oldest row anywhere is r03 (≈35 names; the
+# round-6 window retires them).
 _DRIVER_WINDOW = [
     # (a) never driver-checked
-    "tda_betti_windows", "bigquery_shape", "plot_lines", "kinesis_shape",
-    "azure_shape", "logdna_shape", "nats_body", "line_dedup",
-    "embedding_quantize", "sketch_distinct", "sketch_rollup",
-    "sketch_quantiles", "sketch_overlap", "sketch_ranks", "ts_downsample",
-    "ts_gapfill_locf", "ts_rate", "interval_band_join", "dataset_split",
-    "otlp_traces_roundtrip", "otlp_metrics_roundtrip",
-    "otlp_histogram_roundtrip", "prom_scrape_roundtrip",
-    # (b) upgraded from rows-only to invariant-gated oracles this round
-    "dedup_minhash", "dedup_simhash", "embedding_dedup",
-    "similarity_lsh_ann", "similarity_ivf_ann", "similarity_pq_ann",
-    # (b') round-4 additions — never checked, take precedence over backfill
-    "gopher_quality", "url_canonicalize", "domain_cap", "lm_quality",
-    "fuzzy_decontaminate", "prom_pages_roundtrip", "similarity_pq_join",
-    "bpe_roundtrip",
-    # (c) stalest core backfill (last driver rows: round 2)
-    "q1_pricing_summary", "sp_projection", "sp_where_coercion",
-    "sp_tag_routing", "sp_window_tumbling", "sp_window_hopping",
-    "sp_forecast", "sp_snapshot_last", "sp_create_stream_chain",
-    "grep_filter", "modify_rules", "nest_lift_roundtrip",
-    "record_modifier_allowlist",
+    "sp_projection_variant", "dsir_select", "semantic_dedup",
+    # (b) rows-only -> invariant-contract oracle this round
+    "tda_betti_windows",
+    # (c) r02-era backfill (last driver rows: round 2)
+    "parser_logfmt_roundtrip", "parser_ltsv_roundtrip",
+    "parser_regex_access_log", "parser_json_props", "parser_syslog_preset",
+    "type_converter_casts", "throttle_rate", "throttle_size_budget",
+    "rewrite_tag_rules", "log_to_metrics_counter", "log_to_metrics_gauge",
+    "log_to_metrics_histogram", "log_to_metrics_summary",
+    "cumulative_to_delta", "sampling_deterministic", "sampling_tail_traces",
+    "checklist_watch", "enrich_broadcast_join", "content_modifier_actions",
+    "labels_ops", "metrics_selector", "otel_envelope", "udf_hook",
+    "anomaly_zscore", "q6_forecast_revenue", "alter_size_take",
+    "session_window_gap", "doc_chunking", "chunk_packing",
+    "multiline_sessionize", "expect_assertions", "router_split",
+    "union_tag_merge", "window_rank_topk", "asof_last_signup",
+    "pivot_status_revenue", "join_q3_shipping",
+    # (d) stalest r03 backfill (registry order)
+    "join_q5_region", "dedup_exact", "dedup_jaccard_pairs",
+    "similarity_topk", "text_langid", "text_quality", "text_token_counts",
+    "doc_fingerprint", "pii_redaction",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Scaling measurement: run the heavy-query tier at sf0.1 (driver data)
+and at a generated sf1 (tools/gen_sf.py) and report per-query seconds
+plus the scaling exponent  alpha = log(t_hi / t_lo) / log(rows_hi /
+rows_lo)  — alpha <= ~1 means the plan scales linearly or better (the
+fixed per-query overhead of job scheduling makes small queries sublinear);
+alpha substantially above 1 flags a super-linear stage (a quadratic
+bucket, a driver collect, a broadcast that stopped fitting).
+
+Protocol mirrors bench.py: warm the tables + the Arrow worker pool, then
+best-of-$SPARK_GRAFT_BENCH_RUNS (default 2) per query per scale.
+
+Usage: python tools/scale_check.py [lo_dir hi_dir]
+(defaults /root/testdata/sf0.1 and /tmp/sf1 — generate the latter with
+`python tools/gen_sf.py 1 /tmp/sf1` first).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod
+
+# the 10 heaviest bench queries (BENCH_r04 ranking) that read only the
+# documents/events tables gen_sf.py synthesizes
+HEAVY = [
+    "dedup_minhash",
+    "fuzzy_decontaminate",
+    "pipeline_e2e",
+    "dedup_clusters",
+    "domain_cap",
+    "url_canonicalize",
+    "otlp_traces_roundtrip",
+    "otlp_metrics_roundtrip",
+    "line_dedup",
+    "multiline_sessionize",
+]
+
+
+def run_suite(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    import bench
+
+    qs = entrymod.queries()
+    for t in ("documents", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    timings: dict[str, float] = {}
+    for _ in range(runs):
+        for name in HEAVY:
+            fn = bench.BENCH_FORMS.get(name, qs.get(name))
+            t0 = time.perf_counter()
+            if name == "pipeline_e2e":
+                bench._pipeline_e2e(spark, sf_dir)
+            else:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            took = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, float("inf")), took), 3)
+    return timings
+
+
+def main() -> None:
+    from fluent_bit_spark import get_spark
+
+    lo = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    hi = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    spark = get_spark("fbs-scale-check")
+    ratio = (
+        spark.read.parquet(f"{hi}/events.parquet").count()
+        / spark.read.parquet(f"{lo}/events.parquet").count()
+    )
+    t_lo = run_suite(spark, lo, runs)
+    t_hi = run_suite(spark, hi, runs)
+    out = {}
+    for name in HEAVY:
+        a, b = t_lo[name], t_hi[name]
+        out[name] = {
+            "lo_sec": a,
+            "hi_sec": b,
+            "alpha": round(math.log(b / a) / math.log(ratio), 2) if a > 0 else None,
+        }
+    print(json.dumps({"rows_ratio": round(ratio, 2), "queries": out}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
