@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "lm_quality",
     "fuzzy_decontaminate",
     "bpe_roundtrip",
+    "sp_projection_variant",
+    "dsir_select",
     "pipeline_e2e",
 ]
 
