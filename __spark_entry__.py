@@ -1269,6 +1269,42 @@ def dsir_select_q(spark, sf_dir):
     return dsir_select(docs, target, k=50, buckets=1024)
 
 
+def bm25_topk_q(spark, sf_dir):
+    """Exact BM25 top-10 retrieval (Okapi formulation, Lucene idf): the
+    query set is derived from the corpus itself (every 100th doc's first
+    8 normalized words), so the whole pipeline — tf, dl, avgdl,
+    query-vocab df, idf, score, rank — is a pure function of the data and
+    the DuckDB oracle replays it end-to-end."""
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    from fluent_bit_spark.extensions.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8)
+        ).alias("text"),
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+def repeated_spans_q(spark, sf_dir):
+    """Span-level duplication stats (distributed ExactSubstr signal, Lee
+    et al. 2022): corpus = documents plus full copies of every 11th doc,
+    so copied docs report dup_frac 1.0 and originals report exactly the
+    windows their copies re-emit. Hash-exact DuckDB replay of the whole
+    derivation (md5 span hashes, corpus-wide counts, per-doc fractions)."""
+    from fluent_bit_spark.extensions.text import repeated_span_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return repeated_span_stats(corpus, window=10)
+
+
 def bpe_roundtrip_q(spark, sf_dir):
     """Real BPE tokenization (Sennrich et al. 2016, library-free):
     merge ranks trained on the deterministic sample, applied Arrow-batched
@@ -2810,8 +2846,9 @@ def flowcounter_q(spark, sf_dir):
 # After this lands the oldest row anywhere is r03 (≈35 names; the
 # round-6 window retires them).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked
+    # (a) never driver-checked (round-5 additions + post-r4-report regs)
     "sp_projection_variant", "dsir_select", "semantic_dedup",
+    "bm25_topk", "repeated_spans",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -2828,10 +2865,9 @@ _DRIVER_WINDOW = [
     "multiline_sessionize", "expect_assertions", "router_split",
     "union_tag_merge", "window_rank_topk", "asof_last_signup",
     "pivot_status_revenue", "join_q3_shipping",
-    # (d) stalest r03 backfill (registry order)
+    # (d) stalest r03 backfill (registry order; the rest rotate round 6)
     "join_q5_region", "dedup_exact", "dedup_jaccard_pairs",
     "similarity_topk", "text_langid", "text_quality", "text_token_counts",
-    "doc_fingerprint", "pii_redaction",
 ]
 
 
@@ -2914,6 +2950,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": lm_quality_q,
         "fuzzy_decontaminate": fuzzy_decontaminate_q,
         "dsir_select": dsir_select_q,
+        "bm25_topk": bm25_topk_q,
+        "repeated_spans": repeated_spans_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3578,6 +3616,54 @@ def oracle_sql() -> dict[str, str]:
             "WITH corpus AS (SELECT doc_id FROM documents UNION ALL "
             "SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 97 = 0) "
             "SELECT doc_id, TRUE AS sound FROM corpus"
+        ),
+        # bm25_topk: full Okapi BM25 replay — tf/dl/avgdl, query-vocab df,
+        # Lucene idf, score, per-query rank; queries are the corpus's own
+        # every-100th docs' first 8 normalized words
+        "bm25_topk": (
+            f"WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS term FROM d), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+            "WHERE term <> '' GROUP BY doc_id, term), "
+            "dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id), "
+            "stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, "
+            "(SELECT AVG(dl) FROM dl) AS avgdl), "
+            "qt AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:8]) AS term "
+            "FROM d WHERE doc_id % 100 = 0), "
+            "qterm AS (SELECT * FROM qt WHERE term <> ''), "
+            "dfq AS (SELECT term, COUNT(*) AS df FROM tf "
+            "WHERE term IN (SELECT DISTINCT term FROM qterm) GROUP BY term), "
+            "idf AS (SELECT term, ln((stats.n - df + 0.5) / (df + 0.5) + 1) AS idf "
+            "FROM dfq CROSS JOIN stats), "
+            "sc AS (SELECT q.query_id, tf.doc_id, "
+            "ROUND(SUM(idf.idf * tf.tf * 2.2 / "
+            "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score "
+            "FROM qterm q JOIN idf USING (term) JOIN tf USING (term) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats "
+            "GROUP BY q.query_id, tf.doc_id) "
+            "SELECT query_id, doc_id, score, rank FROM ("
+            "SELECT sc.*, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10"
+        ),
+        # repeated_spans: md5 10-token window hashes counted corpus-wide
+        "repeated_spans": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0), "
+            f"d AS (SELECT doc_id, list_filter(string_split({norm}, ' '), w -> w <> '') AS ws "
+            "FROM corpus), "
+            "spans AS (SELECT doc_id, "
+            "md5(array_to_string(ws[i:i+9], ' ')) AS h "
+            "FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i) t "
+            "WHERE len(ws) >= 10), "
+            "cnt AS (SELECT h, COUNT(*) AS c FROM spans GROUP BY h), "
+            "per_doc AS (SELECT s.doc_id, COUNT(*) AS n_windows, "
+            "SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS dup_windows "
+            "FROM spans s JOIN cnt USING (h) GROUP BY s.doc_id) "
+            "SELECT d.doc_id, len(d.ws) AS n_tokens, "
+            "coalesce(p.n_windows, 0) AS n_windows, "
+            "CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows, "
+            "ROUND(coalesce(CAST(p.dup_windows AS DOUBLE) / nullif(p.n_windows, 0), 0.0), 6) AS dup_frac "
+            "FROM d LEFT JOIN per_doc p USING (doc_id)"
         ),
         "prom_pages_roundtrip": (
             "SELECT 'fbs_events_total' AS metric_name, "

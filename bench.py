@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "bpe_roundtrip",
     "sp_projection_variant",
     "dsir_select",
+    "bm25_topk",
+    "repeated_spans",
     "pipeline_e2e",
 ]
 

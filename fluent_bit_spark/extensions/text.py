@@ -210,6 +210,78 @@ def unigram_logprob(
     )
 
 
+def repeated_span_stats(
+    df: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level duplication signal — the distributed formulation of
+    ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499). The published
+    approach finds >=N-token substrings shared across the corpus with a
+    suffix array — inherently sequential; here every ``window``-token
+    sliding window (stride 1) of the normalized text is hashed and
+    counted corpus-wide, and each doc reports the fraction of its windows
+    occurring more than once anywhere (another doc or a second time in
+    the same doc). Any shared substring of >= ``window`` tokens yields at
+    least one duplicated window hash, so a dup_frac filter implements
+    the paper's doc-level policy exactly; span TRIMMING remains a
+    downstream choice (it needs position merging, not just counts).
+
+    Returns (id, n_tokens, n_windows, dup_windows, dup_frac).
+
+    Scale shape: one explode to ~n_tokens rows, a map-side-combinable
+    count on the 128-bit span hash (uniform key), and a per-doc
+    aggregate — the unigram_counts shape, linear at 100 TB. The md5 span
+    hash makes the whole derivation replayable in the DuckDB oracle."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(words) >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - window),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, window))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        spans.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("dup_windows"),
+        )
+    )
+    n_tok = df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.size(F.filter(words, lambda w: w != "")), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    return (
+        n_tok.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_windows")
+                    / F.nullif(F.col("n_windows").cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def ngrams_of_words(words: Column, n: int) -> Column:
     """Overlapping n-grams from an ALREADY-MATERIALIZED word-array column.
 

@@ -1101,3 +1101,72 @@ def test_gopher_quality_output_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         gopher_quality(df)
+
+
+def test_bm25_topk_ranking_and_contract(spark):
+    """BM25: a doc containing the full query phrase outranks docs sharing
+    one term; rare terms outweigh common ones via idf; rank is dense from
+    1 with deterministic tie-break; k bounds per-query rows."""
+    import pytest
+
+    from fluent_bit_spark.extensions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum computing with trapped ions"),
+            (2, "classical computing on silicon chips"),
+            (3, "quantum entanglement and quantum teleportation basics"),
+            (4, "cooking recipes for winter evenings"),
+            (5, "the the the the the common words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(100, "quantum computing")], ["query_id", "text"]
+    )
+    out = bm25_topk(docs, queries, k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    ranked = [r.doc_id for r in out]
+    assert ranked[0] == 1            # both terms present -> top
+    assert set(ranked) == {1, 2, 3}  # doc 4/5 share no query term
+    assert all(r.score > 0 for r in out)
+
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, queries, k=0)
+    # determinism
+    again = [r.doc_id for r in bm25_topk(docs, queries, k=3).collect()]
+    assert again == ranked
+
+
+def test_repeated_span_stats_detects_shared_substrings(spark):
+    """A 12-token substring shared by two docs yields duplicated 10-token
+    windows in BOTH; fully unique docs report dup_frac 0; short docs
+    report zero windows without erroring."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.text import repeated_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail here now extra words padding more"),
+            (2, "different head words lead in " + shared),
+            (3, "totally distinct content with eleven completely unrelated "
+                "words spread across this sentence"),
+            (4, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repeated_span_stats(docs, window=10).collect()}
+    # the shared 12-token run contains 3 shared 10-windows; both docs
+    # report at least those as duplicated
+    assert out[1].dup_windows >= 3 and out[2].dup_windows >= 3
+    assert out[3].dup_windows == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_windows == 0 and out[4].dup_frac == 0.0
+    assert out[4].n_tokens == 2
+    # n_windows = n_tokens - 9 for docs long enough
+    assert out[1].n_windows == out[1].n_tokens - 9
+    # dup_frac consistency
+    for r in out.values():
+        if r.n_windows:
+            assert abs(r.dup_frac - r.dup_windows / r.n_windows) < 1e-6
