@@ -1269,6 +1269,38 @@ def dsir_select_q(spark, sf_dir):
     return dsir_select(docs, target, k=50, buckets=1024)
 
 
+def lm_bigram_quality_q(spark, sf_dir):
+    """Interpolated bigram LM scoring (CCNet fidelity step past the
+    unigram filter; Jelinek-Mercer lam=0.5 so both mixture weights are
+    float-exact across engines). Target = the doc_id%7==0 slice; the
+    DuckDB oracle replays unigram + bigram + context tables and the
+    interpolation arithmetic."""
+    from fluent_bit_spark.extensions.text import bigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    out = bigram_logprob(docs, target, interpolation=0.5)
+    return out.select(
+        "doc_id", F.round("avg_logp", 6).alias("avg_logp"), "n_tokens"
+    )
+
+
+def ccnet_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail split: rank every doc by its bigram-LM
+    score and cut at exact 1/3-2/3 percentiles (computed distributed,
+    two scalars to the driver — no global window). The oracle recomputes
+    the same quantile_cont cutoffs over the same rounded scores."""
+    from fluent_bit_spark.extensions.text import bigram_logprob, perplexity_buckets
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    scores = bigram_logprob(docs, target, interpolation=0.5)
+    out = perplexity_buckets(scores)
+    return out.select(
+        "doc_id", "bucket", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
 def bm25_topk_q(spark, sf_dir):
     """Exact BM25 top-10 retrieval (Okapi formulation, Lucene idf): the
     query set is derived from the corpus itself (every 100th doc's first
@@ -2848,7 +2880,7 @@ def flowcounter_q(spark, sf_dir):
 _DRIVER_WINDOW = [
     # (a) never driver-checked (round-5 additions + post-r4-report regs)
     "sp_projection_variant", "dsir_select", "semantic_dedup",
-    "bm25_topk", "repeated_spans",
+    "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -2867,7 +2899,7 @@ _DRIVER_WINDOW = [
     "pivot_status_revenue", "join_q3_shipping",
     # (d) stalest r03 backfill (registry order; the rest rotate round 6)
     "join_q5_region", "dedup_exact", "dedup_jaccard_pairs",
-    "similarity_topk", "text_langid", "text_quality", "text_token_counts",
+    "similarity_topk", "text_langid",
 ]
 
 
@@ -2952,6 +2984,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select_q,
         "bm25_topk": bm25_topk_q,
         "repeated_spans": repeated_spans_q,
+        "lm_bigram_quality": lm_bigram_quality_q,
+        "ccnet_buckets": ccnet_buckets_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3061,6 +3095,29 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents WHERE doc_id % 10 = 0"
     )
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    # interpolated bigram LM over documents, target = doc_id%7==0 slice —
+    # shared by lm_bigram_quality and ccnet_buckets
+    _BIGRAM_LM_CTE = (
+        f"d AS (SELECT doc_id, list_filter(string_split({norm}, ' '), w -> w <> '') AS ws "
+        "FROM documents), "
+        "pr AS (SELECT doc_id, ws[i] AS word, CASE WHEN i > 1 THEN ws[i - 1] END AS prev "
+        "FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t), "
+        "tc AS (SELECT word, COUNT(*) AS c FROM pr WHERE doc_id % 7 = 0 GROUP BY word), "
+        "st AS (SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom FROM tc), "
+        "big AS (SELECT prev, word, COUNT(*) AS cb FROM pr "
+        "WHERE doc_id % 7 = 0 AND prev IS NOT NULL GROUP BY prev, word), "
+        "ctx AS (SELECT prev, SUM(cb) AS cc FROM big GROUP BY prev), "
+        "sc AS (SELECT p.doc_id, CASE "
+        "WHEN p.prev IS NULL THEN coalesce((tc.c + 1) / st.denom, 1.0 / st.denom) "
+        "WHEN ctx.prev IS NOT NULL THEN 0.5 * coalesce(big.cb / ctx.cc, 0.0) "
+        "+ 0.5 * coalesce((tc.c + 1) / st.denom, 1.0 / st.denom) "
+        "ELSE coalesce((tc.c + 1) / st.denom, 1.0 / st.denom) END AS prob "
+        "FROM pr p CROSS JOIN st LEFT JOIN tc ON p.word = tc.word "
+        "LEFT JOIN big ON p.prev = big.prev AND p.word = big.word "
+        "LEFT JOIN ctx ON p.prev = ctx.prev), "
+        "lm AS (SELECT doc_id, ROUND(AVG(ln(prob)), 6) AS avg_logp, "
+        "COUNT(*) AS n_tokens FROM sc GROUP BY doc_id)"
+    )
     markers = {
         "en": ["the", "and", "of", "to", "a", "in", "is"],
         "es": ["el", "la", "de", "que", "y", "los"],
@@ -3616,6 +3673,22 @@ def oracle_sql() -> dict[str, str]:
             "WITH corpus AS (SELECT doc_id FROM documents UNION ALL "
             "SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 97 = 0) "
             "SELECT doc_id, TRUE AS sound FROM corpus"
+        ),
+        # lm_bigram_quality / ccnet_buckets: interpolated bigram LM replay
+        # (pairs from the word arrays, target unigram/bigram/context
+        # tables, lam=0.5 mixture) + quantile_cont head/middle/tail cuts
+        "lm_bigram_quality": (
+            "WITH " + _BIGRAM_LM_CTE
+            + " SELECT doc_id, avg_logp, n_tokens FROM lm"
+        ),
+        "ccnet_buckets": (
+            "WITH " + _BIGRAM_LM_CTE + ", "
+            "r AS (SELECT doc_id, avg_logp AS s FROM lm), "
+            f"cuts AS (SELECT quantile_cont(s, {1 - 1 / 3!r}) AS c_head, "
+            f"quantile_cont(s, {1 - 2 / 3!r}) AS c_mid FROM r) "
+            "SELECT r.doc_id, CASE WHEN r.s >= cuts.c_head THEN 'head' "
+            "WHEN r.s >= cuts.c_mid THEN 'middle' ELSE 'tail' END AS bucket, "
+            "r.s AS avg_logp FROM r CROSS JOIN cuts"
         ),
         # bm25_topk: full Okapi BM25 replay — tf/dl/avgdl, query-vocab df,
         # Lucene idf, score, per-query rank; queries are the corpus's own

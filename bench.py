@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "bm25_topk",
     "repeated_spans",
+    "lm_bigram_quality",
     "pipeline_e2e",
 ]
 

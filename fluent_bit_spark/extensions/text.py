@@ -210,6 +210,131 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    interpolation: float = 0.7,
+) -> DataFrame:
+    """Per-document mean token log-probability under an INTERPOLATED
+    bigram model of ``target`` — the next fidelity step from
+    unigram_logprob toward the CCNet/KenLM filter (Wenzek et al. 2020,
+    CCNet, arXiv:1911.00359; Jelinek-Mercer interpolation):
+
+        p(w | u) = lam * c(u,w) / c_ctx(u) + (1 - lam) * p_uni(w)
+        p_uni(w) = (c(w) + 1) / (N + V)        [add-one, as unigram_logprob]
+
+    with the bigram term dropped entirely for contexts unseen in the
+    target (p falls back to the unigram). The first token of each doc
+    scores as p_uni. Deterministic and SQL-replicable — no KenLM binary,
+    the DuckDB oracle replays the whole model.
+
+    Returns (id_col, avg_logp, n_tokens) for every doc with >= 1 token.
+
+    Scale shape: both model tables are TARGET-corpus-bounded (the trusted
+    corpus is curated/eval-sized by construction — same contract as
+    dsir/unigram): observed-bigram counts + context counts broadcast; the
+    corpus explodes once to (prev, word) pairs and joins map-side; one
+    combinable shuffle per model table + one per-doc aggregate."""
+    import math
+
+    counts = unigram_counts(target, text_col)
+    stats = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float((stats["n"] or 0) + stats["v"])
+    if denom <= 0:
+        raise ValueError("target corpus has no tokens to model")
+    if not (0.0 <= interpolation <= 1.0):
+        raise ValueError("interpolation must be in [0, 1]")
+    lam = float(interpolation)
+    oov_p = 1.0 / denom
+    uni = counts.select("word", ((F.col("c") + 1) / F.lit(denom)).alias("p_uni"))
+
+    def _pairs(frame):
+        # (id, word, prev) WITHOUT a per-doc window shuffle: the pair array
+        # is built per row from the materialized word array (element_at is
+        # 1-based, so index i's previous word is element i), then exploded
+        words = F.split(normalize_text(F.col(text_col)), " ")
+        w = frame.select(
+            F.col(id_col), F.filter(words, lambda x: x != "").alias("ws")
+        )
+        pair_arr = F.transform(
+            F.col("ws"),
+            lambda x, i: F.struct(
+                x.alias("word"),
+                F.when(i > 0, F.element_at(F.col("ws"), i)).alias("prev"),
+            ),
+        )
+        return w.select(F.col(id_col), F.explode(pair_arr).alias("p")).select(
+            id_col, "p.word", "p.prev"
+        )
+
+    tgt_pairs = _pairs(target).filter(F.col("prev").isNotNull())
+    big = tgt_pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    bmodel = big.join(ctx, "prev").select(
+        "prev", "word", (F.col("cb") / F.col("cc")).alias("p_big")
+    )
+
+    doc_pairs = _pairs(df)
+    scored = (
+        doc_pairs.join(F.broadcast(uni), "word", "left")
+        .join(F.broadcast(bmodel), ["prev", "word"], "left")
+        .join(
+            F.broadcast(ctx.select(F.col("prev"), F.lit(True).alias("ctx_seen"))),
+            "prev", "left",
+        )
+    )
+    p_u = F.coalesce("p_uni", F.lit(oov_p))
+    p = (
+        F.when(F.col("prev").isNull(), p_u)  # doc-initial token
+        .when(
+            F.col("ctx_seen").isNotNull(),
+            F.lit(lam) * F.coalesce("p_big", F.lit(0.0)) + F.lit(1.0 - lam) * p_u,
+        )
+        .otherwise(p_u)
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg(F.log(p)).alias("avg_logp"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    score_col: str = "avg_logp",
+    id_col: str = "doc_id",
+    bounds: tuple[float, float] = (1 / 3, 2 / 3),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM score and cut
+    at the given quantile bounds — head = best-scoring (lowest
+    perplexity) third by default. Cutoffs are EXACT percentiles of the
+    (rounded) score distribution computed distributed (two scalars to the
+    driver), then the bucketing is a stateless comparison — no global
+    window, so no single-task funnel at 100 TB. Scores are rounded to 6
+    decimals before the percentile so the cutoff arithmetic is replayable
+    bit-for-bit by the DuckDB oracle (quantile_cont uses the same linear
+    interpolation)."""
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError("bounds must satisfy 0 < lo < hi < 1")
+    r = scores.withColumn("__s", F.round(F.col(score_col), 6))
+    cuts = r.agg(
+        F.percentile("__s", F.lit(1.0 - lo)).alias("c_head"),
+        F.percentile("__s", F.lit(1.0 - hi)).alias("c_mid"),
+    ).collect()[0]
+    # higher avg_logp = lower perplexity = better
+    bucket = (
+        F.when(F.col("__s") >= cuts["c_head"], "head")
+        .when(F.col("__s") >= cuts["c_mid"], "middle")
+        .otherwise("tail")
+    )
+    return r.withColumn(out_col, bucket).drop("__s")
+
+
 def repeated_span_stats(
     df: DataFrame,
     window: int = 20,

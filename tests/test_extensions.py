@@ -1170,3 +1170,54 @@ def test_repeated_span_stats_detects_shared_substrings(spark):
     for r in out.values():
         if r.n_windows:
             assert abs(r.dup_frac - r.dup_windows / r.n_windows) < 1e-6
+
+
+def test_bigram_logprob_context_sensitivity(spark):
+    """The bigram model rewards target-like word ORDER, not just target
+    vocabulary: a doc with the target's exact bigrams outscores the same
+    words shuffled into unseen bigrams; OOV-heavy docs score lowest;
+    interpolation bounds are validated."""
+    import pytest
+
+    from fluent_bit_spark.extensions.text import bigram_logprob
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact order
+            (2, "dog the over quick lazy brown jumps fox the"),  # same words, shuffled
+            (3, "voellig unbekannte woerter ohne jede uebereinstimmung"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs, target).collect()}
+    assert got[1].avg_logp > got[2].avg_logp > got[3].avg_logp
+    assert got[1].n_tokens == 9
+    with pytest.raises(ValueError, match="interpolation"):
+        bigram_logprob(docs, target, interpolation=1.5)
+
+
+def test_perplexity_buckets_thirds(spark):
+    """Rank-free CCNet split: exact-percentile cutoffs put ~1/3 of docs
+    in each bucket, the best scores in 'head', and the split is
+    deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.text import perplexity_buckets
+
+    scores = spark.range(90).select(
+        F.col("id").alias("doc_id"), (-F.col("id").cast("double") / 10).alias("avg_logp")
+    )
+    out = perplexity_buckets(scores)
+    counts = {r.bucket: r.c for r in
+              out.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"head", "middle", "tail"}
+    assert all(25 <= c <= 35 for c in counts.values())
+    # best (highest avg_logp = ids 0..) land in head
+    heads = {r.doc_id for r in out.filter(F.col("bucket") == "head").collect()}
+    assert 0 in heads and 89 not in heads
+    again = {(r.doc_id, r.bucket) for r in perplexity_buckets(scores).collect()}
+    assert again == {(r.doc_id, r.bucket) for r in out.collect()}
