@@ -517,3 +517,97 @@ def test_cap_per_key_quota_property(spark, rows, n):
             expect = sorted(((o, i) for i, (kk, o) in enumerate(rows) if kk == k))[:n]
             assert sorted(got.get(k, [])) == expect, (k, n, salt)
             assert len(got.get(k, [])) == min(c, n)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("red green blue fox dog cat run eat".split()),
+                 min_size=1, max_size=12),
+        min_size=3, max_size=8,
+    ),
+    qwords=st.lists(st.sampled_from("red green blue fox dog cat run eat".split()),
+                    min_size=1, max_size=4),
+)
+def test_bm25_matches_naive_python(spark, data, qwords):
+    """bm25_topk vs an independent pure-Python BM25 on random corpora:
+    identical candidate sets, scores within float tolerance, same order."""
+    import math
+
+    from fluent_bit_spark.extensions.retrieval import bm25_topk
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(data)]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    q = spark.createDataFrame([(0, " ".join(qwords))], ["query_id", "text"])
+    got = {r.doc_id: r.score for r in bm25_topk(sdf, q, k=len(docs)).collect()}
+
+    # naive reference
+    n = len(docs)
+    tf = [dict() for _ in range(n)]
+    for i, ws in enumerate(data):
+        for w in ws:
+            tf[i][w] = tf[i].get(w, 0) + 1
+    dl = [len(ws) for ws in data]
+    avgdl = sum(dl) / n
+    qset = set(qwords)
+    want = {}
+    for i in range(n):
+        s = 0.0
+        for t in qset:
+            if t not in tf[i]:
+                continue
+            df_t = sum(1 for j in range(n) if t in tf[j])
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+            f = tf[i][t]
+            s += idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl[i] / avgdl))
+        if s > 0:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-4, (i, got[i], want[i])
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tgt=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=2, max_size=8),
+        min_size=2, max_size=5,
+    ),
+    doc=st.lists(st.sampled_from("aa bb cc dd ee zz".split()), min_size=1, max_size=10),
+)
+def test_bigram_logprob_matches_naive_python(spark, tgt, doc):
+    """bigram_logprob vs an independent pure-Python scorer on random
+    target corpora and docs (including OOV 'zz')."""
+    import math
+
+    from fluent_bit_spark.extensions.text import bigram_logprob
+
+    target = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(tgt)], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame([(1, " ".join(doc))], ["doc_id", "text"])
+    got = bigram_logprob(docs, target, interpolation=0.5).collect()[0]
+
+    uni, big, ctx = {}, {}, {}
+    for ws in tgt:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    denom = sum(uni.values()) + len(uni)
+
+    def p_uni(w):
+        return (uni.get(w, 0) + 1) / denom
+
+    lps = []
+    prev = None
+    for w in doc:
+        if prev is None or prev not in ctx:
+            p = p_uni(w)
+        else:
+            p = 0.5 * (big.get((prev, w), 0) / ctx[prev]) + 0.5 * p_uni(w)
+        lps.append(math.log(p))
+        prev = w
+    assert got.n_tokens == len(doc)
+    assert abs(got.avg_logp - sum(lps) / len(lps)) < 1e-9
