@@ -309,6 +309,62 @@ def minhash_dedup(
     return work.join(losers, id_col, "left_anti")
 
 
+def dedup_against_history(
+    df: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    update_state: bool = True,
+) -> DataFrame:
+    """Near-dup filter against everything EVER ingested: drop docs whose
+    MinHash signature shares any LSH band bucket with the band-hash
+    history table at ``state_dir``; append the survivors' band hashes.
+    This is the incremental-ingest analog of minhash_dedup — the shape a
+    daily crawl pipeline runs against its accumulated corpus, and the
+    cross-batch stage of the streaming wrapper (neardup_foreach_batch).
+
+    Scale shape: the history table holds num_bands small rows per
+    distinct ingested doc (two longs each) — far smaller than the corpus
+    text; the membership check is a left-anti/semi join keyed on the
+    uniform (band, bh) pair, AQE-skew-splittable. Appends are blind
+    parquet writes; duplicate band rows from replayed batches are
+    harmless (membership semantics), so the state update is idempotent
+    at the semantic level. Returns the surviving rows of ``df``.
+    """
+    import os
+
+    spark = df.sparkSession
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    bands = band_buckets(sig, id_col, num_bands, sig_len=num_hashes)
+    have_state = os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    )
+    if have_state:
+        seen = spark.read.parquet(state_dir)
+        losers = (
+            bands.join(seen, ["band", "bh"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        kept = df.join(losers, id_col, "left_anti")
+    else:
+        kept = df
+    # pin the survivor set BEFORE appending: the returned frame and the
+    # state write must not lazily re-read a state dir that now contains
+    # this batch's own bands (self-poisoning), and the signature pass
+    # should run once, not once per downstream action
+    kept = kept.localCheckpoint(eager=True)
+    if update_state:
+        ksig = minhash_signatures(kept, text_col, id_col, num_hashes, shingle_n)
+        band_buckets(ksig, id_col, num_bands, sig_len=num_hashes).select(
+            "band", "bh"
+        ).write.mode("append").parquet(state_dir)
+    return kept
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

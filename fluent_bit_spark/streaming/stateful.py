@@ -183,6 +183,57 @@ def dedup_stream(
     )
 
 
+def neardup_foreach_batch(
+    sink,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+):
+    """Streaming MinHash NEAR-dup as a foreachBatch stage — the
+    deployment shape for near-duplicate removal over an unbounded stream,
+    complementing dedup_stream's exact content-hash pass.
+
+    Why not a state-store operator: a doc must be dropped when ANY of its
+    ``num_bands`` band hashes was seen, but streaming state is keyed —
+    each (band, bh) key sees only its own bucket, and the cross-key vote
+    would need a stream-stream join after a stateful op (unsupported
+    chaining). foreachBatch sidesteps it: each micro-batch runs the full
+    BATCH operator within the batch (star-edge path, skew-proof), then
+    extensions.dedup.dedup_against_history drops docs colliding with the
+    band-hash history table and appends the survivors' bands.
+
+    Semantics: within-batch = exact minhash_dedup semantics; cross-batch
+    = unbounded-horizon near-dup against everything ever kept (unlike
+    the watermark-bounded exact pass, history membership never expires —
+    state is num_bands tiny rows per distinct doc, compacted offline).
+    Replayed batches re-emit their survivors (sink must be idempotent,
+    the standard foreachBatch contract); the state append is
+    semantically idempotent (duplicate band rows don't change
+    membership).
+
+    ``sink(batch_df, batch_id)`` receives the surviving rows. Returns the
+    function to pass to ``writeStream.foreachBatch``.
+    """
+    from fluent_bit_spark.extensions.dedup import (
+        dedup_against_history, minhash_dedup,
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        within = minhash_dedup(
+            batch_df, text_col, id_col, num_hashes, num_bands, shingle_n
+        )
+        survivors = dedup_against_history(
+            within, state_dir, text_col, id_col, num_hashes, num_bands,
+            shingle_n,
+        )
+        sink(survivors, batch_id)
+
+    return process
+
+
 def snapshot_stream_tws(
     sdf: DataFrame,
     limit: int,

@@ -595,3 +595,70 @@ def test_snapshot_stream_tws_gate_without_protobuf(spark):
     sdf = dummy_source(spark).withColumn("value", F.lit("x"))
     with pytest.raises(ImportError, match="protobuf"):
         snapshot_stream_tws(sdf, limit=3, flush_value="FLUSH")
+
+
+def test_dedup_against_history_batches(spark, tmp_path):
+    """Incremental near-dup: batch 2 drops docs near-duplicating batch 1
+    (cross-state), keeps genuinely new docs; the band-hash state grows by
+    survivors only; a no-update pass leaves state untouched."""
+    from fluent_bit_spark.extensions.dedup import dedup_against_history
+
+    state = str(tmp_path / "band_state")
+    b1 = spark.createDataFrame(
+        [(1, "the first original document about streaming systems and state"),
+         (2, "a completely different second document on parquet file layouts")],
+        ["doc_id", "text"],
+    )
+    kept1 = dedup_against_history(b1, state)
+    assert kept1.count() == 2  # empty history: everything survives
+
+    b2 = spark.createDataFrame(
+        [(10, "the first original document about streaming systems and state"),  # exact dup of 1
+         (11, "a completely different second document on parquet file layout"),  # near-dup of 2
+         (12, "fresh unrelated content mentioning neither storage nor streams here")],
+        ["doc_id", "text"],
+    )
+    kept2 = dedup_against_history(b2, state)
+    ids2 = {r.doc_id for r in kept2.select("doc_id").collect()}
+    assert 10 not in ids2 and 12 in ids2
+    # doc 11 differs by one word; with default banding it should share a band
+    assert 11 not in ids2
+
+    # replay of batch 2 is a no-op on output (history now contains 12's bands)
+    kept2b = dedup_against_history(b2, state, update_state=False)
+    assert {r.doc_id for r in kept2b.select("doc_id").collect()} == set()
+
+
+def test_neardup_foreach_batch_stream(spark, tmp_path):
+    """The streaming wrapper end-to-end with one-file micro-batches:
+    within-batch near-dups collapse, cross-batch near-dups drop against
+    the history table, unique docs land in the sink."""
+    from fluent_bit_spark.streaming.stateful import neardup_foreach_batch
+
+    d = tmp_path / "nd_in"
+    d.mkdir()
+    doc_a = "shared boilerplate paragraph repeated across the crawl corpus daily"
+    with open(d / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": doc_a}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": doc_a}) + "\n")  # within-batch dup
+        f.write(json.dumps({"doc_id": 3, "text": "unique first-batch article on compilers"}) + "\n")
+    with open(d / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 4, "text": doc_a}) + "\n")  # cross-batch dup
+        f.write(json.dumps({"doc_id": 5, "text": "another unique piece about databases"}) + "\n")
+
+    got: list = []
+    sink = lambda bdf, bid: got.extend(r.doc_id for r in bdf.select("doc_id").collect())
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            neardup_foreach_batch(sink, str(tmp_path / "nd_state"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sorted(got) == [1, 3, 5]
