@@ -79,10 +79,26 @@ def _doc_buckets(
     df: DataFrame, text_col: str, id_col: str | None, buckets: int,
     ns: tuple[int, ...],
 ) -> DataFrame:
-    cols = ([F.col(id_col)] if id_col else []) + [
-        F.explode(hashed_gram_buckets(F.col(text_col), buckets, ns)).alias("bucket")
-    ]
-    return df.select(*cols)
+    # two-step projection: materialize the word array before the gram
+    # transforms — composing hashed_gram_buckets as ONE expression makes
+    # every per-element access inside the lambdas re-run the
+    # normalize/split regex (measured ~15x slower at sf0.1)
+    from .text import ngrams_of_words
+
+    ids = [F.col(id_col)] if id_col else []
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    base = df.select(*ids, words.alias("__ws"))
+    ws = F.col("__ws")
+    grams = None
+    for n in ns:
+        g = ws if n == 1 else ngrams_of_words(ws, n)
+        grams = g if grams is None else F.concat(grams, g)
+    return base.select(
+        *ids,
+        F.explode(F.transform(grams, lambda g: _bucket(g, buckets))).alias("bucket"),
+    )
 
 
 def dsir_bucket_logratio(

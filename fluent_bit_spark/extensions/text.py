@@ -360,15 +360,23 @@ def repeated_span_stats(
     count on the 128-bit span hash (uniform key), and a per-doc
     aggregate — the unigram_counts shape, linear at 100 TB. The md5 span
     hash makes the whole derivation replayable in the DuckDB oracle."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    spans = df.select(
+    # materialize the word array FIRST: referencing the raw
+    # split(regexp_replace(...)) expression inside the transform lambda
+    # re-evaluates the regex once per window position (the ngrams_of_words
+    # pathology; measured 6x slower here at sf0.1)
+    base = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__ws"),
+    )
+    ws = F.col("__ws")
+    spans = base.select(
         F.col(id_col),
         F.explode(
             F.when(
-                F.size(words) >= window,
+                F.size(ws) >= window,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(words) - window),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, window))),
+                    F.sequence(F.lit(0), F.size(ws) - window),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, window))),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
@@ -382,10 +390,10 @@ def repeated_span_stats(
             F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("dup_windows"),
         )
     )
-    n_tok = df.select(
+    n_tok = base.select(
         F.col(id_col),
         F.coalesce(
-            F.size(F.filter(words, lambda w: w != "")), F.lit(0)
+            F.size(F.filter(ws, lambda w: w != "")), F.lit(0)
         ).alias("n_tokens"),
     )
     return (
