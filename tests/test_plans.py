@@ -58,6 +58,12 @@ PURE_JVM = [
     "gopher_quality",
     "url_canonicalize",
     "lm_quality",
+    "bm25_topk",
+    "repeated_spans",
+    "lm_bigram_quality",
+    "ccnet_buckets",
+    "sp_projection_variant",
+    "dsir_select",
 ]
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
