@@ -1448,6 +1448,31 @@ def multimodal_metadata_q(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def media_resize_grid_q(spark, sf_dir):
+    """Image-pipeline plumbing chain: payload -> resize (Arrow-batched
+    binary mapInPandas; pixel step is the deterministic stand-in, the
+    plan is the deployment plan) -> REAL header re-parse of the emitted
+    PNG -> ViT patch grid. The oracle replays the structure exactly:
+    every doc yields a 64x48 PNG whose parsed dims are the targets, and
+    a 16px grid over 64x48 is 4x3=12 patches with fixed offsets."""
+    from fluent_bit_spark.extensions.multimodal import (
+        extract_media_headers, image_patch_grid, resize_images, to_media_frame,
+    )
+
+    media = to_media_frame(
+        _docs(spark, sf_dir), "doc_id", F.encode(F.col("text"), "utf-8"), "image"
+    )
+    resized = resize_images(media, 64, 48)
+    headers = extract_media_headers(resized).select(
+        "media_id", "format", "width", "height"
+    )
+    patches = image_patch_grid(headers, patch=16)
+    return patches.join(headers, "media_id").select(
+        "media_id", "format", "width", "height",
+        "patch_row", "patch_col", "x0", "y0",
+    )
+
+
 def es_bulk_encode(spark, sf_dir):
     """out_es bulk shaping: logstash index rotation + Id_Key extraction +
     doc serialization, all codegen'd expressions over the scan — no shuffle
@@ -2881,6 +2906,7 @@ _DRIVER_WINDOW = [
     # (a) never driver-checked (round-5 additions + post-r4-report regs)
     "sp_projection_variant", "dsir_select", "semantic_dedup",
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
+    "media_resize_grid",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -2899,7 +2925,7 @@ _DRIVER_WINDOW = [
     "pivot_status_revenue", "join_q3_shipping",
     # (d) stalest r03 backfill (registry order; the rest rotate round 6)
     "join_q5_region", "dedup_exact", "dedup_jaccard_pairs",
-    "similarity_topk", "text_langid",
+    "similarity_topk",
 ]
 
 
@@ -2986,6 +3012,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": repeated_spans_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
+        "media_resize_grid": media_resize_grid_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3757,6 +3784,15 @@ def oracle_sql() -> dict[str, str]:
             "'contact u' || user_id || '@example.com or 10.0.' || (user_id % 256) || '.' || (event_id % 256), "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED:email]', 'g'), "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED:ipv4]', 'g') AS redacted FROM events"
+        ),
+        # media_resize_grid: structural replay — 64x48 PNG targets parsed
+        # back by the real header sniffer, 16px grid = 4x3 fixed patches
+        "media_resize_grid": (
+            "SELECT doc_id AS media_id, 'png' AS format, 64 AS width, 48 AS height, "
+            "pr AS patch_row, pc AS patch_col, pc * 16 AS x0, pr * 16 AS y0 "
+            "FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 3)) AS pr) r "
+            "CROSS JOIN (SELECT unnest(range(0, 4)) AS pc) c"
         ),
         "multimodal_metadata": (
             "SELECT doc_id AS media_id, 'image' AS kind, "

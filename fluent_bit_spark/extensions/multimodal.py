@@ -237,3 +237,82 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest((F.col("fake_duration_ms") / every_ms).cast("int") - 1, F.lit(0)))
         ).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    library=None,
+) -> DataFrame:
+    """Image-resize plumbing: (media_id, content, width, height) out.
+
+    The Spark-side contract is the real one — Arrow-batched
+    binary-in/binary-out mapInPandas, output dimensions in typed columns,
+    the source binary consumed inside the stage so downstream scans prune
+    it. The PIXEL work delegates to ``library`` (a callable
+    ``bytes -> bytes`` producing the resized payload); imaging libs are
+    not in this container, so the default stand-in emits a REAL tiny PNG
+    of the target dimensions (make_png) whose palette byte derives from
+    the source sha — deterministic, parseable by parse_media_header, and
+    the right schema/size shape for plumbing tests. Swap ``library`` for
+    a PIL/turbojpeg closure in deployment; the plan does not change."""
+    target_w, target_h = int(width), int(height)
+
+    def default_lib(content: bytes) -> bytes:
+        import hashlib
+
+        return make_png(target_w, target_h,
+                        color_type=2 if (hashlib.sha256(content).digest()[0] % 2) else 0)
+
+    lib = library or default_lib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                resized = lib(bytes(row["content"] or b""))
+                out.append({
+                    "media_id": row["media_id"],
+                    "content": resized,
+                    "width": target_w,
+                    "height": target_h,
+                })
+            yield pd.DataFrame(out)[["media_id", "content", "width", "height"]]
+
+    return media.mapInPandas(
+        run, schema="media_id bigint, content binary, width int, height int"
+    )
+
+
+def image_patch_grid(
+    meta: DataFrame,
+    patch: int = 16,
+    id_col: str = "media_id",
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """ViT-style patch inventory: one row per (patch_row, patch_col) tile
+    of each image's dimension grid — the work-list a patch-embedding
+    stage fans out over. Pure Catalyst explode; images whose dims don't
+    divide evenly keep their floor grid (the standard center-crop
+    contract). Emits (id, patch_row, patch_col, x0, y0)."""
+    rows = (F.col(h_col) / patch).cast("int")
+    cols = (F.col(w_col) / patch).cast("int")
+    g = meta.select(
+        F.col(id_col), rows.alias("__r"), cols.alias("__c")
+    ).filter((F.col("__r") > 0) & (F.col("__c") > 0))
+    return (
+        g.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("__r") - 1)).alias("patch_row"),
+            "__c",
+        )
+        .select(
+            id_col,
+            "patch_row",
+            F.explode(F.sequence(F.lit(0), F.col("__c") - 1)).alias("patch_col"),
+        )
+        .withColumn("x0", F.col("patch_col") * patch)
+        .withColumn("y0", F.col("patch_row") * patch)
+    )

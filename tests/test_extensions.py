@@ -1221,3 +1221,38 @@ def test_perplexity_buckets_thirds(spark):
     assert 0 in heads and 89 not in heads
     again = {(r.doc_id, r.bucket) for r in perplexity_buckets(scores).collect()}
     assert again == {(r.doc_id, r.bucket) for r in out.collect()}
+
+
+def test_resize_images_and_patch_grid(spark):
+    """The resize stand-in emits REAL PNGs of the target dims (round-trips
+    through the header sniffer); a custom library callable is honored;
+    patch grids floor to whole tiles and skip too-small images."""
+    from fluent_bit_spark.extensions.multimodal import (
+        extract_media_headers, image_patch_grid, parse_media_header,
+        resize_images, to_media_frame,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "payload one"), (2, "a different payload")], ["doc_id", "text"]
+    )
+    media = to_media_frame(docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image")
+    resized = resize_images(media, 40, 33)
+    rows = {r.media_id: r for r in resized.collect()}
+    assert rows[1].width == 40 and rows[1].height == 33
+    hdr = parse_media_header(bytes(rows[1].content))
+    assert hdr["format"] == "png" and hdr["width"] == 40 and hdr["height"] == 33
+
+    # custom library closure takes over the pixel step
+    custom = resize_images(media, 8, 8, library=lambda b: b"XX" + b[:2])
+    assert bytes(custom.collect()[0].content)[:2] == b"XX"
+
+    headers = extract_media_headers(resized)
+    grid = image_patch_grid(headers, patch=16)
+    # 40x33 / 16 -> 2 cols x 2 rows
+    g1 = grid.filter(F.col("media_id") == 1).collect()
+    assert {(r.patch_row, r.patch_col) for r in g1} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert all(r.x0 == r.patch_col * 16 and r.y0 == r.patch_row * 16 for r in g1)
+    # an image smaller than one patch contributes no rows
+    tiny = spark.createDataFrame([(9, 10, 10)], ["media_id", "width", "height"])
+    assert image_patch_grid(tiny, patch=16).count() == 0
