@@ -5,9 +5,15 @@ entry(spark)   -> flagship query on sf0.001 (Q1-style pricing summary
 queries()      -> one callable per implemented operator from SURVEY.md §2
                   (+ the LLM-pipeline extensions); each (spark, sf_dir) ->
                   DataFrame.
-oracle_sql()   -> equivalent DuckDB SQL per query (omitted only for ops
-                  whose candidate generation depends on engine-internal
-                  hashing: minhash/simhash/LSH — those get rows-only checks).
+oracle_sql()   -> equivalent DuckDB SQL per query — EVERY registry query
+                  has one. Ops whose candidate generation depends on
+                  engine-internal hashing (minhash/simhash/LSH/k-means)
+                  emit invariant contracts (brute-force soundness and
+                  exactness witnesses computed in-query) so their oracle
+                  is a literal truth table; persistent homology replays
+                  its SQL-expressible half (threshold-graph components)
+                  and witnesses the sweep against an independent
+                  reduction.
 
 Determinism policy for oracle hash-matching:
 - money/quantity sums go through DECIMAL(12,2)/(18,2) casts in BOTH engines
@@ -1446,6 +1452,38 @@ def multimodal_metadata_q(spark, sf_dir):
         _docs(spark, sf_dir), "doc_id", F.encode(F.col("text"), "utf-8"), "image"
     )
     return extract_media_metadata(media)
+
+
+def table_profile_q(spark, sf_dir):
+    """Dataset profiling pass (one-agg long-format column profile). The
+    exact fields (rows/nulls/lexicographic min-max over the string form)
+    replay directly in DuckDB; the HLL distinct estimate is witnessed
+    in-query against the exact distinct count (invariant contract:
+    within 10% — far outside the 2% rsd, so a broken sketch fails the
+    hash while a healthy one never does)."""
+    from fluent_bit_spark.extensions.sketches import profile_columns
+
+    cols = ["event_id", "event_type", "user_id", "value"]
+    ev = _events(spark, sf_dir)
+    prof = profile_columns(ev, cols)
+    exact = ev.agg(*[
+        F.count_distinct(F.col(c)).alias(c) for c in cols
+    ]).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("column"), F.col(c).alias("exact_distinct"))
+                for c in cols
+            ])
+        ).alias("e")
+    ).select("e.*")
+    return prof.join(F.broadcast(exact), "column").select(
+        "column", "n_rows", "n_nulls", "min_value", "max_value",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.1
+        ).alias("distinct_ok"),
+    )
 
 
 def media_resize_grid_q(spark, sf_dir):
@@ -2906,7 +2944,7 @@ _DRIVER_WINDOW = [
     # (a) never driver-checked (round-5 additions + post-r4-report regs)
     "sp_projection_variant", "dsir_select", "semantic_dedup",
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
-    "media_resize_grid",
+    "media_resize_grid", "table_profile",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -2925,7 +2963,6 @@ _DRIVER_WINDOW = [
     "pivot_status_revenue", "join_q3_shipping",
     # (d) stalest r03 backfill (registry order; the rest rotate round 6)
     "join_q5_region", "dedup_exact", "dedup_jaccard_pairs",
-    "similarity_topk",
 ]
 
 
@@ -3013,6 +3050,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
+        "table_profile": table_profile_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3784,6 +3822,29 @@ def oracle_sql() -> dict[str, str]:
             "'contact u' || user_id || '@example.com or 10.0.' || (user_id % 256) || '.' || (event_id % 256), "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED:email]', 'g'), "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED:ipv4]', 'g') AS redacted FROM events"
+        ),
+        # table_profile: exact fields replayed; the HLL estimate is an
+        # in-query invariant vs exact distinct -> literal truth column
+        "table_profile": (
+            "SELECT \"column\", n_rows, n_nulls, min_value, max_value, TRUE AS distinct_ok "
+            "FROM (VALUES "
+            "('event_id', (SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) FROM events WHERE event_id IS NULL), "
+            "(SELECT MIN(CAST(event_id AS VARCHAR)) FROM events), "
+            "(SELECT MAX(CAST(event_id AS VARCHAR)) FROM events)), "
+            "('event_type', (SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) FROM events WHERE event_type IS NULL), "
+            "(SELECT MIN(CAST(event_type AS VARCHAR)) FROM events), "
+            "(SELECT MAX(CAST(event_type AS VARCHAR)) FROM events)), "
+            "('user_id', (SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) FROM events WHERE user_id IS NULL), "
+            "(SELECT MIN(CAST(user_id AS VARCHAR)) FROM events), "
+            "(SELECT MAX(CAST(user_id AS VARCHAR)) FROM events)), "
+            "('value', (SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) FROM events WHERE value IS NULL), "
+            "(SELECT MIN(CAST(value AS VARCHAR)) FROM events), "
+            "(SELECT MAX(CAST(value AS VARCHAR)) FROM events))"
+            ") t(\"column\", n_rows, n_nulls, min_value, max_value)"
         ),
         # media_resize_grid: structural replay — 64x48 PNG targets parsed
         # back by the real header sniffer, 16px grid = 4x3 fixed patches

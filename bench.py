@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "bm25_topk",
     "repeated_spans",
     "lm_bigram_quality",
+    "ccnet_buckets",
+    "media_resize_grid",
     "pipeline_e2e",
 ]
 

@@ -157,3 +157,49 @@ def rank_summary(
             ),
         )
     return out.drop("_sk")
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-column dataset profile — the validation pass a training
+    pipeline runs before committing an ingest batch: row count, null
+    count, HLL distinct estimate, lexicographic/numeric min and max
+    (surfaced as strings so one long-format schema covers every type).
+
+    Scale shape: ONE aggregation pass over the scan — all columns'
+    metrics are computed in a single agg (map-side combinable: counts,
+    conditional counts, HLL buffers, min/max), then unpivoted
+    driver-free with an explode over a metrics array. No per-column jobs,
+    no exact count_distinct expand. ``rsd`` is the HLL relative standard
+    deviation (2% default ~= a few KB of state per column).
+
+    Returns (column, n_rows, n_nulls, approx_distinct, min_value,
+    max_value) — one row per profiled column."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul{i}"),
+            F.approx_count_distinct(c, rsd).alias(f"__dis{i}"),
+            F.min(col.cast("string")).alias(f"__min{i}"),
+            F.max(col.cast("string")).alias(f"__max{i}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nul{i}").alias("n_nulls"),
+            F.col(f"__dis{i}").alias("approx_distinct"),
+            F.col(f"__min{i}").alias("min_value"),
+            F.col(f"__max{i}").alias("max_value"),
+        )
+        for i, c in enumerate(cols)
+    ])
+    return one.select(F.explode(rows).alias("p")).select("p.*")

