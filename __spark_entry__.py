@@ -2633,14 +2633,39 @@ def sketch_rollup_q(spark, sf_dir):
 
 
 def sketch_quantiles_q(spark, sf_dir):
-    """p50/p95/p99 of the value column per event type from one KLL sketch
-    per group — bounded state instead of a per-group sort; item semantics
-    (discrete quantiles) so the DuckDB quantile_disc oracle is exact at
-    gate scale."""
+    """Per-group quantiles, scale-independent contract: the VALUE columns
+    are exact continuous percentiles (F.percentile == DuckDB
+    quantile_cont bit-for-bit); the KLL sketch estimates are witnessed in
+    rank space — the exact inclusive rank of each sketch item must sit
+    within 2% of its target quantile (k=8192's normalized rank error is
+    ~0.3%, so a healthy sketch never trips this while a broken one hash-
+    fails). Unlike the old value-equality oracle this stays green at any
+    sf, not just below the sketch's exact-regime threshold."""
     from fluent_bit_spark.extensions.sketches import quantile_summary
 
     ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
-    return quantile_summary(ev, ["event_type"], "value")
+    sk = quantile_summary(ev, ["event_type"], "value")
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(f"p{round(q*100):02d}_exact")
+            for q in (0.5, 0.95, 0.99)
+        ],
+    )
+    j = ev.join(F.broadcast(sk), "event_type")
+    witness = j.groupBy("event_type").agg(
+        *[
+            F.avg((F.col("value") <= F.col(f"p{round(q*100):02d}")).cast("double")).alias(f"__r{round(q*100):02d}")
+            for q in (0.5, 0.95, 0.99)
+        ]
+    )
+    return exact.join(witness, "event_type").select(
+        "event_type", "n", "p50_exact", "p95_exact", "p99_exact",
+        *[
+            (F.abs(F.col(f"__r{p}") - F.lit(q)) <= 0.02).alias(f"sk{p}_ok")
+            for p, q in (("50", 0.5), ("95", 0.95), ("99", 0.99))
+        ],
+    )
 
 
 def sketch_overlap_q(spark, sf_dir):
@@ -2737,13 +2762,36 @@ def interval_band_join_q(spark, sf_dir):
 
 
 def sketch_ranks_q(spark, sf_dir):
-    """Inverse quantiles from one KLL sketch per group: the fraction of
-    values <= each probe (inclusive rank) — 'what percentile is latency
-    100?'. Bounded per-group state, exact below compaction."""
+    """Inverse quantiles, scale-independent contract: the VALUE columns
+    are the exact inclusive-rank fractions (pure Catalyst avg, replayed
+    by the oracle at any sf); the KLL sketch's rank answers are witnessed
+    against them within the 2% band — a sketch regression hash-fails
+    without tying the oracle to the sketch's exact-regime threshold."""
     from fluent_bit_spark.extensions.sketches import rank_summary
 
+    probes = (50.0, 100.0, 150.0)
     ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
-    return rank_summary(ev, ["event_type"], "value", (50.0, 100.0, 150.0))
+    sk = rank_summary(ev, ["event_type"], "value", probes)
+    exact = ev.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.avg((F.col("value") <= F.lit(v)).cast("double")), 9
+            ).alias(f"rank_at_{str(v).replace('.', '_')}")
+            for v in probes
+        ]
+    )
+    names = [f"rank_at_{str(v).replace('.', '_')}" for v in probes]
+    j = exact.join(
+        sk.select("event_type", *[F.col(n).alias(f"__sk_{n}") for n in names]),
+        "event_type",
+    )
+    return j.select(
+        "event_type", *names,
+        *[
+            (F.abs(F.col(f"__sk_{n}") - F.col(n)) <= 0.02).alias(f"sk_{i}_ok")
+            for i, n in enumerate(names)
+        ],
+    )
 
 
 def dataset_split_q(spark, sf_dir):
@@ -4312,9 +4360,11 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1"
         ),
         "sketch_quantiles": (
-            "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
-            "quantile_disc(value, 0.95) AS p95, "
-            "quantile_disc(value, 0.99) AS p99 "
+            "SELECT event_type, COUNT(*) AS n, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS p50_exact, "
+            "ROUND(quantile_cont(value, 0.95), 6) AS p95_exact, "
+            "ROUND(quantile_cont(value, 0.99), 6) AS p99_exact, "
+            "TRUE AS sk50_ok, TRUE AS sk95_ok, TRUE AS sk99_ok "
             "FROM events WHERE value IS NOT NULL GROUP BY event_type"
         ),
         "sketch_overlap": (
@@ -4385,7 +4435,8 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(COUNT(*) FILTER (WHERE value <= 100.0) * 1.0 / COUNT(*), 9) "
             "AS rank_at_100_0, "
             "ROUND(COUNT(*) FILTER (WHERE value <= 150.0) * 1.0 / COUNT(*), 9) "
-            "AS rank_at_150_0 "
+            "AS rank_at_150_0, "
+            "TRUE AS sk_0_ok, TRUE AS sk_1_ok, TRUE AS sk_2_ok "
             "FROM events WHERE value IS NOT NULL GROUP BY event_type"
         ),
         "dataset_split": (

@@ -358,11 +358,50 @@ def dedup_against_history(
     # should run once, not once per downstream action
     kept = kept.localCheckpoint(eager=True)
     if update_state:
-        ksig = minhash_signatures(kept, text_col, id_col, num_hashes, shingle_n)
-        band_buckets(ksig, id_col, num_bands, sig_len=num_hashes).select(
-            "band", "bh"
-        ).write.mode("append").parquet(state_dir)
+        append_history(kept, state_dir, text_col, id_col, num_hashes,
+                       num_bands, shingle_n)
     return kept
+
+
+def append_history(
+    df: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Append ``df``'s band hashes to the dedup history table. Split out
+    of dedup_against_history so streaming callers can order it AFTER the
+    sink write: state-before-sink loses documents on a crash between the
+    two (the replay drops them against their own first-attempt bands);
+    sink-before-state merely re-emits on replay — the standard
+    at-least-once foreachBatch contract."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_buckets(sig, id_col, num_bands, sig_len=num_hashes).select(
+        "band", "bh"
+    ).write.mode("append").parquet(state_dir)
+
+
+def compact_history(spark, state_dir: str) -> int:
+    """Offline maintenance for dedup_against_history's band table:
+    replayed batches and per-batch appends accumulate duplicate
+    (band, bh) rows that don't change membership but inflate the
+    semi-join scan. Rewrites the table as distinct rows via
+    tmp-write-then-swap. Run BETWEEN ingest batches (the swap is not
+    safe against a concurrent reader mid-plan). Returns the compacted
+    row count."""
+    import os
+    import shutil
+
+    tmp = state_dir.rstrip("/") + ".compact.tmp"
+    distinct = spark.read.parquet(state_dir).distinct()
+    distinct.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+    return n
 
 
 def ngram_jaccard_pairs(

@@ -208,17 +208,22 @@ def neardup_foreach_batch(
     Semantics: within-batch = exact minhash_dedup semantics; cross-batch
     = unbounded-horizon near-dup against everything ever kept (unlike
     the watermark-bounded exact pass, history membership never expires —
-    state is num_bands tiny rows per distinct doc, compacted offline).
-    Replayed batches re-emit their survivors (sink must be idempotent,
-    the standard foreachBatch contract); the state append is
-    semantically idempotent (duplicate band rows don't change
-    membership).
+    state is num_bands tiny rows per distinct doc, compacted offline
+    with extensions.dedup.compact_history).
+
+    Failure ordering: the sink write runs BEFORE the state append. A
+    crash between them makes the replayed batch re-emit its survivors
+    (duplicate delivery — the standard at-least-once foreachBatch
+    contract, so sinks must be idempotent); the reverse order would
+    LOSE them (the replay would drop the docs against their own
+    first-attempt bands). The append itself is semantically idempotent
+    (duplicate band rows don't change membership).
 
     ``sink(batch_df, batch_id)`` receives the surviving rows. Returns the
     function to pass to ``writeStream.foreachBatch``.
     """
     from fluent_bit_spark.extensions.dedup import (
-        dedup_against_history, minhash_dedup,
+        append_history, dedup_against_history, minhash_dedup,
     )
 
     def process(batch_df, batch_id: int) -> None:
@@ -227,9 +232,13 @@ def neardup_foreach_batch(
         )
         survivors = dedup_against_history(
             within, state_dir, text_col, id_col, num_hashes, num_bands,
-            shingle_n,
+            shingle_n, update_state=False,
         )
         sink(survivors, batch_id)
+        append_history(
+            survivors, state_dir, text_col, id_col, num_hashes, num_bands,
+            shingle_n,
+        )
 
     return process
 

@@ -27,9 +27,13 @@ def test_every_registry_query_executes(spark):
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
     assert not failures, "\n".join(failures)
-    # every query has an oracle or is a documented rows-only case
+    # EVERY query has an oracle (zero rows-only as of round 5 — the TDA
+    # invariant contract closed the last one); stray oracle keys with no
+    # query are dead weight
     missing = [n for n in qs if n not in oracles]
-    assert len(missing) <= 7, f"undocumented rows-only queries: {missing}"
+    assert not missing, f"queries without oracles: {missing}"
+    stray = [n for n in oracles if n not in qs]
+    assert not stray, f"oracles without queries: {stray}"
 
 
 def test_entry_contract(spark):

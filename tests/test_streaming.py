@@ -662,3 +662,30 @@ def test_neardup_foreach_batch_stream(spark, tmp_path):
     )
     q.awaitTermination(600)
     assert sorted(got) == [1, 3, 5]
+
+
+def test_compact_history_preserves_membership(spark, tmp_path):
+    """Replayed appends collapse to distinct band rows; dedup decisions
+    are identical before and after compaction."""
+    from fluent_bit_spark.extensions.dedup import (
+        compact_history, dedup_against_history,
+    )
+
+    from fluent_bit_spark.extensions.dedup import append_history
+
+    state = str(tmp_path / "st")
+    b = spark.createDataFrame(
+        [(1, "a stable document about compaction of band hash state tables")],
+        ["doc_id", "text"],
+    )
+    dedup_against_history(b, state)
+    # a replayed post-sink append (the at-least-once path) duplicates rows
+    append_history(b, state)
+    before = spark.read.parquet(state).count()
+    n = compact_history(spark, state)
+    assert n < before and n == spark.read.parquet(state).distinct().count()
+    # membership unchanged: the doc is still recognized as a duplicate
+    again = dedup_against_history(
+        b.selectExpr("doc_id + 2 AS doc_id", "text"), state, update_state=False
+    )
+    assert again.count() == 0
