@@ -93,3 +93,20 @@ def test_corpus_stream_pipeline_example(spark, tmp_path):
     # checkpoint adds nothing
     csp.run(spark, in_dir, out_dir, cp)
     assert spark.read.parquet(out_dir).count() == distinct_texts
+
+
+def test_cli_main(spark, tmp_path):
+    """python -m fluent_bit_spark -c <conf>: dry-run lists routes, real
+    run delivers, bad config exits 2 — the `fluent-bit -c` analog."""
+    from pathlib import Path
+
+    import fluent_bit_spark.__main__ as cli
+
+    conf = (
+        Path(__file__).resolve().parents[1] / "examples" / "classic_pipeline.conf"
+    ).read_text().replace("/tmp/fbs_example_out", str(tmp_path))
+    cpath = tmp_path / "p.conf"
+    cpath.write_text(conf)
+    assert cli.main(["-c", str(cpath), "--dry-run"]) == 0
+    assert cli.main(["-c", str(cpath), "--json"]) == 0
+    assert cli.main(["-c", str(tmp_path / "missing.conf")]) == 2
