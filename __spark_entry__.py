@@ -1454,6 +1454,24 @@ def multimodal_metadata_q(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def pagerank_nodes_q(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic 40-node graph derived
+    from events (src = user%40, dst = (user+event)%40). The DuckDB oracle
+    replays all 10 power iterations in one recursive CTE — nodes with no
+    in-edges stay alive via synthetic zero-contribution self-edges (a
+    recursive term may reference the working table only once, so the
+    completeness left-join folds into the edge list instead)."""
+    from fluent_bit_spark.extensions.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        F.pmod(F.col("user_id") + F.col("event_id"), F.lit(40)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    pr = pagerank(edges, iterations=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def table_profile_q(spark, sf_dir):
     """Dataset profiling pass (one-agg long-format column profile). The
     exact fields (rows/nulls/lexicographic min-max over the string form)
@@ -2992,7 +3010,7 @@ _DRIVER_WINDOW = [
     # (a) never driver-checked (round-5 additions + post-r4-report regs)
     "sp_projection_variant", "dsir_select", "semantic_dedup",
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
-    "media_resize_grid", "table_profile",
+    "media_resize_grid", "table_profile", "pagerank_nodes",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -3010,7 +3028,7 @@ _DRIVER_WINDOW = [
     "union_tag_merge", "window_rank_topk", "asof_last_signup",
     "pivot_status_revenue", "join_q3_shipping",
     # (d) stalest r03 backfill (registry order; the rest rotate round 6)
-    "join_q5_region", "dedup_exact", "dedup_jaccard_pairs",
+    "join_q5_region", "dedup_exact",
 ]
 
 
@@ -3099,6 +3117,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
         "table_profile": table_profile_q,
+        "pagerank_nodes": pagerank_nodes_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3870,6 +3889,30 @@ def oracle_sql() -> dict[str, str]:
             "'contact u' || user_id || '@example.com or 10.0.' || (user_id % 256) || '.' || (event_id % 256), "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED:email]', 'g'), "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED:ipv4]', 'g') AS redacted FROM events"
+        ),
+        # pagerank_nodes: 10 power iterations in one recursive CTE; the
+        # base literal is the Python-double value of (1-0.85)/N's numerator
+        # so both engines run identical float arithmetic
+        "pagerank_nodes": (
+            "WITH RECURSIVE raw AS (SELECT DISTINCT user_id % 40 AS src, "
+            "(user_id + event_id) % 40 AS dst FROM events "
+            "WHERE user_id % 40 <> (user_id + event_id) % 40), "
+            "nodes AS (SELECT DISTINCT n FROM "
+            "(SELECT src AS n FROM raw UNION SELECT dst FROM raw) u), "
+            "deg AS (SELECT src, COUNT(*) AS d FROM raw GROUP BY src), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "e2 AS (SELECT src, dst, FALSE AS selfed FROM raw "
+            "UNION ALL SELECT n, n, TRUE FROM nodes), "
+            "pr(it, node, rank) AS ("
+            "SELECT 0, nodes.n, 1.0 / nn.n FROM nodes CROSS JOIN nn "
+            "UNION ALL "
+            f"SELECT p.it + 1, e2.dst, {1 - 0.85!r} / nn.n "
+            "+ 0.85 * SUM(CASE WHEN e2.selfed THEN 0 "
+            "ELSE p.rank / deg.d END) "
+            "FROM pr p JOIN e2 ON e2.src = p.node "
+            "LEFT JOIN deg ON deg.src = e2.src CROSS JOIN nn "
+            "WHERE p.it < 10 GROUP BY p.it + 1, e2.dst, nn.n) "
+            "SELECT node, ROUND(rank, 6) AS rank FROM pr WHERE it = 10"
         ),
         # table_profile: exact fields replayed; the HLL estimate is an
         # in-query invariant vs exact distinct -> literal truth column

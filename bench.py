@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "lm_bigram_quality",
     "ccnet_buckets",
     "media_resize_grid",
+    "pagerank_nodes",
+    "table_profile",
     "pipeline_e2e",
 ]
 

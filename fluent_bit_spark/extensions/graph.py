@@ -106,3 +106,65 @@ def dedup_clusters(
         )
         .withColumn("is_representative", F.col(id_col) == F.col("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the domain/
+    page authority signal crawl-curation pipelines rank by (quality
+    weighting by site, seed selection, spam demotion).
+
+    Simple power-iteration form: rank'(v) = (1-d)/N + d * sum over
+    in-edges of rank(u)/outdeg(u). Dangling nodes (no out-edges) leak
+    their damped mass rather than redistributing it — the documented
+    contract here, chosen so a fixed iteration count is exactly
+    replayable in portable SQL (the redistribution variant needs a
+    per-iteration global scalar).
+
+    Scale shape per iteration: one shuffle keyed by ``dst`` (map-side
+    combinable sum) plus a broadcast-or-shuffle join of ranks to edges
+    keyed by ``src``; lineage is cut with an eager localCheckpoint every
+    ``checkpoint_every`` rounds so the plan stays bounded (the same
+    discipline as connected_components). Multigraph edges are
+    deduplicated first. Returns (node, rank), one row per distinct node.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge list")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(int(iterations)):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

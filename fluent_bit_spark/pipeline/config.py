@@ -765,7 +765,7 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
     for inp in conf.get("pipeline", {}).get("inputs", []):
         tag = inp.get("tag", f"{inp['name']}.0")
         fmt = inp.get("format", inp.get("name", "parquet"))
-        if fmt in ("parquet", "json", "csv", "text"):
+        if fmt in ("parquet", "json", "csv", "text", "orc"):
             reader = spark.read
             if inp.get("schema"):
                 reader = reader.schema(inp["schema"])

