@@ -1454,6 +1454,28 @@ def multimodal_metadata_q(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def html_extract_q(spark, sf_dir):
+    """WET-creation extraction over deterministic HTML built from the
+    documents table (title with an entity, script/style/comment noise,
+    two differently-cased links wrapping the doc text). The oracle
+    derives the expected title/body/link-count from the SOURCE columns —
+    fully independent of the extraction regexes."""
+    from fluent_bit_spark.extensions.html import html_extract
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " &amp; more</title><script>var x = 1 < 2;</script>"
+            "<style>p { color: red; }</style></head><body><!-- note --><p>"
+        ),
+        F.col("text"),
+        F.lit('</p><a href="/a">x</a><A HREF="/b">y</A></body></html>'),
+    )
+    return html_extract(docs.select("doc_id", html.alias("html")))
+
+
 def pagerank_nodes_q(spark, sf_dir):
     """Fixed-iteration PageRank over a deterministic 40-node graph derived
     from events (src = user%40, dst = (user+event)%40). The DuckDB oracle
@@ -3010,7 +3032,7 @@ _DRIVER_WINDOW = [
     # (a) never driver-checked (round-5 additions + post-r4-report regs)
     "sp_projection_variant", "dsir_select", "semantic_dedup",
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
-    "media_resize_grid", "table_profile", "pagerank_nodes",
+    "media_resize_grid", "table_profile", "pagerank_nodes", "html_extract",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -3028,7 +3050,7 @@ _DRIVER_WINDOW = [
     "union_tag_merge", "window_rank_topk", "asof_last_signup",
     "pivot_status_revenue", "join_q3_shipping",
     # (d) stalest r03 backfill (registry order; the rest rotate round 6)
-    "join_q5_region", "dedup_exact",
+    "join_q5_region",
 ]
 
 
@@ -3118,6 +3140,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_grid": media_resize_grid_q,
         "table_profile": table_profile_q,
         "pagerank_nodes": pagerank_nodes_q,
+        "html_extract": html_extract_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3889,6 +3912,14 @@ def oracle_sql() -> dict[str, str]:
             "'contact u' || user_id || '@example.com or 10.0.' || (user_id % 256) || '.' || (event_id % 256), "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED:email]', 'g'), "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED:ipv4]', 'g') AS redacted FROM events"
+        ),
+        # html_extract: expectations derived from the SOURCE columns the
+        # HTML was templated from — independent of the extraction regexes
+        "html_extract": (
+            "SELECT doc_id, "
+            "'Doc ' || doc_id || ' & more' AS title, "
+            f"trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' x y' AS body, "
+            "2 AS n_links FROM documents"
         ),
         # pagerank_nodes: 10 power iterations in one recursive CTE; the
         # base literal is the Python-double value of (1-0.85)/N's numerator

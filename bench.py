@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "media_resize_grid",
     "pagerank_nodes",
+    "html_extract",
     "table_profile",
     "pipeline_e2e",
 ]

@@ -1290,3 +1290,26 @@ def test_pagerank_power_iteration(spark):
         pagerank(e, iterations=0)
     with pytest.raises(ValueError, match="empty"):
         pagerank(e.filter(F.col("src") > 99))
+
+
+def test_html_extract_edges(spark):
+    """Extraction semantics: head content excluded from body, scripts/
+    styles/comments gone, entities decoded once (&amp;lt; -> literal
+    '&lt;'), missing title -> '', malformed markup degrades gracefully."""
+    from fluent_bit_spark.extensions.html import html_extract
+
+    rows = [
+        (1, "<html><head><title>T &amp; U</title><script>if (a<b) {}</script>"
+            "</head><body><p>Hello&nbsp;world</p><!-- hidden --></body></html>"),
+        (2, "<body>No title here &amp;lt;tag&amp;gt; <a href='x'>go</a></body>"),
+        (3, "plain text, no markup at all"),
+        (4, "<p>broken <b>nested <i>unclosed</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = {r.doc_id: r for r in html_extract(df).collect()}
+    assert out[1].title == "T & U"
+    assert out[1].body == "Hello world"          # head + script + comment gone
+    assert out[2].title == "" and out[2].n_links == 1
+    assert "&lt;tag&gt;" in out[2].body          # no double decode
+    assert out[3].body == "plain text, no markup at all"
+    assert out[4].body == "broken nested unclosed"
