@@ -1476,6 +1476,39 @@ def html_extract_q(spark, sf_dir):
     return html_extract(docs.select("doc_id", html.alias("html")))
 
 
+def warc_wet_q(spark, sf_dir):
+    """The crawl front door end-to-end: deterministic WARC response
+    records (WARC headers + HTTP headers + HTML payload templated from
+    documents) -> warc_parse -> html_extract = the WARC->WET step. The
+    oracle derives every output from the source columns, independent of
+    both parsers."""
+    from fluent_bit_spark.extensions.html import html_extract, warc_parse
+
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "http://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n\r\n"
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+              "\r\n<html><head><title>T</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    recs = warc_parse(docs.select("doc_id", raw.alias("raw")))
+    pages = html_extract(
+        recs.filter(F.col("http_status") == 200).select(
+            "doc_id", "target_uri", F.col("body").alias("html")
+        ),
+        html_col="html",
+    )
+    return recs.select(
+        "doc_id", "warc_type", "target_uri", "http_status", "content_type"
+    ).join(pages.select("doc_id", F.col("body").alias("page_text")), "doc_id")
+
+
 def pagerank_nodes_q(spark, sf_dir):
     """Fixed-iteration PageRank over a deterministic 40-node graph derived
     from events (src = user%40, dst = (user+event)%40). The DuckDB oracle
@@ -3033,6 +3066,7 @@ _DRIVER_WINDOW = [
     "sp_projection_variant", "dsir_select", "semantic_dedup",
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
     "media_resize_grid", "table_profile", "pagerank_nodes", "html_extract",
+    "warc_wet",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -3049,8 +3083,6 @@ _DRIVER_WINDOW = [
     "multiline_sessionize", "expect_assertions", "router_split",
     "union_tag_merge", "window_rank_topk", "asof_last_signup",
     "pivot_status_revenue", "join_q3_shipping",
-    # (d) stalest r03 backfill (registry order; the rest rotate round 6)
-    "join_q5_region",
 ]
 
 
@@ -3141,6 +3173,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": table_profile_q,
         "pagerank_nodes": pagerank_nodes_q,
         "html_extract": html_extract_q,
+        "warc_wet": warc_wet_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3920,6 +3953,15 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id || ' & more' AS title, "
             f"trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' x y' AS body, "
             "2 AS n_links FROM documents"
+        ),
+        # warc_wet: WARC->WET chain replayed from the template's source
+        # columns, independent of both parsers
+        "warc_wet": (
+            "SELECT doc_id, 'response' AS warc_type, "
+            "'http://site' || (doc_id % 20) || '.example/p/' || doc_id AS target_uri, "
+            "200 AS http_status, 'text/html' AS content_type, "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS page_text "
+            "FROM documents"
         ),
         # pagerank_nodes: 10 power iterations in one recursive CTE; the
         # base literal is the Python-double value of (1-0.85)/N's numerator

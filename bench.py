@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "media_resize_grid",
     "pagerank_nodes",
     "html_extract",
+    "warc_wet",
     "table_profile",
     "pipeline_e2e",
 ]

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["strip_tags", "decode_entities", "html_extract"]
+__all__ = ["strip_tags", "decode_entities", "html_extract", "warc_parse"]
 
 # non-greedy block removals; (?is) = case-insensitive + dotall
 _BLOCK_RES = (
@@ -81,4 +81,51 @@ def html_extract(
         title.alias("title"),
         body.alias("body"),
         n_links.cast("int").alias("n_links"),
+    )
+
+
+def warc_parse(
+    df: DataFrame,
+    raw_col: str = "raw",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse WARC response records (ISO 28500, the crawl-archive format
+    corpus pipelines ingest) from a string column holding one record
+    each: the WARC header block, the HTTP header block, and the payload
+    are separated by blank lines (CRLF or LF — real archives mix both).
+
+    Emits (id, warc_type, target_uri, warc_date, http_status,
+    content_type, body). Missing headers are NULL; a record without two
+    header blocks yields NULL status and the remainder as body. Pure
+    Catalyst regexes — scan speed, chaining directly into html_extract
+    for the WARC -> WET step."""
+    raw = F.col(raw_col)
+
+    def header(name):
+        return F.nullif(
+            F.regexp_extract(raw, rf"(?im)^{name}:[ \t]*([^\r\n]+)", 1), F.lit("")
+        )
+
+    # split off the WARC header block, then the HTTP header block; the
+    # \A anchor makes each pattern match at most once
+    after_warc = F.regexp_replace(raw, r"(?s)\A.*?\r?\n\r?\n", "")
+    body = F.regexp_replace(after_warc, r"(?s)\A.*?\r?\n\r?\n", "")
+    status = F.nullif(
+        F.regexp_extract(after_warc, r"(?m)\AHTTP/[0-9.]+[ \t]+(\d{3})", 1),
+        F.lit(""),
+    ).cast("int")
+    content_type = F.nullif(
+        F.regexp_extract(
+            after_warc, r"(?im)^Content-Type:[ \t]*([^\r\n;]+)", 1
+        ),
+        F.lit(""),
+    )
+    return df.select(
+        F.col(id_col),
+        header("WARC-Type").alias("warc_type"),
+        header("WARC-Target-URI").alias("target_uri"),
+        header("WARC-Date").alias("warc_date"),
+        status.alias("http_status"),
+        F.trim(content_type).alias("content_type"),
+        body.alias("body"),
     )

@@ -1313,3 +1313,31 @@ def test_html_extract_edges(spark):
     assert "&lt;tag&gt;" in out[2].body          # no double decode
     assert out[3].body == "plain text, no markup at all"
     assert out[4].body == "broken nested unclosed"
+
+
+def test_warc_parse_record_shapes(spark):
+    """WARC parsing: full response records yield all fields; mixed
+    CRLF/LF separators parse identically; truncated records degrade to
+    NULL status with the remainder as body."""
+    from fluent_bit_spark.extensions.html import warc_parse
+
+    full = ("WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://a.example/x\r\n"
+            "WARC-Date: 2024-02-03T04:05:06Z\r\n\r\n"
+            "HTTP/1.1 301 Moved\r\nContent-Type: text/plain; charset=x\r\n\r\n"
+            "the payload")
+    lf = full.replace("\r\n", "\n")
+    broken = "WARC/1.0\nWARC-Type: metadata\n\nno http block here"
+    df = spark.createDataFrame(
+        [(1, full), (2, lf), (3, broken)], ["doc_id", "raw"]
+    )
+    out = {r.doc_id: r for r in warc_parse(df).collect()}
+    for i in (1, 2):
+        assert out[i].warc_type == "response"
+        assert out[i].target_uri == "http://a.example/x"
+        assert out[i].warc_date == "2024-02-03T04:05:06Z"
+        assert out[i].http_status == 301
+        assert out[i].content_type == "text/plain"
+        assert out[i].body == "the payload"
+    assert out[3].warc_type == "metadata"
+    assert out[3].http_status is None and out[3].target_uri is None
