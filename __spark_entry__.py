@@ -1476,6 +1476,31 @@ def html_extract_q(spark, sf_dir):
     return html_extract(docs.select("doc_id", html.alias("html")))
 
 
+def robots_compliance_q(spark, sf_dir):
+    """Crawl compliance end-to-end: per-domain robots.txt (three
+    deterministic regimes — full /p/ disallow, longest-match Allow
+    override, non-'*' group only) parsed by parse_robots and applied by
+    robots_filter with RFC 9309 longest-match precedence. The oracle
+    derives the surviving URL set from the generating arithmetic,
+    independent of both the parser and the matcher."""
+    from fluent_bit_spark.extensions.urls import parse_robots, robots_filter
+
+    ev = _events(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://d"), (F.col("user_id") % 10).cast("string"),
+        F.lit(".example/p/"), (F.col("event_id") % 100).cast("string"),
+    )
+    urls = ev.select(F.col("event_id").alias("doc_id"), url.alias("url"))
+    doms = spark.range(10).select(
+        F.concat(F.lit("d"), F.col("id").cast("string"), F.lit(".example")).alias("domain"),
+        F.when(F.col("id") % 3 == 0, "User-agent: *\nDisallow: /p/")
+        .when(F.col("id") % 3 == 1, "User-agent: *\nDisallow: /p/\nAllow: /p/1")
+        .otherwise("User-agent: googlebot\nDisallow: /")
+        .alias("robots_txt"),
+    )
+    return robots_filter(urls, parse_robots(doms))
+
+
 def warc_wet_q(spark, sf_dir):
     """The crawl front door end-to-end: deterministic WARC response
     records (WARC headers + HTTP headers + HTML payload templated from
@@ -3066,7 +3091,7 @@ _DRIVER_WINDOW = [
     "sp_projection_variant", "dsir_select", "semantic_dedup",
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
     "media_resize_grid", "table_profile", "pagerank_nodes", "html_extract",
-    "warc_wet",
+    "warc_wet", "robots_compliance",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -3174,6 +3199,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_nodes": pagerank_nodes_q,
         "html_extract": html_extract_q,
         "warc_wet": warc_wet_q,
+        "robots_compliance": robots_compliance_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3953,6 +3979,17 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id || ' & more' AS title, "
             f"trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' x y' AS body, "
             "2 AS n_links FROM documents"
+        ),
+        # robots_compliance: the surviving set derived from the generating
+        # arithmetic (domain regime + longest-match precedence), fully
+        # independent of the robots parser and matcher
+        "robots_compliance": (
+            "SELECT event_id AS doc_id, "
+            "'http://d' || (user_id % 10) || '.example/p/' || (event_id % 100) AS url "
+            "FROM events "
+            "WHERE (user_id % 10) % 3 = 2 "
+            "OR ((user_id % 10) % 3 = 1 "
+            "AND CAST(event_id % 100 AS VARCHAR) LIKE '1%')"
         ),
         # warc_wet: WARC->WET chain replayed from the template's source
         # columns, independent of both parsers

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "pagerank_nodes",
     "html_extract",
     "warc_wet",
+    "robots_compliance",
     "table_profile",
     "pipeline_e2e",
 ]

@@ -276,3 +276,127 @@ def url_filter_dedup(
     # set) — otherwise Catalyst pushes it below the aggregate and the
     # projections, re-expanding norm_url/domain per input row
     return out.filter(residual | (F.rand(7) < F.lit(-1.0)))
+
+
+def parse_robots(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Parse robots.txt files into (domain, rule, path_prefix) rows for
+    the '*' user-agent group — the crawl-compliance table a fetch/filter
+    stage joins against.
+
+    Grouping follows the REP draft (RFC 9309) shape: consecutive
+    User-agent lines open a group; Allow/Disallow lines belong to the
+    open group; a group applies here when ANY of its agents is '*'.
+    Comments (#) and blank lines are ignored; an empty Disallow ("allow
+    all") contributes no row. Only literal path prefixes are emitted
+    (wildcard-bearing rules are kept verbatim — robots_filter handles
+    '*' and '$').
+
+    Scale shape: posexplode the lines, one per-domain window pass to
+    assign group ids (robots files are KBs, domains are many — the
+    shuffle key is the domain, perfectly distributable), then a
+    group-membership semi-join."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "line"),
+    ).select(
+        "domain", "pos",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    typed = lines.select(
+        "domain", "pos",
+        F.lower(F.regexp_extract("line", r"(?i)^(user-agent|allow|disallow)\s*:", 1)).alias("kind"),
+        F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:\s*(.*)$", 1)).alias("val"),
+    ).filter(F.col("kind") != "")
+    w = Window.partitionBy("domain").orderBy("pos")
+    # a UA line that follows a non-UA line starts a NEW group; consecutive
+    # UA lines share one
+    grouped = typed.withColumn(
+        "new_group",
+        (
+            (F.col("kind") == "user-agent")
+            & (F.coalesce(F.lag("kind").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("gid", F.sum("new_group").over(w))
+    star_groups = (
+        grouped.filter((F.col("kind") == "user-agent") & (F.col("val") == "*"))
+        .select("domain", "gid")
+        .distinct()
+    )
+    return (
+        grouped.join(star_groups, ["domain", "gid"], "left_semi")
+        .filter(F.col("kind").isin("allow", "disallow") & (F.col("val") != ""))
+        .select("domain", F.col("kind").alias("rule"), F.col("val").alias("path_prefix"))
+        .distinct()
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep URLs the '*'-agent rules permit, RFC 9309 precedence: among
+    all matching rules the LONGEST path prefix wins; ties prefer Allow;
+    no match = allowed. Rule paths support '*' (any chars) and a
+    terminal '$' (end anchor), translated to regexes.
+
+    Scale shape: the join is keyed on the registrable domain — rules per
+    domain are few (robots files are small), so this is a skew-tolerant
+    key join followed by a per-URL max-length argmax, never a cartesian
+    over unrelated domains."""
+    u = urls.withColumn("__dom", registrable_domain(F.col(url_col))).withColumn(
+        "__path",
+        F.coalesce(
+            F.nullif(F.regexp_extract(url_col, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1), F.lit("")),
+            F.lit("/"),
+        ),
+    )
+    r = rules.select(
+        F.col("domain").alias("__dom"), "rule", "path_prefix",
+        F.length("path_prefix").alias("__plen"),
+        F.concat(
+            F.lit("^"),
+            F.regexp_replace(
+                # escape regex metachars; '*' becomes .*, '$' stays a raw
+                # end anchor (robots semantics — a mid-path literal '$'
+                # is vanishingly rare and documented as unsupported)
+                F.regexp_replace("path_prefix", r"([.^+?(){}\[\]\\|])", r"\\$1"),
+                r"\*", ".*",
+            ),
+        ).alias("__re"),
+    )
+    joined = u.join(r, "__dom", "left")
+    matched = joined.withColumn(
+        "__hit",
+        F.col("__re").isNotNull()
+        & F.regexp_like(F.col("__path"), F.col("__re")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[u[c] for c in urls.columns], "__dom", "__path")
+    best = (
+        matched.withColumn(
+            "__best",
+            F.max(F.when(F.col("__hit"), F.col("__plen")).otherwise(-1)).over(w),
+        )
+        .withColumn(
+            "__verdict",
+            F.max(
+                F.when(
+                    F.col("__hit") & (F.col("__plen") == F.col("__best")),
+                    F.when(F.col("rule") == "allow", 2).otherwise(1),
+                ).otherwise(0)
+            ).over(w),
+        )
+    )
+    return (
+        best.filter(F.col("__verdict") != 1)
+        .select(*urls.columns)
+        .distinct()
+    )

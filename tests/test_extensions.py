@@ -1341,3 +1341,38 @@ def test_warc_parse_record_shapes(spark):
         assert out[i].body == "the payload"
     assert out[3].warc_type == "metadata"
     assert out[3].http_status is None and out[3].target_uri is None
+
+
+def test_robots_parse_and_filter_precedence(spark):
+    """RFC 9309 semantics: '*'-group extraction (non-star groups ignored),
+    comment/blank tolerance, longest-match precedence with Allow
+    override, '$' end anchors, '*' wildcards, and absent robots = crawl
+    allowed."""
+    from fluent_bit_spark.extensions.urls import parse_robots, robots_filter
+
+    robots = spark.createDataFrame([
+        ("a.example",
+         "# comment\nUser-agent: googlebot\nDisallow: /private\n\n"
+         "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/public\n"
+         "Disallow: /*.json$\nDisallow:\n"),
+        ("b.example", "User-agent: *\nDisallow: /\n"),
+    ], ["domain", "robots_txt"])
+    rules = parse_robots(robots)
+    got = {(r.domain, r.rule, r.path_prefix) for r in rules.collect()}
+    assert got == {
+        ("a.example", "allow", "/tmp/public"),
+        ("a.example", "disallow", "/tmp/"),
+        ("a.example", "disallow", "/*.json$"),
+        ("b.example", "disallow", "/"),
+    }
+    urls = spark.createDataFrame([
+        (1, "http://a.example/tmp/secret"),
+        (2, "http://a.example/tmp/public/x"),
+        (3, "http://a.example/data.json"),
+        (4, "http://a.example/data.json.bak"),
+        (5, "http://a.example/ok"),
+        (6, "http://b.example/anything"),
+        (7, "http://c.example/nofile"),
+    ], ["uid", "url"])
+    kept = sorted(r.uid for r in robots_filter(urls, rules).collect())
+    assert kept == [2, 4, 5, 7]
