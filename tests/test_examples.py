@@ -110,3 +110,32 @@ def test_cli_main(spark, tmp_path):
     assert cli.main(["-c", str(cpath), "--dry-run"]) == 0
     assert cli.main(["-c", str(cpath), "--json"]) == 0
     assert cli.main(["-c", str(tmp_path / "missing.conf")]) == 2
+
+
+def test_crawl_pipeline_example(spark, tmp_path):
+    """The crawl front-end chain: WARC parse -> status/type gate -> WET
+    extraction -> robots -> URL dedup -> quality -> exact dedup -> write.
+    Counts shrink monotonically and each synthetic exclusion band is
+    actually excluded."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import crawl_pipeline as cp
+
+    n = 1200
+    counts = cp.run(spark, cp.synthesize_warc(spark, n), str(tmp_path / "out"))
+    order = ["warc_records", "html_200", "extracted", "robots_ok",
+             "url_dedup", "quality", "exact_dedup", "written"]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], (a, b, counts)
+    assert counts["warc_records"] == n
+    # non-200 (~1/8) and non-html (~1/8) pages gated
+    assert counts["html_200"] < n
+    # robots removed the /private/ band (id % 5 == 2 of survivors)
+    assert counts["robots_ok"] < counts["extracted"]
+    # junk docs fail the word-count rule; dup pages collapse at the end
+    assert counts["quality"] < counts["url_dedup"]
+    assert counts["exact_dedup"] < counts["quality"]
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == counts["written"]
