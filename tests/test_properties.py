@@ -611,3 +611,83 @@ def test_bigram_logprob_matches_naive_python(spark, tgt, doc):
         prev = w
     assert got.n_tokens == len(doc)
     assert abs(got.avg_logp - sum(lps) / len(lps)) < 1e-9
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rules=st.lists(
+        st.tuples(
+            st.sampled_from(["allow", "disallow"]),
+            st.sampled_from(["/a", "/a/b", "/a/b/c", "/x", "/x/y*", "/a$", "/"]),
+        ),
+        min_size=0, max_size=6,
+    ),
+    paths=st.lists(
+        st.sampled_from(["/a", "/a/b", "/a/b/c/d", "/x/yz", "/x/", "/other", "/"]),
+        min_size=1, max_size=5, unique=True,
+    ),
+)
+def test_robots_filter_matches_naive_rfc9309(spark, rules, paths):
+    """robots_filter vs an independent Python longest-match evaluator on
+    random rule sets: identical allow/deny verdicts for every path."""
+    import re as _re
+
+    from fluent_bit_spark.extensions.urls import robots_filter
+
+    dom = "t.example"
+    rdf = spark.createDataFrame(
+        [(dom, r, p) for r, p in set(rules)] or [(dom, "allow", "/never-used")],
+        ["domain", "rule", "path_prefix"],
+    )
+    urls = spark.createDataFrame(
+        [(i, f"http://{dom}{p}") for i, p in enumerate(paths)], ["uid", "url"]
+    )
+    kept = {r.uid for r in robots_filter(urls, rdf).collect()}
+
+    def naive_allowed(path):
+        best_len, verdict = -1, True
+        for rule, prefix in set(rules) or {("allow", "/never-used")}:
+            pat = "^" + _re.sub(r"([.^+?(){}\[\]\\|])", r"\\\1", prefix).replace("*", ".*")
+            if _re.search(pat, path):
+                plen = len(prefix)
+                if plen > best_len or (plen == best_len and rule == "allow"):
+                    if plen > best_len:
+                        verdict = rule == "allow"
+                    elif rule == "allow":
+                        verdict = True
+                    best_len = plen
+        return verdict
+
+    want = {i for i, p in enumerate(paths) if naive_allowed(p)}
+    assert kept == want, (sorted(kept), sorted(want), rules, paths)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    uri=st.from_regex(r"http://[a-z]{1,8}\.example/[a-z0-9/]{0,12}", fullmatch=True),
+    status=st.integers(min_value=100, max_value=599),
+    ctype=st.sampled_from(["text/html", "text/plain", "application/json"]),
+    body=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=60,
+    ),
+    crlf=st.booleans(),
+)
+def test_warc_roundtrip_random_records(spark, uri, status, ctype, body, crlf):
+    """Template a record from random fields, parse it back, and every
+    field round-trips (header values never leak into the body)."""
+    from fluent_bit_spark.extensions.html import warc_parse
+
+    nl = "\r\n" if crlf else "\n"
+    raw = (
+        f"WARC/1.0{nl}WARC-Type: response{nl}WARC-Target-URI: {uri}{nl}"
+        f"WARC-Date: 2024-06-01T00:00:00Z{nl}{nl}"
+        f"HTTP/1.1 {status} X{nl}Content-Type: {ctype}{nl}{nl}{body}"
+    )
+    df = spark.createDataFrame([(1, raw)], ["doc_id", "raw"])
+    r = warc_parse(df).collect()[0]
+    assert r.warc_type == "response"
+    assert r.target_uri == uri
+    assert r.http_status == status
+    assert r.content_type == ctype
+    assert r.body == body
