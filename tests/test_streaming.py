@@ -689,3 +689,50 @@ def test_compact_history_preserves_membership(spark, tmp_path):
         b.selectExpr("doc_id + 2 AS doc_id", "text"), state, update_state=False
     )
     assert again.count() == 0
+
+
+def test_neardup_sink_failure_never_loses_docs(spark, tmp_path):
+    """The sink-before-state ordering contract: when the sink throws, the
+    band state must NOT have been appended — the replay then re-emits the
+    same survivors (at-least-once) instead of silently losing them
+    against their own first-attempt bands."""
+    import pytest
+
+    from fluent_bit_spark.streaming.stateful import neardup_foreach_batch
+
+    state = str(tmp_path / "st")
+    batch = spark.createDataFrame(
+        [(1, "a perfectly unique document that must never be lost in a crash")],
+        ["doc_id", "text"],
+    )
+
+    calls = []
+
+    def exploding_sink(bdf, bid):
+        calls.append([r.doc_id for r in bdf.select("doc_id").collect()])
+        raise RuntimeError("sink outage")
+
+    proc = neardup_foreach_batch(exploding_sink, state)
+    with pytest.raises(RuntimeError, match="sink outage"):
+        proc(batch, 0)
+    assert calls == [[1]]
+    import os
+    # state dir untouched by the failed attempt
+    assert not os.path.isdir(state) or not any(
+        f.endswith(".parquet") for f in os.listdir(state)
+    )
+
+    got = []
+    proc_ok = neardup_foreach_batch(
+        lambda bdf, bid: got.extend(r.doc_id for r in bdf.select("doc_id").collect()),
+        state,
+    )
+    proc_ok(batch, 0)  # the replay
+    assert got == [1]  # re-emitted, not lost
+    # and now the state holds its bands, so a further replay emits nothing
+    got2 = []
+    neardup_foreach_batch(
+        lambda bdf, bid: got2.extend(r.doc_id for r in bdf.select("doc_id").collect()),
+        state,
+    )(batch, 1)
+    assert got2 == []

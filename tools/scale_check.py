@@ -27,8 +27,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod
 
-# the 10 heaviest bench queries (BENCH_r04 ranking) that read only the
-# documents/events tables gen_sf.py synthesizes
+# the heaviest bench queries that read only the documents/events tables
+# gen_sf.py synthesizes (BENCH_r04 ranking + the round-5 heavy additions)
 HEAVY = [
     "dedup_minhash",
     "fuzzy_decontaminate",
@@ -40,6 +40,12 @@ HEAVY = [
     "otlp_metrics_roundtrip",
     "line_dedup",
     "multiline_sessionize",
+    "bm25_topk",
+    "repeated_spans",
+    "lm_bigram_quality",
+    "pagerank_nodes",
+    "robots_compliance",
+    "dsir_select",
 ]
 
 
