@@ -65,7 +65,12 @@ def synthesize_warc(spark, n_pages: int):
     return p.select(pid.alias("doc_id"), raw.alias("raw"))
 
 
-def run(spark, warc_df, out_dir: str) -> dict[str, int]:
+def run(spark, warc_df, out_dir: str, stage_counts: bool = True) -> dict[str, int]:
+    """``stage_counts=True`` (the pedagogical default) counts every stage,
+    which re-executes the growing lineage once per stage — fine for a
+    demo, wrong for throughput. ``stage_counts=False`` runs the chain
+    once into the final write (plus write_dataset's sizing count) — the
+    deployment shape; only the final count is reported."""
     from fluent_bit_spark.extensions.dedup import exact_dedup
     from fluent_bit_spark.extensions.html import html_extract, warc_parse
     from fluent_bit_spark.extensions.text import gopher_quality
@@ -74,20 +79,24 @@ def run(spark, warc_df, out_dir: str) -> dict[str, int]:
     )
     from fluent_bit_spark.storage import write_dataset
 
+    def note(name, df):
+        if stage_counts:
+            counts[name] = df.count()
+        return df
+
     counts: dict[str, int] = {}
-    recs = warc_parse(warc_df)
-    counts["warc_records"] = recs.count()
+    recs = note("warc_records", warc_parse(warc_df))
 
     pages = recs.filter(
         (F.col("http_status") == 200) & (F.col("content_type") == "text/html")
     )
-    counts["html_200"] = pages.count()
+    note("html_200", pages)
 
     wet = html_extract(
         pages.select("doc_id", "target_uri", F.col("body").alias("html")),
         html_col="html",
     ).join(pages.select("doc_id", "target_uri"), "doc_id")
-    counts["extracted"] = wet.count()
+    note("extracted", wet)
 
     # every site disallows /private/ for all agents
     robots = wet.select(
@@ -98,10 +107,10 @@ def run(spark, warc_df, out_dir: str) -> dict[str, int]:
     polite = robots_filter(
         wet.withColumnRenamed("target_uri", "url"), parse_robots(robots)
     )
-    counts["robots_ok"] = polite.count()
+    note("robots_ok", polite)
 
     deduped_url = url_filter_dedup(polite.select("doc_id", "url", F.col("body").alias("text")))
-    counts["url_dedup"] = deduped_url.count()
+    note("url_dedup", deduped_url)
 
     g = gopher_quality(deduped_url)
     structural = (
@@ -109,13 +118,12 @@ def run(spark, warc_df, out_dir: str) -> dict[str, int]:
         & F.col("r_bullet_lines") & F.col("r_ellipsis_lines") & F.col("r_alpha_words")
     )
     quality = g.filter(structural).select("doc_id", "url", "text")
-    counts["quality"] = quality.count()
+    note("quality", quality)
 
-    final = exact_dedup(quality)
-    counts["exact_dedup"] = final.count()
+    final = note("exact_dedup", exact_dedup(quality))
 
     write_dataset(final, out_dir, target_rows_per_file=100_000)
-    counts["written"] = final.count()
+    counts["written"] = spark.read.parquet(out_dir).count()
     return counts
 
 
