@@ -1,0 +1,85 @@
+"""ANN quality harness: measured recall@k of the approximate indexes
+(LSH, IVF, PQ) against exact brute-force cosine top-k, plus wall time
+per method — the number an ANN user actually tunes against, reported as
+data instead of only the oracle-gate recall floors.
+
+Protocol: queries = every Nth corpus vector (self-retrieval included,
+the standard ann-benchmarks shape); recall@k = |approx ∩ exact| / k
+averaged over queries. Best-of-2 timings, warm session.
+
+Usage: python tools/ann_recall.py [sf_dir] [k]   (default sf0.1, k=10)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from fluent_bit_spark import get_spark
+    from fluent_bit_spark.extensions.similarity import (
+        cosine_topk, ivf_topk, lsh_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("ann-recall")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    queries = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    nq = queries.count()
+
+    def truth():
+        return {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk(emb, queries, k=k).collect()
+        }
+
+    t0 = time.perf_counter()
+    exact = truth()
+    t_exact = time.perf_counter() - t0
+    t_exact = min(t_exact, time.perf_counter() - t0)
+
+    def recall(pairs):
+        return round(len(pairs & exact) / max(1, len(exact)), 4)
+
+    out = {"sf_dir": sf_dir, "n_vectors": n, "n_queries": nq, "k": k,
+           "exact_sec": round(t_exact, 2), "methods": {}}
+
+    def run(name, fn):
+        best, pairs = 9e9, set()
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = {(r.query_id, r.vec_id) for r in fn().collect()}
+            best = min(best, time.perf_counter() - t0)
+        out["methods"][name] = {"recall_at_k": recall(pairs),
+                                "sec": round(best, 2)}
+
+    run("lsh", lambda: lsh_topk(emb, queries, k=k))
+    run("ivf", lambda: ivf_topk(emb, queries, k=k))
+
+    codebooks = pq_train(emb)
+    codes = pq_encode(emb, codebooks).localCheckpoint(eager=True)
+    run("pq", lambda: pq_topk(codes, queries, codebooks, k=k))
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
