@@ -1454,6 +1454,43 @@ def multimodal_metadata_q(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic per-language sampling (en=1.0, de=0.5, fr=0.25,
+    default 0.1): membership is a pure md5 function of (doc_id, seed), so
+    the DuckDB oracle replays the exact kept set — the reproducibility
+    DataFrame.sampleBy can't give."""
+    from fluent_bit_spark.extensions.mixing import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def dataset_diff_q(spark, sf_dir):
+    """Corpus-release diff: new = old minus the %7==3 band, with the
+    %5==0 band's text modified and a %11==0 band re-added under new ids.
+    The oracle derives every row's status from that arithmetic —
+    independent of the hash-compare implementation."""
+    from fluent_bit_spark.storage import dataset_diff
+
+    old = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    kept = old.filter(F.col("doc_id") % 7 != 3)
+    modified = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    added = old.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text", "lang"
+    )
+    new = modified.unionByName(added)
+    return dataset_diff(old, new)
+
+
 def html_extract_q(spark, sf_dir):
     """WET-creation extraction over deterministic HTML built from the
     documents table (title with an entity, script/style/comment noise,
@@ -3078,20 +3115,19 @@ def flowcounter_q(spark, sf_dir):
 # backfill — 23+6+8+13 = 50. The 37 remaining r02-era names rotate in
 # next round.
 #
-# ROUND-5 WINDOW (the rotation the round-4 plan called for): (a) the 3
-# never driver-checked queries (round-5 additions + the two registered
-# after the r4 report regen); (b) tda_betti_windows re-verified now that
-# it has a real invariant oracle (its only row was rows-only); (c) the
-# 37 r02-era names whose last driver rows are round 2; (d) the 9
-# stalest r03 names in registry order as backfill — 3+1+37+9 = 50.
-# After this lands the oldest row anywhere is r03 (≈35 names; the
-# round-6 window retires them).
+# ROUND-5 WINDOW: (a) all 15 never driver-checked queries (the round-5
+# additions and the two registered after the r4 report regen); (b)
+# tda_betti_windows re-verified under its new invariant oracle (its only
+# row was rows-only); (c) 34 of the 37 r02-era names whose last driver
+# rows are round 2 — 15+1+34 = 50. Round 6 retires the remaining 3
+# r02-era names (asof_last_signup, pivot_status_revenue,
+# join_q3_shipping) plus the ~44 r03-era rows.
 _DRIVER_WINDOW = [
     # (a) never driver-checked (round-5 additions + post-r4-report regs)
     "sp_projection_variant", "dsir_select", "semantic_dedup",
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
     "media_resize_grid", "table_profile", "pagerank_nodes", "html_extract",
-    "warc_wet", "robots_compliance",
+    "warc_wet", "robots_compliance", "stratified_sample", "dataset_diff",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -3106,8 +3142,7 @@ _DRIVER_WINDOW = [
     "anomaly_zscore", "q6_forecast_revenue", "alter_size_take",
     "session_window_gap", "doc_chunking", "chunk_packing",
     "multiline_sessionize", "expect_assertions", "router_split",
-    "union_tag_merge", "window_rank_topk", "asof_last_signup",
-    "pivot_status_revenue", "join_q3_shipping",
+    "union_tag_merge", "window_rank_topk",
 ]
 
 
@@ -3200,6 +3235,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": html_extract_q,
         "warc_wet": warc_wet_q,
         "robots_compliance": robots_compliance_q,
+        "stratified_sample": stratified_sample_q,
+        "dataset_diff": dataset_diff_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -3979,6 +4016,24 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id || ' & more' AS title, "
             f"trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' x y' AS body, "
             "2 AS n_links FROM documents"
+        ),
+        # stratified_sample: exact replay of the md5-prefix membership
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(('0x' || substr(md5(doc_id::VARCHAR || ':strat'), 1, 8))::BIGINT + 0.5) "
+            "/ 4294967296.0 < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 "
+            "WHEN 'fr' THEN 0.25 ELSE 0.1 END"
+        ),
+        # dataset_diff: statuses derived from the construction arithmetic,
+        # independent of the hash-compare implementation
+        "dataset_diff": (
+            "SELECT doc_id, CASE "
+            "WHEN doc_id % 7 = 3 THEN 'removed' "
+            "WHEN doc_id % 5 = 0 THEN 'modified' "
+            "ELSE 'unchanged' END AS status FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 90000 AS doc_id, 'added' AS status "
+            "FROM documents WHERE doc_id % 11 = 0"
         ),
         # robots_compliance: the surviving set derived from the generating
         # arithmetic (domain regime + longest-match precedence), fully

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "html_extract",
     "warc_wet",
     "robots_compliance",
+    "stratified_sample",
+    "dataset_diff",
     "table_profile",
     "pipeline_e2e",
 ]

@@ -204,3 +204,43 @@ def cap_per_key(
         .drop("__rn")
     )
     return under.unionByName(capped)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the label-balancing /
+    domain-rebalancing primitive (keep 10% of web, 100% of books, ...).
+    Unlike DataFrame.sampleBy, membership is a PURE FUNCTION of
+    (id, seed): re-runs, re-partitions, and other engines reproduce the
+    same sample exactly (md5-prefix uniform, the dsir_select technique).
+    Strata not named in ``fractions`` keep ``default_fraction``.
+
+    Scale shape: one stateless projection + filter; the fractions map is
+    a literal CASE expression. No shuffle, no sampling state."""
+    for s, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {s!r} must be in [0, 1]")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    frac = None
+    for s, f in fractions.items():
+        cond = F.col(strata_col) == s
+        frac = F.when(cond, f) if frac is None else frac.when(cond, f)
+    frac = (
+        F.lit(float(default_fraction)) if frac is None
+        else frac.otherwise(float(default_fraction))
+    )
+    return df.filter(u < frac)

@@ -136,3 +136,44 @@ def zorder_key(a, b, bits: int = 16):
             .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
         )
     return key
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Content diff between two dataset versions: (id, status) with
+    status in added / removed / modified / unchanged — the audit step
+    between corpus releases ("what changed since v3?") and the input to
+    incremental re-processing (only touch added+modified).
+
+    Rows are compared by an md5 over the named columns' canonical JSON
+    (default: every shared non-id column). Scale shape: each side reduces
+    to (id, hash) at scan speed, then ONE full-outer shuffle join on the
+    id — no content moves through the shuffle."""
+    if hash_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        hash_cols = sorted(c for c in shared if c != id_col)
+    if not hash_cols:
+        raise ValueError("no columns to compare")
+
+    def hashed(df, alias):
+        return df.select(
+            F.col(id_col),
+            F.md5(
+                F.to_json(F.struct(*[F.col(c) for c in hash_cols]))
+            ).alias(alias),
+        )
+
+    o = hashed(old, "__ho")
+    n = hashed(new, "__hn")
+    j = o.join(n, id_col, "full")
+    status = (
+        F.when(F.col("__ho").isNull(), "added")
+        .when(F.col("__hn").isNull(), "removed")
+        .when(F.col("__ho") != F.col("__hn"), "modified")
+        .otherwise("unchanged")
+    )
+    return j.select(F.col(id_col), status.alias("status"))

@@ -1376,3 +1376,57 @@ def test_robots_parse_and_filter_precedence(spark):
     ], ["uid", "url"])
     kept = sorted(r.uid for r in robots_filter(urls, rules).collect())
     assert kept == [2, 4, 5, 7]
+
+
+def test_stratified_sample_deterministic_fractions(spark):
+    """Per-stratum rates hold approximately, membership is identical
+    across runs and repartitionings, and invalid fractions refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.mixing import stratified_sample
+
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(df, "lang", {"a": 1.0, "b": 0.5}, default_fraction=0.0)
+    counts = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts["a"] == 2000                      # fraction 1.0 keeps all
+    assert 850 <= counts.get("b", 0) <= 1150        # ~0.5 of 2000
+    assert "c" not in counts                        # default 0.0 drops all
+    ids = {r.doc_id for r in out.collect()}
+    again = {r.doc_id for r in
+             stratified_sample(df.repartition(7), "lang", {"a": 1.0, "b": 0.5},
+                               default_fraction=0.0).collect()}
+    assert ids == again
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(df, "lang", {"a": 1.5})
+
+
+def test_dataset_diff_statuses(spark):
+    """added/removed/modified/unchanged classified correctly; hash_cols
+    defaults to shared non-id columns; no-comparable-columns refuses."""
+    import pytest
+
+    from fluent_bit_spark.storage import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "same", "x"), (2, "will change", "y"), (3, "going away", "z")],
+        ["doc_id", "text", "meta"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same", "x"), (2, "changed!", "y"), (4, "brand new", "w")],
+        ["doc_id", "text", "meta"],
+    )
+    got = {r.doc_id: r.status for r in dataset_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+    # comparing only `meta` makes row 2 unchanged
+    got2 = {r.doc_id: r.status
+            for r in dataset_diff(old, new, hash_cols=["meta"]).collect()}
+    assert got2[2] == "unchanged"
+    with pytest.raises(ValueError, match="no columns"):
+        dataset_diff(old.select("doc_id"), new.select("doc_id"))
