@@ -222,7 +222,9 @@ def stratified_sample(
     Strata not named in ``fractions`` keep ``default_fraction``.
 
     Scale shape: one stateless projection + filter; the fractions map is
-    a literal CASE expression. No shuffle, no sampling state."""
+    a literal CASE expression. No shuffle, no sampling state. Rows with a
+    NULL id hash to NULL and are dropped (same policy as hash_split's
+    xxhash bucket; give rows a surrogate id first if that matters)."""
     for s, f in fractions.items():
         if not (0.0 <= f <= 1.0):
             raise ValueError(f"fraction for {s!r} must be in [0, 1]")
