@@ -1454,6 +1454,27 @@ def multimodal_metadata_q(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def pack_sequences_q(spark, sf_dir):
+    """Token-stream packing with the zero-merge (character) tokenizer so
+    the whole pipeline is SQL-replayable: each doc's token stream is its
+    normalized text with spaces as word-end markers, the global stream is
+    the doc_id-ordered concatenation, and sequences are fixed 256-token
+    cuts. The oracle rebuilds the stream with string surgery and checks
+    every sequence's content hash and document-start slots."""
+    from fluent_bit_spark.extensions.bpe import pack_token_sequences
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = pack_token_sequences(docs, [], seq_len=256)
+    return out.select(
+        "seq_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", "")).alias("seq_hash"),
+        F.array_join(
+            F.transform("doc_starts", lambda s: s.cast("string")), ","
+        ).alias("doc_starts"),
+    )
+
+
 def stratified_sample_q(spark, sf_dir):
     """Deterministic per-language sampling (en=1.0, de=0.5, fr=0.25,
     default 0.1): membership is a pure md5 function of (doc_id, seed), so
@@ -3128,6 +3149,7 @@ _DRIVER_WINDOW = [
     "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
     "media_resize_grid", "table_profile", "pagerank_nodes", "html_extract",
     "warc_wet", "robots_compliance", "stratified_sample", "dataset_diff",
+    "pack_sequences",
     # (b) rows-only -> invariant-contract oracle this round
     "tda_betti_windows",
     # (c) r02-era backfill (last driver rows: round 2)
@@ -3142,7 +3164,7 @@ _DRIVER_WINDOW = [
     "anomaly_zscore", "q6_forecast_revenue", "alter_size_take",
     "session_window_gap", "doc_chunking", "chunk_packing",
     "multiline_sessionize", "expect_assertions", "router_split",
-    "union_tag_merge", "window_rank_topk",
+    "union_tag_merge",
 ]
 
 
@@ -3237,6 +3259,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_compliance": robots_compliance_q,
         "stratified_sample": stratified_sample_q,
         "dataset_diff": dataset_diff_q,
+        "pack_sequences": pack_sequences_q,
         "bpe_roundtrip": bpe_roundtrip_q,
         "prom_pages_roundtrip": prom_pages_roundtrip_q,
         "similarity_pq_join": similarity_pq_join_q,
@@ -4016,6 +4039,27 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id || ' & more' AS title, "
             f"trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' x y' AS body, "
             "2 AS n_links FROM documents"
+        ),
+        # pack_sequences: the char-tokenizer stream rebuilt with string
+        # surgery — seq content hashes + doc-start slots replay exactly
+        "pack_sequences": (
+            f"WITH d AS (SELECT doc_id, CASE WHEN trim({norm}) = '' THEN '' "
+            f"ELSE replace({norm}, ' ', chr(30)) || chr(30) END AS s FROM documents), "
+            "o AS (SELECT doc_id, s, CAST(coalesce(SUM(length(s)) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off "
+            "FROM d), "
+            "stream AS (SELECT string_agg(s, '' ORDER BY doc_id) AS st FROM d), "
+            "tot AS (SELECT length(st) // 256 AS nseq FROM stream), "
+            "seqs AS (SELECT k AS seq_id, substr(stream.st, k * 256 + 1, 256) AS sq "
+            "FROM stream CROSS JOIN tot "
+            "CROSS JOIN (SELECT unnest(range(0, (SELECT nseq FROM tot))) AS k) t), "
+            "starts AS (SELECT off // 256 AS seq_id, off % 256 AS slot "
+            "FROM o WHERE length(s) > 0), "
+            "st2 AS (SELECT seq_id, array_to_string(array_agg(slot ORDER BY slot), ',') "
+            "AS doc_starts FROM starts GROUP BY seq_id) "
+            "SELECT s.seq_id, 256 AS n_tokens, md5(s.sq) AS seq_hash, "
+            "coalesce(st2.doc_starts, '') AS doc_starts "
+            "FROM seqs s LEFT JOIN st2 USING (seq_id)"
         ),
         # stratified_sample: exact replay of the md5-prefix membership
         "stratified_sample": (

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "robots_compliance",
     "stratified_sample",
     "dataset_diff",
+    "pack_sequences",
     "table_profile",
     "pipeline_e2e",
 ]

@@ -170,3 +170,69 @@ def bpe_decode(tokens: Column) -> Column:
     return F.rtrim(
         F.regexp_replace(F.array_join(tokens, ""), _END, " ")
     )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 65536,
+) -> DataFrame:
+    """The terminal training-prep stage: BPE-encode every document, lay
+    the token stream end to end in ``id_col`` order, cut it into
+    fixed-``seq_len`` sequences, and emit per sequence the ordered token
+    array plus the slots where documents begin (the attention-mask /
+    loss-boundary metadata a trainer consumes). The trailing partial
+    sequence is dropped — the standard discipline.
+
+    Scale shape: the encode is the Arrow batch pass (bpe_encode); global
+    token offsets come from the BUCKETED distributed prefix sum
+    (operators/multiline.py — no single-partition window); the
+    explode/regroup shuffles ~one row per token keyed by sequence id,
+    which is linear and uniform. Returns
+    (seq_id, tokens array<string>, n_tokens == seq_len, doc_starts
+    array<int> of in-sequence slots where a document's first token sits).
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from fluent_bit_spark.operators.multiline import _with_running_sum
+
+    enc = bpe_encode(df, merges, text_col, id_col)
+    summed = _with_running_sum(
+        enc.withColumn("__t", F.col("n_tokens").cast("long")),
+        "__t", id_col, [], "__run", bucket_size,
+    )
+    offs = summed.select(
+        F.col(id_col),
+        "tokens",
+        (F.col("__run") - F.col("__t")).alias("__doc_start"),
+    )
+    tok = offs.select(
+        id_col,
+        F.posexplode("tokens").alias("__pos", "tok"),
+        "__doc_start",
+    ).select(
+        id_col,
+        "tok",
+        (F.col("__doc_start") + F.col("__pos")).alias("__g"),
+        (F.col("__pos") == 0).alias("__is_doc_start"),
+    )
+    placed = tok.select(
+        "tok",
+        "__is_doc_start",
+        (F.col("__g") / seq_len).cast("long").alias("seq_id"),
+        F.pmod(F.col("__g"), F.lit(seq_len)).cast("int").alias("slot"),
+    )
+    seqs = placed.groupBy("seq_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("slot", "tok"))),
+            lambda s: s["tok"],
+        ).alias("tokens"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__is_doc_start"), F.col("slot")))
+        ).alias("doc_starts"),
+    )
+    return seqs.filter(F.col("n_tokens") == seq_len)

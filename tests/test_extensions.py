@@ -1430,3 +1430,39 @@ def test_dataset_diff_statuses(spark):
     assert got2[2] == "unchanged"
     with pytest.raises(ValueError, match="no columns"):
         dataset_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_pack_token_sequences_stream_contract(spark):
+    """Packing invariants: every emitted sequence is exactly seq_len
+    tokens; the concatenated sequences reproduce a prefix of the global
+    doc-ordered token stream; doc_starts mark exactly the document
+    first-token slots; the partial tail is dropped."""
+    from fluent_bit_spark.extensions.bpe import (
+        _END, bpe_encode, pack_token_sequences,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta gamma delta") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    L = 40
+    out = pack_token_sequences(docs, [], seq_len=L).orderBy("seq_id").collect()
+    assert all(r.n_tokens == L for r in out)
+    assert [r.seq_id for r in out] == list(range(len(out)))
+    packed = "".join("".join(r.tokens) for r in out)
+    enc = bpe_encode(docs, []).orderBy("doc_id").collect()
+    stream = "".join("".join(e.tokens) for e in enc)
+    assert packed == stream[:len(packed)]
+    assert len(stream) - len(packed) < L  # only the partial tail dropped
+    # doc starts: reconstruct expected offsets
+    offs, acc = [], 0
+    for e in enc:
+        offs.append(acc)
+        acc += e.n_tokens
+    want = {}
+    for o in offs:
+        if o // L < len(out):
+            want.setdefault(o // L, []).append(o % L)
+    got = {r.seq_id: list(r.doc_starts) for r in out if r.doc_starts}
+    assert got == want
