@@ -62,6 +62,18 @@ def main() -> int:
         print(f"ERROR: window names missing from registry: {missing}")
         print("FAIL")
         return 1
+    # the gate reads EXACTLY 50 entries: an over-long window silently
+    # pushes its tail outside the gate; a short one wastes slots on
+    # whatever registry order happens to follow
+    if len(declared) != 50:
+        print(f"ERROR: _DRIVER_WINDOW has {len(declared)} entries, gate reads 50")
+        print("FAIL")
+        return 1
+    if len(set(declared)) != len(declared):
+        dupes = sorted({n for n in declared if declared.count(n) > 1})
+        print(f"ERROR: duplicate window entries: {dupes}")
+        print("FAIL")
+        return 1
 
     names = list(entry.queries())
     window, tail = names[:50], names[50:]
