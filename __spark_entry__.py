@@ -1612,7 +1612,7 @@ def pagerank_nodes_q(spark, sf_dir):
 
 def table_profile_q(spark, sf_dir):
     """Dataset profiling pass (one-agg long-format column profile). The
-    exact fields (rows/nulls/lexicographic min-max over the string form)
+    exact fields (rows/nulls/type-native min-max surfaced as strings)
     replay directly in DuckDB; the HLL distinct estimate is witnessed
     in-query against the exact distinct count (invariant contract:
     within 10% — far outside the 2% rsd, so a broken sketch fails the
@@ -4130,20 +4130,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES "
             "('event_id', (SELECT COUNT(*) FROM events), "
             "(SELECT COUNT(*) FROM events WHERE event_id IS NULL), "
-            "(SELECT MIN(CAST(event_id AS VARCHAR)) FROM events), "
-            "(SELECT MAX(CAST(event_id AS VARCHAR)) FROM events)), "
+            "(SELECT CAST(MIN(event_id) AS VARCHAR) FROM events), "
+            "(SELECT CAST(MAX(event_id) AS VARCHAR) FROM events)), "
             "('event_type', (SELECT COUNT(*) FROM events), "
             "(SELECT COUNT(*) FROM events WHERE event_type IS NULL), "
-            "(SELECT MIN(CAST(event_type AS VARCHAR)) FROM events), "
-            "(SELECT MAX(CAST(event_type AS VARCHAR)) FROM events)), "
+            "(SELECT CAST(MIN(event_type) AS VARCHAR) FROM events), "
+            "(SELECT CAST(MAX(event_type) AS VARCHAR) FROM events)), "
             "('user_id', (SELECT COUNT(*) FROM events), "
             "(SELECT COUNT(*) FROM events WHERE user_id IS NULL), "
-            "(SELECT MIN(CAST(user_id AS VARCHAR)) FROM events), "
-            "(SELECT MAX(CAST(user_id AS VARCHAR)) FROM events)), "
+            "(SELECT CAST(MIN(user_id) AS VARCHAR) FROM events), "
+            "(SELECT CAST(MAX(user_id) AS VARCHAR) FROM events)), "
             "('value', (SELECT COUNT(*) FROM events), "
             "(SELECT COUNT(*) FROM events WHERE value IS NULL), "
-            "(SELECT MIN(CAST(value AS VARCHAR)) FROM events), "
-            "(SELECT MAX(CAST(value AS VARCHAR)) FROM events))"
+            "(SELECT CAST(MIN(value) AS VARCHAR) FROM events), "
+            "(SELECT CAST(MAX(value) AS VARCHAR) FROM events))"
             ") t(\"column\", n_rows, n_nulls, min_value, max_value)"
         ),
         # media_resize_grid: structural replay — 64x48 PNG targets parsed

@@ -317,14 +317,22 @@ def dedup_against_history(
     num_hashes: int = 32,
     num_bands: int = 8,
     shingle_n: int = 3,
-    update_state: bool = True,
+    update_state: bool = False,
 ) -> DataFrame:
     """Near-dup filter against everything EVER ingested: drop docs whose
     MinHash signature shares any LSH band bucket with the band-hash
-    history table at ``state_dir``; append the survivors' band hashes.
-    This is the incremental-ingest analog of minhash_dedup — the shape a
-    daily crawl pipeline runs against its accumulated corpus, and the
-    cross-batch stage of the streaming wrapper (neardup_foreach_batch).
+    history table at ``state_dir``. This is the incremental-ingest analog
+    of minhash_dedup — the shape a daily crawl pipeline runs against its
+    accumulated corpus, and the cross-batch stage of the streaming
+    wrapper (neardup_foreach_batch).
+
+    CRASH ORDERING: state must be appended AFTER the caller persists the
+    survivors — call ``append_history`` once your sink write commits
+    (``update_state=False``, the default). Passing ``update_state=True``
+    appends eagerly, which is convenient for fire-and-forget batch jobs
+    but opens a replay-loss window: a crash between this call and your
+    sink write makes the rerun drop the docs against their own
+    first-attempt bands.
 
     Scale shape: the history table holds num_bands small rows per
     distinct ingested doc (two longs each) — far smaller than the corpus
@@ -334,16 +342,15 @@ def dedup_against_history(
     harmless (membership semantics), so the state update is idempotent
     at the semantic level. Returns the surviving rows of ``df``.
     """
-    import os
-
     spark = df.sparkSession
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     bands = band_buckets(sig, id_col, num_bands, sig_len=num_hashes)
-    have_state = os.path.isdir(state_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(state_dir)
-    )
-    if have_state:
-        seen = spark.read.parquet(state_dir)
+    # probe state through Spark, not the local filesystem: state_dir may
+    # be s3a:// / hdfs:// in the deployment shape this operator targets,
+    # where os.path checks are always False and the filter would silently
+    # no-op while appends kept succeeding
+    seen = _try_read_parquet(spark, state_dir)
+    if seen is not None:
         losers = (
             bands.join(seen, ["band", "bh"], "left_semi")
             .select(id_col)
@@ -361,6 +368,21 @@ def dedup_against_history(
         append_history(kept, state_dir, text_col, id_col, num_hashes,
                        num_bands, shingle_n)
     return kept
+
+
+def _try_read_parquet(spark, path: str):
+    """Read a parquet table, returning None when it does not exist yet
+    (missing path, or a directory with no data files). Probing through
+    Spark — instead of os.path — keeps remote state URIs (s3a://,
+    hdfs://) working."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so a missing path fails HERE, not lazily
+        return df
+    except AnalysisException:
+        return None
 
 
 def append_history(
@@ -391,16 +413,36 @@ def compact_history(spark, state_dir: str) -> int:
     semi-join scan. Rewrites the table as distinct rows via
     tmp-write-then-swap. Run BETWEEN ingest batches (the swap is not
     safe against a concurrent reader mid-plan). Returns the compacted
-    row count."""
+    row count.
+
+    Crash safety: the live dir is renamed ASIDE first, then the compacted
+    tmp renamed into place, then the old copy deleted — at every point at
+    least one complete copy of the history exists under a readable name
+    (a crash between the two renames leaves ``state_dir + '.old'``, which
+    the next call restores automatically)."""
     import os
     import shutil
 
-    tmp = state_dir.rstrip("/") + ".compact.tmp"
-    distinct = spark.read.parquet(state_dir).distinct()
+    if "://" in state_dir:
+        raise ValueError(
+            "compact_history swaps directories via local renames; for "
+            "remote state (s3a://, hdfs://) compact by writing a new "
+            "distinct table and flipping the path your pipeline reads"
+        )
+    base = state_dir.rstrip("/")
+    tmp = base + ".compact.tmp"
+    old = base + ".old"
+    if not os.path.isdir(base) and os.path.isdir(old):
+        # recover from a crash between the two renames of a prior run
+        os.rename(old, base)
+    distinct = spark.read.parquet(base).distinct()
+    shutil.rmtree(tmp, ignore_errors=True)
     distinct.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(state_dir)
-    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
     return n
 
 

@@ -75,14 +75,22 @@ def bm25_topk(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    n_docs = docs.count()
+    # ONE setup job for both driver scalars (N and avgdl): dl is
+    # computable per-row from the token split, so a single scan-only
+    # aggregate replaces the former count() + distinct+avg pair of jobs
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    dl0 = F.size(F.filter(toks, lambda t: t != ""))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(dl0 > 0, dl0)).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
     if n_docs == 0:
         raise ValueError("empty corpus")
+    if avgdl is None:
+        raise ValueError("corpus has no tokens")
 
     dtf = doc_term_freqs(docs, text_col, id_col)
-    avgdl = (
-        dtf.select(id_col, "dl").distinct().agg(F.avg("dl")).collect()[0][0]
-    )
 
     qterms = (
         queries.select(

@@ -166,8 +166,9 @@ def profile_columns(
 ) -> DataFrame:
     """Per-column dataset profile — the validation pass a training
     pipeline runs before committing an ingest batch: row count, null
-    count, HLL distinct estimate, lexicographic/numeric min and max
-    (surfaced as strings so one long-format schema covers every type).
+    count, HLL distinct estimate, type-native min and max (computed in
+    the column's own ordering, then surfaced as strings so one
+    long-format schema covers every type).
 
     Scale shape: ONE aggregation pass over the scan — all columns'
     metrics are computed in a single agg (map-side combinable: counts,
@@ -187,8 +188,10 @@ def profile_columns(
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul{i}"),
             F.approx_count_distinct(c, rsd).alias(f"__dis{i}"),
-            F.min(col.cast("string")).alias(f"__min{i}"),
-            F.max(col.cast("string")).alias(f"__max{i}"),
+            # type-native ordering FIRST, then surface as string: casting
+            # before min/max would profile [9, 10] as min='10'/max='9'
+            F.min(col).cast("string").alias(f"__min{i}"),
+            F.max(col).cast("string").alias(f"__max{i}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(*[

@@ -123,6 +123,11 @@ def test_profile_columns_single_pass(spark):
     assert out["s"].n_nulls == 1 and out["v"].n_nulls == 2
     assert out["id"].min_value == "1" and out["id"].max_value == "4"
     assert out["s"].min_value == "a" and out["s"].max_value == "b"
+    # ordering is type-native, not lexicographic over the string form:
+    # a [9, 10] column must profile as min=9 / max=10
+    two = spark.createDataFrame([(9,), (10,)], ["x"])
+    px = {r.column: r for r in profile_columns(two).collect()}
+    assert px["x"].min_value == "9" and px["x"].max_value == "10"
     # small cardinalities are exact under HLL
     assert out["s"].approx_distinct == 2
     assert out["id"].approx_distinct == 4

@@ -609,7 +609,7 @@ def test_dedup_against_history_batches(spark, tmp_path):
          (2, "a completely different second document on parquet file layouts")],
         ["doc_id", "text"],
     )
-    kept1 = dedup_against_history(b1, state)
+    kept1 = dedup_against_history(b1, state, update_state=True)
     assert kept1.count() == 2  # empty history: everything survives
 
     b2 = spark.createDataFrame(
@@ -618,7 +618,7 @@ def test_dedup_against_history_batches(spark, tmp_path):
          (12, "fresh unrelated content mentioning neither storage nor streams here")],
         ["doc_id", "text"],
     )
-    kept2 = dedup_against_history(b2, state)
+    kept2 = dedup_against_history(b2, state, update_state=True)
     ids2 = {r.doc_id for r in kept2.select("doc_id").collect()}
     assert 10 not in ids2 and 12 in ids2
     # doc 11 differs by one word; with default banding it should share a band
@@ -678,7 +678,7 @@ def test_compact_history_preserves_membership(spark, tmp_path):
         [(1, "a stable document about compaction of band hash state tables")],
         ["doc_id", "text"],
     )
-    dedup_against_history(b, state)
+    dedup_against_history(b, state, update_state=True)
     # a replayed post-sink append (the at-least-once path) duplicates rows
     append_history(b, state)
     before = spark.read.parquet(state).count()
@@ -689,6 +689,52 @@ def test_compact_history_preserves_membership(spark, tmp_path):
         b.selectExpr("doc_id + 2 AS doc_id", "text"), state, update_state=False
     )
     assert again.count() == 0
+
+
+def test_compact_history_crash_recovery(spark, tmp_path):
+    """A crash between compact_history's two renames leaves the history
+    under the .old name; the next call restores it and compacts fine.
+    Remote URIs are rejected (local renames can't swap them)."""
+    import os
+
+    import pytest
+
+    from fluent_bit_spark.extensions.dedup import (
+        append_history, compact_history, dedup_against_history,
+    )
+
+    state = str(tmp_path / "st")
+    b = spark.createDataFrame(
+        [(1, "a document whose band hashes survive a simulated crash window")],
+        ["doc_id", "text"],
+    )
+    append_history(b, state)
+    append_history(b, state)  # duplicate rows to compact away
+    # simulate the crash point: live dir renamed aside, tmp never swapped in
+    os.rename(state, state + ".old")
+    n = compact_history(spark, state)
+    assert n == spark.read.parquet(state).distinct().count()
+    assert not os.path.exists(state + ".old")
+    again = dedup_against_history(
+        b.selectExpr("doc_id + 9 AS doc_id", "text"), state
+    )
+    assert again.count() == 0  # membership survived the crash
+
+    with pytest.raises(ValueError, match="remote state"):
+        compact_history(spark, "s3a://bucket/state")
+
+
+def test_bm25_empty_token_corpus_raises(spark):
+    """Non-empty corpus where every doc tokenizes to zero terms gets a
+    clean ValueError, not an opaque float(None) TypeError."""
+    import pytest
+
+    from fluent_bit_spark.extensions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
+    qs = spark.createDataFrame([(1, "anything")], ["query_id", "text"])
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(docs, qs, k=3)
 
 
 def test_neardup_sink_failure_never_loses_docs(spark, tmp_path):
