@@ -1455,20 +1455,29 @@ def multimodal_metadata_q(spark, sf_dir):
 
 
 def pack_sequences_q(spark, sf_dir):
-    """Token-stream packing with the zero-merge (character) tokenizer so
-    the whole pipeline is SQL-replayable: each doc's token stream is its
-    normalized text with spaces as word-end markers, the global stream is
-    the doc_id-ordered concatenation, and sequences are fixed 256-token
-    cuts. The oracle rebuilds the stream with string surgery and checks
-    every sequence's content hash and document-start slots."""
-    from fluent_bit_spark.extensions.bpe import pack_token_sequences
+    """Token-stream packing on INTEGER token ids with the zero-merge
+    (character) tokenizer so the whole pipeline is SQL-replayable: each
+    doc's token stream is its normalized text with spaces as word-end
+    markers, ids are positions in the sorted corpus vocabulary
+    (bpe_vocab), the global id stream is the doc_id-ordered
+    concatenation, and sequences are fixed 256-token cuts. The oracle
+    derives the same vocabulary independently (distinct chars of the
+    rebuilt stream, binary-collation sorted) and checks every sequence's
+    id-stream hash and document-start slots — so a wrong id assignment,
+    not just a wrong cut, fails the row."""
+    from fluent_bit_spark.extensions.bpe import bpe_vocab, pack_token_sequences
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    out = pack_token_sequences(docs, [], seq_len=256)
+    vocab = bpe_vocab(docs, [])
+    out = pack_token_sequences(docs, [], seq_len=256, vocab=vocab)
     return out.select(
         "seq_id",
         "n_tokens",
-        F.md5(F.array_join("tokens", "")).alias("seq_hash"),
+        F.md5(
+            F.array_join(
+                F.transform("tokens", lambda t: t.cast("string")), ","
+            )
+        ).alias("seq_hash"),
         F.array_join(
             F.transform("doc_starts", lambda s: s.cast("string")), ","
         ).alias("doc_starts"),
@@ -3140,31 +3149,34 @@ def flowcounter_q(spark, sf_dir):
 # additions and the two registered after the r4 report regen); (b)
 # tda_betti_windows re-verified under its new invariant oracle (its only
 # row was rows-only); (c) 34 of the 37 r02-era names whose last driver
-# rows are round 2 — 15+1+34 = 50. Round 6 retires the remaining 3
-# r02-era names (asof_last_signup, pivot_status_revenue,
-# join_q3_shipping) plus the ~44 r03-era rows.
+# rows are round 2 — 15+1+34 = 50.
+#
+# ROUND-6 WINDOW: gate-freshness rotation — all 147 queries have green
+# driver rows, so the window holds the 50 STALEST (oldest last-driver-
+# round, computed by tools/verify_window.py's staleness histogram over
+# the CORRECTNESS_r0*.json union): the 4 remaining r02-era rows, all 44
+# r03-era rows, and the 2 alphabetically-first r04-era rows.
 _DRIVER_WINDOW = [
-    # (a) never driver-checked (round-5 additions + post-r4-report regs)
-    "sp_projection_variant", "dsir_select", "semantic_dedup",
-    "bm25_topk", "repeated_spans", "lm_bigram_quality", "ccnet_buckets",
-    "media_resize_grid", "table_profile", "pagerank_nodes", "html_extract",
-    "warc_wet", "robots_compliance", "stratified_sample", "dataset_diff",
-    "pack_sequences",
-    # (b) rows-only -> invariant-contract oracle this round
-    "tda_betti_windows",
-    # (c) r02-era backfill (last driver rows: round 2)
-    "parser_logfmt_roundtrip", "parser_ltsv_roundtrip",
-    "parser_regex_access_log", "parser_json_props", "parser_syslog_preset",
-    "type_converter_casts", "throttle_rate", "throttle_size_budget",
-    "rewrite_tag_rules", "log_to_metrics_counter", "log_to_metrics_gauge",
-    "log_to_metrics_histogram", "log_to_metrics_summary",
-    "cumulative_to_delta", "sampling_deterministic", "sampling_tail_traces",
-    "checklist_watch", "enrich_broadcast_join", "content_modifier_actions",
-    "labels_ops", "metrics_selector", "otel_envelope", "udf_hook",
-    "anomaly_zscore", "q6_forecast_revenue", "alter_size_take",
-    "session_window_gap", "doc_chunking", "chunk_packing",
-    "multiline_sessionize", "expect_assertions", "router_split",
-    "union_tag_merge",
+    # last driver rows: round 2
+    "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
+    "window_rank_topk",
+    # last driver rows: round 3
+    "avro_roundtrip", "c4_clean_docs", "c4_line_filter", "cloudwatch_shape",
+    "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
+    "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
+    "es_bulk_encode", "es_bulk_roundtrip", "flowcounter_rates",
+    "forward_wire_roundtrip", "geoip_enrich", "http_body", "http_requests",
+    "influxdb_lines", "join_q5_region", "kafka_messages",
+    "kubernetes_enrich", "loki_push_shape", "mix_temperature",
+    "ml_inference_mlp", "ml_inference_scores", "msgpack_roundtrip",
+    "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
+    "pii_redaction", "prom_exposition", "remote_write_roundtrip",
+    "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
+    "stackdriver_shape", "statsd_decode", "syslog_3164_lines",
+    "syslog_5424_lines", "text_langid", "text_quality", "text_repetition",
+    "text_token_counts",
+    # last driver rows: round 4 (alphabetical tie-break)
+    "azure_shape", "bigquery_shape",
 ]
 
 
@@ -4041,7 +4053,9 @@ def oracle_sql() -> dict[str, str]:
             "2 AS n_links FROM documents"
         ),
         # pack_sequences: the char-tokenizer stream rebuilt with string
-        # surgery — seq content hashes + doc-start slots replay exactly
+        # surgery, then mapped to ids via an INDEPENDENTLY derived
+        # vocabulary (distinct chars, binary sort) — seq id-stream hashes
+        # + doc-start slots replay exactly
         "pack_sequences": (
             f"WITH d AS (SELECT doc_id, CASE WHEN trim({norm}) = '' THEN '' "
             f"ELSE replace({norm}, ' ', chr(30)) || chr(30) END AS s FROM documents), "
@@ -4049,17 +4063,24 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off "
             "FROM d), "
             "stream AS (SELECT string_agg(s, '' ORDER BY doc_id) AS st FROM d), "
+            "vocab AS (SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS id "
+            "FROM (SELECT DISTINCT unnest(string_split(st, '')) AS ch FROM stream)), "
             "tot AS (SELECT length(st) // 256 AS nseq FROM stream), "
             "seqs AS (SELECT k AS seq_id, substr(stream.st, k * 256 + 1, 256) AS sq "
             "FROM stream CROSS JOIN tot "
             "CROSS JOIN (SELECT unnest(range(0, (SELECT nseq FROM tot))) AS k) t), "
+            "pos AS (SELECT unnest(range(1, 257)) AS p), "
+            "mapped AS (SELECT s.seq_id, pos.p, v.id FROM seqs s CROSS JOIN pos "
+            "JOIN vocab v ON v.ch = substr(s.sq, pos.p, 1)), "
+            "hashes AS (SELECT seq_id, md5(string_agg(id::VARCHAR, ',' ORDER BY p)) "
+            "AS seq_hash FROM mapped GROUP BY seq_id), "
             "starts AS (SELECT off // 256 AS seq_id, off % 256 AS slot "
             "FROM o WHERE length(s) > 0), "
             "st2 AS (SELECT seq_id, array_to_string(array_agg(slot ORDER BY slot), ',') "
             "AS doc_starts FROM starts GROUP BY seq_id) "
-            "SELECT s.seq_id, 256 AS n_tokens, md5(s.sq) AS seq_hash, "
+            "SELECT h.seq_id, 256 AS n_tokens, h.seq_hash, "
             "coalesce(st2.doc_starts, '') AS doc_starts "
-            "FROM seqs s LEFT JOIN st2 USING (seq_id)"
+            "FROM hashes h LEFT JOIN st2 USING (seq_id)"
         ),
         # stratified_sample: exact replay of the md5-prefix membership
         "stratified_sample": (

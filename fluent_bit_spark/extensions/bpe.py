@@ -133,26 +133,82 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+# vocab collection guard: a BPE vocabulary is model-sized by construction
+# (base charset + one symbol per merge); a million distinct tokens means
+# the caller passed something that is not a BPE token stream
+_MAX_VOCAB = 1_000_000
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str]:
+    """Corpus-derived token vocabulary: the sorted distinct tokens
+    bpe_encode emits for ``df`` under ``merges``. Token id = position in
+    this list — deterministic (sorted), so the mapping is replayable by
+    the SQL oracle and stable across runs.
+
+    Scale shape: one distinct over the exploded token column — map-side
+    combinable, shuffle volume = per-partition-distinct tokens (vocab-
+    sized); the collect is model-sized state, same policy as the merge
+    ranks themselves (guarded by _MAX_VOCAB)."""
+    enc = bpe_encode(df, merges, text_col, id_col)
+    rows = (
+        enc.select(F.explode("tokens").alias("tok"))
+        .distinct()
+        .limit(_MAX_VOCAB + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_VOCAB:
+        raise ValueError(
+            f"distinct token count exceeds {_MAX_VOCAB}; a BPE vocabulary "
+            "is model-sized — is this really a BPE token stream?"
+        )
+    return sorted(r.tok for r in rows)
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+    unk_id: int | None = None,
 ) -> DataFrame:
-    """(id, tokens array<string>, n_tokens) — merges applied in rank
-    order per word, one Arrow batch pass, per-batch word cache."""
-    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    """(id, tokens, n_tokens) — merges applied in rank order per word,
+    one Arrow batch pass, per-batch word cache.
 
-    @F.pandas_udf("array<string>")
+    With ``vocab`` (see bpe_vocab) tokens are emitted as INTEGER ids
+    (array<int>) in the same single Arrow pass — the form a trainer
+    consumes, and severalfold narrower through every downstream shuffle
+    than the string tokens. Tokens outside the vocab raise unless
+    ``unk_id`` supplies the conventional unknown-token id."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    ids = {t: i for i, t in enumerate(vocab)} if vocab is not None else None
+
+    @F.pandas_udf("array<int>" if ids is not None else "array<string>")
     def enc(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
+        cache: dict[str, list] = {}
         out = []
         for t in texts:
-            toks: list[str] = []
+            toks: list = []
             for w in (t or "").lower().split():
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = _encode_word(w, ranks)
+                    got = _encode_word(w, ranks)
+                    if ids is not None:
+                        try:
+                            got = [ids[s] for s in got]
+                        except KeyError:
+                            if unk_id is None:
+                                raise ValueError(
+                                    f"token outside vocab in word {w!r}; "
+                                    "pass unk_id or rebuild the vocab"
+                                ) from None
+                            got = [ids.get(s, unk_id) for s in got]
+                    cache[w] = got
                 toks.extend(got)
             out.append(toks)
         return pd.Series(out)
@@ -172,6 +228,14 @@ def bpe_decode(tokens: Column) -> Column:
     )
 
 
+def bpe_decode_ids(tokens: Column, vocab: list[str]) -> Column:
+    """Integer-id variant of bpe_decode: ids -> tokens via the vocab
+    (element_at on an array literal — the vocab is model-sized), then the
+    same pure-Catalyst string reassembly."""
+    vlit = F.array(*[F.lit(t) for t in vocab])
+    return bpe_decode(F.transform(tokens, lambda i: F.element_at(vlit, i + 1)))
+
+
 def pack_token_sequences(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -179,6 +243,8 @@ def pack_token_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_size: int = 65536,
+    vocab: list[str] | None = None,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """The terminal training-prep stage: BPE-encode every document, lay
     the token stream end to end in ``id_col`` order, cut it into
@@ -187,19 +253,26 @@ def pack_token_sequences(
     loss-boundary metadata a trainer consumes). The trailing partial
     sequence is dropped — the standard discipline.
 
+    Pass ``vocab`` (bpe_vocab) to run the whole pipeline on INTEGER token
+    ids: the ids are assigned inside the encode pass, so the per-token
+    explode/regroup — the widest shuffle in the training-prep path —
+    carries 4-byte ints instead of token strings, and the output is the
+    array<int> form a trainer actually consumes.
+
     Scale shape: the encode is the Arrow batch pass (bpe_encode); global
     token offsets come from the BUCKETED distributed prefix sum
     (operators/multiline.py — no single-partition window); the
     explode/regroup shuffles ~one row per token keyed by sequence id,
     which is linear and uniform. Returns
-    (seq_id, tokens array<string>, n_tokens == seq_len, doc_starts
-    array<int> of in-sequence slots where a document's first token sits).
+    (seq_id, tokens array<string> — or array<int> with a vocab,
+    n_tokens == seq_len, doc_starts array<int> of in-sequence slots where
+    a document's first token sits).
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     from fluent_bit_spark.operators.multiline import _with_running_sum
 
-    enc = bpe_encode(df, merges, text_col, id_col)
+    enc = bpe_encode(df, merges, text_col, id_col, vocab, unk_id)
     summed = _with_running_sum(
         enc.withColumn("__t", F.col("n_tokens").cast("long")),
         "__t", id_col, [], "__run", bucket_size,

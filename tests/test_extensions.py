@@ -903,6 +903,53 @@ def test_bpe_train_encode_decode(spark):
     assert _encode_word("the", ranks) == _encode_word("the", ranks)
 
 
+def test_bpe_int_id_path_matches_string_path(spark):
+    """vocab-mapped integer encoding: ids decode back to the exact text,
+    the packed int sequences carry identical doc_starts/cuts to the
+    string path, the output schema is array<int>, and out-of-vocab
+    tokens raise unless unk_id is given."""
+    import pytest
+
+    from fluent_bit_spark.extensions.bpe import (
+        bpe_decode_ids, bpe_encode, bpe_train, bpe_vocab,
+        pack_token_sequences,
+    )
+    from fluent_bit_spark.extensions.dedup import normalize_text
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(6)] + [(99, "unique suffix words here")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, num_merges=30, sample=50)
+    vocab = bpe_vocab(docs, merges)
+    assert vocab == sorted(set(vocab))  # sorted, distinct -> stable ids
+
+    enc = bpe_encode(docs, merges, vocab=vocab)
+    assert dict(enc.dtypes)["tokens"] == "array<int>"
+    ok = enc.join(docs, "doc_id").select(
+        (bpe_decode_ids(F.col("tokens"), vocab)
+         == normalize_text(F.col("text"))).alias("ok")
+    ).collect()
+    assert all(r.ok for r in ok)
+
+    # packing parity: same cuts and doc_starts, tokens map 1:1 via vocab
+    s = pack_token_sequences(docs, merges, seq_len=16).collect()
+    i = pack_token_sequences(docs, merges, seq_len=16, vocab=vocab).collect()
+    smap = {r.seq_id: r for r in s}
+    assert set(smap) == {r.seq_id for r in i}
+    for r in i:
+        assert list(r.doc_starts) == list(smap[r.seq_id].doc_starts)
+        assert [vocab[t] for t in r.tokens] == list(smap[r.seq_id].tokens)
+
+    # out-of-vocab: a doc with unseen chars raises; unk_id maps instead
+    alien = spark.createDataFrame([(1, "zzz ###")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="outside vocab"):
+        bpe_encode(alien, merges, vocab=["a"]).collect()
+    got = bpe_encode(alien, merges, vocab=["a"], unk_id=0).collect()[0]
+    assert set(got.tokens) == {0}
+
+
 def test_bpe_more_merges_never_increase_tokens(spark):
     from fluent_bit_spark.extensions.bpe import bpe_encode, bpe_train
 

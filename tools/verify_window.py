@@ -44,6 +44,18 @@ def report_covers_registry(registry: set[str]) -> list[str]:
     return sorted(registry - seen)
 
 
+def staleness(files: list[str]) -> dict[str, int]:
+    """Latest round with a PASSING driver row per query (0 = never)."""
+    latest: dict[str, int] = {}
+    for f in files:
+        m = re.search(r"r0*(\d+)", Path(f).name)
+        rnd = int(m.group(1)) if m else 0
+        for q, row in json.load(open(f)).items():
+            if row.get("hash_match") or row.get("rows_match"):
+                latest[q] = max(latest.get(q, 0), rnd)
+    return latest
+
+
 def main() -> int:
     files = sys.argv[1:] or sorted(
         glob.glob(str(Path(__file__).resolve().parents[1] / "CORRECTNESS_r*.json"))
@@ -86,6 +98,21 @@ def main() -> int:
     print(f"window[0:50]: {len(window_already_verified)} already verified")
     print(f"tail: {len([n for n in tail if n not in verified])} never checked")
     ok = True
+    # staleness histogram: rounds since each query's last passing driver
+    # row — the rotation target is "window = the 50 stalest"
+    latest = staleness(files)
+    hist: dict[int, int] = {}
+    for n in names:
+        hist[latest.get(n, 0)] = hist.get(latest.get(n, 0), 0) + 1
+    print("staleness histogram (last passing round -> queries):",
+          dict(sorted(hist.items())))
+    stalest = sorted(names, key=lambda n: (latest.get(n, 0), n))[:50]
+    stale_outside = sorted(set(stalest) - set(window))
+    if stale_outside:
+        print(
+            f"WARN: {len(stale_outside)} of the 50 stalest queries sit "
+            f"OUTSIDE the window: {stale_outside[:10]}..."
+        )
     # invariant 3: the newest checked-in report must cover the registry
     uncovered = report_covers_registry(registry)
     if uncovered:
