@@ -1768,17 +1768,30 @@ def otlp_traces_encode(
 def otlp_traces_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
     """Decode OTLP/JSON trace payloads into flat span rows: three
     generator expansions (resourceSpans -> scopeSpans -> spans), zero
-    shuffles, zero UDFs — mirrors otlp_logs_decode."""
+    UDFs — mirrors otlp_logs_decode.
+
+    Like otlp_metrics_decode, one repartition sits between the envelope
+    explosion and the per-SPAN explosion: fused whole-stage codegen
+    otherwise re-materializes the request-sized remaining subtree once
+    per span (requests carry thousands of spans), and a handful of
+    multi-MB request rows pins the whole decode to a few tasks. The
+    shuffle moves pruned (resource attrs, scope name, spans array) rows
+    only, then the span explode fans out across executors."""
     parsed = df.select(F.from_json(F.col(json_col), OTLP_TRACES_SCHEMA).alias("r"))
     rs = parsed.select(F.explode("r.resourceSpans").alias("rs"))
     ss = rs.select(
         F.col("rs.resource.attributes").alias("__res_attrs"),
         F.explode("rs.scopeSpans").alias("ss"),
     )
-    sp = ss.select(
+    pruned = ss.select(
         "__res_attrs",
         F.col("ss.scope.name").alias("scope_name"),
-        F.explode("ss.spans").alias("sp"),
+        F.col("ss.spans").alias("__spans"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sp = pruned.select(
+        "__res_attrs",
+        "scope_name",
+        F.explode("__spans").alias("sp"),
     )
 
     def attrs_to_map(c):

@@ -43,21 +43,27 @@ def connected_components(
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "lbl", F.col("id")
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"), F.lit(True).alias("chg"))
     )
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
     def one_hop(lbls: DataFrame) -> DataFrame:
-        # neighbor minimum: for each dst, the min label among its sources;
-        # then keep min(own, neighbor) per node
+        # FRONTIER propagation: a node's label can only improve via a
+        # neighbor whose label improved since it last propagated, so only
+        # changed nodes feed the join (round 1: everyone). Propagation
+        # stays monotone-min, so the fixpoint is identical to the dense
+        # join while late rounds shrink to the few still-active nodes.
+        frontier = lbls.filter("chg").select("id", "lbl")
         neigh = (
-            edges.join(lbls, edges.src == lbls.id)
+            edges.join(frontier, edges.src == frontier.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        return lbls.join(neigh, "id", "left").select(
+        return lbls.select("id", "lbl").join(neigh, "id", "left").select(
             "id",
             F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
             (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
@@ -73,14 +79,13 @@ def connected_components(
     for _ in range(max(1, math.ceil(max_iter / hops_per_round))):
         stepped = labels
         for _h in range(hops_per_round):
-            stepped = one_hop(stepped.select("id", "lbl"))
+            stepped = one_hop(stepped)
         # the convergence count rides the eager checkpoint's own job via
         # observe() — no extra join or probe job per round
         obs = Observation()
-        new_labels = stepped.observe(
+        labels = stepped.observe(
             obs, F.sum(F.col("chg").cast("long")).alias("changed")
         ).localCheckpoint(eager=True)
-        labels = new_labels.drop("chg")
         if (obs.get["changed"] or 0) == 0:
             break
     return labels.select("id", F.col("lbl").alias("component"))

@@ -58,6 +58,7 @@ def bm25_topk(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    prune_top_c: int | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25:
 
@@ -72,6 +73,16 @@ def bm25_topk(
 
     ``queries`` is expected to be eval/query-set-sized (thousands):
     its distinct term set broadcasts; the corpus never shuffles on text.
+
+    ``prune_top_c`` enables the block-max-style candidate prune — EXACT
+    results, certificate-verified (see _bm25_pruned): per query-vocab
+    term only the top-C docs by that term's contribution become
+    candidates; a per-query upper bound on any non-candidate's score is
+    compared against the k-th candidate score, and only the (typically
+    few) queries whose certificate fails re-run on the dense path. On
+    Zipfian vocabularies this cuts the scoring join from
+    sum_t df(t)·q(t) rows to ~C·|terms| per query. C must be >= k
+    (C ~ 3-10x k is the usual block-max operating point).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -124,15 +135,114 @@ def bm25_topk(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
     )
     contrib = F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / norm
-    scored = (
-        dtf.join(F.broadcast(qmodel), "term")
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
-    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+
+    def dense(qm: DataFrame) -> DataFrame:
+        scored = (
+            dtf.join(F.broadcast(qm), "term")
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum(contrib), 6).alias("score"))
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    if prune_top_c is None:
+        return dense(qmodel)
+    if prune_top_c < k:
+        raise ValueError("prune_top_c must be >= k (candidates per term)")
+    return _bm25_pruned(
+        dtf, qterms, idf, dense, contrib, w, k, prune_top_c,
+        id_col, query_id_col,
     )
+
+
+def _bm25_pruned(
+    dtf: DataFrame,
+    qterms: DataFrame,
+    idf: DataFrame,
+    dense,
+    contrib,
+    w: Window,
+    k: int,
+    c: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Block-max-style candidate prune with an exactness certificate.
+
+    A term's BM25 contribution to a doc is query-independent, so each
+    query-vocab term's posting list is impact-ordered ONCE: only its
+    top-C docs by contribution become candidates (the distributed analog
+    of a block-max index's impact-sorted prefix). For every query,
+    bound(q) = sum over q's terms of the (C+1)-th best contribution is a
+    hard upper bound on any NON-candidate doc's score; if
+    bound(q) < score of the q's k-th candidate, the pruned top-k is
+    provably the exact top-k. Queries whose certificate fails (rare on
+    Zipfian vocabularies, common on degenerate flat ones) re-run dense.
+
+    Scale shape: the impact ordering is one rank over the contribution
+    table keyed by term (query-vocab terms only); candidate re-scoring
+    shuffles the contribution table once by doc id (narrow rows, linear);
+    the candidate pair set (~C x terms-per-query per query) broadcasts.
+    The certificate collect is one boolean per query — eval-sized.
+    """
+    tc = (
+        dtf.join(F.broadcast(idf), "term")
+        .select("term", id_col, contrib.alias("c"))
+        .localCheckpoint(eager=True)  # reused 3x: rank, cutoffs, re-score
+    )
+    wt = Window.partitionBy("term").orderBy(F.col("c").desc(), F.col(id_col))
+    ranked = tc.withColumn("rn", F.row_number().over(wt))
+    kept = ranked.filter(F.col("rn") <= c).select("term", id_col)
+    cutoffs = ranked.filter(F.col("rn") == c + 1).select(
+        "term", F.col("c").alias("cutoff")
+    )
+
+    cand = (
+        qterms.join(kept, "term")
+        .select(query_id_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: re-score + certificate
+    )
+    scored = (
+        cand.join(tc, id_col)
+        .join(qterms, [query_id_col, "term"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    topk = topk.localCheckpoint(eager=True)  # reused: theta + output
+
+    theta = topk.filter(F.col("rank") == k).select(
+        query_id_col, F.col("score").alias("theta")
+    )
+    bounds = (
+        qterms.join(F.broadcast(cutoffs), "term", "left")
+        .groupBy(query_id_col)
+        .agg(F.sum(F.coalesce(F.col("cutoff"), F.lit(0.0))).alias("bound"))
+    )
+    cert = bounds.join(theta, query_id_col, "left").select(
+        query_id_col,
+        (
+            (F.col("bound") == 0.0)
+            | (F.col("theta").isNotNull() & (F.col("bound") < F.col("theta")))
+        ).alias("ok"),
+    )
+    failing = [r[0] for r in cert.filter(~F.col("ok")).collect()]
+    if not failing:
+        return topk
+    exact_part = topk.join(
+        F.broadcast(cert.filter(F.col("ok")).select(query_id_col)),
+        query_id_col,
+        "left_semi",
+    )
+    dense_part = dense(
+        qterms.join(idf, "term").filter(F.col(query_id_col).isin(failing))
+    )
+    return exact_part.unionByName(dense_part)

@@ -1185,6 +1185,52 @@ def test_bm25_topk_ranking_and_contract(spark):
     assert again == ranked
 
 
+def test_bm25_prune_is_certificate_exact(spark):
+    """The block-max-style candidate prune returns EXACTLY the dense
+    top-k on a Zipfian corpus (certificate passes) AND on a degenerate
+    flat corpus where every certificate fails and the dense fallback
+    kicks in; prune_top_c < k refuses."""
+    import random
+
+    import pytest
+
+    from fluent_bit_spark.extensions.retrieval import bm25_topk
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(150)]
+    weights = [1.0 / (j + 1) for j in range(150)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, weights=weights,
+                                  k=rng.randint(5, 40))))
+         for i in range(600)],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, weights=weights, k=4)))
+         for i in range(20)],
+        ["query_id", "text"],
+    )
+    dense = {(r.query_id, r.rank): (r.doc_id, r.score)
+             for r in bm25_topk(docs, qs, k=5).collect()}
+    for c in (5, 25):
+        pruned = {(r.query_id, r.rank): (r.doc_id, r.score)
+                  for r in bm25_topk(docs, qs, k=5, prune_top_c=c).collect()}
+        assert pruned == dense
+
+    flat = spark.createDataFrame(
+        [(i, "same words here") for i in range(60)], ["doc_id", "text"]
+    )
+    fq = spark.createDataFrame([(1, "same here")], ["query_id", "text"])
+    d2 = {(r.query_id, r.rank): (r.doc_id, r.score)
+          for r in bm25_topk(flat, fq, k=5).collect()}
+    p2 = {(r.query_id, r.rank): (r.doc_id, r.score)
+          for r in bm25_topk(flat, fq, k=5, prune_top_c=5).collect()}
+    assert d2 == p2
+
+    with pytest.raises(ValueError, match="prune_top_c"):
+        bm25_topk(docs, qs, k=10, prune_top_c=5)
+
+
 def test_repeated_span_stats_detects_shared_substrings(spark):
     """A 12-token substring shared by two docs yields duplicated 10-token
     windows in BOTH; fully unique docs report dup_frac 0; short docs
