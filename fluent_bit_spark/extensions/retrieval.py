@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .dedup import normalize_text
 
-__all__ = ["doc_term_freqs", "bm25_topk"]
+__all__ = ["doc_term_freqs", "bm25_topk", "bm25_index", "bm25_topk_indexed"]
 
 
 def doc_term_freqs(df: DataFrame, text_col: str = "text",
@@ -172,36 +172,73 @@ def _bm25_pruned(
     id_col: str,
     query_id_col: str,
 ) -> DataFrame:
-    """Block-max-style candidate prune with an exactness certificate.
-
-    A term's BM25 contribution to a doc is query-independent, so each
-    query-vocab term's posting list is impact-ordered ONCE: only its
-    top-C docs by contribution become candidates (the distributed analog
-    of a block-max index's impact-sorted prefix). For every query,
-    bound(q) = sum over q's terms of the (C+1)-th best contribution is a
-    hard upper bound on any NON-candidate doc's score; if
-    bound(q) < score of the q's k-th candidate, the pruned top-k is
-    provably the exact top-k. Queries whose certificate fails (rare on
-    Zipfian vocabularies, common on degenerate flat ones) re-run dense.
-
-    Scale shape: the impact ordering is one rank over the contribution
-    table keyed by term (query-vocab terms only); candidate re-scoring
-    shuffles the contribution table once by doc id (narrow rows, linear);
-    the candidate pair set (~C x terms-per-query per query) broadcasts.
-    The certificate collect is one boolean per query — eval-sized.
-    """
+    """One-shot form of the block-max prune: build the impact ordering
+    for THIS call's query vocabulary, then run the shared candidate /
+    certificate machinery (_indexed_topk). The index build costs about
+    one dense scoring pass, so this form only pays off when certificate
+    hit rates are high AND the query set is large; the amortized form —
+    bm25_index built once, bm25_topk_indexed per query batch — is the
+    deployment shape (measured in BASELINE.md)."""
     tc = (
         dtf.join(F.broadcast(idf), "term")
         .select("term", id_col, contrib.alias("c"))
         .localCheckpoint(eager=True)  # reused 3x: rank, cutoffs, re-score
     )
+    kept, cutoffs = _impact_order(tc, c, id_col)
+
+    def dense_for(failing: list) -> DataFrame:
+        return dense(
+            qterms.join(idf, "term").filter(F.col(query_id_col).isin(failing))
+        )
+
+    return _indexed_topk(
+        tc, kept, cutoffs, qterms, w, k, id_col, query_id_col, dense_for
+    )
+
+
+def _impact_order(tc: DataFrame, c: int, id_col: str):
+    """Per-term impact ordering of the contribution table: (kept, cutoffs)
+    where kept holds each term's top-C docs by contribution and cutoffs
+    the (C+1)-th contribution — the hard upper bound any non-kept doc of
+    that term can add to a score."""
     wt = Window.partitionBy("term").orderBy(F.col("c").desc(), F.col(id_col))
     ranked = tc.withColumn("rn", F.row_number().over(wt))
     kept = ranked.filter(F.col("rn") <= c).select("term", id_col)
     cutoffs = ranked.filter(F.col("rn") == c + 1).select(
         "term", F.col("c").alias("cutoff")
     )
+    return kept, cutoffs
 
+
+def _indexed_topk(
+    tc: DataFrame,
+    kept: DataFrame,
+    cutoffs: DataFrame,
+    qterms: DataFrame,
+    w: Window,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    dense,
+) -> DataFrame:
+    """Candidate generation + exactness certificate over an impact-ordered
+    contribution table.
+
+    A term's BM25 contribution to a doc is query-independent, so each
+    term's posting list is impact-ordered ONCE: only its top-C docs by
+    contribution become candidates (the distributed analog of a block-max
+    index's impact-sorted prefix). For every query,
+    bound(q) = sum over q's terms of the (C+1)-th best contribution is a
+    hard upper bound on any NON-candidate doc's score; if
+    bound(q) < score of the q's k-th candidate, the pruned top-k is
+    provably the exact top-k. Queries whose certificate fails (rare on
+    Zipfian vocabularies, common on degenerate flat ones) re-run dense.
+
+    Scale shape: candidate re-scoring shuffles the contribution table
+    once by doc id (narrow rows, linear); the candidate pair set
+    (~C x terms-per-query per query) broadcasts. The certificate collect
+    is one boolean per query — eval-sized.
+    """
     cand = (
         qterms.join(kept, "term")
         .select(query_id_col, id_col)
@@ -242,7 +279,126 @@ def _bm25_pruned(
         query_id_col,
         "left_semi",
     )
-    dense_part = dense(
-        qterms.join(idf, "term").filter(F.col(query_id_col).isin(failing))
-    )
+    dense_part = dense(failing)
     return exact_part.unionByName(dense_part)
+
+
+def bm25_index(
+    docs: DataFrame,
+    c: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Offline BM25 impact index over the FULL corpus vocabulary — the
+    build-once/query-many deployment shape of a retrieval system. Returns
+    a dict of eagerly persisted frames + scalars consumed by
+    bm25_topk_indexed:
+
+    - ``tc``: (term, id, c) per-posting contribution (query-independent);
+    - ``kept``: each term's top-``c`` docs by contribution;
+    - ``cutoffs``: each term's (c+1)-th contribution (score upper bound
+      for any non-kept doc);
+    - ``n_docs``/``avgdl``/``k1``/``b``/``c``/``id_col``: scalars.
+
+    Scale shape: one explode + combinable groupBy for tf/dl, one
+    vocab-keyed shuffle for df, one per-term rank for the impact order —
+    all linear in corpus tokens, built once. On a cluster these frames
+    would be written as bucketed tables (storage.py) instead of
+    localCheckpoint; the query-side plan is identical."""
+    if c < 1:
+        raise ValueError("c must be >= 1")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    dl0 = F.size(F.filter(toks, lambda t: t != ""))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(dl0 > 0, dl0)).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    if avgdl is None:
+        raise ValueError("corpus has no tokens")
+    dtf = doc_term_freqs(docs, text_col, id_col)
+    dfreq = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+    )
+    contrib = F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / norm
+    tc = (
+        dtf.join(idf, "term")
+        .select("term", id_col, contrib.alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    kept, cutoffs = _impact_order(tc, c, id_col)
+    return {
+        "tc": tc,
+        "kept": kept.localCheckpoint(eager=True),
+        "cutoffs": cutoffs.localCheckpoint(eager=True),
+        "n_docs": n_docs,
+        "avgdl": float(avgdl),
+        "k1": k1,
+        "b": b,
+        "c": c,
+        "id_col": id_col,
+    }
+
+
+def bm25_topk_indexed(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Exact top-k per query against a prebuilt bm25_index — the serving
+    path: no corpus scan, no posting rank, only the candidate join +
+    certificate (+ a tc-based dense pass for certificate failures).
+    Results are identical to bm25_topk on the same corpus/queries."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if index["c"] < k:
+        raise ValueError(
+            f"index was built with c={index['c']} < k={k}; rebuild with c >= k"
+        )
+    id_col = index["id_col"]
+    tc, kept, cutoffs = index["tc"], index["kept"], index["cutoffs"]
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(
+                F.array_distinct(
+                    F.split(normalize_text(F.col(query_text_col)), " ")
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+
+    def dense(failing: list) -> DataFrame:
+        qf = qterms.filter(F.col(query_id_col).isin(failing))
+        scored = (
+            tc.join(F.broadcast(qf), "term")
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum("c"), 6).alias("score"))
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    return _indexed_topk(
+        tc, kept, cutoffs, qterms, w, k, id_col, query_id_col, dense
+    )

@@ -38,6 +38,28 @@ def test_corpus_pipeline_example(spark, tmp_path):
     # partitioned layout: split directories exist
     assert (tmp_path / "out" / "split=train").exists()
 
+    # END-TO-END ACCEPTANCE HASH: per-query oracles can't catch
+    # cross-operator interaction regressions (e.g. a dedup reordering
+    # changing split membership); this one golden hash over the final
+    # written dataset can. Every stage is deterministic (hash-based
+    # membership everywhere), so the hash is stable across runs — if a
+    # change legitimately alters pipeline output, re-derive the golden
+    # and say why in the commit.
+    import hashlib
+
+    pdf = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id", "text", "split")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    digest = hashlib.md5(
+        "\n".join(
+            f"{r.doc_id}\t{r.split}\t{r.text}" for r in pdf.itertuples()
+        ).encode()
+    ).hexdigest()
+    assert digest == "889c51e0fff0d22a474dd5732a4496b5", (len(pdf), digest)
+
 
 def test_telemetry_pipeline_example(spark):
     """The shipped telemetry example: scrape pages -> decode -> rollup ->

@@ -1231,6 +1231,46 @@ def test_bm25_prune_is_certificate_exact(spark):
         bm25_topk(docs, qs, k=10, prune_top_c=5)
 
 
+def test_bm25_index_serving_path_matches_dense(spark):
+    """The build-once/query-many split: bm25_index + bm25_topk_indexed
+    returns exactly bm25_topk's dense results for two different query
+    batches against the same index (including certificate fallbacks),
+    and refuses k > index c."""
+    import random
+
+    import pytest
+
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_index, bm25_topk, bm25_topk_indexed,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(120)]
+    weights = [1.0 / (j + 1) for j in range(120)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, weights=weights,
+                                  k=rng.randint(5, 30))))
+         for i in range(400)],
+        ["doc_id", "text"],
+    )
+    idx = bm25_index(docs, c=20)
+    for seed in (1, 2):
+        r2 = random.Random(seed)
+        qs = spark.createDataFrame(
+            [(i, " ".join(r2.choices(vocab, weights=weights, k=3)))
+             for i in range(15)],
+            ["query_id", "text"],
+        )
+        dense = {(r.query_id, r.rank): (r.doc_id, r.score)
+                 for r in bm25_topk(docs, qs, k=5).collect()}
+        served = {(r.query_id, r.rank): (r.doc_id, r.score)
+                  for r in bm25_topk_indexed(idx, qs, k=5).collect()}
+        assert served == dense
+
+    with pytest.raises(ValueError, match="rebuild with c >= k"):
+        bm25_topk_indexed(idx, qs, k=50)
+
+
 def test_repeated_span_stats_detects_shared_substrings(spark):
     """A 12-token substring shared by two docs yields duplicated 10-token
     windows in BOTH; fully unique docs report dup_frac 0; short docs

@@ -78,9 +78,16 @@ def _corpus_pass(spark, in_dir: str, tag: str) -> float:
 
 
 def corpus_main() -> None:
+    """Default 600k docs — the same scale as the plain-ingest bench, so
+    the ~2.5 s fixed cost of an availableNow pass (query start, state
+    store init across partitions, the empty watermark-commit batch,
+    parquet commit) amortizes and the number reads as STEADY-STATE
+    ingest throughput. At 200k docs the same pipeline measures ~3x
+    lower purely from that fixed cost (both sizes recorded in
+    BASELINE.md)."""
     import os
 
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 600_000
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     spark = get_spark("fbs-corpus-stream-bench")
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
