@@ -1326,6 +1326,30 @@ def bm25_topk_q(spark, sf_dir):
     return bm25_topk(docs, queries, k=10)
 
 
+def bm25_indexed_q(spark, sf_dir):
+    """Build-once/query-many BM25: the offline impact index (bm25_index,
+    full-vocab df/contributions + per-term top-C + cutoffs) served
+    through bm25_topk_indexed (candidate join + exactness certificate;
+    certificate failures re-run dense on the contribution table).
+    Results are provably identical to bm25_topk, so the oracle is the
+    same end-to-end SQL replay — a wrong candidate set, a wrong cutoff
+    bound, or a missed fallback all hash-fail the row."""
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_index, bm25_topk_indexed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8)
+        ).alias("text"),
+    )
+    idx = bm25_index(docs, c=50)
+    return bm25_topk_indexed(idx, queries, k=10)
+
+
 def repeated_spans_q(spark, sf_dir):
     """Span-level duplication stats (distributed ExactSubstr signal, Lee
     et al. 2022): corpus = documents plus full copies of every 11th doc,
@@ -3175,8 +3199,11 @@ _DRIVER_WINDOW = [
     "stackdriver_shape", "statsd_decode", "syslog_3164_lines",
     "syslog_5424_lines", "text_langid", "text_quality", "text_repetition",
     "text_token_counts",
+    # round-6 NEW query — never driver-checked, so it outranks any
+    # already-green backfill row for a window slot
+    "bm25_indexed",
     # last driver rows: round 4 (alphabetical tie-break)
-    "azure_shape", "bigquery_shape",
+    "azure_shape",
 ]
 
 
@@ -3260,6 +3287,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": fuzzy_decontaminate_q,
         "dsir_select": dsir_select_q,
         "bm25_topk": bm25_topk_q,
+        "bm25_indexed": bm25_indexed_q,
         "repeated_spans": repeated_spans_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
@@ -3433,7 +3461,7 @@ def oracle_sql() -> dict[str, str]:
         prev.append(lang)
     langid_expr += "ELSE 'und' END"
 
-    return {
+    sql = {
         "q1_pricing_summary": Q1_ORACLE,
         "sp_projection": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
@@ -4755,3 +4783,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM g CROSS JOIN b"
         ),
     }
+    # the indexed serving path returns IDENTICAL rows to bm25_topk —
+    # same end-to-end SQL replay
+    sql["bm25_indexed"] = sql["bm25_topk"]
+    return sql
