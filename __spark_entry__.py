@@ -2381,7 +2381,12 @@ def dedup_clusters_q(spark, sf_dir):
         F.concat(F.lit(" "), F.col("text")).alias("text"),
     )
     all3 = docs.unionByName(c1).unionByName(c2)
-    words = all3.select(
+    # the 180-row frame inherits the full documents-scan partitioning
+    # (dozens of mostly-empty partitions at high SF); a cartesian product
+    # multiplies partition counts (n x m tasks), so coalesce the tiny
+    # frame FIRST — at sf3 this is the difference between 16 and ~9k
+    # cartesian tasks
+    words = all3.coalesce(4).select(
         "doc_id",
         F.array_distinct(
             F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
@@ -3005,14 +3010,20 @@ def dataset_split_q(spark, sf_dir):
 
 def otlp_traces_roundtrip_q(spark, sf_dir):
     """out/in_opentelemetry traces (ctraces span model): synthesize spans
-    from events, encode to ExportTraceServiceRequest JSON batched per
-    event_type, decode through the three-level explode, recover the span
-    fields bit-exactly. One shuffle (the batch collect), decode
-    shuffle-free."""
+    from events, encode to ExportTraceServiceRequest JSON in SIZE-BOUNDED
+    requests (~4k spans — the exporter discipline; an unbounded per-type
+    batch grows a single JSON string row-proportionally, which at sf3 is
+    a 100 MB from_json per row and at 100 TB is an OOM), decode through
+    the three-level explode, recover the span fields bit-exactly. The
+    decoded row set is independent of the batching, so the oracle replay
+    is unchanged. One shuffle (the batch collect), decode shuffle-free."""
     from fluent_bit_spark.connectors import otlp_traces_decode, otlp_traces_encode
 
     ev = _events(spark, sf_dir)
     spans = ev.select(
+        F.concat_ws(
+            ":", F.col("event_type"), (F.col("event_id") / 4096).cast("long")
+        ).alias("req_batch"),
         F.lower(F.lpad(F.hex(F.col("user_id")), 32, "0")).alias("trace_id"),
         F.lower(F.lpad(F.hex(F.col("event_id")), 16, "0")).alias("span_id"),
         F.col("event_type").alias("name"),
@@ -3029,7 +3040,7 @@ def otlp_traces_roundtrip_q(spark, sf_dir):
         status_code_col="status",
         attr_cols=["user_id"],
         resource_attributes={"service.name": "events"},
-        batch_col="event_type",
+        batch_col="req_batch",
     )
     dec = otlp_traces_decode(enc)
     return dec.select(

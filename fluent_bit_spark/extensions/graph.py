@@ -38,6 +38,14 @@ def connected_components(
     ``component`` is the minimum node id reachable from ``id``. Nodes not
     present in ``pairs`` are absent (join back with coalesce(id) for the
     full assignment)."""
+    # partition-explosion guard: a pairs plan built from a cartesian or
+    # a many-way join can carry n x m near-empty partitions; evaluating
+    # it twice (both edge directions) then costs task-launch overhead
+    # proportional to partitions, not rows. Coalescing to a few tasks
+    # per core preserves parallelism while bounding launches.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    if pairs.rdd.getNumPartitions() > 4 * par:
+        pairs = pairs.coalesce(4 * par)
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
