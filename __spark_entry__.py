@@ -3017,13 +3017,15 @@ def otlp_traces_roundtrip_q(spark, sf_dir):
     the three-level explode, recover the span fields bit-exactly. The
     decoded row set is independent of the batching, so the oracle replay
     is unchanged. One shuffle (the batch collect), decode shuffle-free."""
-    from fluent_bit_spark.connectors import otlp_traces_decode, otlp_traces_encode
+    from fluent_bit_spark.connectors import (
+        otlp_traces_decode, otlp_traces_encode, with_request_batches,
+    )
 
-    ev = _events(spark, sf_dir)
+    ev = with_request_batches(
+        _events(spark, sf_dir), 4096, "event_id", group_cols=["event_type"]
+    )
     spans = ev.select(
-        F.concat_ws(
-            ":", F.col("event_type"), (F.col("event_id") / 4096).cast("long")
-        ).alias("req_batch"),
+        F.col("req_batch"),
         F.lower(F.lpad(F.hex(F.col("user_id")), 32, "0")).alias("trace_id"),
         F.lower(F.lpad(F.hex(F.col("event_id")), 16, "0")).alias("span_id"),
         F.col("event_type").alias("name"),

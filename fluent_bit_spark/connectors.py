@@ -379,6 +379,34 @@ def splunk_hec_decode(df: DataFrame, json_col: str = "hec_json") -> DataFrame:
 # --------------------------------------------------------------------------
 # OTLP logs — encode (out_opentelemetry) and decode (in_opentelemetry)
 # --------------------------------------------------------------------------
+def with_request_batches(
+    df: DataFrame,
+    records_per_request: int,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "req_batch",
+) -> DataFrame:
+    """Derive a SIZE-BOUNDED request-batch key for the encoder
+    ``batch_col`` parameters: ``id_col div records_per_request``,
+    optionally sub-keyed by ``group_cols`` (e.g. per-tenant routing).
+
+    Why: a batch key with FIXED cardinality (a per-type or per-tenant
+    batch) makes each encoded request row grow proportionally with the
+    data — a multi-hundred-MB JSON string parsed in one task at scale,
+    eventually an OOM. Bounding records-per-request keeps request rows
+    constant-sized and lets request count (and the decode fan-out) scale
+    with rows instead — the same discipline as the reference's ~2 MB
+    chunk flush (src/flb_input_chunk.c:3344). Exact request sizes need a
+    dense id; with sparse ids the bound still holds as a maximum."""
+    if records_per_request < 1:
+        raise ValueError("records_per_request must be >= 1")
+    parts = [F.col(c).cast("string") for c in (group_cols or [])]
+    parts.append(
+        (F.col(id_col) / records_per_request).cast("long").cast("string")
+    )
+    return df.withColumn(out_col, F.concat_ws(":", *parts))
+
+
 def _otlp_attr(key, value_col):
     """One OTLP KeyValue: {key, value: {stringValue}} (anyValue collapsed to
     the string branch — fluent-bit's JSON OTLP path does the same for

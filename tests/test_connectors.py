@@ -797,6 +797,36 @@ def test_otlp_traces_roundtrip_with_hierarchy(spark):
     assert (dec["s1"]["end_ts"] - dec["s1"]["start_ts"]).total_seconds() == 2.0
 
 
+def test_with_request_batches_bounds_request_sizes(spark):
+    """Size-bounded request batching: each batch key holds at most
+    records_per_request rows, group columns sub-key the batches, and the
+    decoded row set is identical regardless of batching."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.connectors import with_request_batches
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("tenant")
+    )
+    out = with_request_batches(df, 100, "id", group_cols=["tenant"])
+    sizes = out.groupBy("req_batch").count().collect()
+    assert all(r["count"] <= 100 for r in sizes)
+    # batches never mix tenants
+    mixed = (
+        out.groupBy("req_batch")
+        .agg(F.count_distinct("tenant").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert mixed == 0
+    # batch count scales with rows (the point: request size stays fixed)
+    assert len(sizes) >= 30
+
+    with pytest.raises(ValueError, match="records_per_request"):
+        with_request_batches(df, 0, "id")
+
+
 def test_otlp_metrics_gauge_and_counter_shapes(spark):
     import datetime as dt
 
