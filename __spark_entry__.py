@@ -1094,6 +1094,49 @@ def similarity_ivf_ann_q(spark, sf_dir):
     return _ann_gate(ann, exact)
 
 
+def cluster_balanced_q(spark, sf_dir):
+    """Diversity-balanced sampling (SemDeDup/DataComp cluster balancing):
+    k-means over the embeddings, at most 50 kept per cluster. Cluster ids
+    come from float Lloyd iteration, so the kept SET is not
+    SQL-replayable — the output is the operator's CONTRACT as a literal
+    truth table (the _ann_gate pattern): per-cluster kept counts equal
+    min(cap, cluster size) under an independently recomputed assignment,
+    the kept rows are a distinct subset of the input, and no cluster
+    exceeds the cap. Any quota, assignment, or duplication bug flips a
+    row to false and hash-fails."""
+    from fluent_bit_spark.extensions.similarity import (
+        assign_clusters, cluster_balanced_sample, kmeans_centroids,
+    )
+
+    emb, _ = _emb_and_queries(spark, sf_dir)
+    emb = emb.select("vec_id", "embedding")
+    kept = cluster_balanced_sample(emb, cap=50, n_clusters=8)
+    # independent witness: recompute the (deterministic) assignment and
+    # compare per-cluster counts
+    cents = kmeans_centroids(emb, 8, 3)
+    sizes = assign_clusters(emb, cents).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    ksz = kept.groupBy("cid").agg(F.count(F.lit(1)).alias("n_kept"))
+    per = sizes.join(ksz, "cid", "left").select(
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"), "n_all"
+    )
+    c1 = per.agg(
+        F.every(F.col("n_kept") == F.least(F.lit(50), F.col("n_all"))).alias("ok")
+    ).select(F.lit("kept_eq_min_cap_size").alias("chk"), "ok")
+    c2 = kept.agg(
+        (
+            (F.count(F.lit(1)) == F.count_distinct(F.col("vec_id")))
+        ).alias("ok")
+    ).select(F.lit("kept_distinct").alias("chk"), "ok")
+    c3 = (
+        kept.join(emb.select("vec_id"), "vec_id", "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("ok"))
+        .select(F.lit("kept_subset_of_input").alias("chk"), "ok")
+    )
+    return c1.unionByName(c2).unionByName(c3)
+
+
 def _fuzzy_decontam_inputs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
@@ -3212,11 +3255,9 @@ _DRIVER_WINDOW = [
     "stackdriver_shape", "statsd_decode", "syslog_3164_lines",
     "syslog_5424_lines", "text_langid", "text_quality", "text_repetition",
     "text_token_counts",
-    # round-6 NEW query — never driver-checked, so it outranks any
+    # round-6 NEW queries — never driver-checked, so they outrank any
     # already-green backfill row for a window slot
-    "bm25_indexed",
-    # last driver rows: round 4 (alphabetical tie-break)
-    "azure_shape",
+    "bm25_indexed", "cluster_balanced",
 ]
 
 
@@ -3301,6 +3342,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select_q,
         "bm25_topk": bm25_topk_q,
         "bm25_indexed": bm25_indexed_q,
+        "cluster_balanced": cluster_balanced_q,
         "repeated_spans": repeated_spans_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
@@ -4799,4 +4841,12 @@ def oracle_sql() -> dict[str, str]:
     # the indexed serving path returns IDENTICAL rows to bm25_topk —
     # same end-to-end SQL replay
     sql["bm25_indexed"] = sql["bm25_topk"]
+    # cluster_balanced: invariant-contract truth table (the _ann_gate
+    # pattern) — cluster ids come from float Lloyd iteration, so the
+    # contract rows are the oracle
+    sql["cluster_balanced"] = (
+        "SELECT 'kept_eq_min_cap_size' AS chk, TRUE AS ok "
+        "UNION ALL SELECT 'kept_distinct', TRUE "
+        "UNION ALL SELECT 'kept_subset_of_input', TRUE"
+    )
     return sql

@@ -303,6 +303,64 @@ def _l2_kmeans_subspace(
     return cents
 
 
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment as a PURE PROJECTION: the
+    model-sized centroid list becomes per-centroid cosine expressions and
+    an array_max over (cos, -cid) structs — no crossJoin, no window, no
+    shuffle; runs at scan speed at any corpus size. Ties break to the
+    smaller centroid id (same rule as ivf_topk's list assignment)."""
+    if not centroids:
+        raise ValueError("empty centroid list")
+    arr = F.array(*[
+        F.struct(
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+            F.lit(-i).alias("negi"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return df.withColumn(out_col, (-F.array_max(arr)["negi"]).cast("int"))
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cap: int,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cid: bool = True,
+) -> DataFrame:
+    """Diversity-balanced corpus sampling (the SemDeDup / DataComp
+    cluster-balancing stage): k-means clusters over the embedding column,
+    then at most ``cap`` rows kept per cluster, chosen in deterministic
+    hash order of ``id_col`` — a topic-balance pass that stops one dense
+    region of embedding space dominating a training mixture.
+
+    Scale shape: centroids are model-sized driver state
+    (kmeans_centroids); assignment is a pure projection
+    (assign_clusters); the quota pass is cap_per_key's over-cap-only
+    ranking — under-cap clusters stream through shuffle-free, and only
+    over-cap clusters rank (salted on the id hash, so a giant cluster
+    doesn't funnel one task)."""
+    from fluent_bit_spark.extensions.mixing import cap_per_key
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    cents = kmeans_centroids(df, n_clusters, iters, id_col, vec_col)
+    assigned = assign_clusters(df, cents, vec_col).withColumn(
+        "__ord", F.xxhash64(F.col(id_col))
+    )
+    kept = cap_per_key(
+        assigned, ["cid"], ["__ord"], cap, salt_cols=[id_col]
+    ).drop("__ord")
+    return kept if keep_cid else kept.drop("cid")
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,

