@@ -1551,6 +1551,49 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+def pack_ffd_q(spark, sf_dir):
+    """Document-aware FFD packing contract (char tokenizer so the
+    numeric witnesses replay in SQL): no sequence overflows, every doc
+    piece is packed exactly once (count replayed from the text itself),
+    tokens are conserved (total replayed), and the sequence count is
+    within the FFD waste bound. The full doc-integrity property (each
+    sequence equals the concatenation of its docs' encodings) is
+    pytest-gated (test_pack_sequences_ffd_document_aware)."""
+    from fluent_bit_spark.extensions.bpe import bpe_encode, pack_sequences_ffd
+
+    L, G = 256, 8
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seqs = pack_sequences_ffd(docs, [], seq_len=L, num_groups=G)
+    seqs = seqs.localCheckpoint(eager=True)  # reused by 4 checks
+    enc = bpe_encode(docs, [])
+    exp = enc.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.sum(
+            F.when(F.col("n_tokens") > 0, F.ceil(F.col("n_tokens") / L))
+        ).cast("long").alias("n_pieces"),
+    ).collect()[0]
+    got = seqs.agg(
+        F.every(F.col("n_tokens") <= L).alias("no_overflow"),
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+    ).collect()[0]
+    pieces = seqs.select(F.explode("doc_ids").alias("p"))
+    pc = pieces.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(F.col("p")).cast("long").alias("n_d"),
+    ).collect()[0]
+    import math
+
+    bound = (11 / 9) * math.ceil((exp["total"] or 0) / L) + (11 / 9 + 1) * G
+    rows = [
+        ("no_overflow", bool(got["no_overflow"]), None),
+        ("doc_pieces_once", pc["n"] == pc["n_d"] == exp["n_pieces"], int(exp["n_pieces"])),
+        ("token_conservation", got["total"] == exp["total"], int(exp["total"])),
+        ("ffd_bound", got["n_seqs"] <= bound, None),
+    ]
+    return spark.createDataFrame(rows, "chk string, ok boolean, val bigint")
+
+
 def stratified_sample_q(spark, sf_dir):
     """Deterministic per-language sampling (en=1.0, de=0.5, fr=0.25,
     default 0.1): membership is a pure md5 function of (doc_id, seed), so
@@ -3254,10 +3297,9 @@ _DRIVER_WINDOW = [
     "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
     "stackdriver_shape", "statsd_decode", "syslog_3164_lines",
     "syslog_5424_lines", "text_langid", "text_quality", "text_repetition",
-    "text_token_counts",
     # round-6 NEW queries — never driver-checked, so they outrank any
     # already-green backfill row for a window slot
-    "bm25_indexed", "cluster_balanced",
+    "bm25_indexed", "cluster_balanced", "pack_ffd",
 ]
 
 
@@ -3343,6 +3385,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk_q,
         "bm25_indexed": bm25_indexed_q,
         "cluster_balanced": cluster_balanced_q,
+        "pack_ffd": pack_ffd_q,
         "repeated_spans": repeated_spans_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
@@ -4848,5 +4891,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'kept_eq_min_cap_size' AS chk, TRUE AS ok "
         "UNION ALL SELECT 'kept_distinct', TRUE "
         "UNION ALL SELECT 'kept_subset_of_input', TRUE"
+    )
+    # pack_ffd: contract truth table with the two numeric witnesses
+    # (piece count, token total) derived from the text itself — the char
+    # tokenizer's token count per doc is exactly length(stream form)
+    norm6 = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    sql["pack_ffd"] = (
+        f"WITH d AS (SELECT CASE WHEN {norm6} = '' THEN '' "
+        f"ELSE replace({norm6}, ' ', chr(30)) || chr(30) END AS s FROM documents), "
+        "st AS (SELECT CAST(SUM(length(s)) AS BIGINT) AS total, "
+        "CAST(SUM(CASE WHEN length(s) > 0 THEN CEIL(length(s) / 256.0) END) AS BIGINT) "
+        "AS n_pieces FROM d) "
+        "SELECT 'no_overflow' AS chk, TRUE AS ok, CAST(NULL AS BIGINT) AS val FROM st "
+        "UNION ALL SELECT 'doc_pieces_once', TRUE, n_pieces FROM st "
+        "UNION ALL SELECT 'token_conservation', TRUE, total FROM st "
+        "UNION ALL SELECT 'ffd_bound', TRUE, CAST(NULL AS BIGINT) FROM st"
     )
     return sql

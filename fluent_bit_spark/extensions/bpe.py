@@ -309,3 +309,99 @@ def pack_token_sequences(
         ).alias("doc_starts"),
     )
     return seqs.filter(F.col("n_tokens") == seq_len)
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    seq_len: int = 2048,
+    num_groups: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Document-AWARE sequence packing: whole documents bin-packed into
+    <= ``seq_len``-token sequences by first-fit-decreasing, so no
+    document is ever split across a sequence boundary (the "fewer
+    truncations" packing real trainers prefer over concat-and-cut;
+    pack_token_sequences is the concat-cut form). Documents longer than
+    seq_len are pre-chunked into seq_len-sized pieces first (each piece
+    then packs as its own unit; only the pieces of long docs cross
+    "document" boundaries, which is unavoidable).
+
+    Scale shape: documents hash into ``num_groups`` independent packing
+    groups (uniform by id hash); each group runs classic FFD inside one
+    applyInPandas task, so per-task state is corpus/num_groups tokens —
+    pick num_groups to bound task memory (at 100 TB: thousands; the
+    groups are embarrassingly parallel).
+    Waste bound: FFD within each group uses at most 11/9 x that group's
+    optimal bins + 1, so globally
+    n_seqs <= 11/9 * ceil(total_tokens/seq_len) + (11/9 + 1) * num_groups
+    — an oracle-checkable invariant.
+
+    Returns (seq_id string, doc_ids array, tokens array, n_tokens,
+    n_docs), one row per packed sequence.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if num_groups < 1:
+        raise ValueError("num_groups must be >= 1")
+    enc = bpe_encode(df, merges, text_col, id_col, vocab, unk_id)
+    tok_t = "int" if vocab is not None else "string"
+    out_schema = (
+        f"seq_id string, doc_ids array<string>, tokens array<{tok_t}>, "
+        "n_tokens int, n_docs int"
+    )
+    # long docs: pre-chunk into seq_len pieces (piece index suffixes the id)
+    n_pieces_last = F.floor(
+        F.greatest(F.col("n_tokens") - 1, F.lit(0)) / seq_len
+    ).cast("int")
+    pieces = enc.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pieces_last),
+                lambda i: F.slice(F.col("tokens"), i * seq_len + 1, seq_len),
+            )
+        ).alias("__piece", "tokens"),
+    ).filter(F.size("tokens") > 0).select(
+        F.concat_ws("#", "__id", F.col("__piece").cast("string")).alias("__id"),
+        "tokens",
+        F.pmod(F.xxhash64("__id"), F.lit(num_groups)).alias("__grp"),
+    )
+
+    def pack(key, pdf):
+        import pandas as pd
+
+        grp = int(key[0])
+        docs = sorted(
+            zip(pdf["__id"], pdf["tokens"]),
+            key=lambda t: (-len(t[1]), t[0]),  # FFD: length desc, id tiebreak
+        )
+        bins: list[list] = []  # [ids, tokens, n]
+        for did, toks in docs:
+            n = len(toks)
+            for b in bins:
+                if b[2] + n <= seq_len:
+                    b[0].append(did)
+                    b[1].extend(toks)
+                    b[2] += n
+                    break
+            else:
+                bins.append([[did], list(toks), n])
+        rows = [
+            {
+                "seq_id": f"{grp}:{i}",
+                "doc_ids": b[0],
+                "tokens": b[1],
+                "n_tokens": b[2],
+                "n_docs": len(b[0]),
+            }
+            for i, b in enumerate(bins)
+        ]
+        return pd.DataFrame(
+            rows, columns=["seq_id", "doc_ids", "tokens", "n_tokens", "n_docs"]
+        )
+
+    return pieces.groupBy("__grp").applyInPandas(pack, out_schema)

@@ -950,6 +950,54 @@ def test_bpe_int_id_path_matches_string_path(spark):
     assert set(got.tokens) == {0}
 
 
+def test_pack_sequences_ffd_document_aware(spark):
+    """FFD packing: no sequence exceeds seq_len, every document lands in
+    exactly one sequence (whole — its token run is contiguous and equals
+    its own encoding), tokens are conserved, long docs pre-chunk into
+    seq_len pieces, and the sequence count respects the FFD waste bound."""
+    import math
+
+    from fluent_bit_spark.extensions.bpe import bpe_encode, pack_sequences_ffd
+
+    texts = {
+        i: " ".join(f"w{i}x{j}" for j in range(3 + (i * 7) % 40))
+        for i in range(60)
+    }
+    texts[99] = " ".join(f"long{j}" for j in range(200))  # >> seq_len tokens
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    L = 128
+    out = pack_sequences_ffd(df, [], seq_len=L, num_groups=4).collect()
+
+    assert all(r.n_tokens <= L for r in out)
+    assert all(r.n_tokens == len(r.tokens) for r in out)
+    # every piece id exactly once across sequences
+    all_ids = [d for r in out for d in r.doc_ids]
+    assert len(all_ids) == len(set(all_ids))
+    base_ids = {d.split("#")[0] for d in all_ids}
+    assert base_ids == {str(i) for i in texts}
+    # token conservation vs direct encoding
+    enc = {str(r.doc_id): list(r.tokens) for r in bpe_encode(df, []).collect()}
+    total = sum(len(v) for v in enc.values())
+    assert sum(r.n_tokens for r in out) == total
+    # doc integrity: each sequence = concatenation of its docs' encodings
+    # (long docs compare piece-wise)
+    for r in out:
+        want = []
+        for d in r.doc_ids:
+            did, piece = (d.split("#") + ["0"])[:2]
+            toks = enc[did]
+            p = int(piece)
+            want.extend(toks[p * L:(p + 1) * L])
+        assert list(r.tokens) == want, r.seq_id
+    # the long doc chunked into ceil(200*?)/L pieces of size <= L, the
+    # full-size pieces each filling their own bin exactly
+    long_pieces = [d for d in all_ids if d.startswith("99#")]
+    assert len(long_pieces) == math.ceil(len(enc["99"]) / L)
+    # FFD waste bound (groups pack independently)
+    n_seqs = len(out)
+    assert n_seqs <= (11 / 9) * math.ceil(total / L) + (11 / 9 + 1) * 4
+
+
 def test_bpe_more_merges_never_increase_tokens(spark):
     from fluent_bit_spark.extensions.bpe import bpe_encode, bpe_train
 
