@@ -1410,6 +1410,38 @@ def repeated_spans_q(spark, sf_dir):
     return repeated_span_stats(corpus, window=10)
 
 
+def exact_substr_trim_q(spark, sf_dir):
+    """ExactSubstr span REMOVAL (Lee et al. 2022) — the trimming stage
+    repeated_spans only detects: corpus = documents plus full copies of
+    every 11th doc, window=10; copies trim to "" (their canonical copy
+    keeps the text), partial overlaps cut only the shared token ranges.
+    The whole derivation (md5 window hashes, first-occurrence-keeps
+    policy, gaps-and-islands interval merge, positional token rebuild)
+    replays hash-exact in DuckDB."""
+    from fluent_bit_spark.extensions.text import exact_substr_trim
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return exact_substr_trim(corpus, window=10)
+
+
+def nb_quality_classifier_q(spark, sf_dir):
+    """Seed-labeled quality classifier (the fastText wiki-vs-CC stage of
+    CCNet/LLaMA/DCLM, as closed-form multinomial NB): train on the docs
+    labeled 'en' vs 'de', score EVERY doc with the smoothed unigram
+    log-likelihood ratio + class prior. Closed-form training keeps the
+    scores exactly replayable in SQL (ln-ratio sums rounded to 6)."""
+    from fluent_bit_spark.extensions.classifier import nb_train_score
+
+    return nb_train_score(
+        _docs(spark, sf_dir), "lang", "en", "de"
+    )
+
+
 def bpe_roundtrip_q(spark, sf_dir):
     """Real BPE tokenization (Sennrich et al. 2016, library-free):
     merge ranks trained on the deterministic sample, applied Arrow-batched
@@ -3387,6 +3419,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced": cluster_balanced_q,
         "pack_ffd": pack_ffd_q,
         "repeated_spans": repeated_spans_q,
+        "exact_substr_trim": exact_substr_trim_q,
+        "nb_quality_classifier": nb_quality_classifier_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -4149,6 +4183,71 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows, "
             "ROUND(coalesce(CAST(p.dup_windows AS DOUBLE) / nullif(p.n_windows, 0), 0.0), 6) AS dup_frac "
             "FROM d LEFT JOIN per_doc p USING (doc_id)"
+        ),
+        # exact_substr_trim: full replay of the removal policy —
+        # row_number picks the canonical (first) occurrence per dup hash,
+        # window functions merge cut ranges into islands, a positional
+        # anti-join rebuilds the kept token stream
+        "exact_substr_trim": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0), "
+            f"d AS (SELECT doc_id, list_filter(string_split({norm}, ' '), w -> w <> '') AS ws "
+            "FROM corpus), "
+            "spans AS (SELECT doc_id, i - 1 AS pos, "
+            "md5(array_to_string(ws[i:i+9], ' ')) AS h "
+            "FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i) t "
+            "WHERE len(ws) >= 10), "
+            "agg AS (SELECT h, COUNT(*) AS c FROM spans GROUP BY h), "
+            "ranked AS (SELECT s.doc_id, s.pos, s.h, a.c, "
+            "row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.pos) AS rn "
+            "FROM spans s JOIN agg a USING (h) WHERE a.c >= 2), "
+            "cuts AS (SELECT doc_id, pos AS s, pos + 10 AS e FROM ranked WHERE rn > 1), "
+            "flags AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER ("
+            "PARTITION BY doc_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS f "
+            "FROM cuts), "
+            "isl AS (SELECT doc_id, s, e, SUM(f) OVER (PARTITION BY doc_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM flags), "
+            "merged AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e "
+            "FROM isl GROUP BY doc_id, island), "
+            "toks AS (SELECT doc_id, ws[i] AS w, i - 1 AS pos "
+            "FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t), "
+            "kept AS (SELECT t.doc_id, t.w, t.pos FROM toks t LEFT JOIN merged m "
+            "ON t.doc_id = m.doc_id AND t.pos >= m.s AND t.pos < m.e WHERE m.s IS NULL), "
+            "rebuilt AS (SELECT doc_id, COUNT(*) AS kept_tokens, "
+            "string_agg(w, ' ' ORDER BY pos) AS trimmed_text FROM kept GROUP BY doc_id), "
+            "ncut AS (SELECT doc_id, COUNT(*) AS n_cut_spans FROM merged GROUP BY doc_id) "
+            "SELECT d.doc_id, len(d.ws) AS n_tokens, "
+            "coalesce(r.kept_tokens, 0) AS kept_tokens, "
+            "coalesce(nc.n_cut_spans, 0) AS n_cut_spans, "
+            "coalesce(r.trimmed_text, '') AS trimmed_text "
+            "FROM d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN ncut nc USING (doc_id)"
+        ),
+        # nb_quality_classifier: closed-form NB replayed end-to-end —
+        # token counts per seed class, Laplace-smoothed ln-ratio, class
+        # prior from doc counts, per-doc LLR sum rounded to 6
+        "nb_quality_classifier": (
+            "WITH toks AS (SELECT doc_id, lang, "
+            f"unnest(list_filter(string_split({norm}, ' '), w -> w <> '')) AS w "
+            "FROM documents), "
+            "model AS (SELECT w, "
+            "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp, "
+            "SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cn "
+            "FROM toks WHERE lang IN ('en', 'de') GROUP BY w), "
+            "tot AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn, COUNT(*) AS v FROM model), "
+            "pri AS (SELECT ln(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE) "
+            "- ln(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE) AS prior "
+            "FROM documents), "
+            "scored AS (SELECT t.doc_id, COUNT(*) AS n_tokens, "
+            "SUM(CASE WHEN m.w IS NULL "
+            "THEN ln(1.0 / (tot.tp + tot.v)) - ln(1.0 / (tot.tn + tot.v)) "
+            "ELSE ln((m.cp + 1.0) / (tot.tp + tot.v)) - ln((m.cn + 1.0) / (tot.tn + tot.v)) "
+            "END) AS s "
+            "FROM toks t LEFT JOIN model m USING (w) CROSS JOIN tot GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, "
+            "ROUND(coalesce(sc.s, 0.0) + pri.prior, 6) AS score, "
+            "CASE WHEN coalesce(sc.s, 0.0) + pri.prior > 0 THEN 'en' ELSE 'de' END AS pred "
+            "FROM documents d CROSS JOIN pri LEFT JOIN scored sc USING (doc_id)"
         ),
         "prom_pages_roundtrip": (
             "SELECT 'fbs_events_total' AS metric_name, "

@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "dataset_diff",
     "pack_sequences",
     "table_profile",
+    "bm25_indexed",
+    "cluster_balanced",
+    "pack_ffd",
+    "exact_substr_trim",
+    "nb_quality_classifier",
     "pipeline_e2e",
 ]
 

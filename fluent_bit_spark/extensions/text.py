@@ -415,6 +415,120 @@ def repeated_span_stats(
     )
 
 
+def exact_substr_trim(
+    df: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr span TRIMMING — the removal stage that
+    ``repeated_span_stats`` (detection) leaves downstream, completing the
+    Lee et al. 2022 (arXiv:2107.06499) dedup: every >= ``window``-token
+    substring that occurs more than once corpus-wide is cut from the text,
+    keeping exactly one canonical copy.
+
+    Policy (deterministic): for each duplicated window hash the occurrence
+    with the smallest (doc_id, pos) is canonical and kept; every other
+    occurrence marks its [pos, pos+window) token range for removal. Ranges
+    within a doc are merged into maximal intervals (gaps-and-islands) and
+    the covered tokens are cut from the normalized token stream.
+
+    Returns (id, n_tokens, kept_tokens, n_cut_spans, trimmed_text), one
+    row per input doc; a full duplicate of an earlier doc trims to "".
+
+    Scale shape: one explode to ~n_tokens span rows, a map-side-combinable
+    count+argmin on the uniform 128-bit hash, a hash join back (the dup
+    side is pre-filtered to c>=2, tiny in a deduped corpus), a per-doc
+    keyed window for interval merge, and a JVM higher-order filter to
+    rebuild tokens — linear, no global ordering. Replayed hash-exact by
+    the DuckDB oracle (row_number first-occurrence, window-function
+    islands, positional anti-join rebuild)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+        ).alias("__ws"),
+    )
+    ws = F.col("__ws")
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(ws) >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - window),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, window))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "first"
+            ),
+        )
+        .filter(F.col("c") >= 2)
+    )
+    cuts = (
+        spans.join(dup, "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("s"),
+            (F.col("pos") + window).alias("e"),
+        )
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cuts.withColumn(
+            "f",
+            F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("f").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ivs = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__iv")
+    )
+    iv = F.col("__iv")
+    return (
+        base.join(ivs, id_col, "left")
+        .withColumn(
+            "__iv", F.coalesce(iv, F.array().cast("array<struct<s:int,e:int>>"))
+        )
+        .withColumn(
+            "__kept",
+            F.filter(
+                ws,
+                lambda w, i: ~F.exists(
+                    F.col("__iv"), lambda v: (i >= v["s"]) & (i < v["e"])
+                ),
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.size(ws).alias("n_tokens"),
+            F.size("__kept").alias("kept_tokens"),
+            F.size(iv).alias("n_cut_spans"),
+            F.concat_ws(" ", "__kept").alias("trimmed_text"),
+        )
+    )
+
+
 def ngrams_of_words(words: Column, n: int) -> Column:
     """Overlapping n-grams from an ALREADY-MATERIALIZED word-array column.
 

@@ -1703,3 +1703,90 @@ def test_pack_token_sequences_stream_contract(spark):
             want.setdefault(o // L, []).append(o % L)
     got = {r.seq_id: list(r.doc_starts) for r in out if r.doc_starts}
     assert got == want
+
+
+def test_exact_substr_trim_policy(spark):
+    from fluent_bit_spark.extensions.text import exact_substr_trim
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j unique tail one"),
+            (2, "x a b c d e f g h i j other ending"),  # shares the a..j span
+            (3, "totally different words with no overlap at all here now"),
+            (4, "a b c d e f g h i j unique tail one"),  # full dup of doc 1
+            (5, "short doc"),  # below window: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_substr_trim(docs, window=10).collect()}
+    # canonical (first) occurrence keeps its text verbatim
+    assert out[1].trimmed_text == "a b c d e f g h i j unique tail one"
+    assert out[1].n_cut_spans == 0
+    # partial overlap: only the shared 10-token range is cut
+    assert out[2].trimmed_text == "x other ending"
+    assert out[2].n_cut_spans == 1 and out[2].kept_tokens == 3
+    # untouched docs
+    assert out[3].trimmed_text.startswith("totally different")
+    assert out[5].trimmed_text == "short doc" and out[5].n_tokens == 2
+    # full duplicate trims to empty
+    assert out[4].trimmed_text == "" and out[4].kept_tokens == 0
+    assert out[4].n_cut_spans == 1 and out[4].n_tokens == 13
+
+
+def test_exact_substr_trim_merges_overlapping_cuts(spark):
+    from fluent_bit_spark.extensions.text import exact_substr_trim
+
+    # doc 2 repeats an 11-token substring of doc 1 -> two overlapping
+    # 10-token dup windows that must merge into ONE maximal cut interval
+    base = "p q r s t u v w x y z"
+    docs = spark.createDataFrame(
+        [(1, base + " alpha"), (2, "pre " + base + " post")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_substr_trim(docs, window=10).collect()}
+    assert out[1].n_cut_spans == 0
+    assert out[2].n_cut_spans == 1  # overlapping windows merged
+    assert out[2].trimmed_text == "pre post"
+
+
+def test_nb_train_score_separates_and_handles_oov(spark):
+    import math
+
+    from fluent_bit_spark.extensions.classifier import nb_train_score
+
+    rows = [
+        (1, "good clean prose sentence", "hi"),
+        (2, "good wonderful clean text", "hi"),
+        (3, "spam junk garbage noise", "lo"),
+        (4, "junk noise spam spam spam", "lo"),
+        (5, "clean wonderful prose", "??"),
+        (6, "garbage noise junk", "??"),
+        (7, "never seen tokens anywhere", "??"),  # all-OOV
+        (8, "", "??"),  # empty text -> prior only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    out = {r.doc_id: r for r in nb_train_score(df, "label", "hi", "lo").collect()}
+    assert out[5].pred == "hi" and out[5].score > 0
+    assert out[6].pred == "lo" and out[6].score < 0
+    # equal class priors: empty doc scores exactly 0, predicts neg
+    assert out[8].score == 0.0 and out[8].pred == "lo"
+    # all-OOV doc: 4 tokens x the smoothed unseen ratio + prior; the neg
+    # class has one more training token, so unseen tokens lean slightly pos
+    tp, tn, v = 8.0, 9.0, 10.0  # seed token totals and vocab size
+    oov = math.log(1.0 / (tp + v)) - math.log(1.0 / (tn + v))
+    assert oov > 0
+    assert abs(out[7].score - round(4 * oov, 6)) < 1e-9
+    # training rows themselves classify correctly
+    assert out[1].pred == "hi" and out[3].pred == "lo"
+
+
+def test_nb_train_score_raises_on_empty_seed(spark):
+    import pytest as _pytest
+
+    from fluent_bit_spark.extensions.classifier import nb_train_score
+
+    df = spark.createDataFrame(
+        [(1, "some text", "a")], "doc_id long, text string, label string"
+    )
+    with _pytest.raises(ValueError):
+        nb_train_score(df, "label", "a", "zzz").collect()
