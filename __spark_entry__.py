@@ -1429,6 +1429,35 @@ def exact_substr_trim_q(spark, sf_dir):
     return exact_substr_trim(corpus, window=10)
 
 
+def token_budget_select_q(spark, sf_dir):
+    """Greedy per-language token-budget realization (mixture weights ->
+    actual selection): longest-docs-first priority, budget 20k chars for
+    'en' / 8k for the rest; the crossing doc is included, under-budget
+    languages keep everything. Exact prefix-sum replay in DuckDB."""
+    from fluent_bit_spark.extensions.mixing import token_budget_select
+
+    return token_budget_select(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "lang",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        budget=8000,
+        token_col="n_chars",
+        budgets={"en": 20000},
+    )
+
+
+def shuffle_shards_q(spark, sf_dir):
+    """Deterministic training-order reshuffle: every doc placed into one
+    of 8 shards with an intra-shard position, a pure function of
+    (doc_id, seed) — the md5-prefix shard + full-digest rank replayed
+    verbatim by the oracle."""
+    from fluent_bit_spark.extensions.mixing import shuffle_shards
+
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), n_shards=8, seed="r6"
+    )
+
+
 def nb_quality_classifier_q(spark, sf_dir):
     """Seed-labeled quality classifier (the fastText wiki-vs-CC stage of
     CCNet/LLaMA/DCLM, as closed-form multinomial NB): train on the docs
@@ -3421,6 +3450,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": repeated_spans_q,
         "exact_substr_trim": exact_substr_trim_q,
         "nb_quality_classifier": nb_quality_classifier_q,
+        "token_budget_select": token_budget_select_q,
+        "shuffle_shards": shuffle_shards_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -4248,6 +4279,29 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(coalesce(sc.s, 0.0) + pri.prior, 6) AS score, "
             "CASE WHEN coalesce(sc.s, 0.0) + pri.prior > 0 THEN 'en' ELSE 'de' END AS pred "
             "FROM documents d CROSS JOIN pri LEFT JOIN scored sc USING (doc_id)"
+        ),
+        # token_budget_select: two-phase in Spark (under-budget bypass +
+        # over-budget prefix window) but semantically ONE window — the
+        # oracle replays the plain form
+        "token_budget_select": (
+            "WITH pre AS (SELECT doc_id, lang, n_chars, "
+            "coalesce(SUM(n_chars) OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before "
+            "FROM documents) "
+            "SELECT doc_id, lang, n_chars FROM pre "
+            "WHERE before < CASE lang WHEN 'en' THEN 20000 ELSE 8000 END"
+        ),
+        # shuffle_shards: md5-prefix shard + full-digest intra-shard rank,
+        # replayed verbatim
+        "shuffle_shards": (
+            "WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || ':r6') AS hh "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST((('0x' || substr(hh, 1, 8))::BIGINT % 8) AS INT) AS shard, "
+            "row_number() OVER (PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8 "
+            "ORDER BY hh, doc_id) - 1 AS pos "
+            "FROM h"
         ),
         "prom_pages_roundtrip": (
             "SELECT 'fbs_events_total' AS metric_name, "

@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "pack_ffd",
     "exact_substr_trim",
     "nb_quality_classifier",
+    "token_budget_select",
+    "shuffle_shards",
     "pipeline_e2e",
 ]
 

@@ -246,3 +246,106 @@ def stratified_sample(
         else frac.otherwise(float(default_fraction))
     )
     return df.filter(u < frac)
+
+
+def token_budget_select(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    budget: int,
+    token_col: str = "n_tokens",
+    budgets: dict[str, int] | None = None,
+) -> DataFrame:
+    """Greedy token-budget realization: per ``key_col`` value, walk rows
+    in ascending ``order_cols`` (the priority — put "best first" there)
+    and keep rows until the key's token budget is reached. This is the
+    stage that turns mixture WEIGHTS (domain_mix / mix_weights_temperature
+    emit target token shares) into an actual document selection.
+
+    The row that crosses the budget is INCLUDED (selection is the minimal
+    priority-prefix whose token sum reaches the budget), so every key
+    with enough supply meets its budget exactly-or-just-over; keys with
+    less supply keep everything. ``budgets`` overrides the scalar
+    ``budget`` for named key values. ``order_cols`` must totally order
+    rows within a key (include a unique id as the last column) or the
+    selection is not reproducible.
+
+    Scale shape (the cap_per_key discipline): a map-side-combinable
+    per-key token sum finds the over-budget keys first — broadcast that
+    (few by definition: budgets exist because most keys exceed nothing),
+    pass under-budget keys through shuffle-free, and run the prefix-sum
+    window ONLY over the over-budget subset. The window funnels each
+    over-budget key through one task; its input is that key's full row
+    set, so pre-cap pathological hot keys with cap_per_key (salted) when
+    a per-row token floor gives you a safe count bound."""
+    if budget < 0 or (budgets and any(b < 0 for b in budgets.values())):
+        raise ValueError("budgets must be >= 0")
+    from pyspark.sql import Window
+
+    bexpr = None
+    for k, b in (budgets or {}).items():
+        cond = F.col(key_col) == k
+        bexpr = F.when(cond, b) if bexpr is None else bexpr.when(cond, b)
+    bexpr = (
+        F.lit(int(budget)) if bexpr is None else bexpr.otherwise(int(budget))
+    ).cast("long")
+
+    over_keys = (
+        df.groupBy(key_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__tot"))
+        .filter(F.col("__tot") > bexpr)
+        .select(key_col)
+    )
+    under = df.join(F.broadcast(over_keys), key_col, "left_anti")
+    over = df.join(F.broadcast(over_keys), key_col, "left_semi")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        over.withColumn(
+            "__before", F.coalesce(F.sum(F.col(token_col).cast("long")).over(w), F.lit(0))
+        )
+        .filter(F.col("__before") < bexpr)
+        .drop("__before")
+    )
+    return under.unionByName(kept)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus reshuffle for training order: every row gets
+    a (shard, pos) — shard from the md5-prefix of (id:seed) mod
+    ``n_shards``, pos from the rank of the FULL md5 digest within the
+    shard. The placement is a pure function of (id, seed): re-runs,
+    re-partitions, and other engines (the DuckDB oracle replays it
+    verbatim) produce the identical permutation, unlike
+    ``df.orderBy(rand())``. A trainer reads shards in index order and
+    rows in pos order to consume a reproducible global shuffle.
+
+    Scale shape: one shuffle keyed on shard; pos is a keyed row_number,
+    so each shard ranks in a single task — size ``n_shards`` so a shard
+    fits a task (shards are normally file-sized: tens of thousands at
+    100 TB, which also spreads the rank work wide). No global sort."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    out = df.withColumn("__h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )

@@ -1790,3 +1790,58 @@ def test_nb_train_score_raises_on_empty_seed(spark):
     )
     with _pytest.raises(ValueError):
         nb_train_score(df, "label", "a", "zzz").collect()
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.mixing import token_budget_select
+
+    rows = [
+        # key 'a': supply 60, budget 25 -> keep 30 (crossing doc included)
+        (1, "a", 30),
+        (2, "a", 20),
+        (3, "a", 10),
+        # key 'b': supply 15 <= budget -> keep everything (bypass path)
+        (4, "b", 10),
+        (5, "b", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k string, toks long")
+    out = token_budget_select(
+        df, "k", [F.col("toks").desc(), F.col("doc_id")], budget=25,
+        token_col="toks",
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [1, 4, 5]
+    # per-key override: raising a's budget to 45 admits the next doc
+    out2 = token_budget_select(
+        df, "k", [F.col("toks").desc(), F.col("doc_id")], budget=25,
+        token_col="toks", budgets={"a": 45},
+    )
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 2, 4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        token_budget_select(df, "k", ["doc_id"], budget=-1, token_col="toks")
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    from fluent_bit_spark.extensions.mixing import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    a = {r.doc_id: (r.shard, r.pos) for r in shuffle_shards(df, 8, seed="s").collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in
+         shuffle_shards(df.repartition(7), 8, seed="s").collect()}
+    assert a == b  # pure function of (id, seed): partitioning-invariant
+    c = {r.doc_id: (r.shard, r.pos) for r in shuffle_shards(df, 8, seed="t").collect()}
+    assert a != c  # seed changes the permutation
+    # every shard's positions are exactly 0..count-1
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    assert all(sorted(v) == list(range(len(v))) for v in by_shard.values())
+    assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
