@@ -170,9 +170,11 @@ def kmeans_centroids(
 ) -> list[list[float]]:
     """Deterministic coarse k-means: init = rows with the smallest
     xxhash64(id) (a seedless deterministic sample), then `iters` Lloyd
-    steps. Assignment is a broadcast crossJoin + argmin; the mean step is
-    posexplode -> groupBy(cid, pos) -> avg — both shuffle only on tiny,
-    uniform keys."""
+    steps. Assignment is assign_clusters' map-side Arrow matmul (same
+    argmax tie-break as a crossJoin+window formulation, no shuffle, no
+    k-times row blowup); the mean step is posexplode ->
+    groupBy(cid, pos) -> avg, shuffling only tiny uniform keys. One Spark
+    job per iteration."""
     init = (
         corpus.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
         .orderBy("__h")
@@ -180,24 +182,9 @@ def kmeans_centroids(
         .collect()
     )
     cents = [list(r[vec_col]) for r in init]
-    spark = corpus.sparkSession
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-                ["cid", "cvec"],
-            )
-        )
-        assigned = (
-            corpus.crossJoin(cdf)
-            .select(id_col, vec_col, "cid", cosine(F.col(vec_col), F.col("cvec")).alias("cos"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
+        assigned = assign_clusters(
+            corpus.select(vec_col), cents, vec_col
         )
         means = (
             assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
@@ -309,21 +296,43 @@ def assign_clusters(
     vec_col: str = "embedding",
     out_col: str = "cid",
 ) -> DataFrame:
-    """Nearest-centroid (max-cosine) assignment as a PURE PROJECTION: the
-    model-sized centroid list becomes per-centroid cosine expressions and
-    an array_max over (cos, -cid) structs — no crossJoin, no window, no
-    shuffle; runs at scan speed at any corpus size. Ties break to the
-    smaller centroid id (same rule as ivf_topk's list assignment)."""
+    """Nearest-centroid (max-cosine) assignment, map-side only: the
+    centroid matrix is model-sized, so this is the pq_encode /
+    ml_inference shape — broadcast the (k, dim) numpy matrix and argmax
+    the cosines in one Arrow-batched matmul per batch. No crossJoin, no
+    window, no shuffle; vectorized C per row instead of k interpreted
+    higher-order-function cosines (the literal-expression form also
+    re-paid ~1 s of analysis + interpreted-eval overhead on EVERY job
+    that embedded it — measured on the cluster_balanced bench). Ties
+    break to the smaller centroid id (argmax returns the first maximum;
+    same rule as ivf_topk's list assignment); null/empty vectors get
+    cosine 0 against every centroid and land in cluster 0."""
     if not centroids:
         raise ValueError("empty centroid list")
-    arr = F.array(*[
-        F.struct(
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
-            F.lit(-i).alias("negi"),
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")  # (k, dim)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        dim = C.shape[1]
+        V = np.stack(
+            [
+                np.asarray(v, dtype="float64")
+                if v is not None and len(v) == dim
+                else np.zeros(dim)
+                for v in vecs
+            ]
         )
-        for i, c in enumerate(centroids)
-    ])
-    return df.withColumn(out_col, (-F.array_max(arr)["negi"]).cast("int"))
+        dots = V @ C.T
+        vn = np.sqrt((V * V).sum(axis=1))
+        denom = vn[:, None] * cn[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, dots / denom, 0.0)
+        return pd.Series(cos.argmax(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
 
 
 def cluster_balanced_sample(
