@@ -1429,6 +1429,25 @@ def exact_substr_trim_q(spark, sf_dir):
     return exact_substr_trim(corpus, window=10)
 
 
+def span_decontaminate_q(spark, sf_dir):
+    """Span-level decontamination (the span-granular cousin of the
+    doc-drop `decontaminate`): benchmark = the first 12 normalized
+    tokens of every 13th doc (stand-in eval prompts), window=10 — every
+    corpus occurrence of a benchmark span is cut, contaminated docs keep
+    their clean remainder. Broadcast benchmark-hash semi join: the corpus
+    never shuffles on text."""
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    from fluent_bit_spark.extensions.text import exact_substr_trim_against
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 12)
+        ).alias("text")
+    )
+    return exact_substr_trim_against(docs, bench, window=10)
+
+
 def token_budget_select_q(spark, sf_dir):
     """Greedy per-language token-budget realization (mixture weights ->
     actual selection): longest-docs-first priority, budget 20k chars for
@@ -3452,6 +3471,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_classifier": nb_quality_classifier_q,
         "token_budget_select": token_budget_select_q,
         "shuffle_shards": shuffle_shards_q,
+        "span_decontaminate": span_decontaminate_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -4279,6 +4299,43 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(coalesce(sc.s, 0.0) + pri.prior, 6) AS score, "
             "CASE WHEN coalesce(sc.s, 0.0) + pri.prior > 0 THEN 'en' ELSE 'de' END AS pred "
             "FROM documents d CROSS JOIN pri LEFT JOIN scored sc USING (doc_id)"
+        ),
+        # span_decontaminate: benchmark window hashes from the first 12
+        # tokens of every 13th doc; every corpus occurrence cut, same
+        # islands/rebuild replay as exact_substr_trim
+        "span_decontaminate": (
+            f"WITH d AS (SELECT doc_id, list_filter(string_split({norm}, ' '), w -> w <> '') AS ws "
+            "FROM documents), "
+            "b AS (SELECT ws[1:12] AS bs FROM d WHERE doc_id % 13 = 0), "
+            "bh AS (SELECT DISTINCT md5(array_to_string(bs[i:i+9], ' ')) AS h "
+            "FROM b CROSS JOIN LATERAL (SELECT unnest(range(1, len(bs) - 8)) AS i) t "
+            "WHERE len(bs) >= 10), "
+            "spans AS (SELECT doc_id, i - 1 AS pos, "
+            "md5(array_to_string(ws[i:i+9], ' ')) AS h "
+            "FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i) t "
+            "WHERE len(ws) >= 10), "
+            "cuts AS (SELECT s.doc_id, s.pos AS s, s.pos + 10 AS e "
+            "FROM spans s JOIN bh USING (h)), "
+            "flags AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER ("
+            "PARTITION BY doc_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS f "
+            "FROM cuts), "
+            "isl AS (SELECT doc_id, s, e, SUM(f) OVER (PARTITION BY doc_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM flags), "
+            "merged AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e "
+            "FROM isl GROUP BY doc_id, island), "
+            "toks AS (SELECT doc_id, ws[i] AS w, i - 1 AS pos "
+            "FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t), "
+            "kept AS (SELECT t.doc_id, t.w, t.pos FROM toks t LEFT JOIN merged m "
+            "ON t.doc_id = m.doc_id AND t.pos >= m.s AND t.pos < m.e WHERE m.s IS NULL), "
+            "rebuilt AS (SELECT doc_id, COUNT(*) AS kept_tokens, "
+            "string_agg(w, ' ' ORDER BY pos) AS trimmed_text FROM kept GROUP BY doc_id), "
+            "ncut AS (SELECT doc_id, COUNT(*) AS n_cut_spans FROM merged GROUP BY doc_id) "
+            "SELECT d.doc_id, len(d.ws) AS n_tokens, "
+            "coalesce(r.kept_tokens, 0) AS kept_tokens, "
+            "coalesce(nc.n_cut_spans, 0) AS n_cut_spans, "
+            "coalesce(r.trimmed_text, '') AS trimmed_text "
+            "FROM d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN ncut nc USING (doc_id)"
         ),
         # token_budget_select: two-phase in Spark (under-budget bypass +
         # over-budget prefix window) but semantically ONE window — the

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "nb_quality_classifier",
     "token_budget_select",
     "shuffle_shards",
+    "span_decontaminate",
     "pipeline_e2e",
 ]
 

@@ -443,27 +443,8 @@ def exact_substr_trim(
     rebuild tokens — linear, no global ordering. Replayed hash-exact by
     the DuckDB oracle (row_number first-occurrence, window-function
     islands, positional anti-join rebuild)."""
-    from pyspark.sql.window import Window
-
-    base = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
-        ).alias("__ws"),
-    )
-    ws = F.col("__ws")
-    spans = base.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size(ws) >= window,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ws) - window),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, window))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "h"),
-    )
+    base = _token_base(df, text_col, id_col)
+    spans = _window_spans(base, window, id_col)
     dup = (
         spans.groupBy("h")
         .agg(
@@ -488,6 +469,97 @@ def exact_substr_trim(
             (F.col("pos") + window).alias("e"),
         )
     )
+    return _apply_cuts(base, cuts, id_col)
+
+
+def exact_substr_trim_against(
+    df: DataFrame,
+    benchmark: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Span-level DECONTAMINATION: cut EVERY corpus occurrence of any
+    >= ``window``-token substring that appears anywhere in ``benchmark``
+    — the span-granular version of the doc-level `decontaminate` drop
+    (the policy eval-contamination reports use when a doc is mostly
+    clean but quotes a benchmark item verbatim). No canonical copy is
+    kept: benchmark text must not survive in the training set at all.
+
+    Returns the same (id, n_tokens, kept_tokens, n_cut_spans,
+    trimmed_text) surface as `exact_substr_trim`.
+
+    Scale shape: the benchmark is eval-set-sized, so its distinct window
+    hashes BROADCAST — the corpus-side semi join is map-side and the
+    corpus never shuffles on text; then the same keyed interval-merge +
+    positional rebuild (only contaminated docs reach the window)."""
+    base = _token_base(df, text_col, id_col)
+    spans = _window_spans(base, window, id_col)
+    bws = F.col("__ws")
+    bench_hashes = (
+        _token_base(
+            benchmark.select(
+                F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__t")
+            ),
+            "__t",
+            "__bid",
+        )
+        .select(
+            F.explode(
+                F.when(
+                    F.size(bws) >= window,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(bws) - window),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(bws, i + 1, window))),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("h")
+        )
+        .distinct()
+    )
+    cuts = spans.join(F.broadcast(bench_hashes), "h", "left_semi").select(
+        F.col(id_col),
+        F.col("pos").alias("s"),
+        (F.col("pos") + window).alias("e"),
+    )
+    return _apply_cuts(base, cuts, id_col)
+
+
+def _token_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __ws: array<string>) — the normalized non-empty token array."""
+    return df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+        ).alias("__ws"),
+    )
+
+
+def _window_spans(base: DataFrame, window: int, id_col: str) -> DataFrame:
+    """(id, pos, h) — md5 of every ``window``-token sliding window."""
+    ws = F.col("__ws")
+    return base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(ws) >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - window),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, window))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+
+
+def _apply_cuts(base: DataFrame, cuts: DataFrame, id_col: str) -> DataFrame:
+    """Merge (id, s, e) cut ranges into maximal islands per doc and cut
+    the covered positions from the token stream (keyed window + JVM
+    higher-order filter; docs with no cuts bypass via the left join)."""
+    from pyspark.sql.window import Window
+
+    ws = F.col("__ws")
     w_doc = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max = F.max("e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
     merged = (

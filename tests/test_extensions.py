@@ -1845,3 +1845,29 @@ def test_shuffle_shards_deterministic_permutation(spark):
         by_shard[shard].append(pos)
     assert all(sorted(v) == list(range(len(v))) for v in by_shard.values())
     assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
+
+
+def test_exact_substr_trim_against_benchmark(spark):
+    from fluent_bit_spark.extensions.text import exact_substr_trim_against
+
+    docs = spark.createDataFrame(
+        [
+            (1, "q a b c d e f g h i j tail"),        # quotes the benchmark
+            (2, "a b c d e f g h i j"),                # IS the benchmark: all cut
+            (3, "clean doc with other words entirely present here ok fine"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("a b c d e f g h i j",), ("short",)], "text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substr_trim_against(docs, bench, window=10).collect()
+    }
+    # no canonical copy survives: EVERY occurrence is cut
+    assert out[1].trimmed_text == "q tail" and out[1].n_cut_spans == 1
+    assert out[2].trimmed_text == "" and out[2].kept_tokens == 0
+    assert out[3].trimmed_text.startswith("clean doc")
+    # sub-window benchmark entries contribute no hashes
+    assert out[3].n_cut_spans == 0
