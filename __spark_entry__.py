@@ -3354,16 +3354,17 @@ def flowcounter_q(spark, sf_dir):
 # row was rows-only); (c) 34 of the 37 r02-era names whose last driver
 # rows are round 2 — 15+1+34 = 50.
 #
-# ROUND-6 WINDOW: gate-freshness rotation — all 147 queries have green
-# driver rows, so the window holds the 50 STALEST (oldest last-driver-
-# round, computed by tools/verify_window.py's staleness histogram over
-# the CORRECTNESS_r0*.json union): the 4 remaining r02-era rows, all 44
-# r03-era rows, and the 2 alphabetically-first r04-era rows.
+# ROUND-6 WINDOW: gate-freshness rotation — the window holds the 50
+# STALEST queries per tools/verify_window.py's (last-passing-round, name)
+# order over the CORRECTNESS_r0*.json union: all 8 never-driver-checked
+# round-6 additions, the 4 remaining r02-era rows, and the 38
+# alphabetically-first of the 44 r03-era rows (the 6 dropped r03 names
+# lead the round-7 rotation).
 _DRIVER_WINDOW = [
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
-    # last driver rows: round 3
+    # last driver rows: round 3 (first 38 alphabetically)
     "avro_roundtrip", "c4_clean_docs", "c4_line_filter", "cloudwatch_shape",
     "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
@@ -3375,11 +3376,12 @@ _DRIVER_WINDOW = [
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
     "pii_redaction", "prom_exposition", "remote_write_roundtrip",
     "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
-    "stackdriver_shape", "statsd_decode", "syslog_3164_lines",
-    "syslog_5424_lines", "text_langid", "text_quality", "text_repetition",
+    "stackdriver_shape", "statsd_decode",
     # round-6 NEW queries — never driver-checked, so they outrank any
     # already-green backfill row for a window slot
     "bm25_indexed", "cluster_balanced", "pack_ffd",
+    "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
+    "shuffle_shards", "span_decontaminate",
 ]
 
 
