@@ -782,3 +782,58 @@ def test_neardup_sink_failure_never_loses_docs(spark, tmp_path):
         state,
     )(batch, 1)
     assert got2 == []
+
+
+def test_nb_score_serving_and_stream(spark, tmp_path):
+    """nb_train/nb_score split: the model trains once on a batch seed
+    corpus, then scores (a) a different batch frame and (b) a file
+    STREAM — scoring is a pure projection (no shuffle, no state), so the
+    streaming scores must equal the batch scores row-for-row."""
+    import json
+
+    from fluent_bit_spark.extensions.classifier import nb_score, nb_train
+
+    seed = spark.createDataFrame(
+        [
+            (1, "good clean prose sentence", "hi"),
+            (2, "good wonderful clean text", "hi"),
+            (3, "spam junk garbage noise", "lo"),
+            (4, "junk noise spam spam spam", "lo"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    model = nb_train(seed, "label", "hi", "lo").materialize()
+
+    fresh = spark.createDataFrame(
+        [(10, "clean wonderful prose"), (11, "garbage noise junk"), (12, "")],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: (r.n_tokens, r.score, r.pred)
+             for r in nb_score(fresh, model).collect()}
+    assert batch[10][2] == "hi" and batch[11][2] == "lo"
+
+    d = tmp_path / "nb_stream"
+    d.mkdir()
+    with open(d / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": "clean wonderful prose"}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "garbage noise junk"}) + "\n")
+    with open(d / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 12, "text": ""}) + "\n")
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        nb_score(sdf, model)
+        .writeStream.format("memory")
+        .queryName("nb_scored")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    streamed = {
+        r.doc_id: (r.n_tokens, r.score, r.pred)
+        for r in spark.sql("SELECT * FROM nb_scored").collect()
+    }
+    assert streamed == batch
