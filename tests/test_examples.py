@@ -161,3 +161,42 @@ def test_crawl_pipeline_example(spark, tmp_path):
     assert counts["exact_dedup"] < counts["quality"]
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == counts["written"]
+
+
+def test_training_prep_pipeline_example(spark, tmp_path):
+    """The terminal training-prep example (classifier gate -> span
+    decontam -> ExactSubstr trim -> token budget -> reshuffle -> FFD
+    packing -> write) runs end-to-end, shrinks monotonically through the
+    filter stages, and — every stage being hash-deterministic — produces
+    a stable acceptance hash over the packed sequences."""
+    import hashlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import training_prep_pipeline
+
+    counts = training_prep_pipeline.run(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "out")
+    )
+    order = ["input", "quality_gate", "span_decontam", "substr_trim",
+             "token_budget"]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], (a, b, counts)
+    assert counts["shards"] == 4
+    assert 0 < counts["sequences"] <= counts["token_budget"]
+    assert counts["written"] == counts["sequences"]
+
+    pdf = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .select("seq_id", "doc_ids", "n_tokens", "n_docs")
+        .orderBy("seq_id")
+        .toPandas()
+    )
+    digest = hashlib.md5(
+        "\n".join(
+            f"{r.seq_id}\t{','.join(r.doc_ids)}\t{r.n_tokens}\t{r.n_docs}"
+            for r in pdf.itertuples()
+        ).encode()
+    ).hexdigest()
+    assert digest == "7968e05c7f763126b86392a813551689", (len(pdf), digest)

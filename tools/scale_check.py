@@ -46,6 +46,12 @@ HEAVY = [
     "pagerank_nodes",
     "robots_compliance",
     "dsir_select",
+    # round-6 heavy additions
+    "exact_substr_trim",
+    "span_decontaminate",
+    "nb_quality_classifier",
+    "pack_ffd",
+    "cluster_balanced",
 ]
 
 
