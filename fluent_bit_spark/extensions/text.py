@@ -490,15 +490,22 @@ def exact_substr_trim_against(
     Returns the same (id, n_tokens, kept_tokens, n_cut_spans,
     trimmed_text) surface as `exact_substr_trim`.
 
-    Scale shape: the benchmark is eval-set-sized, so its distinct window
-    hashes BROADCAST — the corpus-side semi join is map-side and the
-    corpus never shuffles on text; then the same keyed interval-merge +
-    positional rebuild (only contaminated docs reach the window)."""
-    base = _token_base(df, text_col, id_col)
-    spans = _window_spans(base, window, id_col)
+    Scale shape: ZERO SHUFFLE. Unlike corpus-wide trimming (which needs
+    a global duplicate count), contamination is a per-row question
+    against STATIC state — the benchmark is eval-set-sized, so its
+    distinct window hashes collect into a broadcast set, the corpus-side
+    window hashes are computed JVM-side (the same Catalyst expression as
+    `exact_substr_trim`), and an Arrow-batched UDF does set membership +
+    interval merge + token cut entirely within the row. The corpus never
+    moves, which also makes the call streaming-legal unchanged (tested:
+    batch output == streamed output)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     bws = F.col("__ws")
-    bench_hashes = (
-        _token_base(
+    bench_hashes = frozenset(
+        r["h"]
+        for r in _token_base(
             benchmark.select(
                 F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__t")
             ),
@@ -517,13 +524,65 @@ def exact_substr_trim_against(
             ).alias("h")
         )
         .distinct()
+        .collect()
     )
-    cuts = spans.join(F.broadcast(bench_hashes), "h", "left_semi").select(
+    bc = df.sparkSession.sparkContext.broadcast(bench_hashes)
+    w = window
+
+    # NOTE: no type hints — the module-level postponed annotations would
+    # turn them into strings pandas_udf can't inspect
+    @pandas_udf(
+        "struct<n_tokens:int,kept_tokens:int,n_cut_spans:int,trimmed_text:string>"
+    )
+    def cut(toks, hashes):
+        bset = bc.value
+        out = {"n_tokens": [], "kept_tokens": [], "n_cut_spans": [], "trimmed_text": []}
+        for ws, hs in zip(toks, hashes):
+            ws = list(ws) if ws is not None else []
+            hs = list(hs) if hs is not None else []
+            ivs = []  # merged [s, e) islands, built in pos order
+            for pos, h in enumerate(hs):
+                if h in bset:
+                    if ivs and pos <= ivs[-1][1]:
+                        ivs[-1][1] = max(ivs[-1][1], pos + w)
+                    else:
+                        ivs.append([pos, pos + w])
+            if ivs:
+                cutset = set()
+                for s, e in ivs:
+                    cutset.update(range(s, e))
+                kept = [t for i, t in enumerate(ws) if i not in cutset]
+            else:
+                kept = ws
+            out["n_tokens"].append(len(ws))
+            out["kept_tokens"].append(len(kept))
+            out["n_cut_spans"].append(len(ivs))
+            out["trimmed_text"].append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                "n_tokens": pd.array(out["n_tokens"], dtype="int32"),
+                "kept_tokens": pd.array(out["kept_tokens"], dtype="int32"),
+                "n_cut_spans": pd.array(out["n_cut_spans"], dtype="int32"),
+                "trimmed_text": out["trimmed_text"],
+            }
+        )
+
+    base = _token_base(df, text_col, id_col)
+    ws_col = F.col("__ws")
+    hashes_col = F.when(
+        F.size(ws_col) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws_col) - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws_col, i + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.withColumn("__r", cut(ws_col, hashes_col)).select(
         F.col(id_col),
-        F.col("pos").alias("s"),
-        (F.col("pos") + window).alias("e"),
+        F.col("__r.n_tokens").alias("n_tokens"),
+        F.col("__r.kept_tokens").alias("kept_tokens"),
+        F.col("__r.n_cut_spans").alias("n_cut_spans"),
+        F.col("__r.trimmed_text").alias("trimmed_text"),
     )
-    return _apply_cuts(base, cuts, id_col)
 
 
 def _token_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -837,3 +837,48 @@ def test_nb_score_serving_and_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM nb_scored").collect()
     }
     assert streamed == batch
+
+
+def test_span_decontam_stream_matches_batch(spark, tmp_path):
+    """exact_substr_trim_against is a zero-shuffle projection against a
+    broadcast benchmark-hash set, so the same call must run on a file
+    stream unchanged and produce exactly the batch rows."""
+    import json
+
+    from fluent_bit_spark.extensions.text import exact_substr_trim_against
+
+    bench = spark.createDataFrame([("a b c d e f g h i j",)], "text string")
+    rows = [
+        (1, "q a b c d e f g h i j tail"),
+        (2, "a b c d e f g h i j"),
+        (3, "clean doc with other words entirely present here ok fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.n_cut_spans, r.trimmed_text)
+        for r in exact_substr_trim_against(docs, bench, window=10).collect()
+    }
+
+    d = tmp_path / "decon_stream"
+    d.mkdir()
+    for i, (did, text) in enumerate(rows):
+        with open(d / f"b{i}.json", "w") as f:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        exact_substr_trim_against(sdf, bench, window=10)
+        .writeStream.format("memory")
+        .queryName("decon_scored")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    streamed = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.n_cut_spans, r.trimmed_text)
+        for r in spark.sql("SELECT * FROM decon_scored").collect()
+    }
+    assert streamed == batch
