@@ -2547,12 +2547,21 @@ def dedup_clusters_q(spark, sf_dir):
         F.concat(F.lit(" "), F.col("text")).alias("text"),
     )
     all3 = docs.unionByName(c1).unionByName(c2)
+    all3, pairs = _neardup_pairs(all3)
+    out = dedup_clusters(all3, pairs)
+    return out.select("doc_id", "component", "is_representative")
+
+
+def _neardup_pairs(all3):
+    """Exact word-set Jaccard >= 0.7 edge list over a small doc frame
+    (shared by dedup_clusters / leakage_safe_split queries)."""
     # the 180-row frame inherits the full documents-scan partitioning
     # (dozens of mostly-empty partitions at high SF); a cartesian product
     # multiplies partition counts (n x m tasks), so coalesce the tiny
     # frame FIRST — at sf3 this is the difference between 16 and ~9k
     # cartesian tasks
-    words = all3.coalesce(4).select(
+    all3 = all3.coalesce(4)
+    words = all3.select(
         "doc_id",
         F.array_distinct(
             F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
@@ -2568,8 +2577,36 @@ def dedup_clusters_q(spark, sf_dir):
         .filter(inter / union >= 0.7)
         .select("id_a", "id_b")
     )
-    out = dedup_clusters(all3, pairs)
-    return out.select("doc_id", "component", "is_representative")
+    return all3, pairs
+
+
+def leakage_safe_split_q(spark, sf_dir):
+    """Leakage-safe 80/20 split: the dedup_clusters corpus (doc_id < 60
+    plus two near-copies of every 10th doc — guaranteed 3-node cliques)
+    split by a Knuth bucket of the COMPONENT id, so every near-dup
+    clique lands wholly in one split. Oracle re-derives components with
+    the recursive CTE and replays the bucket arithmetic — a split that
+    separates any clique hash-fails."""
+    from fluent_bit_spark.extensions.mixing import leakage_safe_split
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    c1 = tenth.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("   ")).alias("text"),
+    )
+    c2 = tenth.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text")).alias("text"),
+    )
+    all3, pairs = _neardup_pairs(docs.unionByName(c1).unionByName(c2))
+    bucket = (
+        (F.col("component") * F.lit(2654435761)) % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    out = leakage_safe_split(
+        all3, pairs, {"train": 0.8, "test": 0.2}, bucket_expr=bucket
+    )
+    return out.select("doc_id", "component", "split")
 
 
 def decontaminate_q(spark, sf_dir):
@@ -3376,12 +3413,12 @@ _DRIVER_WINDOW = [
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
     "pii_redaction", "prom_exposition", "remote_write_roundtrip",
     "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
-    "stackdriver_shape", "statsd_decode",
+    "stackdriver_shape",
     # round-6 NEW queries — never driver-checked, so they outrank any
     # already-green backfill row for a window slot
     "bm25_indexed", "cluster_balanced", "pack_ffd",
     "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
-    "shuffle_shards", "span_decontaminate",
+    "shuffle_shards", "span_decontaminate", "leakage_safe_split",
 ]
 
 
@@ -3474,6 +3511,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": token_budget_select_q,
         "shuffle_shards": shuffle_shards_q,
         "span_decontaminate": span_decontaminate_q,
+        "leakage_safe_split": leakage_safe_split_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -4301,6 +4339,29 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(coalesce(sc.s, 0.0) + pri.prior, 6) AS score, "
             "CASE WHEN coalesce(sc.s, 0.0) + pri.prior > 0 THEN 'en' ELSE 'de' END AS pred "
             "FROM documents d CROSS JOIN pri LEFT JOIN scored sc USING (doc_id)"
+        ),
+        # leakage_safe_split: the dedup_clusters recursive-CTE component
+        # derivation + Knuth bucket arithmetic on the component id
+        "leakage_safe_split": (
+            "WITH RECURSIVE docs3 AS (SELECT doc_id, text FROM documents WHERE doc_id < 60 "
+            "UNION ALL SELECT doc_id + 1000000, text || '   ' FROM documents "
+            "WHERE doc_id < 60 AND doc_id % 10 = 0 "
+            "UNION ALL SELECT doc_id + 2000000, ' ' || text FROM documents "
+            "WHERE doc_id < 60 AND doc_id % 10 = 0), "
+            "ws AS (SELECT doc_id, list_distinct(string_split("
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w FROM docs3), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ws a JOIN ws b "
+            "ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(a.w, b.w))) >= 0.7), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT src AS id, src AS lbl FROM edges "
+            "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id), "
+            "comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id) "
+            "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, "
+            "CASE WHEN ((COALESCE(c.component, d.doc_id) * 2654435761) % 4294967296) "
+            "/ 4294967296.0 < 0.8 THEN 'train' ELSE 'test' END AS split "
+            "FROM docs3 d LEFT JOIN comp c ON c.id = d.doc_id"
         ),
         # span_decontaminate: benchmark window hashes from the first 12
         # tokens of every 13th doc; every corpus occurrence cut, same

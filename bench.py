@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "shuffle_shards",
     "span_decontaminate",
+    "leakage_safe_split",
     "pipeline_e2e",
 ]
 

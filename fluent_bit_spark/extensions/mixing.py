@@ -349,3 +349,40 @@ def shuffle_shards(
         out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__h")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test: near-dup PAIRS are resolved to
+    transitive components first, and split membership hashes the
+    COMPONENT id — so two near-duplicate docs can never land on opposite
+    sides of a train/test boundary, the eval-leakage failure mode of
+    id-hashed splits (Lee et al. 2022 measure exactly this: test-set
+    near-dups of training docs inflate eval scores).
+
+    ``pairs`` is any (id_a, id_b) near-dup edge list (MinHash banding +
+    Jaccard verify, embedding threshold, URL-canonical match). Unpaired
+    docs are their own singleton component and split exactly as
+    `hash_split` would. Adds (component, split) to ``df``'s columns.
+
+    Scale shape: connected_components' keyed label propagation over the
+    EDGE LIST only (frontier-only after round 1; edges are few in a
+    mostly-unique corpus), one join to attach components, then a pure
+    projection. ``bucket_expr`` as in hash_split — pass the Knuth bucket
+    over ``component`` for cross-engine replay."""
+    from fluent_bit_spark.extensions.graph import dedup_clusters
+
+    comp = dedup_clusters(df, pairs, id_col)
+    return hash_split(
+        comp.drop("is_representative"),
+        weights,
+        id_col="component",
+        out_col=out_col,
+        bucket_expr=bucket_expr,
+    )

@@ -1871,3 +1871,34 @@ def test_exact_substr_trim_against_benchmark(spark):
     assert out[3].trimmed_text.startswith("clean doc")
     # sub-window benchmark entries contribute no hashes
     assert out[3].n_cut_spans == 0
+
+
+def test_leakage_safe_split_no_straddling_cliques(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.mixing import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    # chains: 0-1-2 one component, 5-6 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, {"train": 0.8, "test": 0.2})
+    rows = {r.doc_id: (r.component, r.split) for r in out.collect()}
+    # transitive closure: 0,1,2 share a component AND a split
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[5] == rows[6]
+    # singletons are their own component
+    assert rows[10][0] == 10
+    # every doc got exactly one split name
+    assert set(s for _, s in rows.values()) <= {"train", "test"}
+    # determinism under re-partitioning
+    again = {
+        r.doc_id: (r.component, r.split)
+        for r in leakage_safe_split(
+            docs.repartition(7), pairs, {"train": 0.8, "test": 0.2}
+        ).collect()
+    }
+    assert again == rows
