@@ -372,6 +372,7 @@ def pack_sequences_ffd(
     )
 
     def pack(key, pdf):
+        import numpy as np
         import pandas as pd
 
         grp = int(key[0])
@@ -379,26 +380,43 @@ def pack_sequences_ffd(
             zip(pdf["__id"], pdf["tokens"]),
             key=lambda t: (-len(t[1]), t[0]),  # FFD: length desc, id tiebreak
         )
-        bins: list[list] = []  # [ids, tokens, n]
+        # Vectorized first-fit: residual capacities live in one numpy
+        # array (capacity-doubled), so the per-doc "first bin that fits"
+        # scan is a C-speed argmax over a boolean mask instead of a
+        # Python loop over bins — same lowest-index bin choice, same
+        # output, ~O(docs x bins) moved out of the interpreter.
+        rem = np.empty(64, dtype=np.int64)
+        nbins = 0
+        bin_ids: list[list] = []
+        bin_chunks: list[list] = []
         for did, toks in docs:
             n = len(toks)
-            for b in bins:
-                if b[2] + n <= seq_len:
-                    b[0].append(did)
-                    b[1].extend(toks)
-                    b[2] += n
-                    break
-            else:
-                bins.append([[did], list(toks), n])
+            j = -1
+            if nbins:
+                fits = rem[:nbins] >= n
+                k = int(np.argmax(fits))
+                if fits[k]:
+                    j = k
+            if j < 0:
+                if nbins == len(rem):
+                    rem = np.concatenate([rem, np.empty_like(rem)])
+                j = nbins
+                rem[j] = seq_len
+                nbins += 1
+                bin_ids.append([])
+                bin_chunks.append([])
+            rem[j] -= n
+            bin_ids[j].append(did)
+            bin_chunks[j].append(toks)
         rows = [
             {
                 "seq_id": f"{grp}:{i}",
-                "doc_ids": b[0],
-                "tokens": b[1],
-                "n_tokens": b[2],
-                "n_docs": len(b[0]),
+                "doc_ids": bin_ids[i],
+                "tokens": [t for c in bin_chunks[i] for t in c],
+                "n_tokens": int(seq_len - rem[i]),
+                "n_docs": len(bin_ids[i]),
             }
-            for i, b in enumerate(bins)
+            for i in range(nbins)
         ]
         return pd.DataFrame(
             rows, columns=["seq_id", "doc_ids", "tokens", "n_tokens", "n_docs"]
