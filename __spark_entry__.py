@@ -2609,6 +2609,25 @@ def leakage_safe_split_q(spark, sf_dir):
     return out.select("doc_id", "component", "split")
 
 
+def fuzzy_join_trigram_q(spark, sf_dir):
+    """pg_trgm-style trigram-Jaccard fuzzy self-join on part names
+    (record linkage / entity resolution — extension surface, no fluent-bit
+    counterpart): distinct char-3-grams of the normalized padded name,
+    one gram-keyed candidate shuffle, exact array_intersect verification.
+    Full-value oracle: the naive lateral-grams SQL replays gram
+    extraction, pairing, and the Jaccard score."""
+    from fluent_bit_spark.extensions.linkage import fuzzy_join_trigram
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    out = fuzzy_join_trigram(
+        part, part, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold=0.62,
+    )
+    return out.where(F.col("l_p_partkey") < F.col("r_p_partkey")).select(
+        "l_p_partkey", "r_p_partkey", "sim"
+    )
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3419,6 +3438,7 @@ _DRIVER_WINDOW = [
     "bm25_indexed", "cluster_balanced", "pack_ffd",
     "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
     "shuffle_shards", "span_decontaminate", "leakage_safe_split",
+    "fuzzy_join_trigram",
 ]
 
 
@@ -3512,6 +3532,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": shuffle_shards_q,
         "span_decontaminate": span_decontaminate_q,
         "leakage_safe_split": leakage_safe_split_q,
+        "fuzzy_join_trigram": fuzzy_join_trigram_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5179,5 +5200,24 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'doc_pieces_once', TRUE, n_pieces FROM st "
         "UNION ALL SELECT 'token_conservation', TRUE, total FROM st "
         "UNION ALL SELECT 'ffd_bound', TRUE, CAST(NULL AS BIGINT) FROM st"
+    )
+    # fuzzy_join_trigram: the naive lateral-grams replay — normalize +
+    # pad exactly as linkage.char_trigrams, lateral-extract distinct
+    # 3-grams, pair on shared grams, exact Jaccard
+    trgnorm = "trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g'))"
+    sql["fuzzy_join_trigram"] = (
+        f"WITH base AS (SELECT p_partkey AS id, "
+        f"'  ' || {trgnorm} || ' ' AS p FROM part "
+        f"WHERE p_size <= 3 AND length({trgnorm}) > 0), "
+        "g AS (SELECT id, unnest(list_distinct([substr(p, CAST(i AS INT), 3) "
+        "for i in generate_series(1, length(p) - 2)])) AS gram FROM base), "
+        "n AS (SELECT id, COUNT(*) AS n FROM g GROUP BY id), "
+        "pairs AS (SELECT a.id AS lid, b.id AS rid, COUNT(*) AS common "
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id "
+        "GROUP BY a.id, b.id) "
+        "SELECT p.lid AS l_p_partkey, p.rid AS r_p_partkey, "
+        "CAST(p.common AS DOUBLE) / (nl.n + nr.n - p.common) AS sim "
+        "FROM pairs p JOIN n nl ON nl.id = p.lid JOIN n nr ON nr.id = p.rid "
+        "WHERE CAST(p.common AS DOUBLE) / (nl.n + nr.n - p.common) >= 0.62"
     )
     return sql

@@ -1,0 +1,133 @@
+"""Record linkage: trigram-similarity fuzzy string join (pg_trgm-style).
+
+Joins two tables on DIRTY string keys — misspelled names, re-ordered
+words, punctuation drift — by character-trigram Jaccard similarity.
+The classic entity-resolution primitive the exact-key joins elsewhere
+in the engine can't express.
+
+Spark-first shape (filter-verify):
+
+- Gram extraction is pure Catalyst: normalize, pad, then
+  ``transform(sequence(...), i -> substr(p, i, 3))`` — no Python in the
+  scan.
+- Candidate generation: explode grams on both sides and join on the
+  gram — ONE shuffle keyed by trigram. An optional ``max_gram_df``
+  drops stop-grams (grams whose document frequency exceeds the cap)
+  from candidate generation only, bounding the worst-case fan-out of
+  hot grams at scale (a gram shared by f rows on each side contributes
+  f² candidate rows — the skew knob, like the MinHash bucket cap in
+  dedup.py).
+- Verification is EXACT regardless of pruning: surviving (left, right)
+  pairs re-join to the full distinct-gram arrays and score
+  ``|A ∩ B| / |A ∪ B|`` via ``array_intersect`` — so pruning can only
+  lose candidates whose every shared gram is a stop-gram (recall
+  trade, documented), never report a wrong similarity.
+
+At 100 TB: the gram-keyed shuffle carries (gram, id) pairs — a few
+dozen bytes per gram; the wide text never shuffles. Candidate count,
+not corpus size, drives the verify join, and ``max_gram_df`` is the
+lever that keeps candidates near-linear on skewed key distributions.
+
+Reference context: fluent-bit has no fuzzy join (extension surface);
+trigram semantics follow the PostgreSQL pg_trgm module's public
+definition (lowercased, non-alphanumeric collapsed, padded, char
+3-grams, set Jaccard), simplified to whole-string padding so the
+DuckDB oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def char_trigrams(col: Column) -> Column:
+    """Distinct character 3-grams of the normalized, padded string.
+
+    Normalization: lowercase, collapse runs of non-alphanumerics to a
+    single space, trim; pad with two leading and one trailing space
+    (pg_trgm-style whole-string padding). Empty-after-normalization
+    strings yield the single all-space gram.
+    """
+    p = F.concat(F.lit("  "), _norm(col), F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.char_length(p) - F.lit(2)),
+            lambda i: F.substr(p, i, F.lit(3)),
+        )
+    )
+
+
+def _gram_side(df: DataFrame, id_col: str, key_col: str, tag: str):
+    """(id, grams, n) keyed table + exploded (gram, id) table, with
+    side-tagged column names so self-joins never hit Spark's ambiguous
+    lineage resolution."""
+    keyed = (
+        df.where(F.char_length(_norm(F.col(key_col).cast("string"))) > 0)
+        .select(
+            F.col(id_col).alias(f"__{tag}id"),
+            char_trigrams(F.col(key_col)).alias(f"__{tag}grams"),
+        )
+        .withColumn(f"__{tag}n", F.size(f"__{tag}grams"))
+    )
+    grams = keyed.select(f"__{tag}id", F.explode(f"__{tag}grams").alias("__gram"))
+    return keyed, grams
+
+
+def fuzzy_join_trigram(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_key: str,
+    right_id: str,
+    right_key: str,
+    threshold: float = 0.6,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Trigram-Jaccard fuzzy join: rows whose keys share >= threshold.
+
+    Returns (left_id, right_id, sim) for every pair with
+    ``jaccard(trigrams(left_key), trigrams(right_key)) >= threshold``.
+    Output id columns are prefixed ``l_``/``r_`` when the two id names
+    collide. Rows whose key normalizes to the empty string are dropped.
+
+    ``max_gram_df``: if set, grams appearing in more than this many
+    rows (per side, counted on exploded ids) are excluded from
+    CANDIDATE GENERATION — the skew bound for hot grams at scale.
+    Verification stays exact, so reported similarities are always true
+    Jaccard; pairs whose shared grams are all stop-grams are missed
+    (recall knob). Default None = exhaustive (oracle-exact).
+    """
+    lk, lg = _gram_side(left, left_id, left_key, "l")
+    rk, rg = _gram_side(right, right_id, right_key, "r")
+    if max_gram_df is not None:
+        hot = (
+            lg.select(F.col("__gram"))
+            .unionAll(rg.select("__gram"))
+            .groupBy("__gram")
+            .count()
+            .where(F.col("count") > 2 * max_gram_df)
+            .select("__gram")
+        )
+        # broadcast anti-join: the stop-gram list is tiny by definition
+        lg = lg.join(F.broadcast(hot), "__gram", "left_anti")
+        rg = rg.join(F.broadcast(hot), "__gram", "left_anti")
+    cand = lg.join(rg, "__gram").select("__lid", "__rid").distinct()
+    common = F.size(F.array_intersect(F.col("__lgrams"), F.col("__rgrams")))
+    sim = common.cast("double") / (F.col("__ln") + F.col("__rn") - common)
+    out_l = left_id if left_id != right_id else f"l_{left_id}"
+    out_r = right_id if left_id != right_id else f"r_{right_id}"
+    return (
+        cand.join(lk, "__lid")
+        .join(rk, "__rid")
+        .select(
+            F.col("__lid").alias(out_l),
+            F.col("__rid").alias(out_r),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(threshold)))
+    )

@@ -1902,3 +1902,84 @@ def test_leakage_safe_split_no_straddling_cliques(spark):
         ).collect()
     }
     assert again == rows
+
+
+def test_fuzzy_join_trigram_linkage(spark):
+    """Trigram fuzzy join: known-similarity pairs against an independent
+    Python scorer, normalization/punctuation invariance, empty-key drop,
+    and the stop-gram prune never reports a wrong similarity (verify is
+    exact) — it can only lose pairs."""
+    from fluent_bit_spark.extensions.linkage import fuzzy_join_trigram
+
+    left = spark.createDataFrame(
+        [
+            (1, "Acme Corporation"),
+            (2, "ACME Corp."),
+            (3, "acme-corporation inc"),
+            (4, "Zenith Widgets"),
+            (5, "???"),  # normalizes to empty -> dropped
+        ],
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "acme corporation"),
+            (11, "Zenith  Widget's"),
+            (12, "Completely Different LLC"),
+        ],
+        ["rid", "name"],
+    )
+
+    def grams(s):
+        import re
+
+        n = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+        p = f"  {n} "
+        return {p[i : i + 3] for i in range(len(p) - 2)}
+
+    def jac(a, b):
+        ga, gb = grams(a), grams(b)
+        return len(ga & gb) / len(ga | gb)
+
+    lnames = {1: "Acme Corporation", 2: "ACME Corp.", 3: "acme-corporation inc", 4: "Zenith Widgets"}
+    rnames = {10: "acme corporation", 11: "Zenith  Widget's", 12: "Completely Different LLC"}
+    expected = {
+        (l, r): jac(ln, rn)
+        for l, ln in lnames.items()
+        for r, rn in rnames.items()
+        if jac(ln, rn) >= 0.4
+    }
+
+    got = {
+        (r.lid, r.rid): r.sim
+        for r in fuzzy_join_trigram(
+            left, right, "lid", "name", "rid", "name", threshold=0.4
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+    # punctuation/case-invariant exact match scores 1.0
+    assert got[(1, 10)] == 1.0
+    # id 5 (empty after normalization) never appears
+    assert all(l != 5 for l, _ in got)
+
+    # pruned run: subset of the exact result, identical sims on survivors
+    pruned = {
+        (r.lid, r.rid): r.sim
+        for r in fuzzy_join_trigram(
+            left, right, "lid", "name", "rid", "name",
+            threshold=0.4, max_gram_df=2,
+        ).collect()
+    }
+    assert set(pruned) <= set(got)
+    for k, v in pruned.items():
+        assert v == got[k]
+
+    # self-join: no ambiguous-lineage failure, prefixed id columns
+    self_out = fuzzy_join_trigram(
+        left, left, "lid", "name", "lid", "name", threshold=0.5
+    )
+    assert self_out.columns == ["l_lid", "r_lid", "sim"]
+    pairs = {(r.l_lid, r.r_lid) for r in self_out.where("l_lid < r_lid").collect()}
+    assert (1, 3) in pairs  # acme corporation ~ acme-corporation inc
