@@ -2628,6 +2628,19 @@ def fuzzy_join_trigram_q(spark, sf_dir):
     )
 
 
+def entity_resolution_q(spark, sf_dir):
+    """End-to-end entity resolution on part names: trigram fuzzy
+    self-join for the edge list, hash-min connected components for the
+    transitive closure, every row mapped to its canonical entity_id
+    (min member id; singletons map to themselves). Oracle replays the
+    whole flow — naive gram SQL for pairs, recursive CTE for the
+    closure — so a wrong edge OR a wrong component hash-fails."""
+    from fluent_bit_spark.extensions.linkage import resolve_entities
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    return resolve_entities(part, "p_partkey", "p_name", threshold=0.62)
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3417,6 +3430,14 @@ def flowcounter_q(spark, sf_dir):
 # alphabetically-first of the 44 r03-era rows (the 6 dropped r03 names
 # lead the round-7 rotation).
 _DRIVER_WINDOW = [
+    # round-6 NEW queries — never driver-checked, so they outrank any
+    # already-green backfill row for a window slot (fuzzy_join_trigram /
+    # entity_resolution displaced stackdriver_shape / splunk_hec_shape,
+    # which keep their r3 green rows)
+    "bm25_indexed", "cluster_balanced", "pack_ffd",
+    "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
+    "shuffle_shards", "span_decontaminate", "leakage_safe_split",
+    "fuzzy_join_trigram", "entity_resolution",
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
@@ -3431,14 +3452,7 @@ _DRIVER_WINDOW = [
     "ml_inference_mlp", "ml_inference_scores", "msgpack_roundtrip",
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
     "pii_redaction", "prom_exposition", "remote_write_roundtrip",
-    "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
-    "stackdriver_shape",
-    # round-6 NEW queries — never driver-checked, so they outrank any
-    # already-green backfill row for a window slot
-    "bm25_indexed", "cluster_balanced", "pack_ffd",
-    "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
-    "shuffle_shards", "span_decontaminate", "leakage_safe_split",
-    "fuzzy_join_trigram",
+    "similarity_topk", "splunk_hec_roundtrip",
 ]
 
 
@@ -3533,6 +3547,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_decontaminate": span_decontaminate_q,
         "leakage_safe_split": leakage_safe_split_q,
         "fuzzy_join_trigram": fuzzy_join_trigram_q,
+        "entity_resolution": entity_resolution_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5219,5 +5234,29 @@ def oracle_sql() -> dict[str, str]:
         "CAST(p.common AS DOUBLE) / (nl.n + nr.n - p.common) AS sim "
         "FROM pairs p JOIN n nl ON nl.id = p.lid JOIN n nr ON nr.id = p.rid "
         "WHERE CAST(p.common AS DOUBLE) / (nl.n + nr.n - p.common) >= 0.62"
+    )
+    # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
+    # closure; entity_id = min reachable id, singletons map to themselves
+    sql["entity_resolution"] = (
+        f"WITH RECURSIVE base AS (SELECT p_partkey AS id, "
+        f"'  ' || {trgnorm} || ' ' AS p FROM part "
+        f"WHERE p_size <= 3 AND length({trgnorm}) > 0), "
+        "g AS (SELECT id, unnest(list_distinct([substr(p, CAST(i AS INT), 3) "
+        "for i in generate_series(1, length(p) - 2)])) AS gram FROM base), "
+        "n AS (SELECT id, COUNT(*) AS n FROM g GROUP BY id), "
+        "cand AS (SELECT a.id AS lid, b.id AS rid, COUNT(*) AS common "
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id "
+        "GROUP BY a.id, b.id), "
+        "pairs AS (SELECT lid, rid FROM cand "
+        "JOIN n nl ON nl.id = lid JOIN n nr ON nr.id = rid "
+        "WHERE CAST(common AS DOUBLE) / (nl.n + nr.n - common) >= 0.62), "
+        "edges AS (SELECT lid AS src, rid AS dst FROM pairs "
+        "UNION SELECT rid, lid FROM pairs), "
+        "reach AS (SELECT src AS id, src AS lbl FROM edges "
+        "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id), "
+        "comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id) "
+        "SELECT t.p_partkey, COALESCE(c.component, t.p_partkey) AS entity_id "
+        "FROM part t LEFT JOIN comp c ON c.id = t.p_partkey "
+        "WHERE t.p_size <= 3"
     )
     return sql

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "span_decontaminate",
     "leakage_safe_split",
+    "fuzzy_join_trigram",
+    "entity_resolution",
     "pipeline_e2e",
 ]
 

@@ -131,3 +131,43 @@ def fuzzy_join_trigram(
         )
         .where(F.col("sim") >= F.lit(float(threshold)))
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    threshold: float = 0.6,
+    max_gram_df: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end entity resolution: rows whose keys are transitively
+    trigram-similar share one canonical ``entity_id``.
+
+    Composition of the engine's existing primitives — fuzzy self-join
+    for the similarity edge list, then hash-min connected components
+    (``graph.connected_components``: frontier propagation, checkpointed
+    lineage) so A~B and B~C land in one entity even when A and C are
+    below threshold themselves. ``entity_id`` is the minimum member id;
+    rows with no similar partner (or an empty normalized key) map to
+    themselves. Same scale shape as its parts: gram-keyed candidate
+    shuffle + per-round keyed label joins, nothing quadratic beyond the
+    candidate pairs ``max_gram_df`` bounds.
+    """
+    from .graph import connected_components
+
+    pairs = fuzzy_join_trigram(
+        df, df, id_col, key_col, id_col, key_col,
+        threshold=threshold, max_gram_df=max_gram_df,
+    )
+    lcol, rcol = f"l_{id_col}", f"r_{id_col}"
+    pairs = pairs.where(F.col(lcol) < F.col(rcol))
+    comp = connected_components(pairs, lcol, rcol, max_iter=max_iter)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("entity_id"),
+        )
+    )

@@ -1983,3 +1983,24 @@ def test_fuzzy_join_trigram_linkage(spark):
     assert self_out.columns == ["l_lid", "r_lid", "sim"]
     pairs = {(r.l_lid, r.r_lid) for r in self_out.where("l_lid < r_lid").collect()}
     assert (1, 3) in pairs  # acme corporation ~ acme-corporation inc
+
+
+def test_resolve_entities_transitive(spark):
+    """A~B and B~C below-threshold-A~C still share one entity via the
+    transitive closure; unrelated rows and empty keys map to themselves."""
+    from fluent_bit_spark.extensions.linkage import resolve_entities
+
+    df = spark.createDataFrame(
+        [
+            (1, "international business machines corporation"),
+            (2, "international business machines corp"),
+            (3, "intl business machines corp"),
+            (4, "zenith widgets"),
+            (5, "--"),
+        ],
+        ["id", "name"],
+    )
+    got = {r.id: r.entity_id for r in resolve_entities(df, "id", "name", threshold=0.6).collect()}
+    assert len(got) == 5          # every input row assigned
+    assert got[1] == got[2] == got[3] == 1   # one entity, min-id canonical
+    assert got[4] == 4 and got[5] == 5       # singleton + empty-key self-map
