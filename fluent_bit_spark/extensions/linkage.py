@@ -11,22 +11,24 @@ Spark-first shape (filter-verify):
   ``transform(sequence(...), i -> substr(p, i, 3))`` — no Python in the
   scan.
 - Candidate generation: explode grams on both sides and join on the
-  gram — ONE shuffle keyed by trigram. An optional ``max_gram_df``
-  drops stop-grams (grams whose document frequency exceeds the cap)
-  from candidate generation only, bounding the worst-case fan-out of
-  hot grams at scale (a gram shared by f rows on each side contributes
-  f² candidate rows — the skew knob, like the MinHash bucket cap in
+  gram — ONE shuffle keyed by gram. By default only each record's
+  PREFIX (its globally-rarest ``m - ceil(t*m) + 1`` grams) joins: the
+  AllPairs/PPJoin prefix filter, exact for Jaccard >= t, which stops
+  hot grams from driving f² candidate fan-out. An optional
+  ``max_gram_df`` additionally drops stop-grams outright (lossy skew
+  cap for adversarial corpora, like the MinHash bucket cap in
   dedup.py).
-- Verification is EXACT regardless of pruning: surviving (left, right)
-  pairs re-join to the full distinct-gram arrays and score
-  ``|A ∩ B| / |A ∪ B|`` via ``array_intersect`` — so pruning can only
-  lose candidates whose every shared gram is a stop-gram (recall
-  trade, documented), never report a wrong similarity.
+- Verification is EXACT regardless of candidate pruning: surviving
+  (left, right) pairs re-join to the full distinct-gram arrays and
+  score ``|A ∩ B| / |A ∪ B|`` via ``array_intersect`` — a wrong
+  similarity is never reported.
 
 At 100 TB: the gram-keyed shuffle carries (gram, id) pairs — a few
 dozen bytes per gram; the wide text never shuffles. Candidate count,
-not corpus size, drives the verify join, and ``max_gram_df`` is the
-lever that keeps candidates near-linear on skewed key distributions.
+not corpus size, drives the verify join; the prefix filter keeps
+candidates near-linear, and ``gram_n`` is the blocking-selectivity
+knob — raise it (or block on word tokens) once the corpus outgrows
+the q-gram space (see char_trigrams).
 
 Reference context: fluent-bit has no fuzzy join (extension surface);
 trigram semantics follow the PostgreSQL pg_trgm module's public
@@ -45,24 +47,31 @@ def _norm(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
-def char_trigrams(col: Column) -> Column:
-    """Distinct character 3-grams of the normalized, padded string.
+def char_trigrams(col: Column, n: int = 3) -> Column:
+    """Distinct character q-grams (default 3) of the normalized,
+    padded string.
 
     Normalization: lowercase, collapse runs of non-alphanumerics to a
-    single space, trim; pad with two leading and one trailing space
+    single space, trim; pad with n-1 leading and one trailing space
     (pg_trgm-style whole-string padding). Empty-after-normalization
     strings yield the single all-space gram.
+
+    The q-gram length is the blocking-feature knob at scale: gram
+    blocking only stays selective while the gram space exceeds the
+    corpus size (36^3 = 46k trigrams vs millions of rows means every
+    gram is hot no matter how it is ordered), so corpora beyond ~10^4
+    keys should raise n (n=5 spans 60M grams) or block on word tokens.
     """
-    p = F.concat(F.lit("  "), _norm(col), F.lit(" "))
+    p = F.concat(F.lit(" " * (n - 1)), _norm(col), F.lit(" "))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.char_length(p) - F.lit(2)),
-            lambda i: F.substr(p, i, F.lit(3)),
+            F.sequence(F.lit(1), F.char_length(p) - F.lit(n - 1)),
+            lambda i: F.substr(p, i, F.lit(n)),
         )
     )
 
 
-def _gram_side(df: DataFrame, id_col: str, key_col: str, tag: str):
+def _gram_side(df: DataFrame, id_col: str, key_col: str, tag: str, n: int = 3):
     """(id, grams, n) keyed table + exploded (gram, id) table, with
     side-tagged column names so self-joins never hit Spark's ambiguous
     lineage resolution."""
@@ -70,12 +79,36 @@ def _gram_side(df: DataFrame, id_col: str, key_col: str, tag: str):
         df.where(F.char_length(_norm(F.col(key_col).cast("string"))) > 0)
         .select(
             F.col(id_col).alias(f"__{tag}id"),
-            char_trigrams(F.col(key_col)).alias(f"__{tag}grams"),
+            char_trigrams(F.col(key_col), n).alias(f"__{tag}grams"),
         )
         .withColumn(f"__{tag}n", F.size(f"__{tag}grams"))
     )
     grams = keyed.select(f"__{tag}id", F.explode(f"__{tag}grams").alias("__gram"))
     return keyed, grams
+
+
+def _prefix_grams(grams: DataFrame, keyed: DataFrame, dfmap: DataFrame, tag: str, threshold: float) -> DataFrame:
+    """Keep each record's ``m - ceil(t*m) + 1`` globally-rarest grams
+    (prefix filter, Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07): any pair with Jaccard >= t must share a gram
+    inside both prefixes, so joining on prefixes alone is complete."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(f"__{tag}id").orderBy("__df", "__gram")
+    return (
+        grams.join(dfmap, "__gram")
+        .withColumn("__prefix_rank", F.row_number().over(w))
+        .join(
+            keyed.select(f"__{tag}id", f"__{tag}n"), f"__{tag}id"
+        )
+        .where(
+            F.col("__prefix_rank")
+            <= F.col(f"__{tag}n")
+            - F.ceil(F.lit(float(threshold)) * F.col(f"__{tag}n"))
+            + 1
+        )
+        .select(f"__{tag}id", "__gram")
+    )
 
 
 def fuzzy_join_trigram(
@@ -87,6 +120,8 @@ def fuzzy_join_trigram(
     right_key: str,
     threshold: float = 0.6,
     max_gram_df: int | None = None,
+    prefix_filter: bool = True,
+    gram_n: int = 3,
 ) -> DataFrame:
     """Trigram-Jaccard fuzzy join: rows whose keys share >= threshold.
 
@@ -95,27 +130,40 @@ def fuzzy_join_trigram(
     Output id columns are prefixed ``l_``/``r_`` when the two id names
     collide. Rows whose key normalizes to the empty string are dropped.
 
-    ``max_gram_df``: if set, grams appearing in more than this many
-    rows (per side, counted on exploded ids) are excluded from
-    CANDIDATE GENERATION — the skew bound for hot grams at scale.
+    ``prefix_filter`` (default True): candidate generation joins only
+    each record's ``m - ceil(t*m) + 1`` globally-RAREST grams (rarity =
+    document frequency over both sides) — the AllPairs/PPJoin prefix
+    filter, which is EXACT for Jaccard >= threshold: every qualifying
+    pair is guaranteed to collide on some prefix gram, while hot grams
+    (shared by thousands of rows) stop driving f² candidate fan-out
+    unless a record has nothing rarer. This is what keeps candidates
+    near-linear as the corpus grows; costs one extra df aggregation and
+    a per-record rank shuffle.
+
+    ``max_gram_df``: additionally drop grams above this df from
+    candidate generation — a LOSSY skew cap for adversarial corpora
+    where even prefixes stay hot (e.g. near-identical keys everywhere).
     Verification stays exact, so reported similarities are always true
     Jaccard; pairs whose shared grams are all stop-grams are missed
-    (recall knob). Default None = exhaustive (oracle-exact).
+    (recall knob). Default None.
     """
-    lk, lg = _gram_side(left, left_id, left_key, "l")
-    rk, rg = _gram_side(right, right_id, right_key, "r")
-    if max_gram_df is not None:
-        hot = (
+    lk, lg = _gram_side(left, left_id, left_key, "l", gram_n)
+    rk, rg = _gram_side(right, right_id, right_key, "r", gram_n)
+    if prefix_filter or max_gram_df is not None:
+        dfmap = (
             lg.select(F.col("__gram"))
             .unionAll(rg.select("__gram"))
             .groupBy("__gram")
-            .count()
-            .where(F.col("count") > 2 * max_gram_df)
-            .select("__gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
         )
+    if max_gram_df is not None:
+        hot = dfmap.where(F.col("__df") > 2 * max_gram_df).select("__gram")
         # broadcast anti-join: the stop-gram list is tiny by definition
         lg = lg.join(F.broadcast(hot), "__gram", "left_anti")
         rg = rg.join(F.broadcast(hot), "__gram", "left_anti")
+    if prefix_filter:
+        lg = _prefix_grams(lg, lk, dfmap, "l", threshold)
+        rg = _prefix_grams(rg, rk, dfmap, "r", threshold)
     cand = lg.join(rg, "__gram").select("__lid", "__rid").distinct()
     common = F.size(F.array_intersect(F.col("__lgrams"), F.col("__rgrams")))
     sim = common.cast("double") / (F.col("__ln") + F.col("__rn") - common)
@@ -140,6 +188,7 @@ def resolve_entities(
     threshold: float = 0.6,
     max_gram_df: int | None = None,
     max_iter: int = 20,
+    gram_n: int = 3,
 ) -> DataFrame:
     """End-to-end entity resolution: rows whose keys are transitively
     trigram-similar share one canonical ``entity_id``.
@@ -158,7 +207,7 @@ def resolve_entities(
 
     pairs = fuzzy_join_trigram(
         df, df, id_col, key_col, id_col, key_col,
-        threshold=threshold, max_gram_df=max_gram_df,
+        threshold=threshold, max_gram_df=max_gram_df, gram_n=gram_n,
     )
     lcol, rcol = f"l_{id_col}", f"r_{id_col}"
     pairs = pairs.where(F.col(lcol) < F.col(rcol))

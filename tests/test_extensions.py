@@ -2004,3 +2004,39 @@ def test_resolve_entities_transitive(spark):
     assert len(got) == 5          # every input row assigned
     assert got[1] == got[2] == got[3] == 1   # one entity, min-id canonical
     assert got[4] == 4 and got[5] == 5       # singleton + empty-key self-map
+
+
+def test_fuzzy_join_prefix_filter_exact(spark):
+    """The AllPairs prefix filter is lossless: on a corpus with hot and
+    rare grams, prefix-filtered results (default) equal the exhaustive
+    gram join exactly — pairs AND similarities — at several thresholds
+    and gram lengths."""
+    from fluent_bit_spark.extensions.linkage import fuzzy_join_trigram
+
+    # deterministic dirty corpus: shared hot words + per-row rare tails
+    rows = []
+    for i in range(40):
+        base = f"acme global w{i % 7}x w{i % 11}y item{i}"
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append((1000 + i, base + " ltd"))
+    df = spark.createDataFrame(rows, ["id", "name"])
+
+    for thr in (0.45, 0.7):
+        for q in (3, 4):
+            exact = {
+                (r.l_id, r.r_id): r.sim
+                for r in fuzzy_join_trigram(
+                    df, df, "id", "name", "id", "name",
+                    threshold=thr, prefix_filter=False, gram_n=q,
+                ).where("l_id < r_id").collect()
+            }
+            pref = {
+                (r.l_id, r.r_id): r.sim
+                for r in fuzzy_join_trigram(
+                    df, df, "id", "name", "id", "name",
+                    threshold=thr, gram_n=q,
+                ).where("l_id < r_id").collect()
+            }
+            assert pref == exact, (thr, q, set(exact) ^ set(pref))
+    assert exact  # the corpus really produces matches
