@@ -2641,6 +2641,22 @@ def entity_resolution_q(spark, sf_dir):
     return resolve_entities(part, "p_partkey", "p_name", threshold=0.62)
 
 
+def edit_distance_join_q(spark, sf_dir):
+    """EDJoin on part names (VLDB'08 prefix bound: k edits destroy at
+    most k*q q-grams, so qualifying pairs collide inside both records'
+    k*q+1 rarest grams): candidates from the prefix join, exact
+    levenshtein verify. Oracle replays the whole thing brute-force —
+    DuckDB levenshtein over all filtered pairs — so a missed candidate
+    OR a wrong distance hash-fails."""
+    from fluent_bit_spark.extensions.linkage import edit_distance_join
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    out = edit_distance_join(
+        part, part, "p_partkey", "p_name", "p_partkey", "p_name", max_dist=2
+    )
+    return out.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3437,7 +3453,7 @@ _DRIVER_WINDOW = [
     "bm25_indexed", "cluster_balanced", "pack_ffd",
     "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
     "shuffle_shards", "span_decontaminate", "leakage_safe_split",
-    "fuzzy_join_trigram", "entity_resolution",
+    "fuzzy_join_trigram", "entity_resolution", "edit_distance_join",
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
@@ -3452,7 +3468,7 @@ _DRIVER_WINDOW = [
     "ml_inference_mlp", "ml_inference_scores", "msgpack_roundtrip",
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
     "pii_redaction", "prom_exposition", "remote_write_roundtrip",
-    "similarity_topk", "splunk_hec_roundtrip",
+    "similarity_topk",
 ]
 
 
@@ -3548,6 +3564,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": leakage_safe_split_q,
         "fuzzy_join_trigram": fuzzy_join_trigram_q,
         "entity_resolution": entity_resolution_q,
+        "edit_distance_join": edit_distance_join_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5234,6 +5251,17 @@ def oracle_sql() -> dict[str, str]:
         "CAST(p.common AS DOUBLE) / (nl.n + nr.n - p.common) AS sim "
         "FROM pairs p JOIN n nl ON nl.id = p.lid JOIN n nr ON nr.id = p.rid "
         "WHERE CAST(p.common AS DOUBLE) / (nl.n + nr.n - p.common) >= 0.62"
+    )
+    # edit_distance_join: brute-force levenshtein over all filtered pairs
+    # (141 rows at sf0.01) — completeness of the Spark-side EDJoin prefix
+    # bound is exactly what the brute-force replay checks
+    sql["edit_distance_join"] = (
+        f"WITH base AS (SELECT p_partkey AS id, {trgnorm} AS s FROM part "
+        f"WHERE p_size <= 3 AND length({trgnorm}) > 0) "
+        "SELECT a.id AS l_p_partkey, b.id AS r_p_partkey, "
+        "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+        "FROM base a JOIN base b ON a.id < b.id "
+        "WHERE levenshtein(a.s, b.s) <= 2"
     )
     # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
     # closure; entity_id = min reachable id, singletons map to themselves

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "fuzzy_join_trigram",
     "entity_resolution",
+    "edit_distance_join",
     "pipeline_e2e",
 ]
 

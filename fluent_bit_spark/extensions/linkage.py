@@ -181,6 +181,93 @@ def fuzzy_join_trigram(
     )
 
 
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_key: str,
+    right_id: str,
+    right_key: str,
+    max_dist: int = 1,
+    gram_n: int = 3,
+) -> DataFrame:
+    """Edit-distance join: pairs whose NORMALIZED keys are within
+    ``max_dist`` Levenshtein edits (EDJoin shape — Xiao, Wang & Lin,
+    "Ed-Join: an efficient algorithm for similarity joins with edit
+    distance constraints", VLDB'08).
+
+    Candidates: one edit destroys at most ``gram_n`` q-grams, so two
+    keys within k edits differ in at most ``k*gram_n`` set q-grams —
+    any qualifying pair must collide inside both records' first
+    ``k*gram_n + 1`` globally-rarest grams. That prefix join plus a
+    length filter (lengths within k) is complete; verification is the
+    built-in ``levenshtein`` on the normalized keys (JVM-side), so a
+    wrong distance is never reported. Same scale shape as
+    ``fuzzy_join_trigram``: gram-keyed candidate shuffle, nothing
+    quadratic beyond true candidates.
+
+    Normalization matches the trigram join (lowercase, collapse runs of
+    non-alphanumerics to one space, trim); empty keys are dropped.
+    Output: (left_id, right_id, dist), ids prefixed ``l_``/``r_`` when
+    the names collide.
+    """
+    from pyspark.sql import Window
+
+    prefix_len = max_dist * gram_n + 1
+
+    def side(df: DataFrame, id_col: str, key_col: str, tag: str):
+        keyed = (
+            df.where(F.char_length(_norm(F.col(key_col).cast("string"))) > 0)
+            .select(
+                F.col(id_col).alias(f"__{tag}id"),
+                _norm(F.col(key_col)).alias(f"__{tag}key"),
+                char_trigrams(F.col(key_col), gram_n).alias(f"__{tag}grams"),
+            )
+        )
+        grams = keyed.select(
+            f"__{tag}id", F.explode(f"__{tag}grams").alias("__gram")
+        )
+        return keyed.drop(f"__{tag}grams"), grams
+
+    lk, lg = side(left, left_id, left_key, "l")
+    rk, rg = side(right, right_id, right_key, "r")
+    dfmap = (
+        lg.select(F.col("__gram"))
+        .unionAll(rg.select("__gram"))
+        .groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    def prefix(grams: DataFrame, tag: str) -> DataFrame:
+        w = Window.partitionBy(f"__{tag}id").orderBy("__df", "__gram")
+        return (
+            grams.join(dfmap, "__gram")
+            .withColumn("__prefix_rank", F.row_number().over(w))
+            .where(F.col("__prefix_rank") <= prefix_len)
+            .select(f"__{tag}id", "__gram")
+        )
+
+    cand = prefix(lg, "l").join(prefix(rg, "r"), "__gram").select(
+        "__lid", "__rid"
+    ).distinct()
+    out_l = left_id if left_id != right_id else f"l_{left_id}"
+    out_r = right_id if left_id != right_id else f"r_{right_id}"
+    return (
+        cand.join(lk, "__lid")
+        .join(rk, "__rid")
+        .where(
+            F.abs(F.char_length("__lkey") - F.char_length("__rkey"))
+            <= F.lit(max_dist)
+        )
+        .select(
+            F.col("__lid").alias(out_l),
+            F.col("__rid").alias(out_r),
+            F.levenshtein("__lkey", "__rkey").alias("dist"),
+        )
+        .where(F.col("dist") <= F.lit(max_dist))
+    )
+
+
 def resolve_entities(
     df: DataFrame,
     id_col: str,

@@ -2040,3 +2040,51 @@ def test_fuzzy_join_prefix_filter_exact(spark):
             }
             assert pref == exact, (thr, q, set(exact) ^ set(pref))
     assert exact  # the corpus really produces matches
+
+
+def test_edit_distance_join_vs_bruteforce(spark):
+    """EDJoin prefix-filtered candidates + levenshtein verify equal a
+    brute-force all-pairs scan (independent Python Levenshtein) at
+    several k and q — completeness of the k*q+1 prefix bound."""
+    import re
+
+    from fluent_bit_spark.extensions.linkage import edit_distance_join
+
+    names = [
+        "acme corporation", "acme corporatio", "acme corp", "acme corpn",
+        "zenith widgets", "zenith widgets!", "zenth widgets", "zenith widgets co",
+        "globex", "globexx", "glob ex", "initech", "intech", "completely other",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for k in (1, 2):
+        for q in (2, 3):
+            want = {
+                (i, j): lev(norm(a), norm(b))
+                for i, a in rows
+                for j, b in rows
+                if i < j and lev(norm(a), norm(b)) <= k
+            }
+            got = {
+                (r.l_id, r.r_id): r.dist
+                for r in edit_distance_join(
+                    df, df, "id", "name", "id", "name", max_dist=k, gram_n=q
+                ).where("l_id < r_id").collect()
+            }
+            assert got == want, (k, q, set(want) ^ set(got))
+    assert want  # non-trivial corpus
