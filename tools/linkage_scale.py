@@ -68,6 +68,7 @@ def dirty_keys(spark, sf_dir: str):
 def main() -> None:
     from fluent_bit_spark import get_spark
     from fluent_bit_spark.extensions.linkage import (
+        edit_distance_join,
         fuzzy_join_trigram,
         resolve_entities,
     )
@@ -91,6 +92,15 @@ def main() -> None:
             (
                 "resolve_entities",
                 lambda k: resolve_entities(k, "doc_id", "name", threshold=0.55, gram_n=5),
+            ),
+            (
+                # max_dist=4 so the ' inc' / 'the ' variants (4 edits)
+                # qualify; gram_n=5 for the same gram-space reason
+                "edit_distance_join",
+                lambda k: edit_distance_join(
+                    k, k, "doc_id", "name", "doc_id", "name",
+                    max_dist=4, gram_n=5,
+                ).where(F.col("l_doc_id") < F.col("r_doc_id")),
             ),
         ):
             best = float("inf")
