@@ -2088,3 +2088,53 @@ def test_edit_distance_join_vs_bruteforce(spark):
             }
             assert got == want, (k, q, set(want) ^ set(got))
     assert want  # non-trivial corpus
+
+
+def test_fuzzy_join_random_corpus_bruteforce(spark):
+    """Seeded pseudo-random corpus (mixed alphabets, unicode, punctuation,
+    near-empty keys): prefix-filtered fuzzy join equals a full brute-force
+    scan with an independent Python scorer."""
+    import random
+    import re
+
+    from fluent_bit_spark.extensions.linkage import fuzzy_join_trigram
+
+    rng = random.Random(20260815)
+    words = ["café", "naïve", "Ωmega", "data", "x1", "--", "smith&co", "北京", "o'neil"]
+    rows = []
+    for i in range(120):
+        k = rng.randint(0, 4)
+        name = " ".join(rng.choice(words) for _ in range(k))
+        if rng.random() < 0.3:
+            name += rng.choice(["!", " ltd", "  ", "#", ""])
+        rows.append((i, name))
+    df = spark.createDataFrame(rows, ["id", "name"])
+
+    def grams(s):
+        n = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+        if not n:
+            return None
+        p = f"  {n} "
+        return {p[i : i + 3] for i in range(len(p) - 2)}
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            ga, gb = grams(a), grams(b)
+            if ga is None or gb is None:
+                continue
+            sim = len(ga & gb) / len(ga | gb)
+            if sim >= 0.5:
+                want[(i, j)] = sim
+    got = {
+        (r.l_id, r.r_id): r.sim
+        for r in fuzzy_join_trigram(
+            df, df, "id", "name", "id", "name", threshold=0.5
+        ).where("l_id < r_id").collect()
+    }
+    assert set(got) == set(want)
+    for k2, v in want.items():
+        assert abs(got[k2] - v) < 1e-12
+    assert want  # corpus must actually produce matches
