@@ -2657,6 +2657,29 @@ def edit_distance_join_q(spark, sf_dir):
     return out.where(F.col("l_p_partkey") < F.col("r_p_partkey"))
 
 
+def funnel_levels_q(spark, sf_dir):
+    """view -> click -> purchase funnel within a 3-day window of the
+    first view (greedy-earliest chain, one groupBy + Catalyst fold).
+    Oracle replays the chain as chained conditional mins + a window
+    CASE — deterministic because with monotone timestamps the earliest
+    candidate is always optimal under a window anchored at step 1."""
+    from fluent_bit_spark.extensions.funnel import funnel_levels
+
+    ev = _events(spark, sf_dir)
+    return funnel_levels(
+        ev, ["view", "click", "purchase"], window=3 * 86400
+    )
+
+
+def cohort_retention_q(spark, sf_dir):
+    """Daily cohort retention matrix: users bucketed by first-seen
+    date, distinct active users per (cohort, day offset). Two keyed
+    map-side-combinable aggregations."""
+    from fluent_bit_spark.extensions.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3454,6 +3477,7 @@ _DRIVER_WINDOW = [
     "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
     "shuffle_shards", "span_decontaminate", "leakage_safe_split",
     "fuzzy_join_trigram", "entity_resolution", "edit_distance_join",
+    "funnel_levels", "cohort_retention",
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
@@ -3467,8 +3491,7 @@ _DRIVER_WINDOW = [
     "kubernetes_enrich", "loki_push_shape", "mix_temperature",
     "ml_inference_mlp", "ml_inference_scores", "msgpack_roundtrip",
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
-    "pii_redaction", "prom_exposition", "remote_write_roundtrip",
-    "similarity_topk",
+    "pii_redaction", "prom_exposition",
 ]
 
 
@@ -3565,6 +3588,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_trigram": fuzzy_join_trigram_q,
         "entity_resolution": entity_resolution_q,
         "edit_distance_join": edit_distance_join_q,
+        "funnel_levels": funnel_levels_q,
+        "cohort_retention": cohort_retention_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5262,6 +5287,39 @@ def oracle_sql() -> dict[str, str]:
         "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
         "FROM base a JOIN base b ON a.id < b.id "
         "WHERE levenshtein(a.s, b.s) <= 2"
+    )
+    # funnel_levels: chained conditional mins replay the greedy-earliest
+    # chain; the CASE truncates at the first window violation (monotone
+    # timestamps make the earliest candidate optimal, so chain-then-
+    # truncate == the Spark fold)
+    sql["funnel_levels"] = (
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        "s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN s1 ON s1.user_id = e.user_id "
+        "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN s2 ON s2.user_id = e.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) "
+        "SELECT u.user_id, CAST(CASE "
+        "WHEN s1.t1 IS NULL THEN 0 "
+        "WHEN s2.t2 IS NULL OR epoch_us(s2.t2) - epoch_us(s1.t1) > 259200000000 THEN 1 "
+        "WHEN s3.t3 IS NULL OR epoch_us(s3.t3) - epoch_us(s1.t1) > 259200000000 THEN 2 "
+        "ELSE 3 END AS INT) AS funnel_level "
+        "FROM u LEFT JOIN s1 ON s1.user_id = u.user_id "
+        "LEFT JOIN s2 ON s2.user_id = u.user_id "
+        "LEFT JOIN s3 ON s3.user_id = u.user_id"
+    )
+    # cohort_retention: first-seen-date buckets x day offsets
+    sql["cohort_retention"] = (
+        "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort "
+        "FROM events GROUP BY user_id), "
+        "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) "
+        "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort, "
+        "CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset, "
+        "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users "
+        "FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2"
     )
     # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
     # closure; entity_id = min reachable id, singletons map to themselves

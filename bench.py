@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "fuzzy_join_trigram",
     "entity_resolution",
     "edit_distance_join",
+    "funnel_levels",
+    "cohort_retention",
     "pipeline_e2e",
 ]
 

@@ -2138,3 +2138,44 @@ def test_fuzzy_join_random_corpus_bruteforce(spark):
     for k2, v in want.items():
         assert abs(got[k2] - v) < 1e-12
     assert want  # corpus must actually produce matches
+
+
+def test_funnel_levels_semantics(spark):
+    """Funnel edge cases vs an independent Python model: window
+    truncation, strict time ordering (same-ts step doesn't count),
+    out-of-order events, level-0 users, repeated steps."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.funnel import funnel_levels
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, t_s, typ):
+        return (u, T0 + dt.timedelta(seconds=t_s), typ)
+
+    rows = [
+        # u1: full funnel within window
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # u2: click BEFORE view -> stuck at level 1
+        ev(2, 0, "click"), ev(2, 10, "view"),
+        # u3: click at same ts as view -> strict > fails -> level 1
+        ev(3, 5, "view"), ev(3, 5, "click"),
+        # u4: click outside window -> level 1
+        ev(4, 0, "view"), ev(4, 200, "click"),
+        # u5: only unrelated events -> level 0
+        ev(5, 0, "purchase"), ev(5, 1, "error"),
+        # u6: earliest click in-window, purchase outside -> level 2
+        ev(6, 0, "view"), ev(6, 1, "click"), ev(6, 500, "purchase"),
+        # u7: greedy-earliest anchor: first view at 0, second at 90;
+        # click at 100, purchase at 101 -> anchor stays at 0, click
+        # within window (100<=120) -> purchase too -> level 3
+        ev(7, 0, "view"), ev(7, 90, "view"), ev(7, 100, "click"), ev(7, 101, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.funnel_level
+        for r in funnel_levels(
+            df, ["view", "click", "purchase"], window=120
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0, 6: 2, 7: 3}, got
