@@ -2680,6 +2680,25 @@ def cohort_retention_q(spark, sf_dir):
     return cohort_retention(_events(spark, sf_dir))
 
 
+def active_users_window_q(spark, sf_dir):
+    """Rolling 7-day distinct active users per activity day: (user,day)
+    dedup once, explode to contributing window ends, one distinct-count
+    shuffle. Oracle replays it as a date-range join."""
+    from fluent_bit_spark.extensions.funnel import active_users_window
+
+    return active_users_window(_events(spark, sf_dir), window_days=7)
+
+
+def top_session_paths_q(spark, sf_dir):
+    """Top-20 session-opening event paths (30-min gap sessionization,
+    first 5 steps): lag + running-sum session ids, session-keyed path
+    assembly, deterministic (count desc, path asc) top-k. Oracle
+    replays the same window functions in DuckDB."""
+    from fluent_bit_spark.extensions.funnel import top_session_paths
+
+    return top_session_paths(_events(spark, sf_dir), gap=1800, max_steps=5, k=20)
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3478,6 +3497,7 @@ _DRIVER_WINDOW = [
     "shuffle_shards", "span_decontaminate", "leakage_safe_split",
     "fuzzy_join_trigram", "entity_resolution", "edit_distance_join",
     "funnel_levels", "cohort_retention",
+    "active_users_window", "top_session_paths",
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
@@ -3491,7 +3511,6 @@ _DRIVER_WINDOW = [
     "kubernetes_enrich", "loki_push_shape", "mix_temperature",
     "ml_inference_mlp", "ml_inference_scores", "msgpack_roundtrip",
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
-    "pii_redaction", "prom_exposition",
 ]
 
 
@@ -3590,6 +3609,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_join": edit_distance_join_q,
         "funnel_levels": funnel_levels_q,
         "cohort_retention": cohort_retention_q,
+        "active_users_window": active_users_window_q,
+        "top_session_paths": top_session_paths_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5320,6 +5341,37 @@ def oracle_sql() -> dict[str, str]:
         "CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset, "
         "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users "
         "FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2"
+    )
+    # active_users_window: date-range-join replay of the explode form
+    sql["active_users_window"] = (
+        "WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+        "days AS (SELECT DISTINCT d FROM a) "
+        "SELECT strftime(days.d, '%Y-%m-%d') AS window_end, "
+        "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users "
+        "FROM days JOIN a ON a.d BETWEEN days.d - 6 AND days.d "
+        "GROUP BY 1"
+    )
+    # top_session_paths: identical lag/running-sum sessionization in
+    # DuckDB window functions (ROWS vs Spark's RANGE running sum agree
+    # because tied (ts,type) peers always carry a 0 new-session flag)
+    sql["top_session_paths"] = (
+        "WITH s AS (SELECT user_id, ts, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+        "THEN 1 ELSE 0 END AS nw FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)), "
+        "s2 AS (SELECT user_id, ts, event_type, "
+        "SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_type "
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
+        "s3 AS (SELECT user_id, ts, event_type, sess, "
+        "row_number() OVER (PARTITION BY user_id, sess "
+        "ORDER BY ts, event_type) AS rn FROM s2), "
+        "pp AS (SELECT user_id, sess, "
+        "string_agg(event_type, '>' ORDER BY ts, event_type) AS path "
+        "FROM s3 WHERE rn <= 5 GROUP BY user_id, sess), "
+        "c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions "
+        "FROM pp GROUP BY path) "
+        "SELECT path, sessions FROM c ORDER BY sessions DESC, path ASC LIMIT 20"
     )
     # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
     # closure; entity_id = min reachable id, singletons map to themselves

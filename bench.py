@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "edit_distance_join",
     "funnel_levels",
     "cohort_retention",
+    "active_users_window",
+    "top_session_paths",
     "pipeline_e2e",
 ]
 

@@ -100,6 +100,106 @@ def funnel_levels(
     )
 
 
+def active_users_window(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(window_end, active_users): distinct users active in the
+    ``window_days`` ending on each activity day (rolling WAU/MAU).
+
+    Shape: dedup to (user, day) once, explode each activity day to the
+    window ends it contributes to (x window_days — tiny fixed fan-out),
+    then one distinct-count shuffle keyed by window end. No per-day
+    self-join, no range join; at 100 TB the (user, day) dedup is the
+    only corpus-sized shuffle. Window ends are restricted to observed
+    activity days so the output domain is data-defined."""
+    d = F.to_date(F.col(ts_col))
+    act = events.select(F.col(user_col).alias("__u"), d.alias("__d")).distinct()
+    days = act.select("__d").distinct()
+    ends = act.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+            )
+        ).alias("__end"),
+    )
+    return (
+        ends.join(days.withColumnRenamed("__d", "__end"), "__end")
+        .groupBy(F.date_format("__end", "yyyy-MM-dd").alias("window_end"))
+        .agg(F.countDistinct("__u").alias("active_users"))
+    )
+
+
+def top_session_paths(
+    events: DataFrame,
+    gap: float = 1800.0,
+    max_steps: int = 5,
+    k: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(path, sessions): the k most common session-opening event-type
+    paths. Sessions split on gaps > ``gap`` seconds per user; a
+    session's path is its first ``max_steps`` event types joined with
+    '>'. Deterministic: events ordered by (ts, event_id)-free (ts,
+    type) within a user — callers with same-ts different-type events
+    get lexicographic tie-break; top-k ties break on path ascending.
+
+    One user-keyed window pass for sessionization (lag + running sum),
+    one session-keyed aggregation, one small top-k — the standard
+    sessionized-path plan; no per-session Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    sess = (
+        events.select(user_col, ts_col, type_col)
+        .withColumn("__prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("__prev"))
+                    > int(gap * 1_000_000)
+                )
+            ).cast("long"),
+        )
+        .withColumn("__sess", F.sum("__new").over(w))
+    )
+    paths = (
+        sess.groupBy(user_col, "__sess")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.unix_micros(F.col(ts_col)).alias("t"),
+                                    F.col(type_col).alias("e"),
+                                )
+                            )
+                        ),
+                        lambda s: s["e"],
+                    ),
+                    1,
+                    max_steps,
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("sessions"))
+    )
+    return paths.orderBy(F.desc("sessions"), F.asc("path")).limit(k)
+
+
 def cohort_retention(
     events: DataFrame,
     ts_col: str = "ts",

@@ -2179,3 +2179,35 @@ def test_funnel_levels_semantics(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0, 6: 2, 7: 3}, got
+
+
+def test_active_users_window_and_paths(spark):
+    """Rolling active-user window vs hand-computed expectations, and
+    session-path extraction (gap split, step cap, count ordering)."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.funnel import (
+        active_users_window,
+        top_session_paths,
+    )
+
+    T0 = dt.datetime(2024, 3, 1)
+
+    def ev(u, day, sec, typ="view"):
+        return (u, T0 + dt.timedelta(days=day, seconds=sec), typ)
+
+    rows = [
+        ev(1, 0, 0), ev(1, 0, 10, "click"),          # u1 day0: one session view>click
+        ev(1, 0, 10_000, "purchase"),                # gap > 30min -> new session
+        ev(2, 0, 50), ev(2, 3, 0),                   # u2 active day0 and day3
+        ev(3, 9, 0),                                 # u3 only day9
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+    au = {r.window_end: r.active_users for r in active_users_window(df, 7).collect()}
+    # observed activity days: 0, 3, 9
+    assert au == {"2024-03-01": 2, "2024-03-04": 2, "2024-03-10": 2}, au
+    # day3 window covers day0 (u1,u2); day9 window covers day3 (u2) + day9 (u3)
+
+    paths = {r.path: r.sessions for r in top_session_paths(df, gap=1800, max_steps=5, k=10).collect()}
+    assert paths == {"view>click": 1, "purchase": 1, "view": 3}, paths
