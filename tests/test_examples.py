@@ -200,3 +200,25 @@ def test_training_prep_pipeline_example(spark, tmp_path):
         ).encode()
     ).hexdigest()
     assert digest == "7968e05c7f763126b86392a813551689", (len(pdf), digest)
+
+
+def test_event_analytics_example(spark):
+    """The shipped event-analytics example must keep running and its
+    invariants must hold: funnel levels partition the user base
+    monotonically, every user belongs to a day-0 cohort slot, WAU is
+    within the user count, paths are non-empty."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import event_analytics
+
+    out = event_analytics.run(spark, "/root/testdata/sf0.001")
+    n_users = sum(out["funnel"].values())
+    assert n_users > 0
+    assert set(out["funnel"]) <= {0, 1, 2, 3}
+    assert out["day0_users"] == n_users      # every user sits in their cohort's day 0
+    assert 0 < out["wau_min"] <= out["wau_max"] <= n_users
+    assert out["top_paths"] and all(p for p, _ in out["top_paths"])
+    counts = [n for _, n in out["top_paths"]]
+    assert counts == sorted(counts, reverse=True)
