@@ -2699,6 +2699,24 @@ def top_session_paths_q(spark, sf_dir):
     return top_session_paths(_events(spark, sf_dir), gap=1800, max_steps=5, k=20)
 
 
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix between event types within
+    30-min gap sessions, with per-src probabilities. Oracle replays the
+    identical sessionization windows + lag + count + ratio."""
+    from fluent_bit_spark.extensions.funnel import event_transitions
+
+    return event_transitions(_events(spark, sf_dir), gap=1800)
+
+
+def rfm_segments_q(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary metrics +
+    deterministic ntile(5) scores (user-id tie-break). Oracle replays
+    the aggregates and the same ntile windows in DuckDB."""
+    from fluent_bit_spark.extensions.funnel import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir))
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3498,6 +3516,7 @@ _DRIVER_WINDOW = [
     "fuzzy_join_trigram", "entity_resolution", "edit_distance_join",
     "funnel_levels", "cohort_retention",
     "active_users_window", "top_session_paths",
+    "event_transitions", "rfm_segments",
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
@@ -3510,7 +3529,7 @@ _DRIVER_WINDOW = [
     "influxdb_lines", "join_q5_region", "kafka_messages",
     "kubernetes_enrich", "loki_push_shape", "mix_temperature",
     "ml_inference_mlp", "ml_inference_scores", "msgpack_roundtrip",
-    "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
+    "multimodal_headers",
 ]
 
 
@@ -3611,6 +3630,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": cohort_retention_q,
         "active_users_window": active_users_window_q,
         "top_session_paths": top_session_paths_q,
+        "event_transitions": event_transitions_q,
+        "rfm_segments": rfm_segments_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5372,6 +5393,44 @@ def oracle_sql() -> dict[str, str]:
         "c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions "
         "FROM pp GROUP BY path) "
         "SELECT path, sessions FROM c ORDER BY sessions DESC, path ASC LIMIT 20"
+    )
+    # event_transitions: same sessionization + lag replay; prob via a
+    # per-src window sum ratio
+    sql["event_transitions"] = (
+        "WITH s AS (SELECT user_id, ts, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+        "THEN 1 ELSE 0 END AS nw FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)), "
+        "s2 AS (SELECT user_id, ts, event_type, "
+        "SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_type "
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
+        "s3 AS (SELECT event_type AS dst, "
+        "lag(event_type) OVER (PARTITION BY user_id, sess "
+        "ORDER BY ts, event_type) AS src FROM s2), "
+        "c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS transitions "
+        "FROM s3 WHERE src IS NOT NULL GROUP BY src, dst) "
+        "SELECT src, dst, transitions, "
+        "CAST(transitions AS DOUBLE) / SUM(transitions) OVER (PARTITION BY src) "
+        "AS prob FROM c"
+    )
+    # rfm_segments: aggregate + identical deterministic ntile windows
+    sql["rfm_segments"] = (
+        "WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d, "
+        "CAST(COUNT(*) AS BIGINT) AS frequency, "
+        "COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0) "
+        "AS monetary FROM events GROUP BY user_id), "
+        "mx AS (SELECT max(last_d) AS m FROM pu) "
+        "SELECT pu.user_id, "
+        "CAST(date_diff('day', pu.last_d, mx.m) AS INT) AS recency_days, "
+        "pu.frequency, pu.monetary, "
+        "CAST(ntile(5) OVER (ORDER BY date_diff('day', pu.last_d, mx.m) ASC, "
+        "pu.user_id ASC) AS INT) AS r, "
+        "CAST(ntile(5) OVER (ORDER BY pu.frequency DESC, pu.user_id ASC) "
+        "AS INT) AS f, "
+        "CAST(ntile(5) OVER (ORDER BY pu.monetary DESC, pu.user_id ASC) "
+        "AS INT) AS m "
+        "FROM pu, mx"
     )
     # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
     # closure; entity_id = min reachable id, singletons map to themselves

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "active_users_window",
     "top_session_paths",
+    "event_transitions",
+    "rfm_segments",
     "pipeline_e2e",
 ]
 

@@ -200,6 +200,114 @@ def top_session_paths(
     return paths.orderBy(F.desc("sessions"), F.asc("path")).limit(k)
 
 
+def event_transitions(
+    events: DataFrame,
+    gap: float = 1800.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(src, dst, transitions, prob): first-order Markov transition
+    counts between consecutive event types WITHIN a session (gap
+    sessionization as in top_session_paths), with per-src probability.
+    One user-keyed window pass + one (src, dst) count shuffle; the
+    per-src normalizer is a window sum, not a second aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    sess = (
+        events.select(user_col, ts_col, type_col)
+        .withColumn("__prev_ts", F.lag(ts_col).over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("__prev_ts"))
+                    > int(gap * 1_000_000)
+                )
+            ).cast("long"),
+        )
+        .withColumn("__sess", F.sum("__new").over(w))
+        .withColumn(
+            "__src",
+            F.lag(type_col).over(
+                Window.partitionBy(user_col, "__sess").orderBy(ts_col, type_col)
+            ),
+        )
+        .where(F.col("__src").isNotNull())
+    )
+    counts = sess.groupBy(
+        F.col("__src").alias("src"), F.col(type_col).alias("dst")
+    ).agg(F.count(F.lit(1)).alias("transitions"))
+    total = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "transitions",
+        (
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(total)
+        ).alias("prob"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    value_type: str = "purchase",
+    n_tiles: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(user, recency_days, frequency, monetary, r, f, m): classic RFM
+    segmentation. Recency = days since the user's last event relative
+    to the corpus max date; frequency = event count; monetary = summed
+    ``value_col`` over ``value_type`` events (0 if none). Scores are
+    ntile(n) buckets — recency ascending (1 = most recent), frequency
+    and monetary descending (1 = best) — with user id as the
+    deterministic tie-break, so the DuckDB replay is exact. The corpus
+    max date is the one driver scalar.
+
+    Scale note: the three global ntile windows single-task-sort the
+    PER-USER aggregate (one row per user), fine to ~10^8 users; beyond
+    that swap ntile for boundary assignment on percentile cuts (the
+    two-driver-scalar pattern ccnet_buckets uses) at the cost of
+    exact-tile-size ties."""
+    from pyspark.sql import Window
+
+    d = F.to_date(F.col(ts_col))
+    per_user = events.groupBy(user_col).agg(
+        F.max(d).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(F.col(type_col) == value_type, F.col(value_col))),
+            F.lit(0.0),
+        ).alias("monetary"),
+    )
+    max_d = per_user.agg(F.max("__last")).collect()[0][0]
+    per_user = per_user.withColumn(
+        "recency_days", F.datediff(F.lit(max_d), F.col("__last"))
+    )
+    return per_user.select(
+        user_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc(user_col)))
+        .alias("r"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.desc("frequency"), F.asc(user_col)))
+        .alias("f"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.desc("monetary"), F.asc(user_col)))
+        .alias("m"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     ts_col: str = "ts",

@@ -2211,3 +2211,38 @@ def test_active_users_window_and_paths(spark):
 
     paths = {r.path: r.sessions for r in top_session_paths(df, gap=1800, max_steps=5, k=10).collect()}
     assert paths == {"view>click": 1, "purchase": 1, "view": 3}, paths
+
+
+def test_event_transitions_and_rfm(spark):
+    """Transition matrix vs hand-derived counts (session boundary cuts
+    the chain) and RFM scores on a corpus with known order."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.funnel import event_transitions, rfm_segments
+
+    T0 = dt.datetime(2024, 5, 1)
+
+    def ev(u, sec, typ, val=0.0):
+        return (u, T0 + dt.timedelta(seconds=sec), typ, val)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "view"),
+        ev(1, 10_000, "view"), ev(1, 10_010, "click"),   # new session: no view->view link across gap
+        ev(2, 0, "view"), ev(2, 5, "purchase", 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+
+    tr = {(r.src, r.dst): (r.transitions, r.prob) for r in event_transitions(df, gap=1800).collect()}
+    assert tr[("view", "click")][0] == 2
+    assert tr[("click", "view")][0] == 1
+    assert tr[("view", "purchase")][0] == 1
+    assert ("view", "view") not in tr          # gap cut the chain
+    assert abs(tr[("view", "click")][1] - 2 / 3) < 1e-12
+    assert abs(sum(p for (_, _), (_, p) in [(k, v) for k, v in tr.items() if k[0] == "view"]) - 1.0) < 1e-12
+
+    rfm = {r.user_id: r for r in rfm_segments(df, n_tiles=2).collect()}
+    assert rfm[1].frequency == 5 and rfm[2].frequency == 2
+    assert rfm[1].monetary == 0.0 and rfm[2].monetary == 100.0
+    assert rfm[1].recency_days == 0 and rfm[2].recency_days == 0
+    assert rfm[1].f == 1 and rfm[2].f == 2     # freq desc: u1 best
+    assert rfm[2].m == 1 and rfm[1].m == 2     # monetary desc: u2 best
