@@ -8,6 +8,8 @@ engine's event operators:
   2. cohort retention  first-seen date x day offset distinct users
   3. rolling WAU       7-day active-user windows, explode form
   4. top paths         30-min gap sessions, top session-opening paths
+  5. transitions       within-session Markov matrix (per-src prob)
+  6. RFM               recency/frequency/monetary quintile scores
 
 Usage: python examples/event_analytics.py [sf_dir]
 Prints the funnel conversion table, retention summary, WAU range, and
@@ -27,7 +29,9 @@ def run(spark, sf_dir: str) -> dict:
     from fluent_bit_spark.extensions.funnel import (
         active_users_window,
         cohort_retention,
+        event_transitions,
         funnel_levels,
+        rfm_segments,
         top_session_paths,
     )
     from fluent_bit_spark.model import load_table
@@ -61,6 +65,21 @@ def run(spark, sf_dir: str) -> dict:
         (r["path"], int(r["sessions"]))
         for r in top_session_paths(ev, gap=1800, max_steps=5, k=5).collect()
     ]
+
+    tr = event_transitions(ev, gap=1800)
+    out["prob_mass_ok"] = all(
+        abs(p - 1.0) < 1e-9
+        for p in (
+            r["s"]
+            for r in tr.groupBy("src").agg(F.sum("prob").alias("s")).collect()
+        )
+    )
+
+    rfm = rfm_segments(ev)
+    out["rfm_champions"] = rfm.where(
+        (F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1)
+    ).count()
+    out["rfm_users"] = rfm.count()
     return out
 
 
@@ -81,6 +100,8 @@ def main() -> None:
     print("top session paths:")
     for p, n in out["top_paths"]:
         print(f"  {n:6d}  {p}")
+    print(f"transition rows normalize: {out['prob_mass_ok']}")
+    print(f"RFM champions (1/1/1): {out['rfm_champions']}/{out['rfm_users']} users")
 
 
 if __name__ == "__main__":

@@ -222,3 +222,5 @@ def test_event_analytics_example(spark):
     assert out["top_paths"] and all(p for p, _ in out["top_paths"])
     counts = [n for _, n in out["top_paths"]]
     assert counts == sorted(counts, reverse=True)
+    assert out["prob_mass_ok"]                   # every src's probs sum to 1
+    assert 0 <= out["rfm_champions"] <= out["rfm_users"] == n_users
