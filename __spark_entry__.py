@@ -2717,6 +2717,28 @@ def rfm_segments_q(spark, sf_dir):
     return rfm_segments(_events(spark, sf_dir))
 
 
+def session_summaries_q(spark, sf_dir):
+    """First-class session table (30-min gap): per-session start,
+    duration, event count, distinct types. Oracle replays the identical
+    sessionization windows + aggregation."""
+    from fluent_bit_spark.extensions.funnel import session_summaries
+
+    return session_summaries(_events(spark, sf_dir), gap=1800)
+
+
+def experiment_stats_q(spark, sf_dir):
+    """A/B conversion stats with a deterministic assignment (variant =
+    user_id % 2 stands in for the experiment's bucketing): per-variant
+    users/converters/rate + pooled two-proportion z vs the control
+    (lowest variant). Oracle replays the closed form."""
+    from fluent_bit_spark.extensions.funnel import experiment_stats
+
+    ev = _events(spark, sf_dir).withColumn(
+        "variant", (F.col("user_id") % 2).cast("int")
+    )
+    return experiment_stats(ev, target="purchase")
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3517,6 +3539,7 @@ _DRIVER_WINDOW = [
     "funnel_levels", "cohort_retention",
     "active_users_window", "top_session_paths",
     "event_transitions", "rfm_segments",
+    "session_summaries", "experiment_stats",
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
@@ -3528,8 +3551,7 @@ _DRIVER_WINDOW = [
     "forward_wire_roundtrip", "geoip_enrich", "http_body", "http_requests",
     "influxdb_lines", "join_q5_region", "kafka_messages",
     "kubernetes_enrich", "loki_push_shape", "mix_temperature",
-    "ml_inference_mlp", "ml_inference_scores", "msgpack_roundtrip",
-    "multimodal_headers",
+    "ml_inference_mlp", "ml_inference_scores",
 ]
 
 
@@ -3632,6 +3654,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_session_paths": top_session_paths_q,
         "event_transitions": event_transitions_q,
         "rfm_segments": rfm_segments_q,
+        "session_summaries": session_summaries_q,
+        "experiment_stats": experiment_stats_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5431,6 +5455,42 @@ def oracle_sql() -> dict[str, str]:
         "CAST(ntile(5) OVER (ORDER BY pu.monetary DESC, pu.user_id ASC) "
         "AS INT) AS m "
         "FROM pu, mx"
+    )
+    # session_summaries: identical sessionization replay + aggregation
+    sql["session_summaries"] = (
+        "WITH s AS (SELECT user_id, ts, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+        "THEN 1 ELSE 0 END AS nw FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)), "
+        "s2 AS (SELECT user_id, ts, event_type, "
+        "CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_type "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM s) "
+        "SELECT user_id, sess AS session, min(ts) AS session_start, "
+        "(epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types "
+        "FROM s2 GROUP BY user_id, sess"
+    )
+    # experiment_stats: closed-form two-proportion z replay
+    sql["experiment_stats"] = (
+        "WITH pu AS (SELECT user_id % 2 AS variant, user_id, "
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv "
+        "FROM events GROUP BY 1, 2), "
+        "pv AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS users, "
+        "CAST(SUM(conv) AS BIGINT) AS converters FROM pu GROUP BY variant), "
+        "c AS (SELECT users AS cu, converters AS cc FROM pv "
+        "ORDER BY variant LIMIT 1) "
+        "SELECT pv.variant, pv.users, pv.converters, "
+        "pv.converters / pv.users AS conv_rate, "
+        "CASE WHEN sqrt(((pv.converters + c.cc) / (pv.users + c.cu)) * "
+        "(1 - (pv.converters + c.cc) / (pv.users + c.cu)) * "
+        "(1 / pv.users + 1 / c.cu)) > 0 THEN "
+        "((pv.converters / pv.users) - (c.cc / c.cu)) / "
+        "sqrt(((pv.converters + c.cc) / (pv.users + c.cu)) * "
+        "(1 - (pv.converters + c.cc) / (pv.users + c.cu)) * "
+        "(1 / pv.users + 1 / c.cu)) ELSE 0.0 END AS z_vs_baseline "
+        "FROM pv, c"
     )
     # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
     # closure; entity_id = min reachable id, singletons map to themselves

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "top_session_paths",
     "event_transitions",
     "rfm_segments",
+    "session_summaries",
+    "experiment_stats",
     "pipeline_e2e",
 ]
 

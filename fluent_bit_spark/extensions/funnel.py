@@ -308,6 +308,92 @@ def rfm_segments(
     )
 
 
+def session_summaries(
+    events: DataFrame,
+    gap: float = 1800.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, session, session_start, duration_s, n_events,
+    n_event_types): one row per gap-delimited session — the base table
+    the other journey operators implicitly build. Same lag/running-sum
+    sessionization, then one (user, session)-keyed aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    sess = (
+        events.select(user_col, ts_col, type_col)
+        .withColumn("__prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("__prev"))
+                    > int(gap * 1_000_000)
+                )
+            ).cast("long"),
+        )
+        .withColumn("__sess", F.sum("__new").over(w))
+    )
+    return sess.groupBy(
+        F.col(user_col), F.col("__sess").alias("session")
+    ).agg(
+        F.min(ts_col).alias("session_start"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / F.lit(1_000_000.0)
+        ).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(type_col).alias("n_event_types"),
+    )
+
+
+def experiment_stats(
+    events: DataFrame,
+    target: str = "purchase",
+    variant_col: str = "variant",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(variant, users, converters, conv_rate, z_vs_baseline): per-
+    variant conversion to ``target`` plus the two-proportion pooled
+    z-statistic against the LOWEST variant value (the control). The
+    input must already carry ``variant_col`` (however the experiment
+    assigns it). Two tiny aggregations + a broadcast of the one-row
+    control stats — nothing corpus-sized past the first groupBy."""
+    per_user = events.groupBy(variant_col, user_col).agg(
+        F.max((F.col(type_col) == target).cast("int")).alias("__conv")
+    )
+    per_var = per_user.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("__conv").cast("long").alias("converters"),
+    )
+    ctrl = per_var.orderBy(variant_col).limit(1).select(
+        F.col("users").alias("__cu"), F.col("converters").alias("__cc")
+    )
+    joined = per_var.crossJoin(F.broadcast(ctrl))
+    p = F.col("converters") / F.col("users")
+    p0 = F.col("__cc") / F.col("__cu")
+    pool = (F.col("converters") + F.col("__cc")) / (
+        F.col("users") + F.col("__cu")
+    )
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("users") + 1 / F.col("__cu"))
+    )
+    return joined.select(
+        variant_col,
+        "users",
+        "converters",
+        p.alias("conv_rate"),
+        F.when(se > 0, (p - p0) / se).otherwise(F.lit(0.0)).alias(
+            "z_vs_baseline"
+        ),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     ts_col: str = "ts",

@@ -2246,3 +2246,51 @@ def test_event_transitions_and_rfm(spark):
     assert rfm[1].recency_days == 0 and rfm[2].recency_days == 0
     assert rfm[1].f == 1 and rfm[2].f == 2     # freq desc: u1 best
     assert rfm[2].m == 1 and rfm[1].m == 2     # monetary desc: u2 best
+
+
+def test_session_summaries_and_experiment_stats(spark):
+    """Session table vs hand expectations; A/B stats vs a closed-form
+    Python calculation."""
+    import datetime as dt
+    import math
+
+    from fluent_bit_spark.extensions.funnel import (
+        experiment_stats,
+        session_summaries,
+    )
+
+    T0 = dt.datetime(2024, 6, 1)
+
+    def ev(u, sec, typ):
+        return (u, T0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 30, "click"), ev(1, 60, "view"),
+        ev(1, 10_000, "purchase"),            # second session
+        ev(2, 0, "view"),                     # single-event session
+        ev(3, 0, "view"), ev(3, 5, "purchase"),
+        ev(4, 0, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+    ss = {(r.user_id, r.session): r for r in session_summaries(df, gap=1800).collect()}
+    assert len(ss) == 5
+    s11 = ss[(1, 1)]
+    assert s11.n_events == 3 and s11.n_event_types == 2 and s11.duration_s == 60.0
+    assert ss[(1, 2)].n_events == 1 and ss[(1, 2)].duration_s == 0.0
+    assert ss[(2, 1)].n_events == 1
+
+    # variants: 0 -> users {2,4} conv 0/2; 1 -> users {1,3} conv 2/2
+    ab = {
+        r.variant: r
+        for r in experiment_stats(
+            df.withColumn("variant", (df.user_id % 2).cast("int")),
+            target="purchase",
+        ).collect()
+    }
+    assert ab[0].users == 2 and ab[0].converters == 0 and ab[0].conv_rate == 0.0
+    assert ab[1].users == 2 and ab[1].converters == 2 and ab[1].conv_rate == 1.0
+    assert ab[0].z_vs_baseline == 0.0
+    pool = 2 / 4
+    z = (1.0 - 0.0) / math.sqrt(pool * (1 - pool) * (1 / 2 + 1 / 2))
+    assert abs(ab[1].z_vs_baseline - z) < 1e-12
