@@ -2739,6 +2739,42 @@ def experiment_stats_q(spark, sf_dir):
     return experiment_stats(ev, target="purchase")
 
 
+def log_templates_q(spark, sf_dir):
+    """Log template discovery (simplified Drain) over synthesized log
+    lines with three known shapes: the miner must recover exactly the
+    three templates with correct wildcard positions and supports. The
+    oracle builds the same lines and replays the mining with
+    generate_subscripts/unnest + per-position distinct counts."""
+    from fluent_bit_spark.extensions.logmine import log_templates
+
+    ev = _events(spark, sf_dir)
+    msg = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat_ws(
+                " ",
+                F.lit("user"), F.col("user_id"),
+                F.lit("purchased item"), F.col("event_id"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.concat_ws(
+                " ",
+                F.lit("error"), F.col("event_id"),
+                F.lit("reported by user"), F.col("user_id"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ", F.lit("user"), F.col("user_id"),
+                F.lit("did"), F.col("event_type"),
+            )
+        )
+    )
+    return log_templates(ev.select(msg.alias("message")))
+
+
 def decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: every 37th document plays the held-out
     eval set; corpus docs sharing any distinct word 8-gram with it are
@@ -3539,7 +3575,7 @@ _DRIVER_WINDOW = [
     "funnel_levels", "cohort_retention",
     "active_users_window", "top_session_paths",
     "event_transitions", "rfm_segments",
-    "session_summaries", "experiment_stats",
+    "session_summaries", "experiment_stats", "log_templates",
     # last driver rows: round 2
     "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
     "window_rank_topk",
@@ -3551,7 +3587,7 @@ _DRIVER_WINDOW = [
     "forward_wire_roundtrip", "geoip_enrich", "http_body", "http_requests",
     "influxdb_lines", "join_q5_region", "kafka_messages",
     "kubernetes_enrich", "loki_push_shape", "mix_temperature",
-    "ml_inference_mlp", "ml_inference_scores",
+    "ml_inference_mlp",
 ]
 
 
@@ -3656,6 +3692,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": rfm_segments_q,
         "session_summaries": session_summaries_q,
         "experiment_stats": experiment_stats_q,
+        "log_templates": log_templates_q,
         "lm_bigram_quality": lm_bigram_quality_q,
         "ccnet_buckets": ccnet_buckets_q,
         "media_resize_grid": media_resize_grid_q,
@@ -5491,6 +5528,30 @@ def oracle_sql() -> dict[str, str]:
         "(1 - (pv.converters + c.cc) / (pv.users + c.cu)) * "
         "(1 / pv.users + 1 / c.cu)) ELSE 0.0 END AS z_vs_baseline "
         "FROM pv, c"
+    )
+    # log_templates: same line synthesis + full mining replay
+    sql["log_templates"] = (
+        "WITH m AS (SELECT CASE "
+        "WHEN event_type = 'purchase' THEN "
+        "'user ' || user_id || ' purchased item ' || event_id "
+        "WHEN event_type = 'error' THEN "
+        "'error ' || event_id || ' reported by user ' || user_id "
+        "ELSE 'user ' || user_id || ' did ' || event_type END AS msg "
+        "FROM events), "
+        "b AS (SELECT string_split(trim(regexp_replace(msg, '\\s+', ' ', 'g')), ' ') "
+        "AS l FROM m), "
+        "b2 AS (SELECT l, len(l) AS n, l[1] AS first FROM b "
+        "WHERE len(l) > 0 AND l[1] <> ''), "
+        "p AS (SELECT n, first, generate_subscripts(l, 1) - 1 AS pos, "
+        "unnest(l) AS tok FROM b2), "
+        "a AS (SELECT n, first, pos, COUNT(DISTINCT tok) AS d, MIN(tok) AS one "
+        "FROM p GROUP BY 1, 2, 3), "
+        "tm AS (SELECT n, first, string_agg(CASE WHEN d = 1 THEN one "
+        "ELSE '<*>' END, ' ' ORDER BY pos) AS template FROM a GROUP BY n, first), "
+        "c AS (SELECT n, first, CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM b2 GROUP BY n, first) "
+        "SELECT tm.template, c.n_lines FROM tm "
+        "JOIN c ON tm.n = c.n AND tm.first = c.first"
     )
     # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
     # closure; entity_id = min reachable id, singletons map to themselves

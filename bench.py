@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     "session_summaries",
     "experiment_stats",
+    "log_templates",
     "pipeline_e2e",
 ]
 

@@ -2294,3 +2294,23 @@ def test_session_summaries_and_experiment_stats(spark):
     pool = 2 / 4
     z = (1.0 - 0.0) / math.sqrt(pool * (1 - pool) * (1 / 2 + 1 / 2))
     assert abs(ab[1].z_vs_baseline - z) < 1e-12
+
+
+def test_log_templates_mining(spark):
+    """Template discovery: wildcard exactly the varying positions,
+    verbatim constants, correct supports, whitespace-noise tolerance."""
+    from fluent_bit_spark.extensions.logmine import log_templates
+
+    lines = (
+        [f"conn from 10.0.0.{i} port {1000 + i} accepted" for i in range(20)]
+        + [f"disk  /dev/sd{c}   almost full" for c in "abc"]  # messy spacing
+        + ["heartbeat ok"] * 5
+        + [""]  # dropped
+    )
+    df = spark.createDataFrame([(s,) for s in lines], ["message"])
+    got = {r.template: r.n_lines for r in log_templates(df).collect()}
+    assert got == {
+        "conn from <*> port <*> accepted": 20,
+        "disk <*> almost full": 3,
+        "heartbeat ok": 5,
+    }, got
