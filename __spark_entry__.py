@@ -1662,9 +1662,13 @@ def pack_ffd_q(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.count_distinct(F.col("p")).cast("long").alias("n_d"),
     ).collect()[0]
-    import math
-
-    bound = (11 / 9) * math.ceil((exp["total"] or 0) / L) + (11 / 9 + 1) * G
+    # SOUND waste bound (the 11/9 FFD guarantee is over OPT, which the
+    # output can't witness — substituting the volume lower bound for OPT
+    # false-fails when docs just over L/2 dominate). First-fit invariant:
+    # no two bins in a group both end <= L/2 full, so at most G bins are
+    # <= half full and the rest each hold > L/2 tokens:
+    #   n_seqs < 2*total/L + G ; and trivially n_seqs <= n_pieces.
+    bound = min(2 * (exp["total"] or 0) / L + G, float(exp["n_pieces"] or 0))
     rows = [
         ("no_overflow", bool(got["no_overflow"]), None),
         ("doc_pieces_once", pc["n"] == pc["n_d"] == exp["n_pieces"], int(exp["n_pieces"])),

@@ -228,9 +228,15 @@ def main() -> None:
     # from a co-tenant VM lasts seconds, so two back-to-back attempts of the
     # same query both eat it — attempts ~30s apart (one full pass) don't.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
+    names = [q for q in BENCH_QUERIES if not only or q in only]
     timings: dict[str, float] = {}
     for _ in range(runs):
-        for name in BENCH_QUERIES:
+        for name in names:
             fn = BENCH_FORMS.get(name, qs.get(name))
             t0 = time.perf_counter()
             if name == "pipeline_e2e":
@@ -255,5 +261,21 @@ def main() -> None:
     )
 
 
+_USAGE = """\
+usage: python bench.py
+
+Runs the full headline-query suite (no positional arguments; any flag,
+including --help, prints this and exits). Configuration is via env vars:
+  SPARK_GRAFT_SF_DIR      parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[] cores (default 32)
+  SPARK_GRAFT_BENCH_RUNS  passes, per-query min kept (default 2)
+  SPARK_GRAFT_BENCH_ONLY  comma-separated query-name allowlist
+Prints ONE JSON line: {"metric": ..., "value": sec, "queries": {...}}.
+"""
+
 if __name__ == "__main__":
+    # an unknown arg must not silently launch a multi-minute suite run
+    if len(sys.argv) > 1:
+        print(_USAGE, end="")
+        sys.exit(0 if sys.argv[1] in ("-h", "--help") else 2)
     main()

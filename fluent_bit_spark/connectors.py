@@ -397,12 +397,22 @@ def with_request_batches(
     constant-sized and lets request count (and the decode fan-out) scale
     with rows instead — the same discipline as the reference's ~2 MB
     chunk flush (src/flb_input_chunk.c:3344). Exact request sizes need a
-    dense id; with sparse ids the bound still holds as a maximum."""
+    dense id; with sparse ids the bound still holds as a maximum. The
+    batch key is integer FLOOR division (``div`` corrected for negative
+    remainders), not float division: floats lose precision above 2^53 so
+    boundaries drift, and truncation toward zero would merge the ids on
+    either side of 0 into one double-sized batch — floor keeps the
+    records-per-batch bound exact over the full long range."""
     if records_per_request < 1:
         raise ValueError("records_per_request must be >= 1")
     parts = [F.col(c).cast("string") for c in (group_cols or [])]
+    n = int(records_per_request)
+    iid = f"cast(`{id_col}` as bigint)"
     parts.append(
-        (F.col(id_col) / records_per_request).cast("long").cast("string")
+        F.expr(
+            f"cast(({iid} div {n}) - (case when {iid} % {n} < 0 then 1 else 0 end)"
+            " as string)"
+        )
     )
     return df.withColumn(out_col, F.concat_ws(":", *parts))
 

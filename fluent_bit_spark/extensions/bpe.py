@@ -336,9 +336,15 @@ def pack_sequences_ffd(
     pick num_groups to bound task memory (at 100 TB: thousands; the
     groups are embarrassingly parallel).
     Waste bound: FFD within each group uses at most 11/9 x that group's
-    optimal bins + 1, so globally
-    n_seqs <= 11/9 * ceil(total_tokens/seq_len) + (11/9 + 1) * num_groups
-    — an oracle-checkable invariant.
+    OPTIMAL bin count + 6/9 (the classic FFD guarantee) — but OPT is not
+    checkable from the output, and the volume lower bound
+    ceil(tokens/seq_len) under-estimates OPT whenever docs just over
+    seq_len/2 dominate, so it must NOT be substituted in. The
+    oracle-checkable invariant is the first-fit half-full property: no
+    two bins in a group can both end <= seq_len/2 full (the later bin's
+    items, all <= seq_len/2, would have fitted in the earlier), hence
+    n_seqs <= 2 * total_tokens / seq_len + num_groups   (and trivially
+    n_seqs <= n_pieces).
 
     Returns (seq_id string, doc_ids array, tokens array, n_tokens,
     n_docs), one row per packed sequence.

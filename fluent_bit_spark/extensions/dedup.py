@@ -374,15 +374,23 @@ def _try_read_parquet(spark, path: str):
     """Read a parquet table, returning None when it does not exist yet
     (missing path, or a directory with no data files). Probing through
     Spark — instead of os.path — keeps remote state URIs (s3a://,
-    hdfs://) working."""
+    hdfs://) working. Only the two no-state-yet error classes map to
+    None; any OTHER AnalysisException (corrupt footer, permission,
+    schema conflict) re-raises — a dedup history that exists but cannot
+    be read must fail loudly, not silently keep every duplicate."""
     from pyspark.errors import AnalysisException
+
+    _MISSING = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
     try:
         df = spark.read.parquet(path)
         df.schema  # force analysis so a missing path fails HERE, not lazily
         return df
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        cls = getattr(e, "getErrorClass", lambda: None)() or ""
+        if cls in _MISSING or any(m in str(e) for m in _MISSING):
+            return None
+        raise
 
 
 def append_history(

@@ -140,7 +140,8 @@ def fuzzy_join_trigram(
     near-linear as the corpus grows; costs one extra df aggregation and
     a per-record rank shuffle.
 
-    ``max_gram_df``: additionally drop grams above this df from
+    ``max_gram_df``: additionally drop grams whose COMBINED document
+    frequency (left side + right side) exceeds this value from
     candidate generation — a LOSSY skew cap for adversarial corpora
     where even prefixes stay hot (e.g. near-identical keys everywhere).
     Verification stays exact, so reported similarities are always true
@@ -157,7 +158,7 @@ def fuzzy_join_trigram(
             .agg(F.count(F.lit(1)).alias("__df"))
         )
     if max_gram_df is not None:
-        hot = dfmap.where(F.col("__df") > 2 * max_gram_df).select("__gram")
+        hot = dfmap.where(F.col("__df") > max_gram_df).select("__gram")
         # broadcast anti-join: the stop-gram list is tiny by definition
         lg = lg.join(F.broadcast(hot), "__gram", "left_anti")
         rg = rg.join(F.broadcast(hot), "__gram", "left_anti")

@@ -826,6 +826,23 @@ def test_with_request_batches_bounds_request_sizes(spark):
     with pytest.raises(ValueError, match="records_per_request"):
         with_request_batches(df, 0, "id")
 
+    # negative and huge ids: floor semantics keep the bound exact — ids
+    # straddling 0 must NOT merge into one double-sized batch, and ids
+    # above 2^53 must not drift across float-division boundaries
+    wide = spark.range(-150, 150).select(F.col("id")).unionByName(
+        spark.range(3).select((F.lit(2**62) + F.col("id") * 50).alias("id"))
+    )
+    wout = with_request_batches(wide, 100, "id")
+    wsizes = {r["req_batch"]: r["count"] for r in wout.groupBy("req_batch").count().collect()}
+    assert all(c <= 100 for c in wsizes.values()), wsizes
+    # -100..-1 and 0..99 are distinct batches (floor, not truncate-to-zero)
+    b_neg = wout.filter("id = -1").select("req_batch").first()[0]
+    b_pos = wout.filter("id = 0").select("req_batch").first()[0]
+    assert b_neg != b_pos
+    # 2^62-range ids land in exact div-derived batches (no float drift):
+    # 0..149 -> 2 batches; 2^62+{0,50} share one, 2^62+100 starts another
+    assert wout.filter("id >= 0").select("req_batch").distinct().count() == 4
+
 
 def test_otlp_metrics_gauge_and_counter_shapes(spark):
     import datetime as dt

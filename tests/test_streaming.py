@@ -629,6 +629,32 @@ def test_dedup_against_history_batches(spark, tmp_path):
     assert {r.doc_id for r in kept2b.select("doc_id").collect()} == set()
 
 
+def test_dedup_history_unreadable_state_raises(spark, tmp_path):
+    """A history that EXISTS but can't be read must fail loudly — only
+    missing-path / no-data-files mean 'no state yet'. Silently treating
+    a broken table as empty state would keep every duplicate while
+    appends keep succeeding. Two cases: a corrupt footer (Py4J error
+    from the reader), and an incompatible-schema AnalysisException that
+    must NOT be swallowed by the no-state-yet probe."""
+    import pytest
+
+    from fluent_bit_spark.extensions.dedup import _try_read_parquet, dedup_against_history
+
+    bad = tmp_path / "bad_state"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    df = spark.createDataFrame([(1, "some document text here")], ["doc_id", "text"])
+    with pytest.raises(Exception) as ei:
+        dedup_against_history(df, str(bad), update_state=False).collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+    # no-state-yet cases still map to None
+    assert _try_read_parquet(spark, str(tmp_path / "never_written")) is None
+    empty = tmp_path / "empty_state"
+    empty.mkdir()
+    assert _try_read_parquet(spark, str(empty)) is None
+
+
 def test_neardup_foreach_batch_stream(spark, tmp_path):
     """The streaming wrapper end-to-end with one-file micro-batches:
     within-batch near-dups collapse, cross-batch near-dups drop against
