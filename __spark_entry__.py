@@ -2744,11 +2744,14 @@ def experiment_stats_q(spark, sf_dir):
 
 
 def log_templates_q(spark, sf_dir):
-    """Log template discovery (simplified Drain) over synthesized log
-    lines with three known shapes: the miner must recover exactly the
-    three templates with correct wildcard positions and supports. The
-    oracle builds the same lines and replays the mining with
-    generate_subscripts/unnest + per-position distinct counts."""
+    """Log template discovery (simplified Drain, two-level) over
+    synthesized log lines with three known shapes; the 'user <*> did
+    <event_type>' shape level-2-splits on the event_type position (few
+    distinct values at an early position), so the miner recovers one
+    template per event_type there plus the two wildcarded shapes. The
+    oracle builds the same lines and replays the full mining — split
+    selection included — with generate_subscripts/unnest + per-position
+    distinct counts."""
     from fluent_bit_spark.extensions.logmine import log_templates
 
     ev = _events(spark, sf_dir)
@@ -5546,16 +5549,29 @@ def oracle_sql() -> dict[str, str]:
         "AS l FROM m), "
         "b2 AS (SELECT l, len(l) AS n, l[1] AS first FROM b "
         "WHERE len(l) > 0 AND l[1] <> ''), "
+        # level-2 split: most-constant early position with 2..8 distinct
         "p AS (SELECT n, first, generate_subscripts(l, 1) - 1 AS pos, "
         "unnest(l) AS tok FROM b2), "
-        "a AS (SELECT n, first, pos, COUNT(DISTINCT tok) AS d, MIN(tok) AS one "
-        "FROM p GROUP BY 1, 2, 3), "
-        "tm AS (SELECT n, first, string_agg(CASE WHEN d = 1 THEN one "
-        "ELSE '<*>' END, ' ' ORDER BY pos) AS template FROM a GROUP BY n, first), "
-        "c AS (SELECT n, first, CAST(COUNT(*) AS BIGINT) AS n_lines "
-        "FROM b2 GROUP BY n, first) "
+        "e AS (SELECT n, first, pos, COUNT(DISTINCT tok) AS d, COUNT(*) AS c "
+        "FROM p WHERE pos BETWEEN 1 AND 4 GROUP BY 1, 2, 3), "
+        "sp AS (SELECT n, first, pos AS spos FROM ("
+        "SELECT n, first, pos, ROW_NUMBER() OVER (PARTITION BY n, first "
+        "ORDER BY d, pos) AS rn FROM e "
+        "WHERE d BETWEEN 2 AND 8 AND d * 2 <= c) WHERE rn = 1), "
+        "b3 AS (SELECT b2.l, b2.n, b2.first, "
+        "COALESCE(b2.l[sp.spos + 1], '') AS skey "
+        "FROM b2 LEFT JOIN sp ON b2.n = sp.n AND b2.first = sp.first), "
+        "p2 AS (SELECT n, first, skey, generate_subscripts(l, 1) - 1 AS pos, "
+        "unnest(l) AS tok FROM b3), "
+        "a AS (SELECT n, first, skey, pos, COUNT(DISTINCT tok) AS d, "
+        "MIN(tok) AS one FROM p2 GROUP BY 1, 2, 3, 4), "
+        "tm AS (SELECT n, first, skey, string_agg(CASE WHEN d = 1 THEN one "
+        "ELSE '<*>' END, ' ' ORDER BY pos) AS template FROM a "
+        "GROUP BY n, first, skey), "
+        "c AS (SELECT n, first, skey, CAST(COUNT(*) AS BIGINT) AS n_lines "
+        "FROM b3 GROUP BY n, first, skey) "
         "SELECT tm.template, c.n_lines FROM tm "
-        "JOIN c ON tm.n = c.n AND tm.first = c.first"
+        "JOIN c ON tm.n = c.n AND tm.first = c.first AND tm.skey = c.skey"
     )
     # entity_resolution: the fuzzy pairs feed a recursive-CTE transitive
     # closure; entity_id = min reachable id, singletons map to themselves

@@ -349,7 +349,7 @@ def dedup_against_history(
     # be s3a:// / hdfs:// in the deployment shape this operator targets,
     # where os.path checks are always False and the filter would silently
     # no-op while appends kept succeeding
-    seen = _try_read_parquet(spark, state_dir)
+    seen = _try_read_parquet(spark, history_data_dir(spark, state_dir))
     if seen is not None:
         losers = (
             bands.join(seen, ["band", "bh"], "left_semi")
@@ -393,6 +393,55 @@ def _try_read_parquet(spark, path: str):
         raise
 
 
+def _hadoop_fs(spark, uri: str):
+    """(FileSystem, Path) for any Hadoop-supported URI (file://, s3a://,
+    hdfs://, scheme-less local) via the session's Hadoop conf."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
+
+
+def _read_manifest(spark, root: str) -> str | None:
+    """Current version-dir name from ``root/MANIFEST``, or None (flat
+    legacy layout / store never compacted). The manifest is a tiny
+    single object, read byte-at-a-time through py4j."""
+    fs, p = _hadoop_fs(spark, root.rstrip("/") + "/MANIFEST")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b != -1:
+            out.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return out.decode("utf-8").strip() or None
+
+
+def _write_manifest(spark, root: str, version: str) -> None:
+    """Flip ``root/MANIFEST`` to ``version``. A single-object overwrite:
+    atomic on S3 (PUT) and effectively so on HDFS/local for the
+    between-batches contract compaction already documents."""
+    fs, p = _hadoop_fs(spark, root.rstrip("/") + "/MANIFEST")
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(version.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def history_data_dir(spark, state_dir: str) -> str:
+    """Resolve the LIVE data directory of a dedup history store: the
+    manifest-pointed version dir when ``state_dir/MANIFEST`` exists
+    (remote-compacted store), else ``state_dir`` itself (flat layout).
+    Readers and appenders both route through this, so a manifest flip
+    redirects every subsequent batch without coordination."""
+    ptr = _read_manifest(spark, state_dir)
+    return f"{state_dir.rstrip('/')}/{ptr}" if ptr else state_dir
+
+
 def append_history(
     df: DataFrame,
     state_dir: str,
@@ -411,7 +460,7 @@ def append_history(
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_buckets(sig, id_col, num_bands, sig_len=num_hashes).select(
         "band", "bh"
-    ).write.mode("append").parquet(state_dir)
+    ).write.mode("append").parquet(history_data_dir(df.sparkSession, state_dir))
 
 
 def compact_history(spark, state_dir: str) -> int:
@@ -423,20 +472,29 @@ def compact_history(spark, state_dir: str) -> int:
     safe against a concurrent reader mid-plan). Returns the compacted
     row count.
 
-    Crash safety: the live dir is renamed ASIDE first, then the compacted
-    tmp renamed into place, then the old copy deleted — at every point at
-    least one complete copy of the history exists under a readable name
-    (a crash between the two renames leaves ``state_dir + '.old'``, which
-    the next call restores automatically)."""
+    Crash safety, local path: the live dir is renamed ASIDE first, then
+    the compacted tmp renamed into place, then the old copy deleted — at
+    every point at least one complete copy of the history exists under a
+    readable name (a crash between the two renames leaves
+    ``state_dir + '.old'``, which the next call restores automatically).
+
+    Remote stores (any ``scheme://`` URI — s3a://, hdfs://, file://)
+    can't rely on atomic directory renames, so they use the
+    write-new-dir + manifest-pointer-flip layout instead: compacted rows
+    land in ``state_dir/vNNNNNN/``, then the one-object
+    ``state_dir/MANIFEST`` is flipped to the new version (atomic PUT on
+    S3), then stale versions are deleted. ``append_history`` and
+    ``dedup_against_history`` resolve the pointer on every call
+    (``history_data_dir``), so the flip redirects subsequent batches
+    without coordination; a crash at ANY point leaves the manifest on a
+    complete version (orphan next-version dirs are cleaned up by the
+    following compaction). The first remote compaction migrates a flat
+    store into this layout."""
     import os
     import shutil
 
     if "://" in state_dir:
-        raise ValueError(
-            "compact_history swaps directories via local renames; for "
-            "remote state (s3a://, hdfs://) compact by writing a new "
-            "distinct table and flipping the path your pipeline reads"
-        )
+        return _compact_history_manifest(spark, state_dir)
     base = state_dir.rstrip("/")
     tmp = base + ".compact.tmp"
     old = base + ".old"
@@ -451,6 +509,63 @@ def compact_history(spark, state_dir: str) -> int:
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old)
+    return n
+
+
+_VERSION_RE = None
+
+
+def _is_version_dir(name: str) -> bool:
+    global _VERSION_RE
+    if _VERSION_RE is None:
+        import re
+
+        _VERSION_RE = re.compile(r"^v\d{6}$")
+    return bool(_VERSION_RE.match(name))
+
+
+def _compact_history_manifest(spark, state_dir: str) -> int:
+    """Remote-store compaction: write-new-version + manifest flip (see
+    compact_history). Sequencing guarantees a complete, manifest-
+    reachable copy exists at every instant:
+
+      1. orphan version dirs (crashed prior attempts, never flipped
+         live) are deleted;
+      2. the live data (manifest-pointed dir, or the flat root on first
+         migration) is read and written DISTINCT to the next version;
+      3. the manifest flips (single-object overwrite);
+      4. stale data — older versions, and on migration the flat root's
+         top-level files — is deleted.
+    """
+    base = state_dir.rstrip("/")
+    fs, base_path = _hadoop_fs(spark, base)
+    cur = _read_manifest(spark, base)
+
+    # 1. remove never-flipped orphans so the flat-root read (migration)
+    # can't pick up their part files, and version numbering stays clean
+    if fs.exists(base_path):
+        for st in fs.listStatus(base_path):
+            name = st.getPath().getName()
+            if st.isDirectory() and _is_version_dir(name) and name != cur:
+                fs.delete(st.getPath(), True)
+
+    live = f"{base}/{cur}" if cur else base
+    nxt = f"v{(int(cur[1:]) + 1) if cur else 1:06d}"
+    distinct = spark.read.parquet(live).distinct()
+    distinct.write.mode("overwrite").parquet(f"{base}/{nxt}")
+    n = spark.read.parquet(f"{base}/{nxt}").count()
+    _write_manifest(spark, base, nxt)
+    # 4. stale cleanup: prior version, plus flat top-level files on the
+    # migration pass (a crash here is harmless — the next compaction
+    # re-runs this loop)
+    for st in fs.listStatus(base_path):
+        name = st.getPath().getName()
+        if name in (nxt, "MANIFEST"):
+            continue
+        if st.isDirectory() and _is_version_dir(name):
+            fs.delete(st.getPath(), True)
+        elif cur is None and st.isFile():
+            fs.delete(st.getPath(), False)
     return n
 
 

@@ -26,7 +26,7 @@ stream aggregates (window SQL), not cross-event user journeys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -261,6 +261,7 @@ def rfm_segments(
     user_col: str = "user_id",
     type_col: str = "event_type",
     value_col: str = "value",
+    exact_tiles: bool = True,
 ) -> DataFrame:
     """(user, recency_days, frequency, monetary, r, f, m): classic RFM
     segmentation. Recency = days since the user's last event relative
@@ -273,9 +274,14 @@ def rfm_segments(
 
     Scale note: the three global ntile windows single-task-sort the
     PER-USER aggregate (one row per user), fine to ~10^8 users; beyond
-    that swap ntile for boundary assignment on percentile cuts (the
-    two-driver-scalar pattern ccnet_buckets uses) at the cost of
-    exact-tile-size ties."""
+    that pass ``exact_tiles=False`` to swap ntile for boundary
+    assignment on distributed percentile cuts (the driver-scalar
+    pattern perplexity_buckets uses): ONE aggregate ships 3 cut arrays
+    to the driver, scoring becomes a stateless comparison — no global
+    sort anywhere, at the cost of exact-equal tile sizes when values
+    tie across a boundary (scores and bucket MEANING are unchanged;
+    monetary is rounded to 6 decimals first so the cuts replay in
+    portable SQL, the perplexity_buckets discipline)."""
     from pyspark.sql import Window
 
     d = F.to_date(F.col(ts_col))
@@ -291,20 +297,50 @@ def rfm_segments(
     per_user = per_user.withColumn(
         "recency_days", F.datediff(F.lit(max_d), F.col("__last"))
     )
+    if exact_tiles:
+        return per_user.select(
+            user_col,
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(n_tiles)
+            .over(Window.orderBy(F.asc("recency_days"), F.asc(user_col)))
+            .alias("r"),
+            F.ntile(n_tiles)
+            .over(Window.orderBy(F.desc("frequency"), F.asc(user_col)))
+            .alias("f"),
+            F.ntile(n_tiles)
+            .over(Window.orderBy(F.desc("monetary"), F.asc(user_col)))
+            .alias("m"),
+        )
+    # percentile-cut variant: 3 cut arrays in one distributed aggregate,
+    # then stateless comparisons — no global window sort
+    qs = F.array(*[F.lit(k / n_tiles) for k in range(1, n_tiles)])
+    per_user = per_user.withColumn("__mon", F.round("monetary", 6))
+    cuts = per_user.agg(
+        F.percentile(F.col("recency_days").cast("double"), qs).alias("cr"),
+        F.percentile(F.col("frequency").cast("double"), qs).alias("cf"),
+        F.percentile("__mon", qs).alias("cm"),
+    ).collect()[0]
+
+    def _bucket(col: Column, bounds: list[float], ascending: bool) -> Column:
+        # ascending: tile 1 = smallest -> 1 + #cuts strictly below value;
+        # descending: tile 1 = largest -> 1 + #cuts strictly above value
+        score = F.lit(1)
+        for b in bounds:
+            score = score + (
+                (col > F.lit(b)) if ascending else (col < F.lit(b))
+            ).cast("int")
+        return score
+
     return per_user.select(
         user_col,
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(n_tiles)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc(user_col)))
-        .alias("r"),
-        F.ntile(n_tiles)
-        .over(Window.orderBy(F.desc("frequency"), F.asc(user_col)))
-        .alias("f"),
-        F.ntile(n_tiles)
-        .over(Window.orderBy(F.desc("monetary"), F.asc(user_col)))
-        .alias("m"),
+        _bucket(F.col("recency_days").cast("double"), list(cuts["cr"] or []), True).alias("r"),
+        _bucket(F.col("frequency").cast("double"), list(cuts["cf"] or []), False).alias("f"),
+        _bucket(F.col("__mon"), list(cuts["cm"] or []), False).alias("m"),
     )
 
 

@@ -32,12 +32,142 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "alternating",
     hops_per_round: int = 2,
 ) -> DataFrame:
     """Resolve an undirected edge list into (id, component) where
     ``component`` is the minimum node id reachable from ``id``. Nodes not
     present in ``pairs`` are absent (join back with coalesce(id) for the
-    full assignment)."""
+    full assignment).
+
+    ``algorithm``:
+      * ``"alternating"`` (default) — large-star/small-star alternation
+        (Kiveris et al., "Connected Components in MapReduce and Beyond",
+        SoCC'14). Each round REWRITES the edge set toward a star forest,
+        so (a) the per-round working set shrinks as components
+        star-ify, and (b) round count is O(log n) in the worst case and
+        ~2 on the small-diameter clique/star graphs banded LSH emits —
+        label rounds shrink with component diameter instead of paying a
+        full label-table join per hop.
+      * ``"labelprop"`` — frontier hash-min label propagation
+        (O(diameter) rounds over a static edge table); kept for A/B and
+        for callers that want the bounded-hop semantics of
+        ``hops_per_round``.
+    Both converge to the identical min-reachable-id fixpoint.
+    """
+    if algorithm == "alternating":
+        return _cc_alternating(pairs, src_col, dst_col, max_iter)
+    if algorithm != "labelprop":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    return _cc_labelprop(pairs, src_col, dst_col, max_iter, hops_per_round)
+
+
+def _cc_alternating(
+    pairs: DataFrame, src_col: str, dst_col: str, max_iter: int
+) -> DataFrame:
+    """Two-phase alternating connected components (SoCC'14).
+
+    large-star: every node u attaches its strictly-LARGER neighbors to
+    the minimum of its closed neighborhood m(u) = min({u} ∪ Γ(u)).
+    small-star (on edges oriented big→small): every node u attaches its
+    (all smaller) neighbors plus itself to m(u) = min Γ(u). Both phases
+    preserve connectivity and never create cross-component edges; the
+    composition converges to a star forest whose centers are the
+    component minima.
+
+    Per-phase cost: one min-aggregate keyed by u + one join keyed by u
+    (same key — AQE reuses the exchange) + a distinct on the REWRITTEN
+    (smaller each round) edge set. No collect_list: hub nodes cost a
+    combinable min, not a materialized neighbor array. Convergence is
+    detected from (edge count, order-independent edge-hash sum) riding
+    the eager checkpoint's job via observe() — no extra probe job."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    if edges.rdd.getNumPartitions() > 4 * par:
+        edges = edges.coalesce(4 * par)
+    edges = edges.localCheckpoint(eager=True)
+    init = edges
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        # no distinct here: duplicate (v, m) rows (two neighbors of v
+        # sharing a minimum) are absorbed by small-star's min-aggregate
+        # and its final distinct — one less shuffle per round
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        dirped = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = dirped.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            dirped.join(m, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("s")
+            )
+            .select("s.u", "s.v")
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = (None, None)
+    for _ in range(max(1, max_iter)):
+        stepped = small_star(large_star(edges))
+        obs = Observation()
+        edges = stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long would ANSI-overflow on a few billion hashes
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint(eager=True)
+        cur = (obs.get["n"], obs.get["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # converged: edges are (node -> component-min) star pointers. Root
+    # nodes carry no pointer, so self-pointers for every ORIGINAL node
+    # are unioned in before the min — which also keeps the labelprop
+    # contract (one row per node in ``pairs``, minima mapping to
+    # themselves) and guards the never-observed pre-max_iter cutoff.
+    selfp = (
+        init.select(F.col("u"))
+        .unionAll(init.select(F.col("v").alias("u")))
+        .select("u", F.col("u").alias("v"))
+    )
+    return (
+        edges.unionAll(selfp)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("component"))
+    )
+
+
+def _cc_labelprop(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+    hops_per_round: int,
+) -> DataFrame:
+    """Frontier hash-min label propagation (see connected_components)."""
     # partition-explosion guard: a pairs plan built from a cartesian or
     # a many-way join can carry n x m near-empty partitions; evaluating
     # it twice (both edge directions) then costs task-launch overhead

@@ -387,6 +387,52 @@ def test_connected_components(spark):
     assert sum(1 for r in out.values() if r.is_representative) == 4  # {1},{10},{20},{99}
 
 
+def test_connected_components_alternating_vs_labelprop(spark):
+    """Large-star/small-star and frontier label propagation compute the
+    identical min-reachable-id fixpoint on an adversarial mix: a long
+    path (diameter stress), a star, a clique, binary-tree-ish merges,
+    and a seeded random graph cross-checked against plain union-find."""
+    import random
+
+    from fluent_bit_spark.extensions.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 140)]            # path, diam 40
+    edges += [(500, 500 + i) for i in range(1, 20)]          # star
+    edges += [(600 + a, 600 + b) for a in range(8) for b in range(a)]  # clique
+    edges += [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # union-find roots are join-order-dependent; normalize to component min
+    comp_min = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[r] for n, r in expected.items()}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    alt = {r.id: r.component for r in connected_components(pairs).collect()}
+    lp = {
+        r.id: r.component
+        for r in connected_components(pairs, algorithm="labelprop", max_iter=60).collect()
+    }
+    assert alt == expected
+    assert lp == expected
+
+
 def test_domain_mix(spark, docs):
     """Deterministic per-domain thinning: rates respected within hash
     granularity, stable across runs, rate 1.0 and 0.0 exact."""
@@ -2248,7 +2294,41 @@ def test_event_transitions_and_rfm(spark):
     assert rfm[2].m == 1 and rfm[1].m == 2     # monetary desc: u2 best
 
 
-def test_session_summaries_and_experiment_stats(spark):
+def test_rfm_percentile_cut_variant(spark):
+    """exact_tiles=False: percentile-boundary scoring — no global ntile
+    sort. On a corpus with well-separated per-user metrics the buckets
+    are range-correct (1 = best), monotone in the metric, and
+    near-balanced; metric VALUES equal the exact variant's."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.funnel import rfm_segments
+
+    T0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for u in range(1, 21):
+        # user u: u events on day (u % 5), purchase value 10*u
+        day = T0 + dt.timedelta(days=u % 5)
+        rows += [(u, day + dt.timedelta(seconds=s), "view", 0.0) for s in range(u)]
+        rows.append((u, day + dt.timedelta(seconds=100), "purchase", 10.0 * u))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+
+    exact = {r.user_id: r for r in rfm_segments(df, n_tiles=4).collect()}
+    pct = {r.user_id: r for r in rfm_segments(df, n_tiles=4, exact_tiles=False).collect()}
+    assert set(pct) == set(exact)
+    for u in pct:
+        p, e = pct[u], exact[u]
+        assert (p.recency_days, p.frequency, p.monetary) == (
+            e.recency_days, e.frequency, e.monetary)
+        assert 1 <= p.r <= 4 and 1 <= p.f <= 4 and 1 <= p.m <= 4
+    # monotone: higher monetary never gets a worse (higher) m score
+    su = sorted(pct.values(), key=lambda r: -r.monetary)
+    assert all(a.m <= b.m for a, b in zip(su, su[1:]))
+    # near-balanced m tiles on 20 distinct values
+    from collections import Counter
+    sizes = Counter(r.m for r in pct.values())
+    assert all(3 <= sizes[t] <= 7 for t in (1, 2, 3, 4)), sizes
+    # best/worst monetary users anchor the extremes
+    assert pct[20].m == 1 and pct[1].m == 4
     """Session table vs hand expectations; A/B stats vs a closed-form
     Python calculation."""
     import datetime as dt
@@ -2314,3 +2394,33 @@ def test_log_templates_mining(spark):
         "disk <*> almost full": 3,
         "heartbeat ok": 5,
     }, got
+
+
+def test_log_templates_level2_split(spark):
+    """Two genuinely different templates sharing (token count, first
+    token) — the case level-1 grouping over-wildcards into one
+    'conn <*> <*>' template. The level-2 split on the most-constant
+    early position (state: opened/closed) separates them; a
+    parameter-ish position (3 distinct devices over 3 lines) does NOT
+    trigger a split because it fails the 2*d <= lines support guard."""
+    from fluent_bit_spark.extensions.logmine import log_templates
+
+    lines = (
+        [f"conn host{i} opened" for i in range(10)]
+        + [f"conn host{i} closed" for i in range(10, 16)]
+        + [f"disk /dev/sd{c} full" for c in "abc"]
+    )
+    df = spark.createDataFrame([(s,) for s in lines], ["message"])
+    refined = {r.template: r.n_lines for r in log_templates(df).collect()}
+    assert refined == {
+        "conn <*> opened": 10,
+        "conn <*> closed": 6,
+        "disk <*> full": 3,
+    }, refined
+    # level 2 off: the two conn templates collapse (the over-wildcard
+    # this refinement exists to fix)
+    flat = {
+        r.template: r.n_lines
+        for r in log_templates(df, split_max_branch=0).collect()
+    }
+    assert flat == {"conn <*> <*>": 16, "disk <*> full": 3}, flat

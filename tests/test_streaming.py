@@ -746,8 +746,64 @@ def test_compact_history_crash_recovery(spark, tmp_path):
     )
     assert again.count() == 0  # membership survived the crash
 
-    with pytest.raises(ValueError, match="remote state"):
-        compact_history(spark, "s3a://bucket/state")
+
+def test_compact_history_remote_manifest_flip(spark, tmp_path):
+    """The remote-store compaction path (write-new-version + manifest
+    flip), driven through a file:// URI: migration from the flat
+    layout, pointer-routed appends and reads, repeat compaction
+    retiring old versions, and crash recovery at the
+    version-written-but-never-flipped point."""
+    import os
+
+    from fluent_bit_spark.extensions.dedup import (
+        append_history,
+        compact_history,
+        dedup_against_history,
+        history_data_dir,
+    )
+
+    local = tmp_path / "remote_st"
+    state = "file://" + str(local)
+    b = spark.createDataFrame(
+        [(1, "a document whose band hashes live behind a manifest pointer")],
+        ["doc_id", "text"],
+    )
+    append_history(b, state)
+    append_history(b, state)  # duplicates to compact away
+
+    # migration: flat root -> v000001 + MANIFEST, flat files removed
+    n = compact_history(spark, state)
+    assert (local / "MANIFEST").read_text().strip() == "v000001"
+    assert history_data_dir(spark, state).endswith("/v000001")
+    assert not [p for p in os.listdir(local) if p.endswith(".parquet")]
+    assert n == spark.read.parquet(f"{state}/v000001").distinct().count()
+
+    # pointer-routed membership + append land in the live version dir
+    dup = b.selectExpr("doc_id + 5 AS doc_id", "text")
+    assert dedup_against_history(dup, state, update_state=False).count() == 0
+    fresh = spark.createDataFrame(
+        [(9, "entirely new content never banded before in this store")],
+        ["doc_id", "text"],
+    )
+    kept = dedup_against_history(fresh, state, update_state=True)
+    assert kept.count() == 1
+
+    # second compaction: v000002 goes live, v000001 retired
+    compact_history(spark, state)
+    assert (local / "MANIFEST").read_text().strip() == "v000002"
+    assert not (local / "v000001").exists()
+    assert dedup_against_history(fresh, state, update_state=False).count() == 0
+
+    # crash simulation: next version fully written but manifest NEVER
+    # flipped -> reads stay on v000002; the following compaction cleans
+    # the orphan and flips to a fresh version with identical membership
+    spark.read.parquet(f"{state}/v000002").write.parquet(f"{state}/v000003")
+    assert history_data_dir(spark, state).endswith("/v000002")
+    compact_history(spark, state)
+    assert (local / "MANIFEST").read_text().strip() == "v000003"
+    assert not (local / "v000002").exists()
+    assert dedup_against_history(dup, state, update_state=False).count() == 0
+    assert dedup_against_history(fresh, state, update_state=False).count() == 0
 
 
 def test_bm25_empty_token_corpus_raises(spark):
