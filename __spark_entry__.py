@@ -1393,6 +1393,34 @@ def bm25_indexed_q(spark, sf_dir):
     return bm25_topk_indexed(idx, queries, k=10)
 
 
+def bm25_served_q(spark, sf_dir):
+    """The PERSISTED build-once/serve-many path end to end: build the
+    impact index, bm25_index_save it to parquet, bm25_index_load it
+    back, and serve bm25_topk_indexed from the reloaded frames — so a
+    broken save layout, a lossy meta roundtrip, or a reload that
+    silently rebuilds would all hash-fail against the same bm25_topk
+    oracle (results are provably identical to the in-memory path)."""
+    import hashlib
+    import tempfile
+
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_index, bm25_index_load, bm25_index_save, bm25_topk_indexed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8)
+        ).alias("text"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/fbs_bm25_index_{tag}"
+    bm25_index_save(bm25_index(docs, c=50), path)
+    return bm25_topk_indexed(bm25_index_load(spark, path), queries, k=10)
+
+
 def repeated_spans_q(spark, sf_dir):
     """Span-level duplication stats (distributed ExactSubstr signal, Lee
     et al. 2022): corpus = documents plus full copies of every 11th doc,
@@ -3570,31 +3598,30 @@ def flowcounter_q(spark, sf_dir):
 # round-6 additions, the 4 remaining r02-era rows, and the 38
 # alphabetically-first of the 44 r03-era rows (the 6 dropped r03 names
 # lead the round-7 rotation).
+#
+# ROUND-7 WINDOW: the 50 stalest by the same (last-passing-round, name)
+# order: bm25_served (the round-7 addition, never driver-checked) leads;
+# then the 19 remaining r03-era rows (including the 6 the r6 rotation
+# dropped: similarity_topk, splunk_hec_*, stackdriver_shape, statsd_decode,
+# syslog_3164_lines); then the 30 alphabetically-first r04-era rows.
 _DRIVER_WINDOW = [
-    # round-6 NEW queries — never driver-checked, so they outrank any
-    # already-green backfill row for a window slot (fuzzy_join_trigram /
-    # entity_resolution displaced stackdriver_shape / splunk_hec_shape,
-    # which keep their r3 green rows)
-    "bm25_indexed", "cluster_balanced", "pack_ffd",
-    "exact_substr_trim", "nb_quality_classifier", "token_budget_select",
-    "shuffle_shards", "span_decontaminate", "leakage_safe_split",
-    "fuzzy_join_trigram", "entity_resolution", "edit_distance_join",
-    "funnel_levels", "cohort_retention",
-    "active_users_window", "top_session_paths",
-    "event_transitions", "rfm_segments",
-    "session_summaries", "experiment_stats", "log_templates",
-    # last driver rows: round 2
-    "asof_last_signup", "join_q3_shipping", "pivot_status_revenue",
-    "window_rank_topk",
-    # last driver rows: round 3 (first 38 alphabetically)
-    "avro_roundtrip", "c4_clean_docs", "c4_line_filter", "cloudwatch_shape",
-    "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
-    "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
-    "es_bulk_encode", "es_bulk_roundtrip", "flowcounter_rates",
-    "forward_wire_roundtrip", "geoip_enrich", "http_body", "http_requests",
-    "influxdb_lines", "join_q5_region", "kafka_messages",
-    "kubernetes_enrich", "loki_push_shape", "mix_temperature",
-    "ml_inference_mlp",
+    "bm25_served", "ml_inference_scores", "msgpack_roundtrip",
+    "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
+    "pii_redaction", "prom_exposition", "remote_write_roundtrip",
+    "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
+    "stackdriver_shape", "statsd_decode", "syslog_3164_lines",
+    "syslog_5424_lines", "text_langid", "text_quality",
+    "text_repetition", "text_token_counts", "azure_shape",
+    "bigquery_shape", "bpe_roundtrip", "dataset_split",
+    "dedup_minhash", "dedup_simhash", "domain_cap",
+    "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
+    "gopher_quality", "grep_filter", "interval_band_join",
+    "kinesis_shape", "line_dedup", "lm_quality",
+    "logdna_shape", "modify_rules", "nats_body",
+    "nest_lift_roundtrip", "otlp_histogram_roundtrip", "otlp_metrics_roundtrip",
+    "otlp_traces_roundtrip", "plot_lines", "prom_pages_roundtrip",
+    "prom_scrape_roundtrip", "q1_pricing_summary", "record_modifier_allowlist",
+    "similarity_ivf_ann", "similarity_lsh_ann",
 ]
 
 
@@ -3679,6 +3706,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select_q,
         "bm25_topk": bm25_topk_q,
         "bm25_indexed": bm25_indexed_q,
+        "bm25_served": bm25_served_q,
         "cluster_balanced": cluster_balanced_q,
         "pack_ffd": pack_ffd_q,
         "repeated_spans": repeated_spans_q,
@@ -5345,6 +5373,9 @@ def oracle_sql() -> dict[str, str]:
     # the indexed serving path returns IDENTICAL rows to bm25_topk —
     # same end-to-end SQL replay
     sql["bm25_indexed"] = sql["bm25_topk"]
+    # bm25_served: the persisted-index serve path is provably identical
+    # to bm25_topk — same end-to-end SQL replay gates save/load/serve
+    sql["bm25_served"] = sql["bm25_topk"]
     # cluster_balanced: invariant-contract truth table (the _ann_gate
     # pattern) — cluster ids come from float Lloyd iteration, so the
     # contract rows are the oracle

@@ -402,3 +402,52 @@ def bm25_topk_indexed(
     return _indexed_topk(
         tc, kept, cutoffs, qterms, w, k, id_col, query_id_col, dense
     )
+
+
+def bm25_index_save(index: dict, path: str) -> None:
+    """Persist a bm25_index to ``path`` as four parquet tables (tc, kept,
+    cutoffs, meta) — the durable half of build-once/serve-many: the
+    builder job writes once, any number of later serving jobs
+    bm25_index_load and query without touching the corpus. All-parquet
+    (scalars ride a one-row meta table), so the layout works unchanged
+    on any Hadoop filesystem (file://, s3a://, hdfs://) and on a real
+    cluster the three frames land as the bucketed tables the in-memory
+    docstring promises."""
+    base = path.rstrip("/")
+    index["tc"].write.mode("overwrite").parquet(f"{base}/tc")
+    index["kept"].write.mode("overwrite").parquet(f"{base}/kept")
+    index["cutoffs"].write.mode("overwrite").parquet(f"{base}/cutoffs")
+    spark = index["tc"].sparkSession
+    spark.createDataFrame(
+        [
+            (
+                int(index["n_docs"]),
+                float(index["avgdl"]),
+                float(index["k1"]),
+                float(index["b"]),
+                int(index["c"]),
+                str(index["id_col"]),
+            )
+        ],
+        "n_docs long, avgdl double, k1 double, b double, c int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
+
+
+def bm25_index_load(spark, path: str) -> dict:
+    """Reload a bm25_index_save'd index. The returned frames are plain
+    parquet scans (term-pruned by predicate pushdown at serve time), so
+    a serving job's cost is the candidate join only — no corpus scan, no
+    rebuild. Drop-in wherever bm25_topk_indexed takes an index."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    return {
+        "tc": spark.read.parquet(f"{base}/tc"),
+        "kept": spark.read.parquet(f"{base}/kept"),
+        "cutoffs": spark.read.parquet(f"{base}/cutoffs"),
+        "n_docs": meta["n_docs"],
+        "avgdl": meta["avgdl"],
+        "k1": meta["k1"],
+        "b": meta["b"],
+        "c": meta["c"],
+        "id_col": meta["id_col"],
+    }

@@ -344,3 +344,111 @@ def snapshot_stream_auto(
         sdf, limit=limit, flush_value=flush_value, key=key,
         value_col=value_col, time_col=time_col,
     )
+
+
+def funnel_levels_stream(
+    sdf: DataFrame,
+    steps: list[str],
+    window: float | None = None,
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``extensions.funnel.funnel_levels``: each user's
+    progression through ``steps`` as a per-key monotone state machine
+    (state = (level, chain-anchor ts, last-step ts) — exactly the fold
+    accumulator of the batch operator), emitting an updated
+    (user, funnel_level) row whenever a batch changes the user's level
+    (and once at level 0 on first sight, so every observed user appears,
+    matching the batch contract). The LAST emitted row per user equals
+    the batch result whenever events arrive time-ordered across
+    micro-batches (within-batch disorder is sorted away; cross-batch
+    disorder is the streaming caveat, same as any in-order fold).
+
+    Reference context: fluent-bit's SP dialect is streaming-first
+    (src/stream_processor/flb_sp.c:2101 timer-flushed windows); this
+    extends the engine's event-analytics family to that shape. State is
+    three scalars per user — KB-bounded, RocksDB-ready."""
+    if not steps:
+        raise ValueError("funnel_levels_stream: steps must be non-empty")
+    k = len(steps)
+    win_us = None if window is None else int(window * 1_000_000)
+    utype = sdf.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {utype}, funnel_level int"
+    state_schema = "lvl int, t1 long, last long, seen boolean"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            lvl, t1, last, seen = state.get
+        else:
+            lvl, t1, last, seen = 0, None, None, False
+        first_sight = not seen
+        lvl0 = lvl
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for t, e in zip(pdf[ts_col], pdf[type_col]):
+                if lvl >= k or str(e) != steps[lvl]:
+                    continue
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                if lvl > 0:
+                    if last is not None and t_us <= last:
+                        continue
+                    if win_us is not None and t1 is not None and (t_us - t1) > win_us:
+                        continue
+                if lvl == 0:
+                    t1 = t_us
+                last = t_us
+                lvl += 1
+        state.update((lvl, t1, last, True))
+        if first_sight or lvl != lvl0:
+            yield pd.DataFrame({user_col: [key_tuple[0]], "funnel_level": [lvl]})
+
+    return (
+        sdf.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def session_summaries_stream(
+    sdf: DataFrame,
+    gap: float = 1800.0,
+    watermark: str = "30 minutes",
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``extensions.funnel.session_summaries`` on the
+    BUILT-IN session_window aggregate — Spark merges per-user windows
+    whose events fall within ``gap`` of each other and finalizes a
+    session once the event-time watermark passes its close, so state
+    eviction is automatic (the piece a hand-rolled stateful processor
+    would have to reimplement). Emits (user, session_start, duration_s,
+    n_events, n_event_types) per CLOSED session; sessions still open at
+    the watermark horizon stay in state — the streaming-correct contract
+    for an unbounded stream. Columns match the batch operator minus the
+    per-user running ``session`` index (meaningless under out-of-order
+    session closure); equality on the shared columns is asserted in
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    gap_expr = f"{gap} seconds" if not isinstance(gap, str) else gap
+    return (
+        sdf.select(user_col, ts_col, type_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap_expr))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            (
+                (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+                / F.lit(1_000_000.0)
+            ).alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.size(F.collect_set(type_col)).cast("long").alias("n_event_types"),
+        )
+        .select(
+            user_col, "session_start", "duration_s", "n_events", "n_event_types"
+        )
+    )

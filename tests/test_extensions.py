@@ -1421,6 +1421,41 @@ def test_bm25_index_serving_path_matches_dense(spark):
         bm25_topk_indexed(idx, qs, k=50)
 
 
+def test_bm25_index_persist_roundtrip(spark, tmp_path):
+    """bm25_index_save + bm25_index_load: the reloaded index serves
+    results identical to the in-memory one (frames AND meta scalars
+    roundtrip), and serving touches only the persisted parquet — the
+    corpus frame is not consulted after the save."""
+    import random
+
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_index, bm25_index_load, bm25_index_save, bm25_topk_indexed,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(80)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=rng.randint(5, 25))))
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=3))) for i in range(10)],
+        ["query_id", "text"],
+    )
+    idx = bm25_index(docs, c=15)
+    path = str(tmp_path / "bm25_idx")
+    bm25_index_save(idx, path)
+    reloaded = bm25_index_load(spark, path)
+    for key in ("n_docs", "avgdl", "k1", "b", "c", "id_col"):
+        assert reloaded[key] == idx[key], key
+    mem = {(r.query_id, r.rank): (r.doc_id, r.score)
+           for r in bm25_topk_indexed(idx, qs, k=5).collect()}
+    disk = {(r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(reloaded, qs, k=5).collect()}
+    assert disk == mem and len(disk) == 50
+
+
 def test_repeated_span_stats_detects_shared_substrings(spark):
     """A 12-token substring shared by two docs yields duplicated 10-token
     windows in BOTH; fully unique docs report dup_frac 0; short docs

@@ -964,3 +964,133 @@ def test_span_decontam_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM decon_scored").collect()
     }
     assert streamed == batch
+
+
+def test_funnel_levels_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel: the per-user monotone fold state machine over
+    time-ordered micro-batches converges to exactly the batch
+    funnel_levels result (last emitted level per user), including the
+    window-anchored chain cutoff and the level-0 users."""
+    import datetime as dt
+    import json
+
+    from fluent_bit_spark.extensions.funnel import funnel_levels
+    from fluent_bit_spark.streaming.stateful import funnel_levels_stream
+
+    T0 = dt.datetime(2024, 5, 1)
+    steps = ["view", "click", "purchase"]
+
+    def ev(u, sec, typ):
+        return (u, T0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        # u1 completes the funnel across batches
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # u2 stalls at click; a second view must NOT restart the chain
+        ev(2, 0, "view"), ev(2, 5, "click"), ev(2, 9, "view"),
+        # u3 only non-step events -> level 0
+        ev(3, 1, "signup"), ev(3, 2, "signup"),
+        # u4's purchase lands outside the 30s window anchor
+        ev(4, 0, "view"), ev(4, 10, "click"), ev(4, 50, "purchase"),
+        # u5 events out of funnel order
+        ev(5, 0, "purchase"), ev(5, 5, "click"), ev(5, 9, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    batch = {
+        r.user_id: r.funnel_level
+        for r in funnel_levels(df, steps, window=30.0).collect()
+    }
+    assert batch == {1: 3, 2: 2, 3: 0, 4: 2, 5: 1}
+
+    d = tmp_path / "funnel_stream"
+    d.mkdir()
+    # chunked files: each user's events stay time-ordered across batches
+    # (the only order the per-key fold needs)
+    for i in range(0, len(rows), 4):
+        with open(d / f"b{i:03d}.json", "w") as f:
+            for u, ts, typ in rows[i:i + 4]:
+                f.write(json.dumps({"user_id": u, "ts": ts.isoformat(), "event_type": typ}) + "\n")
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        funnel_levels_stream(sdf, steps, window=30.0, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("funnel_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # last emitted level per user == the batch fold
+    import pandas as pd_  # noqa: F401
+    emitted = spark.sql("SELECT * FROM funnel_stream_out").collect()
+    last = {}
+    for r in emitted:
+        last[r.user_id] = r.funnel_level  # memory sink appends in batch order
+    assert last == batch
+
+
+def test_session_summaries_stream_matches_batch(spark, tmp_path):
+    """Streaming sessions on the built-in session_window: every session
+    CLOSED by the final watermark matches the batch session_summaries
+    row (start, duration, event count, distinct types) exactly; the
+    still-open tail sessions are the documented difference."""
+    import datetime as dt
+    import json
+
+    from fluent_bit_spark.extensions.funnel import session_summaries
+    from fluent_bit_spark.streaming.stateful import session_summaries_stream
+
+    T0 = dt.datetime(2024, 5, 1)
+
+    def ev(u, sec, typ):
+        return (u, T0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        # u1: two sessions (gap 60s): [0,10,30] and [200,205]
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 30, "view"),
+        ev(1, 200, "purchase"), ev(1, 205, "view"),
+        # u2: one session
+        ev(2, 0, "view"), ev(2, 50, "click"),
+        # closer events far in the future so every real session is past
+        # the watermark horizon when the stream drains
+        ev(1, 100_000, "end"), ev(2, 100_000, "end"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    batch = {
+        (r.user_id, r.session_start): (r.duration_s, r.n_events, r.n_event_types)
+        for r in session_summaries(df, gap=60.0).collect()
+    }
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    ordered = sorted(rows, key=lambda r: r[1])
+    for i in range(0, len(ordered), 3):
+        with open(d / f"b{i:03d}.json", "w") as f:
+            for u, ts, typ in ordered[i:i + 3]:
+                f.write(json.dumps({"user_id": u, "ts": ts.isoformat(), "event_type": typ}) + "\n")
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        session_summaries_stream(sdf, gap=60.0, watermark="10 seconds", ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("sess_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    streamed = {
+        (r.user_id, r.session_start): (r.duration_s, r.n_events, r.n_event_types)
+        for r in spark.sql("SELECT * FROM sess_stream_out").collect()
+    }
+    # the closer sessions themselves are still open -> absent from stream
+    closed_batch = {
+        k: v for k, v in batch.items()
+        if k[1] < T0 + dt.timedelta(seconds=100_000)
+    }
+    assert streamed == closed_batch
