@@ -1841,6 +1841,51 @@ def pagerank_nodes_q(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def triangle_count_q(spark, sf_dir):
+    """Per-node triangle counts (degree-oriented wedge join, WWW'11
+    shape) over a deterministic ~80-node graph derived from events
+    (src = user%80, dst = (user*7+event)%80). The oracle brute-forces
+    the canonical edge list's a<b<c closed wedges and re-derives every
+    node's count — a wrong orientation, a double-counted triangle, or a
+    dropped zero-triangle node all hash-fail."""
+    from fluent_bit_spark.extensions.graph import triangle_count
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        (F.col("user_id") % 80).alias("src"),
+        F.pmod(F.col("user_id") * 7 + F.col("event_id"), F.lit(80)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return triangle_count(edges)
+
+
+def skew_profile_q(spark, sf_dir):
+    """Shuffle-key skew diagnostic over lineitem's l_suppkey: top-10
+    hottest keys with row share plus total/distinct/max-share summary
+    rows — the pre-join planning numbers. Full-value SQL replay
+    (counts, shares, deterministic (rows desc, key) tie-break)."""
+    from fluent_bit_spark.extensions.sketches import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_profile(li, "l_suppkey", top_n=10)
+
+
+def winsorize_q(spark, sf_dir):
+    """Percentile clipping of o_totalprice at [0.05, 0.95] — outlier
+    taming via the two-driver-scalar exact-percentile pattern (no global
+    sort). The oracle recomputes the same quantile_cont cuts and clips;
+    values are rounded so the comparison is on the shared 6-decimal
+    grid."""
+    from fluent_bit_spark.extensions.sketches import winsorize
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = winsorize(orders, "o_totalprice", 0.05, 0.95, out_col="clipped")
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("clipped", 6).alias("clipped"),
+    )
+
+
 def table_profile_q(spark, sf_dir):
     """Dataset profiling pass (one-agg long-format column profile). The
     exact fields (rows/nulls/type-native min-max surfaced as strings)
@@ -3601,11 +3646,13 @@ def flowcounter_q(spark, sf_dir):
 #
 # ROUND-7 WINDOW: the 50 stalest by the same (last-passing-round, name)
 # order: bm25_served (the round-7 addition, never driver-checked) leads;
-# then the 19 remaining r03-era rows (including the 6 the r6 rotation
-# dropped: similarity_topk, splunk_hec_*, stackdriver_shape, statsd_decode,
-# syslog_3164_lines); then the 30 alphabetically-first r04-era rows.
+# the 4 never-driver-checked round-7 additions (bm25_served,
+# skew_profile, triangle_count, winsorize) lead; then the 19 remaining
+# r03-era rows (including the 6 the r6 rotation dropped); then the 27
+# alphabetically-first r04-era rows.
 _DRIVER_WINDOW = [
-    "bm25_served", "ml_inference_scores", "msgpack_roundtrip",
+    "bm25_served", "skew_profile", "triangle_count",
+    "winsorize", "ml_inference_scores", "msgpack_roundtrip",
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
     "pii_redaction", "prom_exposition", "remote_write_roundtrip",
     "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
@@ -3620,8 +3667,7 @@ _DRIVER_WINDOW = [
     "logdna_shape", "modify_rules", "nats_body",
     "nest_lift_roundtrip", "otlp_histogram_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "plot_lines", "prom_pages_roundtrip",
-    "prom_scrape_roundtrip", "q1_pricing_summary", "record_modifier_allowlist",
-    "similarity_ivf_ann", "similarity_lsh_ann",
+    "prom_scrape_roundtrip", "q1_pricing_summary",
 ]
 
 
@@ -3733,6 +3779,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_grid": media_resize_grid_q,
         "table_profile": table_profile_q,
         "pagerank_nodes": pagerank_nodes_q,
+        "triangle_count": triangle_count_q,
+        "skew_profile": skew_profile_q,
+        "winsorize": winsorize_q,
         "html_extract": html_extract_q,
         "warc_wet": warc_wet_q,
         "robots_compliance": robots_compliance_q,
@@ -4758,6 +4807,53 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN deg ON deg.src = e2.src CROSS JOIN nn "
             "WHERE p.it < 10 GROUP BY p.it + 1, e2.dst, nn.n) "
             "SELECT node, ROUND(rank, 6) AS rank FROM pr WHERE it = 10"
+        ),
+        # triangle_count: brute-force a<b<c closed-wedge enumeration on
+        # the canonical edge list, exploded back to per-node counts —
+        # independent of the Spark side's degree orientation
+        "triangle_count": (
+            "WITH raw AS (SELECT DISTINCT "
+            "LEAST(user_id % 80, (user_id * 7 + event_id) % 80) AS a, "
+            "GREATEST(user_id % 80, (user_id * 7 + event_id) % 80) AS b "
+            "FROM events WHERE user_id % 80 <> (user_id * 7 + event_id) % 80), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM raw e1 JOIN raw e2 ON e2.a = e1.b "
+            "JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "pern AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM ("
+            "SELECT x AS n FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri) u GROUP BY n), "
+            "nodes AS (SELECT DISTINCT n FROM "
+            "(SELECT a AS n FROM raw UNION SELECT b FROM raw) v) "
+            "SELECT nodes.n AS node, COALESCE(pern.t, 0) AS triangles "
+            "FROM nodes LEFT JOIN pern ON pern.n = nodes.n"
+        ),
+        # skew_profile: counts/shares + summary rows, same (rows desc,
+        # key) tie-break and 6-decimal share grid
+        "skew_profile": (
+            "WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, "
+            "CAST(COUNT(*) AS BIGINT) AS nkeys, "
+            "CAST(MAX(cnt) AS BIGINT) AS maxc FROM c) "
+            "SELECT * FROM ("
+            "SELECT 'key' AS kind, k AS key, cnt AS rows, "
+            "ROUND(cnt / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS share "
+            "FROM c ORDER BY cnt DESC, k LIMIT 10"
+            ") UNION ALL SELECT 'total_rows', NULL, total, 1.0 FROM t "
+            "UNION ALL SELECT 'distinct_keys', NULL, nkeys, NULL FROM t "
+            "UNION ALL SELECT 'max_key_share', NULL, maxc, "
+            "ROUND(maxc / CAST(total AS DOUBLE), 6) FROM t"
+        ),
+        # winsorize: identical quantile_cont cuts on the rounded values,
+        # stateless clip, shared 6-decimal grid
+        "winsorize": (
+            "WITH r AS (SELECT o_orderkey, ROUND(o_totalprice, 2) AS op, "
+            "ROUND(CAST(o_totalprice AS DOUBLE), 6) AS v FROM orders), "
+            "q AS (SELECT quantile_cont(v, 0.05) AS lo, "
+            "quantile_cont(v, 0.95) AS hi FROM r) "
+            "SELECT o_orderkey, op AS o_totalprice, "
+            "ROUND(LEAST(GREATEST(v, q.lo), q.hi), 6) AS clipped "
+            "FROM r CROSS JOIN q"
         ),
         # table_profile: exact fields replayed; the HLL estimate is an
         # in-query invariant vs exact distinct -> literal truth column

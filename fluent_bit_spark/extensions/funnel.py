@@ -114,7 +114,18 @@ def active_users_window(
     then one distinct-count shuffle keyed by window end. No per-day
     self-join, no range join; at 100 TB the (user, day) dedup is the
     only corpus-sized shuffle. Window ends are restricted to observed
-    activity days so the output domain is data-defined."""
+    activity days so the output domain is data-defined.
+
+    Long-window caveat: the explode fan-out is x``window_days`` on the
+    already-deduped (user, day) table — fine for WAU/MAU (7-30), but at
+    window_days≈365 the shuffled row count is ~365x the active-days
+    table. For such windows the sliding-aggregate formulation is the
+    right shape: countDistinct can't slide (distinctness isn't
+    subtractable), so compute per-day HLL sketches (one row per day)
+    and merge window_days sketches per window end — fan-out x
+    window_days on the DAY-count table (tiny), approximate by the
+    sketch's error bound. This operator stays exact; switch shapes when
+    the window, not the corpus, is the multiplier."""
     d = F.to_date(F.col(ts_col))
     act = events.select(F.col(user_col).alias("__u"), d.alias("__d")).distinct()
     days = act.select("__d").distinct()

@@ -206,3 +206,103 @@ def profile_columns(
         for i, c in enumerate(cols)
     ])
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/shuffle-skew diagnostic for a prospective key: the top-N
+    hottest keys with their row counts and share of the table, plus
+    summary rows for total rows, distinct keys, and the max/total skew
+    ratio — the numbers that decide between a plain shuffle join, a
+    broadcast, salting, or AQE skew handling before launching a 100 TB
+    job against a bad key.
+
+    Scale shape: one combinable groupBy count over the key, then a
+    driver-size TakeOrderedAndProject for the top-N (no global sort) and
+    a scalar aggregate for the summary — the profile costs one shuffle
+    of (key, count) pairs regardless of table width. NULL keys profile
+    as a regular (hot, in practice) key value.
+
+    Returns (kind, key, rows, share) — kind 'key' for the top-N rows
+    (hottest first by (rows desc, key)), 'total_rows' / 'distinct_keys'
+    / 'max_key_share' summary rows with key NULL."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    counts = counts.localCheckpoint(eager=True)  # reused by 3 consumers
+    stats = counts.agg(
+        F.sum("__c").alias("total"),
+        F.count(F.lit(1)).alias("nkeys"),
+        F.max("__c").alias("maxc"),
+    ).collect()[0]
+    total = stats["total"] or 0
+    top = (
+        counts.orderBy(F.col("__c").desc(), F.col("__k"))
+        .limit(top_n)
+        .select(
+            F.lit("key").alias("kind"),
+            F.col("__k").alias("key"),
+            F.col("__c").cast("long").alias("rows"),
+            F.round(F.col("__c") / F.lit(float(total or 1)), 6).alias("share"),
+        )
+    )
+    spark = df.sparkSession
+    summary = spark.createDataFrame(
+        [
+            ("total_rows", None, int(total), 1.0),
+            ("distinct_keys", None, int(stats["nkeys"] or 0), None),
+            ("max_key_share", None, int(stats["maxc"] or 0), None),
+        ],
+        "kind string, key string, rows long, share double",
+    ).select(
+        "kind", "key", "rows",
+        # HALF_UP via F.round (python round() is banker's — it would
+        # disagree with a SQL oracle's ROUND on exact half-way shares)
+        F.when(
+            F.col("kind") == "max_key_share",
+            F.round(F.col("rows") / F.lit(float(total)), 6) if total else F.lit(None),
+        ).otherwise(F.col("share")).alias("share"),
+    )
+    return top.unionByName(summary)
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization) of a numeric column — the
+    outlier-taming step feature/quality pipelines apply before scoring
+    or normalizing (a single crawl document with a pathological length
+    must not drag a z-score or a mean).
+
+    Cutoffs are exact distributed percentiles of the 6-decimal-rounded
+    values shipped to the driver as two scalars (the perplexity_buckets
+    pattern — no global sort, no window); clipping is then a stateless
+    JVM comparison, streaming-legal and shuffle-free. Rounding makes the
+    cut arithmetic replayable bit-for-bit by a quantile_cont oracle.
+    NULLs pass through as NULL."""
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    r = F.round(F.col(col).cast("double"), 6)
+    cuts = df.agg(
+        F.percentile(r, F.lit(lower)).alias("lo"),
+        F.percentile(r, F.lit(upper)).alias("hi"),
+    ).collect()[0]
+    if cuts["lo"] is None:
+        raise ValueError(f"winsorize: column {col!r} has no non-null values")
+    clipped = F.least(
+        F.greatest(r, F.lit(float(cuts["lo"]))), F.lit(float(cuts["hi"]))
+    )
+    # Spark's greatest/least SKIP nulls (a NULL value would clip to the
+    # lower cut); gate explicitly so NULL rows stay NULL
+    return df.withColumn(
+        out_col or col, F.when(r.isNotNull(), clipped)
+    )

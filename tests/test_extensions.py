@@ -2459,3 +2459,53 @@ def test_log_templates_level2_split(spark):
         for r in log_templates(df, split_max_branch=0).collect()
     }
     assert flat == {"conn <*> <*>": 16, "disk <*> full": 3}, flat
+
+
+def test_triangle_count_known_graph(spark):
+    """Degree-oriented triangle counting vs hand-counted graph: one
+    K4 (4 triangles, 3 per node), one separate triangle, a pendant
+    node (0), and duplicate/reverse/self edges that must collapse."""
+    from fluent_bit_spark.extensions.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a)]
+    edges = (
+        k4
+        + [(10, 11), (11, 12), (12, 10)]          # separate triangle
+        + [(0, 20)]                               # pendant: no triangle
+        + [(1, 0), (0, 1), (5, 5)]                # reverse dup + self loop
+    )
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1, 20: 0}, got
+
+
+def test_skew_profile_and_winsorize(spark):
+    """skew_profile: exact top-N counts/shares + summary rows on a
+    deliberately skewed key; winsorize: clipping bounds hold, interior
+    values untouched, NULLs pass through, degenerate column raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.sketches import skew_profile, winsorize
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    prof = {(r.kind, r.key): (r.rows, r.share) for r in skew_profile(df, "k", top_n=3).collect()}
+    assert prof[("key", "hot")] == (70, 0.7)
+    assert prof[("key", "warm")] == (20, 0.2)
+    assert prof[("total_rows", None)] == (100, 1.0)
+    assert prof[("distinct_keys", None)][0] == 12
+    assert prof[("max_key_share", None)] == (70, 0.7)
+    assert len([k for k in prof if k[0] == "key"]) == 3
+
+    vals = [(i, float(i)) for i in range(1, 101)] + [(999, None)]
+    vdf = spark.createDataFrame(vals, "id long, v double")
+    out = {r.id: r.v for r in winsorize(vdf, "v", 0.1, 0.9).collect()}
+    lo = min(v for i, v in out.items() if v is not None)
+    hi = max(v for i, v in out.items() if v is not None)
+    assert abs(lo - 10.9) < 1e-9 and abs(hi - 90.1) < 1e-9  # quantile_cont cuts
+    assert out[50] == 50.0 and out[999] is None
+    assert out[1] == lo and out[100] == hi
+
+    with pytest.raises(ValueError, match="no non-null"):
+        winsorize(vdf.filter("v IS NULL"), "v").collect()
