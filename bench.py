@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     "session_summaries",
     "experiment_stats",
     "log_templates",
+    "bm25_served",
+    "triangle_count",
+    "skew_profile",
+    "winsorize",
     "pipeline_e2e",
 ]
 

@@ -347,6 +347,11 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # the canonical edge list feeds five consumers (degree, both
+        # orientation joins, wedge closure, node domain); like the CC
+        # edge table it is derived and small relative to the corpus, so
+        # one eager materialization beats five recomputes of the scan
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -367,6 +372,8 @@ def triangle_count(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        # three consumers (both wedge sides + closure); same size as e
+        .localCheckpoint(eager=True)
     )
     # wedges at u: (v, w) both out-neighbors of u; closure iff v-w oriented
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"))

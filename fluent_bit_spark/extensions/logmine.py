@@ -65,11 +65,19 @@ def log_templates(
     if split_max_branch > 0:
         # level-2 split selection: distinct counts over EARLY positions
         # only (a few tokens per line shuffle, not the full explode)
+        # slice BEFORE exploding: pass A generates only the candidate
+        # positions (split_max_pos tokens/line), not the full token list
         early = (
             base.select(
-                "__n", "__first", F.posexplode("__toks").alias("__pos", "__tok")
+                "__n",
+                "__first",
+                F.posexplode(
+                    F.slice(F.col("__toks"), 2, split_max_pos)
+                ).alias("__p0", "__tok"),
             )
-            .where((F.col("__pos") >= 1) & (F.col("__pos") <= split_max_pos))
+            .select(
+                "__n", "__first", (F.col("__p0") + 1).alias("__pos"), "__tok"
+            )
             .groupBy("__n", "__first", "__pos")
             .agg(
                 F.countDistinct("__tok").alias("__d"),
@@ -105,8 +113,12 @@ def log_templates(
     per_pos = pos.groupBy("__n", "__first", "__skey", "__pos").agg(
         F.countDistinct("__tok").alias("__d"),
         F.min("__tok").alias("__one"),
+        # every line contributes one token per position, so any
+        # position's row count IS the group's line count — deriving
+        # n_lines here saves a third pass over the tokenized scan
+        F.count(F.lit(1)).alias("__c"),
     )
-    tmpl = per_pos.groupBy("__n", "__first", "__skey").agg(
+    return per_pos.groupBy("__n", "__first", "__skey").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -122,11 +134,6 @@ def log_templates(
                 lambda s: s["__t"],
             ),
             " ",
-        ).alias("template")
-    )
-    counts = base.groupBy("__n", "__first", "__skey").agg(
-        F.count(F.lit(1)).alias("n_lines")
-    )
-    return tmpl.join(counts, ["__n", "__first", "__skey"]).select(
-        "template", "n_lines"
-    )
+        ).alias("template"),
+        F.max("__c").alias("n_lines"),
+    ).select("template", "n_lines")
