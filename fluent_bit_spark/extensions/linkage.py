@@ -283,7 +283,7 @@ def resolve_entities(
 
     Composition of the engine's existing primitives — fuzzy self-join
     for the similarity edge list, then hash-min connected components
-    (``graph.connected_components``: frontier propagation, checkpointed
+    (``graph.connected_components``: large-star/small-star, checkpointed
     lineage) so A~B and B~C land in one entity even when A and C are
     below threshold themselves. ``entity_id`` is the minimum member id;
     rows with no similar partner (or an empty normalized key) map to

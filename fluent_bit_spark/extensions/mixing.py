@@ -371,10 +371,10 @@ def leakage_safe_split(
     docs are their own singleton component and split exactly as
     `hash_split` would. Adds (component, split) to ``df``'s columns.
 
-    Scale shape: connected_components' keyed label propagation over the
-    EDGE LIST only (frontier-only after round 1; edges are few in a
-    mostly-unique corpus), one join to attach components, then a pure
-    projection. ``bucket_expr`` as in hash_split — pass the Knuth bucket
+    Scale shape: connected_components' alternating star rounds over the
+    EDGE LIST only (edge set star-ifies and shrinks per round; edges are
+    few in a mostly-unique corpus), one join to attach components, then
+    a pure projection. ``bucket_expr`` as in hash_split — pass the Knuth bucket
     over ``component`` for cross-engine replay."""
     from fluent_bit_spark.extensions.graph import dedup_clusters
 
