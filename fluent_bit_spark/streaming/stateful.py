@@ -415,7 +415,7 @@ def funnel_levels_stream(
 def session_summaries_stream(
     sdf: DataFrame,
     gap: float = 1800.0,
-    watermark: str = "30 minutes",
+    watermark: str | None = "30 minutes",
     ts_col: str = TS_COL,
     user_col: str = "user_id",
     type_col: str = "event_type",
@@ -431,13 +431,20 @@ def session_summaries_stream(
     for an unbounded stream. Columns match the batch operator minus the
     per-user running ``session`` index (meaningless under out-of-order
     session closure); equality on the shared columns is asserted in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    ``watermark=None`` means the input stream ALREADY carries an
+    event-time watermark (e.g. a dedup_stream upstream) — Spark
+    disallows redefining it across chained stateful operators, so the
+    upstream horizon governs session finalization too."""
     from pyspark.sql import functions as F
 
     gap_expr = f"{gap} seconds" if not isinstance(gap, str) else gap
+    src = sdf.select(user_col, ts_col, type_col)
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
     return (
-        sdf.select(user_col, ts_col, type_col)
-        .withWatermark(ts_col, watermark)
+        src
         .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap_expr))
         .agg(
             F.min(ts_col).alias("session_start"),

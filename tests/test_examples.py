@@ -224,3 +224,54 @@ def test_event_analytics_example(spark):
     assert counts == sorted(counts, reverse=True)
     assert out["prob_mass_ok"]                   # every src's probs sum to 1
     assert 0 <= out["rfm_champions"] <= out["rfm_users"] == n_users
+
+
+def test_event_stream_pipeline_example(spark):
+    """The streaming product-analytics example: the live funnel's last
+    emitted level per user must equal the BATCH funnel_levels fold over
+    the same (exact-deduped) events, and the closed-session rows must
+    equal the batch session table minus the far-future closer
+    sessions."""
+    import datetime as dt
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import event_stream_pipeline as esp
+
+    from fluent_bit_spark.extensions.funnel import funnel_levels, session_summaries
+    from fluent_bit_spark.model import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = esp.synth_drop_dir(spark, sf_dir)
+    out = esp.run(spark, in_dir)
+
+    # batch replica: same exact-dedup the stream applies, closers included
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .dropDuplicates(["user_id", "ts", "event_type"])
+    )
+    closer_ts = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=30)
+    closers = ev.select("user_id").distinct().select(
+        "user_id", F.lit(closer_ts).alias("ts"), F.lit("end").alias("event_type")
+    )
+    full = ev.unionByName(closers)
+
+    batch_funnel = (
+        funnel_levels(full, esp.STEPS, window=3 * 86400.0)
+        .groupBy("funnel_level").agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {int(r.funnel_level): int(r.n) for r in batch_funnel.collect()}
+    assert out["funnel"] == expected, (out["funnel"], expected)
+
+    sess = session_summaries(full, gap=1800.0).where(
+        F.col("session_start") < F.lit(closer_ts)
+    )
+    agg = sess.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("ev")
+    ).collect()[0]
+    assert out["closed_sessions"] == int(agg["n"])
+    assert out["session_events"] == int(agg["ev"])
