@@ -1869,6 +1869,26 @@ def skew_profile_q(spark, sf_dir):
     return skew_profile(li, "l_suppkey", top_n=10)
 
 
+def heavy_hitters_q(spark, sf_dir):
+    """Exact-verified heavy hitters over a deliberately skewed derived
+    key (30% of events collapse onto the 4 event types; the rest spread
+    across thousands of per-user cold keys): the Misra-Gries candidate
+    pass must surface exactly the keys above n/k and phase 2 must report
+    their exact counts — which is precisely what the GROUP BY ... HAVING
+    oracle states."""
+    from fluent_bit_spark.extensions.sketches import heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        F.when(
+            F.col("user_id") % 10 < 3, F.col("event_type")
+        ).otherwise(
+            F.concat_ws("_", "event_type", F.col("user_id").cast("string"))
+        ).alias("k")
+    )
+    return heavy_hitters(keyed, "k", k=50)
+
+
 def winsorize_q(spark, sf_dir):
     """Percentile clipping of o_totalprice at [0.05, 0.95] — outlier
     taming via the two-driver-scalar exact-percentile pattern (no global
@@ -3646,13 +3666,13 @@ def flowcounter_q(spark, sf_dir):
 #
 # ROUND-7 WINDOW: the 50 stalest by the same (last-passing-round, name)
 # order: bm25_served (the round-7 addition, never driver-checked) leads;
-# the 4 never-driver-checked round-7 additions (bm25_served,
-# skew_profile, triangle_count, winsorize) lead; then the 19 remaining
-# r03-era rows (including the 6 the r6 rotation dropped); then the 27
-# alphabetically-first r04-era rows.
+# the 5 never-driver-checked round-7 additions (bm25_served,
+# heavy_hitters, skew_profile, triangle_count, winsorize) lead; then
+# the 19 remaining r03-era rows (including the 6 the r6 rotation
+# dropped); then the 26 alphabetically-first r04-era rows.
 _DRIVER_WINDOW = [
-    "bm25_served", "skew_profile", "triangle_count",
-    "winsorize", "ml_inference_scores", "msgpack_roundtrip",
+    "bm25_served", "heavy_hitters", "skew_profile",
+    "triangle_count", "winsorize", "ml_inference_scores", "msgpack_roundtrip",
     "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
     "pii_redaction", "prom_exposition", "remote_write_roundtrip",
     "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
@@ -3667,7 +3687,7 @@ _DRIVER_WINDOW = [
     "logdna_shape", "modify_rules", "nats_body",
     "nest_lift_roundtrip", "otlp_histogram_roundtrip", "otlp_metrics_roundtrip",
     "otlp_traces_roundtrip", "plot_lines", "prom_pages_roundtrip",
-    "prom_scrape_roundtrip", "q1_pricing_summary",
+    "prom_scrape_roundtrip",
 ]
 
 
@@ -3781,6 +3801,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_nodes": pagerank_nodes_q,
         "triangle_count": triangle_count_q,
         "skew_profile": skew_profile_q,
+        "heavy_hitters": heavy_hitters_q,
         "winsorize": winsorize_q,
         "html_extract": html_extract_q,
         "warc_wet": warc_wet_q,
@@ -4843,6 +4864,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'distinct_keys', NULL, nkeys, NULL FROM t "
             "UNION ALL SELECT 'max_key_share', NULL, maxc, "
             "ROUND(maxc / CAST(total AS DOUBLE), 6) FROM t"
+        ),
+        # heavy_hitters: the two-phase MG + exact-verify operator's
+        # CONTRACT is exactly GROUP BY ... HAVING count > n/k
+        "heavy_hitters": (
+            "WITH keyed AS (SELECT CASE WHEN user_id % 10 < 3 "
+            "THEN event_type "
+            "ELSE event_type || '_' || CAST(user_id AS VARCHAR) END AS k "
+            "FROM events), "
+            "t AS (SELECT COUNT(*) AS n FROM keyed) "
+            "SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS count FROM keyed "
+            "GROUP BY k HAVING COUNT(*) > (SELECT n / 50.0 FROM t)"
         ),
         # winsorize: identical quantile_cont cuts on the rounded values,
         # stateless clip, shared 6-decimal grid

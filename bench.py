@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "bm25_served",
     "triangle_count",
     "skew_profile",
+    "heavy_hitters",
     "winsorize",
     "pipeline_e2e",
 ]

@@ -306,3 +306,98 @@ def winsorize(
     return df.withColumn(
         out_col or col, F.when(r.isNotNull(), clipped)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 100,
+    exact: bool = True,
+) -> DataFrame:
+    """Keys occurring more than n/k times, with EXACT counts — the
+    frequent-items query (hot domains, spam senders, runaway log keys)
+    at a scale where "GROUP BY key" itself is the problem.
+
+    Two phases (Misra-Gries, the classic frequent-items summary):
+
+      1. candidate generation via mapInPandas: each partition keeps at
+         most k-1 counters (decrement-all when full), so executor memory
+         is O(k) REGARDLESS of key cardinality and nothing shuffles but
+         the per-partition summaries (<= k-1 rows each). The MG
+         guarantee composes under summation: any key with global count
+         > n/k survives in the merged candidate set — no false
+         negatives, ever.
+      2. exact verification: one combinable count over rows matching the
+         (broadcast) candidate set, then the > n/k threshold filter —
+         so reported counts are exact and false positives are removed.
+
+    Versus a plain groupBy: the full-key shuffle (cardinality-sized)
+    becomes a candidate-sized one; the trade is a second scan, which is
+    the standard trade at 100 TB (scans are cheap, wide shuffles are
+    not). ``exact=False`` skips phase 2 and returns ALL merged
+    candidates with their MG lower-bound counts (true - n/k <= count <=
+    true) — no threshold filter, because filtering an underestimate
+    against n/k would reintroduce false negatives; callers treat the
+    candidate set as a superset to verify or accept the <= n/k slack.
+
+    Returns (key string, count); output order is not guaranteed. NULL
+    keys are counted on the side (equi-joins would silently drop them
+    from the verify phase) and appear as a NULL-key row when hot.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"))
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__k").isNull().cast("long")).alias("nulls"),
+    ).collect()[0]
+    total, nulls = stats["n"], stats["nulls"] or 0
+    thresh = total / k
+
+    src = keyed.where(F.col("__k").isNotNull())
+
+    def mg_partition(pdfs):
+        import pandas as pd_
+
+        counters: dict = {}
+        for pdf in pdfs:
+            for key in pdf["__k"]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k - 1:
+                    counters[key] = 1
+                else:
+                    # decrement-all; drop zeros
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd_.DataFrame(
+                {"__k": list(counters), "__c": list(counters.values())}
+            )
+
+    summaries = src.mapInPandas(mg_partition, "__k string, __c long")
+    # summed MG estimates: lower bounds on true counts; any key with
+    # true count > n/k is guaranteed present
+    cand = summaries.groupBy("__k").agg(F.sum("__c").alias("__c"))
+    if not exact:
+        out = cand.select(F.col("__k").alias("key"), F.col("__c").alias("count"))
+    else:
+        cand_keys = cand.select("__k")
+        out = (
+            src.join(F.broadcast(cand_keys), "__k", "left_semi")
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .where(F.col("count") > F.lit(thresh))
+            .select(F.col("__k").alias("key"), "count")
+        )
+    if nulls > thresh:
+        null_row = df.sparkSession.createDataFrame(
+            [(None, int(nulls))], "key string, count long"
+        )
+        out = out.unionByName(null_row)
+    return out

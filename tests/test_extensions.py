@@ -2509,3 +2509,49 @@ def test_skew_profile_and_winsorize(spark):
 
     with pytest.raises(ValueError, match="no non-null"):
         winsorize(vdf.filter("v IS NULL"), "v").collect()
+
+
+def test_heavy_hitters_exact_and_mg_guarantee(spark):
+    """Heavy hitters: exact counts for every key above n/k, no false
+    positives/negatives vs a brute-force groupBy (including across a
+    skew split over many partitions), hot NULL keys surface, and the
+    one-scan MG mode never misses a true heavy hitter."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.sketches import heavy_hitters
+
+    # 10k rows, zipf-ish: key i appears ~ 3000/i times for i in 1..10,
+    # plus a long tail of singletons and 600 NULLs
+    rows = []
+    for i in range(1, 11):
+        rows += [(f"hot{i}",)] * (3000 // i)
+    rows += [(f"tail{j}",) for j in range(2000)]
+    rows += [(None,)] * 600
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+
+    n = len(rows)
+    k = 20
+    truth = {
+        r.k: r.c
+        for r in df.where("k IS NOT NULL").groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c > n / k
+    }
+    got = {r.key: r["count"] for r in heavy_hitters(df, "k", k=k).collect()}
+    assert got.pop(None) == 600            # hot NULL surfaces with exact count
+    assert got == truth, (got, truth)
+
+    # one-scan MG mode: a candidate SUPERSET with lower-bound counts —
+    # every true heavy hitter present (no false negatives), every
+    # estimate within [true - n/k, true]
+    mg = {r.key: r["count"] for r in heavy_hitters(df, "k", k=k, exact=False).collect()}
+    mg.pop(None, None)
+    full_truth = {
+        r.k: r.c
+        for r in df.where("k IS NOT NULL").groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for key, c in truth.items():
+        assert key in mg, key
+    for key, est in mg.items():
+        assert full_truth[key] - n / k <= est <= full_truth[key], key
