@@ -357,24 +357,34 @@ def heavy_hitters(
     src = keyed.where(F.col("__k").isNotNull())
 
     def mg_partition(pdfs):
+        # WEIGHTED Misra-Gries: each Arrow batch is collapsed to
+        # (key, weight) via vectorized value_counts, then merged into
+        # the k-1 counters per unique key — O(uniques) interpreter work
+        # instead of O(rows), same <= W_p/k underestimate bound (every
+        # decrement event removes >= k units of total mass, so total
+        # decrements <= W_p/k).
         import pandas as pd_
 
         counters: dict = {}
         for pdf in pdfs:
-            for key in pdf["__k"]:
+            for key, w in pdf["__k"].value_counts().items():
+                w = int(w)
                 if key in counters:
-                    counters[key] += 1
-                elif len(counters) < k - 1:
-                    counters[key] = 1
-                else:
-                    # decrement-all; drop zeros
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
+                    counters[key] += w
+                    continue
+                if len(counters) < k - 1:
+                    counters[key] = w
+                    continue
+                d = min(w, min(counters.values()))
+                dead = []
+                for c in counters:
+                    counters[c] -= d
+                    if counters[c] == 0:
+                        dead.append(c)
+                for c in dead:
+                    del counters[c]
+                if w - d > 0:
+                    counters[key] = w - d
         if counters:
             yield pd_.DataFrame(
                 {"__k": list(counters), "__c": list(counters.values())}
