@@ -719,11 +719,8 @@ def test_compact_history_preserves_membership(spark, tmp_path):
 
 def test_compact_history_crash_recovery(spark, tmp_path):
     """A crash between compact_history's two renames leaves the history
-    under the .old name; the next call restores it and compacts fine.
-    Remote URIs are rejected (local renames can't swap them)."""
+    under the .old name; the next call restores it and compacts fine."""
     import os
-
-    import pytest
 
     from fluent_bit_spark.extensions.dedup import (
         append_history, compact_history, dedup_against_history,
