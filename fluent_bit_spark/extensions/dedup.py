@@ -402,9 +402,13 @@ def _hadoop_fs(spark, uri: str):
 
 
 def _read_manifest(spark, root: str) -> str | None:
-    """Current version-dir name from ``root/MANIFEST``, or None (flat
-    legacy layout / store never compacted). The manifest is a tiny
-    single object, read byte-at-a-time through py4j."""
+    """Raw contents of ``root/MANIFEST`` (stripped), or None when the
+    file is absent (flat legacy layout / store never compacted). An
+    EMPTY or malformed manifest is returned as-is — callers validate
+    with ``_is_version_dir`` and must treat invalid contents as
+    corruption, never as "flat layout": a truncated manifest with
+    version dirs still on disk means the pointer was lost, not that the
+    data lives at the root."""
     fs, p = _hadoop_fs(spark, root.rstrip("/") + "/MANIFEST")
     if not fs.exists(p):
         return None
@@ -417,19 +421,48 @@ def _read_manifest(spark, root: str) -> str | None:
             b = stream.read()
     finally:
         stream.close()
-    return out.decode("utf-8").strip() or None
+    return out.decode("utf-8", errors="replace").strip()
+
+
+_OBJECT_STORE_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "gcs", "wasb", "wasbs", "abfs", "abfss",
+    "oss", "cos", "swift",
+}
 
 
 def _write_manifest(spark, root: str, version: str) -> None:
-    """Flip ``root/MANIFEST`` to ``version``. A single-object overwrite:
-    atomic on S3 (PUT) and effectively so on HDFS/local for the
-    between-batches contract compaction already documents."""
-    fs, p = _hadoop_fs(spark, root.rstrip("/") + "/MANIFEST")
-    stream = fs.create(p, True)
+    """Flip ``root/MANIFEST`` to ``version``.
+
+    Object stores get a direct single-object overwrite — a PUT is
+    atomic there, and tmp+rename would be a non-atomic copy+delete.
+    Rename-capable filesystems (file://, hdfs://) instead write
+    ``MANIFEST.tmp`` and rename it onto ``MANIFEST``: ``fs.create(p,
+    overwrite=True)`` truncates before writing, so a crash mid-overwrite
+    would leave an empty/partial manifest, while rename is atomic.
+    Where rename refuses an existing destination (HDFS semantics) we
+    fall back to delete-then-rename; the resulting two-metadata-op
+    window is covered by _compact_history_manifest's refusal to treat
+    version dirs without a manifest as a flat store."""
+    base = root.rstrip("/")
+    scheme = base.split("://", 1)[0].lower() if "://" in base else ""
+    fs, p = _hadoop_fs(spark, base + "/MANIFEST")
+    if scheme in _OBJECT_STORE_SCHEMES:
+        stream = fs.create(p, True)
+        try:
+            stream.write(bytearray(version.encode("utf-8")))
+        finally:
+            stream.close()
+        return
+    _, tmp = _hadoop_fs(spark, base + "/MANIFEST.tmp")
+    stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(version.encode("utf-8")))
     finally:
         stream.close()
+    if not fs.rename(tmp, p):
+        fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise IOError(f"manifest flip failed for {base}")
 
 
 def history_data_dir(spark, state_dir: str) -> str:
@@ -437,9 +470,19 @@ def history_data_dir(spark, state_dir: str) -> str:
     manifest-pointed version dir when ``state_dir/MANIFEST`` exists
     (remote-compacted store), else ``state_dir`` itself (flat layout).
     Readers and appenders both route through this, so a manifest flip
-    redirects every subsequent batch without coordination."""
+    redirects every subsequent batch without coordination. A manifest
+    that exists but doesn't parse as a version pointer is corruption —
+    raise rather than silently reading the (possibly already-migrated)
+    flat root."""
     ptr = _read_manifest(spark, state_dir)
-    return f"{state_dir.rstrip('/')}/{ptr}" if ptr else state_dir
+    if ptr is None:
+        return state_dir
+    if not _is_version_dir(ptr):
+        raise RuntimeError(
+            f"corrupt MANIFEST in {state_dir!r}: {ptr!r} is not a version "
+            "pointer; restore it to the newest complete vNNNNNN directory"
+        )
+    return f"{state_dir.rstrip('/')}/{ptr}"
 
 
 def append_history(
@@ -540,6 +583,27 @@ def _compact_history_manifest(spark, state_dir: str) -> int:
     base = state_dir.rstrip("/")
     fs, base_path = _hadoop_fs(spark, base)
     cur = _read_manifest(spark, base)
+
+    # 0. corruption guard: a missing/unparseable manifest WITH version
+    # dirs on disk means the pointer was lost (e.g. a crash inside a
+    # non-atomic manifest write), NOT that the store is flat — migrating
+    # here would delete every version dir in the orphan sweep below and
+    # destroy the history. Refuse and ask for a manual pointer restore.
+    if cur is not None and not _is_version_dir(cur):
+        raise RuntimeError(
+            f"corrupt MANIFEST in {base!r}: {cur!r}; restore it to the "
+            "newest complete vNNNNNN directory before compacting"
+        )
+    if cur is None and fs.exists(base_path) and any(
+        st.isDirectory() and _is_version_dir(st.getPath().getName())
+        for st in fs.listStatus(base_path)
+    ):
+        raise RuntimeError(
+            f"{base!r} has vNNNNNN version dirs but no MANIFEST — "
+            "refusing to treat it as a flat store (migration would "
+            "delete the versions); write MANIFEST pointing at the "
+            "newest complete version to recover"
+        )
 
     # 1. remove never-flipped orphans so the flat-root read (migration)
     # can't pick up their part files, and version numbering stays clean

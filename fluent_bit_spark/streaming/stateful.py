@@ -385,7 +385,10 @@ def funnel_levels_stream(
         first_sight = not seen
         lvl0 = lvl
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+            # [ts, type] matches the batch operator's array_sort over
+            # (t, e) structs — equal-timestamp events tie-break by the
+            # event string there, so the fold must see the same order.
+            pdf = pdf.sort_values([ts_col, type_col])
             for t, e in zip(pdf[ts_col], pdf[type_col]):
                 if lvl >= k or str(e) != steps[lvl]:
                     continue

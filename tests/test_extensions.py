@@ -2364,6 +2364,9 @@ def test_rfm_percentile_cut_variant(spark):
     assert all(3 <= sizes[t] <= 7 for t in (1, 2, 3, 4)), sizes
     # best/worst monetary users anchor the extremes
     assert pct[20].m == 1 and pct[1].m == 4
+
+
+def test_session_summaries_and_experiment_stats(spark):
     """Session table vs hand expectations; A/B stats vs a closed-form
     Python calculation."""
     import datetime as dt

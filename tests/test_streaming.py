@@ -802,6 +802,55 @@ def test_compact_history_remote_manifest_flip(spark, tmp_path):
     assert dedup_against_history(dup, state, update_state=False).count() == 0
     assert dedup_against_history(fresh, state, update_state=False).count() == 0
 
+    # MANIFEST.tmp from the flip must not linger as a stale top-level file
+    assert not (local / "MANIFEST.tmp").exists()
+
+
+def test_compact_history_manifest_corruption_guard(spark, tmp_path):
+    """A lost/garbled manifest with version dirs on disk is corruption,
+    not a flat store: compaction must REFUSE (migrating would delete
+    every version dir in the orphan sweep = total history loss), and
+    readers must raise on an unparseable pointer rather than silently
+    scanning the already-migrated root. Restoring the pointer recovers."""
+    import pytest
+
+    from fluent_bit_spark.extensions.dedup import (
+        append_history,
+        compact_history,
+        dedup_against_history,
+        history_data_dir,
+    )
+
+    local = tmp_path / "hist"
+    state = f"file://{local}"
+    b = spark.createDataFrame(
+        [(1, "a document protected by the manifest corruption guard")],
+        ["doc_id", "text"],
+    )
+    append_history(b, state)
+    compact_history(spark, state)  # migrate to v000001 + MANIFEST
+    assert (local / "v000001").exists()
+
+    # crash mid-overwrite: manifest truncated to empty
+    (local / "MANIFEST").write_text("")
+    with pytest.raises(RuntimeError, match="corrupt MANIFEST"):
+        compact_history(spark, state)
+    with pytest.raises(RuntimeError, match="corrupt MANIFEST"):
+        history_data_dir(spark, state)
+    assert (local / "v000001").exists()  # nothing deleted
+
+    # manifest deleted entirely: version dirs present -> still refuse
+    (local / "MANIFEST").unlink()
+    with pytest.raises(RuntimeError, match="no MANIFEST"):
+        compact_history(spark, state)
+    assert (local / "v000001").exists()
+
+    # manual recovery: point at the surviving version; store works again
+    (local / "MANIFEST").write_text("v000001")
+    assert dedup_against_history(b, state, update_state=False).count() == 0
+    compact_history(spark, state)
+    assert (local / "MANIFEST").read_text().strip() == "v000002"
+
 
 def test_bm25_empty_token_corpus_raises(spark):
     """Non-empty corpus where every doc tokenizes to zero terms gets a
