@@ -1094,6 +1094,78 @@ def similarity_ivf_ann_q(spark, sf_dir):
     return _ann_gate(ann, exact)
 
 
+def ann_served_q(spark, sf_dir):
+    """The PERSISTED vector-index path end to end (the bm25_served
+    pattern for ANN): build an IVF index and a PQ index, save each to
+    parquet (ivf_index_save partitions the inverted lists by cid;
+    pq_index_save persists the compressed codes), reload, and SERVE from
+    the reloaded artifacts — no k-means jobs, no encode pass, no corpus
+    scan in the serve plans. Output is the contract as a truth table,
+    per query: the reloaded serve is row-for-row identical to serving
+    from the in-memory build (a lossy save layout, a centroid/codebook
+    roundtrip error, or a reload that silently rebuilds all flip it
+    false), plus the standard _ann_gate invariants on the served IVF
+    result against the exact brute force."""
+    import hashlib
+    import tempfile
+
+    from fluent_bit_spark.extensions.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_index_load,
+        ivf_index_save,
+        ivf_topk_indexed,
+        pq_index,
+        pq_index_load,
+        pq_index_save,
+        pq_topk_indexed,
+    )
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ivf = ivf_index(emb, n_centroids=16, iters=2)
+    ivf_path = f"{tempfile.gettempdir()}/fbs_ivf_index_{tag}"
+    ivf_index_save(ivf, ivf_path)
+    ivf_mem = ivf_topk_indexed(ivf, queries, k=5, nprobe=4)
+    ivf_srv = ivf_topk_indexed(ivf_index_load(spark, ivf_path), queries, k=5, nprobe=4)
+
+    pq = pq_index(emb, m=8, ksub=16, iters=3, sample=1024)
+    pq_path = f"{tempfile.gettempdir()}/fbs_pq_index_{tag}"
+    pq_index_save(pq, pq_path)
+    pq_mem = pq_topk_indexed(pq, queries, k=5)
+    pq_srv = pq_topk_indexed(pq_index_load(spark, pq_path), queries, k=5)
+
+    def mismatches(a, b, score_col, flag):
+        # +1/-1 multiset diff on the full row contract: any row present a
+        # different number of times on the two sides surfaces as d != 0
+        cols = ["query_id", "vec_id", "rank", F.round(score_col, 9).alias("s")]
+        u = a.select(*cols).withColumn("w", F.lit(1)).unionByName(
+            b.select(*cols).withColumn("w", F.lit(-1))
+        )
+        bad = (
+            u.groupBy("query_id", "vec_id", "rank", "s")
+            .agg(F.sum("w").alias("d"))
+            .filter(F.col("d") != 0)
+            .groupBy("query_id")
+            .agg(F.count("*").alias("__bad"))
+        )
+        return bad.select("query_id", F.lit(False).alias(flag))
+
+    gate = _ann_gate(ivf_srv, cosine_topk(emb, queries, k=5))
+    return (
+        gate.join(mismatches(ivf_mem, ivf_srv, "cos", "ivf_roundtrip"), "query_id", "left")
+        .join(mismatches(pq_mem, pq_srv, "adist", "pq_roundtrip"), "query_id", "left")
+        .select(
+            "query_id",
+            "n_returned",
+            "self_found",
+            "recall_ok",
+            F.coalesce("ivf_roundtrip", F.lit(True)).alias("ivf_roundtrip"),
+            F.coalesce("pq_roundtrip", F.lit(True)).alias("pq_roundtrip"),
+        )
+    )
+
+
 def cluster_balanced_q(spark, sf_dir):
     """Diversity-balanced sampling (SemDeDup/DataComp cluster balancing):
     k-means over the embeddings, at most 50 kept per cluster. Cluster ids
@@ -3761,6 +3833,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity_topk_q,
         "similarity_lsh_ann": similarity_lsh_ann_q,
         "similarity_ivf_ann": similarity_ivf_ann_q,
+        "ann_served": ann_served_q,
         "text_langid": text_langid_q,
         "text_quality": text_quality_q,
         "text_token_counts": text_token_counts_q,
@@ -4356,6 +4429,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_ann": (
             "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
             "TRUE AS recall_ok FROM (VALUES (0), (1), (2)) t(query_id)"
+        ),
+        "ann_served": (
+            "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
+            "TRUE AS recall_ok, TRUE AS ivf_roundtrip, TRUE AS pq_roundtrip "
+            "FROM (VALUES (0), (1), (2)) t(query_id)"
         ),
         "similarity_pq_ann": (
             "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "

@@ -595,6 +595,259 @@ def pq_topk_join(
     return out
 
 
+# --------------------------------------------------------------------------
+# Persisted ANN indexes: the build-once/serve-many split for vector
+# retrieval (mirrors retrieval.bm25_index_save — fluent-bit separates
+# config-time parser compilation from per-record execution the same way,
+# src/flb_parser.c:1784). A builder job trains/encodes ONCE and persists to
+# parquet; any number of later serving jobs reload and query without a
+# k-means iteration, an encode pass, or a corpus scan.
+# --------------------------------------------------------------------------
+def probe_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "query_vec",
+    nprobe: int = 4,
+    out_col: str = "cids",
+) -> DataFrame:
+    """``nprobe`` nearest centroid ids per row as ``array<int>``, ordered
+    by cosine desc with ties to the smaller centroid id — exactly
+    ivf_topk's probe ranking, computed as one Arrow-batched matmul
+    against the broadcast centroid matrix instead of a crossJoin +
+    window (map-side only, no shuffle, no k-times row blowup)."""
+    if not centroids:
+        raise ValueError("empty centroid list")
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")
+    cn = np.sqrt((C * C).sum(axis=1))
+    npb = min(nprobe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        dim = C.shape[1]
+        V = np.stack(
+            [
+                np.asarray(v, dtype="float64")
+                if v is not None and len(v) == dim
+                else np.zeros(dim)
+                for v in vecs
+            ]
+        )
+        dots = V @ C.T
+        vn = np.sqrt((V * V).sum(axis=1))
+        denom = vn[:, None] * cn[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, dots / denom, 0.0)
+        # stable argsort on -cos: equal cosines keep ascending-cid order
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
+        return pd.Series(list(order.astype("int32")))
+
+    return df.withColumn(out_col, probes(F.col(vec_col)))
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build an IVF index: coarse k-means centroids (model-sized driver
+    state) plus the inverted lists (id, vec, cid) materialized once.
+    Consumed by ivf_topk_indexed / ivf_index_save. The assignment is
+    assign_clusters' map-side Arrow matmul — same argmax tie-break as
+    ivf_topk's in-call crossJoin+window form."""
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    lists = assign_clusters(
+        corpus.select(id_col, vec_col), cents, vec_col
+    ).localCheckpoint(eager=True)
+    return {
+        "centroids": [[float(x) for x in c] for c in cents],
+        "lists": lists,
+        "n_centroids": n_centroids,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+
+
+def ivf_topk_indexed(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """IVF serve path against a prebuilt ivf_index: probe assignment is a
+    map-side matmul over the model-sized centroid matrix (no k-means
+    jobs), candidates come from joining probes to the persisted inverted
+    lists on cid, exact cosine re-ranks only the probed lists. On a
+    saved index (ivf_index_save partitions the lists by cid) the
+    broadcast probe join drives dynamic partition pruning, so the scan
+    reads ~nprobe/n_centroids of the data — the serving cost a capacity
+    planner budgets. Output contract matches ivf_topk."""
+    id_col, vec_col = index["id_col"], index["vec_col"]
+    probes = (
+        probe_clusters(
+            queries.select(query_id_col, query_vec_col),
+            index["centroids"],
+            query_vec_col,
+            nprobe,
+        )
+        .select(query_id_col, query_vec_col, F.explode("cids").alias("cid"))
+    )
+    cands = index["lists"].join(
+        F.broadcast(probes) if broadcast_probes else probes, "cid"
+    )
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_index_save(index: dict, path: str) -> None:
+    """Persist an ivf_index as three parquet tables: ``lists``
+    (PARTITIONED BY cid — a probe of p lists touches p directories, so
+    serving I/O scales with nprobe, not corpus size), ``centroids``, and
+    a one-row ``meta``. All-parquet, so the layout works on any Hadoop
+    filesystem; doubles roundtrip exactly, making a reloaded serve
+    hash-equal to serving from the in-memory build."""
+    base = path.rstrip("/")
+    (
+        index["lists"]
+        .repartition("cid")  # one writer per list: no small-file fanout
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{base}/lists")
+    )
+    spark = index["lists"].sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(index["centroids"])],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    spark.createDataFrame(
+        [(int(index["n_centroids"]), index["id_col"], index["vec_col"])],
+        "n_centroids int, id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
+
+
+def ivf_index_load(spark, path: str) -> dict:
+    """Reload an ivf_index_save'd index. ``lists`` is a plain
+    cid-partitioned parquet scan (pruned at serve time); centroids are
+    model-sized driver state, collected once. No k-means, no corpus
+    scan — drop-in wherever ivf_topk_indexed takes an index."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    crows = spark.read.parquet(f"{base}/centroids").orderBy("cid").collect()
+    return {
+        "centroids": [list(r["cvec"]) for r in crows],
+        "lists": spark.read.parquet(f"{base}/lists"),
+        "n_centroids": meta["n_centroids"],
+        "id_col": meta["id_col"],
+        "vec_col": meta["vec_col"],
+    }
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+) -> dict:
+    """Build a PQ index: per-subspace codebooks (model-sized) plus the
+    encoded corpus (id, codes) materialized once. Consumed by
+    pq_topk_indexed / pq_index_save."""
+    books = pq_train(corpus, m, ksub, iters, id_col, vec_col, sample)
+    codes = pq_encode(corpus, books, id_col, vec_col).localCheckpoint(eager=True)
+    return {
+        "codebooks": books,
+        "codes": codes,
+        "m": m,
+        "ksub": ksub,
+        "id_col": id_col,
+    }
+
+
+def pq_topk_indexed(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    distributed: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """PQ serve path against a prebuilt pq_index: the ADC scan touches
+    only the persisted uint8-class codes — no training sample, no encode
+    pass, no raw-vector scan. ``distributed=True`` routes through
+    pq_topk_join (executor-side query tables, chunked broadcast) for
+    query sets beyond driver size."""
+    fn = pq_topk_join if distributed else pq_topk
+    return fn(
+        index["codes"],
+        queries,
+        index["codebooks"],
+        k=k,
+        id_col=index["id_col"],
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        **kwargs,
+    )
+
+
+def pq_index_save(index: dict, path: str) -> None:
+    """Persist a pq_index as three parquet tables: ``codes`` (the
+    compressed corpus — the only data-sized artifact, 32x smaller than
+    raw vectors), ``codebooks`` (one row per (sub, code) centroid), and
+    a one-row ``meta``."""
+    base = path.rstrip("/")
+    index["codes"].write.mode("overwrite").parquet(f"{base}/codes")
+    spark = index["codes"].sparkSession
+    cb = index["codebooks"]
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cb[s][c]])
+            for s in range(len(cb))
+            for c in range(len(cb[s]))
+        ],
+        "sub int, code int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebooks")
+    spark.createDataFrame(
+        [(int(index["m"]), int(index["ksub"]), index["id_col"])],
+        "m int, ksub int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
+
+
+def pq_index_load(spark, path: str) -> dict:
+    """Reload a pq_index_save'd index: codes stay a parquet scan, the
+    codebook (model-sized) is collected once into the nested-list form
+    pq_topk expects. No training, no encoding."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    m, ksub = meta["m"], meta["ksub"]
+    rows = spark.read.parquet(f"{base}/codebooks").collect()
+    books: list = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        books[r["sub"]][r["code"]] = list(r["cvec"])
+    if any(c is None for b in books for c in b):
+        raise ValueError(f"codebook table at {path!r} is missing entries")
+    return {
+        "codebooks": books,
+        "codes": spark.read.parquet(f"{base}/codes"),
+        "m": m,
+        "ksub": ksub,
+        "id_col": meta["id_col"],
+    }
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -215,6 +215,70 @@ def test_ivf_topk_matches_bruteforce_top1(spark):
     assert got == exact
 
 
+def test_ann_persisted_index_roundtrip(spark, tmp_path):
+    """The build-once/serve-many split for vector retrieval: IVF and PQ
+    indexes save to parquet, reload, and serve ROW-IDENTICAL to serving
+    from the in-memory build; the IVF serve plan scans the persisted
+    cid-partitioned lists (not the corpus), and the layout on disk is
+    one directory per inverted list."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.similarity import (
+        ivf_index, ivf_index_load, ivf_index_save, ivf_topk_indexed,
+        pq_index, pq_index_load, pq_index_save, pq_topk_indexed,
+    )
+    from fluent_bit_spark.model import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    ivf = ivf_index(emb, n_centroids=8, iters=2)
+    ivf_index_save(ivf, str(tmp_path / "ivf"))
+    loaded = ivf_index_load(spark, str(tmp_path / "ivf"))
+    assert loaded["centroids"] == ivf["centroids"]  # exact double roundtrip
+    key = lambda rows: [(r.query_id, r.vec_id, r.rank, round(r.cos, 9)) for r in rows]
+    mem = ivf_topk_indexed(ivf, queries, k=5, nprobe=3).orderBy("query_id", "rank")
+    srv = ivf_topk_indexed(loaded, queries, k=5, nprobe=3).orderBy("query_id", "rank")
+    assert key(srv.collect()) == key(mem.collect())
+    # serve plan reads the persisted lists; one dir per inverted list
+    assert any("ivf/lists" in f for f in srv.inputFiles())
+    subdirs = {d for d in os.listdir(tmp_path / "ivf" / "lists") if d.startswith("cid=")}
+    assert len(subdirs) == 8
+
+    pq = pq_index(emb, m=8, ksub=16, iters=2, sample=256)
+    pq_index_save(pq, str(tmp_path / "pq"))
+    ploaded = pq_index_load(spark, str(tmp_path / "pq"))
+    assert ploaded["codebooks"] == pq["codebooks"]
+    pkey = lambda rows: [(r.query_id, r.vec_id, r.rank, round(r.adist, 9)) for r in rows]
+    pmem = pq_topk_indexed(pq, queries, k=5).orderBy("query_id", "rank")
+    psrv = pq_topk_indexed(ploaded, queries, k=5).orderBy("query_id", "rank")
+    assert pkey(psrv.collect()) == pkey(pmem.collect())
+    # distributed serve form agrees too (chunked broadcast join path)
+    pdist = pq_topk_indexed(ploaded, queries, k=5, distributed=True, num_chunks=2)
+    assert pkey(pdist.orderBy("query_id", "rank").collect()) == pkey(pmem.collect())
+
+    # a truncated codebook table must fail loudly, not serve garbage
+    import pytest as _pytest
+
+    spark.read.parquet(str(tmp_path / "pq" / "codebooks")).filter(
+        "NOT (sub = 0 AND code = 0)"
+    ).write.mode("overwrite").parquet(str(tmp_path / "pq2" / "codebooks"))
+    spark.read.parquet(str(tmp_path / "pq" / "meta")).write.parquet(
+        str(tmp_path / "pq2" / "meta")
+    )
+    spark.read.parquet(str(tmp_path / "pq" / "codes")).write.parquet(
+        str(tmp_path / "pq2" / "codes")
+    )
+    with _pytest.raises(ValueError, match="missing entries"):
+        pq_index_load(spark, str(tmp_path / "pq2"))
+
+
 def test_ml_inference_stub_model(spark):
     """predict_batch_udf plumbing: executor-cached stub model, tensor
     batching, threshold classify — scores match a local numpy run."""
