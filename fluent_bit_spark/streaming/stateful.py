@@ -462,3 +462,215 @@ def session_summaries_stream(
             user_col, "session_start", "duration_s", "n_events", "n_event_types"
         )
     )
+
+
+def event_transitions_stream(
+    sdf: DataFrame,
+    gap: float = 1800.0,
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``extensions.funnel.event_transitions``: per-user
+    last-event state (type + timestamp — two scalars, KB-bounded,
+    RocksDB-ready); each in-session consecutive pair emits one
+    transition-count DELTA row (src, dst, transitions). Summing the
+    emitted deltas per (src, dst) over the stream's lifetime equals the
+    batch operator's ``transitions`` column, and the per-src ``prob``
+    follows by normalizing those sums — the batch==stream equality
+    asserted in tests/test_streaming.py. Gap semantics match batch
+    sessionization: a pair straddling more than ``gap`` seconds starts a
+    new session and contributes no transition.
+
+    Same in-order contract as funnel_levels_stream: within-batch
+    disorder is sorted away ([ts, type] — the batch window's tie-break);
+    cross-batch disorder is the streaming caveat of any in-order fold.
+
+    Reference context: fluent-bit aggregates per-record stream windows
+    (src/stream_processor/flb_sp.c:2101); cross-event user journeys are
+    engine extension surface, same as the batch operator."""
+    gap_us = int(gap * 1_000_000)
+    out_schema = "src string, dst string, transitions long"
+    state_schema = "last_e string, last_t long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        last_e, last_t = state.get if state.exists else (None, None)
+        deltas: dict = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, type_col])
+            for t, e in zip(pdf[ts_col], pdf[type_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                e = str(e)
+                if last_e is not None and (t_us - last_t) <= gap_us:
+                    pair = (last_e, e)
+                    deltas[pair] = deltas.get(pair, 0) + 1
+                last_e, last_t = e, t_us
+        state.update((last_e, last_t))
+        if deltas:
+            yield pd.DataFrame(
+                {
+                    "src": [s for s, _ in deltas],
+                    "dst": [d for _, d in deltas],
+                    "transitions": list(deltas.values()),
+                }
+            )
+
+    return (
+        sdf.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def cohort_retention_stream(
+    sdf: DataFrame,
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of ``extensions.funnel.cohort_retention``: per-user
+    state = (cohort date = first-seen day, the set of day offsets
+    already emitted). Each new (user, day-offset) pair emits one
+    (cohort, day_offset, users=+1) DELTA row, so summing deltas per
+    (cohort, day_offset) equals the batch matrix — countDistinct becomes
+    emit-once-per-member, the streaming-legal form of a distinct
+    aggregate. State grows with the user's distinct ACTIVE days (not
+    events); a year-long daily-active user is 365 ints.
+
+    In-order contract: the user's FIRST event must arrive before (or in
+    the same micro-batch as) the rest, since it defines the cohort —
+    time-ordered sources satisfy this by construction; within-batch
+    disorder is sorted away."""
+    out_schema = "cohort string, day_offset int, users long"
+    state_schema = "cohort_day int, seen array<int>"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            cohort_day, seen = state.get
+            seen = set(seen)
+        else:
+            cohort_day, seen = None, set()
+        fresh = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for t in pdf[ts_col]:
+                day = int(pd.Timestamp(t).value // 86_400_000_000_000)
+                if cohort_day is None:
+                    cohort_day = day
+                off = day - cohort_day
+                if off not in seen:
+                    seen.add(off)
+                    fresh.append(off)
+        state.update((cohort_day, sorted(seen)))
+        if fresh:
+            cohort = pd.Timestamp(cohort_day * 86_400_000_000_000).strftime(
+                "%Y-%m-%d"
+            )
+            yield pd.DataFrame(
+                {
+                    "cohort": cohort,
+                    "day_offset": pd.array(fresh, dtype="int32"),
+                    "users": 1,
+                }
+            )
+
+    return (
+        sdf.select(user_col, ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def heavy_hitters_stream(
+    sdf: DataFrame,
+    key_col: str,
+    k: int = 100,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — "hot keys right now" over an
+    unbounded log stream (the always-on shape of fluent-bit's throttle /
+    log_to_metrics filters, plugins/filter_throttle/throttle.c). Keys
+    hash into ``shards`` state groups; each group keeps ONE state row
+    holding at most k-1 (key, count) MG counters plus its running row
+    total — executor/state-store memory is O(k·shards) REGARDLESS of key
+    cardinality (assert via the query's stateOperators numRowsTotal ==
+    shards, the stream_state_bench discipline).
+
+    Every micro-batch folds its rows into the counters with the same
+    weighted per-batch value_counts merge as the batch operator
+    (extensions/sketches.py heavy_hitters) and emits the group's FULL
+    candidate snapshot (shard, key, count, shard_rows). The batch
+    operator's ``exact=False`` contract carries over verbatim: emitted
+    counts are MG lower bounds (true - shard_rows/k <= count <= true),
+    and because a key's every occurrence lands in ONE shard, any key
+    whose true stream count exceeds n/k (n = total rows so far) is
+    GUARANTEED present in its shard's next emission — a superset to
+    verify downstream, never a miss. No unsound threshold filter is
+    applied, for the same reason as batch. NULL keys are dropped (the
+    batch op's side-channel count needs a global aggregate a per-shard
+    fold can't see).
+
+    The newest snapshot per shard supersedes earlier ones; downstream
+    consumers keep the latest emission per (shard, key) — e.g. a
+    foreachBatch upsert keyed on shard."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    out_schema = "shard int, key string, count long, shard_rows long"
+    state_schema = "ks array<string>, cs array<long>, total long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            ks, cs, total = state.get
+            counters = dict(zip(ks, cs))
+        else:
+            counters, total = {}, 0
+        for pdf in pdfs:
+            vc = pdf["__k"].value_counts()  # dropna: NULL keys documented out
+            total += int(vc.sum())
+            for key, w in vc.items():
+                w = int(w)
+                if key in counters:
+                    counters[key] += w
+                    continue
+                if len(counters) < k - 1:
+                    counters[key] = w
+                    continue
+                d = min(w, min(counters.values()))
+                dead = []
+                for c in counters:
+                    counters[c] -= d
+                    if counters[c] == 0:
+                        dead.append(c)
+                for c in dead:
+                    del counters[c]
+                if w - d > 0:
+                    counters[key] = w - d
+        state.update((list(counters), [int(v) for v in counters.values()], total))
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "shard": int(key_tuple[0]),
+                    "key": list(counters),
+                    "count": [int(v) for v in counters.values()],
+                    "shard_rows": total,
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return (
+        sdf.select(
+            F.col(key_col).cast("string").alias("__k"),
+        )
+        .where(F.col("__k").isNotNull())
+        .withColumn("__shard", F.pmod(F.xxhash64("__k"), F.lit(shards)).cast("int"))
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1140,3 +1140,178 @@ def test_session_summaries_stream_matches_batch(spark, tmp_path):
         if k[1] < T0 + dt.timedelta(seconds=100_000)
     }
     assert streamed == closed_batch
+
+
+def test_event_transitions_stream_matches_batch(spark, tmp_path):
+    """Streaming transitions: per-user last-event state emits per-batch
+    (src, dst) count deltas; summing deltas over the drained stream
+    equals batch event_transitions' counts exactly (including the
+    session-gap cut), and normalizing the sums reproduces prob."""
+    import datetime as dt
+    import json
+
+    from fluent_bit_spark.extensions.funnel import event_transitions
+    from fluent_bit_spark.streaming.stateful import event_transitions_stream
+
+    T0 = dt.datetime(2024, 5, 1)
+
+    def ev(u, sec, typ):
+        return (u, T0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "view"),
+        ev(1, 10_000, "view"), ev(1, 10_010, "click"),  # new session
+        ev(2, 0, "view"), ev(2, 5, "purchase"),
+        ev(2, 6, "purchase"),                            # same-ts-class chain
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    batch = {
+        (r.src, r.dst): (r.transitions, r.prob)
+        for r in event_transitions(df, gap=1800).collect()
+    }
+
+    d = tmp_path / "trans_stream"
+    d.mkdir()
+    # chunk so sessions and transitions straddle micro-batch boundaries;
+    # the file source orders micro-batches by mtime, so stamp strictly
+    # increasing times (same-ms writes would tie and shuffle the order)
+    import os as _os
+    import time as _time
+    base = _time.time() - 1000
+    for i in range(0, len(rows), 3):
+        fp = d / f"b{i:03d}.json"
+        with open(fp, "w") as f:
+            for u, ts, typ in rows[i:i + 3]:
+                f.write(json.dumps({"user_id": u, "ts": ts.isoformat(),
+                                    "event_type": typ}) + "\n")
+        _os.utime(fp, (base + i, base + i))
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        event_transitions_stream(sdf, gap=1800, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("trans_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sums: dict = {}
+    for r in spark.sql("SELECT * FROM trans_stream_out").collect():
+        sums[(r.src, r.dst)] = sums.get((r.src, r.dst), 0) + r.transitions
+    assert {k: v[0] for k, v in batch.items()} == sums
+    src_totals: dict = {}
+    for (s, _), n in sums.items():
+        src_totals[s] = src_totals.get(s, 0) + n
+    for (s, dd), n in sums.items():
+        assert abs(n / src_totals[s] - batch[(s, dd)][1]) < 1e-12
+
+
+def test_cohort_retention_stream_matches_batch(spark, tmp_path):
+    """Streaming cohort retention: per-user (cohort, seen-offsets) state
+    emits one +1 delta per new (user, day_offset); summed deltas equal
+    the batch cohort matrix (countDistinct as emit-once-per-member)."""
+    import datetime as dt
+    import json
+
+    from fluent_bit_spark.extensions.funnel import cohort_retention
+    from fluent_bit_spark.streaming.stateful import cohort_retention_stream
+
+    T0 = dt.datetime(2024, 5, 1, 8, 30)
+
+    def ev(u, day, sec=0):
+        return (u, T0 + dt.timedelta(days=day, seconds=sec))
+
+    rows = [
+        ev(1, 0), ev(1, 0, 60), ev(1, 1), ev(1, 3),   # repeat same day
+        ev(2, 0), ev(2, 3),
+        ev(3, 1), ev(3, 2), ev(3, 2, 30),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    batch = {
+        (r.cohort, r.day_offset): r.users
+        for r in cohort_retention(df).collect()
+    }
+
+    d = tmp_path / "cohort_stream"
+    d.mkdir()
+    import os as _os
+    import time as _time
+    base = _time.time() - 1000
+    for i in range(0, len(rows), 3):
+        fp = d / f"b{i:03d}.json"
+        with open(fp, "w") as f:
+            for u, ts in rows[i:i + 3]:
+                f.write(json.dumps({"user_id": u, "ts": ts.isoformat()}) + "\n")
+        _os.utime(fp, (base + i, base + i))
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        cohort_retention_stream(sdf, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("cohort_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sums: dict = {}
+    for r in spark.sql("SELECT * FROM cohort_stream_out").collect():
+        key = (r.cohort, r.day_offset)
+        sums[key] = sums.get(key, 0) + r.users
+    assert sums == batch
+
+
+def test_heavy_hitters_stream_mg_contract(spark, tmp_path):
+    """Streaming Misra-Gries: (1) a key crossing n/k mid-stream is
+    present in the next emission after it crosses; (2) emitted counts
+    are valid lower bounds within shard_rows/k of truth; (3) state is
+    ONE row per shard regardless of key cardinality (the O(k) bound,
+    asserted via the state operator's numRowsTotal)."""
+    import json
+
+    from fluent_bit_spark.streaming.stateful import heavy_hitters_stream
+
+    d = tmp_path / "hh_stream"
+    d.mkdir()
+    # batch 1: a-heavy but below any final verdict; b/c/d churn the counters
+    b1 = ["a"] * 3 + ["b", "c"]
+    # batch 2: z floods in and crosses n/k = 15/3 = 5 (true count 10)
+    b2 = ["z"] * 10
+    import os as _os
+    import time as _time
+    base = _time.time() - 1000
+    for j, (name, keys) in enumerate((("b000", b1), ("b001", b2))):
+        fp = d / f"{name}.json"
+        with open(fp, "w") as f:
+            for x in keys:
+                f.write(json.dumps({"k": x}) + "\n")
+        _os.utime(fp, (base + j, base + j))
+    sdf = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        heavy_hitters_stream(sdf, "k", k=3, shards=1)
+        .writeStream.format("memory")
+        .queryName("hh_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    rows = spark.sql("SELECT * FROM hh_stream_out").collect()
+    # the final snapshot is the one with the max shard_rows (all 15 seen)
+    final = {r.key: r["count"] for r in rows if r.shard_rows == 15}
+    assert "z" in final                      # crossed n/k -> guaranteed present
+    truth = {"a": 3, "b": 1, "c": 1, "z": 10}
+    for key, cnt in final.items():
+        assert cnt <= truth[key]             # MG counts never overestimate
+        assert truth[key] - cnt <= 15 / 3    # underestimate bounded by n/k
+    assert final["z"] == 10                  # z arrived post-churn: exact
+    # O(k) state: one state-store row per shard, not per key
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
