@@ -1123,17 +1123,24 @@ def ann_served_q(spark, sf_dir):
 
     emb, queries = _emb_and_queries(spark, sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # each top-k result is query_count x k rows but feeds 2-3 consumers
+    # below (gate + multiset diff) — checkpoint so every serve plan runs
+    # exactly once
     ivf = ivf_index(emb, n_centroids=16, iters=2)
     ivf_path = f"{tempfile.gettempdir()}/fbs_ivf_index_{tag}"
     ivf_index_save(ivf, ivf_path)
-    ivf_mem = ivf_topk_indexed(ivf, queries, k=5, nprobe=4)
-    ivf_srv = ivf_topk_indexed(ivf_index_load(spark, ivf_path), queries, k=5, nprobe=4)
+    ivf_mem = ivf_topk_indexed(ivf, queries, k=5, nprobe=4).localCheckpoint(eager=True)
+    ivf_srv = ivf_topk_indexed(
+        ivf_index_load(spark, ivf_path), queries, k=5, nprobe=4
+    ).localCheckpoint(eager=True)
 
     pq = pq_index(emb, m=8, ksub=16, iters=3, sample=1024)
     pq_path = f"{tempfile.gettempdir()}/fbs_pq_index_{tag}"
     pq_index_save(pq, pq_path)
-    pq_mem = pq_topk_indexed(pq, queries, k=5)
-    pq_srv = pq_topk_indexed(pq_index_load(spark, pq_path), queries, k=5)
+    pq_mem = pq_topk_indexed(pq, queries, k=5).localCheckpoint(eager=True)
+    pq_srv = pq_topk_indexed(
+        pq_index_load(spark, pq_path), queries, k=5
+    ).localCheckpoint(eager=True)
 
     def mismatches(a, b, score_col, flag):
         # +1/-1 multiset diff on the full row contract: any row present a
@@ -1491,6 +1498,80 @@ def bm25_served_q(spark, sf_dir):
     path = f"{tempfile.gettempdir()}/fbs_bm25_index_{tag}"
     bm25_index_save(bm25_index(docs, c=50), path)
     return bm25_topk_indexed(bm25_index_load(spark, path), queries, k=10)
+
+
+def _bm25_serve_path(sf_dir):
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/fbs_bm25_serveonly_{tag}"
+
+
+def bm25_serve_setup(spark, sf_dir):
+    """Bench setup for bm25_serve_only: build + save the index OUTSIDE
+    the timer, so the benched number is the reload+serve cost alone —
+    the number a capacity planner quotes for the build-once/serve-many
+    deployment (the build half amortizes across every later query
+    batch; bm25_served times the full cycle and conflates the two)."""
+    from fluent_bit_spark.extensions.retrieval import bm25_index, bm25_index_save
+
+    bm25_index_save(bm25_index(_docs(spark, sf_dir), c=50), _bm25_serve_path(sf_dir))
+
+
+def bm25_serve_only_raw(spark, sf_dir):
+    """Reload + serve against the index bm25_serve_setup persisted (falls
+    back to building it when run standalone). Same queries and k as
+    bm25_served."""
+    import os
+
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    from fluent_bit_spark.extensions.retrieval import bm25_index_load, bm25_topk_indexed
+
+    path = _bm25_serve_path(sf_dir)
+    if not os.path.isdir(path):
+        bm25_serve_setup(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8)
+        ).alias("text"),
+    )
+    return bm25_topk_indexed(bm25_index_load(spark, path), queries, k=10)
+
+
+def _ann_serve_path(sf_dir):
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/fbs_ann_serveonly_{tag}"
+
+
+def ann_serve_setup(spark, sf_dir):
+    """Bench setup for ann_serve_only: build + persist the IVF index
+    outside the timer (the k-means and list materialization amortize
+    across serving jobs)."""
+    from fluent_bit_spark.extensions.similarity import ivf_index, ivf_index_save
+
+    emb, _ = _emb_and_queries(spark, sf_dir)
+    ivf_index_save(ivf_index(emb, n_centroids=16, iters=2), _ann_serve_path(sf_dir))
+
+
+def ann_serve_only_raw(spark, sf_dir):
+    """Reload + serve the persisted IVF index: probe assignment is a
+    map-side matmul, candidates come off the cid-partitioned lists — the
+    vector-retrieval serving cost."""
+    import os
+
+    from fluent_bit_spark.extensions.similarity import ivf_index_load, ivf_topk_indexed
+
+    path = _ann_serve_path(sf_dir)
+    if not os.path.isdir(path):
+        ann_serve_setup(spark, sf_dir)
+    _, queries = _emb_and_queries(spark, sf_dir)
+    return ivf_topk_indexed(ivf_index_load(spark, path), queries, k=5, nprobe=4)
 
 
 def repeated_spans_q(spark, sf_dir):

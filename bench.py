@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "experiment_stats",
     "log_templates",
     "bm25_served",
+    "bm25_serve_only",
+    "ann_served",
+    "ann_serve_only",
     "triangle_count",
     "skew_profile",
     "heavy_hitters",
@@ -137,6 +140,16 @@ BENCH_FORMS = {
     "dedup_simhash": entrymod.dedup_simhash_raw,
     "similarity_lsh_ann": entrymod.similarity_lsh_ann_raw,
     "fuzzy_decontaminate": entrymod.fuzzy_decontaminate_raw,
+    "bm25_serve_only": entrymod.bm25_serve_only_raw,
+    "ann_serve_only": entrymod.ann_serve_only_raw,
+}
+
+# run once per session BEFORE the timed loop: build-once/serve-many
+# operators amortize their build, so the serve-only bench numbers must
+# not include it (bm25_served / ann_served time the full cycle)
+BENCH_SETUP = {
+    "bm25_serve_only": entrymod.bm25_serve_setup,
+    "ann_serve_only": entrymod.ann_serve_setup,
 }
 
 
@@ -239,6 +252,9 @@ def main() -> None:
         if q.strip()
     }
     names = [q for q in BENCH_QUERIES if not only or q in only]
+    for name in names:
+        if name in BENCH_SETUP:
+            BENCH_SETUP[name](spark, sf_dir)
     timings: dict[str, float] = {}
     for _ in range(runs):
         for name in names:

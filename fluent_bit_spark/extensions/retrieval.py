@@ -430,7 +430,7 @@ def bm25_index_save(index: dict, path: str) -> None:
             )
         ],
         "n_docs long, avgdl double, k1 double, b double, c int, id_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
 
 
 def bm25_index_load(spark, path: str) -> dict:

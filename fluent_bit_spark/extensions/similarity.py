@@ -729,11 +729,11 @@ def ivf_index_save(index: dict, path: str) -> None:
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(index["centroids"])],
         "cid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/centroids")
     spark.createDataFrame(
         [(int(index["n_centroids"]), index["id_col"], index["vec_col"])],
         "n_centroids int, id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
 
 
 def ivf_index_load(spark, path: str) -> dict:
@@ -819,11 +819,11 @@ def pq_index_save(index: dict, path: str) -> None:
             for c in range(len(cb[s]))
         ],
         "sub int, code int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/codebooks")
     spark.createDataFrame(
         [(int(index["m"]), int(index["ksub"]), index["id_col"])],
         "m int, ksub int, id_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
 
 
 def pq_index_load(spark, path: str) -> dict:
