@@ -28,6 +28,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: stringified type hints on pandas UDFs
+                     # (PEP 563 above) resolve against module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1723,6 +1726,115 @@ def pii_redaction_q(spark, sf_dir):
         (F.col("event_id") % 256).cast("string"),
     )
     return ev.select("event_id", redact_pii(text, kinds=("email", "ipv4")).alias("redacted"))
+
+
+def image_neardup_q(spark, sf_dir):
+    """PIXEL-level image near-dup on codec-free formats: each embedding
+    row becomes a real 9x8 binary PGM (quantized embedding values as the
+    raster); every 25th image gets a perturbed copy (one corner pixel
+    flipped — at most ONE dHash bit moves, since the corner cell feeds a
+    single adjacent comparison). image_neardup_join must find every
+    planted (orig, copy) pair — its (max_hamming+1)-band split of the
+    64-bit dHash makes recall within the Hamming radius TOTAL by
+    pigeonhole — and the WITNESS contract recomputes each returned
+    pair's Hamming distance brute-force from the decoded pixel grids
+    (bypassing the hash packing, banding, xor and bit_count) and demands
+    equality. Output truth table: per planted id, found + pair_witnessed
+    + the global all_pairs_witnessed (covers incidental non-planted
+    pairs too). JPEG/PNG pixel paths stay codec-bound and are documented
+    out (extensions/multimodal.py); headers for them are real
+    (multimodal_headers)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _gray_grid,
+        decode_pixels,
+        image_neardup_join,
+        make_pgm,
+        to_media_frame,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @pandas_udf("binary")
+    def to_pgm(vecs: pd.Series, flips: pd.Series) -> pd.Series:
+        out = []
+        for v, fl in zip(vecs, flips):
+            a = np.asarray(v, dtype="float64")
+            px = (np.floor(np.abs(a) * 997.0) % 256).astype(np.uint8)
+            grid = np.concatenate([px, px[:8]]).reshape(8, 9).copy()
+            if fl:
+                grid[0, 0] ^= 0x80
+            out.append(make_pgm(9, 8, grid.tobytes()))
+        return pd.Series(out)
+
+    base = emb.select(
+        F.col("vec_id").alias("media_id"),
+        to_pgm(F.col("embedding"), F.lit(False)).alias("content"),
+    )
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("media_id"),
+        to_pgm(F.col("embedding"), F.lit(True)).alias("content"),
+    )
+    media = to_media_frame(
+        base.unionByName(copies), "media_id", F.col("content"), "image"
+    )
+    pairs = image_neardup_join(media, max_hamming=3).localCheckpoint(eager=True)
+
+    pix = decode_pixels(media).select(
+        "media_id", "width", "height", "channels", "pixels"
+    )
+
+    @pandas_udf("int")
+    def brute_hamming(
+        pa: pd.Series, wa: pd.Series, ha: pd.Series, ca: pd.Series,
+        pb: pd.Series, wb: pd.Series, hb: pd.Series, cb: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for a, aw, ah, ac, b, bw, bh, bc in zip(pa, wa, ha, ca, pb, wb, hb, cb):
+            ga = _gray_grid(bytes(a), int(aw), int(ah), int(ac))
+            gb = _gray_grid(bytes(b), int(bw), int(bh), int(bc))
+            out.append(
+                int(((ga[:, 1:] > ga[:, :-1]) != (gb[:, 1:] > gb[:, :-1])).sum())
+            )
+        return pd.Series(out)
+
+    def side(tag):
+        return pix.select(
+            F.col("media_id").alias(f"id_{tag}"),
+            F.col("pixels").alias(f"__p{tag}"),
+            F.col("width").alias(f"__w{tag}"),
+            F.col("height").alias(f"__h{tag}"),
+            F.col("channels").alias(f"__c{tag}"),
+        )
+
+    wit = (
+        pairs.join(F.broadcast(side("a")), "id_a")
+        .join(F.broadcast(side("b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            brute_hamming(
+                "__pa", "__wa", "__ha", "__ca", "__pb", "__wb", "__hb", "__cb"
+            ).alias("w_h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    all_ok = wit.filter(F.col("hamming") != F.col("w_h")).count() == 0
+    wit_planted = wit.where(F.col("id_b") == F.col("id_a") + 1_000_000).select(
+        F.col("id_a").alias("vec_id"),
+        (F.col("hamming") == F.col("w_h")).alias("pair_witnessed"),
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    return planted.join(wit_planted, "vec_id", "left").select(
+        "vec_id",
+        F.col("pair_witnessed").isNotNull().alias("found"),
+        F.coalesce("pair_witnessed", F.lit(False)).alias("pair_witnessed"),
+        F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
+    )
 
 
 def multimodal_headers_q(spark, sf_dir):
@@ -3970,6 +4082,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction_q,
         "multimodal_metadata": multimodal_metadata_q,
         "multimodal_headers": multimodal_headers_q,
+        "image_neardup": image_neardup_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -5085,6 +5198,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height, "
             "CAST((octet_length(encode(text)) * 7) % 10000 AS INT) AS fake_duration_ms, "
             "sha256(text) AS sha FROM documents"
+        ),
+        "image_neardup": (
+            "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
+            "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
         ),
         "multimodal_headers": (
             "SELECT doc_id AS media_id, "

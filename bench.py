@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "skew_profile",
     "heavy_hitters",
     "winsorize",
+    "image_neardup",
     "pipeline_e2e",
 ]
 

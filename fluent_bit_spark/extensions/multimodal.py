@@ -316,3 +316,271 @@ def image_patch_grid(
         .withColumn("x0", F.col("patch_col") * patch)
         .withColumn("y0", F.col("patch_row") * patch)
     )
+
+
+# --------------------------------------------------------------------------
+# Codec-free PIXEL decode: BMP (uncompressed 8/24/32-bit) and binary
+# PPM/PGM (P5/P6) need no codec library — pure numpy reads the samples
+# straight out of the payload. JPEG/PNG stay header-only above
+# (parse_media_header): their pixel paths are codec-bound and documented
+# out in this container. On top of the decoded pixels: a perceptual
+# difference hash (dHash, 64-bit) and a banded image near-dup join with
+# the same pigeonhole-recall discipline as MinHash banding.
+# --------------------------------------------------------------------------
+import numpy as _np
+
+PIXELS_SCHEMA = (
+    "media_id bigint, format string, width int, height int, channels int, "
+    "pixels binary"
+)
+
+
+def _decode_bmp_pixels(b: bytes):
+    """Uncompressed BMP -> (w, h, channels, row-major top-down uint8 bytes).
+    8-bit payloads map through the palette to grayscale; 24/32-bit BGR(A)
+    reorder to RGB. Compressed BMPs (BI_RLE*) return None."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = _struct.unpack("<I", b[10:14])[0]
+    dib = _struct.unpack("<I", b[14:18])[0]
+    w, h = _struct.unpack("<ii", b[18:26])
+    bits = _struct.unpack("<H", b[28:30])[0]
+    comp = _struct.unpack("<I", b[30:34])[0] if len(b) >= 34 else 0
+    if comp != 0 or bits not in (8, 24, 32) or w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    row_bytes = (w * bits // 8 + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + row_bytes * h
+    if len(b) < need:
+        return None
+    raw = _np.frombuffer(b, dtype=_np.uint8, count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * bits // 8]
+    if flip:
+        rows = rows[::-1]
+    if bits == 8:
+        # palette: BGRX entries right after the DIB header
+        pal_off = 14 + dib
+        ncolors = _struct.unpack("<I", b[46:50])[0] if dib >= 40 and len(b) >= 50 else 0
+        ncolors = ncolors or 256
+        pal = _np.frombuffer(
+            b, dtype=_np.uint8, count=ncolors * 4, offset=pal_off
+        ).reshape(ncolors, 4)
+        # luma of the palette entry (BGR order)
+        lum = (
+            0.299 * pal[:, 2] + 0.587 * pal[:, 1] + 0.114 * pal[:, 0]
+        ).round().astype(_np.uint8)
+        px = lum[rows]
+        return w, h, 1, px.tobytes()
+    nch = bits // 8
+    px = rows.reshape(h, w, nch)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    return w, h, 3, _np.ascontiguousarray(rgb).tobytes()
+
+
+def _decode_pnm_pixels(b: bytes):
+    """Binary PPM (P6) / PGM (P5), maxval <= 255 -> same tuple as BMP."""
+    if len(b) < 2 or b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        return None
+    nch = 3 if b[1:2] == b"6" else 1
+    # header: three whitespace-separated ints, '#' comments to end of line
+    vals, i, n = [], 2, len(b)
+    while len(vals) < 3 and i < n:
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and b[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or not b[i : i + 1].isspace():
+        return None
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    need = w * h * nch
+    if n - i < need:
+        return None
+    return w, h, nch, b[i : i + need]
+
+
+def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Pure-numpy pixel decode of codec-free formats (uncompressed BMP,
+    binary PPM/PGM) via Arrow-batched mapInPandas: (media_id, format,
+    width, height, channels, pixels) with ``pixels`` the row-major
+    top-down uint8 samples (channel-interleaved RGB, or single-channel
+    gray). Payloads in codec-bound or malformed formats yield NULL
+    pixels with the sniffed ``format`` — the documented JPEG/PNG gap —
+    so callers filter rather than crash mid-scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "format", "width", "height", "channels", "pixels"]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["content"] or b"")
+                fmt = parse_media_header(b)["format"]
+                got = None
+                if b[:2] == b"BM":
+                    got = _decode_bmp_pixels(b)
+                    fmt = "bmp"
+                elif b[:1] == b"P":
+                    got = _decode_pnm_pixels(b)
+                    if got is not None:
+                        fmt = "ppm" if got[2] == 3 else "pgm"
+                if got is None:
+                    out.append((row[id_col], fmt, None, None, None, None))
+                else:
+                    w, h, nch, px = got
+                    out.append((row[id_col], fmt, w, h, nch, px))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=PIXELS_SCHEMA)
+
+
+def _gray_grid(px: bytes, w: int, h: int, nch: int, gw: int = 9, gh: int = 8):
+    """Grayscale + exact area-average downsample to a (gh, gw) grid."""
+    a = _np.frombuffer(px, dtype=_np.uint8).reshape(h, w, nch).astype(_np.float64)
+    gray = a.mean(axis=2)
+    # integer cell boundaries: cell (r, c) averages rows [rb[r], rb[r+1])
+    rb = (_np.arange(gh + 1) * h) // gh
+    cb = (_np.arange(gw + 1) * w) // gw
+    out = _np.empty((gh, gw))
+    for r in range(gh):
+        band = gray[rb[r] : rb[r + 1]]
+        for c in range(gw):
+            out[r, c] = band[:, cb[c] : cb[c + 1]].mean()
+    return out
+
+
+def dhash64(px: bytes, w: int, h: int, nch: int) -> int:
+    """64-bit perceptual difference hash: grayscale, area-average to a
+    9x8 grid, bit (r, c) = grid[r, c+1] > grid[r, c] — row-major from
+    bit 0. Robust to uniform brightness/contrast shifts; one flipped
+    grid cell changes at most 2 bits (its two adjacent comparisons)."""
+    g = _gray_grid(px, w, h, nch)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, format, width, height, dhash) over decodable payloads —
+    codec-bound rows (NULL pixels) are dropped here, not crashed on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if row["pixels"] is None:
+                    continue
+                hv = dhash64(
+                    bytes(row["pixels"]), int(row["width"]),
+                    int(row["height"]), int(row["channels"]),
+                )
+                out.append(
+                    (row["media_id"], row["format"], int(row["width"]),
+                     int(row["height"]), hv - (1 << 64 if hv >= 1 << 63 else 0))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "format", "width", "height", "dhash"]
+            )
+
+    return decode_pixels(media, id_col).mapInPandas(
+        run, schema="media_id bigint, format string, width int, height int, dhash long"
+    )
+
+
+def image_neardup_join(
+    media: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-duplicate pairs (id_a < id_b, hamming) by dHash — the
+    minhash banding discipline applied to a 64-bit perceptual hash:
+    the hash splits into ``max_hamming + 1`` contiguous bit-bands, pairs
+    collide when ANY band matches (pigeonhole: two hashes within
+    ``max_hamming`` differing bits have at least one untouched band, so
+    recall over the dHash metric is TOTAL — no false negatives), and
+    the exact Hamming distance (xor + bit_count, JVM-side) verifies
+    candidates. One corpus decode pass, one band-keyed shuffle, no
+    all-pairs comparison; the only Python is the Arrow-batched pixel
+    decode + hash."""
+    if not (0 <= max_hamming < 64):
+        raise ValueError("need 0 <= max_hamming < 64")
+    bands = max_hamming + 1
+    hashes = image_dhash(media, id_col).select(id_col, "dhash")
+    # bit ranges must PARTITION all 64 bits or the pigeonhole recall
+    # argument breaks (an uncovered bit could absorb every difference);
+    # when 64 % bands != 0 the early bands take the extra bit each
+    bounds = [(i * 64) // bands for i in range(bands + 1)]
+    def _band(lo, hi):
+        if hi - lo >= 64:  # max_hamming=0: the single band IS the hash
+            return F.col("dhash")
+        return F.shiftrightunsigned(F.col("dhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    band_vals = F.array(*[_band(lo, hi) for lo, hi in zip(bounds, bounds[1:])])
+    banded = hashes.select(
+        F.col(id_col), F.col("dhash"), F.posexplode(band_vals).alias("band", "bv")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("__ha"), "band", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("__hb"), "band", "bv"
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def make_pgm(w: int, h: int, pixels: bytes) -> bytes:
+    """Binary PGM (P5) encoder — test/synthesis support."""
+    if len(pixels) != w * h:
+        raise ValueError("pixel buffer must be w*h bytes")
+    return f"P5\n{w} {h}\n255\n".encode() + pixels
+
+
+def make_ppm(w: int, h: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6) encoder — test/synthesis support."""
+    if len(pixels) != w * h * 3:
+        raise ValueError("pixel buffer must be w*h*3 bytes")
+    return f"P6\n{w} {h}\n255\n".encode() + pixels
+
+
+def make_bmp_pixels(w: int, h: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed BMP encoder carrying REAL pixel data (top-down
+    RGB in, bottom-up padded BGR on the wire — the standard layout)."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("pixel buffer must be w*h*3 bytes")
+    a = _np.frombuffer(rgb, dtype=_np.uint8).reshape(h, w, 3)
+    bgr = a[::-1, :, [2, 1, 0]]  # bottom-up, BGR
+    row_bytes = (w * 3 + 3) & ~3
+    padded = _np.zeros((h, row_bytes), dtype=_np.uint8)
+    padded[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = padded.tobytes()
+    dib = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    hdr = b"BM" + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    return hdr + dib + data

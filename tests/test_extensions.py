@@ -165,6 +165,102 @@ def test_media_header_parsers_roundtrip():
     assert parse_media_header(make_png(9, 9)[:12])["format"] == "unknown"
 
 
+def test_pixel_decoders_roundtrip():
+    """Codec-free pixel decode (pure numpy, no Spark): BMP 24-bit with
+    row padding, BMP 8-bit through the palette, binary PPM/PGM with
+    header comments; truncated/compressed/codec-bound payloads -> None."""
+    import struct
+
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_bmp_pixels, _decode_pnm_pixels, make_bmp_pixels, make_pgm,
+        make_ppm,
+    )
+
+    rng = np.random.RandomState(11)
+    # width 5 -> 15 row bytes -> pads to 16: exercises the stride logic
+    rgb = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+    w, h, nch, px = _decode_bmp_pixels(make_bmp_pixels(5, 3, rgb.tobytes()))
+    assert (w, h, nch) == (5, 3, 3)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(3, 5, 3), rgb)
+
+    # 8-bit palette BMP: identity grayscale palette, bottom-up rows
+    gray = rng.randint(0, 256, (2, 4), dtype=np.uint8)
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    rows = np.zeros((2, 4), dtype=np.uint8)
+    rows[:] = gray[::-1]  # on-the-wire bottom-up
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, 8, 0, 0, 256, 0)
+    data_off = 14 + 40 + 256 * 4
+    hdr = b"BM" + struct.pack("<IHHI", data_off + 8, 0, 0, data_off)
+    w, h, nch, px = _decode_bmp_pixels(hdr + dib + pal + rows.tobytes())
+    assert (w, h, nch) == (4, 2, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(2, 4), gray)
+
+    g = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    assert _decode_pnm_pixels(make_pgm(6, 4, g.tobytes()))[3] == g.tobytes()
+    c = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    assert _decode_pnm_pixels(make_ppm(6, 4, c.tobytes()))[3] == c.tobytes()
+    # header comment tolerated
+    commented = b"P5\n# a comment\n6 4\n255\n" + g.tobytes()
+    assert _decode_pnm_pixels(commented)[:3] == (6, 4, 1)
+    # failures: truncated raster, 16-bit maxval, codec-bound formats
+    assert _decode_pnm_pixels(make_pgm(6, 4, g.tobytes())[:-5]) is None
+    assert _decode_pnm_pixels(b"P5\n2 2\n65535\n" + b"\x00" * 8) is None
+    assert _decode_bmp_pixels(b"BM" + b"\x00" * 20) is None
+
+
+def test_dhash_and_image_neardup_recall(spark):
+    """dHash invariances + the banded near-dup join's recall proof: an
+    exact seeded brute-force over all dHash pairs must equal the banded
+    join's output for every pair within the Hamming radius (pigeonhole
+    — band count = max_hamming + 1 partitions all 64 bits)."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        dhash64, image_neardup_join, make_pgm, to_media_frame,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (16, 18), dtype=np.uint8)
+    assert 0 <= dhash64(g.tobytes(), 18, 16, 1) < (1 << 64)
+    # uniform brightness shift (with headroom, no saturation clipping)
+    # leaves every adjacent comparison — hence the hash — unchanged
+    g2 = (g % 200).astype(np.uint8)
+    assert dhash64((g2 + 30).astype(np.uint8).tobytes(), 18, 16, 1) == dhash64(
+        g2.tobytes(), 18, 16, 1
+    )
+
+    # 60 random images: banded join == seeded brute force at radius 3
+    imgs = []
+    for i in range(60):
+        px = rng.randint(0, 256, (8, 9), dtype=np.uint8)
+        imgs.append((i, px))
+        if i % 10 == 0:  # plant near-dups: force one comparison flip
+            q = px.copy()
+            q[3, 4] = 255 if px[3, 5] <= px[3, 4] else 0
+            imgs.append((i + 500, q))
+    hashes = {i: dhash64(p.tobytes(), 9, 8, 1) for i, p in imgs}
+    brute = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(make_pgm(9, 8, p.tobytes()))) for i, p in imgs],
+        "media_id long, content binary",
+    )
+    media = to_media_frame(df, "media_id", F.col("content"), "image")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_neardup_join(media, max_hamming=3).collect()
+    }
+    assert got == brute          # exact: full recall AND no false pairs
+    assert all((i, i + 500) in got for i, _ in imgs if i % 10 == 0 and i < 500)
+
+
 def test_extract_media_headers_spark(spark, docs):
     from fluent_bit_spark.extensions.multimodal import extract_media_headers, make_gif
 
