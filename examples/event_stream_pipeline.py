@@ -101,6 +101,66 @@ def run(spark, in_dir: str) -> dict:
     return out
 
 
+def build_single(spark, in_dir: str):
+    """Single-query variant: tail -> dedup -> user_journey_stream (funnel
+    fold + gap sessionization in ONE per-user state pass). The two-query
+    fan-out in build() pays the chained-stateful per-trigger fixed cost
+    once PER QUERY (~1.7 s/micro-batch each, BASELINE.md r7); this shape
+    commits one state store per trigger and splits the discriminated
+    output downstream — the deployment to pick when triggers are small
+    relative to the fixed cost."""
+    from fluent_bit_spark.streaming.stateful import (
+        dedup_stream,
+        user_journey_stream,
+    )
+
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    deduped = dedup_stream(
+        sdf.withColumn(
+            "text",
+            F.concat_ws("|", "user_id", F.col("ts").cast("string"), "event_type"),
+        ),
+        text_col="text",
+        watermark="10 minutes",
+        time_col="ts",
+    ).drop("text")
+    return user_journey_stream(
+        deduped, STEPS, window=3 * 86400.0, gap=1800.0, ts_col="ts"
+    )
+
+
+def run_single(spark, in_dir: str) -> dict:
+    """run()'s summary dict computed by the single-query pipeline —
+    same keys, so the shipped test asserts the two shapes agree."""
+    journey = build_single(spark, in_dir)
+    q = (
+        journey.writeStream.format("memory")
+        .queryName("journey_live")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out: dict = {"funnel": {}}
+    last: dict = {}
+    for r in spark.sql(
+        "SELECT user_id, funnel_level FROM journey_live WHERE kind = 'funnel'"
+    ).collect():
+        last[r.user_id] = r.funnel_level
+    for lvl in last.values():
+        out["funnel"][int(lvl)] = out["funnel"].get(int(lvl), 0) + 1
+    sess = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(n_events) AS ev FROM journey_live "
+        "WHERE kind = 'session'"
+    ).collect()[0]
+    out["closed_sessions"] = int(sess["n"] or 0)
+    out["session_events"] = int(sess["ev"] or 0)
+    return out
+
+
 def synth_drop_dir(spark, sf_dir: str) -> str:
     """Spool the events table into per-day JSON files (time-ordered
     micro-batches), appending one far-future closer event per user so

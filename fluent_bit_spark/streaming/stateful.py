@@ -674,3 +674,129 @@ def heavy_hitters_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def user_journey_stream(
+    sdf: DataFrame,
+    steps: list[str],
+    window: float | None = None,
+    gap: float = 1800.0,
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel fold AND gap sessionization in ONE per-user state pass —
+    the single-query form of running funnel_levels_stream and
+    session_summaries_stream side by side. Two chained stateful queries
+    pay the per-trigger state-commit fixed cost twice (measured ~1.7 s
+    per micro-batch per query on local[32], BASELINE.md r7); folding
+    both analytics into one applyInPandasWithState operator commits one
+    state store per trigger and emits a discriminated union:
+
+      kind='funnel'  -> (user, funnel_level) whenever the level changes
+                        (plus the level-0 first-sight row) — identical
+                        contract to funnel_levels_stream;
+      kind='session' -> (user, session_start, duration_s, n_events,
+                        n_event_types) when a later event of the SAME
+                        user arrives more than ``gap`` seconds after the
+                        session's last event (a far-future closer event
+                        per user flushes the tail, the spool-drain
+                        idiom; a session with no successor stays open,
+                        as in session_summaries_stream).
+
+    State per user = funnel's three scalars + the open session's
+    (start, last, count, distinct-type set) — the type set is bounded by
+    the event-type alphabet. Same in-order contract as the component
+    operators; within-batch disorder sorts away on [ts, type]."""
+    if not steps:
+        raise ValueError("user_journey_stream: steps must be non-empty")
+    k = len(steps)
+    win_us = None if window is None else int(window * 1_000_000)
+    gap_us = int(gap * 1_000_000)
+    utype = sdf.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"kind string, {user_col} {utype}, funnel_level int, "
+        "session_start timestamp, duration_s double, n_events long, "
+        "n_event_types long"
+    )
+    state_schema = (
+        "lvl int, t1 long, last long, seen boolean, "
+        "s_start long, s_last long, s_n long, s_types array<string>"
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            lvl, t1, last, seen, s_start, s_last, s_n, s_types = state.get
+            s_types = set(s_types or [])
+        else:
+            lvl, t1, last, seen = 0, None, None, False
+            s_start, s_last, s_n, s_types = None, None, 0, set()
+        first_sight = not seen
+        lvl0 = lvl
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, type_col])
+            for t, e in zip(pdf[ts_col], pdf[type_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                e = str(e)
+                # --- funnel fold (funnel_levels_stream verbatim) ---
+                if lvl < k and e == steps[lvl]:
+                    ok = True
+                    if lvl > 0:
+                        if last is not None and t_us <= last:
+                            ok = False
+                        elif (
+                            win_us is not None
+                            and t1 is not None
+                            and (t_us - t1) > win_us
+                        ):
+                            ok = False
+                    if ok:
+                        if lvl == 0:
+                            t1 = t_us
+                        last = t_us
+                        lvl += 1
+                # --- gap sessionization ---
+                if s_start is None:
+                    s_start, s_last, s_n, s_types = t_us, t_us, 1, {e}
+                elif t_us - s_last > gap_us:
+                    closed.append((s_start, s_last, s_n, len(s_types)))
+                    s_start, s_last, s_n, s_types = t_us, t_us, 1, {e}
+                else:
+                    s_last = max(s_last, t_us)
+                    s_n += 1
+                    s_types.add(e)
+        state.update(
+            (lvl, t1, last, True, s_start, s_last, s_n, sorted(s_types))
+        )
+        rows = []
+        if first_sight or lvl != lvl0:
+            rows.append(("funnel", key_tuple[0], lvl, None, None, None, None))
+        for st, en, n, ntypes in closed:
+            rows.append(
+                (
+                    "session",
+                    key_tuple[0],
+                    None,
+                    pd.Timestamp(st * 1_000, unit="ns"),
+                    (en - st) / 1_000_000.0,
+                    n,
+                    ntypes,
+                )
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "kind", user_col, "funnel_level", "session_start",
+                    "duration_s", "n_events", "n_event_types",
+                ],
+            )
+
+    return (
+        sdf.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -275,3 +275,20 @@ def test_event_stream_pipeline_example(spark):
     ).collect()[0]
     assert out["closed_sessions"] == int(agg["n"])
     assert out["session_events"] == int(agg["ev"])
+
+
+def test_event_stream_pipeline_single_query_matches_two_query(spark):
+    """The single-query user_journey_stream pipeline must produce the
+    SAME summary (funnel histogram, closed-session count and event sum)
+    as the two-query fan-out — one state commit per trigger instead of
+    two, with no semantic drift."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import event_stream_pipeline as esp
+
+    in_dir = esp.synth_drop_dir(spark, "/root/testdata/sf0.001")
+    two = esp.run(spark, in_dir)
+    one = esp.run_single(spark, in_dir)
+    assert one == two
