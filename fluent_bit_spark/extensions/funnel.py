@@ -105,43 +105,72 @@ def active_users_window(
     window_days: int = 7,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    mode: str = "exact",
+    lg_k: int = 12,
 ) -> DataFrame:
     """(window_end, active_users): distinct users active in the
     ``window_days`` ending on each activity day (rolling WAU/MAU).
+    Window ends are restricted to observed activity days so the output
+    domain is data-defined.
 
-    Shape: dedup to (user, day) once, explode each activity day to the
-    window ends it contributes to (x window_days — tiny fixed fan-out),
-    then one distinct-count shuffle keyed by window end. No per-day
+    ``mode='exact'`` (default — WAU/MAU, window_days 7-30): dedup to
+    (user, day) once, explode each activity day to the window ends it
+    contributes to (x window_days fan-out on the USER-day table), then
+    one distinct-count shuffle keyed by window end. No per-day
     self-join, no range join; at 100 TB the (user, day) dedup is the
-    only corpus-sized shuffle. Window ends are restricted to observed
-    activity days so the output domain is data-defined.
+    only corpus-sized shuffle.
 
-    Long-window caveat: the explode fan-out is x``window_days`` on the
-    already-deduped (user, day) table — fine for WAU/MAU (7-30), but at
-    window_days≈365 the shuffled row count is ~365x the active-days
-    table. For such windows the sliding-aggregate formulation is the
-    right shape: countDistinct can't slide (distinctness isn't
-    subtractable), so compute per-day HLL sketches (one row per day)
-    and merge window_days sketches per window end — fan-out x
-    window_days on the DAY-count table (tiny), approximate by the
-    sketch's error bound. This operator stays exact; switch shapes when
-    the window, not the corpus, is the multiplier."""
+    ``mode='sliding'`` (long windows, window_days >= ~60): the explode
+    fan-out above is x``window_days`` on the user-day table — at
+    window_days~365 that's ~365x corpus-sized shuffle rows.
+    countDistinct can't slide (distinctness isn't subtractable), so
+    this mode aggregates each DAY to one HLL sketch (datasketches
+    hll_sketch_agg — the same corpus-sized shuffle the exact mode pays
+    for its dedup, but output = one row per day) and unions
+    ``window_days`` sketches per window end; the x-fan-out lands on the
+    DAY table (365 rows/year), not the corpus. Estimates carry the
+    sketch's published error (~1.6% at lg_k=12; exact below the sparse
+    threshold), which is the trade that makes a year-long sliding
+    distinct affordable. Identical output schema."""
     d = F.to_date(F.col(ts_col))
-    act = events.select(F.col(user_col).alias("__u"), d.alias("__d")).distinct()
-    days = act.select("__d").distinct()
-    ends = act.select(
-        "__u",
+    if mode == "exact":
+        act = events.select(F.col(user_col).alias("__u"), d.alias("__d")).distinct()
+        days = act.select("__d").distinct()
+        ends = act.select(
+            "__u",
+            F.explode(
+                F.sequence(
+                    F.col("__d"),
+                    F.date_add(F.col("__d"), window_days - 1),
+                )
+            ).alias("__end"),
+        )
+        return (
+            ends.join(days.withColumnRenamed("__d", "__end"), "__end")
+            .groupBy(F.date_format("__end", "yyyy-MM-dd").alias("window_end"))
+            .agg(F.countDistinct("__u").alias("active_users"))
+        )
+    if mode != "sliding":
+        raise ValueError(f"mode must be 'exact' or 'sliding', got {mode!r}")
+    daily = (
+        events.select(F.col(user_col).alias("__u"), d.alias("__d"))
+        .groupBy("__d")
+        .agg(F.hll_sketch_agg(F.col("__u").cast("string"), F.lit(lg_k)).alias("__sk"))
+    )
+    days = daily.select("__d")
+    ends = daily.select(
+        "__sk",
         F.explode(
-            F.sequence(
-                F.col("__d"),
-                F.date_add(F.col("__d"), window_days - 1),
-            )
+            F.sequence(F.col("__d"), F.date_add(F.col("__d"), window_days - 1))
         ).alias("__end"),
     )
     return (
         ends.join(days.withColumnRenamed("__d", "__end"), "__end")
         .groupBy(F.date_format("__end", "yyyy-MM-dd").alias("window_end"))
-        .agg(F.countDistinct("__u").alias("active_users"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"), F.lit(True)))
+            .alias("active_users")
+        )
     )
 
 

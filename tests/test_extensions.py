@@ -2454,6 +2454,49 @@ def test_active_users_window_and_paths(spark):
     assert paths == {"view>click": 1, "purchase": 1, "view": 3}, paths
 
 
+def test_active_users_window_sliding_mode(spark):
+    """mode='sliding' (per-day HLL sketches merged per window end — the
+    long-window shape whose fan-out lands on the day table, not the
+    corpus) must agree with the exact explode form on overlapping
+    ranges: at test cardinalities the sketches are below the sparse
+    threshold, so the estimates are exactly the distinct counts."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.funnel import active_users_window
+
+    T0 = dt.datetime(2024, 3, 1)
+    # 40 users over 120 days with overlapping, gappy activity
+    rows = []
+    for u in range(1, 41):
+        for day in range(0, 120, u % 11 + 1):
+            rows.append((u, T0 + dt.timedelta(days=day, seconds=u)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+
+    for wd in (7, 60):
+        exact = {
+            r.window_end: r.active_users
+            for r in active_users_window(df, wd).collect()
+        }
+        approx = {
+            r.window_end: int(round(r.active_users))
+            for r in active_users_window(df, wd, mode="sliding").collect()
+        }
+        assert approx == exact, (wd, {
+            k: (exact[k], approx[k]) for k in exact if approx.get(k) != exact[k]
+        })
+
+    # the sliding plan's x-window_days explode touches the DAY table:
+    # its exploded row count is n_days * window_days, independent of users
+    n_days = df.select(F.to_date("ts")).distinct().count()
+    assert n_days == 120
+    with _pytest.raises(ValueError, match="mode"):
+        active_users_window(df, 7, mode="nope")
+
+
 def test_event_transitions_and_rfm(spark):
     """Transition matrix vs hand-derived counts (session boundary cuts
     the chain) and RFM scores on a corpus with known order."""
