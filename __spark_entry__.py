@@ -3930,29 +3930,31 @@ def flowcounter_q(spark, sf_dir):
 # lead the round-7 rotation).
 #
 # ROUND-7 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# order: bm25_served (the round-7 addition, never driver-checked) leads;
-# the 5 never-driver-checked round-7 additions (bm25_served,
-# heavy_hitters, skew_profile, triangle_count, winsorize) lead; then
-# the 19 remaining r03-era rows (including the 6 the r6 rotation
-# dropped); then the 26 alphabetically-first r04-era rows.
+# round-8 rotation (tools/verify_window.py ranking): the 2 never-
+# driver-checked round-8 additions (ann_served, image_neardup) lead;
+# then the 23 remaining r04-era rows; then the 25 alphabetically-first
+# r05-era rows — exactly the 50 stalest per the staleness histogram.
 _DRIVER_WINDOW = [
-    "bm25_served", "heavy_hitters", "skew_profile",
-    "triangle_count", "winsorize", "ml_inference_scores", "msgpack_roundtrip",
-    "multimodal_headers", "multimodal_metadata", "otlp_logs_roundtrip",
-    "pii_redaction", "prom_exposition", "remote_write_roundtrip",
-    "similarity_topk", "splunk_hec_roundtrip", "splunk_hec_shape",
-    "stackdriver_shape", "statsd_decode", "syslog_3164_lines",
-    "syslog_5424_lines", "text_langid", "text_quality",
-    "text_repetition", "text_token_counts", "azure_shape",
-    "bigquery_shape", "bpe_roundtrip", "dataset_split",
-    "dedup_minhash", "dedup_simhash", "domain_cap",
-    "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
-    "gopher_quality", "grep_filter", "interval_band_join",
-    "kinesis_shape", "line_dedup", "lm_quality",
-    "logdna_shape", "modify_rules", "nats_body",
-    "nest_lift_roundtrip", "otlp_histogram_roundtrip", "otlp_metrics_roundtrip",
-    "otlp_traces_roundtrip", "plot_lines", "prom_pages_roundtrip",
-    "prom_scrape_roundtrip",
+    "ann_served", "image_neardup", "q1_pricing_summary",
+    "record_modifier_allowlist", "similarity_ivf_ann",
+    "similarity_lsh_ann", "similarity_pq_ann", "similarity_pq_join",
+    "sketch_distinct", "sketch_overlap",
+    "sketch_quantiles", "sketch_ranks", "sketch_rollup",
+    "sp_create_stream_chain", "sp_forecast",
+    "sp_projection", "sp_snapshot_last", "sp_tag_routing",
+    "sp_where_coercion", "sp_window_hopping",
+    "sp_window_tumbling", "ts_downsample", "ts_gapfill_locf",
+    "ts_rate", "url_canonicalize",
+    "alter_size_take", "anomaly_zscore", "bm25_topk",
+    "ccnet_buckets", "checklist_watch",
+    "chunk_packing", "content_modifier_actions", "cumulative_to_delta",
+    "dataset_diff", "doc_chunking",
+    "dsir_select", "enrich_broadcast_join", "expect_assertions",
+    "html_extract", "labels_ops",
+    "lm_bigram_quality", "log_to_metrics_counter", "log_to_metrics_gauge",
+    "log_to_metrics_histogram", "log_to_metrics_summary",
+    "media_resize_grid", "metrics_selector", "multiline_sessionize",
+    "otel_envelope", "pack_sequences",
 ]
 
 
