@@ -5132,12 +5132,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(cnt) AS BIGINT) AS maxc FROM c) "
             "SELECT * FROM ("
             "SELECT 'key' AS kind, k AS key, cnt AS rows, "
-            "ROUND(cnt / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS share "
+            "ROUND(cnt / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS share, "
+            "CAST(NULL AS DOUBLE) AS value "
             "FROM c ORDER BY cnt DESC, k LIMIT 10"
-            ") UNION ALL SELECT 'total_rows', NULL, total, 1.0 FROM t "
-            "UNION ALL SELECT 'distinct_keys', NULL, nkeys, NULL FROM t "
-            "UNION ALL SELECT 'max_key_share', NULL, maxc, "
-            "ROUND(maxc / CAST(total AS DOUBLE), 6) FROM t"
+            ") UNION ALL SELECT 'total_rows', NULL, total, 1.0, NULL FROM t "
+            "UNION ALL SELECT 'distinct_keys', NULL, nkeys, NULL, NULL FROM t "
+            "UNION ALL SELECT 'max_key_share', NULL, NULL, "
+            "ROUND(maxc / CAST(total AS DOUBLE), 6), CAST(maxc AS DOUBLE) FROM t"
         ),
         # heavy_hitters: the two-phase MG + exact-verify operator's
         # CONTRACT is exactly GROUP BY ... HAVING count > n/k

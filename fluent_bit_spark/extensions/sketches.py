@@ -226,9 +226,13 @@ def skew_profile(
     of (key, count) pairs regardless of table width. NULL keys profile
     as a regular (hot, in practice) key value.
 
-    Returns (kind, key, rows, share) — kind 'key' for the top-N rows
-    (hottest first by (rows desc, key)), 'total_rows' / 'distinct_keys'
-    / 'max_key_share' summary rows with key NULL."""
+    Returns (kind, key, rows, share, value) — kind 'key' for the top-N
+    rows (hottest first by (rows desc, key)), 'total_rows' /
+    'distinct_keys' / 'max_key_share' summary rows with key NULL. The
+    hottest key's COUNT rides the ``value`` column of the
+    max_key_share row (rows stays NULL there — a ratio's numerator is
+    not a row count); 'key' and count-style summary rows carry NULL
+    value."""
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
     counts = df.groupBy(
@@ -249,24 +253,27 @@ def skew_profile(
             F.col("__k").alias("key"),
             F.col("__c").cast("long").alias("rows"),
             F.round(F.col("__c") / F.lit(float(total or 1)), 6).alias("share"),
+            F.lit(None).cast("double").alias("value"),
         )
     )
     spark = df.sparkSession
+    maxc = int(stats["maxc"] or 0)
     summary = spark.createDataFrame(
         [
-            ("total_rows", None, int(total), 1.0),
-            ("distinct_keys", None, int(stats["nkeys"] or 0), None),
-            ("max_key_share", None, int(stats["maxc"] or 0), None),
+            ("total_rows", None, int(total), 1.0, None),
+            ("distinct_keys", None, int(stats["nkeys"] or 0), None, None),
+            ("max_key_share", None, None, None, float(maxc)),
         ],
-        "kind string, key string, rows long, share double",
+        "kind string, key string, rows long, share double, value double",
     ).select(
         "kind", "key", "rows",
         # HALF_UP via F.round (python round() is banker's — it would
         # disagree with a SQL oracle's ROUND on exact half-way shares)
         F.when(
             F.col("kind") == "max_key_share",
-            F.round(F.col("rows") / F.lit(float(total)), 6) if total else F.lit(None),
+            F.round(F.col("value") / F.lit(float(total)), 6) if total else F.lit(None),
         ).otherwise(F.col("share")).alias("share"),
+        "value",
     )
     return top.unionByName(summary)
 

@@ -2696,12 +2696,16 @@ def test_skew_profile_and_winsorize(spark):
 
     rows = [("hot",)] * 70 + [("warm",)] * 20 + [(f"k{i}",) for i in range(10)]
     df = spark.createDataFrame(rows, "k string")
-    prof = {(r.kind, r.key): (r.rows, r.share) for r in skew_profile(df, "k", top_n=3).collect()}
-    assert prof[("key", "hot")] == (70, 0.7)
-    assert prof[("key", "warm")] == (20, 0.2)
-    assert prof[("total_rows", None)] == (100, 1.0)
+    prof = {
+        (r.kind, r.key): (r.rows, r.share, r.value)
+        for r in skew_profile(df, "k", top_n=3).collect()
+    }
+    assert prof[("key", "hot")] == (70, 0.7, None)
+    assert prof[("key", "warm")] == (20, 0.2, None)
+    assert prof[("total_rows", None)] == (100, 1.0, None)
     assert prof[("distinct_keys", None)][0] == 12
-    assert prof[("max_key_share", None)] == (70, 0.7)
+    # the ratio's numerator rides value; rows stays NULL (not a row count)
+    assert prof[("max_key_share", None)] == (None, 0.7, 70.0)
     assert len([k for k in prof if k[0] == "key"]) == 3
 
     vals = [(i, float(i)) for i in range(1, 101)] + [(999, None)]
