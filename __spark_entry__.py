@@ -1837,6 +1837,116 @@ def image_neardup_q(spark, sf_dir):
     )
 
 
+def audio_neardup_q(spark, sf_dir):
+    """SAMPLE-level audio near-dup on codec-free WAV PCM: each embedding
+    row becomes a real 16-bit mono WAV (a deterministic step-wave from
+    the quantized embedding values); every 25th clip gets a 2x-volume
+    copy — exactly representable in int16, and the Haitsma-Kalker
+    subfingerprint is a sign pattern of band-energy DIFFERENCES, so the
+    copy's fingerprint is bit-identical and audio_neardup_join must find
+    every planted pair at offset 0 with BER 0 via its exact-match
+    lookup-table probe. The WITNESS recomputes each returned pair's BER
+    brute-force from the decoded samples (re-fingerprinting both clips
+    in Python and xor-counting at the pair's offset, bypassing the JVM
+    slice/zip_with/bit_count path) and demands equality. Truth table per
+    planted id: found + pair_witnessed + global all_pairs_witnessed."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import (
+        audio_neardup_join,
+        audio_subfingerprints,
+        decode_wav_samples,
+        to_media_frame,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @pandas_udf("binary")
+    def to_wav(vecs: pd.Series, gains: pd.Series) -> pd.Series:
+        out = []
+        for v, gain in zip(vecs, gains):
+            a = np.asarray(v, dtype="float64")
+            q = (np.floor(np.abs(a) * 997.0) % 8000.0) - 4000.0
+            samples = (np.repeat(q, 128) * int(gain)).astype("<i2")
+            data = samples.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            out.append(
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+        return pd.Series(out)
+
+    base = emb.select(
+        F.col("vec_id").alias("media_id"),
+        to_wav(F.col("embedding"), F.lit(1)).alias("content"),
+    )
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("media_id"),
+        to_wav(F.col("embedding"), F.lit(2)).alias("content"),
+    )
+    corpus = base.unionByName(copies).localCheckpoint(eager=True)
+    media = to_media_frame(corpus, "media_id", F.col("content"), "audio")
+    pairs = audio_neardup_join(media, max_ber=0.25).localCheckpoint(eager=True)
+
+    @pandas_udf("double")
+    def brute_ber(ca: pd.Series, cb: pd.Series, offs: pd.Series) -> pd.Series:
+        out = []
+        for a, b, off in zip(ca, cb, offs):
+            fa = audio_subfingerprints(decode_wav_samples(bytes(a))[1])
+            fb = audio_subfingerprints(decode_wav_samples(bytes(b))[1])
+            off = int(off)
+            ai = max(0, -off)
+            bi = max(0, off)
+            n = min(len(fa) - ai, len(fb) - bi)
+            bits = sum(
+                bin(fa[ai + i] ^ fb[bi + i]).count("1") for i in range(n)
+            )
+            # UNROUNDED: python round() is banker's and disagrees with the
+            # join's HALF_UP F.round at exact half-way values (x.xxx5);
+            # the comparison below rounds both sides the same way
+            out.append(bits / (n * 32.0) if n > 0 else None)
+        return pd.Series(out)
+
+    def side(tag):
+        return corpus.select(
+            F.col("media_id").alias(f"id_{tag}"),
+            F.col("content").alias(f"__c{tag}"),
+        )
+
+    wit = (
+        pairs.join(F.broadcast(side("a")), "id_a")
+        .join(F.broadcast(side("b")), "id_b")
+        .select(
+            "id_a", "id_b", "offset", "ber",
+            brute_ber("__ca", "__cb", "offset").alias("w_ber"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    all_ok = wit.filter(
+        F.col("w_ber").isNull()
+        | (F.abs(F.col("ber") - F.round(F.col("w_ber"), 6)) > 1e-9)
+    ).count() == 0
+    wit_planted = (
+        wit.where((F.col("id_b") == F.col("id_a") + 1_000_000) & (F.col("offset") == 0))
+        .select(
+            F.col("id_a").alias("vec_id"),
+            ((F.col("ber") == 0.0) & (F.col("w_ber") == 0.0)).alias("pair_witnessed"),
+        )
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    return planted.join(wit_planted, "vec_id", "left").select(
+        "vec_id",
+        F.col("pair_witnessed").isNotNull().alias("found"),
+        F.coalesce("pair_witnessed", F.lit(False)).alias("pair_witnessed"),
+        F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
+    )
+
+
 def multimodal_headers_q(spark, sf_dir):
     """Real container-header decode: synthesize valid PNG/JPEG/GIF/BMP/WAV
     payloads from doc_id arithmetic, then parse dimensions/channels/rate
@@ -3935,7 +4045,7 @@ def flowcounter_q(spark, sf_dir):
 # then the 23 remaining r04-era rows; then the 25 alphabetically-first
 # r05-era rows — exactly the 50 stalest per the staleness histogram.
 _DRIVER_WINDOW = [
-    "ann_served", "image_neardup", "q1_pricing_summary",
+    "ann_served", "image_neardup", "audio_neardup", "q1_pricing_summary",
     "record_modifier_allowlist", "similarity_ivf_ann",
     "similarity_lsh_ann", "similarity_pq_ann", "similarity_pq_join",
     "sketch_distinct", "sketch_overlap",
@@ -3954,7 +4064,7 @@ _DRIVER_WINDOW = [
     "lm_bigram_quality", "log_to_metrics_counter", "log_to_metrics_gauge",
     "log_to_metrics_histogram", "log_to_metrics_summary",
     "media_resize_grid", "metrics_selector", "multiline_sessionize",
-    "otel_envelope", "pack_sequences",
+    "otel_envelope",
 ]
 
 
@@ -4085,6 +4195,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": multimodal_metadata_q,
         "multimodal_headers": multimodal_headers_q,
         "image_neardup": image_neardup_q,
+        "audio_neardup": audio_neardup_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -5203,6 +5314,10 @@ def oracle_sql() -> dict[str, str]:
             "sha256(text) AS sha FROM documents"
         ),
         "image_neardup": (
+            "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
+            "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
+        ),
+        "audio_neardup": (
             "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
             "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
         ),

