@@ -1837,6 +1837,33 @@ def image_neardup_q(spark, sf_dir):
     )
 
 
+def attribution_q(spark, sf_dir):
+    """Marketing attribution over the events table: purchases credited
+    to preceding view/click/signup touches of the same user within a
+    3-day lookback, all three models (last_touch, first_touch, linear)
+    unioned under a model column; untouched purchases credit
+    '(direct)'. Hash-exact DuckDB window replay of every rule —
+    including the deterministic (tts, channel) tie-breaks."""
+    from fluent_bit_spark.extensions.funnel import attribution
+
+    ev = _events(spark, sf_dir)
+    parts = []
+    for mdl in ("last_touch", "first_touch", "linear"):
+        parts.append(
+            attribution(
+                ev,
+                conversion="purchase",
+                touch_types=["view", "click", "signup"],
+                lookback=3 * 86400.0,
+                model=mdl,
+            ).select(F.lit(mdl).alias("model"), "channel", "credit", "attributed_value")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def audio_neardup_q(spark, sf_dir):
     """SAMPLE-level audio near-dup on codec-free WAV PCM: each embedding
     row becomes a real 16-bit mono WAV (a deterministic step-wave from
@@ -4045,7 +4072,8 @@ def flowcounter_q(spark, sf_dir):
 # then the 23 remaining r04-era rows; then the 25 alphabetically-first
 # r05-era rows — exactly the 50 stalest per the staleness histogram.
 _DRIVER_WINDOW = [
-    "ann_served", "image_neardup", "audio_neardup", "q1_pricing_summary",
+    "ann_served", "image_neardup", "audio_neardup", "attribution",
+    "q1_pricing_summary",
     "record_modifier_allowlist", "similarity_ivf_ann",
     "similarity_lsh_ann", "similarity_pq_ann", "similarity_pq_join",
     "sketch_distinct", "sketch_overlap",
@@ -4064,7 +4092,6 @@ _DRIVER_WINDOW = [
     "lm_bigram_quality", "log_to_metrics_counter", "log_to_metrics_gauge",
     "log_to_metrics_histogram", "log_to_metrics_summary",
     "media_resize_grid", "metrics_selector", "multiline_sessionize",
-    "otel_envelope",
 ]
 
 
@@ -4196,6 +4223,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_headers": multimodal_headers_q,
         "image_neardup": image_neardup_q,
         "audio_neardup": audio_neardup_q,
+        "attribution": attribution_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -5320,6 +5348,35 @@ def oracle_sql() -> dict[str, str]:
         "audio_neardup": (
             "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
             "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
+        ),
+        "attribution": (
+            "WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cts, "
+            "COALESCE(value, 0) AS cval FROM events WHERE event_type = 'purchase'), "
+            "touch AS (SELECT user_id AS u, epoch_us(ts) AS tts, event_type AS channel "
+            "FROM events WHERE event_type IN ('view', 'click', 'signup')), "
+            "j AS (SELECT conv.u, conv.cts, conv.cval, touch.tts, touch.channel "
+            "FROM conv JOIN touch USING (u) "
+            "WHERE tts < cts AND cts - tts <= 259200000000), "
+            "direct AS (SELECT '(direct)' AS channel, 1.0 AS credit, cval AS val "
+            "FROM conv WHERE NOT EXISTS (SELECT 1 FROM j "
+            "WHERE j.u = conv.u AND j.cts = conv.cts)), "
+            "lastc AS (SELECT channel, 1.0 AS credit, cval AS val FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY u, cts "
+            "ORDER BY tts DESC, channel DESC) AS rn FROM j) WHERE rn = 1 "
+            "UNION ALL SELECT * FROM direct), "
+            "firstc AS (SELECT channel, 1.0 AS credit, cval AS val FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY u, cts "
+            "ORDER BY tts ASC, channel ASC) AS rn FROM j) WHERE rn = 1 "
+            "UNION ALL SELECT * FROM direct), "
+            "linc AS (SELECT channel, 1.0 / cnt AS credit, cval / cnt AS val FROM ("
+            "SELECT *, COUNT(*) OVER (PARTITION BY u, cts) AS cnt FROM j) "
+            "UNION ALL SELECT * FROM direct) "
+            "SELECT 'last_touch' AS model, channel, ROUND(SUM(credit), 6) AS credit, "
+            "ROUND(SUM(val), 6) AS attributed_value FROM lastc GROUP BY channel "
+            "UNION ALL SELECT 'first_touch', channel, ROUND(SUM(credit), 6), "
+            "ROUND(SUM(val), 6) FROM firstc GROUP BY channel "
+            "UNION ALL SELECT 'linear', channel, ROUND(SUM(credit), 6), "
+            "ROUND(SUM(val), 6) FROM linc GROUP BY channel"
         ),
         "multimodal_headers": (
             "SELECT doc_id AS media_id, "

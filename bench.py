@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "winsorize",
     "image_neardup",
     "audio_neardup",
+    "attribution",
     "pipeline_e2e",
 ]
 

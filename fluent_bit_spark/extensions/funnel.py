@@ -489,3 +489,97 @@ def cohort_retention(
         )
         .agg(F.countDistinct(user_col).alias("users"))
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch_types: list[str] | None = None,
+    lookback: float | None = None,
+    model: str = "last_touch",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(channel, credit, attributed_value): marketing-attribution credit
+    of each ``conversion`` event's value to the user's preceding touch
+    events (strictly earlier ts, within ``lookback`` seconds when set).
+
+    Models — ``last_touch`` (full credit to the latest qualifying touch;
+    ties break on channel desc, the deterministic rule the SQL oracle
+    replays), ``first_touch`` (earliest touch in the window, ties on
+    channel asc), ``linear`` (each qualifying touch gets 1/n of the
+    conversion and its value). Conversions with no qualifying touch
+    credit the ``(direct)`` channel. ``credit`` sums fractional
+    conversion counts (integral for first/last touch); both outputs
+    round to 6 decimals for cross-engine replay.
+
+    Shape: one user-keyed join of conversions to touches (per-user
+    event counts bound the fan-out — the standard event-analytics skew
+    note), one per-conversion window for the model rule, one
+    channel-keyed aggregation. No Python anywhere."""
+    from pyspark.sql import Window
+
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    conv = events.where(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__cts"),
+        F.coalesce(F.col(value_col), F.lit(0.0)).alias("__cval"),
+    )
+    touches = events.where(
+        F.col(type_col).isin(list(touch_types))
+        if touch_types is not None
+        else (F.col(type_col) != conversion)
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__tts"),
+        F.col(type_col).alias("channel"),
+    )
+    cond = F.col("__tts") < F.col("__cts")
+    if lookback is not None:
+        cond = cond & (
+            (F.col("__cts") - F.col("__tts")) <= int(lookback * 1_000_000)
+        )
+    j = conv.join(touches, "__u").where(cond)
+    w = Window.partitionBy("__u", "__cts")
+    if model == "linear":
+        credited = j.select(
+            "channel",
+            (F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("__credit"),
+            (F.col("__cval") / F.count(F.lit(1)).over(w)).alias("__val"),
+        )
+    else:
+        order = (
+            [F.col("__tts").desc(), F.col("channel").desc()]
+            if model == "last_touch"
+            else [F.col("__tts").asc(), F.col("channel").asc()]
+        )
+        credited = (
+            j.withColumn("__rn", F.row_number().over(w.orderBy(*order)))
+            .where(F.col("__rn") == 1)
+            .select(
+                "channel",
+                F.lit(1.0).alias("__credit"),
+                F.col("__cval").alias("__val"),
+            )
+        )
+    direct = (
+        conv.join(
+            j.select("__u", "__cts").distinct(), ["__u", "__cts"], "left_anti"
+        )
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.lit(1.0).alias("__credit"),
+            F.col("__cval").alias("__val"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("__credit"), 6).alias("credit"),
+            F.round(F.sum("__val"), 6).alias("attributed_value"),
+        )
+    )

@@ -2596,6 +2596,62 @@ def test_active_users_window_sliding_mode(spark):
         active_users_window(df, 7, mode="nope")
 
 
+def test_attribution_models(spark):
+    """First/last-touch and linear attribution vs hand-computed credit:
+    lookback cut, strict before-conversion rule, same-ts channel
+    tie-break, (direct) fallback, fractional linear splits."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from fluent_bit_spark.extensions.funnel import attribution
+
+    T0 = dt.datetime(2024, 7, 1)
+
+    def ev(u, sec, typ, val=0.0):
+        return (u, T0 + dt.timedelta(seconds=sec), typ, val)
+
+    rows = [
+        # u1: view(0), click(50), purchase(100, $90); the 60s lookback
+        # EXCLUDES view(0) (100s before), so click is u1's only
+        # qualifying touch under every model
+        ev(1, 0, "view"), ev(1, 50, "click"), ev(1, 100, "purchase", 90.0),
+        # u2: touch outside the 60s lookback -> (direct)
+        ev(2, 0, "view"), ev(2, 1000, "purchase", 10.0),
+        # u3: no touches at all -> (direct)
+        ev(3, 0, "purchase", 5.0),
+        # u4: two touches at the SAME ts -> tie-break: last=view (desc),
+        # first=click (asc); linear splits across both
+        ev(4, 10, "view"), ev(4, 10, "click"), ev(4, 20, "purchase", 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+
+    def got(model):
+        return {
+            r.channel: (r.credit, r.attributed_value)
+            for r in attribution(
+                df, conversion="purchase", touch_types=["view", "click"],
+                lookback=60.0, model=model,
+            ).collect()
+        }
+
+    last = got("last_touch")
+    assert last == {
+        "click": (1.0, 90.0), "view": (1.0, 8.0), "(direct)": (2.0, 15.0)
+    }, last
+    first = got("first_touch")  # u1: click; u4 tie asc -> click
+    assert first == {
+        "click": (2.0, 98.0), "(direct)": (2.0, 15.0)
+    }, first
+    lin = got("linear")  # u1: click 90; u4: 4/4 split
+    assert lin == {
+        "click": (1.5, 94.0), "view": (0.5, 4.0), "(direct)": (2.0, 15.0)
+    }, lin
+
+    with _pytest.raises(ValueError, match="model"):
+        attribution(df, model="u_shaped")
+
+
 def test_event_transitions_and_rfm(spark):
     """Transition matrix vs hand-derived counts (session boundary cuts
     the chain) and RFM scores on a corpus with known order."""
