@@ -691,6 +691,7 @@ def audio_neardup_join(
     id_col: str = "media_id",
     frame: int = 2048,
     hop: int = 1024,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs (id_a < id_b, offset, ber): candidates
     are (pair, alignment-offset) tuples where at least one 32-bit
@@ -702,10 +703,30 @@ def audio_neardup_join(
     is the paper's operating point; identical-up-to-volume copies score
     0. A true near-dup whose every aligned frame differs (BER > 0 at
     all 32 bits everywhere) has no exact-match probe and is missed —
-    the documented recall contract of lookup-table fingerprinting."""
+    the documented recall contract of lookup-table fingerprinting.
+
+    ``max_bucket`` is the hot-bucket stop-list — the quadratic-pocket
+    guard every lookup-table scheme needs at scale: a degenerate
+    subfingerprint shared by f clips (silence, test tones, synthetic
+    near-uniform corpora) contributes ~f^2/2 candidate pairs, so sub
+    values occurring more than ``max_bucket`` times are skipped as
+    probes (the minhash band-cap discipline). A pair is missed only if
+    EVERY subfingerprint it shares is that common; the default None
+    keeps the exact candidate contract."""
     if not (0.0 <= max_ber <= 1.0):
         raise ValueError("need 0 <= max_ber <= 1")
     subs = audio_fingerprint(media, id_col, frame, hop).localCheckpoint(eager=True)
+    probe_subs = subs
+    if max_bucket is not None:
+        if max_bucket < 1:
+            raise ValueError("max_bucket must be >= 1")
+        hot = (
+            subs.groupBy("sub")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("sub")
+        )
+        probe_subs = subs.join(F.broadcast(hot), "sub", "left_anti")
     per_id = subs.groupBy("media_id").agg(
         F.array_sort(
             F.collect_list(F.struct("frame_idx", "sub"))
@@ -714,10 +735,10 @@ def audio_neardup_join(
         "media_id",
         F.transform("__fs", lambda s: s.getField("sub")).alias("fp"),
     )
-    a = subs.select(
+    a = probe_subs.select(
         F.col("media_id").alias("id_a"), F.col("frame_idx").alias("__ia"), "sub"
     )
-    b = subs.select(
+    b = probe_subs.select(
         F.col("media_id").alias("id_b"), F.col("frame_idx").alias("__ib"), "sub"
     )
     cands = (

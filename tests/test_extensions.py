@@ -359,6 +359,15 @@ def test_audio_fingerprint_and_neardup(spark):
     assert got[(0, 100)] == (0, 0.0) and got[(4, 104)] == (0, 0.0)
     assert (0, 500) in got and got[(0, 500)][0] == -2 and got[(0, 500)][1] == 0.0
 
+    # hot-bucket stop-list: a generous cap is a no-op; cap=1 skips every
+    # shared sub (shared means freq >= 2), so no probes survive at all
+    loose = {
+        (r.id_a, r.id_b)
+        for r in audio_neardup_join(media, max_ber=0.25, max_bucket=10_000).collect()
+    }
+    assert loose == set(got)
+    assert audio_neardup_join(media, max_ber=0.25, max_bucket=1).count() == 0
+
 
 def test_extract_media_headers_spark(spark, docs):
     from fluent_bit_spark.extensions.multimodal import extract_media_headers, make_gif

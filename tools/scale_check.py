@@ -52,6 +52,12 @@ HEAVY = [
     "nb_quality_classifier",
     "pack_ffd",
     "cluster_balanced",
+    # round-8 additions (persisted serving + multimodal near-dup +
+    # attribution); SPARK_GRAFT_BENCH_ONLY narrows a run to a subset
+    "ann_serve_only",
+    "image_neardup",
+    "audio_neardup",
+    "attribution",
 ]
 
 
@@ -61,9 +67,18 @@ def run_suite(spark, sf_dir: str, runs: int) -> dict[str, float]:
     qs = entrymod.queries()
     for t in ("documents", "events", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
+    names = [q for q in HEAVY if not only or q in only]
+    for name in names:
+        if name in getattr(bench, "BENCH_SETUP", {}):
+            bench.BENCH_SETUP[name](spark, sf_dir)
     timings: dict[str, float] = {}
     for _ in range(runs):
-        for name in HEAVY:
+        for name in names:
             fn = bench.BENCH_FORMS.get(name, qs.get(name))
             t0 = time.perf_counter()
             if name == "pipeline_e2e":
@@ -89,7 +104,7 @@ def main() -> None:
     t_lo = run_suite(spark, lo, runs)
     t_hi = run_suite(spark, hi, runs)
     out = {}
-    for name in HEAVY:
+    for name in t_lo:
         a, b = t_lo[name], t_hi[name]
         out[name] = {
             "lo_sec": a,
