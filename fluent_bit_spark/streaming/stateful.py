@@ -800,3 +800,76 @@ def user_journey_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def attribution_stream(
+    sdf: DataFrame,
+    conversion: str = "purchase",
+    touch_types: list[str] | None = None,
+    lookback: float | None = None,
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming LAST-TOUCH attribution — the streaming-natural model:
+    per-user state is two scalars (latest qualifying touch channel +
+    timestamp), and each conversion emits one (channel, credit=1,
+    attributed_value) delta as it arrives, crediting ``(direct)`` when
+    no touch sits inside ``lookback``. Summed deltas equal the batch
+    ``attribution(model='last_touch')`` totals on in-order streams
+    (first/linear need the conversion's full touch window — bounded
+    per-user history, the batch operator's job).
+
+    Same in-order contract and [ts, type] within-batch sort as the
+    other folds; processing touches in ascending (ts, type) order makes
+    the retained same-ts touch the (ts, channel)-desc winner — exactly
+    the batch tie-break."""
+    gap_us = None if lookback is None else int(lookback * 1_000_000)
+    touch_set = None if touch_types is None else {str(t) for t in touch_types}
+    out_schema = "channel string, credit double, attributed_value double"
+    state_schema = "last_ch string, last_t long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        last_ch, last_t = state.get if state.exists else (None, None)
+        deltas: dict = {}
+        has_value = None
+        for pdf in pdfs:
+            if has_value is None:
+                has_value = value_col in pdf.columns
+            pdf = pdf.sort_values([ts_col, type_col])
+            vals = pdf[value_col] if has_value else [0.0] * len(pdf)
+            for t, e, v in zip(pdf[ts_col], pdf[type_col], vals):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                e = str(e)
+                if e == conversion:
+                    ok = (
+                        last_ch is not None
+                        and last_t < t_us
+                        and (gap_us is None or t_us - last_t <= gap_us)
+                    )
+                    ch = last_ch if ok else "(direct)"
+                    c, val = deltas.get(ch, (0.0, 0.0))
+                    deltas[ch] = (c + 1.0, val + float(v or 0.0))
+                elif touch_set is None or e in touch_set:
+                    last_ch, last_t = e, t_us
+        state.update((last_ch, last_t))
+        if deltas:
+            yield pd.DataFrame(
+                {
+                    "channel": list(deltas),
+                    "credit": [c for c, _ in deltas.values()],
+                    "attributed_value": [v for _, v in deltas.values()],
+                }
+            )
+
+    cols = [user_col, ts_col, type_col]
+    if value_col in sdf.columns:
+        cols.append(value_col)
+    return (
+        sdf.select(*cols)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

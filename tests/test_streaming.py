@@ -1315,3 +1315,72 @@ def test_heavy_hitters_stream_mg_contract(spark, tmp_path):
     assert final["z"] == 10                  # z arrived post-churn: exact
     # O(k) state: one state-store row per shard, not per key
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_attribution_stream_matches_batch(spark, tmp_path):
+    """Streaming last-touch attribution: per-user two-scalar state emits
+    per-conversion credit deltas; summed deltas equal batch
+    attribution(model='last_touch') exactly, including the lookback
+    cut, the strict before-conversion rule, same-ts channel tie-breaks,
+    and the (direct) fallback."""
+    import datetime as dt
+    import json
+    import os as _os
+    import time as _time
+
+    from fluent_bit_spark.extensions.funnel import attribution
+    from fluent_bit_spark.streaming.stateful import attribution_stream
+
+    T0 = dt.datetime(2024, 7, 1)
+
+    def ev(u, sec, typ, val=0.0):
+        return (u, T0 + dt.timedelta(seconds=sec), typ, val)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 50, "click"), ev(1, 100, "purchase", 90.0),
+        ev(2, 0, "view"), ev(2, 1000, "purchase", 10.0),   # outside lookback
+        ev(3, 0, "purchase", 5.0),                          # no touches
+        ev(4, 10, "view"), ev(4, 10, "click"), ev(4, 20, "purchase", 8.0),
+        ev(1, 120, "purchase", 2.0),                        # second conversion
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    batch = {
+        r.channel: (r.credit, r.attributed_value)
+        for r in attribution(
+            df, conversion="purchase", touch_types=["view", "click"],
+            lookback=60.0, model="last_touch",
+        ).collect()
+    }
+
+    d = tmp_path / "attr_stream"
+    d.mkdir()
+    base = _time.time() - 1000
+    for i in range(0, len(rows), 3):
+        fp = d / f"b{i:03d}.json"
+        with open(fp, "w") as f:
+            for u, ts, typ, val in rows[i:i + 3]:
+                f.write(json.dumps({"user_id": u, "ts": ts.isoformat(),
+                                    "event_type": typ, "value": val}) + "\n")
+        _os.utime(fp, (base + i, base + i))
+    sdf = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        attribution_stream(
+            sdf, conversion="purchase", touch_types=["view", "click"],
+            lookback=60.0, ts_col="ts",
+        )
+        .writeStream.format("memory")
+        .queryName("attr_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sums: dict = {}
+    for r in spark.sql("SELECT * FROM attr_stream_out").collect():
+        c, v = sums.get(r.channel, (0.0, 0.0))
+        sums[r.channel] = (c + r.credit, v + r.attributed_value)
+    assert sums == batch
