@@ -654,6 +654,21 @@ def anomaly_zscore(spark, sf_dir):
     )
 
 
+def robust_anomaly_q(spark, sf_dir):
+    """Median/MAD robust outlier scoring per user series (Iglewicz &
+    Hoadley modified z-score) — the contamination-proof companion to
+    the rolling z-score; exact quantile_cont replay in DuckDB."""
+    from fluent_bit_spark.extensions.anomaly import robust_anomaly_scores
+
+    ev = _events(spark, sf_dir)
+    out = robust_anomaly_scores(ev, "value", ["user_id"], z_threshold=3.5)
+    return out.select(
+        "event_id", "user_id",
+        F.round("med", 6).alias("med"),
+        "mad", "robust_z", "is_anomaly",
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: tight filter + single global aggregate — the plan
     should be scan-with-pushed-filters -> partial sum -> one-row result."""
@@ -4073,7 +4088,7 @@ def flowcounter_q(spark, sf_dir):
 # r05-era rows — exactly the 50 stalest per the staleness histogram.
 _DRIVER_WINDOW = [
     "ann_served", "image_neardup", "audio_neardup", "attribution",
-    "q1_pricing_summary",
+    "robust_anomaly", "q1_pricing_summary",
     "record_modifier_allowlist", "similarity_ivf_ann",
     "similarity_lsh_ann", "similarity_pq_ann", "similarity_pq_join",
     "sketch_distinct", "sketch_overlap",
@@ -4091,7 +4106,7 @@ _DRIVER_WINDOW = [
     "html_extract", "labels_ops",
     "lm_bigram_quality", "log_to_metrics_counter", "log_to_metrics_gauge",
     "log_to_metrics_histogram", "log_to_metrics_summary",
-    "media_resize_grid", "metrics_selector", "multiline_sessionize",
+    "media_resize_grid", "metrics_selector",
 ]
 
 
@@ -4142,6 +4157,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_hook": udf_hook_q,
         "log_to_metrics_summary": log_to_metrics_summary,
         "anomaly_zscore": anomaly_zscore,
+        "robust_anomaly": robust_anomaly_q,
         "q6_forecast_revenue": q6_forecast_revenue,
         "alter_size_take": alter_size_take,
         "session_window_gap": session_window_gap,
@@ -4559,6 +4575,21 @@ def oracle_sql() -> dict[str, str]:
             "MIN(value) OVER w AS mn, MAX(value) OVER w AS mx FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))"
+        ),
+        "robust_anomaly": (
+            "WITH v AS (SELECT event_id, user_id, ROUND(value, 6) AS r FROM events), "
+            "m AS (SELECT user_id, quantile_cont(r, 0.5) AS med FROM v GROUP BY user_id), "
+            "d AS (SELECT v.event_id, v.user_id, v.r, m.med, abs(v.r - m.med) AS adev "
+            "FROM v JOIN m USING (user_id)), "
+            "md AS (SELECT user_id, ROUND(quantile_cont(adev, 0.5), 6) AS mad "
+            "FROM d GROUP BY user_id) "
+            "SELECT d.event_id, d.user_id, ROUND(d.med, 6) AS med, md.mad, "
+            "ROUND(CASE WHEN md.mad > 0 THEN 0.6745 * d.adev / md.mad ELSE 0 END, 6) "
+            "AS robust_z, "
+            "CASE WHEN md.mad > 0 THEN "
+            "ROUND(0.6745 * d.adev / md.mad, 6) > 3.5 ELSE d.adev > 0 END "
+            "AS is_anomaly "
+            "FROM d JOIN md USING (user_id)"
         ),
         "q6_forecast_revenue": (
             f"SELECT CAST(SUM(CAST(l_extendedprice AS {dec}) * CAST(l_discount AS {dec})) AS DOUBLE) "

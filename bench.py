@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "image_neardup",
     "audio_neardup",
     "attribution",
+    "robust_anomaly",
     "pipeline_e2e",
 ]
 

@@ -60,3 +60,51 @@ def anomaly_scores(
         .withColumn("range_ratio", rr)
         .withColumn("is_anomaly", z > F.lit(z_threshold))
     )
+
+
+def robust_anomaly_scores(
+    df: DataFrame,
+    value_col: str,
+    series_keys: list[str],
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust outlier scoring per series — the global
+    companion to the rolling z-score above for the case its docstring
+    flags: a contaminated window inflates mean/std and masks the very
+    outliers being hunted, while the median and the median absolute
+    deviation have a 50% breakdown point (Iglewicz & Hoadley 1993
+    modified z-score, |0.6745 * (x - median) / MAD|).
+
+    Adds ``med``, ``mad``, ``robust_z``, ``is_anomaly``. Degenerate
+    series (MAD = 0 — over half the points identical) score 0 with
+    is_anomaly false for points AT the median and true for any point
+    off it (any deviation from a half-constant series is an outlier at
+    every threshold). Values round to 6 decimals for cross-engine
+    replay.
+
+    Shape: one per-series aggregate (two percentile passes ship only
+    per-series scalars) broadcast back by key — no window sort, no
+    per-row Python; scales with series count, not points per series."""
+    r = F.round(F.col(value_col).cast("double"), 6)
+    med = df.groupBy(*series_keys).agg(
+        F.percentile(r, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(med, series_keys).withColumn(
+        "__adev", F.abs(r - F.col("med"))
+    )
+    mad = dev.groupBy(*series_keys).agg(
+        F.round(F.percentile("__adev", F.lit(0.5)), 6).alias("mad")
+    )
+    scored = dev.join(mad, series_keys).withColumn(
+        "robust_z",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.lit(0.6745) * F.col("__adev") / F.col("mad"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(F.col("mad") > 0, F.col("robust_z") > z_threshold).otherwise(
+            F.col("__adev") > 0
+        ),
+    ).drop("__adev")

@@ -2929,3 +2929,32 @@ def test_heavy_hitters_exact_and_mg_guarantee(spark):
         assert key in mg, key
     for key, est in mg.items():
         assert full_truth[key] - n / k <= est <= full_truth[key], key
+
+
+def test_robust_anomaly_scores(spark):
+    """Median/MAD modified z-score vs hand expectations: robust to a
+    contaminated series (the outlier can't inflate its own cutoff),
+    degenerate MAD=0 series flag any off-median point, NULLs ignored
+    in the aggregates."""
+    from fluent_bit_spark.extensions.anomaly import robust_anomaly_scores
+
+    rows = (
+        # series A: nine ~10s and one wild 1000 -> median 10, MAD small,
+        # the 1000 flags; a mean/std z-score would have sd ~313 and z<3.2
+        [("a", float(v)) for v in (9, 9, 10, 10, 10, 10, 11, 11, 12)]
+        + [("a", 1000.0)]
+        # series B: half-constant -> MAD 0; the 99 still flags
+        + [("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 99.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = robust_anomaly_scores(df, "v", ["k"], z_threshold=3.5)
+    a = [r for r in out.collect() if r.k == "a"]
+    assert all(abs(r.med - 10.0) < 1e-9 for r in a)
+    flagged = {r.v for r in a if r.is_anomaly}
+    assert flagged == {1000.0}
+    # deviations |v - 10| sorted: 0,0,0,0,1,1,1,1,2,990 -> median 1.0
+    assert a[0].mad == 1.0
+    assert any(abs(r.robust_z - round(0.6745 * 990.0, 6)) < 1e-6 for r in a)
+    b = {r.v: r for r in out.collect() if r.k == "b"}
+    assert b[5.0].mad == 0.0 and not b[5.0].is_anomaly
+    assert b[99.0].is_anomaly and b[99.0].robust_z == 0.0
