@@ -903,3 +903,39 @@ def quantize_int8(
         F.array_min("codes").alias("code_min"),
         F.array_max("codes").alias("code_max"),
     )
+
+
+def ivf_index_append(spark, path: str, new_vectors: DataFrame) -> int:
+    """Append vectors to a PERSISTED IVF index without re-clustering —
+    the append-often half of build-once/serve-many: new vectors assign
+    to the EXISTING centroids (assign_clusters' map-side matmul, no
+    k-means jobs) and land in the cid-partitioned ``lists`` directories
+    via a plain partitioned append, so serving picks them up on its
+    next parquet scan with no coordination. Column names come from the
+    index's own meta. Returns the appended row count.
+
+    The trade is the standard one for online vector serving: centroids
+    drift from the true k-means of the grown corpus, degrading probe
+    recall gradually — rebuild on a schedule (or when list-size skew
+    from skew_profile on cid crosses a threshold), exactly like the
+    BM25 index whose idf table also staled from the moment it was
+    built."""
+    idx = ivf_index_load(spark, path)
+    id_col, vec_col = idx["id_col"], idx["vec_col"]
+    missing = [c for c in (id_col, vec_col) if c not in new_vectors.columns]
+    if missing:
+        raise ValueError(
+            f"new_vectors lacks the index's columns {missing} "
+            f"(index at {path!r} uses id_col={id_col!r}, vec_col={vec_col!r})"
+        )
+    assigned = assign_clusters(
+        new_vectors.select(id_col, vec_col), idx["centroids"], vec_col
+    )
+    n = assigned.count()
+    (
+        assigned.repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path.rstrip('/')}/lists")
+    )
+    return n

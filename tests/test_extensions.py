@@ -467,6 +467,42 @@ def test_ann_persisted_index_roundtrip(spark, tmp_path):
     pdist = pq_topk_indexed(ploaded, queries, k=5, distributed=True, num_chunks=2)
     assert pkey(pdist.orderBy("query_id", "rank").collect()) == pkey(pmem.collect())
 
+    # incremental append: build on half, append the rest against the
+    # SAME centroids -> serving equals an index built from those
+    # centroids over the full corpus (no re-clustering, no coordination)
+    from fluent_bit_spark.extensions.similarity import (
+        assign_clusters, ivf_index_append,
+    )
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    part = ivf_index(half_a, n_centroids=8, iters=2)
+    ivf_index_save(part, str(tmp_path / "ivf_inc"))
+    n_new = ivf_index_append(
+        spark, str(tmp_path / "ivf_inc"), half_b.select("vec_id", "embedding")
+    )
+    assert n_new == half_b.count()
+    grown = ivf_index_load(spark, str(tmp_path / "ivf_inc"))
+    served = ivf_topk_indexed(grown, queries, k=5, nprobe=3)
+    ref_index = {
+        "centroids": part["centroids"],
+        "lists": assign_clusters(
+            emb.select("vec_id", "embedding"), part["centroids"], "embedding"
+        ),
+        "n_centroids": 8, "id_col": "vec_id", "vec_col": "embedding",
+    }
+    expect = ivf_topk_indexed(ref_index, queries, k=5, nprobe=3)
+    assert key(served.orderBy("query_id", "rank").collect()) == key(
+        expect.orderBy("query_id", "rank").collect()
+    )
+    import pytest as _pytest2
+
+    with _pytest2.raises(ValueError, match="lacks the index's columns"):
+        ivf_index_append(
+            spark, str(tmp_path / "ivf_inc"),
+            half_b.select(F.col("vec_id").alias("other_id"), "embedding"),
+        )
+
     # a truncated codebook table must fail loudly, not serve garbage
     import pytest as _pytest
 
