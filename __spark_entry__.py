@@ -4578,17 +4578,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "robust_anomaly": (
             "WITH v AS (SELECT event_id, user_id, ROUND(value, 6) AS r FROM events), "
-            "m AS (SELECT user_id, quantile_cont(r, 0.5) AS med FROM v GROUP BY user_id), "
+            "m AS (SELECT user_id, quantile_disc(r, 0.5) AS med "
+            "FROM v GROUP BY user_id), "
             "d AS (SELECT v.event_id, v.user_id, v.r, m.med, abs(v.r - m.med) AS adev "
             "FROM v JOIN m USING (user_id)), "
-            "md AS (SELECT user_id, ROUND(quantile_cont(adev, 0.5), 6) AS mad "
+            "md AS (SELECT user_id, quantile_disc(adev, 0.5) AS mad "
             "FROM d GROUP BY user_id) "
             "SELECT d.event_id, d.user_id, ROUND(d.med, 6) AS med, md.mad, "
-            "ROUND(CASE WHEN md.mad > 0 THEN 0.6745 * d.adev / md.mad ELSE 0 END, 6) "
-            "AS robust_z, "
             "CASE WHEN md.mad > 0 THEN "
-            "ROUND(0.6745 * d.adev / md.mad, 6) > 3.5 ELSE d.adev > 0 END "
-            "AS is_anomaly "
+            "FLOOR(0.6745 * d.adev / md.mad * 1000000 + 0.5) / 1000000 "
+            "ELSE 0 END AS robust_z, "
+            "CASE WHEN md.mad > 0 THEN "
+            "FLOOR(0.6745 * d.adev / md.mad * 1000000 + 0.5) / 1000000 > 3.5 "
+            "ELSE d.adev > 0 END AS is_anomaly "
             "FROM d JOIN md USING (user_id)"
         ),
         "q6_forecast_revenue": (

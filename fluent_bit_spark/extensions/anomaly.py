@@ -80,27 +80,41 @@ def robust_anomaly_scores(
     is_anomaly false for points AT the median and true for any point
     off it (any deviation from a half-constant series is an outlier at
     every threshold). Values round to 6 decimals for cross-engine
-    replay.
+    replay; median and MAD use the DISCRETE percentile (an actual data
+    value, lower-middle at even counts) — interpolated percentiles
+    differ across engines in the last ulp ((1-f)a+fb vs a+f(b-a)), and
+    an ulp under the robust_z division flips its final rounding, so the
+    exact-value form is the replayable one.
 
     Shape: one per-series aggregate (two percentile passes ship only
     per-series scalars) broadcast back by key — no window sort, no
     per-row Python; scales with series count, not points per series."""
     r = F.round(F.col(value_col).cast("double"), 6)
-    med = df.groupBy(*series_keys).agg(
-        F.percentile(r, F.lit(0.5)).alias("med")
+    med = (
+        df.withColumn("__r", r)
+        .groupBy(*series_keys)
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __r)").alias("med")
+        )
     )
     dev = df.join(med, series_keys).withColumn(
         "__adev", F.abs(r - F.col("med"))
     )
     mad = dev.groupBy(*series_keys).agg(
-        F.round(F.percentile("__adev", F.lit(0.5)), 6).alias("mad")
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __adev)").alias("mad")
     )
+    # floor(x*1e6 + 0.5)/1e6, NOT F.round: Spark rounds the double's
+    # SHORTEST decimal string (BigDecimal.valueOf) while SQL engines
+    # round the true binary value, and a quotient landing on an exact
+    # .5 boundary of a non-representable double splits the two; the
+    # floor form is plain IEEE arithmetic both engines compute bit-
+    # identically (robust_z >= 0, so no negative-floor correction)
+    z6 = F.floor(
+        F.lit(0.6745) * F.col("__adev") / F.col("mad") * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
     scored = dev.join(mad, series_keys).withColumn(
         "robust_z",
-        F.when(
-            F.col("mad") > 0,
-            F.round(F.lit(0.6745) * F.col("__adev") / F.col("mad"), 6),
-        ).otherwise(F.lit(0.0)),
+        F.when(F.col("mad") > 0, z6).otherwise(F.lit(0.0)),
     )
     return scored.withColumn(
         "is_anomaly",

@@ -762,11 +762,18 @@ def audio_neardup_join(
         F.size("__fa") + F.size("__fb"),
     )
     n_over = F.least(F.size(a_sl), F.size(b_sl))
+    # mask to the low 32 bits BEFORE bit_count: the int32 xor gets
+    # implicitly sign-extended to bigint, and a negative xor result
+    # would count 32 phantom high bits (observed: per-frame counts of
+    # 36 on a 32-bit hash)
+    mask32 = F.lit(0xFFFFFFFF).cast("long")
     xor_bits = F.aggregate(
         F.zip_with(
             F.slice(a_sl, 1, n_over),
             F.slice(b_sl, 1, n_over),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+            lambda x, y: F.bit_count(
+                x.cast("long").bitwiseXOR(y.cast("long")).bitwiseAND(mask32)
+            ).cast("long"),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,

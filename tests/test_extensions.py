@@ -354,8 +354,17 @@ def test_audio_fingerprint_and_neardup(spark):
             if best is not None:
                 brute[(a, b)] = best
     assert set(got) == set(brute)
-    for k, (off, ber) in got.items():
-        assert abs(ber - round(brute[k][1], 6)) < 1e-6 or ber <= 0.25
+    # exact BER agreement with brute force at the emitted offset: the
+    # join keeps one (pair, offset) row per matching alignment, so
+    # compare against the brute BER computed at THAT offset
+    for (ia, ib), (off, ber) in got.items():
+        fa_, fb_ = fps[ia], fps[ib]
+        ai, bi = max(0, -off), max(0, off)
+        n = min(len(fa_) - ai, len(fb_) - bi)
+        bits = sum(
+            bin(fa_[ai + i] ^ fb_[bi + i]).count("1") for i in range(n)
+        )
+        assert abs(ber - round(bits / (n * 32.0), 6)) < 1e-9, (ia, ib, off)
     assert got[(0, 100)] == (0, 0.0) and got[(4, 104)] == (0, 0.0)
     assert (0, 500) in got and got[(0, 500)][0] == -2 and got[(0, 500)][1] == 0.0
 
