@@ -10,6 +10,8 @@ engine's event operators:
   4. top paths         30-min gap sessions, top session-opening paths
   5. transitions       within-session Markov matrix (per-src prob)
   6. RFM               recency/frequency/monetary quintile scores
+  7. attribution       purchase value credited to preceding touches
+                       (last-touch, 3-day lookback)
 
 Usage: python examples/event_analytics.py [sf_dir]
 Prints the funnel conversion table, retention summary, WAU range, and
@@ -28,6 +30,7 @@ from pyspark.sql import functions as F
 def run(spark, sf_dir: str) -> dict:
     from fluent_bit_spark.extensions.funnel import (
         active_users_window,
+        attribution,
         cohort_retention,
         event_transitions,
         funnel_levels,
@@ -80,6 +83,15 @@ def run(spark, sf_dir: str) -> dict:
         (F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1)
     ).count()
     out["rfm_users"] = rfm.count()
+
+    attr = attribution(
+        ev, conversion="purchase", touch_types=["view", "click", "signup"],
+        lookback=3 * 86400.0, model="last_touch",
+    )
+    out["attribution"] = {
+        r["channel"]: round(float(r["attributed_value"]), 2)
+        for r in attr.collect()
+    }
     return out
 
 
@@ -102,6 +114,9 @@ def main() -> None:
         print(f"  {n:6d}  {p}")
     print(f"transition rows normalize: {out['prob_mass_ok']}")
     print(f"RFM champions (1/1/1): {out['rfm_champions']}/{out['rfm_users']} users")
+    print("last-touch attributed purchase value:")
+    for ch, v in sorted(out["attribution"].items(), key=lambda kv: -kv[1]):
+        print(f"  {v:12.2f}  {ch}")
 
 
 if __name__ == "__main__":

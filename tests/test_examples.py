@@ -224,6 +224,20 @@ def test_event_analytics_example(spark):
     assert counts == sorted(counts, reverse=True)
     assert out["prob_mass_ok"]                   # every src's probs sum to 1
     assert 0 <= out["rfm_champions"] <= out["rfm_users"] == n_users
+    # attribution conserves value: every purchase's value lands on
+    # exactly one channel (last-touch), so the credited sum equals the
+    # corpus's total purchase value
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.model import load_table
+
+    total_purchase = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(sum(out["attribution"].values()) - round(total_purchase, 2)) < 0.05
 
 
 def test_event_stream_pipeline_example(spark):
