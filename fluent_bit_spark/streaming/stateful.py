@@ -873,3 +873,168 @@ def attribution_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def top_session_paths_stream(
+    sdf: DataFrame,
+    gap: float = 1800.0,
+    max_steps: int = 5,
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``extensions.funnel.top_session_paths``'s path
+    extraction: per-user state holds the OPEN session's first
+    ``max_steps`` event types (plus its last timestamp); when a later
+    event of the same user arrives past ``gap``, the closed session
+    emits one (path, sessions=1) delta. Summing deltas per path equals
+    the batch per-path session counts over CLOSED sessions (a far-
+    future closer event per user flushes the tail; the closer's own
+    still-open session never emits — the session_summaries_stream
+    contract). The top-k cut itself is a downstream batch aggregate
+    over the tiny (path, count) table, where it belongs."""
+    gap_us = int(gap * 1_000_000)
+    out_schema = "path string, sessions long"
+    state_schema = "steps array<string>, n_steps int, last long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            steps, n_steps, last = state.get
+            steps = list(steps)
+        else:
+            steps, n_steps, last = [], 0, None
+        closed: dict = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, type_col])
+            for t, e in zip(pdf[ts_col], pdf[type_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                e = str(e)
+                if last is not None and (t_us - last) > gap_us:
+                    path = ">".join(steps)
+                    closed[path] = closed.get(path, 0) + 1
+                    steps, n_steps = [], 0
+                if n_steps < max_steps:
+                    steps.append(e)
+                n_steps += 1
+                last = t_us
+        state.update((steps, n_steps, last))
+        if closed:
+            yield pd.DataFrame(
+                {"path": list(closed), "sessions": list(closed.values())}
+            )
+
+    return (
+        sdf.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def active_users_window_stream(
+    sdf: DataFrame,
+    window_days: int = 7,
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """EXACT streaming rolling WAU/MAU — distinct users per
+    ``window_days`` ending on each day — via emit-once-per-
+    (user, window_end): per-user state is the set of active days; when
+    a new day d arrives, the user newly covers exactly the window ends
+    in [d, d+window_days-1] that no PREVIOUS active day already
+    covered, and each emits one (window_end, users=+1) delta. Summing
+    deltas per end is the exact distinct count — countDistinct turned
+    into set-membership deltas, the same trick as
+    cohort_retention_stream, with fan-out <= window_days per new active
+    day. Batch parity (on the ends batch reports — it restricts to
+    OBSERVED activity days) is asserted in tests.
+
+    State grows with the user's distinct active days; window ends emit
+    as epoch DAY NUMBERS (timezone-free ints, the cross-engine-stable
+    form)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    out_schema = "window_end_day int, users long"
+    state_schema = "seen array<int>"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        fresh: list = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for t in pdf[ts_col]:
+                day = int(pd.Timestamp(t).value // 86_400_000_000_000)
+                if day in seen:
+                    continue
+                for end in range(day, day + window_days):
+                    # covered already iff some seen day lies in the
+                    # end's window [end - window_days + 1, end]
+                    if not any(
+                        end - window_days < s <= end for s in seen
+                    ):
+                        fresh.append(end)
+                seen.add(day)
+        state.update((sorted(seen),))
+        if fresh:
+            yield pd.DataFrame(
+                {"window_end_day": pd.array(fresh, dtype="int32"), "users": 1}
+            )
+
+    return (
+        sdf.select(user_col, ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def experiment_stats_stream(
+    sdf: DataFrame,
+    target: str = "purchase",
+    variant_col: str = "variant",
+    ts_col: str = TS_COL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``extensions.funnel.experiment_stats``'s
+    counting core: per-user state = (seen, converted) two booleans;
+    first sight of a user emits a +1 users delta for their variant,
+    first ``target`` event emits a +1 converters delta. Summing deltas
+    per variant gives exactly the batch users/converters columns; the
+    derived conv_rate and pooled z-statistic are driver-side arithmetic
+    over that tiny per-variant table (compute them in batch with
+    experiment_stats semantics — they need the control row, which is a
+    cross-variant fact no per-key fold can see)."""
+    out_schema = f"{variant_col} string, users long, converters long"
+    state_schema = "seen boolean, conv boolean"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        seen, conv = state.get if state.exists else (False, False)
+        du = dc = 0
+        variant = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, type_col])
+            for v, e in zip(pdf[variant_col], pdf[type_col]):
+                if variant is None:
+                    variant = str(v)
+                if not seen:
+                    seen = True
+                    du += 1
+                if not conv and str(e) == target:
+                    conv = True
+                    dc += 1
+        state.update((seen, conv))
+        if du or dc:
+            yield pd.DataFrame(
+                {variant_col: [variant], "users": [du], "converters": [dc]}
+            )
+
+    return (
+        sdf.select(user_col, variant_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1384,3 +1384,196 @@ def test_attribution_stream_matches_batch(spark, tmp_path):
         c, v = sums.get(r.channel, (0.0, 0.0))
         sums[r.channel] = (c + r.credit, v + r.attributed_value)
     assert sums == batch
+
+
+def _spool(tmp_path, name, rows, fields, chunk=3):
+    """Write time-ordered micro-batch files with strictly increasing
+    mtimes (the file source orders batches by mtime; same-ms writes tie
+    and shuffle the order)."""
+    import json
+    import os as _os
+    import time as _time
+
+    d = tmp_path / name
+    d.mkdir()
+    base = _time.time() - 1000
+    for i in range(0, len(rows), chunk):
+        fp = d / f"b{i:03d}.json"
+        with open(fp, "w") as f:
+            for row in rows[i:i + chunk]:
+                rec = {
+                    k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                    for k, v in zip(fields, row)
+                }
+                f.write(json.dumps(rec) + "\n")
+        _os.utime(fp, (base + i, base + i))
+    return str(d)
+
+
+def test_top_session_paths_stream_matches_batch(spark, tmp_path):
+    """Streaming session paths: summed per-path deltas over closed
+    sessions equal batch top_session_paths counts (closer sessions
+    excluded — they stay open in the stream and count as their own
+    'end' sessions in batch)."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.funnel import top_session_paths
+    from fluent_bit_spark.streaming.stateful import top_session_paths_stream
+
+    T0 = dt.datetime(2024, 5, 1)
+
+    def ev(u, sec, typ):
+        return (u, T0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "view"),
+        ev(1, 10_000, "purchase"),            # closes session 1
+        ev(2, 0, "view"),
+        ev(3, 0, "view"), ev(3, 5, "view"), ev(3, 8, "click"),
+        ev(3, 9, "purchase"), ev(3, 12, "view"), ev(3, 15, "signup"),
+        # 6 events in one session: path capped at max_steps=5
+        ev(1, 100_000, "end"), ev(2, 100_000, "end"), ev(3, 100_000, "end"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    batch = {
+        r.path: r.sessions
+        for r in top_session_paths(df, gap=1800, max_steps=5, k=100).collect()
+        if r.path != "end"  # closer sessions stay open in the stream
+    }
+
+    d = _spool(tmp_path, "paths_stream", rows, ["user_id", "ts", "event_type"])
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        top_session_paths_stream(sdf, gap=1800, max_steps=5, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("paths_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sums: dict = {}
+    for r in spark.sql("SELECT * FROM paths_stream_out").collect():
+        sums[r.path] = sums.get(r.path, 0) + r.sessions
+    assert sums == batch
+    assert "view>view>click>purchase>view" in sums  # 6-event session capped at 5
+
+
+def test_active_users_window_stream_matches_batch(spark, tmp_path):
+    """Exact streaming rolling WAU: summed (window_end, +1) deltas equal
+    batch active_users_window on every end the batch reports (batch
+    restricts ends to observed activity days; the stream emits the full
+    range — the extra ends are data-silent days, verified consistent by
+    recomputation)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.funnel import active_users_window
+    from fluent_bit_spark.streaming.stateful import active_users_window_stream
+
+    T0 = dt.datetime(2024, 3, 1, 9, 0)
+
+    def ev(u, day, sec=0):
+        return (u, T0 + dt.timedelta(days=day, seconds=sec))
+
+    rows = [
+        ev(1, 0), ev(1, 0, 60), ev(1, 2), ev(1, 9),
+        ev(2, 0), ev(2, 6),
+        ev(3, 3), ev(3, 4), ev(3, 11),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    wd = 7
+    batch = {
+        r.window_end: r.active_users
+        for r in active_users_window(df, wd).collect()
+    }
+
+    d = _spool(tmp_path, "wau_stream", rows, ["user_id", "ts"])
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        active_users_window_stream(sdf, window_days=wd, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("wau_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    import datetime as dt2
+
+    sums: dict = {}
+    for r in spark.sql("SELECT * FROM wau_stream_out").collect():
+        day = (
+            dt2.date(1970, 1, 1) + dt2.timedelta(days=int(r.window_end_day))
+        ).strftime("%Y-%m-%d")
+        sums[day] = sums.get(day, 0) + r.users
+    # every batch-reported end matches exactly
+    for end, n in batch.items():
+        assert sums.get(end) == n, (end, n, sums.get(end))
+    # stream-only ends (no activity that day) recompute correctly too
+    act = {
+        (r.user_id, r.d)
+        for r in df.select("user_id", F.to_date("ts").alias("d")).distinct().collect()
+    }
+    for day_s, n in sums.items():
+        end = dt2.datetime.strptime(day_s, "%Y-%m-%d").date()
+        expect = len(
+            {u for (u, dd) in act if 0 <= (end - dd).days < wd}
+        )
+        assert n == expect, (day_s, n, expect)
+
+
+def test_experiment_stats_stream_matches_batch(spark, tmp_path):
+    """Streaming A/B counting: summed per-variant (users, converters)
+    deltas equal the batch experiment_stats columns; the derived
+    conv_rate/z replay from those sums."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.funnel import experiment_stats
+    from fluent_bit_spark.streaming.stateful import experiment_stats_stream
+
+    T0 = dt.datetime(2024, 6, 1)
+
+    def ev(u, sec, typ):
+        return (u, T0 + dt.timedelta(seconds=sec), typ, str(u % 2))
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 30, "click"), ev(1, 60, "purchase"),
+        ev(1, 90, "purchase"),                 # second conversion: no delta
+        ev(2, 0, "view"),
+        ev(3, 0, "view"), ev(3, 5, "purchase"),
+        ev(4, 0, "view"), ev(4, 10, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "variant"])
+    batch = {
+        r.variant: (r.users, r.converters)
+        for r in experiment_stats(df, target="purchase").collect()
+    }
+
+    d = _spool(tmp_path, "ab_stream", rows, ["user_id", "ts", "event_type", "variant"])
+    sdf = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, event_type string, variant string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        experiment_stats_stream(sdf, target="purchase", ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("ab_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sums: dict = {}
+    for r in spark.sql("SELECT * FROM ab_stream_out").collect():
+        u, c = sums.get(r.variant, (0, 0))
+        sums[r.variant] = (u + r.users, c + r.converters)
+    assert sums == batch
