@@ -161,7 +161,92 @@ def run(n_batches: int, docs_per_batch: int) -> dict:
     return summary
 
 
+def run_heavy_hitters(n_batches: int, rows_per_batch: int, k: int = 100,
+                      shards: int = 8) -> dict:
+    """State-bound measurement for heavy_hitters_stream: drive batches
+    of Zipf-ish keys whose CARDINALITY GROWS with stream length (every
+    batch introduces rows_per_batch/2 never-seen keys) and record the
+    state operator's numRowsTotal per batch — the claim under test is
+    that state stays EXACTLY ``shards`` rows (one MG summary per shard,
+    at most k-1 counters inside) no matter how many distinct keys have
+    flowed through."""
+    import os
+    import time
+
+    from fluent_bit_spark import get_spark
+    from fluent_bit_spark.streaming.stateful import heavy_hitters_stream
+
+    spark = get_spark("fbs-state-bench-hh")
+    work = Path(tempfile.mkdtemp(prefix="fbs_hh_state_"))
+    src = work / "in"
+    src.mkdir()
+    # hot keys + an unbounded cold tail: key cardinality grows linearly
+    base = time.time() - 10_000
+    for b in range(n_batches):
+        fp = src / f"b{b:04d}.json"
+        with open(fp, "w") as f:
+            for i in range(rows_per_batch):
+                if i % 2 == 0:
+                    key = f"hot{i % 20}"
+                else:
+                    key = f"cold{b}_{i}"  # never repeats across batches
+                f.write(json.dumps({"k": key}) + "\n")
+        os.utime(fp, (base + b, base + b))
+    sdf = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    per_batch = []
+
+    def sink(df, epoch_id):
+        df.persist().count()
+        df.unpersist()
+
+    q = (
+        heavy_hitters_stream(sdf, "k", k=k, shards=shards)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1200)
+    for p_ in q.recentProgress:
+        ops = p_.get("stateOperators") or []
+        if ops:
+            per_batch.append(
+                {
+                    "batch": p_["batchId"],
+                    "input_rows": p_["numInputRows"],
+                    "state_rows": ops[0]["numRowsTotal"],
+                    "state_bytes": ops[0]["stateMemory"]
+                    if "stateMemory" in ops[0]
+                    else ops[0].get("memoryUsedBytes"),
+                }
+            )
+    distinct_seen = 20 + (n_batches * rows_per_batch) // 2
+    summary = {
+        "mode": "heavy_hitters",
+        "batches": n_batches,
+        "rows_per_batch": rows_per_batch,
+        "k": k,
+        "shards": shards,
+        "distinct_keys_seen_approx": distinct_seen,
+        "state_rows_final": per_batch[-1]["state_rows"] if per_batch else None,
+        "state_rows_max": max((p_["state_rows"] for p_ in per_batch), default=None),
+        "per_batch": per_batch,
+    }
+    print(json.dumps(summary))
+    shutil.rmtree(work, ignore_errors=True)
+    return summary
+
+
 if __name__ == "__main__":
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
-    run(n_batches, docs)
+    if len(sys.argv) > 1 and sys.argv[1] == "hh":
+        n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        rows = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+        run_heavy_hitters(n_batches, rows)
+    else:
+        n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+        docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+        run(n_batches, docs)
