@@ -73,9 +73,15 @@ def build(spark, in_dir: str):
 
 
 def run(spark, in_dir: str) -> dict:
+    import uuid
+
     funnel, sessions = build(spark, in_dir)
     out: dict = {}
-    for name, sdf in (("funnel_live", funnel), ("sessions_live", sessions)):
+    # memory-sink query names are session-global temp views: suffix them
+    # per invocation so repeat runs (tests, notebooks) read fresh tables
+    tag = uuid.uuid4().hex[:8]
+    fname, sname = f"funnel_live_{tag}", f"sessions_live_{tag}"
+    for name, sdf in ((fname, funnel), (sname, sessions)):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -85,7 +91,7 @@ def run(spark, in_dir: str) -> dict:
         q.awaitTermination(600)
     # last emitted level per user = current conversion state
     levels = spark.sql(
-        "SELECT user_id, funnel_level FROM funnel_live"
+        f"SELECT user_id, funnel_level FROM {fname}"
     ).collect()
     last: dict = {}
     for r in levels:
@@ -94,7 +100,7 @@ def run(spark, in_dir: str) -> dict:
     for lvl in last.values():
         out["funnel"][int(lvl)] = out["funnel"].get(int(lvl), 0) + 1
     sess = spark.sql(
-        "SELECT COUNT(*) AS n, SUM(n_events) AS ev FROM sessions_live"
+        f"SELECT COUNT(*) AS n, SUM(n_events) AS ev FROM {sname}"
     ).collect()[0]
     out["closed_sessions"] = int(sess["n"] or 0)
     out["session_events"] = int(sess["ev"] or 0)
@@ -136,10 +142,13 @@ def build_single(spark, in_dir: str):
 def run_single(spark, in_dir: str) -> dict:
     """run()'s summary dict computed by the single-query pipeline —
     same keys, so the shipped test asserts the two shapes agree."""
+    import uuid
+
     journey = build_single(spark, in_dir)
+    jname = f"journey_live_{uuid.uuid4().hex[:8]}"
     q = (
         journey.writeStream.format("memory")
-        .queryName("journey_live")
+        .queryName(jname)
         .trigger(availableNow=True)
         .start()
     )
@@ -147,13 +156,13 @@ def run_single(spark, in_dir: str) -> dict:
     out: dict = {"funnel": {}}
     last: dict = {}
     for r in spark.sql(
-        "SELECT user_id, funnel_level FROM journey_live WHERE kind = 'funnel'"
+        f"SELECT user_id, funnel_level FROM {jname} WHERE kind = 'funnel'"
     ).collect():
         last[r.user_id] = r.funnel_level
     for lvl in last.values():
         out["funnel"][int(lvl)] = out["funnel"].get(int(lvl), 0) + 1
     sess = spark.sql(
-        "SELECT COUNT(*) AS n, SUM(n_events) AS ev FROM journey_live "
+        f"SELECT COUNT(*) AS n, SUM(n_events) AS ev FROM {jname} "
         "WHERE kind = 'session'"
     ).collect()[0]
     out["closed_sessions"] = int(sess["n"] or 0)
@@ -167,25 +176,38 @@ def synth_drop_dir(spark, sf_dir: str) -> str:
     every real session closes inside the availableNow pass."""
     from fluent_bit_spark.model import load_table
 
+    import os
+    import time
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     pdf = ev.toPandas().sort_values("ts")
     d = Path(tempfile.mkdtemp(prefix="fbs_event_drop_")) / "in"
     d.mkdir()
     chunk = max(1, len(pdf) // 6)
+    # the file source orders micro-batches by mtime: stamp strictly
+    # increasing times, or same-ms writes tie and shuffle the batch
+    # order — cross-batch disorder the in-order folds don't contract for
+    base = time.time() - 1000
+    seq = 0
     for i in range(0, len(pdf), chunk):
-        with open(d / f"b{i:07d}.json", "w") as f:
+        fp = d / f"b{i:07d}.json"
+        with open(fp, "w") as f:
             for r in pdf.iloc[i:i + chunk].itertuples(index=False):
                 f.write(json.dumps({
                     "user_id": int(r.user_id),
                     "ts": r.ts.isoformat(),
                     "event_type": r.event_type,
                 }) + "\n")
+        os.utime(fp, (base + seq, base + seq))
+        seq += 1
     closer_ts = (pdf["ts"].max() + __import__("pandas").Timedelta(days=30)).isoformat()
-    with open(d / "zz_closers.json", "w") as f:
+    closers = d / "zz_closers.json"
+    with open(closers, "w") as f:
         for u in sorted(pdf["user_id"].unique()):
             f.write(json.dumps({
                 "user_id": int(u), "ts": closer_ts, "event_type": "end",
             }) + "\n")
+    os.utime(closers, (base + seq, base + seq))
     return str(d)
 
 
