@@ -1935,13 +1935,24 @@ def audio_neardup_q(spark, sf_dir):
     media = to_media_frame(corpus, "media_id", F.col("content"), "audio")
     pairs = audio_neardup_join(media, max_ber=0.25).localCheckpoint(eager=True)
 
+    # witness fingerprints: one decode+FFT pass PER CLIP (not per pair
+    # side — a clip appears in many pairs), still fully independent of
+    # the operator's exploded-table/JVM-xor path
+    @pandas_udf("array<long>")
+    def brute_fp(cs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [audio_subfingerprints(decode_wav_samples(bytes(c))[1]) for c in cs]
+        )
+
+    wfp = corpus.select(
+        "media_id", brute_fp("content").alias("__fp")
+    ).localCheckpoint(eager=True)
+
     @pandas_udf("double")
-    def brute_ber(ca: pd.Series, cb: pd.Series, offs: pd.Series) -> pd.Series:
+    def brute_ber(fa_s: pd.Series, fb_s: pd.Series, offs: pd.Series) -> pd.Series:
         out = []
-        for a, b, off in zip(ca, cb, offs):
-            fa = audio_subfingerprints(decode_wav_samples(bytes(a))[1])
-            fb = audio_subfingerprints(decode_wav_samples(bytes(b))[1])
-            off = int(off)
+        for fa, fb, off in zip(fa_s, fb_s, offs):
+            fa, fb, off = list(fa), list(fb), int(off)
             ai = max(0, -off)
             bi = max(0, off)
             n = min(len(fa) - ai, len(fb) - bi)
@@ -1955,9 +1966,9 @@ def audio_neardup_q(spark, sf_dir):
         return pd.Series(out)
 
     def side(tag):
-        return corpus.select(
+        return wfp.select(
             F.col("media_id").alias(f"id_{tag}"),
-            F.col("content").alias(f"__c{tag}"),
+            F.col("__fp").alias(f"__f{tag}"),
         )
 
     wit = (
@@ -1965,7 +1976,7 @@ def audio_neardup_q(spark, sf_dir):
         .join(F.broadcast(side("b")), "id_b")
         .select(
             "id_a", "id_b", "offset", "ber",
-            brute_ber("__ca", "__cb", "offset").alias("w_ber"),
+            brute_ber("__fa", "__fb", "offset").alias("w_ber"),
         )
         .localCheckpoint(eager=True)
     )
