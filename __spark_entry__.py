@@ -5395,24 +5395,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "attribution": (
             "WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cts, "
-            "COALESCE(value, 0) AS cval FROM events WHERE event_type = 'purchase'), "
+            "SUM(COALESCE(value, 0)) AS cval, CAST(COUNT(*) AS DOUBLE) AS n "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), "
             "touch AS (SELECT user_id AS u, epoch_us(ts) AS tts, event_type AS channel "
             "FROM events WHERE event_type IN ('view', 'click', 'signup')), "
-            "j AS (SELECT conv.u, conv.cts, conv.cval, touch.tts, touch.channel "
+            "j AS (SELECT conv.u, conv.cts, conv.cval, conv.n, touch.tts, touch.channel "
             "FROM conv JOIN touch USING (u) "
             "WHERE tts < cts AND cts - tts <= 259200000000), "
-            "direct AS (SELECT '(direct)' AS channel, 1.0 AS credit, cval AS val "
+            "direct AS (SELECT '(direct)' AS channel, n AS credit, cval AS val "
             "FROM conv WHERE NOT EXISTS (SELECT 1 FROM j "
             "WHERE j.u = conv.u AND j.cts = conv.cts)), "
-            "lastc AS (SELECT channel, 1.0 AS credit, cval AS val FROM ("
+            "lastc AS (SELECT channel, n AS credit, cval AS val FROM ("
             "SELECT *, row_number() OVER (PARTITION BY u, cts "
             "ORDER BY tts DESC, channel DESC) AS rn FROM j) WHERE rn = 1 "
             "UNION ALL SELECT * FROM direct), "
-            "firstc AS (SELECT channel, 1.0 AS credit, cval AS val FROM ("
+            "firstc AS (SELECT channel, n AS credit, cval AS val FROM ("
             "SELECT *, row_number() OVER (PARTITION BY u, cts "
             "ORDER BY tts ASC, channel ASC) AS rn FROM j) WHERE rn = 1 "
             "UNION ALL SELECT * FROM direct), "
-            "linc AS (SELECT channel, 1.0 / cnt AS credit, cval / cnt AS val FROM ("
+            "linc AS (SELECT channel, n / cnt AS credit, cval / cnt AS val FROM ("
             "SELECT *, COUNT(*) OVER (PARTITION BY u, cts) AS cnt FROM j) "
             "UNION ALL SELECT * FROM direct) "
             "SELECT 'last_touch' AS model, channel, ROUND(SUM(credit), 6) AS credit, "

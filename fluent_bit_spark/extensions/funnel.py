@@ -515,6 +515,12 @@ def attribution(
     conversion counts (integral for first/last touch); both outputs
     round to 6 decimals for cross-engine replay.
 
+    Duplicate conversions — two ``conversion`` events by the same user
+    at the same timestamp — pre-aggregate to (sum value, count n) per
+    (user, ts) and every model scales its credit by n, so each event
+    earns a full credit and no value is dropped (the replay-window
+    formulation alone would merge them into one).
+
     Shape: one user-keyed join of conversions to touches (per-user
     event counts bound the fan-out — the standard event-analytics skew
     note), one per-conversion window for the model rule, one
@@ -523,10 +529,16 @@ def attribution(
 
     if model not in ("last_touch", "first_touch", "linear"):
         raise ValueError(f"unknown attribution model {model!r}")
-    conv = events.where(F.col(type_col) == conversion).select(
-        F.col(user_col).alias("__u"),
-        F.unix_micros(F.col(ts_col)).alias("__cts"),
-        F.coalesce(F.col(value_col), F.lit(0.0)).alias("__cval"),
+    conv = (
+        events.where(F.col(type_col) == conversion)
+        .groupBy(
+            F.col(user_col).alias("__u"),
+            F.unix_micros(F.col(ts_col)).alias("__cts"),
+        )
+        .agg(
+            F.sum(F.coalesce(F.col(value_col), F.lit(0.0))).alias("__cval"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
     )
     touches = events.where(
         F.col(type_col).isin(list(touch_types))
@@ -547,7 +559,7 @@ def attribution(
     if model == "linear":
         credited = j.select(
             "channel",
-            (F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("__credit"),
+            (F.col("__n") / F.count(F.lit(1)).over(w)).alias("__credit"),
             (F.col("__cval") / F.count(F.lit(1)).over(w)).alias("__val"),
         )
     else:
@@ -561,7 +573,7 @@ def attribution(
             .where(F.col("__rn") == 1)
             .select(
                 "channel",
-                F.lit(1.0).alias("__credit"),
+                F.col("__n").alias("__credit"),
                 F.col("__cval").alias("__val"),
             )
         )
@@ -571,7 +583,7 @@ def attribution(
         )
         .select(
             F.lit("(direct)").alias("channel"),
-            F.lit(1.0).alias("__credit"),
+            F.col("__n").alias("__credit"),
             F.col("__cval").alias("__val"),
         )
     )

@@ -363,9 +363,13 @@ def _decode_bmp_pixels(b: bytes):
         pal_off = 14 + dib
         ncolors = _struct.unpack("<I", b[46:50])[0] if dib >= 40 and len(b) >= 50 else 0
         ncolors = ncolors or 256
+        if ncolors > 256 or pal_off + ncolors * 4 > len(b):
+            return None  # truncated/over-long palette: filter, don't crash
         pal = _np.frombuffer(
             b, dtype=_np.uint8, count=ncolors * 4, offset=pal_off
         ).reshape(ncolors, 4)
+        if int(rows.max(initial=0)) >= ncolors:
+            return None  # pixel index beyond the palette
         # luma of the palette entry (BGR order)
         lum = (
             0.299 * pal[:, 2] + 0.587 * pal[:, 1] + 0.114 * pal[:, 0]
@@ -606,7 +610,7 @@ def decode_wav_samples(b: bytes):
     while off + 8 <= n:
         cid = b[off : off + 4]
         clen = _struct.unpack("<I", b[off + 4 : off + 8])[0]
-        if cid == b"fmt " and clen >= 16:
+        if cid == b"fmt " and clen >= 16 and off + 24 <= n:
             fmt = _struct.unpack("<HHIIHH", b[off + 8 : off + 24])
         elif cid == b"data":
             if off + 8 + clen > n:

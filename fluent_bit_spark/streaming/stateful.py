@@ -22,6 +22,43 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from fluent_bit_spark.model import TS_COL
 
 
+def _idle_evict_setup(
+    src: DataFrame,
+    ts_col: str,
+    idle_timeout: float | None,
+    watermark: str | None,
+    op: str,
+):
+    """Shared idle-key eviction plumbing for the event-analytics folds
+    (the watermark discipline dedup_stream already has, extended to
+    applyInPandasWithState): with ``idle_timeout`` set, the stream gets
+    an event-time watermark and the fold an EventTimeTimeout — a key
+    whose newest event falls ``idle_timeout`` seconds behind the
+    watermark is evicted from the state store, so state tracks ACTIVE
+    keys, not ever-seen keys (fluent-bit's throttle panes age out the
+    same way, plugins/filter_throttle/throttle.h:27-56). Returns
+    (stream, GroupStateTimeout mode, idle microseconds | None)."""
+    if idle_timeout is None:
+        return src, GroupStateTimeout.NoTimeout, None
+    if watermark is None:
+        raise ValueError(f"{op}: idle_timeout requires a watermark")
+    return (
+        src.withWatermark(ts_col, watermark),
+        GroupStateTimeout.EventTimeTimeout,
+        int(idle_timeout * 1_000_000),
+    )
+
+
+def _arm_idle_timeout(state: GroupState, newest_us: int | None, idle_us: int):
+    """Schedule this key's eviction at (newest event + idle). Spark
+    requires the timeout timestamp to sit beyond the current watermark,
+    so a key whose horizon already passed arms for the next tick."""
+    if newest_us is None:
+        return
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(newest_us // 1_000 + idle_us // 1_000, wm_ms + 1))
+
+
 def throttle_stream(
     sdf: DataFrame,
     rate: int,
@@ -470,6 +507,8 @@ def event_transitions_stream(
     ts_col: str = TS_COL,
     user_col: str = "user_id",
     type_col: str = "event_type",
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``extensions.funnel.event_transitions``: per-user
     last-event state (type + timestamp — two scalars, KB-bounded,
@@ -486,6 +525,11 @@ def event_transitions_stream(
     disorder is sorted away ([ts, type] — the batch window's tie-break);
     cross-batch disorder is the streaming caveat of any in-order fold.
 
+    With ``idle_timeout`` (seconds; requires ``watermark``), a user
+    idle past the horizon is evicted; choose idle_timeout >= gap so
+    eviction only severs pairs the gap rule would sever anyway — then
+    summed deltas stay EXACTLY batch-equal under eviction.
+
     Reference context: fluent-bit aggregates per-record stream windows
     (src/stream_processor/flb_sp.c:2101); cross-event user journeys are
     engine extension surface, same as the batch operator."""
@@ -494,6 +538,9 @@ def event_transitions_stream(
     state_schema = "last_e string, last_t long"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         last_e, last_t = state.get if state.exists else (None, None)
         deltas: dict = {}
         for pdf in pdfs:
@@ -506,6 +553,8 @@ def event_transitions_stream(
                     deltas[pair] = deltas.get(pair, 0) + 1
                 last_e, last_t = e, t_us
         state.update((last_e, last_t))
+        if idle_us is not None:
+            _arm_idle_timeout(state, last_t, idle_us)
         if deltas:
             yield pd.DataFrame(
                 {
@@ -515,12 +564,12 @@ def event_transitions_stream(
                 }
             )
 
-    return (
-        sdf.select(user_col, ts_col, type_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src, mode, idle_us = _idle_evict_setup(
+        sdf.select(user_col, ts_col, type_col), ts_col, idle_timeout,
+        watermark, "event_transitions_stream",
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -528,6 +577,8 @@ def cohort_retention_stream(
     sdf: DataFrame,
     ts_col: str = TS_COL,
     user_col: str = "user_id",
+    max_offset: int | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``extensions.funnel.cohort_retention``: per-user
     state = (cohort date = first-seen day, the set of day offsets
@@ -538,14 +589,29 @@ def cohort_retention_stream(
     aggregate. State grows with the user's distinct ACTIVE days (not
     events); a year-long daily-active user is 365 ints.
 
+    ``max_offset`` (requires ``watermark``) bounds the matrix to the
+    retention horizon every real cohort report has (day 0..N): offsets
+    beyond it neither emit nor occupy state (state <= max_offset + 1
+    ints per user), and once the watermark passes the user's horizon
+    day (cohort_day + max_offset) the key can never emit an in-range
+    row again and is EVICTED — the closed-window discipline. Summed
+    deltas equal the batch matrix restricted to day_offset <=
+    max_offset exactly: eviction only fires past the horizon, where
+    batch rows are cut too.
+
     In-order contract: the user's FIRST event must arrive before (or in
     the same micro-batch as) the rest, since it defines the cohort —
     time-ordered sources satisfy this by construction; within-batch
     disorder is sorted away."""
     out_schema = "cohort string, day_offset int, users long"
     state_schema = "cohort_day int, seen array<int>"
+    if max_offset is not None and watermark is None:
+        raise ValueError("cohort_retention_stream: max_offset requires a watermark")
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             cohort_day, seen = state.get
             seen = set(seen)
@@ -559,10 +625,18 @@ def cohort_retention_stream(
                 if cohort_day is None:
                     cohort_day = day
                 off = day - cohort_day
+                if max_offset is not None and off > max_offset:
+                    continue  # beyond the horizon: no emission, no state
                 if off not in seen:
                     seen.add(off)
                     fresh.append(off)
         state.update((cohort_day, sorted(seen)))
+        if max_offset is not None and cohort_day is not None:
+            # evict at the first watermark past the horizon day's end
+            horizon_ms = (cohort_day + max_offset + 1) * 86_400_000
+            state.setTimeoutTimestamp(
+                max(horizon_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if fresh:
             cohort = pd.Timestamp(cohort_day * 86_400_000_000_000).strftime(
                 "%Y-%m-%d"
@@ -575,12 +649,13 @@ def cohort_retention_stream(
                 }
             )
 
-    return (
-        sdf.select(user_col, ts_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src = sdf.select(user_col, ts_col)
+    mode = GroupStateTimeout.NoTimeout
+    if max_offset is not None:
+        src = src.withWatermark(ts_col, watermark)
+        mode = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -684,6 +759,8 @@ def user_journey_stream(
     ts_col: str = TS_COL,
     user_col: str = "user_id",
     type_col: str = "event_type",
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Funnel fold AND gap sessionization in ONE per-user state pass —
     the single-query form of running funnel_levels_stream and
@@ -707,9 +784,19 @@ def user_journey_stream(
     State per user = funnel's three scalars + the open session's
     (start, last, count, distinct-type set) — the type set is bounded by
     the event-type alphabet. Same in-order contract as the component
-    operators; within-batch disorder sorts away on [ts, type]."""
+    operators; within-batch disorder sorts away on [ts, type].
+
+    With ``idle_timeout`` (seconds; requires ``watermark``; must be
+    >= gap), an idle user's open session is FLUSHED as a final
+    kind='session' row and the key evicted (the session could never
+    extend past the horizon — see top_session_paths_stream). The
+    funnel scalars evict with it: an evicted user re-entering restarts
+    at level 0 and re-emits a first-sight row, so funnel rows under
+    eviction read as per-active-spell progressions."""
     if not steps:
         raise ValueError("user_journey_stream: steps must be non-empty")
+    if idle_timeout is not None and idle_timeout < gap:
+        raise ValueError("user_journey_stream: idle_timeout must be >= gap")
     k = len(steps)
     win_us = None if window is None else int(window * 1_000_000)
     gap_us = int(gap * 1_000_000)
@@ -725,6 +812,27 @@ def user_journey_stream(
     )
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            row = None
+            if state.exists:
+                _, _, _, _, s_start, s_last, s_n, s_types = state.get
+                if s_start is not None:
+                    row = (
+                        "session", key_tuple[0], None,
+                        pd.Timestamp(s_start * 1_000, unit="ns"),
+                        (s_last - s_start) / 1_000_000.0,
+                        s_n, len(s_types or []),
+                    )
+            state.remove()
+            if row is not None:
+                yield pd.DataFrame(
+                    [row],
+                    columns=[
+                        "kind", user_col, "funnel_level", "session_start",
+                        "duration_s", "n_events", "n_event_types",
+                    ],
+                )
+            return
         if state.exists:
             lvl, t1, last, seen, s_start, s_last, s_n, s_types = state.get
             s_types = set(s_types or [])
@@ -769,6 +877,8 @@ def user_journey_stream(
         state.update(
             (lvl, t1, last, True, s_start, s_last, s_n, sorted(s_types))
         )
+        if idle_us is not None:
+            _arm_idle_timeout(state, s_last, idle_us)
         rows = []
         if first_sight or lvl != lvl0:
             rows.append(("funnel", key_tuple[0], lvl, None, None, None, None))
@@ -793,12 +903,12 @@ def user_journey_stream(
                 ],
             )
 
-    return (
-        sdf.select(user_col, ts_col, type_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src, mode, idle_us = _idle_evict_setup(
+        sdf.select(user_col, ts_col, type_col), ts_col, idle_timeout,
+        watermark, "user_journey_stream",
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -807,33 +917,82 @@ def attribution_stream(
     conversion: str = "purchase",
     touch_types: list[str] | None = None,
     lookback: float | None = None,
+    model: str = "last_touch",
     ts_col: str = TS_COL,
     user_col: str = "user_id",
     type_col: str = "event_type",
     value_col: str = "value",
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
-    """Streaming LAST-TOUCH attribution — the streaming-natural model:
-    per-user state is two scalars (latest qualifying touch channel +
-    timestamp), and each conversion emits one (channel, credit=1,
-    attributed_value) delta as it arrives, crediting ``(direct)`` when
-    no touch sits inside ``lookback``. Summed deltas equal the batch
-    ``attribution(model='last_touch')`` totals on in-order streams
-    (first/linear need the conversion's full touch window — bounded
-    per-user history, the batch operator's job).
+    """Streaming attribution: each conversion emits one (channel,
+    credit, attributed_value) delta as it arrives, crediting
+    ``(direct)`` when no touch qualifies; summed deltas equal the batch
+    ``attribution(model=...)`` totals on in-order streams.
 
-    Same in-order contract and [ts, type] within-batch sort as the
-    other folds; processing touches in ascending (ts, type) order makes
-    the retained same-ts touch the (ts, channel)-desc winner — exactly
-    the batch tie-break."""
+    Models and their state:
+
+    - ``last_touch`` — two scalars (latest strictly-earlier qualifying
+      touch) plus a PENDING slot for touches sharing the CURRENT
+      timestamp: a same-ts touch must not be seen by a same-ts
+      conversion (batch requires strictly-earlier), but must not
+      clobber the strictly-earlier winner either, so it promotes to
+      the scalars only once ts strictly advances.
+    - ``first_touch`` with ``lookback=None`` — keep-first two scalars
+      (the first touch ever is the first qualifying touch for every
+      later conversion; strict ``<`` handles same-ts arrivals).
+    - ``first_touch`` with a lookback, and ``linear`` (lookback
+      REQUIRED) — a lookback-bounded touch list: touches older than
+      ``lookback`` behind the newest event can never qualify for any
+      future conversion (conversion ts only grows on in-order
+      streams), so the list prunes itself and state is bounded by the
+      user's touches-per-lookback-window.
+
+    Tie-breaks replay batch exactly: last_touch picks the channel-desc
+    winner at the max qualifying ts (ascending [ts, type] processing
+    leaves it in the pending/last slot), first_touch the channel-asc
+    winner at the min qualifying ts.
+
+    With ``idle_timeout`` (seconds; requires ``watermark``), a user
+    whose newest event falls idle_timeout behind the watermark is
+    EVICTED — state tracks active users, not ever-seen users. An
+    evicted user re-entering counts as new: their next conversion sees
+    no touch history and credits ``(direct)``; choose idle_timeout >=
+    lookback so eviction never hides a still-qualifying touch."""
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    if model == "linear" and lookback is None:
+        raise ValueError(
+            "attribution_stream: linear needs a lookback to bound the touch "
+            "list; unbounded linear is the batch operator's job"
+        )
     gap_us = None if lookback is None else int(lookback * 1_000_000)
     touch_set = None if touch_types is None else {str(t) for t in touch_types}
     out_schema = "channel string, credit double, attributed_value double"
-    state_schema = "last_ch string, last_t long"
+    use_list = model == "linear" or (model == "first_touch" and gap_us is not None)
+    if use_list:
+        state_schema = "chs array<string>, tss array<long>"
+    elif model == "first_touch":
+        state_schema = "first_ch string, first_t long"
+    else:
+        state_schema = "last_ch string, last_t long, pend_ch string, pend_t long"
 
     def fn(key_tuple, pdfs, state: GroupState):
-        last_ch, last_t = state.get if state.exists else (None, None)
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if use_list:
+            chs, tss = state.get if state.exists else ([], [])
+            touches = list(zip(chs, tss))
+        elif model == "first_touch":
+            first_ch, first_t = state.get if state.exists else (None, None)
+        else:
+            last_ch, last_t, pend_ch, pend_t = (
+                state.get if state.exists else (None, None, None, None)
+            )
         deltas: dict = {}
         has_value = None
+        newest = None
         for pdf in pdfs:
             if has_value is None:
                 has_value = value_col in pdf.columns
@@ -841,19 +1000,55 @@ def attribution_stream(
             vals = pdf[value_col] if has_value else [0.0] * len(pdf)
             for t, e, v in zip(pdf[ts_col], pdf[type_col], vals):
                 t_us = int(pd.Timestamp(t).value // 1_000)
+                newest = t_us if newest is None else max(newest, t_us)
                 e = str(e)
+                if model == "last_touch" and pend_t is not None and t_us > pend_t:
+                    last_ch, last_t = pend_ch, pend_t
+                    pend_ch = pend_t = None
+                if use_list and touches and touches[0][1] < t_us - gap_us:
+                    touches = [p for p in touches if t_us - p[1] <= gap_us]
                 if e == conversion:
-                    ok = (
-                        last_ch is not None
-                        and last_t < t_us
-                        and (gap_us is None or t_us - last_t <= gap_us)
-                    )
-                    ch = last_ch if ok else "(direct)"
-                    c, val = deltas.get(ch, (0.0, 0.0))
-                    deltas[ch] = (c + 1.0, val + float(v or 0.0))
+                    if model == "last_touch":
+                        ok = (
+                            last_ch is not None
+                            and last_t < t_us
+                            and (gap_us is None or t_us - last_t <= gap_us)
+                        )
+                        hits = [(last_ch, 1.0)] if ok else []
+                    elif use_list:
+                        qual = [p for p in touches if p[1] < t_us]
+                        if not qual:
+                            hits = []
+                        elif model == "first_touch":
+                            w = min(qual, key=lambda p: (p[1], p[0]))
+                            hits = [(w[0], 1.0)]
+                        else:
+                            n = len(qual)
+                            hits = [(ch, 1.0 / n) for ch, _ in qual]
+                    else:  # first_touch, no lookback
+                        ok = first_ch is not None and first_t < t_us
+                        hits = [(first_ch, 1.0)] if ok else []
+                    if not hits:
+                        hits = [("(direct)", 1.0)]
+                    for ch, frac in hits:
+                        c, val = deltas.get(ch, (0.0, 0.0))
+                        deltas[ch] = (c + frac, val + frac * float(v or 0.0))
                 elif touch_set is None or e in touch_set:
-                    last_ch, last_t = e, t_us
-        state.update((last_ch, last_t))
+                    if use_list:
+                        touches.append((e, t_us))
+                    elif model == "first_touch":
+                        if first_ch is None:
+                            first_ch, first_t = e, t_us
+                    else:
+                        pend_ch, pend_t = e, t_us
+        if use_list:
+            state.update(([c for c, _ in touches], [t for _, t in touches]))
+        elif model == "first_touch":
+            state.update((first_ch, first_t))
+        else:
+            state.update((last_ch, last_t, pend_ch, pend_t))
+        if idle_us is not None:
+            _arm_idle_timeout(state, newest, idle_us)
         if deltas:
             yield pd.DataFrame(
                 {
@@ -866,12 +1061,11 @@ def attribution_stream(
     cols = [user_col, ts_col, type_col]
     if value_col in sdf.columns:
         cols.append(value_col)
-    return (
-        sdf.select(*cols)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src, mode, idle_us = _idle_evict_setup(
+        sdf.select(*cols), ts_col, idle_timeout, watermark, "attribution_stream"
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -882,6 +1076,8 @@ def top_session_paths_stream(
     ts_col: str = TS_COL,
     user_col: str = "user_id",
     type_col: str = "event_type",
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``extensions.funnel.top_session_paths``'s path
     extraction: per-user state holds the OPEN session's first
@@ -892,12 +1088,32 @@ def top_session_paths_stream(
     future closer event per user flushes the tail; the closer's own
     still-open session never emits — the session_summaries_stream
     contract). The top-k cut itself is a downstream batch aggregate
-    over the tiny (path, count) table, where it belongs."""
+    over the tiny (path, count) table, where it belongs.
+
+    With ``idle_timeout`` (seconds; requires ``watermark``; must be
+    >= gap), an idle user's OPEN session is FLUSHED as closed and the
+    key evicted: past the horizon any future event would sit more than
+    ``gap`` after the session's last event, so the session could never
+    extend — the timeout flush is fluent-bit's multiline/throttle
+    aging, and it emits the terminal session batch leaves open (the
+    one-session-per-evicted-user delta the closer-event idiom adds in
+    tests)."""
     gap_us = int(gap * 1_000_000)
+    if idle_timeout is not None and idle_timeout < gap:
+        raise ValueError(
+            "top_session_paths_stream: idle_timeout must be >= gap, or "
+            "eviction could flush a session a within-gap event would extend"
+        )
     out_schema = "path string, sessions long"
     state_schema = "steps array<string>, n_steps int, last long"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            steps = list(state.get[0]) if state.exists else []
+            state.remove()
+            if steps:
+                yield pd.DataFrame({"path": [">".join(steps)], "sessions": [1]})
+            return
         if state.exists:
             steps, n_steps, last = state.get
             steps = list(steps)
@@ -918,17 +1134,19 @@ def top_session_paths_stream(
                 n_steps += 1
                 last = t_us
         state.update((steps, n_steps, last))
+        if idle_us is not None:
+            _arm_idle_timeout(state, last, idle_us)
         if closed:
             yield pd.DataFrame(
                 {"path": list(closed), "sessions": list(closed.values())}
             )
 
-    return (
-        sdf.select(user_col, ts_col, type_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src, mode, idle_us = _idle_evict_setup(
+        sdf.select(user_col, ts_col, type_col), ts_col, idle_timeout,
+        watermark, "top_session_paths_stream",
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -937,6 +1155,7 @@ def active_users_window_stream(
     window_days: int = 7,
     ts_col: str = TS_COL,
     user_col: str = "user_id",
+    watermark: str | None = None,
 ) -> DataFrame:
     """EXACT streaming rolling WAU/MAU — distinct users per
     ``window_days`` ending on each day — via emit-once-per-
@@ -950,16 +1169,31 @@ def active_users_window_stream(
     day. Batch parity (on the ends batch reports — it restricts to
     OBSERVED activity days) is asserted in tests.
 
-    State grows with the user's distinct active days; window ends emit
-    as epoch DAY NUMBERS (timezone-free ints, the cross-engine-stable
-    form)."""
+    State grows with the user's distinct active days — UNLESS
+    ``watermark`` is set, which bounds it to the window: a seen day
+    <= watermark_day - window_days can cover no window end any future
+    (post-watermark) day can reach, so it PRUNES, and a user whose
+    newest day ages past that horizon EVICTS entirely — per-user state
+    plateaus at <= window_days ints under continuous activity and
+    drops to zero under churn, with emissions unchanged (the pruned
+    days were unreachable by every future coverage probe).
+
+    Window ends emit as epoch DAY NUMBERS (timezone-free ints, the
+    cross-engine-stable form)."""
+    import bisect
+
     if window_days < 1:
         raise ValueError("window_days must be >= 1")
     out_schema = "window_end_day int, users long"
     state_schema = "seen array<int>"
+    day_ms = 86_400_000
 
     def fn(key_tuple, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ss = list(state.get[0]) if state.exists else []  # sorted day list
+        seen = set(ss)
         fresh: list = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
@@ -969,24 +1203,41 @@ def active_users_window_stream(
                     continue
                 for end in range(day, day + window_days):
                     # covered already iff some seen day lies in the
-                    # end's window [end - window_days + 1, end]
-                    if not any(
-                        end - window_days < s <= end for s in seen
-                    ):
+                    # end's window [end - window_days + 1, end]:
+                    # the largest seen day <= end decides (O(log n))
+                    i = bisect.bisect_right(ss, end)
+                    if not (i > 0 and ss[i - 1] > end - window_days):
                         fresh.append(end)
                 seen.add(day)
-        state.update((sorted(seen),))
+                bisect.insort(ss, day)
+        if watermark is not None:
+            wm_day = state.getCurrentWatermarkMs() // day_ms
+            cut = bisect.bisect_right(ss, wm_day - window_days)
+            ss = ss[cut:]  # evictable: can't reach any future end
+        if watermark is not None and not ss:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((ss,))
+            if watermark is not None:
+                # the newest day stops mattering once the watermark
+                # passes day ss[-1] + window_days; arm eviction there
+                state.setTimeoutTimestamp(
+                    max((ss[-1] + window_days) * day_ms,
+                        state.getCurrentWatermarkMs() + 1)
+                )
         if fresh:
             yield pd.DataFrame(
                 {"window_end_day": pd.array(fresh, dtype="int32"), "users": 1}
             )
 
-    return (
-        sdf.select(user_col, ts_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src = sdf.select(user_col, ts_col)
+    mode = GroupStateTimeout.NoTimeout
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+        mode = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -997,6 +1248,8 @@ def experiment_stats_stream(
     ts_col: str = TS_COL,
     user_col: str = "user_id",
     type_col: str = "event_type",
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``extensions.funnel.experiment_stats``'s
     counting core: per-user state = (seen, converted) two booleans;
@@ -1006,19 +1259,31 @@ def experiment_stats_stream(
     derived conv_rate and pooled z-statistic are driver-side arithmetic
     over that tiny per-variant table (compute them in batch with
     experiment_stats semantics — they need the control row, which is a
-    cross-variant fact no per-key fold can see)."""
+    cross-variant fact no per-key fold can see).
+
+    With ``idle_timeout`` (seconds; requires ``watermark``), an idle
+    user evicts; one who re-enters counts as a NEW user (and may
+    convert again) — users/converters become per-active-spell tallies,
+    the honest semantics for experiments that outlive a user's
+    engagement. Leave unset for lifetime-exact batch parity."""
     out_schema = f"{variant_col} string, users long, converters long"
     state_schema = "seen boolean, conv boolean"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         seen, conv = state.get if state.exists else (False, False)
         du = dc = 0
         variant = None
+        newest = None
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, type_col])
-            for v, e in zip(pdf[variant_col], pdf[type_col]):
+            for v, e, t in zip(pdf[variant_col], pdf[type_col], pdf[ts_col]):
                 if variant is None:
                     variant = str(v)
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                newest = t_us if newest is None else max(newest, t_us)
                 if not seen:
                     seen = True
                     du += 1
@@ -1026,15 +1291,17 @@ def experiment_stats_stream(
                     conv = True
                     dc += 1
         state.update((seen, conv))
+        if idle_us is not None:
+            _arm_idle_timeout(state, newest, idle_us)
         if du or dc:
             yield pd.DataFrame(
                 {variant_col: [variant], "users": [du], "converters": [dc]}
             )
 
-    return (
-        sdf.select(user_col, variant_col, ts_col, type_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src, mode, idle_us = _idle_evict_setup(
+        sdf.select(user_col, variant_col, ts_col, type_col), ts_col,
+        idle_timeout, watermark, "experiment_stats_stream",
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )

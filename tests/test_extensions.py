@@ -208,6 +208,19 @@ def test_pixel_decoders_roundtrip():
     assert _decode_pnm_pixels(make_pgm(6, 4, g.tobytes())[:-5]) is None
     assert _decode_pnm_pixels(b"P5\n2 2\n65535\n" + b"\x00" * 8) is None
     assert _decode_bmp_pixels(b"BM" + b"\x00" * 20) is None
+    # 8-bit corruptions must return None, not raise (the mid-scan
+    # contract): palette truncated off the end of the buffer...
+    short_pal = hdr + dib + pal[:64] + rows.tobytes()
+    trunc = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, 8, 0, 0, 0, 0)
+    short_hdr = b"BM" + struct.pack("<IHHI", 54 + 8, 0, 0, 54)
+    assert _decode_bmp_pixels(short_hdr + trunc + rows.tobytes()) is None
+    assert _decode_bmp_pixels(short_pal) is None
+    # ...and pixel indexes past a small declared palette
+    dib2 = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, 8, 0, 0, 2, 0)
+    off2 = 14 + 40 + 2 * 4
+    hdr2 = b"BM" + struct.pack("<IHHI", off2 + 8, 0, 0, off2)
+    hot = np.full((2, 4), 7, dtype=np.uint8)  # index 7 >= ncolors 2
+    assert _decode_bmp_pixels(hdr2 + dib2 + pal[:8] + hot.tobytes()) is None
 
 
 def test_dhash_and_image_neardup_recall(spark):
@@ -311,6 +324,15 @@ def test_audio_fingerprint_and_neardup(spark):
     # rejections: float PCM, truncation, garbage
     assert decode_wav_samples(b"RIFF----WAVEgarbage") is None
     assert decode_wav_samples(pcm16(base)[:50]) is None
+    # fmt chunk DECLARES 16 bytes but the buffer ends inside it: must
+    # return None (mid-scan contract), not raise struct.error
+    trunc_fmt = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 12) + b"\x00" * 12
+        + b"fmt " + struct.pack("<I", 16) + b"\x00" * 8
+    )
+    assert len(trunc_fmt) >= 44
+    assert decode_wav_samples(trunc_fmt) is None
     assert audio_subfingerprints(x[:100]) == []
 
     # near-dup join: volume copies + a suffix clip, vs brute force
@@ -2677,6 +2699,13 @@ def test_attribution_models(spark):
         # u4: two touches at the SAME ts -> tie-break: last=view (desc),
         # first=click (asc); linear splits across both
         ev(4, 10, "view"), ev(4, 10, "click"), ev(4, 20, "purchase", 8.0),
+        # u5: TWO conversions at the SAME ts after one touch: each must
+        # earn a full credit and both values must attribute (the
+        # duplicate-conversion corner: window replay alone merges them)
+        ev(5, 0, "view"), ev(5, 30, "purchase", 10.0),
+        ev(5, 30, "purchase", 20.0),
+        # u6: duplicate same-ts conversions with no touch -> (direct) x2
+        ev(6, 0, "purchase", 3.0), ev(6, 0, "purchase", 4.0),
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
 
@@ -2691,15 +2720,15 @@ def test_attribution_models(spark):
 
     last = got("last_touch")
     assert last == {
-        "click": (1.0, 90.0), "view": (1.0, 8.0), "(direct)": (2.0, 15.0)
+        "click": (1.0, 90.0), "view": (3.0, 38.0), "(direct)": (4.0, 22.0)
     }, last
     first = got("first_touch")  # u1: click; u4 tie asc -> click
     assert first == {
-        "click": (2.0, 98.0), "(direct)": (2.0, 15.0)
+        "click": (2.0, 98.0), "view": (2.0, 30.0), "(direct)": (4.0, 22.0)
     }, first
-    lin = got("linear")  # u1: click 90; u4: 4/4 split
+    lin = got("linear")  # u1: click 90; u4: 4/4 split; u5: 1 touch x2
     assert lin == {
-        "click": (1.5, 94.0), "view": (0.5, 4.0), "(direct)": (2.0, 15.0)
+        "click": (1.5, 94.0), "view": (2.5, 34.0), "(direct)": (4.0, 22.0)
     }, lin
 
     with _pytest.raises(ValueError, match="model"):

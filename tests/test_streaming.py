@@ -1342,6 +1342,15 @@ def test_attribution_stream_matches_batch(spark, tmp_path):
         ev(3, 0, "purchase", 5.0),                          # no touches
         ev(4, 10, "view"), ev(4, 10, "click"), ev(4, 20, "purchase", 8.0),
         ev(1, 120, "purchase", 2.0),                        # second conversion
+        # u5: a touch SHARING the conversion's ts and sorting before it
+        # ([ts, type]: 'click' < 'purchase') must NOT overwrite the
+        # strictly-earlier winner (view@50) — the pending-slot rule —
+        # yet must credit the NEXT conversion at 130
+        ev(5, 50, "view"), ev(5, 100, "click"), ev(5, 100, "purchase", 7.0),
+        ev(5, 130, "purchase", 3.0),
+        # u6: duplicate same-ts conversions -> one delta each in the
+        # stream, credit x2 in batch (the pre-aggregated n)
+        ev(6, 5, "purchase", 1.0), ev(6, 5, "purchase", 2.0),
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
     batch = {
@@ -1577,3 +1586,200 @@ def test_experiment_stats_stream_matches_batch(spark, tmp_path):
         u, c = sums.get(r.variant, (0, 0))
         sums[r.variant] = (u + r.users, c + r.converters)
     assert sums == batch
+
+
+def test_attribution_stream_first_touch_and_linear(spark, tmp_path):
+    """first_touch (keep-first scalars without lookback, bounded touch
+    list with one) and linear (touch-list) streaming attribution:
+    summed deltas equal the batch models exactly — lookback cut, strict
+    before-conversion, same-ts exclusions, tie-breaks, (direct)."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.funnel import attribution
+    from fluent_bit_spark.streaming.stateful import attribution_stream
+
+    T0 = dt.datetime(2024, 7, 1)
+
+    def ev(u, sec, typ, val=0.0):
+        return (u, T0 + dt.timedelta(seconds=sec), typ, val)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 50, "click"), ev(1, 100, "purchase", 90.0),
+        ev(2, 0, "view"), ev(2, 1000, "purchase", 10.0),
+        ev(3, 0, "purchase", 5.0),
+        ev(4, 10, "view"), ev(4, 10, "click"), ev(4, 20, "purchase", 8.0),
+        ev(5, 50, "view"), ev(5, 100, "click"), ev(5, 100, "purchase", 7.0),
+        ev(5, 130, "purchase", 3.0),
+    ]
+    fields = ["user_id", "ts", "event_type", "value"]
+    df = spark.createDataFrame(rows, fields)
+    d = _spool(tmp_path, "attr_models", rows, fields)
+
+    def stream_sums(name, **kw):
+        sdf = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        q = (
+            attribution_stream(
+                sdf, conversion="purchase", touch_types=["view", "click"],
+                ts_col="ts", **kw,
+            )
+            .writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        sums: dict = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            c, v = sums.get(r.channel, (0.0, 0.0))
+            sums[r.channel] = (round(c + r.credit, 9), round(v + r.attributed_value, 9))
+        return sums
+
+    def batch_sums(model, lookback):
+        return {
+            r.channel: (round(r.credit, 9), round(r.attributed_value, 9))
+            for r in attribution(
+                df, conversion="purchase", touch_types=["view", "click"],
+                lookback=lookback, model=model,
+            ).collect()
+        }
+
+    assert stream_sums("attr_ft_nolb", model="first_touch") == \
+        batch_sums("first_touch", None)
+    assert stream_sums("attr_ft_lb", model="first_touch", lookback=60.0) == \
+        batch_sums("first_touch", 60.0)
+    assert stream_sums("attr_lin", model="linear", lookback=60.0) == \
+        batch_sums("linear", 60.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lookback"):
+        attribution_stream(df, model="linear")
+
+
+def test_event_analytics_idle_eviction(spark, tmp_path):
+    """Idle-key state eviction across the event-analytics folds: a user
+    whose newest event ages idle_timeout behind the watermark leaves
+    the state store (numRowsTotal counts ACTIVE users), with deltas
+    preserved — and for the session folds, the open session FLUSHES as
+    closed on eviction."""
+    import datetime as dt
+
+    from fluent_bit_spark.streaming.stateful import (
+        active_users_window_stream, cohort_retention_stream,
+        event_transitions_stream, top_session_paths_stream,
+        user_journey_stream,
+    )
+
+    T0 = dt.datetime(2024, 7, 1)
+
+    def ev(u, sec, typ="view"):
+        return (u, T0 + dt.timedelta(seconds=sec), typ)
+
+    fields = ["user_id", "ts", "event_type"]
+
+    def run(name, rows, make):
+        d = _spool(tmp_path, name, rows, fields, chunk=2)
+        sdf = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        q = (
+            make(sdf).writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        return spark.sql(f"SELECT * FROM {name}").collect(), n_state
+
+    # --- transitions: u1 evicts after idle > 3600s; its delta already out
+    rows = [
+        ev(1, 0), ev(1, 10, "click"),
+        ev(2, 8000), ev(2, 8010, "click"),
+        ev(2, 8020),
+    ]
+    out, n_state = run(
+        "evict_trans", rows,
+        lambda s: event_transitions_stream(
+            s, gap=1800.0, ts_col="ts", idle_timeout=3600.0,
+            watermark="10 seconds",
+        ),
+    )
+    assert n_state == 1  # u1 gone, u2 live
+    sums: dict = {}
+    for r in out:
+        sums[(r.src, r.dst)] = sums.get((r.src, r.dst), 0) + r.transitions
+    assert sums == {("view", "click"): 2, ("click", "view"): 1}
+
+    # --- active-users window: pruned days + full eviction, deltas exact
+    day = 86400
+    rows = [
+        ev(1, 0), ev(1, day),
+        ev(2, 30 * day), ev(2, 31 * day),
+    ]
+    out, n_state = run(
+        "evict_wau", rows,
+        lambda s: active_users_window_stream(
+            s, window_days=7, ts_col="ts", watermark="1 hour",
+        ),
+    )
+    assert n_state == 1  # u1's days all pruned/evicted
+    ends = sorted((r.window_end_day, r.users) for r in out)
+    d0 = int(T0.timestamp()) // day
+    expect = [(d0 + e, 1) for e in list(range(0, 8)) + list(range(30, 38))]
+    assert ends == sorted(expect)
+
+    # --- user journey: idle eviction FLUSHES the open session
+    rows = [
+        ev(1, 0), ev(1, 10, "click"),
+        ev(2, 1000), ev(2, 1010, "click"),
+        ev(2, 1020),
+    ]
+    out, n_state = run(
+        "evict_journey", rows,
+        lambda s: user_journey_stream(
+            s, steps=["view", "click"], gap=60.0, ts_col="ts",
+            idle_timeout=120.0, watermark="10 seconds",
+        ),
+    )
+    assert n_state == 1
+    flushed = [r for r in out if r.kind == "session" and r.user_id == 1]
+    assert len(flushed) == 1
+    assert flushed[0].duration_s == 10.0 and flushed[0].n_events == 2
+
+    # --- session paths: eviction emits the open path
+    out, n_state = run(
+        "evict_paths", rows,
+        lambda s: top_session_paths_stream(
+            s, gap=60.0, max_steps=5, ts_col="ts",
+            idle_timeout=120.0, watermark="10 seconds",
+        ),
+    )
+    assert n_state == 1
+    paths: dict = {}
+    for r in out:
+        paths[r.path] = paths.get(r.path, 0) + r.sessions
+    assert paths == {"view>click": 1}  # u1 flushed; u2's stays open
+
+    # --- cohort retention: horizon (max_offset) bounds state + evicts
+    rows = [
+        ev(1, 0), ev(1, 2 * day),
+        ev(1, 40 * day),            # offset 40 > 30: no emission/state
+        ev(2, 40 * day), ev(2, 41 * day),
+        ev(2, 41 * day + 10),
+    ]
+    out, n_state = run(
+        "evict_cohort", rows,
+        lambda s: cohort_retention_stream(
+            s, ts_col="ts", max_offset=30, watermark="1 hour",
+        ),
+    )
+    assert n_state == 1  # u1 evicted past its horizon day
+    got = sorted((r.cohort, r.day_offset, r.users) for r in out)
+    c1 = T0.strftime("%Y-%m-%d")
+    c2 = (T0 + dt.timedelta(days=40)).strftime("%Y-%m-%d")
+    assert got == [(c1, 0, 1), (c1, 2, 1), (c2, 0, 1), (c2, 1, 1)]
