@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from .dedup import normalize_text
 
-__all__ = ["doc_term_freqs", "bm25_topk", "bm25_index", "bm25_topk_indexed"]
+__all__ = [
+    "doc_term_freqs", "bm25_topk", "bm25_index", "bm25_topk_indexed",
+    "bm25_index_save", "bm25_index_load", "bm25_index_append",
+]
 
 
 def doc_term_freqs(df: DataFrame, text_col: str = "text",
@@ -313,15 +316,50 @@ def bm25_index(
     dl0 = F.size(F.filter(toks, lambda t: t != ""))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.when(dl0 > 0, dl0)).alias("avgdl"),
+        F.sum(F.when(dl0 > 0, dl0)).alias("sum_dl"),
+        F.count(F.when(dl0 > 0, F.lit(1))).alias("n_nonempty"),
     ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
+    n_docs = stats["n"]
     if n_docs == 0:
         raise ValueError("empty corpus")
-    if avgdl is None:
+    if not stats["n_nonempty"]:
         raise ValueError("corpus has no tokens")
-    dtf = doc_term_freqs(docs, text_col, id_col)
-    dfreq = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dl are integers, so the double sum is EXACT (< 2^53) regardless of
+    # order: avgdl recomputed from (sum_dl, n_nonempty) at append time is
+    # bit-identical to this build's — the fact bm25_index_append rests on
+    sum_dl, n_nonempty = int(stats["sum_dl"]), int(stats["n_nonempty"])
+    avgdl = sum_dl / n_nonempty
+    # postings (term, id, tf, dl) checkpoint once: tc derives from it
+    # here, and persisted it makes the index APPENDABLE without the
+    # original corpus (bm25_index_append re-derives tc/kept/cutoffs from
+    # postings + the new docs' tokens only)
+    postings = doc_term_freqs(docs, text_col, id_col).localCheckpoint(eager=True)
+    tc = _contributions(postings, n_docs, avgdl, k1, b, id_col)
+    kept, cutoffs = _impact_order(tc, c, id_col)
+    return {
+        "tc": tc,
+        "kept": kept.localCheckpoint(eager=True),
+        "cutoffs": cutoffs.localCheckpoint(eager=True),
+        "postings": postings,
+        "n_docs": n_docs,
+        "avgdl": float(avgdl),
+        "sum_dl": sum_dl,
+        "n_nonempty": n_nonempty,
+        "k1": k1,
+        "b": b,
+        "c": c,
+        "id_col": id_col,
+    }
+
+
+def _contributions(
+    postings: DataFrame, n_docs: int, avgdl: float, k1: float, b: float,
+    id_col: str,
+) -> DataFrame:
+    """(term, id, c) BM25 per-posting contributions from a (term, id,
+    tf, dl) postings frame + the corpus-global stats — the derivation
+    bm25_index and bm25_index_append share, eagerly persisted."""
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.select(
         "term",
         F.log(
@@ -332,23 +370,11 @@ def bm25_index(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
     )
     contrib = F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / norm
-    tc = (
-        dtf.join(idf, "term")
+    return (
+        postings.join(idf, "term")
         .select("term", id_col, contrib.alias("c"))
         .localCheckpoint(eager=True)
     )
-    kept, cutoffs = _impact_order(tc, c, id_col)
-    return {
-        "tc": tc,
-        "kept": kept.localCheckpoint(eager=True),
-        "cutoffs": cutoffs.localCheckpoint(eager=True),
-        "n_docs": n_docs,
-        "avgdl": float(avgdl),
-        "k1": k1,
-        "b": b,
-        "c": c,
-        "id_col": id_col,
-    }
 
 
 def bm25_topk_indexed(
@@ -404,50 +430,181 @@ def bm25_topk_indexed(
     )
 
 
-def bm25_index_save(index: dict, path: str) -> None:
-    """Persist a bm25_index to ``path`` as four parquet tables (tc, kept,
-    cutoffs, meta) — the durable half of build-once/serve-many: the
-    builder job writes once, any number of later serving jobs
-    bm25_index_load and query without touching the corpus. All-parquet
-    (scalars ride a one-row meta table), so the layout works unchanged
-    on any Hadoop filesystem (file://, s3a://, hdfs://) and on a real
-    cluster the three frames land as the bucketed tables the in-memory
-    docstring promises."""
-    base = path.rstrip("/")
+def _write_index_tables(index: dict, base: str) -> None:
     index["tc"].write.mode("overwrite").parquet(f"{base}/tc")
     index["kept"].write.mode("overwrite").parquet(f"{base}/kept")
     index["cutoffs"].write.mode("overwrite").parquet(f"{base}/cutoffs")
+    if index.get("postings") is not None:
+        index["postings"].write.mode("overwrite").parquet(f"{base}/postings")
     spark = index["tc"].sparkSession
     spark.createDataFrame(
         [
             (
                 int(index["n_docs"]),
                 float(index["avgdl"]),
+                int(index.get("sum_dl") or 0),
+                int(index.get("n_nonempty") or 0),
                 float(index["k1"]),
                 float(index["b"]),
                 int(index["c"]),
                 str(index["id_col"]),
             )
         ],
-        "n_docs long, avgdl double, k1 double, b double, c int, id_col string",
+        "n_docs long, avgdl double, sum_dl long, n_nonempty long, "
+        "k1 double, b double, c int, id_col string",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
 
 
+def bm25_index_save(index: dict, path: str) -> None:
+    """Persist a bm25_index to ``path`` as five parquet tables (tc, kept,
+    cutoffs, postings, meta) — the durable half of build-once/serve-many:
+    the builder job writes once, any number of later serving jobs
+    bm25_index_load and query without touching the corpus, and
+    bm25_index_append grows it without the corpus either (the postings
+    table carries the raw (term, id, tf, dl) facts every global-stat
+    recompute needs). All-parquet (scalars ride a one-row meta table), so
+    the layout works unchanged on any Hadoop filesystem (file://, s3a://,
+    hdfs://) and on a real cluster the frames land as the bucketed tables
+    the in-memory docstring promises."""
+    _write_index_tables(index, path.rstrip("/"))
+
+
+def _live_index_dir(spark, base: str) -> str:
+    """Resolve the live directory of a persisted index: the manifest-
+    pointed version dir when ``base/MANIFEST`` exists (the store has
+    been appended at least once), else ``base`` itself (fresh save) —
+    the dedup history-store discipline (dedup.py history_data_dir), so
+    a reader never sees a half-written append."""
+    from .dedup import _is_version_dir, _read_manifest
+
+    ptr = _read_manifest(spark, base)
+    if ptr is None:
+        return base
+    if not _is_version_dir(ptr):
+        raise RuntimeError(
+            f"corrupt MANIFEST in {base!r}: {ptr!r} is not a version "
+            "pointer; restore it to the newest complete vNNNNNN directory"
+        )
+    return f"{base}/{ptr}"
+
+
 def bm25_index_load(spark, path: str) -> dict:
-    """Reload a bm25_index_save'd index. The returned frames are plain
-    parquet scans (term-pruned by predicate pushdown at serve time), so
-    a serving job's cost is the candidate join only — no corpus scan, no
-    rebuild. Drop-in wherever bm25_topk_indexed takes an index."""
-    base = path.rstrip("/")
-    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    """Reload a bm25_index_save'd (and possibly appended) index. The
+    returned frames are plain parquet scans (term-pruned by predicate
+    pushdown at serve time), so a serving job's cost is the candidate
+    join only — no corpus scan, no rebuild. Drop-in wherever
+    bm25_topk_indexed takes an index. Indexes saved before the postings
+    table existed load fine (postings=None) but refuse appends."""
+    base = _live_index_dir(spark, path.rstrip("/"))
+    meta = spark.read.parquet(f"{base}/meta").collect()[0].asDict()
+    try:
+        postings = spark.read.parquet(f"{base}/postings")
+    except Exception:
+        postings = None  # pre-postings layout: serve-only
     return {
         "tc": spark.read.parquet(f"{base}/tc"),
         "kept": spark.read.parquet(f"{base}/kept"),
         "cutoffs": spark.read.parquet(f"{base}/cutoffs"),
+        "postings": postings,
         "n_docs": meta["n_docs"],
         "avgdl": meta["avgdl"],
+        "sum_dl": meta.get("sum_dl"),
+        "n_nonempty": meta.get("n_nonempty"),
         "k1": meta["k1"],
         "b": meta["b"],
         "c": meta["c"],
         "id_col": meta["id_col"],
     }
+
+
+def bm25_index_append(
+    spark, path: str, new_docs: DataFrame, text_col: str = "text"
+) -> int:
+    """Absorb new documents into a persisted BM25 index WITHOUT the
+    original corpus — the serving-freshness half of build-once/serve-many
+    (ivf_index_append's lexical sibling). BM25's global statistics
+    (n_docs, avgdl, every term's idf) all move when documents arrive, so
+    an exact append cannot just add postings: it re-derives tc/kept/
+    cutoffs from the persisted postings table plus the new docs' tokens.
+    What it never needs is the original corpus — no re-tokenize, no
+    re-shuffle of old text — and the result is HASH-EQUAL to a full
+    rebuild on the union (integer tf/dl/df make the recomputed stats
+    bit-identical; tested).
+
+    Crash discipline is the dedup-history manifest flip (dedup.py
+    _write_manifest): the union tables land in a fresh ``vNNNNNN``
+    version dir and MANIFEST flips to it atomically LAST — a crash at
+    any earlier instant leaves the old version live and complete. New
+    doc ids must not collide with indexed ids (a rebuild would merge
+    them into one document); collisions raise.
+
+    Returns the number of appended documents."""
+    base = path.rstrip("/")
+    live = _live_index_dir(spark, base)
+    idx = bm25_index_load(spark, base)
+    if idx["postings"] is None:
+        raise ValueError(
+            f"index at {path!r} was saved without a postings table; "
+            "rebuild once with the current bm25_index_save to make it "
+            "appendable"
+        )
+    if not idx["sum_dl"]:
+        raise ValueError(
+            f"index at {path!r} predates append support (meta lacks "
+            "sum_dl/n_nonempty); rebuild once"
+        )
+    id_col = idx["id_col"]
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    dl0 = F.size(F.filter(toks, lambda t: t != ""))
+    stats = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(dl0 > 0, dl0)).alias("sum_dl"),
+        F.count(F.when(dl0 > 0, F.lit(1))).alias("n_nonempty"),
+    ).collect()[0]
+    n_new = int(stats["n"])
+    if n_new == 0:
+        return 0
+    new_postings = doc_term_freqs(new_docs, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    new_ids = new_postings.select(id_col).distinct()
+    clash = (
+        idx["postings"].select(id_col).distinct()
+        .join(F.broadcast(new_ids), id_col).limit(1).count()
+    )
+    if clash:
+        raise ValueError(
+            "new_docs reuse document ids already in the index; a rebuild "
+            "would merge them — dedupe or re-id before appending"
+        )
+    n_docs = int(idx["n_docs"]) + n_new
+    sum_dl = int(idx["sum_dl"]) + int(stats["sum_dl"] or 0)
+    n_nonempty = int(idx["n_nonempty"]) + int(stats["n_nonempty"])
+    if n_nonempty == 0:
+        raise ValueError("corpus has no tokens")
+    avgdl = sum_dl / n_nonempty
+    postings = idx["postings"].unionByName(new_postings)
+    tc = _contributions(postings, n_docs, avgdl, idx["k1"], idx["b"], id_col)
+    kept, cutoffs = _impact_order(tc, idx["c"], id_col)
+    grown = {
+        "tc": tc,
+        "kept": kept,
+        "cutoffs": cutoffs,
+        "postings": postings,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "sum_dl": sum_dl,
+        "n_nonempty": n_nonempty,
+        "k1": idx["k1"],
+        "b": idx["b"],
+        "c": idx["c"],
+        "id_col": id_col,
+    }
+    from .dedup import _write_manifest
+
+    cur = live.rsplit("/", 1)[-1]
+    nxt = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
+    ver = f"v{nxt:06d}"
+    _write_index_tables(grown, f"{base}/{ver}")
+    _write_manifest(spark, base, ver)
+    return n_new

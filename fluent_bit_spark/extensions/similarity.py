@@ -773,6 +773,7 @@ def pq_index(
         "m": m,
         "ksub": ksub,
         "id_col": id_col,
+        "vec_col": vec_col,
     }
 
 
@@ -821,8 +822,13 @@ def pq_index_save(index: dict, path: str) -> None:
         "sub int, code int, cvec array<double>",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/codebooks")
     spark.createDataFrame(
-        [(int(index["m"]), int(index["ksub"]), index["id_col"])],
-        "m int, ksub int, id_col string",
+        [(
+            int(index["m"]),
+            int(index["ksub"]),
+            index["id_col"],
+            index.get("vec_col", "embedding"),
+        )],
+        "m int, ksub int, id_col string, vec_col string",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
 
 
@@ -831,7 +837,7 @@ def pq_index_load(spark, path: str) -> dict:
     codebook (model-sized) is collected once into the nested-list form
     pq_topk expects. No training, no encoding."""
     base = path.rstrip("/")
-    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    meta = spark.read.parquet(f"{base}/meta").collect()[0].asDict()
     m, ksub = meta["m"], meta["ksub"]
     rows = spark.read.parquet(f"{base}/codebooks").collect()
     books: list = [[None] * ksub for _ in range(m)]
@@ -845,6 +851,7 @@ def pq_index_load(spark, path: str) -> dict:
         "m": m,
         "ksub": ksub,
         "id_col": meta["id_col"],
+        "vec_col": meta.get("vec_col", "embedding"),
     }
 
 
@@ -938,4 +945,36 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame) -> int:
         .partitionBy("cid")
         .parquet(f"{path.rstrip('/')}/lists")
     )
+    return n
+
+
+def pq_index_append(spark, path: str, new_vectors: DataFrame) -> int:
+    """Append vectors to a PERSISTED PQ index without retraining —
+    ivf_index_append's compressed-codes sibling: new vectors encode
+    against the EXISTING codebooks (pq_encode's per-subspace nearest-
+    centroid pass, no k-means jobs) and their code rows append to the
+    ``codes`` parquet, so the next pq_topk_indexed ADC scan sees them
+    with no coordination. Column names come from the index's own meta;
+    new ids must be fresh (duplicate ids would serve as two corpus
+    entries — same contract as ivf_index_append). Returns the appended
+    row count.
+
+    Same trade as IVF: codebooks trained on the original corpus drift
+    from the union's optimum, degrading quantization error gradually —
+    but the served result is EXACTLY what an index built from these
+    codebooks over the union corpus serves (tested), because ADC
+    distances depend only on (codebooks, codes)."""
+    idx = pq_index_load(spark, path)
+    id_col, vec_col = idx["id_col"], idx["vec_col"]
+    missing = [c for c in (id_col, vec_col) if c not in new_vectors.columns]
+    if missing:
+        raise ValueError(
+            f"new_vectors lacks the index's columns {missing} "
+            f"(index at {path!r} uses id_col={id_col!r}, vec_col={vec_col!r})"
+        )
+    codes = pq_encode(
+        new_vectors.select(id_col, vec_col), idx["codebooks"], id_col, vec_col
+    )
+    n = codes.count()
+    codes.write.mode("append").parquet(f"{path.rstrip('/')}/codes")
     return n

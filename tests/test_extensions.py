@@ -534,6 +534,39 @@ def test_ann_persisted_index_roundtrip(spark, tmp_path):
             half_b.select(F.col("vec_id").alias("other_id"), "embedding"),
         )
 
+    # PQ append: encode-against-existing-codebooks -> serving equals an
+    # index built from those codebooks over the union corpus (ADC
+    # distances depend only on codebooks + codes)
+    from fluent_bit_spark.extensions.similarity import (
+        pq_encode, pq_index_append,
+    )
+
+    pq_part = pq_index(half_a, m=8, ksub=16, iters=2, sample=256)
+    pq_index_save(pq_part, str(tmp_path / "pq_inc"))
+    pn = pq_index_append(
+        spark, str(tmp_path / "pq_inc"), half_b.select("vec_id", "embedding")
+    )
+    assert pn == half_b.count()
+    pq_grown = pq_index_load(spark, str(tmp_path / "pq_inc"))
+    pq_ref = {
+        "codebooks": pq_part["codebooks"],
+        "codes": pq_encode(
+            emb.select("vec_id", "embedding"), pq_part["codebooks"],
+            "vec_id", "embedding",
+        ),
+        "m": 8, "ksub": 16, "id_col": "vec_id", "vec_col": "embedding",
+    }
+    assert pkey(
+        pq_topk_indexed(pq_grown, queries, k=5).orderBy("query_id", "rank").collect()
+    ) == pkey(
+        pq_topk_indexed(pq_ref, queries, k=5).orderBy("query_id", "rank").collect()
+    )
+    with _pytest2.raises(ValueError, match="lacks the index's columns"):
+        pq_index_append(
+            spark, str(tmp_path / "pq_inc"),
+            half_b.select(F.col("vec_id").alias("other_id"), "embedding"),
+        )
+
     # a truncated codebook table must fail loudly, not serve garbage
     import pytest as _pytest
 
@@ -1789,6 +1822,65 @@ def test_bm25_index_persist_roundtrip(spark, tmp_path):
     disk = {(r.query_id, r.rank): (r.doc_id, r.score)
             for r in bm25_topk_indexed(reloaded, qs, k=5).collect()}
     assert disk == mem and len(disk) == 50
+
+
+def test_bm25_index_append_equals_full_rebuild(spark, tmp_path):
+    """bm25_index_append: a persisted index grown with new docs serves
+    HASH-EQUAL to a full rebuild on the union corpus (global n_docs /
+    avgdl / idf all recomputed exactly from the postings table — no
+    access to the original corpus), behind a crash-safe manifest flip:
+    the pre-append version stays live and complete until the new
+    version dir is fully written. Id collisions and pre-postings
+    layouts refuse loudly."""
+    import os
+    import random
+
+    import pytest
+
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_index, bm25_index_append, bm25_index_load, bm25_index_save,
+        bm25_topk_indexed,
+    )
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(60)]
+
+    def corpus(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(rng.choices(vocab, k=rng.randint(5, 20))))
+             for i in ids],
+            ["doc_id", "text"],
+        )
+
+    old = corpus(range(150))
+    new = corpus(range(150, 220))
+    qs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=3))) for i in range(8)],
+        ["query_id", "text"],
+    )
+    path = str(tmp_path / "bm25_grow")
+    bm25_index_save(bm25_index(old, c=15), path)
+    n = bm25_index_append(spark, path, new)
+    assert n == 70
+    served = {(r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+              for r in bm25_topk_indexed(
+                  bm25_index_load(spark, path), qs, k=5).collect()}
+    rebuilt = {(r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+               for r in bm25_topk_indexed(
+                   bm25_index(old.unionByName(new), c=15), qs, k=5).collect()}
+    assert served == rebuilt and len(served) == 40
+    # manifest points at the version dir; the flat pre-append tables
+    # are still intact (the crash-safety invariant)
+    assert open(os.path.join(path, "MANIFEST")).read().strip() == "v000001"
+    assert os.path.isdir(os.path.join(path, "v000001", "postings"))
+    assert os.path.isdir(os.path.join(path, "tc"))
+    # a second append stacks another version
+    more = corpus(range(220, 240))
+    assert bm25_index_append(spark, path, more) == 20
+    assert open(os.path.join(path, "MANIFEST")).read().strip() == "v000002"
+    # id collision refuses (a rebuild would merge the two docs)
+    with pytest.raises(ValueError, match="reuse document ids"):
+        bm25_index_append(spark, path, corpus(range(100, 110)))
 
 
 def test_repeated_span_stats_detects_shared_substrings(spark):
