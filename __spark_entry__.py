@@ -1879,31 +1879,23 @@ def attribution_q(spark, sf_dir):
     return out
 
 
-def audio_neardup_q(spark, sf_dir):
-    """SAMPLE-level audio near-dup on codec-free WAV PCM: each embedding
-    row becomes a real 16-bit mono WAV (a deterministic step-wave from
-    the quantized embedding values); every 25th clip gets a 2x-volume
-    copy — exactly representable in int16, and the Haitsma-Kalker
-    subfingerprint is a sign pattern of band-energy DIFFERENCES, so the
-    copy's fingerprint is bit-identical and audio_neardup_join must find
-    every planted pair at offset 0 with BER 0 via its exact-match
-    lookup-table probe. The WITNESS recomputes each returned pair's BER
-    brute-force from the decoded samples (re-fingerprinting both clips
-    in Python and xor-counting at the pair's offset, bypassing the JVM
-    slice/zip_with/bit_count path) and demands equality. Truth table per
-    planted id: found + pair_witnessed + global all_pairs_witnessed."""
+def _audio_wav_corpus(spark, sf_dir):
+    """The audio_neardup corpus: each embedding row rendered as a real
+    16-bit mono WAV (a deterministic step-wave from the quantized
+    embedding values); every 25th clip gets a 2x-volume copy at id +
+    1,000,000 — exactly representable in int16. Shared by the witnessed
+    registry query and the guarded bench form so both time the same
+    decode load. NOTE this corpus is degenerate BY CONSTRUCTION: every
+    clip is the same 62.5 Hz step comb (values repeat 128x at 8 kHz)
+    at slightly varying heights, i.e. uniformly near-constant — hot
+    subfingerprint buckets here are corpus-wide similarity, not
+    low-energy noise (measured: the hottest buckets' AC-RMS
+    distribution matches the corpus's, BASELINE.md r9)."""
     import struct
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-
-    from fluent_bit_spark.extensions.multimodal import (
-        audio_neardup_join,
-        audio_subfingerprints,
-        decode_wav_samples,
-        to_media_frame,
-    )
 
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -1931,7 +1923,52 @@ def audio_neardup_q(spark, sf_dir):
         (F.col("vec_id") + 1_000_000).alias("media_id"),
         to_wav(F.col("embedding"), F.lit(2)).alias("content"),
     )
-    corpus = base.unionByName(copies).localCheckpoint(eager=True)
+    return base.unionByName(copies).localCheckpoint(eager=True)
+
+
+def audio_neardup_guarded_raw(spark, sf_dir):
+    """Bench-only bare operator: audio_neardup_join with BOTH
+    quadratic-pocket guards engaged — max_bucket=200 (frequency
+    stop-list) and energy_floor=1e-3 (-60 dBFS probe gate) — on the
+    same corpus as the witnessed registry query. This is the
+    production configuration for an untrusted corpus; scale_check
+    measures its 30x alpha next to the exact default's."""
+    from fluent_bit_spark.extensions.multimodal import (
+        audio_neardup_join, to_media_frame,
+    )
+
+    corpus = _audio_wav_corpus(spark, sf_dir)
+    media = to_media_frame(corpus, "media_id", F.col("content"), "audio")
+    return audio_neardup_join(
+        media, max_ber=0.25, max_bucket=200, energy_floor=1e-3
+    )
+
+
+def audio_neardup_q(spark, sf_dir):
+    """SAMPLE-level audio near-dup on codec-free WAV PCM: each embedding
+    row becomes a real 16-bit mono WAV (a deterministic step-wave from
+    the quantized embedding values); every 25th clip gets a 2x-volume
+    copy — exactly representable in int16, and the Haitsma-Kalker
+    subfingerprint is a sign pattern of band-energy DIFFERENCES, so the
+    copy's fingerprint is bit-identical and audio_neardup_join must find
+    every planted pair at offset 0 with BER 0 via its exact-match
+    lookup-table probe. The WITNESS recomputes each returned pair's BER
+    brute-force from the decoded samples (re-fingerprinting both clips
+    in Python and xor-counting at the pair's offset, bypassing the JVM
+    slice/zip_with/bit_count path) and demands equality. Truth table per
+    planted id: found + pair_witnessed + global all_pairs_witnessed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import (
+        audio_neardup_join,
+        audio_subfingerprints,
+        decode_wav_samples,
+        to_media_frame,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _audio_wav_corpus(spark, sf_dir)
     media = to_media_frame(corpus, "media_id", F.col("content"), "audio")
     pairs = audio_neardup_join(media, max_ber=0.25).localCheckpoint(eager=True)
 

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "winsorize",
     "image_neardup",
     "audio_neardup",
+    "audio_neardup_guarded",
     "attribution",
     "robust_anomaly",
     "pipeline_e2e",
@@ -146,6 +147,7 @@ BENCH_FORMS = {
     "fuzzy_decontaminate": entrymod.fuzzy_decontaminate_raw,
     "bm25_serve_only": entrymod.bm25_serve_only_raw,
     "ann_serve_only": entrymod.ann_serve_only_raw,
+    "audio_neardup_guarded": entrymod.audio_neardup_guarded_raw,
 }
 
 # run once per session BEFORE the timed loop: build-once/serve-many

@@ -506,6 +506,31 @@ def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+def _dhash_bands(
+    hashes: DataFrame, max_hamming: int, id_col: str
+) -> DataFrame:
+    """(id, dhash, band, bv): the 64-bit hash split into max_hamming+1
+    contiguous bit-bands — the pigeonhole layout image_neardup_join and
+    the streaming history share. Bit ranges must PARTITION all 64 bits
+    or the recall argument breaks (an uncovered bit could absorb every
+    difference); when 64 % bands != 0 the early bands take the extra
+    bit each."""
+    bands = max_hamming + 1
+    bounds = [(i * 64) // bands for i in range(bands + 1)]
+
+    def _band(lo, hi):
+        if hi - lo >= 64:  # max_hamming=0: the single band IS the hash
+            return F.col("dhash")
+        return F.shiftrightunsigned(F.col("dhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    band_vals = F.array(*[_band(lo, hi) for lo, hi in zip(bounds, bounds[1:])])
+    return hashes.select(
+        F.col(id_col), F.col("dhash"), F.posexplode(band_vals).alias("band", "bv")
+    )
+
+
 def image_neardup_join(
     media: DataFrame,
     max_hamming: int = 3,
@@ -523,23 +548,8 @@ def image_neardup_join(
     decode + hash."""
     if not (0 <= max_hamming < 64):
         raise ValueError("need 0 <= max_hamming < 64")
-    bands = max_hamming + 1
     hashes = image_dhash(media, id_col).select(id_col, "dhash")
-    # bit ranges must PARTITION all 64 bits or the pigeonhole recall
-    # argument breaks (an uncovered bit could absorb every difference);
-    # when 64 % bands != 0 the early bands take the extra bit each
-    bounds = [(i * 64) // bands for i in range(bands + 1)]
-    def _band(lo, hi):
-        if hi - lo >= 64:  # max_hamming=0: the single band IS the hash
-            return F.col("dhash")
-        return F.shiftrightunsigned(F.col("dhash"), lo).bitwiseAND(
-            F.lit((1 << (hi - lo)) - 1)
-        )
-
-    band_vals = F.array(*[_band(lo, hi) for lo, hi in zip(bounds, bounds[1:])])
-    banded = hashes.select(
-        F.col(id_col), F.col("dhash"), F.posexplode(band_vals).alias("band", "bv")
-    )
+    banded = _dhash_bands(hashes, max_hamming, id_col)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("dhash").alias("__ha"), "band", "bv"
     )
@@ -558,6 +568,85 @@ def image_neardup_join(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def image_dedup_against_history(
+    media: DataFrame,
+    state_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    update_state: bool = False,
+) -> DataFrame:
+    """Image near-dup filter against everything EVER ingested — the
+    dHash twin of dedup_against_history (dedup.py), sharing its ENTIRE
+    state discipline: the history table at ``state_dir`` holds
+    (band, bv, dhash) rows (three longs per band per kept image),
+    resolves through the same manifest pointer (history_data_dir), and
+    compacts with the same compact_history — the (band, bv) probe-key
+    shape is what the discipline needs, not the hash family.
+
+    It is STRONGER than the text twin in one way: because the full
+    64-bit dhash rides each band row, cross-batch candidates verify by
+    EXACT Hamming distance (bit_count of the xor, JVM-side), so the
+    drop decision is exact over the dHash metric — no band-collision
+    false positives — while recall stays total by the pigeonhole
+    argument. Codec-bound rows (undecodable pixels) never collide and
+    pass through.
+
+    CRASH ORDERING: same as the text twin — append AFTER the sink
+    commits (update_state=False + append_image_history), or eagerly
+    with update_state=True where replay loss is acceptable."""
+    from .dedup import _try_read_parquet, history_data_dir
+
+    spark = media.sparkSession
+    hashes = image_dhash(media, id_col).select(id_col, "dhash")
+    bands = _dhash_bands(hashes, max_hamming, id_col)
+    seen = _try_read_parquet(spark, history_data_dir(spark, state_dir))
+    if seen is not None:
+        losers = (
+            bands.join(
+                seen.select("band", "bv", F.col("dhash").alias("__hd")),
+                ["band", "bv"],
+            )
+            .where(
+                F.bit_count(F.col("dhash").bitwiseXOR(F.col("__hd")))
+                <= max_hamming
+            )
+            .select(id_col)
+            .distinct()
+        )
+        kept = media.join(losers, id_col, "left_anti")
+    else:
+        kept = media
+    return kept.localCheckpoint(eager=True) if update_state is False else (
+        _append_after(kept, state_dir, max_hamming, id_col)
+    )
+
+
+def _append_after(kept, state_dir, max_hamming, id_col):
+    kept = kept.localCheckpoint(eager=True)
+    append_image_history(kept, state_dir, max_hamming, id_col)
+    return kept
+
+
+def append_image_history(
+    media: DataFrame,
+    state_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> None:
+    """Append ``media``'s dHash band rows to the image history table —
+    split out so streaming callers order it AFTER the sink write (the
+    at-least-once contract of neardup_foreach_batch). Duplicate rows
+    from replays are harmless (membership semantics) and compact away."""
+    from .dedup import history_data_dir
+
+    hashes = image_dhash(media, id_col).select(id_col, "dhash")
+    _dhash_bands(hashes, max_hamming, id_col).select(
+        "band", "bv", "dhash"
+    ).write.mode("append").parquet(
+        history_data_dir(media.sparkSession, state_dir)
+    )
 
 
 def make_pgm(w: int, h: int, pixels: bytes) -> bytes:
@@ -643,13 +732,29 @@ def audio_subfingerprints(
     pattern invariant to uniform volume scaling and slow spectral tilt.
     Returns a list of python ints (one per frame from index 1; audio
     shorter than 2 frames fingerprints to [])."""
+    fps, _ = _subfps_and_energy(samples, frame, hop, bits)
+    return fps
+
+
+def _subfps_and_energy(samples, frame: int, hop: int, bits: int = 32):
+    """(subfingerprints, per-sub AC RMS): the fingerprint math plus the
+    energy the Haitsma-Kalker gating practice needs — each sub's energy
+    is the LESSER of its two source frames' AC RMS (std of the raw
+    frame samples, so DC/near-constant frames read as silent even at
+    full amplitude). Near-silent and near-constant frames produce sign
+    patterns of numerical noise — every such clip mints the same few
+    degenerate subfingerprints, the hot-bucket pathology — so callers
+    gate PROBES on this energy while keeping every sub for the exact
+    BER verify."""
     x = _np.asarray(samples, dtype=_np.float64)
     if len(x) < frame + hop:
-        return []
+        return [], []
     win = _np.hanning(frame)
     n_frames = (len(x) - frame) // hop + 1
     idx = _np.arange(frame)[None, :] + hop * _np.arange(n_frames)[:, None]
-    spec = _np.abs(_np.fft.rfft(x[idx] * win, axis=1)) ** 2
+    frames = x[idx]
+    ac = frames.std(axis=1)                         # per-frame AC RMS
+    spec = _np.abs(_np.fft.rfft(frames * win, axis=1)) ** 2
     spec = spec[:, 1:]  # drop DC
     edges = ((_np.arange(bits + 2) * spec.shape[1]) // (bits + 1)).astype(int)
     E = _np.add.reduceat(spec, edges[:-1], axis=1)  # (n_frames, bits+1)
@@ -657,7 +762,8 @@ def audio_subfingerprints(
     dd = d[1:] - d[:-1]                             # time differences
     weights = 1 << _np.arange(bits, dtype=_np.uint64)
     fps = ((dd > 0).astype(_np.uint64) * weights).sum(axis=1)
-    return [int(v) for v in fps]
+    sub_ac = _np.minimum(ac[1:], ac[:-1])           # sub i <- frames i, i+1
+    return [int(v) for v in fps], [float(v) for v in sub_ac]
 
 
 def audio_fingerprint(
@@ -666,26 +772,30 @@ def audio_fingerprint(
     frame: int = 2048,
     hop: int = 1024,
 ) -> DataFrame:
-    """(media_id, frame_idx, sub): exploded subfingerprint table for a
-    binary WAV column — the Philips lookup-table layout, where ``sub``
-    is both the match key and the stored value. Non-PCM/short payloads
-    produce no rows (filter, don't crash, mid-scan)."""
+    """(media_id, frame_idx, sub, ac_rms): exploded subfingerprint table
+    for a binary WAV column — the Philips lookup-table layout, where
+    ``sub`` is both the match key and the stored value, and ``ac_rms``
+    the lesser source-frame AC RMS for energy-gated probing. Non-PCM/
+    short payloads produce no rows (filter, don't crash, mid-scan)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, subs = [], [], []
+            ids, idxs, subs, acs = [], [], [], []
             for _, row in pdf.iterrows():
                 got = decode_wav_samples(bytes(row["content"] or b""))
                 if got is None:
                     continue
-                fps = audio_subfingerprints(got[1], frame, hop)
+                fps, ac = _subfps_and_energy(got[1], frame, hop)
                 ids.extend([row[id_col]] * len(fps))
                 idxs.extend(range(len(fps)))
                 subs.extend(s - (1 << 32 if s >= 1 << 31 else 0) for s in fps)
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "sub": subs})
+                acs.extend(ac)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "sub": subs, "ac_rms": acs}
+            )
 
     return media.mapInPandas(
-        run, schema="media_id bigint, frame_idx int, sub int"
+        run, schema="media_id bigint, frame_idx int, sub int, ac_rms double"
     )
 
 
@@ -696,6 +806,7 @@ def audio_neardup_join(
     frame: int = 2048,
     hop: int = 1024,
     max_bucket: int | None = None,
+    energy_floor: float | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs (id_a < id_b, offset, ber): candidates
     are (pair, alignment-offset) tuples where at least one 32-bit
@@ -716,21 +827,36 @@ def audio_neardup_join(
     values occurring more than ``max_bucket`` times are skipped as
     probes (the minhash band-cap discipline). A pair is missed only if
     EVERY subfingerprint it shares is that common; the default None
-    keeps the exact candidate contract."""
+    keeps the exact candidate contract.
+
+    ``energy_floor`` is the CAUSAL guard for the same pocket — the
+    standard Haitsma-Kalker practice of not probing on near-silent or
+    near-constant frames (their sign patterns are numerical noise, so
+    every degenerate clip mints the same few subfingerprints): subs
+    whose lesser source-frame AC RMS sits below the floor (full-scale
+    samples span [-1, 1]; 1e-3 ~ -60 dBFS) don't probe. The BER verify
+    still runs over ALL frames, so reported scores are exact; a pair is
+    missed only if every sub it shares is sub-floor. Unlike max_bucket
+    (which reacts to corpus-wide frequency), the gate is per-clip and
+    needs no extra aggregate."""
     if not (0.0 <= max_ber <= 1.0):
         raise ValueError("need 0 <= max_ber <= 1")
     subs = audio_fingerprint(media, id_col, frame, hop).localCheckpoint(eager=True)
     probe_subs = subs
+    if energy_floor is not None:
+        if energy_floor < 0:
+            raise ValueError("energy_floor must be >= 0")
+        probe_subs = probe_subs.where(F.col("ac_rms") >= energy_floor)
     if max_bucket is not None:
         if max_bucket < 1:
             raise ValueError("max_bucket must be >= 1")
         hot = (
-            subs.groupBy("sub")
+            probe_subs.groupBy("sub")
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > max_bucket)
             .select("sub")
         )
-        probe_subs = subs.join(F.broadcast(hot), "sub", "left_anti")
+        probe_subs = probe_subs.join(F.broadcast(hot), "sub", "left_anti")
     per_id = subs.groupBy("media_id").agg(
         F.array_sort(
             F.collect_list(F.struct("frame_idx", "sub"))

@@ -280,6 +280,45 @@ def neardup_foreach_batch(
     return process
 
 
+def image_neardup_foreach_batch(
+    sink,
+    state_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+):
+    """Streaming image NEAR-dup as a foreachBatch stage — "is this image
+    a near-dup of anything ever seen", neardup_foreach_batch's dHash
+    twin reusing the identical history/compaction discipline (the
+    history is (band, bv, dhash) rows under the same manifest-pointer
+    layout; extensions.dedup.compact_history compacts it unchanged).
+
+    Per micro-batch: decode + dHash once, drop within-batch near-dups
+    (image_neardup_join pairs: the lower id of each pair survives),
+    probe the band history with an EXACT cross-batch Hamming verify
+    (image_dedup_against_history), ``sink(survivors, batch_id)``, then
+    append the survivors' band rows — sink-before-state, the same
+    at-least-once replay contract as the text twin. Returns the
+    function to pass to ``writeStream.foreachBatch``."""
+    from fluent_bit_spark.extensions.multimodal import (
+        append_image_history, image_dedup_against_history,
+        image_neardup_join,
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        pairs = image_neardup_join(batch_df, max_hamming, id_col)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        within = batch_df.join(losers, id_col, "left_anti")
+        survivors = image_dedup_against_history(
+            within, state_dir, max_hamming, id_col, update_state=False
+        )
+        sink(survivors, batch_id)
+        append_image_history(survivors, state_dir, max_hamming, id_col)
+
+    return process
+
+
 def snapshot_stream_tws(
     sdf: DataFrame,
     limit: int,

@@ -400,6 +400,66 @@ def test_audio_fingerprint_and_neardup(spark):
     assert audio_neardup_join(media, max_ber=0.25, max_bucket=1).count() == 0
 
 
+def test_audio_neardup_energy_gate(spark):
+    """energy_floor probe gating (the Haitsma-Kalker silence practice):
+    near-constant clips — whose sign patterns are shared numerical
+    noise and mint hot buckets — stop probing, so silent-silent pairs
+    vanish, while energetic pairs keep their exact BER. A floor of 0
+    gates nothing."""
+    import struct
+
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        audio_neardup_join, to_media_frame,
+    )
+    from pyspark.sql import functions as F
+
+    def pcm16(samples, rate=8000):
+        a = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+        data = a.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    rng = np.random.RandomState(19)
+    clips = []
+    for i in range(4):                                   # energetic noise
+        clips.append((i, (rng.randn(8192) * 4000).astype(int)))
+    clips.append((100, clips[0][1] * 2))                 # planted dup of 0
+    # near-constant clips: per-clip DC offset + an IDENTICAL tiny ripple
+    # (amplitude 5 of 32768 ~ -76 dBFS AC) -> identical subfingerprints
+    # across all of them: a deterministic hot bucket
+    ripple = (5 * np.sin(np.arange(8192) * 0.05)).astype(int)
+    for j, dc in enumerate([1000, 2000, 3000, 4000, 5000]):
+        clips.append((200 + j, dc + ripple))
+    df = spark.createDataFrame(
+        [(i, bytearray(pcm16(s))) for i, s in clips],
+        "media_id long, content binary",
+    )
+    media = to_media_frame(df, "media_id", F.col("content"), "audio")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b): (r.offset, r.ber)
+            for r in audio_neardup_join(media, max_ber=0.25, **kw).collect()
+        }
+
+    ungated = pairs()
+    silent_pairs = {p for p in ungated if p[0] >= 200 and p[1] >= 200}
+    assert len(silent_pairs) == 10                       # all C(5,2) collide
+    assert ungated[(0, 100)] == (0, 0.0)
+    gated = pairs(energy_floor=1e-3)
+    assert not {p for p in gated if p[0] >= 200 or p[1] >= 200}
+    assert gated[(0, 100)] == (0, 0.0)                   # BER math unchanged
+    assert pairs(energy_floor=0.0) == ungated
+    import pytest
+
+    with pytest.raises(ValueError, match="energy_floor"):
+        audio_neardup_join(media, energy_floor=-0.1)
+
+
 def test_extract_media_headers_spark(spark, docs):
     from fluent_bit_spark.extensions.multimodal import extract_media_headers, make_gif
 

@@ -690,6 +690,78 @@ def test_neardup_foreach_batch_stream(spark, tmp_path):
     assert sorted(got) == [1, 3, 5]
 
 
+def test_image_neardup_foreach_batch_stream(spark, tmp_path):
+    """The image twin of the streaming near-dup wrapper: within-batch
+    dHash near-dups collapse, cross-batch near-dups drop against the
+    (band, bv, dhash) history with an exact Hamming verify, unique
+    images land in the sink — and compact_history maintains the image
+    history UNCHANGED (the discipline is hash-family-agnostic)."""
+    import os as _os
+    import shutil
+    import time as _time
+
+    import numpy as np
+
+    from fluent_bit_spark.extensions.dedup import compact_history
+    from fluent_bit_spark.extensions.multimodal import (
+        image_dedup_against_history, make_pgm,
+    )
+    from fluent_bit_spark.streaming.stateful import image_neardup_foreach_batch
+
+    rng = np.random.RandomState(23)
+
+    def img(seed=None, base=None, shift=0):
+        g = base if base is not None else rng.randint(30, 220, (16, 18)).astype(np.uint8)
+        return g, make_pgm(18, 16, (g + shift).astype(np.uint8).tobytes())
+
+    g1, p1 = img()
+    _, p2 = img(base=g1, shift=10)     # brightness copy: dhash-identical
+    _, p3 = img()
+    _, p4 = img(base=g1, shift=5)      # cross-batch copy
+    _, p5 = img()
+
+    d = tmp_path / "img_in"
+    d.mkdir()
+    base_t = _time.time() - 1000
+    for i, batch in enumerate([[(1, p1), (2, p2), (3, p3)], [(4, p4), (5, p5)]]):
+        bdir = tmp_path / f"img_b{i}"
+        spark.createDataFrame(
+            [(mid, bytearray(px)) for mid, px in batch],
+            "media_id long, content binary",
+        ).coalesce(1).write.mode("overwrite").parquet(str(bdir))
+        part = next(p for p in _os.listdir(bdir) if p.endswith(".parquet"))
+        dst = d / f"b{i}.parquet"
+        shutil.copy(bdir / part, dst)
+        _os.utime(dst, (base_t + i, base_t + i))
+
+    got: list = []
+    sink = lambda bdf, bid: got.extend(
+        r.media_id for r in bdf.select("media_id").collect()
+    )
+    state = str(tmp_path / "img_state")
+    sdf = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(image_neardup_foreach_batch(sink, state))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sorted(got) == [1, 3, 5]
+    # compaction reuse, verbatim: duplicate band rows collapse, and a
+    # later copy of image 1 still drops against the compacted history
+    n = compact_history(spark, state)
+    assert n == spark.read.parquet(state).distinct().count()
+    late = spark.createDataFrame(
+        [(9, bytearray(make_pgm(18, 16, (g1 + 7).astype(np.uint8).tobytes())))],
+        "media_id long, content binary",
+    )
+    assert image_dedup_against_history(late, state).count() == 0
+
+
 def test_compact_history_preserves_membership(spark, tmp_path):
     """Replayed appends collapse to distinct band rows; dedup decisions
     are identical before and after compaction."""

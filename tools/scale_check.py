@@ -57,6 +57,9 @@ HEAVY = [
     "ann_serve_only",
     "image_neardup",
     "audio_neardup",
+    # round-9: both quadratic-pocket guards engaged (max_bucket +
+    # energy_floor) — the production config's alpha next to the exact one
+    "audio_neardup_guarded",
     "attribution",
 ]
 
