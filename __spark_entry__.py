@@ -1592,6 +1592,109 @@ def ann_serve_only_raw(spark, sf_dir):
     return ivf_topk_indexed(ivf_index_load(spark, path), queries, k=5, nprobe=4)
 
 
+def _append_scratch(sf_dir, kind):
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/fbs_{kind}_append_{tag}"
+
+
+def bm25_appended_q(spark, sf_dir):
+    """Incremental BM25 index append, oracle-gated (retrieval.py
+    bm25_index_append): build + persist the index on the EVEN-doc_id
+    half, append the odd half (no access to the even corpus — the
+    append re-derives tc/kept/cutoffs from the persisted postings with
+    exactly recomputed global stats), reload through the manifest
+    pointer, and serve. REFERENCE = a full in-memory rebuild on the
+    union corpus. Truth table per query: the appended index's top-k
+    rows are multiset-identical to the rebuild's (ids, ranks, AND
+    6-decimal scores) — integer tf/dl/df sums make the recomputed
+    n_docs/avgdl/idf bit-identical, so this is exact equality, not a
+    tolerance check."""
+    import shutil
+
+    from fluent_bit_spark.extensions.dedup import normalize_text
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_index, bm25_index_append, bm25_index_load, bm25_index_save,
+        bm25_topk_indexed,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _append_scratch(sf_dir, "bm25")
+    shutil.rmtree(path, ignore_errors=True)  # appends are stateful: fresh run
+    bm25_index_save(bm25_index(even, c=20), path)
+    bm25_index_append(spark, path, odd)
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8)
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    served = bm25_topk_indexed(
+        bm25_index_load(spark, path), queries, k=5
+    ).localCheckpoint(eager=True)
+    rebuilt = bm25_topk_indexed(
+        bm25_index(docs, c=20), queries, k=5
+    ).localCheckpoint(eager=True)
+    bad = (
+        served.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(served))
+        .select("query_id")
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    return queries.select("query_id").join(bad, "query_id", "left").select(
+        "query_id",
+        F.col("__bad").isNull().alias("append_equals_rebuild"),
+    )
+
+
+def pq_appended_q(spark, sf_dir):
+    """Incremental PQ index append, oracle-gated (similarity.py
+    pq_index_append): build + persist on the even-vec half, append the
+    odd half encoded against the EXISTING codebooks, reload, serve
+    top-5 ADC for the standard query trio. REFERENCE = an index holding
+    the same codebooks with the WHOLE corpus encoded in one pass — ADC
+    distances depend only on (codebooks, codes), so the appended serve
+    must be row-identical (multiset over ids, ranks, distances)."""
+    import shutil
+
+    from fluent_bit_spark.extensions.similarity import (
+        pq_encode, pq_index, pq_index_append, pq_index_load, pq_index_save,
+        pq_topk_indexed,
+    )
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = _append_scratch(sf_dir, "pq")
+    shutil.rmtree(path, ignore_errors=True)
+    pq = pq_index(half_a, m=8, ksub=16, iters=2, sample=1024)
+    pq_index_save(pq, path)
+    pq_index_append(spark, path, half_b.select("vec_id", "embedding"))
+    served = pq_topk_indexed(
+        pq_index_load(spark, path), queries, k=5
+    ).localCheckpoint(eager=True)
+    ref = {
+        "codebooks": pq["codebooks"],
+        "codes": pq_encode(emb, pq["codebooks"], "vec_id", "embedding"),
+        "m": 8, "ksub": 16, "id_col": "vec_id", "vec_col": "embedding",
+    }
+    rebuilt = pq_topk_indexed(ref, queries, k=5).localCheckpoint(eager=True)
+    bad = (
+        served.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(served))
+        .select("query_id")
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    return queries.select("query_id").join(bad, "query_id", "left").select(
+        "query_id",
+        F.col("__bad").isNull().alias("append_equals_rebuild"),
+    )
+
+
 def repeated_spans_q(spark, sf_dir):
     """Span-level duplication stats (distributed ExactSubstr signal, Lee
     et al. 2022): corpus = documents plus full copies of every 11th doc,
@@ -1754,11 +1857,16 @@ def image_neardup_q(spark, sf_dir):
     pigeonhole — and the WITNESS contract recomputes each returned
     pair's Hamming distance brute-force from the decoded pixel grids
     (bypassing the hash packing, banding, xor and bit_count) and demands
-    equality. Output truth table: per planted id, found + pair_witnessed
-    + the global all_pairs_witnessed (covers incidental non-planted
-    pairs too). JPEG/PNG pixel paths stay codec-bound and are documented
-    out (extensions/multimodal.py); headers for them are real
-    (multimodal_headers)."""
+    equality. CROSS-CODEC planted pairs: every 50th vec also gets a
+    baseline-JPEG rendition (the same grid as 8x8 constant blocks at
+    quality 100, which the pure-numpy Huffman+IDCT decoder roundtrips
+    EXACTLY — multimodal.py _decode_jpeg_gray), whose dHash equals the
+    PGM original's bit-for-bit, so the join must pair them at hamming 0
+    across container formats. Output truth table: per planted id, found
+    + pair_witnessed + jpeg_found + jpeg_pair_witnessed + the global
+    all_pairs_witnessed (covers incidental non-planted pairs too). PNG
+    stays the documented codec-bound gap (headers are real,
+    multimodal_headers)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1767,22 +1875,34 @@ def image_neardup_q(spark, sf_dir):
         _gray_grid,
         decode_pixels,
         image_neardup_join,
+        make_jpeg_pixels,
         make_pgm,
         to_media_frame,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
 
+    def _grid(v):
+        a = np.asarray(v, dtype="float64")
+        px = (np.floor(np.abs(a) * 997.0) % 256).astype(np.uint8)
+        return np.concatenate([px, px[:8]]).reshape(8, 9).copy()
+
     @pandas_udf("binary")
     def to_pgm(vecs: pd.Series, flips: pd.Series) -> pd.Series:
         out = []
         for v, fl in zip(vecs, flips):
-            a = np.asarray(v, dtype="float64")
-            px = (np.floor(np.abs(a) * 997.0) % 256).astype(np.uint8)
-            grid = np.concatenate([px, px[:8]]).reshape(8, 9).copy()
+            grid = _grid(v)
             if fl:
                 grid[0, 0] ^= 0x80
             out.append(make_pgm(9, 8, grid.tobytes()))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def to_jpeg(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            big = np.kron(_grid(v), np.ones((8, 8), dtype=np.uint8))
+            out.append(make_jpeg_pixels(72, 64, big.tobytes(), quality=100))
         return pd.Series(out)
 
     base = emb.select(
@@ -1793,8 +1913,13 @@ def image_neardup_q(spark, sf_dir):
         (F.col("vec_id") + 1_000_000).alias("media_id"),
         to_pgm(F.col("embedding"), F.lit(True)).alias("content"),
     )
+    jpeg_copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("media_id"),
+        to_jpeg(F.col("embedding")).alias("content"),
+    )
     media = to_media_frame(
-        base.unionByName(copies), "media_id", F.col("content"), "image"
+        base.unionByName(copies).unionByName(jpeg_copies),
+        "media_id", F.col("content"), "image",
     )
     pairs = image_neardup_join(media, max_hamming=3).localCheckpoint(eager=True)
 
@@ -1843,12 +1968,26 @@ def image_neardup_q(spark, sf_dir):
         F.col("id_a").alias("vec_id"),
         (F.col("hamming") == F.col("w_h")).alias("pair_witnessed"),
     )
+    wit_jpeg = wit.where(F.col("id_b") == F.col("id_a") + 2_000_000).select(
+        F.col("id_a").alias("vec_id"),
+        ((F.col("hamming") == F.col("w_h")) & (F.col("hamming") == 0)).alias(
+            "jpeg_pair_witnessed"
+        ),
+    )
     planted = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
-    return planted.join(wit_planted, "vec_id", "left").select(
-        "vec_id",
-        F.col("pair_witnessed").isNotNull().alias("found"),
-        F.coalesce("pair_witnessed", F.lit(False)).alias("pair_witnessed"),
-        F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
+    return (
+        planted.join(wit_planted, "vec_id", "left")
+        .join(wit_jpeg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("pair_witnessed").isNotNull().alias("found"),
+            F.coalesce("pair_witnessed", F.lit(False)).alias("pair_witnessed"),
+            F.col("jpeg_pair_witnessed").isNotNull().alias("jpeg_found"),
+            F.coalesce("jpeg_pair_witnessed", F.lit(False)).alias(
+                "jpeg_pair_witnessed"
+            ),
+            F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
+        )
     )
 
 
@@ -4242,6 +4381,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk_q,
         "bm25_indexed": bm25_indexed_q,
         "bm25_served": bm25_served_q,
+        "bm25_appended": bm25_appended_q,
+        "pq_appended": pq_appended_q,
         "cluster_balanced": cluster_balanced_q,
         "pack_ffd": pack_ffd_q,
         "repeated_spans": repeated_spans_q,
@@ -4851,6 +4992,14 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS recall_ok, TRUE AS ivf_roundtrip, TRUE AS pq_roundtrip "
             "FROM (VALUES (0), (1), (2)) t(query_id)"
         ),
+        "pq_appended": (
+            "SELECT vec_id AS query_id, TRUE AS append_equals_rebuild "
+            "FROM embeddings WHERE vec_id IN (0, 1, 2)"
+        ),
+        "bm25_appended": (
+            "SELECT doc_id AS query_id, TRUE AS append_equals_rebuild "
+            "FROM documents WHERE doc_id % 100 = 0"
+        ),
         "similarity_pq_ann": (
             "SELECT query_id, CAST(5 AS BIGINT) AS n_returned, TRUE AS self_found, "
             "TRUE AS recall_ok FROM (VALUES (0), (1), (2)) t(query_id)"
@@ -5424,6 +5573,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_neardup": (
             "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
+            "vec_id % 50 = 0 AS jpeg_found, "
+            "vec_id % 50 = 0 AS jpeg_pair_witnessed, "
             "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
         ),
         "audio_neardup": (

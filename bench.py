@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "log_templates",
     "bm25_served",
     "bm25_serve_only",
+    "bm25_appended",
+    "pq_appended",
     "ann_served",
     "ann_serve_only",
     "triangle_count",

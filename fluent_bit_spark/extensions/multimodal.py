@@ -416,14 +416,449 @@ def _decode_pnm_pixels(b: bytes):
     return w, h, nch, b[i : i + need]
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, sequential DCT, 8-bit, Huffman) — pure
+# numpy/stdlib, no codec library: entropy decode + dequant + IDCT for the
+# decoder, and a single-component grayscale encoder for test fixtures.
+# Progressive (SOF2), arithmetic-coded, 12-bit, and hierarchical payloads
+# return None (the remaining documented gap). The decoder emits the LUMA
+# plane (channels=1): chroma blocks are entropy-decoded to keep bitstream
+# sync, then discarded — the perceptual-hash pipeline grayscales anyway.
+# --------------------------------------------------------------------------
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K luminance quantization table (natural order) + standard
+# luminance Huffman specs — encoder-side only; the decoder reads the
+# tables carried by the file.
+_JPEG_QLUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_idct_matrix():
+    u = _np.arange(8)
+    A = 0.5 * _np.cos((2 * u[None, :] + 1) * u[:, None] * _np.pi / 16.0)
+    A[0, :] *= 1.0 / _np.sqrt(2.0)
+    return A  # f = A.T @ F @ A
+
+
+class _JpegHuffTable:
+    """Canonical Huffman table from (counts per length, symbols) — the
+    T.81 Annex C layout shared by encode and decode."""
+
+    def __init__(self, counts, symbols):
+        self.symbols = list(symbols)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            self.valptr[length] = k
+            self.mincode[length] = code
+            self.maxcode[length] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+        # encoder view: symbol -> (code, length)
+        self.codes = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.codes[self.symbols[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over UNSTUFFED entropy bytes."""
+
+    __slots__ = ("d", "pos", "nbits")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0       # bit position
+        self.nbits = 8 * len(d)
+
+    def bit(self) -> int:
+        if self.pos >= self.nbits:
+            raise EOFError("jpeg entropy data exhausted")
+        byte = self.d[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_huff_decode(r: _JpegBitReader, t: _JpegHuffTable) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        if t.maxcode[length] >= code >= t.mincode[length]:
+            return t.symbols[t.valptr[length] + code - t.mincode[length]]
+    raise ValueError("invalid jpeg huffman code")
+
+
+def _decode_jpeg_gray(b: bytes):
+    """Baseline-JPEG -> (w, h, 1, luma bytes), or None on any payload
+    outside the supported envelope (progressive/arithmetic/12-bit/
+    truncated/corrupt) — the filter-don't-crash contract."""
+    try:
+        return _decode_jpeg_gray_inner(b)
+    except Exception:
+        return None
+
+
+def _decode_jpeg_gray_inner(b: bytes):
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    n = len(b)
+    i = 2
+    qt: dict = {}
+    huff: dict = {}
+    sof = None
+    dri = 0
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI before any scan
+            return None
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        seglen = _struct.unpack(">H", b[i + 2 : i + 4])[0]
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:  # 16-bit tables: not baseline
+                    return None
+                tab = _np.zeros(64)
+                for z in range(64):
+                    tab[_JPEG_ZIGZAG[z]] = seg[j + z]
+                qt[tq] = tab.reshape(8, 8)
+                j += 64
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = seg[0]
+            if prec != 8:
+                return None
+            h, w = _struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15,
+                     "tq": seg[8 + 3 * c]}
+                )
+            sof = {"w": w, "h": h, "comps": comps}
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive / arithmetic / lossless / hierarchical
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = list(seg[j + 1 : j + 17])
+                nsym = sum(counts)
+                symbols = list(seg[j + 17 : j + 17 + nsym])
+                huff[(tc, th)] = _JpegHuffTable(counts, symbols)
+                j += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            dri = _struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                tt = seg[2 + 2 * c]
+                comp = next(x for x in sof["comps"] if x["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 15))
+            return _jpeg_decode_scan(
+                b, i + 2 + seglen, sof, scan, qt, huff, dri
+            )
+        i += 2 + seglen
+    return None
+
+
+def _jpeg_decode_scan(b, start, sof, scan, qt, huff, dri):
+    n = len(b)
+    # unstuff entropy bytes; segments split at restart markers
+    segments: list = []
+    cur = bytearray()
+    i = start
+    while i < n:
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        m = b[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next real marker
+            break
+    segments.append(bytes(cur))
+
+    w, h = sof["w"], sof["h"]
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        return None
+    comps = sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps):
+        return None
+    y = comps[0]
+    if y["h"] != hmax or y["v"] != vmax:
+        return None  # subsampled luma: out of envelope
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcx = -(-w // (8 * hmax))
+        mcy = -(-h // (8 * vmax))
+    else:
+        comp = scan[0][0]
+        cw = -(-(w * comp["h"]) // hmax)
+        ch = -(-(h * comp["v"]) // vmax)
+        mcx = -(-cw // 8)
+        mcy = -(-ch // 8)
+    n_mcu = mcx * mcy
+    qy = qt.get(y["tq"])
+    if qy is None:
+        return None
+    # luma plane, padded to whole MCUs
+    yw, yh = mcx * 8 * (y["h"] if interleaved else 1), mcy * 8 * (
+        y["v"] if interleaved else 1
+    )
+    plane = _np.zeros((yh, yw))
+    zig = _JPEG_ZIGZAG
+    pred = {c["id"]: 0 for c in comps}
+    y_blocks: list = []  # (row, col, dequantized 8x8)
+    seg_idx = 0
+    r = _JpegBitReader(segments[0])
+    per_seg = dri if dri else n_mcu
+    for mcu in range(n_mcu):
+        if dri and mcu and mcu % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                return None
+            r = _JpegBitReader(segments[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcx)
+        for comp, td, ta in scan:
+            dc_t = huff.get((0, td))
+            ac_t = huff.get((1, ta))
+            if dc_t is None or ac_t is None:
+                return None
+            nb = comp["h"] * comp["v"] if interleaved else 1
+            for blk in range(nb):
+                coef = _np.zeros(64)
+                s = _jpeg_huff_decode(r, dc_t)
+                diff = _jpeg_extend(r.receive(s), s) if s else 0
+                pred[comp["id"]] += diff
+                coef[0] = pred[comp["id"]]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_decode(r, ac_t)
+                    rr, ss = rs >> 4, rs & 15
+                    if ss == 0:
+                        if rr == 15:
+                            k += 16
+                            continue
+                        break
+                    k += rr
+                    if k > 63:
+                        return None
+                    coef[zig[k]] = _jpeg_extend(r.receive(ss), ss)
+                    k += 1
+                if comp["id"] == y["id"]:
+                    if interleaved:
+                        by, bx = divmod(blk, comp["h"])
+                        row = (my * comp["v"] + by) * 8
+                        col = (mx * comp["h"] + bx) * 8
+                    else:
+                        row, col = my * 8, mx * 8
+                    y_blocks.append((row, col, coef.reshape(8, 8) * qy))
+    A = _jpeg_idct_matrix()
+    if y_blocks:
+        F_ = _np.stack([blk for _, _, blk in y_blocks])
+        f = _np.einsum("ux,nuv,vy->nxy", A, F_, A)
+        px = _np.clip(_np.round(f) + 128, 0, 255).astype(_np.uint8)
+        for (row, col, _), blk in zip(y_blocks, px):
+            plane[row : row + 8, col : col + 8] = blk
+    return w, h, 1, plane[:h, :w].astype(_np.uint8).tobytes()
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.put(0x7F >> (7 - ((8 - self.n) % 8)), (8 - self.n) % 8)
+
+
+def make_jpeg_pixels(
+    w: int, h: int, gray: bytes, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Single-component (grayscale) baseline JPEG encoder carrying REAL
+    pixel data — fixture support for the numpy decoder, built from the
+    public Annex K tables (libjpeg's quality scaling formula).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
+    (exercises the decoder's predictor-reset/byte-align path)."""
+    if len(gray) != w * h:
+        raise ValueError("pixel buffer must be w*h bytes")
+    if not (1 <= quality <= 100):
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = _np.clip((_np.array(_JPEG_QLUM) * scale + 50) // 100, 1, 255).astype(int)
+    qm = q.reshape(8, 8).astype(float)
+    dc_t = _JpegHuffTable(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac_t = _JpegHuffTable(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    img = _np.frombuffer(gray, dtype=_np.uint8).reshape(h, w).astype(float)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = _np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    A = _jpeg_idct_matrix()  # forward: F = A @ f @ A.T
+    zig = _JPEG_ZIGZAG
+    wtr = _JpegBitWriter()
+
+    def put_val(v: int):
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return s
+
+    pred = 0
+    mcu_i = 0
+    rst = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = 0
+            mcu_i += 1
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            F_ = A @ blk @ A.T
+            qc = _np.round(F_ / qm).astype(int)
+            zz = [int(qc.flat[zig[k]]) for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = put_val(diff)
+            code, ln = dc_t.codes[s]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_t.codes[0xF0]
+                    wtr.put(code, ln)
+                    run -= 16
+                s = put_val(v)
+                code, ln = ac_t.codes[(run << 4) | s]
+                wtr.put(code, ln)
+                wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_t.codes[0x00]  # EOB
+                wtr.put(code, ln)
+    wtr.flush()
+
+    def dht(tc, counts, symbols):
+        body = bytes([tc]) + bytes(counts) + bytes(symbols)
+        return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+
+    qz = bytes(int(q[_JPEG_ZIGZAG[z]]) for z in range(64))
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + qz
+    out += (b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
+            + _struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0]))
+    if restart_interval:
+        out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)
+    out += dht(0x00, _JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    out += dht(0x10, _JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    out += (b"\xff\xda" + _struct.pack(">H", 8) + b"\x01"
+            + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    out += bytes(wtr.out) + b"\xff\xd9"
+    return out
+
+
 def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Pure-numpy pixel decode of codec-free formats (uncompressed BMP,
-    binary PPM/PGM) via Arrow-batched mapInPandas: (media_id, format,
-    width, height, channels, pixels) with ``pixels`` the row-major
-    top-down uint8 samples (channel-interleaved RGB, or single-channel
-    gray). Payloads in codec-bound or malformed formats yield NULL
-    pixels with the sniffed ``format`` — the documented JPEG/PNG gap —
-    so callers filter rather than crash mid-scan."""
+    """Pure-numpy pixel decode via Arrow-batched mapInPandas —
+    uncompressed BMP, binary PPM/PGM, and baseline JPEG (Huffman +
+    dequant + IDCT, luma plane, channels=1): (media_id, format, width,
+    height, channels, pixels) with ``pixels`` the row-major top-down
+    uint8 samples (channel-interleaved RGB, or single-channel gray).
+    Payloads in the remaining codec-bound formats (PNG/deflate,
+    progressive JPEG) or malformed ones yield NULL pixels with the
+    sniffed ``format``, so callers filter rather than crash mid-scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "format", "width", "height", "channels", "pixels"]
@@ -440,6 +875,9 @@ def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     got = _decode_pnm_pixels(b)
                     if got is not None:
                         fmt = "ppm" if got[2] == 3 else "pgm"
+                elif b[:2] == b"\xff\xd8":
+                    got = _decode_jpeg_gray(b)
+                    fmt = "jpeg"
                 if got is None:
                     out.append((row[id_col], fmt, None, None, None, None))
                 else:

@@ -223,6 +223,75 @@ def test_pixel_decoders_roundtrip():
     assert _decode_bmp_pixels(hdr2 + dib2 + pal[:8] + hot.tobytes()) is None
 
 
+def test_jpeg_baseline_codec_roundtrip():
+    """Pure-numpy baseline JPEG: constant-8x8-block images roundtrip
+    EXACTLY at quality 100 (AC coefficients are exactly zero and the DC
+    path loses nothing), smooth content stays within a small error at
+    q90, restart markers reset predictors correctly, and everything
+    outside the envelope (progressive, truncated, garbage) returns None
+    instead of raising."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_jpeg_gray, decode_pixels, make_jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    blocks = rng.randint(16, 240, (4, 5)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))  # 32x40
+    jb = make_jpeg_pixels(40, 32, img.tobytes(), quality=100)
+    w, h, nch, px = _decode_jpeg_gray(jb)
+    assert (w, h, nch) == (40, 32, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(32, 40), img)
+
+    # restart markers: same image, DRI every 3 MCUs -> identical pixels
+    jr = make_jpeg_pixels(40, 32, img.tobytes(), quality=100, restart_interval=3)
+    assert _decode_jpeg_gray(jr)[3] == px
+
+    # non-multiple-of-8 dims + smooth gradient at q90: small bounded error
+    x = np.linspace(0, 255, 37)[None, :] * np.linspace(0.3, 1.0, 21)[:, None]
+    img2 = x.astype(np.uint8)
+    got2 = _decode_jpeg_gray(make_jpeg_pixels(37, 21, img2.tobytes(), quality=90))
+    dec2 = np.frombuffer(got2[3], np.uint8).reshape(21, 37)
+    assert np.abs(dec2.astype(int) - img2.astype(int)).max() <= 4
+
+    # out-of-envelope payloads -> None, never an exception
+    assert _decode_jpeg_gray(jb[:40]) is None                 # truncated
+    assert _decode_jpeg_gray(b"\xff\xd8\xff\xee junk") is None
+    prog = jb.replace(b"\xff\xc0", b"\xff\xc2", 1)            # progressive SOF
+    assert _decode_jpeg_gray(prog) is None
+
+
+def test_decode_pixels_jpeg_dispatch(spark):
+    """decode_pixels routes JPEG payloads through the numpy decoder
+    (format='jpeg', channels=1) while PNG stays the documented NULL-
+    pixels gap."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.multimodal import (
+        decode_pixels, make_jpeg_pixels, make_png, to_media_frame,
+    )
+
+    g = np.kron(
+        np.arange(20, 240, 30, dtype=np.uint8).reshape(1, 8),
+        np.ones((8, 8), dtype=np.uint8),
+    )  # 8x64 constant blocks
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_jpeg_pixels(64, 8, g.tobytes(), quality=100))),
+            (2, bytearray(make_png(5, 5))),
+        ],
+        "media_id long, content binary",
+    )
+    media = to_media_frame(df, "media_id", F.col("content"), "image")
+    rows = {r.media_id: r for r in decode_pixels(media).collect()}
+    assert rows[1].format == "jpeg" and rows[1].channels == 1
+    assert bytes(rows[1].pixels) == g.tobytes()
+    assert rows[2].format == "png" and rows[2].pixels is None
+
+
 def test_dhash_and_image_neardup_recall(spark):
     """dHash invariances + the banded near-dup join's recall proof: an
     exact seeded brute-force over all dHash pairs must equal the banded

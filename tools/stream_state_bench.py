@@ -241,11 +241,204 @@ def run_heavy_hitters(n_batches: int, rows_per_batch: int, k: int = 100,
     return summary
 
 
+def _drain_batches(spark, make_stream, src: Path, ckpt: str):
+    """availableNow drain with maxFilesPerTrigger=1; returns per-batch
+    (input_rows, state_rows, batch_duration_ms) from recentProgress."""
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def sink(df, epoch_id):
+        df.persist().count()
+        df.unpersist()
+
+    q = (
+        make_stream(sdf)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    out = []
+    for p_ in q.recentProgress:
+        ops = p_.get("stateOperators") or []
+        if ops:
+            out.append({
+                "batch": p_["batchId"],
+                "input_rows": p_["numInputRows"],
+                "state_rows": ops[0]["numRowsTotal"],
+                "batch_ms": p_.get("batchDuration"),
+            })
+    return out
+
+
+def run_churn(n_batches: int = 12, users_per_batch: int = 5_000) -> dict:
+    """Idle-eviction plateau for the per-user event-analytics folds (the
+    r7 dedup-plateau table's twin): every batch carries a FRESH user
+    cohort (100% churn — each user lives one batch, three events, never
+    returns) with event time advancing 60 s per batch. Without
+    idle_timeout, event_transitions_stream's state grows with ever-seen
+    users (n_batches * users_per_batch rows); with idle_timeout=120 s +
+    a 10 s watermark, cohorts evict ~2-3 batches after their last event
+    and state PLATEAUS at a few cohorts regardless of stream length."""
+    import os
+
+    from fluent_bit_spark import get_spark
+    from fluent_bit_spark.streaming.stateful import event_transitions_stream
+
+    spark = get_spark("fbs-state-bench-churn")
+    results = {}
+    for mode, kw in (
+        ("no_eviction", {}),
+        ("idle_120s", {"idle_timeout": 120.0, "watermark": "10 seconds"}),
+    ):
+        work = Path(tempfile.mkdtemp(prefix=f"fbs_churn_{mode}_"))
+        src = work / "in"
+        src.mkdir()
+        t0 = 1_700_000_000
+        base = __import__("time").time() - 10_000
+        for b in range(n_batches):
+            fp = src / f"b{b:04d}.json"
+            with open(fp, "w") as f:
+                for u in range(b * users_per_batch, (b + 1) * users_per_batch):
+                    for j, et in enumerate(("view", "click", "purchase")):
+                        f.write(json.dumps({
+                            "user_id": u,
+                            "ts": __import__("datetime").datetime.utcfromtimestamp(
+                                t0 + b * BATCH_GAP_S + j
+                            ).isoformat(),
+                            "event_type": et, "value": 0.0,
+                        }) + "\n")
+            os.utime(fp, (base + b, base + b))
+        per_batch = _drain_batches(
+            spark,
+            lambda s: event_transitions_stream(s, gap=30.0, ts_col="ts", **kw),
+            src, str(work / "ckpt"),
+        )
+        results[mode] = per_batch
+        shutil.rmtree(work, ignore_errors=True)
+        print(mode, [p_["state_rows"] for p_ in per_batch])
+    summary = {
+        "mode": "churn_eviction",
+        "n_batches": n_batches,
+        "users_per_batch": users_per_batch,
+        "final_state_rows": {m: r[-1]["state_rows"] for m, r in results.items()},
+        "max_state_rows": {
+            m: max(p_["state_rows"] for p_ in r) for m, r in results.items()
+        },
+        "per_batch_state_rows": {
+            m: [p_["state_rows"] for p_ in r] for m, r in results.items()
+        },
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def run_twins(n_batches: int = 8) -> dict:
+    """Per-trigger cost decomposition for the round-8 streaming twins
+    (transitions / exact rolling WAU / last-touch attribution): each
+    twin drains the same spool at a SMALL and a LARGE rows-per-batch,
+    and  fixed = (R*t_small - t_big) / (R - 1)  splits the per-trigger
+    state-commit overhead from the per-row slope (t = sec/batch, R =
+    rows ratio) — the capacity-planning numbers BASELINE.md quotes for
+    the funnel/journey pair."""
+    import datetime as dt
+    import os
+    import time
+
+    from fluent_bit_spark import get_spark
+    from fluent_bit_spark.streaming.stateful import (
+        active_users_window_stream, attribution_stream,
+        event_transitions_stream,
+    )
+
+    spark = get_spark("fbs-state-bench-twins")
+    # warmup: one throwaway drain so the first measured twin doesn't
+    # absorb JVM/Arrow-worker startup (observed as a negative slope)
+    wwork = Path(tempfile.mkdtemp(prefix="fbs_twin_warm_"))
+    (wwork / "in").mkdir()
+    with open(wwork / "in" / "b0.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T00:00:00",
+                            "event_type": "view", "value": 0.0}) + "\n")
+    _drain_batches(
+        spark,
+        lambda s: event_transitions_stream(s, gap=1800.0, ts_col="ts"),
+        wwork / "in", str(wwork / "ckpt"),
+    )
+    shutil.rmtree(wwork, ignore_errors=True)
+    sizes = (2_000, 20_000)
+    twins = {
+        "event_transitions": lambda s: event_transitions_stream(
+            s, gap=1800.0, ts_col="ts"
+        ),
+        "active_users_window": lambda s: active_users_window_stream(
+            s, window_days=7, ts_col="ts"
+        ),
+        "attribution_last_touch": lambda s: attribution_stream(
+            s, conversion="purchase", lookback=86400.0, ts_col="ts"
+        ),
+    }
+    out: dict = {}
+    for name, make in twins.items():
+        per_size = {}
+        for rows in sizes:
+            work = Path(tempfile.mkdtemp(prefix=f"fbs_twin_{name}_"))
+            src = work / "in"
+            src.mkdir()
+            base = time.time() - 10_000
+            t0 = dt.datetime(2024, 1, 1)
+            for b in range(n_batches):
+                fp = src / f"b{b:04d}.json"
+                with open(fp, "w") as f:
+                    for i in range(rows):
+                        u = i % (rows // 4)         # ~4 events/user/batch
+                        et = ("view", "click", "purchase", "view")[i % 4]
+                        ts = t0 + dt.timedelta(
+                            days=b, seconds=(i % 86_400)
+                        )
+                        f.write(json.dumps({
+                            "user_id": u, "ts": ts.isoformat(),
+                            "event_type": et, "value": 1.0,
+                        }) + "\n")
+                os.utime(fp, (base + b, base + b))
+            t_start = time.perf_counter()
+            per_batch = _drain_batches(spark, make, src, str(work / "ckpt"))
+            wall = time.perf_counter() - t_start
+            per_size[rows] = round(wall / n_batches, 3)
+            shutil.rmtree(work, ignore_errors=True)
+        r = sizes[1] / sizes[0]
+        fixed = (r * per_size[sizes[0]] - per_size[sizes[1]]) / (r - 1)
+        out[name] = {
+            "sec_per_trigger": per_size,
+            "fixed_sec_per_trigger": round(fixed, 3),
+            "sec_per_1k_rows": round(
+                (per_size[sizes[1]] - per_size[sizes[0]])
+                / (sizes[1] - sizes[0]) * 1000, 4,
+            ),
+        }
+        print(name, out[name])
+    summary = {"mode": "twins_throughput", "n_batches": n_batches,
+               "rows_per_batch": list(sizes), "twins": out}
+    print(json.dumps(summary))
+    return summary
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "hh":
         n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         rows = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
         run_heavy_hitters(n_batches, rows)
+    elif len(sys.argv) > 1 and sys.argv[1] == "churn":
+        n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        users = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
+        run_churn(n_batches, users)
+    elif len(sys.argv) > 1 and sys.argv[1] == "twins":
+        run_twins(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     else:
         n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
         docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
