@@ -1087,6 +1087,118 @@ def append_image_history(
     )
 
 
+def _audio_history_rows(
+    media: DataFrame,
+    id_col: str,
+    frame: int,
+    hop: int,
+    energy_floor: float | None,
+):
+    """(bh, idx, fp) history rows for a WAV corpus: one row per (gated)
+    subfingerprint, carrying its frame index and the WHOLE clip's
+    ordered fingerprint array so a later probe can verify the exact BER
+    at the matched alignment — the audio analog of the image history's
+    full-dhash column. Also returns (subs, per-clip fps) for reuse."""
+    subs = audio_fingerprint(media, id_col, frame, hop).localCheckpoint(
+        eager=True
+    )
+    fps = _clip_fps(subs)
+    probe = subs
+    if energy_floor is not None:
+        probe = probe.where(F.col("ac_rms") >= energy_floor)
+    rows = probe.join(fps, "media_id").select(
+        F.col("sub").alias("bh"),
+        F.col("frame_idx").alias("idx"),
+        "fp",
+    )
+    return subs, fps, rows
+
+
+def audio_dedup_against_history(
+    media: DataFrame,
+    state_dir: str,
+    max_ber: float = 0.25,
+    id_col: str = "media_id",
+    frame: int = 2048,
+    hop: int = 1024,
+    energy_floor: float | None = None,
+    update_state: bool = False,
+) -> DataFrame:
+    """Audio near-dup filter against everything EVER ingested — the
+    Haitsma-Kalker twin of dedup_against_history: the history at
+    ``state_dir`` holds (bh, idx, fp) rows (one per stored
+    subfingerprint, carrying the owning clip's full fingerprint array),
+    under the same manifest-pointer layout and compact_history as the
+    text/image stores. A new clip drops when any of its subfingerprints
+    EXACTLY matches a stored one AND the bit-error rate over the
+    aligned overlap verifies <= ``max_ber`` (the join's exact contract,
+    cross-batch). ``energy_floor`` gates both the probes and what the
+    paired append stores — near-silent frames neither probe nor
+    accumulate. Undecodable payloads never collide and pass through.
+
+    CRASH ORDERING: same as the text twin — append AFTER the sink
+    commits (update_state=False + append_audio_history)."""
+    from .dedup import _try_read_parquet, history_data_dir
+
+    spark = media.sparkSession
+    subs, fps, _ = _audio_history_rows(media, id_col, frame, hop, energy_floor)
+    probe = subs
+    if energy_floor is not None:
+        probe = probe.where(F.col("ac_rms") >= energy_floor)
+    seen = _try_read_parquet(spark, history_data_dir(spark, state_dir))
+    if seen is not None:
+        cands = (
+            probe.select(
+                "media_id", F.col("frame_idx").alias("__ia"),
+                F.col("sub").alias("bh"),
+            )
+            .join(seen, "bh")
+            .select(
+                "media_id",
+                (F.col("idx") - F.col("__ia")).alias("offset"),
+                F.col("fp").alias("__fb"),
+            )
+            .distinct()
+            .join(fps.select("media_id", F.col("fp").alias("__fa")), "media_id")
+        )
+        n_over, ber = _aligned_ber(
+            F.col("__fa"), F.col("__fb"), F.col("offset")
+        )
+        losers = (
+            cands.where((n_over > 0) & (ber <= max_ber))
+            .select("media_id")
+            .distinct()
+            .withColumnRenamed("media_id", id_col)
+        )
+        kept = media.join(losers, id_col, "left_anti")
+    else:
+        kept = media
+    kept = kept.localCheckpoint(eager=True)
+    if update_state:
+        append_audio_history(
+            kept, state_dir, id_col, frame, hop, energy_floor
+        )
+    return kept
+
+
+def append_audio_history(
+    media: DataFrame,
+    state_dir: str,
+    id_col: str = "media_id",
+    frame: int = 2048,
+    hop: int = 1024,
+    energy_floor: float | None = None,
+) -> None:
+    """Append ``media``'s subfingerprint rows to the audio history —
+    split out so streaming callers order it AFTER the sink write."""
+    from .dedup import history_data_dir
+
+    _, _, rows = _audio_history_rows(media, id_col, frame, hop, energy_floor)
+    rows.write.mode("append").parquet(
+        history_data_dir(media.sparkSession, state_dir)
+    )
+
+
 def make_pgm(w: int, h: int, pixels: bytes) -> bytes:
     """Binary PGM (P5) encoder — test/synthesis support."""
     if len(pixels) != w * h:
@@ -1295,14 +1407,7 @@ def audio_neardup_join(
             .select("sub")
         )
         probe_subs = probe_subs.join(F.broadcast(hot), "sub", "left_anti")
-    per_id = subs.groupBy("media_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("frame_idx", "sub"))
-        ).alias("__fs")
-    ).select(
-        "media_id",
-        F.transform("__fs", lambda s: s.getField("sub")).alias("fp"),
-    )
+    per_id = _clip_fps(subs)
     a = probe_subs.select(
         F.col("media_id").alias("id_a"), F.col("frame_idx").alias("__ia"), "sub"
     )
@@ -1318,22 +1423,47 @@ def audio_neardup_join(
     fa = per_id.select(F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"))
     fb = per_id.select(F.col("media_id").alias("id_b"), F.col("fp").alias("__fb"))
     j = cands.join(fa, "id_a").join(fb, "id_b")
-    # aligned overlap: a-frame i pairs with b-frame i + offset
+    n_over, ber = _aligned_ber(F.col("__fa"), F.col("__fb"), F.col("offset"))
+    return (
+        j.where(n_over > 0)
+        .select("id_a", "id_b", "offset", ber.alias("ber"))
+        .where(F.col("ber") <= max_ber)
+    )
+
+
+def _clip_fps(subs: DataFrame) -> DataFrame:
+    """(media_id, fp): each clip's frame-ordered subfingerprint array,
+    from the exploded audio_fingerprint table."""
+    return subs.groupBy("media_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("frame_idx", "sub"))
+        ).alias("__fs")
+    ).select(
+        "media_id",
+        F.transform("__fs", lambda s: s.getField("sub")).alias("fp"),
+    )
+
+
+def _aligned_ber(fa, fb, offset):
+    """(n_over, ber) Columns: exact bit-error rate over the overlapping
+    frames of two subfingerprint arrays aligned so a-frame i pairs with
+    b-frame i + offset — JVM-side slice/zip_with/bit_count, shared by
+    the pairwise join and the streaming history probe. The xor masks to
+    the low 32 bits BEFORE bit_count: the int32 xor gets implicitly
+    sign-extended to bigint, and a negative xor result would count 32
+    phantom high bits (observed: per-frame counts of 36 on a 32-bit
+    hash)."""
     a_sl = F.slice(
-        F.col("__fa"),
-        F.greatest(F.lit(1), F.lit(1) - F.col("offset")),
-        F.size("__fa") + F.size("__fb"),  # upper bound; slice clips
+        fa,
+        F.greatest(F.lit(1), F.lit(1) - offset),
+        F.size(fa) + F.size(fb),  # upper bound; slice clips
     )
     b_sl = F.slice(
-        F.col("__fb"),
-        F.greatest(F.lit(1), F.col("offset") + 1),
-        F.size("__fa") + F.size("__fb"),
+        fb,
+        F.greatest(F.lit(1), offset + F.lit(1)),
+        F.size(fa) + F.size(fb),
     )
     n_over = F.least(F.size(a_sl), F.size(b_sl))
-    # mask to the low 32 bits BEFORE bit_count: the int32 xor gets
-    # implicitly sign-extended to bigint, and a negative xor result
-    # would count 32 phantom high bits (observed: per-frame counts of
-    # 36 on a 32-bit hash)
     mask32 = F.lit(0xFFFFFFFF).cast("long")
     xor_bits = F.aggregate(
         F.zip_with(
@@ -1346,13 +1476,4 @@ def audio_neardup_join(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return (
-        j.where(n_over > 0)
-        .select(
-            "id_a",
-            "id_b",
-            "offset",
-            F.round(xor_bits / (n_over.cast("double") * 32.0), 6).alias("ber"),
-        )
-        .where(F.col("ber") <= max_ber)
-    )
+    return n_over, F.round(xor_bits / (n_over.cast("double") * 32.0), 6)

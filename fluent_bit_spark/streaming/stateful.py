@@ -319,6 +319,50 @@ def image_neardup_foreach_batch(
     return process
 
 
+def audio_neardup_foreach_batch(
+    sink,
+    state_dir: str,
+    max_ber: float = 0.25,
+    id_col: str = "media_id",
+    max_bucket: int | None = None,
+    energy_floor: float | None = None,
+):
+    """Streaming audio NEAR-dup as a foreachBatch stage — "is this clip
+    a near-dup of anything ever heard", completing the text/image/audio
+    history-discipline trio: per micro-batch, within-batch near-dups
+    collapse (audio_neardup_join, lower id survives), survivors probe
+    the (bh, idx, fp) subfingerprint history with the exact aligned-BER
+    verify (audio_dedup_against_history), ``sink(survivors,
+    batch_id)``, then the survivors' subfingerprints append —
+    sink-before-state, the at-least-once replay contract. Both
+    quadratic-pocket guards pass through (max_bucket to the within-
+    batch join, energy_floor to both stages)."""
+    from fluent_bit_spark.extensions.multimodal import (
+        append_audio_history, audio_dedup_against_history,
+        audio_neardup_join,
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        pairs = audio_neardup_join(
+            batch_df, max_ber, id_col,
+            max_bucket=max_bucket, energy_floor=energy_floor,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        within = batch_df.join(losers, id_col, "left_anti")
+        survivors = audio_dedup_against_history(
+            within, state_dir, max_ber, id_col,
+            energy_floor=energy_floor, update_state=False,
+        )
+        sink(survivors, batch_id)
+        append_audio_history(
+            survivors, state_dir, id_col, energy_floor=energy_floor
+        )
+
+    return process
+
+
 def snapshot_stream_tws(
     sdf: DataFrame,
     limit: int,
@@ -429,6 +473,8 @@ def funnel_levels_stream(
     ts_col: str = TS_COL,
     user_col: str = "user_id",
     type_col: str = "event_type",
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``extensions.funnel.funnel_levels``: each user's
     progression through ``steps`` as a per-key monotone state machine
@@ -444,7 +490,12 @@ def funnel_levels_stream(
     Reference context: fluent-bit's SP dialect is streaming-first
     (src/stream_processor/flb_sp.c:2101 timer-flushed windows); this
     extends the engine's event-analytics family to that shape. State is
-    three scalars per user — KB-bounded, RocksDB-ready."""
+    three scalars per user — KB-bounded, RocksDB-ready.
+
+    With ``idle_timeout`` (seconds; requires ``watermark``), an idle
+    user evicts; one who re-enters restarts at level 0 and re-emits a
+    first-sight row — funnel progressions become per-active-spell, the
+    always-on deployment semantics (see user_journey_stream)."""
     if not steps:
         raise ValueError("funnel_levels_stream: steps must be non-empty")
     k = len(steps)
@@ -454,21 +505,26 @@ def funnel_levels_stream(
     state_schema = "lvl int, t1 long, last long, seen boolean"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             lvl, t1, last, seen = state.get
         else:
             lvl, t1, last, seen = 0, None, None, False
         first_sight = not seen
         lvl0 = lvl
+        newest = None
         for pdf in pdfs:
             # [ts, type] matches the batch operator's array_sort over
             # (t, e) structs — equal-timestamp events tie-break by the
             # event string there, so the fold must see the same order.
             pdf = pdf.sort_values([ts_col, type_col])
             for t, e in zip(pdf[ts_col], pdf[type_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                newest = t_us if newest is None else max(newest, t_us)
                 if lvl >= k or str(e) != steps[lvl]:
                     continue
-                t_us = int(pd.Timestamp(t).value // 1_000)
                 if lvl > 0:
                     if last is not None and t_us <= last:
                         continue
@@ -479,15 +535,17 @@ def funnel_levels_stream(
                 last = t_us
                 lvl += 1
         state.update((lvl, t1, last, True))
+        if idle_us is not None:
+            _arm_idle_timeout(state, newest, idle_us)
         if first_sight or lvl != lvl0:
             yield pd.DataFrame({user_col: [key_tuple[0]], "funnel_level": [lvl]})
 
-    return (
-        sdf.select(user_col, ts_col, type_col)
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src, mode, idle_us = _idle_evict_setup(
+        sdf.select(user_col, ts_col, type_col), ts_col, idle_timeout,
+        watermark, "funnel_levels_stream",
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 

@@ -762,6 +762,80 @@ def test_image_neardup_foreach_batch_stream(spark, tmp_path):
     assert image_dedup_against_history(late, state).count() == 0
 
 
+def test_audio_neardup_foreach_batch_stream(spark, tmp_path):
+    """The audio twin of the streaming near-dup wrapper: within-batch
+    volume copies collapse, cross-batch copies drop against the
+    (bh, idx, fp) subfingerprint history via the exact aligned-BER
+    verify, unique clips land in the sink, and the compacted history
+    still drops a late copy."""
+    import os as _os
+    import shutil
+    import struct
+    import time as _time
+
+    import numpy as np
+
+    from fluent_bit_spark.extensions.dedup import compact_history
+    from fluent_bit_spark.extensions.multimodal import (
+        audio_dedup_against_history,
+    )
+    from fluent_bit_spark.streaming.stateful import audio_neardup_foreach_batch
+
+    def pcm16(samples):
+        a = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+        data = a.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    rng = np.random.RandomState(29)
+    s1 = (rng.randn(8192) * 4000).astype(int)
+    s3 = (rng.randn(8192) * 4000).astype(int)
+    s5 = (rng.randn(8192) * 4000).astype(int)
+    batches = [
+        [(1, pcm16(s1)), (2, pcm16(s1 * 2)), (3, pcm16(s3))],  # 2 = vol copy
+        [(4, pcm16(s1 * 2)), (5, pcm16(s5))],                  # 4 = cross-batch
+    ]
+    d = tmp_path / "aud_in"
+    d.mkdir()
+    base_t = _time.time() - 1000
+    for i, batch in enumerate(batches):
+        bdir = tmp_path / f"aud_b{i}"
+        spark.createDataFrame(
+            [(mid, bytearray(wav)) for mid, wav in batch],
+            "media_id long, content binary",
+        ).coalesce(1).write.mode("overwrite").parquet(str(bdir))
+        part = next(p for p in _os.listdir(bdir) if p.endswith(".parquet"))
+        dst = d / f"b{i}.parquet"
+        shutil.copy(bdir / part, dst)
+        _os.utime(dst, (base_t + i, base_t + i))
+
+    got: list = []
+    sink = lambda bdf, bid: got.extend(
+        r.media_id for r in bdf.select("media_id").collect()
+    )
+    state = str(tmp_path / "aud_state")
+    sdf = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(audio_neardup_foreach_batch(sink, state))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sorted(got) == [1, 3, 5]
+    n = compact_history(spark, state)
+    assert n == spark.read.parquet(state).distinct().count()
+    late = spark.createDataFrame(
+        [(9, bytearray(pcm16(s1)))], "media_id long, content binary"
+    )
+    assert audio_dedup_against_history(late, state).count() == 0
+
+
 def test_compact_history_preserves_membership(spark, tmp_path):
     """Replayed appends collapse to distinct band rows; dedup decisions
     are identical before and after compaction."""
@@ -1836,6 +1910,28 @@ def test_event_analytics_idle_eviction(spark, tmp_path):
     for r in out:
         paths[r.path] = paths.get(r.path, 0) + r.sessions
     assert paths == {"view>click": 1}  # u1 flushed; u2's stays open
+
+    # --- funnel levels: evicted user restarts at level 0 (re-emits a
+    # first-sight row), state tracks active users only
+    from fluent_bit_spark.streaming.stateful import funnel_levels_stream
+
+    rows = [
+        ev(1, 0), ev(1, 10, "click"),
+        ev(2, 1000), ev(2, 1010, "click"),
+        ev(2, 1020),
+    ]
+    out, n_state = run(
+        "evict_funnel", rows,
+        lambda s: funnel_levels_stream(
+            s, steps=["view", "click"], ts_col="ts",
+            idle_timeout=120.0, watermark="10 seconds",
+        ),
+    )
+    assert n_state == 1
+    lvls = {}
+    for r in out:
+        lvls[r.user_id] = r.funnel_level
+    assert lvls == {1: 2, 2: 2}
 
     # --- cohort retention: horizon (max_offset) bounds state + evicts
     rows = [
