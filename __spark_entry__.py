@@ -1862,11 +1862,12 @@ def image_neardup_q(spark, sf_dir):
     quality 100, which the pure-numpy Huffman+IDCT decoder roundtrips
     EXACTLY — multimodal.py _decode_jpeg_gray), whose dHash equals the
     PGM original's bit-for-bit, so the join must pair them at hamming 0
-    across container formats. Output truth table: per planted id, found
-    + pair_witnessed + jpeg_found + jpeg_pair_witnessed + the global
-    all_pairs_witnessed (covers incidental non-planted pairs too). PNG
-    stays the documented codec-bound gap (headers are real,
-    multimodal_headers)."""
+    across container formats — and every 75th vec a PNG rendition
+    (stdlib-zlib decode, LOSSLESS, cycling through all five scanline
+    filter types) that must pair the same way. Output truth table: per
+    planted id, found + pair_witnessed + jpeg_found +
+    jpeg_pair_witnessed + png_found + png_pair_witnessed + the global
+    all_pairs_witnessed (covers incidental non-planted pairs too)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1877,6 +1878,7 @@ def image_neardup_q(spark, sf_dir):
         image_neardup_join,
         make_jpeg_pixels,
         make_pgm,
+        make_png_pixels,
         to_media_frame,
     )
 
@@ -1905,6 +1907,17 @@ def image_neardup_q(spark, sf_dir):
             out.append(make_jpeg_pixels(72, 64, big.tobytes(), quality=100))
         return pd.Series(out)
 
+    @pandas_udf("binary")
+    def to_png(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_png_pixels(
+                    9, 8, _grid(v).tobytes(), 1, filters=[0, 1, 2, 3, 4]
+                )
+                for v in vecs
+            ]
+        )
+
     base = emb.select(
         F.col("vec_id").alias("media_id"),
         to_pgm(F.col("embedding"), F.lit(False)).alias("content"),
@@ -1917,8 +1930,13 @@ def image_neardup_q(spark, sf_dir):
         (F.col("vec_id") + 2_000_000).alias("media_id"),
         to_jpeg(F.col("embedding")).alias("content"),
     )
+    png_copies = emb.filter(F.col("vec_id") % 75 == 0).select(
+        (F.col("vec_id") + 3_000_000).alias("media_id"),
+        to_png(F.col("embedding")).alias("content"),
+    )
     media = to_media_frame(
-        base.unionByName(copies).unionByName(jpeg_copies),
+        base.unionByName(copies).unionByName(jpeg_copies)
+        .unionByName(png_copies),
         "media_id", F.col("content"), "image",
     )
     pairs = image_neardup_join(media, max_hamming=3).localCheckpoint(eager=True)
@@ -1974,10 +1992,17 @@ def image_neardup_q(spark, sf_dir):
             "jpeg_pair_witnessed"
         ),
     )
+    wit_png = wit.where(F.col("id_b") == F.col("id_a") + 3_000_000).select(
+        F.col("id_a").alias("vec_id"),
+        ((F.col("hamming") == F.col("w_h")) & (F.col("hamming") == 0)).alias(
+            "png_pair_witnessed"
+        ),
+    )
     planted = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
     return (
         planted.join(wit_planted, "vec_id", "left")
         .join(wit_jpeg, "vec_id", "left")
+        .join(wit_png, "vec_id", "left")
         .select(
             "vec_id",
             F.col("pair_witnessed").isNotNull().alias("found"),
@@ -1985,6 +2010,10 @@ def image_neardup_q(spark, sf_dir):
             F.col("jpeg_pair_witnessed").isNotNull().alias("jpeg_found"),
             F.coalesce("jpeg_pair_witnessed", F.lit(False)).alias(
                 "jpeg_pair_witnessed"
+            ),
+            F.col("png_pair_witnessed").isNotNull().alias("png_found"),
+            F.coalesce("png_pair_witnessed", F.lit(False)).alias(
+                "png_pair_witnessed"
             ),
             F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
         )
@@ -4273,27 +4302,33 @@ def flowcounter_q(spark, sf_dir):
 # driver-checked round-8 additions (ann_served, image_neardup) lead;
 # then the 23 remaining r04-era rows; then the 25 alphabetically-first
 # r05-era rows — exactly the 50 stalest per the staleness histogram.
+#
+# ROUND-9 WINDOW: the 50 stalest again: the 2 never-driver-checked
+# round-9 additions (bm25_appended, pq_appended) lead; then the 28
+# remaining r05-era rows; then the 20 alphabetically-first r06-era rows.
+# The round-9 semantic changes to already-green queries (image_neardup's
+# jpeg truth columns, attribution's duplicate-conversion scaling,
+# audio_neardup's refactored verify) are re-verified by the full
+# two-scale ORACLE_*_r09 reports regenerated after the change.
 _DRIVER_WINDOW = [
-    "ann_served", "image_neardup", "audio_neardup", "attribution",
-    "robust_anomaly", "q1_pricing_summary",
-    "record_modifier_allowlist", "similarity_ivf_ann",
-    "similarity_lsh_ann", "similarity_pq_ann", "similarity_pq_join",
-    "sketch_distinct", "sketch_overlap",
-    "sketch_quantiles", "sketch_ranks", "sketch_rollup",
-    "sp_create_stream_chain", "sp_forecast",
-    "sp_projection", "sp_snapshot_last", "sp_tag_routing",
-    "sp_where_coercion", "sp_window_hopping",
-    "sp_window_tumbling", "ts_downsample", "ts_gapfill_locf",
-    "ts_rate", "url_canonicalize",
-    "alter_size_take", "anomaly_zscore", "bm25_topk",
-    "ccnet_buckets", "checklist_watch",
-    "chunk_packing", "content_modifier_actions", "cumulative_to_delta",
-    "dataset_diff", "doc_chunking",
-    "dsir_select", "enrich_broadcast_join", "expect_assertions",
-    "html_extract", "labels_ops",
-    "lm_bigram_quality", "log_to_metrics_counter", "log_to_metrics_gauge",
-    "log_to_metrics_histogram", "log_to_metrics_summary",
-    "media_resize_grid", "metrics_selector",
+    "bm25_appended", "pq_appended",
+    "multiline_sessionize", "otel_envelope", "pack_sequences",
+    "pagerank_nodes", "parser_json_props", "parser_logfmt_roundtrip",
+    "parser_ltsv_roundtrip", "parser_regex_access_log",
+    "parser_syslog_preset", "q6_forecast_revenue", "repeated_spans",
+    "rewrite_tag_rules", "robots_compliance", "router_split",
+    "sampling_deterministic", "sampling_tail_traces", "semantic_dedup",
+    "session_window_gap", "sp_projection_variant", "stratified_sample",
+    "table_profile", "tda_betti_windows", "throttle_rate",
+    "throttle_size_budget", "type_converter_casts", "udf_hook",
+    "union_tag_merge", "warc_wet",
+    "active_users_window", "asof_last_signup", "avro_roundtrip",
+    "bm25_indexed", "c4_clean_docs", "c4_line_filter",
+    "cloudwatch_shape", "cluster_balanced", "cohort_retention",
+    "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
+    "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
+    "edit_distance_join", "entity_resolution", "es_bulk_encode",
+    "es_bulk_roundtrip",
 ]
 
 
@@ -5575,6 +5610,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
             "vec_id % 50 = 0 AS jpeg_found, "
             "vec_id % 50 = 0 AS jpeg_pair_witnessed, "
+            "vec_id % 75 = 0 AS png_found, "
+            "vec_id % 75 = 0 AS png_pair_witnessed, "
             "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
         ),
         "audio_neardup": (

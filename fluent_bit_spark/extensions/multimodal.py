@@ -56,9 +56,10 @@ def decode_stub(content: bytes, kind: str) -> dict:
 
 # --------------------------------------------------------------------------
 # Real container-header decoding — pure-Python parsers for the public file
-# formats (PNG, JPEG, GIF, BMP, WAV). Full pixel/sample decode would need
-# codec libraries; dimensions/channels/rate/duration live in the headers,
-# which is what metadata extraction at scale reads (no full decode).
+# formats (PNG, JPEG, GIF, BMP, WAV). Pixel/sample decode below covers
+# BMP/PPM/PGM/WAV (pure numpy), PNG (stdlib zlib + numpy unfilter), and
+# baseline JPEG (pure-numpy Huffman + IDCT); GIF/LZW, progressive JPEG,
+# and 16-bit/interlaced PNG remain header-only — the documented envelope.
 # --------------------------------------------------------------------------
 import struct as _struct
 
@@ -414,6 +415,168 @@ def _decode_pnm_pixels(b: bytes):
     if n - i < need:
         return None
     return w, h, nch, b[i : i + need]
+
+
+# --------------------------------------------------------------------------
+# PNG (RFC 2083) — stdlib zlib inflate + numpy scanline unfiltering; no
+# codec library. Envelope: 8-bit depth, color types 0/2/3/4/6, no
+# interlace (Adam7 returns None, documented). Palette maps to RGB; alpha
+# channels drop (the BMP-32 convention).
+# --------------------------------------------------------------------------
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth).
+    Sub is a modular prefix-sum per byte lane (vectorized); Up is a
+    vectorized add against the previous row; Average/Paeth fall back to
+    the per-pixel loop their definitions require."""
+    out = _np.zeros((h, stride), dtype=_np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = _np.frombuffer(raw, _np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else _np.zeros(stride, _np.uint8)
+        if ft == 0:
+            out[y] = line
+        elif ft == 1:  # Sub: prefix sum within each byte lane, mod 256
+            lanes = line.reshape(-1, bpp)
+            out[y] = (lanes.astype(_np.int64).cumsum(axis=0) % 256).astype(
+                _np.uint8
+            ).reshape(-1)
+        elif ft == 2:  # Up
+            out[y] = line + prev
+        elif ft == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b_ = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+    return out
+
+
+def _decode_png_pixels(b: bytes):
+    """PNG -> (w, h, channels, row-major top-down uint8 bytes): stdlib
+    zlib inflate + numpy unfilter. 8-bit depth only; palette (type 3)
+    maps through PLTE to RGB; alpha drops (types 4/6 -> 1/3 channels);
+    interlaced/16-bit/low-bit-depth payloads return None — filter,
+    don't crash, mid-scan."""
+    import zlib
+
+    try:
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos = 8
+        n = len(b)
+        w = h = None
+        depth = ctype = interlace = None
+        plte = None
+        idat = bytearray()
+        while pos + 8 <= n:
+            clen = _struct.unpack(">I", b[pos : pos + 4])[0]
+            cid = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + clen]
+            if len(data) < clen:
+                return None
+            if cid == b"IHDR":
+                w, h = _struct.unpack(">II", data[:8])
+                depth, ctype, comp, filt, interlace = data[8:13]
+                if comp or filt:
+                    return None
+            elif cid == b"PLTE":
+                plte = _np.frombuffer(data, _np.uint8).reshape(-1, 3)
+            elif cid == b"IDAT":
+                idat += data
+            elif cid == b"IEND":
+                break
+            pos += 12 + clen  # len + id + crc
+        if w is None or not idat or interlace != 0 or depth != 8:
+            return None
+        nch_in = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if nch_in is None or not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * nch_in
+        if len(raw) != h * (stride + 1):
+            return None
+        px = _png_unfilter(raw, h, stride, nch_in)
+        if px is None:
+            return None
+        px = px.reshape(h, w, nch_in)
+        if ctype == 3:
+            if plte is None or int(px.max(initial=0)) >= len(plte):
+                return None
+            return w, h, 3, _np.ascontiguousarray(plte[px[:, :, 0]]).tobytes()
+        if ctype in (4, 6):
+            px = px[:, :, : nch_in - 1]  # drop alpha
+        nch_out = 1 if ctype in (0, 4) else 3
+        return w, h, nch_out, _np.ascontiguousarray(px).tobytes()
+    except Exception:
+        return None
+
+
+def make_png_pixels(
+    w: int, h: int, pixels: bytes, channels: int = 3, filters=None
+) -> bytes:
+    """PNG encoder carrying REAL pixel data (fixture support): 8-bit
+    gray or RGB, one filter type per scanline (default 0; pass a list
+    to exercise Sub/Up/Average/Paeth decode paths)."""
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer must be w*h*channels bytes")
+    a = _np.frombuffer(pixels, _np.uint8).reshape(h, w * channels)
+    bpp = channels
+    lines = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)] if filters else 0
+        row = a[y].astype(_np.int64)
+        prev = a[y - 1].astype(_np.int64) if y else _np.zeros(w * channels, _np.int64)
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            left = _np.concatenate([_np.zeros(bpp, _np.int64), row[:-bpp]])
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            left = _np.concatenate([_np.zeros(bpp, _np.int64), row[:-bpp]])
+            enc = row - (left + prev) // 2
+        elif ft == 4:
+            left = _np.concatenate([_np.zeros(bpp, _np.int64), row[:-bpp]])
+            ul = _np.concatenate([_np.zeros(bpp, _np.int64), prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = _np.abs(p - left), _np.abs(p - prev), _np.abs(p - ul)
+            pred = _np.where(
+                (pa <= pb) & (pa <= pc), left, _np.where(pb <= pc, prev, ul)
+            )
+            enc = row - pred
+        else:
+            raise ValueError("filter type must be 0..4")
+        lines.append(ft)
+        lines += (enc % 256).astype(_np.uint8).tobytes()
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (_struct.pack(">I", len(data)) + cid + data
+                + _struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF))
+
+    ihdr = _struct.pack(">II", w, h) + bytes(
+        [8, 0 if channels == 1 else 2, 0, 0, 0]
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
 
 
 # --------------------------------------------------------------------------
@@ -851,14 +1014,15 @@ def make_jpeg_pixels(
 
 
 def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Pure-numpy pixel decode via Arrow-batched mapInPandas —
-    uncompressed BMP, binary PPM/PGM, and baseline JPEG (Huffman +
-    dequant + IDCT, luma plane, channels=1): (media_id, format, width,
-    height, channels, pixels) with ``pixels`` the row-major top-down
-    uint8 samples (channel-interleaved RGB, or single-channel gray).
-    Payloads in the remaining codec-bound formats (PNG/deflate,
-    progressive JPEG) or malformed ones yield NULL pixels with the
-    sniffed ``format``, so callers filter rather than crash mid-scan."""
+    """Pure-numpy/stdlib pixel decode via Arrow-batched mapInPandas —
+    uncompressed BMP, binary PPM/PGM, PNG (stdlib zlib inflate + numpy
+    unfilter, 8-bit), and baseline JPEG (Huffman + dequant + IDCT, luma
+    plane, channels=1): (media_id, format, width, height, channels,
+    pixels) with ``pixels`` the row-major top-down uint8 samples
+    (channel-interleaved RGB, or single-channel gray). Payloads outside
+    the envelope (interlaced/16-bit PNG, progressive JPEG, GIF/LZW) or
+    malformed ones yield NULL pixels with the sniffed ``format``, so
+    callers filter rather than crash mid-scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "format", "width", "height", "channels", "pixels"]
@@ -878,6 +1042,9 @@ def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                 elif b[:2] == b"\xff\xd8":
                     got = _decode_jpeg_gray(b)
                     fmt = "jpeg"
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    got = _decode_png_pixels(b)
+                    fmt = "png"
                 if got is None:
                     out.append((row[id_col], fmt, None, None, None, None))
                 else:

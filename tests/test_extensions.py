@@ -223,6 +223,70 @@ def test_pixel_decoders_roundtrip():
     assert _decode_bmp_pixels(hdr2 + dib2 + pal[:8] + hot.tobytes()) is None
 
 
+def test_png_codec_roundtrip():
+    """Stdlib-zlib PNG decode: LOSSLESS roundtrip for gray and RGB
+    through every scanline filter type (None/Sub/Up/Average/Paeth),
+    palette mapping to RGB, alpha dropping, and None for everything
+    outside the envelope (interlace, 16-bit, truncated IDAT)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_png_pixels, make_png_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (11, 7, 3), dtype=np.uint8)
+    for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = _decode_png_pixels(
+            make_png_pixels(7, 11, rgb.tobytes(), 3, filters=filters)
+        )
+        assert got[:3] == (7, 11, 3), filters
+        assert got[3] == rgb.tobytes(), f"filter {filters} not lossless"
+    g = rng.randint(0, 256, (5, 9), dtype=np.uint8)
+    got = _decode_png_pixels(make_png_pixels(9, 5, g.tobytes(), 1, filters=[4]))
+    assert got[:3] == (9, 5, 1) and got[3] == g.tobytes()
+
+    def chunk(cid, data):
+        return (struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF))
+
+    def png(ihdr_tail, chunks):
+        ihdr = struct.pack(">II", 3, 2) + ihdr_tail
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + b"".join(chunks) + chunk(b"IEND", b""))
+
+    # palette: 3x2 type-3 image, 2 palette entries -> RGB output
+    pal = bytes([255, 0, 0, 0, 0, 255])
+    idx = bytes([0, 0, 1, 0]) + bytes([0, 1, 0, 1])  # filter 0 + 3 px per row
+    p = png(bytes([8, 3, 0, 0, 0]),
+            [chunk(b"PLTE", pal), chunk(b"IDAT", zlib.compress(idx))])
+    w, h, nch, px = _decode_png_pixels(p)
+    assert (w, h, nch) == (3, 2, 3)
+    assert px[:3] == bytes([255, 0, 0]) and px[3:6] == bytes([0, 0, 255])
+    # RGBA: alpha drops to 3 channels
+    rows = b"".join(
+        bytes([0]) + bytes(v for _ in range(3) for v in (10, 20, 30, 99))
+        for _ in range(2)
+    )
+    p4 = png(bytes([8, 6, 0, 0, 0]), [chunk(b"IDAT", zlib.compress(rows))])
+    w, h, nch, px = _decode_png_pixels(p4)
+    assert (w, h, nch) == (3, 2, 3) and px[:3] == bytes([10, 20, 30])
+    # rejections: interlaced, 16-bit, truncated inflate, out-of-range index
+    assert _decode_png_pixels(png(bytes([8, 2, 0, 0, 1]),
+        [chunk(b"IDAT", zlib.compress(b"\x00" * 20))])) is None
+    assert _decode_png_pixels(png(bytes([16, 2, 0, 0, 0]),
+        [chunk(b"IDAT", zlib.compress(b"\x00" * 20))])) is None
+    assert _decode_png_pixels(png(bytes([8, 2, 0, 0, 0]),
+        [chunk(b"IDAT", zlib.compress(b"\x00" * 5))])) is None
+    bad_idx = png(bytes([8, 3, 0, 0, 0]),
+        [chunk(b"PLTE", pal), chunk(b"IDAT", zlib.compress(
+            bytes([0, 0, 0, 7, 0, 0, 0, 0])))])
+    assert _decode_png_pixels(bad_idx) is None
+
+
 def test_jpeg_baseline_codec_roundtrip():
     """Pure-numpy baseline JPEG: constant-8x8-block images roundtrip
     EXACTLY at quality 100 (AC coefficients are exactly zero and the DC
