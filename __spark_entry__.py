@@ -1862,11 +1862,12 @@ def image_neardup_q(spark, sf_dir):
     quality 100, which the pure-numpy Huffman+IDCT decoder roundtrips
     EXACTLY — multimodal.py _decode_jpeg_gray), whose dHash equals the
     PGM original's bit-for-bit, so the join must pair them at hamming 0
-    across container formats — and every 75th vec a PNG rendition
+    across container formats — every 75th vec a PNG rendition
     (stdlib-zlib decode, LOSSLESS, cycling through all five scanline
-    filter types) that must pair the same way. Output truth table: per
-    planted id, found + pair_witnessed + jpeg_found +
-    jpeg_pair_witnessed + png_found + png_pair_witnessed + the global
+    filter types), and every 100th a GIF rendition (pure-Python LZW,
+    lossless through the gray palette), all pairing the same way.
+    Output truth table: per planted id, found + pair_witnessed +
+    {jpeg,png,gif}_found + {jpeg,png,gif}_pair_witnessed + the global
     all_pairs_witnessed (covers incidental non-planted pairs too)."""
     import numpy as np
     import pandas as pd
@@ -1876,6 +1877,7 @@ def image_neardup_q(spark, sf_dir):
         _gray_grid,
         decode_pixels,
         image_neardup_join,
+        make_gif_pixels,
         make_jpeg_pixels,
         make_pgm,
         make_png_pixels,
@@ -1918,6 +1920,12 @@ def image_neardup_q(spark, sf_dir):
             ]
         )
 
+    @pandas_udf("binary")
+    def to_gif(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [make_gif_pixels(9, 8, _grid(v).tobytes(), 1) for v in vecs]
+        )
+
     base = emb.select(
         F.col("vec_id").alias("media_id"),
         to_pgm(F.col("embedding"), F.lit(False)).alias("content"),
@@ -1934,9 +1942,13 @@ def image_neardup_q(spark, sf_dir):
         (F.col("vec_id") + 3_000_000).alias("media_id"),
         to_png(F.col("embedding")).alias("content"),
     )
+    gif_copies = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 4_000_000).alias("media_id"),
+        to_gif(F.col("embedding")).alias("content"),
+    )
     media = to_media_frame(
         base.unionByName(copies).unionByName(jpeg_copies)
-        .unionByName(png_copies),
+        .unionByName(png_copies).unionByName(gif_copies),
         "media_id", F.col("content"), "image",
     )
     pairs = image_neardup_join(media, max_hamming=3).localCheckpoint(eager=True)
@@ -1998,11 +2010,18 @@ def image_neardup_q(spark, sf_dir):
             "png_pair_witnessed"
         ),
     )
+    wit_gif = wit.where(F.col("id_b") == F.col("id_a") + 4_000_000).select(
+        F.col("id_a").alias("vec_id"),
+        ((F.col("hamming") == F.col("w_h")) & (F.col("hamming") == 0)).alias(
+            "gif_pair_witnessed"
+        ),
+    )
     planted = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
     return (
         planted.join(wit_planted, "vec_id", "left")
         .join(wit_jpeg, "vec_id", "left")
         .join(wit_png, "vec_id", "left")
+        .join(wit_gif, "vec_id", "left")
         .select(
             "vec_id",
             F.col("pair_witnessed").isNotNull().alias("found"),
@@ -2014,6 +2033,10 @@ def image_neardup_q(spark, sf_dir):
             F.col("png_pair_witnessed").isNotNull().alias("png_found"),
             F.coalesce("png_pair_witnessed", F.lit(False)).alias(
                 "png_pair_witnessed"
+            ),
+            F.col("gif_pair_witnessed").isNotNull().alias("gif_found"),
+            F.coalesce("gif_pair_witnessed", F.lit(False)).alias(
+                "gif_pair_witnessed"
             ),
             F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
         )
@@ -5612,6 +5635,8 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0 AS jpeg_pair_witnessed, "
             "vec_id % 75 = 0 AS png_found, "
             "vec_id % 75 = 0 AS png_pair_witnessed, "
+            "vec_id % 100 = 0 AS gif_found, "
+            "vec_id % 100 = 0 AS gif_pair_witnessed, "
             "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
         ),
         "audio_neardup": (

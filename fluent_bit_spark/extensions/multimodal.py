@@ -580,6 +580,185 @@ def make_png_pixels(
 
 
 # --------------------------------------------------------------------------
+# GIF (87a/89a) — pure-Python LZW (variable code width, LSB-first bit
+# packing, 4096-entry dictionary) for the FIRST frame; palette maps to
+# RGB; Adam-style 4-pass interlace deinterleaved; later frames /
+# transparency composition are out of envelope (documented — perceptual
+# hashing reads frame 1).
+# --------------------------------------------------------------------------
+def _gif_lzw_decode(data: bytes, min_code: int, max_out: int):
+    """GIF LZW index-stream decode. Raises on corrupt streams; caller
+    wraps."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("gif lzw code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("gif lzw output overrun")
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+def _decode_gif_pixels(b: bytes):
+    """GIF -> (w, h, 3, RGB bytes) of the FIRST frame, palette-mapped;
+    interlace handled; anything truncated/corrupt returns None."""
+    try:
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh = _struct.unpack("<HH", b[6:10])
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = _np.frombuffer(b, _np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif blk == 0x2C:  # image descriptor
+                _, _, w, h = _struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+                ipacked = b[pos + 9]
+                pos += 10
+                pal = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    pal = _np.frombuffer(b, _np.uint8, n * 3, pos).reshape(n, 3)
+                    pos += n * 3
+                if pal is None or not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+                    return None
+                min_code = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos] != 0:
+                    ln = b[pos]
+                    data += b[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                if not (2 <= min_code <= 8):
+                    return None
+                idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+                if len(idx) < w * h:
+                    return None
+                a = _np.frombuffer(idx[: w * h], _np.uint8).reshape(h, w)
+                if int(a.max(initial=0)) >= len(pal):
+                    return None
+                if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                             + list(range(2, h, 4)) + list(range(1, h, 2)))
+                    de = _np.empty_like(a)
+                    de[order] = a
+                    a = de
+                return w, h, 3, _np.ascontiguousarray(pal[a]).tobytes()
+            elif blk == 0x3B:
+                return None  # trailer before any frame
+            else:
+                return None
+        return None
+    except Exception:
+        return None
+
+
+def make_gif_pixels(
+    w: int, h: int, rgb_or_gray: bytes, channels: int = 1,
+    interlace: bool = False,
+) -> bytes:
+    """GIF encoder carrying REAL pixel data (fixture support): gray
+    input uses an identity 256-gray palette; RGB input builds an exact
+    palette (<= 256 distinct colors required). Emits the trivially
+    valid clear-code-per-pixel LZW stream (decoders must honor CLEAR
+    anywhere, so this exercises the reset path on every symbol)."""
+    a = _np.frombuffer(rgb_or_gray, _np.uint8)
+    if channels == 1:
+        if len(a) != w * h:
+            raise ValueError("pixel buffer must be w*h bytes")
+        idx = a.reshape(h, w)
+        pal = _np.repeat(_np.arange(256, dtype=_np.uint8), 3).reshape(256, 3)
+    else:
+        if len(a) != w * h * 3:
+            raise ValueError("pixel buffer must be w*h*3 bytes")
+        px = a.reshape(h * w, 3)
+        pal, inv = _np.unique(px, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("more than 256 distinct colors")
+        pad = _np.zeros((256, 3), _np.uint8)
+        pad[: len(pal)] = pal
+        pal = pad
+        idx = inv.astype(_np.uint8).reshape(h, w)
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        idx = idx[order]
+    min_code = 8
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx.reshape(-1):
+        put(clear)
+        put(int(v))
+    put(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(stream), 255):
+        part = stream[i : i + 255]
+        sub.append(len(part))
+        sub += part
+    sub.append(0)
+    out = b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00, min_code]) + bytes(sub)
+    return out + b"\x3b"
+
+
+# --------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81, sequential DCT, 8-bit, Huffman) — pure
 # numpy/stdlib, no codec library: entropy decode + dequant + IDCT for the
 # decoder, and a single-component grayscale encoder for test fixtures.
@@ -1016,13 +1195,14 @@ def make_jpeg_pixels(
 def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Pure-numpy/stdlib pixel decode via Arrow-batched mapInPandas —
     uncompressed BMP, binary PPM/PGM, PNG (stdlib zlib inflate + numpy
-    unfilter, 8-bit), and baseline JPEG (Huffman + dequant + IDCT, luma
-    plane, channels=1): (media_id, format, width, height, channels,
-    pixels) with ``pixels`` the row-major top-down uint8 samples
+    unfilter, 8-bit), GIF (pure-Python LZW, first frame, palette->RGB),
+    and baseline JPEG (Huffman + dequant + IDCT, luma plane,
+    channels=1): (media_id, format, width, height, channels, pixels)
+    with ``pixels`` the row-major top-down uint8 samples
     (channel-interleaved RGB, or single-channel gray). Payloads outside
-    the envelope (interlaced/16-bit PNG, progressive JPEG, GIF/LZW) or
-    malformed ones yield NULL pixels with the sniffed ``format``, so
-    callers filter rather than crash mid-scan."""
+    the envelope (interlaced/16-bit PNG, progressive JPEG, later GIF
+    frames) or malformed ones yield NULL pixels with the sniffed
+    ``format``, so callers filter rather than crash mid-scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "format", "width", "height", "channels", "pixels"]
@@ -1045,6 +1225,9 @@ def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     got = _decode_png_pixels(b)
                     fmt = "png"
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    got = _decode_gif_pixels(b)
+                    fmt = "gif"
                 if got is None:
                     out.append((row[id_col], fmt, None, None, None, None))
                 else:

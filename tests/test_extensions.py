@@ -287,6 +287,40 @@ def test_png_codec_roundtrip():
     assert _decode_png_pixels(bad_idx) is None
 
 
+def test_gif_lzw_codec_roundtrip():
+    """Pure-Python GIF LZW decode: gray and RGB-palette images
+    roundtrip losslessly (the fixture encoder emits a clear-code-per-
+    pixel stream, exercising the dictionary-reset path on every
+    symbol), interlaced rows deinterleave, header-only stubs and
+    truncated payloads return None."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_gif_pixels, make_gif, make_gif_pixels,
+    )
+
+    rng = np.random.RandomState(31)
+    g = rng.randint(0, 256, (10, 13), dtype=np.uint8)
+    w, h, nch, px = _decode_gif_pixels(make_gif_pixels(13, 10, g.tobytes(), 1))
+    assert (w, h, nch) == (13, 10, 3)
+    rgb = np.frombuffer(px, np.uint8).reshape(10, 13, 3)
+    assert np.array_equal(rgb[:, :, 0], g)          # identity gray palette
+    assert np.array_equal(rgb[:, :, 1], g) and np.array_equal(rgb[:, :, 2], g)
+    # interlaced: decoder must reorder the 4 passes back
+    wi = _decode_gif_pixels(make_gif_pixels(13, 10, g.tobytes(), 1, interlace=True))
+    assert wi[3] == px
+    # RGB palette (few distinct colors)
+    c = np.zeros((6, 4, 3), dtype=np.uint8)
+    c[::2] = [200, 10, 30]
+    c[1::2] = [5, 250, 125]
+    got = _decode_gif_pixels(make_gif_pixels(4, 6, c.tobytes(), 3))
+    assert got[:3] == (4, 6, 3) and got[3] == c.tobytes()
+    # header-only stub (no frame) and truncation -> None
+    assert _decode_gif_pixels(make_gif(7, 7)) is None
+    full = make_gif_pixels(13, 10, g.tobytes(), 1)
+    assert _decode_gif_pixels(full[: len(full) // 2]) is None
+
+
 def test_jpeg_baseline_codec_roundtrip():
     """Pure-numpy baseline JPEG: constant-8x8-block images roundtrip
     EXACTLY at quality 100 (AC coefficients are exactly zero and the DC
