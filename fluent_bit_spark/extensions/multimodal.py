@@ -1302,7 +1302,8 @@ def _dhash_bands(
     the streaming history share. Bit ranges must PARTITION all 64 bits
     or the recall argument breaks (an uncovered bit could absorb every
     difference); when 64 % bands != 0 the early bands take the extra
-    bit each."""
+    bit each. Columns other than ``dhash`` pass through, so a
+    frame-indexed hash table (video.py) keeps its frame index."""
     bands = max_hamming + 1
     bounds = [(i * 64) // bands for i in range(bands + 1)]
 
@@ -1315,7 +1316,7 @@ def _dhash_bands(
 
     band_vals = F.array(*[_band(lo, hi) for lo, hi in zip(bounds, bounds[1:])])
     return hashes.select(
-        F.col(id_col), F.col("dhash"), F.posexplode(band_vals).alias("band", "bv")
+        "*", F.posexplode(band_vals).alias("band", "bv")
     )
 
 

@@ -1,0 +1,1015 @@
+"""Video columns: codec-free container parsing, frame extraction, and
+perceptual near-dup — completing the image/audio/video media trio.
+
+The reference treats binary payloads as opaque msgpack ``bin`` values
+(`include/fluent-bit/flb_log_event.h:52-61`); this module gives the
+video kind the same first-class treatment the image and audio kinds got
+in multimodal.py, from public container specs only:
+
+- **AVI (RIFF)** — Microsoft's public AVI RIFF form. Container write +
+  parse, and REAL pixel decode for the two codec-free payloads: ``DIB``
+  (BI_RGB uncompressed 24-bit bottom-up frames) and ``MJPG``
+  (motion-JPEG: every frame a baseline JPEG, decoded by the pure-numpy
+  Huffman+IDCT decoder in multimodal.py). No codec library anywhere.
+- **MP4 (ISO BMFF, ISO/IEC 14496-12)** — box-structure write + parse,
+  and the *sample-table* machinery (stts/stsz/stsc/stco/stss) that
+  yields a distributed frame-extraction PLAN: one row per sample with
+  its exact byte offset, size, timestamp, and keyframe flag. Payload
+  decode for mp4 tracks needs a real codec (H.264 etc.) and is the
+  documented envelope edge — the plan is precisely what you hand each
+  executor next to a codec.
+
+Near-dup uses the audio discipline (multimodal.py audio_neardup_join)
+with the image hash family: each sampled frame gets a 64-bit dHash, the
+hash splits into pigeonhole bit-bands (multimodal._dhash_bands), a
+(band, value) probe join proposes (pair, alignment-offset) candidates,
+and the exact mean per-frame Hamming distance over the aligned overlap
+verifies JVM-side (slice + zip_with + bit_count — no Python past the
+decode/hash scan).
+
+All decoders follow the filter-don't-crash contract: malformed or
+out-of-envelope payloads yield None / no rows, never a task failure.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from typing import Iterator
+
+import numpy as _np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .multimodal import (
+    _decode_jpeg_gray,
+    _dhash_bands,
+    dhash64,
+    make_jpeg_pixels,
+)
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + _struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def _gray_to_dib(gray: bytes, w: int, h: int) -> bytes:
+    """Top-down gray plane -> bottom-up BGR rows padded to 4 bytes (the
+    BI_RGB layout an uncompressed '00db' chunk carries)."""
+    a = _np.frombuffer(gray, dtype=_np.uint8).reshape(h, w)
+    stride = (w * 3 + 3) // 4 * 4
+    out = _np.zeros((h, stride), dtype=_np.uint8)
+    bgr = _np.repeat(a[::-1], 3, axis=1)  # bottom-up, gray -> B=G=R
+    out[:, : w * 3] = bgr
+    return out.tobytes()
+
+
+def make_avi(
+    w: int,
+    h: int,
+    frames: list[bytes],
+    fps_num: int = 30,
+    fps_den: int = 1,
+    codec: str = "DIB",
+    quality: int = 100,
+) -> bytes:
+    """AVI writer for the two codec-free payloads — fixture/synthesis
+    support, one gray (w*h bytes, top-down) plane per frame. ``codec``
+    'DIB' stores BI_RGB 24-bit bottom-up frames ('00db' chunks);
+    'MJPG' stores one baseline JPEG per frame ('00dc' chunks) via
+    multimodal.make_jpeg_pixels. Emits avih/strh/strf headers, the movi
+    list, and a keyframe-flagged idx1 (both payloads are intra-only)."""
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
+    for fr in frames:
+        if len(fr) != w * h:
+            raise ValueError("each frame must be w*h gray bytes")
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError("fps must be positive")
+    n = len(frames)
+    if codec == "DIB":
+        payloads = [_gray_to_dib(fr, w, h) for fr in frames]
+        ckid, compression = b"00db", 0
+    else:
+        payloads = [make_jpeg_pixels(w, h, fr, quality=quality) for fr in frames]
+        ckid, compression = b"00dc", _struct.unpack("<I", b"MJPG")[0]
+    bufsize = max((len(p) for p in payloads), default=0)
+
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 * fps_den // fps_num,  # dwMicroSecPerFrame
+        bufsize * fps_num // max(fps_den, 1),  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, bufsize, w, h, 0, 0, 0, 0,
+    )
+    strh = _struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids",
+        codec.encode().ljust(4),
+        0, 0, 0, 0,
+        fps_den,  # dwScale
+        fps_num,  # dwRate
+        0, n, bufsize, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+        bufsize, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_payload = b""
+    idx_entries = []
+    for p in payloads:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((ckid, 0x10, 4 + len(movi_payload), len(p)))
+        movi_payload += _riff_chunk(ckid, p)
+    movi = _riff_list(b"movi", movi_payload)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            cc + _struct.pack("<III", fl, off, sz)
+            for cc, fl, off, sz in idx_entries
+        ),
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _avi_walk(b: bytes):
+    """Yield (fourcc, list_kind_or_None, payload_offset, payload_len)
+    for the top-level and nested chunks an AVI parser needs, without
+    materializing payloads."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return
+    stack = [(12, min(len(b), 8 + _struct.unpack("<I", b[4:8])[0]))]
+    while stack:
+        off, end = stack.pop()
+        while off + 8 <= end:
+            cc = b[off : off + 4]
+            ln = _struct.unpack("<I", b[off + 4 : off + 8])[0]
+            body = off + 8
+            if body + ln > len(b):
+                return  # truncated payload
+            if cc == b"LIST" and ln >= 4:
+                kind = b[body : body + 4]
+                yield (cc, kind, body + 4, ln - 4)
+                stack.append((off + 8 + ln + (ln & 1), end))
+                off, end = body + 4, body + ln
+                continue
+            yield (cc, None, body, ln)
+            off = body + ln + (ln & 1)
+
+
+def parse_avi(b: bytes) -> dict | None:
+    """AVI header parse -> dict(container, codec, width, height,
+    n_frames, rate, scale, duration_ms) or None outside the envelope.
+    codec normalizes biCompression==0 to 'DIB'; fps = rate / scale."""
+    try:
+        avih = strh = strf = None
+        for cc, kind, off, ln in _avi_walk(b):
+            if cc == b"avih" and ln >= 40:
+                avih = _struct.unpack("<10I", b[off : off + 40])
+            elif cc == b"strh" and ln >= 40 and b[off : off + 4] == b"vids":
+                strh = _struct.unpack("<IIIIII", b[off + 20 : off + 44])
+            elif cc == b"strf" and ln >= 40 and strf is None:
+                strf = _struct.unpack("<IiiHHI", b[off : off + 20])
+        if avih is None or strh is None or strf is None:
+            return None
+        n_frames, w, h = avih[4], avih[8], avih[9]
+        scale, rate = strh[0], strh[1]
+        compression = strf[5]
+        if compression == 0:
+            codec = "DIB"
+        else:
+            codec = _struct.pack("<I", compression).decode("ascii", "replace")
+        if not rate or not scale:
+            return None
+        return {
+            "container": "avi",
+            "codec": codec,
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "rate": rate,
+            "scale": scale,
+            "duration_ms": n_frames * 1000 * scale // rate,
+        }
+    except (IndexError, _struct.error, UnicodeDecodeError):
+        return None
+
+
+def _avi_movi_chunks(b: bytes) -> list[tuple[bytes, int, int]]:
+    """[(fourcc, payload_offset, payload_len)] of the stream-0 video
+    chunks ('00db'/'00dc') in movi order."""
+    out = []
+    in_movi = False
+    for cc, kind, off, ln in _avi_walk(b):
+        if cc == b"LIST":
+            in_movi = kind == b"movi"
+        elif in_movi and cc in (b"00db", b"00dc"):
+            out.append((cc, off, ln))
+    return out
+
+
+def decode_avi_frames(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """AVI -> (w, h, [top-down gray plane per frame]) for the DIB and
+    MJPG payloads; None outside the envelope (other codecs, truncated
+    or mismatched frames). DIB gray is the rounded BGR mean (exact for
+    the replicated-gray frames make_avi writes); MJPG decodes through
+    the baseline-JPEG luma path."""
+    try:
+        hdr = parse_avi(b)
+        if hdr is None:
+            return None
+        w, h = hdr["width"], hdr["height"]
+        if w <= 0 or h <= 0:
+            return None
+        frames: list[bytes] = []
+        for cc, off, ln in _avi_movi_chunks(b):
+            payload = b[off : off + ln]
+            if hdr["codec"] == "DIB" and cc == b"00db":
+                stride = (w * 3 + 3) // 4 * 4
+                if ln < stride * h:
+                    return None
+                a = _np.frombuffer(payload[: stride * h], dtype=_np.uint8)
+                a = a.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                gray = _np.rint(a.astype(_np.float64).mean(axis=2))
+                frames.append(gray.astype(_np.uint8)[::-1].tobytes())
+            elif hdr["codec"] == "MJPG" and cc == b"00dc":
+                got = _decode_jpeg_gray(payload)
+                if got is None or (got[0], got[1]) != (w, h):
+                    return None
+                frames.append(got[3])
+            else:
+                return None
+        return (w, h, frames)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12)
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return _struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, _struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def _rle_deltas(deltas: list[int]) -> list[tuple[int, int]]:
+    runs: list[tuple[int, int]] = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    return runs
+
+
+def make_mp4(
+    w: int,
+    h: int,
+    sample_deltas: list[int],
+    sample_sizes: list[int],
+    keyframes: list[int] | None = None,
+    timescale: int = 1000,
+    codec: str = "mp4v",
+    samples_per_chunk: int = 0,
+) -> bytes:
+    """Minimal ISO BMFF writer — fixture support for the sample-table
+    parser. One video track; ``sample_deltas`` in ``timescale`` units
+    (run-length encoded into stts), per-sample ``sample_sizes`` bytes of
+    deterministic filler in mdat, ``keyframes`` 1-based sample numbers
+    (stss; None = no stss = every sample sync per the spec), and
+    ``samples_per_chunk`` grouping for stsc/stco (0 = one chunk holds
+    everything). The mdat payload is filler — real tracks need a codec;
+    what this exercises is the PLAN machinery (offsets/sizes/times)."""
+    n = len(sample_deltas)
+    if len(sample_sizes) != n:
+        raise ValueError("sample_deltas and sample_sizes must align")
+    if timescale <= 0:
+        raise ValueError("timescale must be positive")
+    spc = samples_per_chunk if samples_per_chunk > 0 else max(n, 1)
+    duration = sum(sample_deltas)
+
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 0x200) + b"isommp42")
+    total = sum(sample_sizes)
+    mdat_payload = bytes(bytearray((i * 31 + 7) % 256 for i in range(total)))
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_data_off = len(ftyp) + 8
+
+    # chunk offsets: samples packed contiguously, spc per chunk
+    chunk_offsets = []
+    acc = mdat_data_off
+    for i in range(0, n, spc):
+        chunk_offsets.append(acc)
+        acc += sum(sample_sizes[i : i + spc])
+
+    stts = _full(
+        b"stts", 0, 0,
+        _struct.pack(">I", len(_rle_deltas(sample_deltas)))
+        + b"".join(_struct.pack(">II", c, d) for c, d in _rle_deltas(sample_deltas)),
+    )
+    stsc = _full(b"stsc", 0, 0, _struct.pack(">IIII", 1, 1, spc, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        _struct.pack(">II", 0, n)
+        + b"".join(_struct.pack(">I", s) for s in sample_sizes),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        _struct.pack(">I", len(chunk_offsets))
+        + b"".join(_struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stss = b""
+    if keyframes is not None:
+        stss = _full(
+            b"stss", 0, 0,
+            _struct.pack(">I", len(keyframes))
+            + b"".join(_struct.pack(">I", k) for k in keyframes),
+        )
+    entry_body = (
+        b"\x00" * 6
+        + _struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + _struct.pack(">HH", w, h)
+        + _struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + _struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + _struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(
+        b"stsd", 0, 0,
+        _struct.pack(">I", 1) + _box(codec.encode().ljust(4)[:4], entry_body),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    dref = _full(b"dref", 0, 0, _struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        _struct.pack(">IIII", 0, 0, timescale, duration) + _struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        _struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + _struct.pack(">hhhh", 0, 0, 0, 0)
+        + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + _struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        _struct.pack(">IIII", 0, 0, timescale, duration)
+        + _struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + _struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for sibling boxes in
+    [start, end); handles 64-bit largesize."""
+    off = start
+    while off + 8 <= end:
+        size = _struct.unpack(">I", b[off : off + 4])[0]
+        cc = b[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = _struct.unpack(">Q", b[off + 8 : off + 16])[0]
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield cc, body, off + size
+        off += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_collect(b: bytes) -> dict[bytes, tuple[int, int]] | None:
+    """First-track flat map fourcc -> (payload_start, payload_end) for
+    the boxes the parser reads."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    found: dict[bytes, tuple[int, int]] = {}
+    stack = [(0, len(b))]
+    while stack:
+        s, e = stack.pop()
+        for cc, ps, pe in _walk_boxes(b, s, e):
+            if cc in found and cc in (b"trak",):
+                continue  # first video track only
+            if cc in _MP4_CONTAINERS:
+                if cc not in found:
+                    found[cc] = (ps, pe)
+                    stack.append((ps, pe))
+            elif cc not in found:
+                found[cc] = (ps, pe)
+    return found
+
+
+def parse_mp4(b: bytes) -> dict | None:
+    """ISO BMFF header parse -> dict(container, brand, codec, width,
+    height, timescale, duration_ms, n_samples) from the first track's
+    mvhd/tkhd/mdhd/stsd/stsz boxes; None outside the envelope."""
+    try:
+        found = _mp4_collect(b)
+        if found is None or b"mdhd" not in found or b"stsd" not in found:
+            return None
+        fs, fe = found[b"ftyp"]
+        brand = b[fs : fs + 4].decode("ascii", "replace")
+        ms, _ = found[b"mdhd"]
+        version = b[ms]
+        if version == 1:
+            timescale = _struct.unpack(">I", b[ms + 20 : ms + 24])[0]
+            duration = _struct.unpack(">Q", b[ms + 24 : ms + 32])[0]
+        else:
+            timescale, duration = _struct.unpack(">II", b[ms + 12 : ms + 20])
+        w = h = None
+        if b"tkhd" in found:
+            ts_, te_ = found[b"tkhd"]
+            wh = b[te_ - 8 : te_]
+            w = _struct.unpack(">I", wh[:4])[0] >> 16
+            h = _struct.unpack(">I", wh[4:])[0] >> 16
+        ss, se = found[b"stsd"]
+        codec = None
+        for cc, ps, pe in _walk_boxes(b, ss + 8, se):
+            codec = cc.decode("ascii", "replace")
+            break
+        n_samples = None
+        if b"stsz" in found:
+            zs, _ = found[b"stsz"]
+            n_samples = _struct.unpack(">I", b[zs + 8 : zs + 12])[0]
+        if not timescale:
+            return None
+        return {
+            "container": "mp4",
+            "brand": brand,
+            "codec": codec,
+            "width": w,
+            "height": h,
+            "timescale": timescale,
+            "duration_ms": duration * 1000 // timescale,
+            "n_samples": n_samples,
+        }
+    except (IndexError, _struct.error):
+        return None
+
+
+def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
+    """The distributed frame-extraction plan: [(sample_idx, ts_ms,
+    size, absolute_byte_offset, keyframe)] from the first track's
+    stts + stsz + stsc + stco + stss tables. This is the exact unit of
+    work a 1000-executor decode fans out over — each executor range-
+    reads (offset, size) and decodes independently; no stateful scan
+    of the file. None outside the envelope."""
+    try:
+        found = _mp4_collect(b)
+        if found is None:
+            return None
+        for need in (b"stts", b"stsz", b"stsc", b"stco", b"mdhd"):
+            if need not in found:
+                return None
+        ms, _ = found[b"mdhd"]
+        version = b[ms]
+        timescale = _struct.unpack(
+            ">I", b[ms + 20 : ms + 24] if version == 1 else b[ms + 12 : ms + 16]
+        )[0]
+        if not timescale:
+            return None
+
+        ts_, _e = found[b"stts"]
+        n_runs = _struct.unpack(">I", b[ts_ + 4 : ts_ + 8])[0]
+        deltas: list[int] = []
+        off = ts_ + 8
+        for _ in range(n_runs):
+            cnt, d = _struct.unpack(">II", b[off : off + 8])
+            deltas.extend([d] * cnt)
+            off += 8
+
+        zs, _e = found[b"stsz"]
+        fixed, n = _struct.unpack(">II", b[zs + 4 : zs + 12])
+        if fixed:
+            sizes = [fixed] * n
+        else:
+            sizes = list(
+                _struct.unpack(f">{n}I", b[zs + 12 : zs + 12 + 4 * n])
+            )
+        if len(deltas) < n:
+            return None
+
+        cs, _e = found[b"stsc"]
+        n_ent = _struct.unpack(">I", b[cs + 4 : cs + 8])[0]
+        ents = [
+            _struct.unpack(">III", b[cs + 8 + 12 * i : cs + 20 + 12 * i])
+            for i in range(n_ent)
+        ]
+        os_, _e = found[b"stco"]
+        n_chunks = _struct.unpack(">I", b[os_ + 4 : os_ + 8])[0]
+        chunk_off = list(
+            _struct.unpack(f">{n_chunks}I", b[os_ + 8 : os_ + 8 + 4 * n_chunks])
+        )
+
+        sync: set[int] | None = None
+        if b"stss" in found:
+            ks, _e = found[b"stss"]
+            n_k = _struct.unpack(">I", b[ks + 4 : ks + 8])[0]
+            sync = set(
+                _struct.unpack(f">{n_k}I", b[ks + 8 : ks + 8 + 4 * n_k])
+            )
+
+        # expand stsc: per-chunk sample count
+        per_chunk: list[int] = []
+        for i, (first, spc, _desc) in enumerate(ents):
+            last = ents[i + 1][0] if i + 1 < n_ent else n_chunks + 1
+            per_chunk.extend([spc] * (last - first))
+        out = []
+        sample = 0
+        t = 0
+        for ci, co in enumerate(chunk_off):
+            acc = co
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if sample >= n:
+                    break
+                key = True if sync is None else (sample + 1) in sync
+                out.append(
+                    (sample, t * 1000 // timescale, sizes[sample], acc, key)
+                )
+                acc += sizes[sample]
+                t += deltas[sample]
+                sample += 1
+        if sample != n:
+            return None
+        return out
+    except (IndexError, _struct.error):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+VIDEO_HEADER_SCHEMA = (
+    "media_id bigint, container string, codec string, width int, height int, "
+    "n_frames int, fps_x1000 bigint, duration_ms bigint"
+)
+
+
+def parse_video_header(b: bytes) -> dict | None:
+    """Sniff + parse AVI or MP4 -> the unified header dict. fps_x1000
+    floors frames*1000000/duration_units: rate*1000//scale for AVI,
+    n*timescale*1000//duration for MP4 (exact when deltas are constant)."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        got = parse_avi(b)
+        if got is None:
+            return None
+        return {
+            "container": "avi",
+            "codec": got["codec"],
+            "width": got["width"],
+            "height": got["height"],
+            "n_frames": got["n_frames"],
+            "fps_x1000": got["rate"] * 1000 // got["scale"],
+            "duration_ms": got["duration_ms"],
+        }
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        got = parse_mp4(b)
+        if got is None:
+            return None
+        dur = got["duration_ms"]
+        n = got["n_samples"]
+        fps = None
+        if dur and n:
+            fps = n * 1000_000 // dur
+        return {
+            "container": "mp4",
+            "codec": got["codec"],
+            "width": got["width"],
+            "height": got["height"],
+            "n_frames": n,
+            "fps_x1000": fps,
+            "duration_ms": dur,
+        }
+    return None
+
+
+def extract_video_headers(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, container, codec, width, height, n_frames, fps_x1000,
+    duration_ms) via Arrow-batched mapInPandas — the video twin of
+    extract_media_headers. Unparseable payloads yield container NULL
+    rows (filter, don't crash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "container", "codec", "width", "height",
+            "n_frames", "fps_x1000", "duration_ms",
+        ]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                got = parse_video_header(bytes(row["content"] or b""))
+                if got is None:
+                    out.append((row[id_col],) + (None,) * 7)
+                else:
+                    out.append(tuple([row[id_col]] + [got[c] for c in cols[1:]]))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=VIDEO_HEADER_SCHEMA)
+
+
+FRAME_PLAN_SCHEMA = (
+    "media_id bigint, container string, frame_idx int, ts_ms bigint, "
+    "sample_size int, sample_offset bigint, keyframe boolean, selected boolean"
+)
+
+
+def _select_flags(ts_list: list[int], every_ms: int | None) -> list[bool]:
+    """First-frame-of-each-tick-bucket sampling rule: frame i is
+    selected when floor(ts/every_ms) first reaches a new bucket (frame
+    0 always). every_ms None selects everything."""
+    if every_ms is None:
+        return [True] * len(ts_list)
+    flags, prev = [], None
+    for t in ts_list:
+        bucket = t // every_ms
+        flags.append(prev is None or bucket > prev)
+        prev = bucket if prev is None or bucket > prev else prev
+    return flags
+
+
+def video_frame_plan(
+    media: DataFrame, every_ms: int | None = None, id_col: str = "media_id"
+) -> DataFrame:
+    """One row per frame/sample with its exact byte (offset, size),
+    timestamp, keyframe flag, and the ``selected`` sampling flag — the
+    plan a codec-equipped executor fleet consumes. MP4 rows come from
+    the stts/stsz/stsc/stco/stss tables; AVI rows from the movi chunk
+    walk (both supported payloads are intra-only, so keyframe is
+    True). At 100 TB this is the point: the plan is computed from
+    container metadata alone (a header-sized read), and the expensive
+    decode fans out as independent (offset, size) range reads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "container", "frame_idx", "ts_ms",
+            "sample_size", "sample_offset", "keyframe", "selected",
+        ]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["content"] or b"")
+                mid = row[id_col]
+                if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    hdr = parse_avi(b)
+                    if hdr is None:
+                        continue
+                    chunks = _avi_movi_chunks(b)
+                    ts = [
+                        i * 1000 * hdr["scale"] // hdr["rate"]
+                        for i in range(len(chunks))
+                    ]
+                    sel = _select_flags(ts, every_ms)
+                    for i, (cc, off, ln) in enumerate(chunks):
+                        out.append(
+                            (mid, "avi", i, ts[i], ln, off, True, sel[i])
+                        )
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    tbl = mp4_sample_table(b)
+                    if tbl is None:
+                        continue
+                    sel = _select_flags([r[1] for r in tbl], every_ms)
+                    for (i, t, sz, off, key), s in zip(tbl, sel):
+                        out.append((mid, "mp4", i, t, sz, off, key, s))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=FRAME_PLAN_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id bigint, frame_idx int, ts_ms bigint, width int, height int, "
+    "pixels binary"
+)
+
+
+def decode_video_frames(
+    media: DataFrame, id_col: str = "media_id", every_ms: int | None = None
+) -> DataFrame:
+    """(media_id, frame_idx, ts_ms, width, height, pixels) — REAL gray
+    pixel planes for the codec-free AVI payloads (DIB, MJPG), sampled
+    by the same first-of-bucket rule as video_frame_plan. MP4 and
+    out-of-envelope payloads yield no rows (their decode needs a codec
+    — run video_frame_plan and hand the offsets to one)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "ts_ms", "width", "height", "pixels"]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["content"] or b"")
+                got = decode_avi_frames(b)
+                if got is None:
+                    continue
+                hdr = parse_avi(b)
+                w, h, frames = got
+                ts = [
+                    i * 1000 * hdr["scale"] // hdr["rate"]
+                    for i in range(len(frames))
+                ]
+                sel = _select_flags(ts, every_ms)
+                for i, fr in enumerate(frames):
+                    if sel[i]:
+                        out.append((row[id_col], i, ts[i], w, h, fr))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def video_fingerprint(
+    media: DataFrame, id_col: str = "media_id", every_ms: int | None = None
+) -> DataFrame:
+    """(media_id, frame_idx, dhash): per-sampled-frame 64-bit dHash —
+    the video signature, hashed in the SAME Arrow pass as the decode so
+    pixel planes never ship through a shuffle. frame_idx renumbers the
+    SAMPLED frames densely (0, 1, 2, ...) so alignment offsets count
+    sampled positions — two clips sampled at the same cadence align."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for _, row in pdf.iterrows():
+                b = bytes(row["content"] or b"")
+                got = decode_avi_frames(b)
+                if got is None:
+                    continue
+                hdr = parse_avi(b)
+                w, h, frames = got
+                if w < 2 or h < 1:
+                    continue
+                ts = [
+                    i * 1000 * hdr["scale"] // hdr["rate"]
+                    for i in range(len(frames))
+                ]
+                sel = _select_flags(ts, every_ms)
+                k = 0
+                for i, fr in enumerate(frames):
+                    if not sel[i]:
+                        continue
+                    v = dhash64(fr, w, h, 1)
+                    ids.append(row[id_col])
+                    idxs.append(k)
+                    hashes.append(v - (1 << 64 if v >= 1 << 63 else 0))
+                    k += 1
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "dhash": hashes}
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id bigint, frame_idx int, dhash bigint"
+    )
+
+
+def _video_fps(subs: DataFrame) -> DataFrame:
+    """(media_id, fp): each clip's frame-ordered dHash array."""
+    return (
+        subs.groupBy("media_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("frame_idx", "dhash"))
+            ).alias("__fs")
+        )
+        .select(
+            "media_id",
+            F.transform("__fs", lambda s: s.getField("dhash")).alias("fp"),
+        )
+    )
+
+
+def _aligned_hamming(fa, fb, offset):
+    """(n_over, mean_hamming) Columns: mean per-frame Hamming distance
+    over the overlap of two dHash arrays aligned so a-frame i pairs
+    with b-frame i + offset — the 64-bit twin of multimodal._aligned_ber
+    (no mask needed: the hashes are stored as full-width longs, and
+    bit_count of the long xor IS the 64-bit popcount)."""
+    a_sl = F.slice(
+        fa,
+        F.greatest(F.lit(1), F.lit(1) - offset),
+        F.size(fa) + F.size(fb),
+    )
+    b_sl = F.slice(
+        fb,
+        F.greatest(F.lit(1), offset + F.lit(1)),
+        F.size(fa) + F.size(fb),
+    )
+    n_over = F.least(F.size(a_sl), F.size(b_sl))
+    xor_bits = F.aggregate(
+        F.zip_with(
+            F.slice(a_sl, 1, n_over),
+            F.slice(b_sl, 1, n_over),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return n_over, F.round(xor_bits / n_over.cast("double"), 6)
+
+
+def video_neardup_join(
+    media: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs (id_a < id_b, offset, n_over,
+    mean_hamming): the audio lookup-table discipline with the image
+    hash family. Each sampled frame's 64-bit dHash splits into
+    ``max_hamming + 1`` pigeonhole bit-bands (multimodal._dhash_bands);
+    candidates are (pair, alignment-offset) tuples where ANY band of
+    ANY frame pair matches exactly (one shuffle keyed by (band, value),
+    no all-pairs); each candidate verifies by the exact mean per-frame
+    Hamming distance over its aligned overlap, JVM-side. Recall
+    contract: a pair aligned at offset o with at least one aligned
+    frame within ``max_hamming`` dHash bits is ALWAYS a candidate at o
+    (pigeonhole), and survives iff its overlap mean is <= the same
+    threshold — trims and frame drops surface as non-zero offsets, the
+    audio join's alignment semantics. ``max_bucket`` is the hot-bucket
+    stop-list (a (band, value) shared by f frames mints ~f^2/2
+    candidates — black frames, test cards); the default None keeps the
+    exact candidate contract."""
+    if not (0 <= max_hamming < 64):
+        raise ValueError("need 0 <= max_hamming < 64")
+    subs = video_fingerprint(media, id_col, every_ms).localCheckpoint(
+        eager=True
+    )
+    banded = _dhash_bands(subs, max_hamming, "media_id")
+    if max_bucket is not None:
+        if max_bucket < 1:
+            raise ValueError("max_bucket must be >= 1")
+        hot = (
+            banded.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("band", "bv")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bv"], "left_anti")
+    a = banded.select(
+        F.col("media_id").alias("id_a"), F.col("frame_idx").alias("__ia"),
+        "band", "bv",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"), F.col("frame_idx").alias("__ib"),
+        "band", "bv",
+    )
+    cands = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (F.col("__ib") - F.col("__ia")).alias("offset"))
+        .distinct()
+    )
+    per_id = _video_fps(subs)
+    fa = per_id.select(F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"))
+    fb = per_id.select(F.col("media_id").alias("id_b"), F.col("fp").alias("__fb"))
+    j = cands.join(fa, "id_a").join(fb, "id_b")
+    n_over, mean_h = _aligned_hamming(F.col("__fa"), F.col("__fb"), F.col("offset"))
+    return (
+        j.where(n_over > 0)
+        .select(
+            "id_a", "id_b", "offset",
+            n_over.alias("n_over"), mean_h.alias("mean_hamming"),
+        )
+        .where(F.col("mean_hamming") <= float(max_hamming))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch history (streaming near-dup) — shares the text/image/audio
+# manifest + compaction discipline from dedup.py
+# ---------------------------------------------------------------------------
+
+
+def _video_history_rows(
+    media: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    every_ms: int | None,
+):
+    """(band, bv, idx, fp) history rows: one per frame band, carrying
+    the frame index and the owning clip's full ordered dHash array so a
+    later probe can verify the exact aligned mean Hamming — the video
+    analog of the audio history's (bh, idx, fp) layout. Also returns
+    (subs, per-clip fps) for reuse."""
+    subs = video_fingerprint(media, id_col, every_ms).localCheckpoint(
+        eager=True
+    )
+    fps = _video_fps(subs)
+    rows = (
+        _dhash_bands(subs, max_hamming, "media_id")
+        .join(fps, "media_id")
+        .select("band", "bv", F.col("frame_idx").alias("idx"), "fp")
+    )
+    return subs, fps, rows
+
+
+def video_dedup_against_history(
+    media: DataFrame,
+    state_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+    update_state: bool = False,
+) -> DataFrame:
+    """Video near-dup filter against everything EVER ingested — the
+    third media twin of dedup_against_history, sharing the manifest-
+    pointer layout and compact_history of the text/image/audio stores.
+    A new clip drops when any of its frame-band values matches a stored
+    one AND the aligned mean per-frame Hamming verifies <= max_hamming
+    (exact, cross-batch, alignment-aware — a re-ingested trim of an
+    archived clip still drops). Undecodable payloads never collide and
+    pass through.
+
+    CRASH ORDERING: same as the text twin — append AFTER the sink
+    commits (update_state=False + append_video_history)."""
+    from .dedup import _try_read_parquet, history_data_dir
+
+    spark = media.sparkSession
+    subs, fps, _ = _video_history_rows(media, id_col, max_hamming, every_ms)
+    seen = _try_read_parquet(spark, history_data_dir(spark, state_dir))
+    if seen is not None:
+        probe = _dhash_bands(subs, max_hamming, "media_id").select(
+            "media_id", F.col("frame_idx").alias("__ia"), "band", "bv"
+        )
+        cands = (
+            probe.join(seen, ["band", "bv"])
+            .select(
+                "media_id",
+                (F.col("idx") - F.col("__ia")).alias("offset"),
+                F.col("fp").alias("__fb"),
+            )
+            .distinct()
+            .join(fps.select("media_id", F.col("fp").alias("__fa")), "media_id")
+        )
+        n_over, mean_h = _aligned_hamming(
+            F.col("__fa"), F.col("__fb"), F.col("offset")
+        )
+        losers = (
+            cands.where((n_over > 0) & (mean_h <= float(max_hamming)))
+            .select("media_id")
+            .distinct()
+            .withColumnRenamed("media_id", id_col)
+        )
+        kept = media.join(losers, id_col, "left_anti")
+    else:
+        kept = media
+    kept = kept.localCheckpoint(eager=True)
+    if update_state:
+        append_video_history(kept, state_dir, max_hamming, id_col, every_ms)
+    return kept
+
+
+def append_video_history(
+    media: DataFrame,
+    state_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+) -> None:
+    """Append ``media``'s frame-band rows to the video history — split
+    out so streaming callers order it AFTER the sink write."""
+    from .dedup import history_data_dir
+
+    _, _, rows = _video_history_rows(media, id_col, max_hamming, every_ms)
+    rows.write.mode("append").parquet(
+        history_data_dir(media.sparkSession, state_dir)
+    )

@@ -1,0 +1,253 @@
+"""Video container + near-dup tests: AVI/MP4 write→parse→decode
+roundtrips, the sample-table extraction plan, the frame-sampling rule,
+the banded near-dup join's alignment + recall contract, the cross-batch
+history store, and filter-don't-crash truncation fuzzing."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.extensions.multimodal import dhash64, to_media_frame
+from fluent_bit_spark.extensions.video import (
+    _avi_movi_chunks,
+    _select_flags,
+    decode_avi_frames,
+    decode_video_frames,
+    extract_video_headers,
+    make_avi,
+    make_mp4,
+    mp4_sample_table,
+    parse_avi,
+    parse_mp4,
+    parse_video_header,
+    video_dedup_against_history,
+    video_fingerprint,
+    video_frame_plan,
+    video_neardup_join,
+)
+
+
+def _frames(seed: int, n: int = 6, w: int = 9, h: int = 8) -> list[bytes]:
+    base = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    return [np.roll(base, f, axis=1).copy().tobytes() for f in range(n)]
+
+
+def _clip(seed, n=6, flip_frame=None, trim=0, w=9, h=8, fps=10):
+    frames = []
+    for f, fr in enumerate(_frames(seed, n, w, h)):
+        g = np.frombuffer(fr, dtype=np.uint8).reshape(h, w).copy()
+        if flip_frame is not None and f == flip_frame:
+            # invert the (0,0) vs (0,1) comparison: flips dHash bit
+            # (0,0) for certain, touches at most bit (0,1) besides
+            if g[0, 1] > g[0, 0]:
+                g[0, 0], g[0, 1] = 255, 0
+            else:
+                g[0, 0], g[0, 1] = 0, 255
+        frames.append(g.tobytes())
+    return make_avi(w, h, frames[trim:], fps_num=fps)
+
+
+# ---------------------------------------------------------------- containers
+
+
+def test_avi_dib_roundtrip_exact():
+    frames = _frames(1, 5)
+    b = make_avi(9, 8, frames, fps_num=25)
+    hdr = parse_avi(b)
+    assert hdr == {
+        "container": "avi", "codec": "DIB", "width": 9, "height": 8,
+        "n_frames": 5, "rate": 25, "scale": 1, "duration_ms": 200,
+    }
+    w, h, dec = decode_avi_frames(b)
+    assert (w, h) == (9, 8) and dec == frames  # bit-exact through BGR
+
+
+def test_avi_mjpg_q100_constant_blocks_exact():
+    grid = np.random.RandomState(2).randint(0, 256, (8, 9)).astype(np.uint8)
+    big = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+    frames = [big.tobytes(), np.roll(big, 8, axis=1).tobytes()]
+    b = make_avi(72, 64, frames, fps_num=10, codec="MJPG")
+    hdr = parse_avi(b)
+    assert hdr["codec"] == "MJPG" and hdr["n_frames"] == 2
+    w, h, dec = decode_avi_frames(b)
+    assert (w, h) == (72, 64) and dec == frames
+
+
+def test_avi_fractional_fps_and_word_alignment():
+    # 30000/1001 NTSC timing; odd-length MJPG payloads force pad bytes
+    frames = _frames(3, 4)
+    b = make_avi(9, 8, frames, fps_num=30000, fps_den=1001)
+    hdr = parse_avi(b)
+    assert (hdr["rate"], hdr["scale"]) == (30000, 1001)
+    assert hdr["duration_ms"] == 4 * 1000 * 1001 // 30000
+    assert len(_avi_movi_chunks(b)) == 4
+    assert decode_avi_frames(b)[2] == frames
+
+
+def test_mp4_parse_and_sample_table():
+    deltas = [40] * 3 + [80] * 4
+    sizes = [100 + i * 10 for i in range(7)]
+    b = make_mp4(32, 24, deltas, sizes, keyframes=[1, 4, 7],
+                 timescale=1000, samples_per_chunk=3)
+    hdr = parse_mp4(b)
+    assert hdr["width"] == 32 and hdr["height"] == 24
+    assert hdr["codec"] == "mp4v" and hdr["n_samples"] == 7
+    assert hdr["duration_ms"] == sum(deltas)
+    tbl = mp4_sample_table(b)
+    assert [r[0] for r in tbl] == list(range(7))
+    # stts timing: cumulative exclusive deltas
+    assert [r[1] for r in tbl] == [0, 40, 80, 120, 200, 280, 360]
+    assert [r[2] for r in tbl] == sizes
+    # offsets: contiguous inside each 3-sample chunk, and every offset
+    # points into the deterministic mdat filler
+    for i, t, sz, off, _k in tbl:
+        assert b[off:off + 4] == bytes(
+            bytearray((j * 31 + 7) % 256 for j in range(4))
+        ) or i > 0
+    # make_mp4 packs chunks back-to-back, so offsets accumulate across
+    # the chunk boundary too — but samples 3..5 resolve through stco's
+    # SECOND chunk entry, which the boundary equality exercises
+    assert tbl[1][3] == tbl[0][3] + sizes[0]
+    assert tbl[3][3] == tbl[2][3] + sizes[2]
+    assert [r[4] for r in tbl] == [True, False, False, True, False, False, True]
+
+
+def test_mp4_no_stss_means_all_sync():
+    b = make_mp4(8, 8, [10] * 3, [5] * 3)
+    assert [r[4] for r in mp4_sample_table(b)] == [True] * 3
+
+
+def test_parse_video_header_unified():
+    avi = make_avi(9, 8, _frames(4, 3), fps_num=25)
+    mp4 = make_mp4(32, 24, [40] * 5, [50] * 5)
+    a, m = parse_video_header(avi), parse_video_header(mp4)
+    assert (a["container"], a["fps_x1000"]) == ("avi", 25000)
+    assert (m["container"], m["fps_x1000"]) == ("mp4", 25000)
+    assert parse_video_header(b"junk") is None
+    assert parse_video_header(b"") is None
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: make_avi(9, 8, _frames(5, 3)),
+    lambda: make_avi(16, 8, _frames(5, 2, w=16, h=8), codec="MJPG"),
+    lambda: make_mp4(32, 24, [40] * 4, [60] * 4, keyframes=[1]),
+])
+def test_truncation_never_raises(maker):
+    """Filter-don't-crash: every prefix of a valid payload must parse
+    to None or a dict, and decode to None or frames — never raise."""
+    b = maker()
+    for cut in range(0, len(b), 7):
+        chopped = b[:cut]
+        parse_video_header(chopped)
+        decode_avi_frames(chopped)
+        mp4_sample_table(chopped)
+
+
+def test_select_flags_rule():
+    assert _select_flags([0, 40, 80, 120, 160, 200], 100) == [
+        True, False, False, True, False, True,
+    ]
+    assert _select_flags([0, 40], None) == [True, True]
+    assert _select_flags([], 100) == []
+
+
+# ---------------------------------------------------------------- operators
+
+
+def _media(spark, rows):
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return to_media_frame(df, "media_id", F.col("content"), "video")
+
+
+def test_extract_video_headers(spark):
+    media = _media(spark, [
+        (1, make_avi(9, 8, _frames(6, 4), fps_num=25)),
+        (2, make_mp4(32, 24, [40] * 5, [50] * 5)),
+        (3, b"\x00junk"),
+    ])
+    got = {r.media_id: r for r in extract_video_headers(media).collect()}
+    assert got[1].container == "avi" and got[1].n_frames == 4
+    assert got[2].container == "mp4" and got[2].duration_ms == 200
+    assert got[3].container is None
+
+
+def test_video_frame_plan_mp4_offsets(spark):
+    b = make_mp4(32, 24, [40] * 6, [50 + i for i in range(6)],
+                 keyframes=[1, 4], samples_per_chunk=2)
+    plan = video_frame_plan(_media(spark, [(1, b)]), every_ms=100)
+    rows = sorted(plan.collect(), key=lambda r: r.frame_idx)
+    assert [r.ts_ms for r in rows] == [0, 40, 80, 120, 160, 200]
+    assert [r.selected for r in rows] == [True, False, False, True, False, True]
+    assert [r.keyframe for r in rows] == [True, False, False, True, False, False]
+    tbl = mp4_sample_table(b)
+    assert [r.sample_offset for r in rows] == [t[3] for t in tbl]
+
+
+def test_decode_video_frames_sampling(spark):
+    media = _media(spark, [(1, make_avi(9, 8, _frames(7, 6), fps_num=10))])
+    full = decode_video_frames(media)
+    assert full.count() == 6
+    sampled = decode_video_frames(media, every_ms=250)
+    # ts 0,100,...,500 at 10 fps; buckets 0,0,0,1,1,2 -> frames 0,3,5
+    assert sorted(r.frame_idx for r in sampled.collect()) == [0, 3, 5]
+    row = full.where(F.col("frame_idx") == 2).collect()[0]
+    assert bytes(row.pixels) == _frames(7, 6)[2]
+
+
+def test_video_fingerprint_matches_dhash(spark):
+    frames = _frames(8, 3)
+    media = _media(spark, [(1, make_avi(9, 8, frames))])
+    got = {r.frame_idx: r.dhash for r in video_fingerprint(media).collect()}
+    for i, fr in enumerate(frames):
+        v = dhash64(fr, 9, 8, 1)
+        assert got[i] == v - (1 << 64 if v >= 1 << 63 else 0)
+
+
+def test_video_neardup_alignment_and_recall(spark):
+    """Planted trimmed+perturbed copies must surface at offset -1 with
+    the flipped frame's <=2 changed bits in the mean; unrelated clips
+    must not pair at max_hamming=3."""
+    rows = [(i, _clip(i)) for i in range(20)]
+    # copy of clip i: drop frame 0, flip a corner pixel of (orig) frame 1
+    rows += [(100 + i, _clip(i, flip_frame=1, trim=1)) for i in range(0, 20, 5)]
+    rows.append((999, b"not a video"))
+    pairs = video_neardup_join(_media(spark, rows), max_hamming=3)
+    got = {(r.id_a, r.id_b): r for r in pairs.collect()}
+    for i in range(0, 20, 5):
+        r = got[(i, 100 + i)]
+        assert r.offset == -1 and r.n_over == 5
+        assert 0 < r.mean_hamming <= 2.0 / 5 + 1e-9
+    assert all(b - a == 100 for a, b in got)  # no spurious pairs
+
+
+def test_video_neardup_max_bucket_guard(spark):
+    """A black-frame corpus floods one (band, bv) bucket; max_bucket
+    stops it from probing while identical textured clips still pair."""
+    black = [bytes(9 * 8)] * 4
+    rows = [(i, make_avi(9, 8, black)) for i in range(12)]
+    rows += [(100, _clip(42)), (101, _clip(42))]
+    media = _media(spark, rows)
+    guarded = video_neardup_join(media, max_hamming=0, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert (100, 101) in got
+    assert not any(a < 12 and b < 12 for a, b in got)
+
+
+def test_video_history_cross_batch(spark, tmp_path):
+    d = str(tmp_path / "vhist")
+    first = _media(spark, [(i, _clip(i)) for i in range(10)])
+    kept1 = video_dedup_against_history(first, d, update_state=True)
+    assert kept1.count() == 10
+    # second batch: trims of archived clips + one fresh clip
+    second = _media(
+        spark,
+        [(200 + i, _clip(i, trim=2)) for i in range(5)] + [(300, _clip(777))],
+    )
+    kept2 = video_dedup_against_history(second, d, update_state=True)
+    assert sorted(r.media_id for r in kept2.collect()) == [300]
+    # third batch: a trim of the SECOND batch's fresh clip also drops
+    third = _media(spark, [(400, _clip(777, trim=1))])
+    assert video_dedup_against_history(third, d).count() == 0
