@@ -2070,6 +2070,325 @@ def attribution_q(spark, sf_dir):
     return out
 
 
+def video_headers_q(spark, sf_dir):
+    """Video container parsing over real codec-free fixtures: every
+    document mints one AVI (RIFF avih/strh/strf headers around DIB
+    frames) and one MP4 (ISO BMFF mvhd/tkhd/mdhd/stsd/stts/stsz boxes,
+    codec 'mp4v', constant sample delta) with dimensions, frame count,
+    and timing all derived arithmetically from doc_id — so the oracle
+    recomputes codec/width/height/n_frames/fps_x1000/duration_ms in
+    pure SQL while Spark round-trips them through the actual byte-level
+    writers and parsers (video.py make_avi/parse_avi, make_mp4/
+    parse_mp4)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.video import (
+        extract_video_headers,
+        make_avi,
+        make_mp4,
+    )
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    @pandas_udf("binary")
+    def to_avi(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            w, h = 8 + did % 4, 8
+            n = 2 + did % 3
+            fr = [
+                bytes(bytearray((did + i + j) % 256 for j in range(w * h)))
+                for i in range(n)
+            ]
+            out.append(make_avi(w, h, fr, fps_num=10 + did % 15))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def to_mp4(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            n = 3 + did % 4
+            ts = 600 * (1 + did % 3)
+            delta = 20 + did % 5
+            out.append(
+                make_mp4(
+                    16 + did % 8, 16, [delta] * n,
+                    [40 + (did + i) % 9 for i in range(n)],
+                    keyframes=list(range(1, n + 1, 2)), timescale=ts,
+                )
+            )
+        return pd.Series(out)
+
+    avi = docs.select(
+        F.col("doc_id").alias("media_id"), to_avi("doc_id").alias("content")
+    )
+    mp4 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("media_id"),
+        to_mp4("doc_id").alias("content"),
+    )
+    media = to_media_frame(
+        avi.unionByName(mp4), "media_id", F.col("content"), "video"
+    )
+    return extract_video_headers(media)
+
+
+def video_frame_plan_q(spark, sf_dir):
+    """The distributed frame-extraction plan from MP4 sample tables:
+    per document an MP4 whose stts carries TWO delta runs (first half
+    slow, second half double-speed), per-sample sizes varying mod 7,
+    keyframes at the odd samples, two samples per chunk (so stsc/stco
+    chunk resolution is exercised, not just contiguity), and 100 ms
+    first-of-bucket sampling. The oracle rebuilds every row —
+    timestamps from the two-run arithmetic, offsets as the running sum
+    of prior sizes, the selected flag from the lagged tick bucket —
+    in pure SQL. rel_offset is the byte offset within the sample data
+    region (absolute minus the first sample's), which is what the
+    SQL can state without replaying the box writer."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.video import make_mp4, video_frame_plan
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    @pandas_udf("binary")
+    def to_mp4(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            n = 4 + did % 3
+            d1 = 30 + (did % 3) * 10
+            half = n // 2
+            deltas = [d1] * half + [2 * d1] * (n - half)
+            sizes = [50 + ((did + i) % 7) * 10 for i in range(n)]
+            out.append(
+                make_mp4(
+                    16, 16, deltas, sizes,
+                    keyframes=list(range(1, n + 1, 2)),
+                    timescale=1000, samples_per_chunk=2,
+                )
+            )
+        return pd.Series(out)
+
+    media = to_media_frame(
+        docs.select(
+            F.col("doc_id").alias("media_id"), to_mp4("doc_id").alias("content")
+        ),
+        "media_id", F.col("content"), "video",
+    )
+    plan = video_frame_plan(media, every_ms=100)
+    w = Window.partitionBy("media_id")
+    return plan.select(
+        "media_id", "frame_idx", "ts_ms", "sample_size",
+        (F.col("sample_offset") - F.min("sample_offset").over(w)).alias(
+            "rel_offset"
+        ),
+        "keyframe", "selected",
+    )
+
+
+def video_neardup_q(spark, sf_dir):
+    """FRAME-level video near-dup with alignment: each embedding row
+    becomes a 6-frame 9x8 DIB AVI (frame f = the quantized-embedding
+    grid cyclically rolled f columns); every 25th vec gets a TRIMMED
+    PERTURBED copy (first frame dropped — so the true alignment offset
+    is -1 — and one dHash comparison of the next frame deterministically
+    inverted, moving at most 2 bits on 1 of the 5 overlapping frames);
+    every 50th an MJPG rendition (the same frames kron-upscaled 8x to
+    constant 8x8 blocks, quality-100 motion-JPEG — the pure-numpy codec
+    round-trips those exactly, so every frame dHash matches bit-for-bit
+    at offset 0 ACROSS codecs). video_neardup_join must surface every
+    planted pair at its true offset, and the WITNESS recomputes each
+    returned pair's aligned mean Hamming brute-force from the decoded
+    frame grids (bypassing hash packing, banding, slicing, xor and
+    bit_count) and demands equality. Truth table per planted vec:
+    found + pair_witnessed + offset_ok, mjpg_* the same for the
+    cross-codec pairs, and the global all_pairs_witnessed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import _gray_grid, to_media_frame
+    from fluent_bit_spark.extensions.video import (
+        decode_video_frames,
+        make_avi,
+        video_neardup_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _grid(v):
+        a = np.asarray(v, dtype="float64")
+        px = (np.floor(np.abs(a) * 997.0) % 256).astype(np.uint8)
+        return np.concatenate([px, px[:8]]).reshape(8, 9).copy()
+
+    def _frames(v):
+        g = _grid(v)
+        return [np.roll(g, f, axis=1).copy() for f in range(6)]
+
+    @pandas_udf("binary")
+    def to_avi(vecs: pd.Series, variant: pd.Series) -> pd.Series:
+        out = []
+        for v, var in zip(vecs, variant):
+            fr = _frames(v)
+            if var == 1:  # trimmed + perturbed copy
+                g = fr[1]
+                if g[0, 1] > g[0, 0]:
+                    g[0, 0], g[0, 1] = 255, 0
+                else:
+                    g[0, 0], g[0, 1] = 0, 255
+                fr = fr[1:]
+                out.append(make_avi(9, 8, [f.tobytes() for f in fr]))
+            elif var == 2:  # MJPG rendition, 8x constant blocks, q100
+                big = [
+                    np.kron(f, np.ones((8, 8), dtype=np.uint8)).tobytes()
+                    for f in fr
+                ]
+                out.append(make_avi(72, 64, big, codec="MJPG", quality=100))
+            else:
+                out.append(make_avi(9, 8, [f.tobytes() for f in fr]))
+        return pd.Series(out)
+
+    base = emb.select(
+        F.col("vec_id").alias("media_id"),
+        to_avi(F.col("embedding"), F.lit(0)).alias("content"),
+    )
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("media_id"),
+        to_avi(F.col("embedding"), F.lit(1)).alias("content"),
+    )
+    mjpg = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("media_id"),
+        to_avi(F.col("embedding"), F.lit(2)).alias("content"),
+    )
+    media = to_media_frame(
+        base.unionByName(copies).unionByName(mjpg),
+        "media_id", F.col("content"), "video",
+    )
+    pairs = video_neardup_join(media, max_hamming=3).localCheckpoint(
+        eager=True
+    )
+
+    clips = (
+        decode_video_frames(media)
+        .groupBy("media_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("frame_idx", "width", "height", "pixels")
+                )
+            ).alias("frames")
+        )
+    )
+
+    @pandas_udf("double")
+    def brute_mean(fa: pd.Series, fb: pd.Series, off: pd.Series) -> pd.Series:
+        out = []
+        for a, b, o in zip(fa, fb, off):
+            o = int(o)
+            bits_a = [
+                (
+                    lambda g: (g[:, 1:] > g[:, :-1])
+                )(_gray_grid(bytes(r["pixels"]), int(r["width"]),
+                             int(r["height"]), 1))
+                for r in a
+            ]
+            bits_b = [
+                (
+                    lambda g: (g[:, 1:] > g[:, :-1])
+                )(_gray_grid(bytes(r["pixels"]), int(r["width"]),
+                             int(r["height"]), 1))
+                for r in b
+            ]
+            tot = cnt = 0
+            for ia in range(len(bits_a)):
+                ib = ia + o
+                if 0 <= ib < len(bits_b):
+                    tot += int((bits_a[ia] != bits_b[ib]).sum())
+                    cnt += 1
+            out.append(round(tot / cnt, 6) if cnt else float("nan"))
+        return pd.Series(out)
+
+    wit = (
+        pairs.join(
+            F.broadcast(
+                clips.select(
+                    F.col("media_id").alias("id_a"),
+                    F.col("frames").alias("__fa"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                clips.select(
+                    F.col("media_id").alias("id_b"),
+                    F.col("frames").alias("__fb"),
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "offset", "mean_hamming",
+            brute_mean("__fa", "__fb", "offset").alias("w_m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    all_ok = (
+        wit.filter(
+            F.abs(F.col("mean_hamming") - F.col("w_m")) > 1e-9
+        ).count()
+        == 0
+    )
+    # a pair may surface at several offsets (all verified); aggregate so
+    # the truth table stays one row per planted vec
+    wit_copy = (
+        wit.where(F.col("id_b") == F.col("id_a") + 1_000_000)
+        .groupBy(F.col("id_a").alias("vec_id"))
+        .agg(
+            F.bool_and(
+                F.abs(F.col("mean_hamming") - F.col("w_m")) <= 1e-9
+            ).alias("pair_witnessed"),
+            F.bool_or(F.col("offset") == -1).alias("offset_ok"),
+        )
+    )
+    wit_mjpg = (
+        wit.where(F.col("id_b") == F.col("id_a") + 2_000_000)
+        .groupBy(F.col("id_a").alias("vec_id"))
+        .agg(
+            F.bool_and(
+                (F.abs(F.col("mean_hamming") - F.col("w_m")) <= 1e-9)
+                & (F.col("mean_hamming") == 0.0)
+            ).alias("mjpg_pair_witnessed"),
+            F.bool_or(F.col("offset") == 0).alias("mjpg_offset_ok"),
+        )
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    return (
+        planted.join(wit_copy, "vec_id", "left")
+        .join(wit_mjpg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("pair_witnessed").isNotNull().alias("found"),
+            F.coalesce("pair_witnessed", F.lit(False)).alias("pair_witnessed"),
+            F.coalesce("offset_ok", F.lit(False)).alias("offset_ok"),
+            F.col("mjpg_pair_witnessed").isNotNull().alias("mjpg_found"),
+            F.coalesce("mjpg_pair_witnessed", F.lit(False)).alias(
+                "mjpg_pair_witnessed"
+            ),
+            F.coalesce("mjpg_offset_ok", F.lit(False)).alias("mjpg_offset_ok"),
+            F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
+        )
+    )
+
+
 def _audio_wav_corpus(spark, sf_dir):
     """The audio_neardup corpus: each embedding row rendered as a real
     16-bit mono WAV (a deterministic step-wave from the quantized
@@ -4487,6 +4806,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": image_neardup_q,
         "audio_neardup": audio_neardup_q,
         "attribution": attribution_q,
+        "video_headers": video_headers_q,
+        "video_frame_plan": video_frame_plan_q,
+        "video_neardup": video_neardup_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -5642,6 +5964,49 @@ def oracle_sql() -> dict[str, str]:
         "audio_neardup": (
             "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
             "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
+        ),
+        "video_headers": (
+            "SELECT doc_id AS media_id, 'avi' AS container, 'DIB' AS codec, "
+            "CAST(8 + doc_id % 4 AS INT) AS width, 8 AS height, "
+            "CAST(2 + doc_id % 3 AS INT) AS n_frames, "
+            "CAST((10 + doc_id % 15) * 1000 AS BIGINT) AS fps_x1000, "
+            "CAST((2 + doc_id % 3) * 1000 // (10 + doc_id % 15) AS BIGINT) "
+            "AS duration_ms FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 1000000, 'mp4', 'mp4v', "
+            "CAST(16 + doc_id % 8 AS INT), 16, "
+            "CAST(3 + doc_id % 4 AS INT), "
+            "CAST((3 + doc_id % 4) * 1000000 // "
+            "((3 + doc_id % 4) * (20 + doc_id % 5) * 1000 "
+            "// (600 * (1 + doc_id % 3))) AS BIGINT), "
+            "CAST((3 + doc_id % 4) * (20 + doc_id % 5) * 1000 "
+            "// (600 * (1 + doc_id % 3)) AS BIGINT) FROM documents"
+        ),
+        "video_frame_plan": (
+            "WITH base AS (SELECT doc_id, (4 + doc_id % 3) // 2 AS half, "
+            "30 + (doc_id % 3) * 10 AS d1, i "
+            "FROM documents CROSS JOIN (SELECT unnest(range(0, 6)) AS i) gi "
+            "WHERE i < 4 + doc_id % 3), "
+            "r AS (SELECT doc_id, i, "
+            "LEAST(i, half) * d1 + GREATEST(i - half, 0) * 2 * d1 AS ts_ms, "
+            "50 + ((doc_id + i) % 7) * 10 AS sz, i % 2 = 0 AS keyframe "
+            "FROM base) "
+            "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(ts_ms AS BIGINT) AS ts_ms, CAST(sz AS INT) AS sample_size, "
+            "CAST(COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS rel_offset, keyframe, "
+            "COALESCE(ts_ms // 100 > LAG(ts_ms // 100) OVER "
+            "(PARTITION BY doc_id ORDER BY i), TRUE) AS selected FROM r"
+        ),
+        "video_neardup": (
+            "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "
+            "TRUE AS offset_ok, "
+            "vec_id % 50 = 0 AS mjpg_found, "
+            "vec_id % 50 = 0 AS mjpg_pair_witnessed, "
+            "vec_id % 50 = 0 AS mjpg_offset_ok, "
+            "TRUE AS all_pairs_witnessed "
+            "FROM embeddings WHERE vec_id % 25 = 0"
         ),
         "attribution": (
             "WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cts, "
