@@ -363,6 +363,54 @@ def audio_neardup_foreach_batch(
     return process
 
 
+def video_neardup_foreach_batch(
+    sink,
+    state_dir: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+    max_bucket: int | None = None,
+):
+    """Streaming video NEAR-dup as a foreachBatch stage — "is this clip
+    a near-dup of anything ever screened", completing the text/image/
+    audio/video history-discipline QUARTET: per micro-batch, within-
+    batch near-dups collapse (video_neardup_join, lower id survives),
+    survivors probe the (band, bv, idx, fp) frame-band history with the
+    exact aligned mean-Hamming verify (video_dedup_against_history — a
+    re-ingested TRIM of an archived clip still drops, the alignment
+    semantics), ``sink(survivors, batch_id)``, then the survivors' band
+    rows append — sink-before-state, the at-least-once replay contract.
+    ``max_bucket`` (the black-frame/test-card hot-bucket guard) passes
+    through to the within-batch join; ``every_ms`` sets the frame
+    sampling cadence for both stages (histories written at one cadence
+    must be probed at the same cadence — offsets count SAMPLED
+    positions)."""
+    from fluent_bit_spark.extensions.video import (
+        append_video_history, video_dedup_against_history,
+        video_neardup_join,
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        pairs = video_neardup_join(
+            batch_df, max_hamming, id_col,
+            every_ms=every_ms, max_bucket=max_bucket,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        within = batch_df.join(losers, id_col, "left_anti")
+        survivors = video_dedup_against_history(
+            within, state_dir, max_hamming, id_col,
+            every_ms=every_ms, update_state=False,
+        )
+        sink(survivors, batch_id)
+        append_video_history(
+            survivors, state_dir, max_hamming, id_col, every_ms
+        )
+
+    return process
+
+
 def snapshot_stream_tws(
     sdf: DataFrame,
     limit: int,

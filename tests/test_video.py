@@ -251,3 +251,62 @@ def test_video_history_cross_batch(spark, tmp_path):
     # third batch: a trim of the SECOND batch's fresh clip also drops
     third = _media(spark, [(400, _clip(777, trim=1))])
     assert video_dedup_against_history(third, d).count() == 0
+
+
+def test_video_neardup_foreach_batch_stream(spark, tmp_path):
+    """The video member of the streaming near-dup quartet: within-batch
+    near-dups collapse, a cross-batch TRIM of an archived clip drops
+    against the (band, bv, idx, fp) history with the exact aligned
+    mean-Hamming verify, unique clips land in the sink — and
+    compact_history maintains the video history unchanged (the
+    discipline is hash-family-agnostic)."""
+    import os as _os
+    import shutil
+    import time as _time
+
+    from fluent_bit_spark.extensions.dedup import compact_history
+    from fluent_bit_spark.streaming.stateful import video_neardup_foreach_batch
+
+    # batch 0: clip 1, its within-batch duplicate 2, unrelated 3
+    # batch 1: a TRIM of clip 1 (4, cross-batch, offset alignment), fresh 5
+    batches = [
+        [(1, _clip(11)), (2, _clip(11)), (3, _clip(12))],
+        [(4, _clip(11, trim=2)), (5, _clip(13))],
+    ]
+    d = tmp_path / "vid_in"
+    d.mkdir()
+    base_t = _time.time() - 1000
+    for i, batch in enumerate(batches):
+        bdir = tmp_path / f"vid_b{i}"
+        spark.createDataFrame(
+            [(mid, bytearray(px)) for mid, px in batch],
+            "media_id long, content binary",
+        ).coalesce(1).write.mode("overwrite").parquet(str(bdir))
+        part = next(p for p in _os.listdir(bdir) if p.endswith(".parquet"))
+        dst = d / f"b{i}.parquet"
+        shutil.copy(bdir / part, dst)
+        _os.utime(dst, (base_t + i, base_t + i))
+
+    got: list = []
+    sink = lambda bdf, bid: got.extend(
+        r.media_id for r in bdf.select("media_id").collect()
+    )
+    state = str(tmp_path / "vid_state")
+    sdf = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(video_neardup_foreach_batch(sink, state))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert sorted(got) == [1, 3, 5]
+    # compaction reuse, verbatim: duplicate band rows collapse, and a
+    # later trim of clip 1 still drops against the compacted history
+    n = compact_history(spark, state)
+    assert n == spark.read.parquet(state).distinct().count()
+    late = _media(spark, [(9, _clip(11, trim=1))])
+    assert video_dedup_against_history(late, state).count() == 0
