@@ -2194,33 +2194,19 @@ def video_frame_plan_q(spark, sf_dir):
     )
 
 
-def video_neardup_q(spark, sf_dir):
-    """FRAME-level video near-dup with alignment: each embedding row
-    becomes a 6-frame 9x8 DIB AVI (frame f = the quantized-embedding
-    grid cyclically rolled f columns); every 25th vec gets a TRIMMED
-    PERTURBED copy (first frame dropped — so the true alignment offset
-    is -1 — and one dHash comparison of the next frame deterministically
-    inverted, moving at most 2 bits on 1 of the 5 overlapping frames);
-    every 50th an MJPG rendition (the same frames kron-upscaled 8x to
-    constant 8x8 blocks, quality-100 motion-JPEG — the pure-numpy codec
-    round-trips those exactly, so every frame dHash matches bit-for-bit
-    at offset 0 ACROSS codecs). video_neardup_join must surface every
-    planted pair at its true offset, and the WITNESS recomputes each
-    returned pair's aligned mean Hamming brute-force from the decoded
-    frame grids (bypassing hash packing, banding, slicing, xor and
-    bit_count) and demands equality. Truth table per planted vec:
-    found + pair_witnessed + offset_ok, mjpg_* the same for the
-    cross-codec pairs, and the global all_pairs_witnessed."""
+def _video_avi_corpus(spark, sf_dir):
+    """The video_neardup corpus: per embedding a 6-frame 9x8 DIB AVI
+    (frame f = the quantized-embedding grid rolled f columns), a
+    trimmed+perturbed copy every 25th vec (media_id + 1M), and a
+    quality-100 MJPG rendition every 50th (media_id + 2M, frames
+    kron-upscaled 8x to constant blocks so the pure-numpy JPEG codec
+    round-trips them exactly)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from fluent_bit_spark.extensions.multimodal import _gray_grid, to_media_frame
-    from fluent_bit_spark.extensions.video import (
-        decode_video_frames,
-        make_avi,
-        video_neardup_join,
-    )
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+    from fluent_bit_spark.extensions.video import make_avi
 
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -2268,10 +2254,49 @@ def video_neardup_q(spark, sf_dir):
         (F.col("vec_id") + 2_000_000).alias("media_id"),
         to_avi(F.col("embedding"), F.lit(2)).alias("content"),
     )
-    media = to_media_frame(
+    return to_media_frame(
         base.unionByName(copies).unionByName(mjpg),
         "media_id", F.col("content"), "video",
     )
+
+
+def video_neardup_raw(spark, sf_dir):
+    """Bench-only bare operator: video_neardup_join on the same corpus
+    the registry query verifies — the witness harness is what the
+    oracle gate needs, not what BASELINE.md timings should include."""
+    from fluent_bit_spark.extensions.video import video_neardup_join
+
+    return video_neardup_join(_video_avi_corpus(spark, sf_dir), max_hamming=3)
+
+
+def video_neardup_q(spark, sf_dir):
+    """FRAME-level video near-dup with alignment: each embedding row
+    becomes a 6-frame 9x8 DIB AVI (frame f = the quantized-embedding
+    grid cyclically rolled f columns); every 25th vec gets a TRIMMED
+    PERTURBED copy (first frame dropped — so the true alignment offset
+    is -1 — and one dHash comparison of the next frame deterministically
+    inverted, moving at most 2 bits on 1 of the 5 overlapping frames);
+    every 50th an MJPG rendition (the same frames kron-upscaled 8x to
+    constant 8x8 blocks, quality-100 motion-JPEG — the pure-numpy codec
+    round-trips those exactly, so every frame dHash matches bit-for-bit
+    at offset 0 ACROSS codecs). video_neardup_join must surface every
+    planted pair at its true offset, and the WITNESS recomputes each
+    returned pair's aligned mean Hamming brute-force from the decoded
+    frame grids (bypassing hash packing, banding, slicing, xor and
+    bit_count) and demands equality. Truth table per planted vec:
+    found + pair_witnessed + offset_ok, mjpg_* the same for the
+    cross-codec pairs, and the global all_pairs_witnessed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import _gray_grid
+    from fluent_bit_spark.extensions.video import (
+        decode_video_frames,
+        video_neardup_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    media = _video_avi_corpus(spark, sf_dir)
     pairs = video_neardup_join(media, max_hamming=3).localCheckpoint(
         eager=True
     )

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "audio_neardup_guarded",
     "attribution",
     "robust_anomaly",
+    "video_neardup",
+    "video_frame_plan",
     "pipeline_e2e",
 ]
 
@@ -150,6 +152,7 @@ BENCH_FORMS = {
     "bm25_serve_only": entrymod.bm25_serve_only_raw,
     "ann_serve_only": entrymod.ann_serve_only_raw,
     "audio_neardup_guarded": entrymod.audio_neardup_guarded_raw,
+    "video_neardup": entrymod.video_neardup_raw,
 }
 
 # run once per session BEFORE the timed loop: build-once/serve-many

@@ -1242,6 +1242,11 @@ def _gray_grid(px: bytes, w: int, h: int, nch: int, gw: int = 9, gh: int = 8):
     """Grayscale + exact area-average downsample to a (gh, gw) grid."""
     a = _np.frombuffer(px, dtype=_np.uint8).reshape(h, w, nch).astype(_np.float64)
     gray = a.mean(axis=2)
+    if h % gh == 0 and w % gw == 0:
+        # integer cell boundaries divide evenly: the reshape mean IS the
+        # slice mean below, vectorized (the hot path — 9x8 rasters hit
+        # it as the identity, 8x-upscaled JPEG/video frames as 8x8)
+        return gray.reshape(gh, h // gh, gw, w // gw).mean(axis=(1, 3))
     # integer cell boundaries: cell (r, c) averages rows [rb[r], rb[r+1])
     rb = (_np.arange(gh + 1) * h) // gh
     cb = (_np.arange(gw + 1) * w) // gw
@@ -1260,11 +1265,10 @@ def dhash64(px: bytes, w: int, h: int, nch: int) -> int:
     grid cell changes at most 2 bits (its two adjacent comparisons)."""
     g = _gray_grid(px, w, h, nch)
     bits = (g[:, 1:] > g[:, :-1]).ravel()
-    v = 0
-    for i, b in enumerate(bits):
-        if b:
-            v |= 1 << i
-    return v
+    weights = _np.left_shift(
+        _np.uint64(1), _np.arange(64, dtype=_np.uint64)
+    )
+    return int((bits.astype(_np.uint64) * weights).sum())
 
 
 def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:

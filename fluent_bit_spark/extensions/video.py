@@ -638,12 +638,12 @@ def extract_video_headers(
         ]
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                got = parse_video_header(bytes(row["content"] or b""))
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                got = parse_video_header(bytes(content or b""))
                 if got is None:
-                    out.append((row[id_col],) + (None,) * 7)
+                    out.append((mid,) + (None,) * 7)
                 else:
-                    out.append(tuple([row[id_col]] + [got[c] for c in cols[1:]]))
+                    out.append(tuple([mid] + [got[c] for c in cols[1:]]))
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=VIDEO_HEADER_SCHEMA)
@@ -688,9 +688,8 @@ def video_frame_plan(
         ]
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                b = bytes(row["content"] or b"")
-                mid = row[id_col]
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content or b"")
                 if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     hdr = parse_avi(b)
                     if hdr is None:
@@ -736,8 +735,8 @@ def decode_video_frames(
         cols = ["media_id", "frame_idx", "ts_ms", "width", "height", "pixels"]
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                b = bytes(row["content"] or b"")
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content or b"")
                 got = decode_avi_frames(b)
                 if got is None:
                     continue
@@ -750,7 +749,7 @@ def decode_video_frames(
                 sel = _select_flags(ts, every_ms)
                 for i, fr in enumerate(frames):
                     if sel[i]:
-                        out.append((row[id_col], i, ts[i], w, h, fr))
+                        out.append((mid, i, ts[i], w, h, fr))
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
@@ -768,8 +767,8 @@ def video_fingerprint(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
-            for _, row in pdf.iterrows():
-                b = bytes(row["content"] or b"")
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content or b"")
                 got = decode_avi_frames(b)
                 if got is None:
                     continue
@@ -787,7 +786,7 @@ def video_fingerprint(
                     if not sel[i]:
                         continue
                     v = dhash64(fr, w, h, 1)
-                    ids.append(row[id_col])
+                    ids.append(mid)
                     idxs.append(k)
                     hashes.append(v - (1 << 64 if v >= 1 << 63 else 0))
                     k += 1

@@ -61,6 +61,9 @@ HEAVY = [
     # energy_floor) — the production config's alpha next to the exact one
     "audio_neardup_guarded",
     "attribution",
+    # round-9: frame-level video near-dup (banded dHash probe + aligned
+    # mean-Hamming verify)
+    "video_neardup",
 ]
 
 
