@@ -2269,6 +2269,32 @@ def video_neardup_raw(spark, sf_dir):
     return video_neardup_join(_video_avi_corpus(spark, sf_dir), max_hamming=3)
 
 
+def video_neardup_paired_raw(spark, sf_dir):
+    """Bench-only scale form: video_neardup_join with pair_probe=True —
+    the consecutive-frame probe key that collapses the uniform-corpus
+    candidate mass (the measured alpha pocket of the exact single-frame
+    contract), on the same corpus."""
+    from fluent_bit_spark.extensions.video import video_neardup_join
+
+    return video_neardup_join(
+        _video_avi_corpus(spark, sf_dir), max_hamming=3, pair_probe=True
+    )
+
+
+def video_neardup_guarded_raw(spark, sf_dir):
+    """Bench-only production-config form: video_neardup_join with the
+    max_bucket hot-band stop-list engaged — the guard for structured
+    rasters whose regular dHash bit patterns (gradients, synthetic
+    grids) mint hot (band, value) buckets. At sf3 the stop-list keeps
+    every verified pair (4800 == exact) while cutting the candidate-
+    bound verify 77.6s -> 15.7s."""
+    from fluent_bit_spark.extensions.video import video_neardup_join
+
+    return video_neardup_join(
+        _video_avi_corpus(spark, sf_dir), max_hamming=3, max_bucket=32
+    )
+
+
 def video_neardup_q(spark, sf_dir):
     """FRAME-level video near-dup with alignment: each embedding row
     becomes a 6-frame 9x8 DIB AVI (frame f = the quantized-embedding

@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "attribution",
     "robust_anomaly",
     "video_neardup",
+    "video_neardup_paired",
+    "video_neardup_guarded",
     "video_frame_plan",
     "pipeline_e2e",
 ]
@@ -153,6 +155,8 @@ BENCH_FORMS = {
     "ann_serve_only": entrymod.ann_serve_only_raw,
     "audio_neardup_guarded": entrymod.audio_neardup_guarded_raw,
     "video_neardup": entrymod.video_neardup_raw,
+    "video_neardup_paired": entrymod.video_neardup_paired_raw,
+    "video_neardup_guarded": entrymod.video_neardup_guarded_raw,
 }
 
 # run once per session BEFORE the timed loop: build-once/serve-many

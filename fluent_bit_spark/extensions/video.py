@@ -844,12 +844,70 @@ def _aligned_hamming(fa, fb, offset):
     return n_over, F.round(xor_bits / n_over.cast("double"), 6)
 
 
+def _pair_bands(subs: DataFrame, max_total: int) -> DataFrame:
+    """(media_id, frame_idx, band, bv) probe rows over the 128-bit
+    CONCATENATION of consecutive frame hashes (frame i low, frame i+1
+    high), split into ``max_total + 1`` contiguous pigeonhole bands —
+    the scale-path probe key. Rationale: single-frame 16-bit bands on a
+    large corpus fill up UNIFORMLY (E[rows per (band, value)] grows
+    linearly with total frames, so candidate pairs grow quadratically —
+    the measured alpha=0.9 pocket at 30x); the paired key widens the
+    value space to ~2^18 per band while the row count stays linear, so
+    uniform occupancy — and with it the candidate mass — collapses.
+    Pigeonhole guarantee: two aligned consecutive-frame pairs whose
+    COMBINED distance is <= max_total bits share at least one clean
+    band. Single-frame clips emit no probe rows (documented: paired
+    mode needs two sampled frames).
+
+    MEASURED CAVEAT (BASELINE.md r9): the collapse argument assumes
+    near-uniform hash bits. On STRUCTURED rasters (gradients, the
+    synthetic embedding corpus) dHash bits are spatially regular —
+    alternating patterns like 0b0101.. dominate — and consecutive-frame
+    hashes are correlated, so concatenation CONCENTRATES the key
+    distribution instead of spreading it (736-row pair buckets vs
+    211-row single buckets at sf3). For such corpora the effective
+    guard is ``max_bucket``; pair_probe pays off only when frame hashes
+    are genuinely high-entropy."""
+    if max_total < 1:
+        raise ValueError("max_total must be >= 1")
+    a = subs.select("media_id", "frame_idx", F.col("dhash").alias("__h0"))
+    b = subs.select(
+        "media_id",
+        (F.col("frame_idx") - 1).alias("frame_idx"),
+        F.col("dhash").alias("__h1"),
+    )
+    pairs = a.join(b, ["media_id", "frame_idx"])
+    bands = max_total + 1
+    bounds = [(i * 128) // bands for i in range(bands + 1)]
+
+    def seg(lo: int, hi: int):
+        if hi <= 64:
+            col = F.shiftrightunsigned(F.col("__h0"), lo)
+            width = hi - lo
+        elif lo >= 64:
+            col = F.shiftrightunsigned(F.col("__h1"), lo - 64)
+            width = hi - lo
+        else:
+            low = F.shiftrightunsigned(F.col("__h0"), lo)
+            high = F.col("__h1").bitwiseAND(F.lit((1 << (hi - 64)) - 1))
+            return low.bitwiseOR(F.shiftleft(high, 64 - lo))
+        if width >= 64:
+            return col
+        return col.bitwiseAND(F.lit((1 << width) - 1))
+
+    vals = F.array(*[seg(lo, hi) for lo, hi in zip(bounds, bounds[1:])])
+    return pairs.select(
+        "media_id", "frame_idx", F.posexplode(vals).alias("band", "bv")
+    )
+
+
 def video_neardup_join(
     media: DataFrame,
     max_hamming: int = 3,
     id_col: str = "media_id",
     every_ms: int | None = None,
     max_bucket: int | None = None,
+    pair_probe: bool = False,
 ) -> DataFrame:
     """Video near-duplicate pairs (id_a < id_b, offset, n_over,
     mean_hamming): the audio lookup-table discipline with the image
@@ -866,13 +924,25 @@ def video_neardup_join(
     audio join's alignment semantics. ``max_bucket`` is the hot-bucket
     stop-list (a (band, value) shared by f frames mints ~f^2/2
     candidates — black frames, test cards); the default None keeps the
-    exact candidate contract."""
+    exact candidate contract.
+
+    ``pair_probe`` is the SCALE path: probe on consecutive-frame pair
+    bands (_pair_bands) instead of single-frame bands. It trades the
+    recall contract down — a candidate needs two CONSECUTIVE aligned
+    frames with combined distance <= 2*max_hamming, so a pair
+    overlapping in exactly one frame is missed — and in exchange the
+    uniform-corpus candidate mass collapses (single-frame 16-bit bands
+    fill up linearly with corpus frames, going quadratic; see
+    _pair_bands). The verify stays the same exact aligned mean."""
     if not (0 <= max_hamming < 64):
         raise ValueError("need 0 <= max_hamming < 64")
     subs = video_fingerprint(media, id_col, every_ms).localCheckpoint(
         eager=True
     )
-    banded = _dhash_bands(subs, max_hamming, "media_id")
+    if pair_probe:
+        banded = _pair_bands(subs, max(2 * max_hamming, 1))
+    else:
+        banded = _dhash_bands(subs, max_hamming, "media_id")
     if max_bucket is not None:
         if max_bucket < 1:
             raise ValueError("max_bucket must be >= 1")

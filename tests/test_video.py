@@ -310,3 +310,28 @@ def test_video_neardup_foreach_batch_stream(spark, tmp_path):
     assert n == spark.read.parquet(state).distinct().count()
     late = _media(spark, [(9, _clip(11, trim=1))])
     assert video_dedup_against_history(late, state).count() == 0
+
+
+def test_video_neardup_pair_probe(spark):
+    """The scale-path probe: planted trimmed copies keep >=2 consecutive
+    aligned frames within the combined radius, so pair_probe finds them
+    at the same offsets with identical verify scores; a single-frame
+    clip emits no probe rows (the documented paired-mode contract)."""
+    rows = [(i, _clip(i)) for i in range(20)]
+    rows += [(100 + i, _clip(i, flip_frame=1, trim=1)) for i in range(0, 20, 5)]
+    media = _media(spark, rows)
+    exact = {
+        (r.id_a, r.id_b): (r.offset, r.mean_hamming)
+        for r in video_neardup_join(media, max_hamming=3).collect()
+    }
+    paired = {
+        (r.id_a, r.id_b): (r.offset, r.mean_hamming)
+        for r in video_neardup_join(
+            media, max_hamming=3, pair_probe=True
+        ).collect()
+    }
+    assert paired == exact  # here every true pair has a 2-frame run
+    # single-frame clips cannot probe in paired mode
+    single = _media(spark, [(1, _clip(50, n=1)), (2, _clip(50, n=1))])
+    assert video_neardup_join(single, 3, pair_probe=True).count() == 0
+    assert video_neardup_join(single, 3).count() == 1

@@ -64,6 +64,10 @@ HEAVY = [
     # round-9: frame-level video near-dup (banded dHash probe + aligned
     # mean-Hamming verify)
     "video_neardup",
+    # the max_bucket=32 production config next to the exact one (the
+    # audio_neardup_guarded pattern); the pair_probe form is bench-only
+    # (measured: concentrates structured hashes, BASELINE.md r9)
+    "video_neardup_guarded",
 ]
 
 
