@@ -2440,6 +2440,53 @@ def video_neardup_q(spark, sf_dir):
     )
 
 
+def video_scene_sample_q(spark, sf_dir):
+    """Shot-boundary detection + per-scene frame sampling: each document
+    mints an AVI of three PLANTED scenes (ramp-up / ramp-down /
+    alternating column rasters — consecutive-scene dHash Hamming is 64
+    and 32 by construction, within-scene 0, so threshold 16 separates
+    them DETERMINISTICALLY, no statistical margin), scene length 2 +
+    doc_id % 3 frames at 10 fps. scene_sample_plan must recover the
+    planted segmentation exactly: scene_idx = i // L, scene start at
+    L*100ms multiples, selected = each scene's first frame. The oracle
+    rebuilds every row arithmetically."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+    from fluent_bit_spark.extensions.video import make_avi, scene_sample_plan
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    @pandas_udf("binary")
+    def to_clip(ids: pd.Series) -> pd.Series:
+        up = np.tile(np.arange(9, dtype=np.uint8) * 16, (8, 1))
+        alt = np.tile(
+            np.where(np.arange(9) % 2 == 1, 200, 40).astype(np.uint8), (8, 1)
+        )
+        pats = [up.tobytes(), (128 - up).tobytes(), alt.tobytes()]
+        out = []
+        for did in ids:
+            L = 2 + int(did) % 3
+            frames = []
+            for p in pats:
+                frames.extend([p] * L)
+            out.append(make_avi(9, 8, frames, fps_num=10))
+        return pd.Series(out)
+
+    media = to_media_frame(
+        docs.select(
+            F.col("doc_id").alias("media_id"), to_clip("doc_id").alias("content")
+        ),
+        "media_id", F.col("content"), "video",
+    )
+    return scene_sample_plan(media, threshold=16).select(
+        "media_id", "scene_idx", "scene_start_ms", "frame_idx", "ts_ms",
+        "selected",
+    )
+
+
 def _audio_wav_corpus(spark, sf_dir):
     """The audio_neardup corpus: each embedding row rendered as a real
     16-bit mono WAV (a deterministic step-wave from the quantized
@@ -4696,15 +4743,20 @@ def flowcounter_q(spark, sf_dir):
 # then the 23 remaining r04-era rows; then the 25 alphabetically-first
 # r05-era rows — exactly the 50 stalest per the staleness histogram.
 #
-# ROUND-9 WINDOW: the 50 stalest again: the 2 never-driver-checked
-# round-9 additions (bm25_appended, pq_appended) lead; then the 28
-# remaining r05-era rows; then the 20 alphabetically-first r06-era rows.
+# ROUND-9 WINDOW: the 50 stalest again: the 6 never-driver-checked
+# round-9 additions (bm25_appended, pq_appended, and the four video
+# queries) lead; then the 28 remaining r05-era rows; then the 16
+# alphabetically-first r06-era rows (edit_distance_join,
+# entity_resolution, es_bulk_encode, es_bulk_roundtrip spill to the
+# next rotation).
 # The round-9 semantic changes to already-green queries (image_neardup's
 # jpeg truth columns, attribution's duplicate-conversion scaling,
 # audio_neardup's refactored verify) are re-verified by the full
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 _DRIVER_WINDOW = [
     "bm25_appended", "pq_appended",
+    "video_headers", "video_frame_plan", "video_neardup",
+    "video_scene_sample",
     "multiline_sessionize", "otel_envelope", "pack_sequences",
     "pagerank_nodes", "parser_json_props", "parser_logfmt_roundtrip",
     "parser_ltsv_roundtrip", "parser_regex_access_log",
@@ -4720,8 +4772,6 @@ _DRIVER_WINDOW = [
     "cloudwatch_shape", "cluster_balanced", "cohort_retention",
     "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
-    "edit_distance_join", "entity_resolution", "es_bulk_encode",
-    "es_bulk_roundtrip",
 ]
 
 
@@ -4860,6 +4910,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_headers": video_headers_q,
         "video_frame_plan": video_frame_plan_q,
         "video_neardup": video_neardup_q,
+        "video_scene_sample": video_scene_sample_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -6049,6 +6100,15 @@ def oracle_sql() -> dict[str, str]:
             "AS rel_offset, keyframe, "
             "COALESCE(ts_ms // 100 > LAG(ts_ms // 100) OVER "
             "(PARTITION BY doc_id ORDER BY i), TRUE) AS selected FROM r"
+        ),
+        "video_scene_sample": (
+            "WITH base AS (SELECT doc_id, 2 + doc_id % 3 AS L, i "
+            "FROM documents CROSS JOIN (SELECT unnest(range(0, 12)) AS i) gi "
+            "WHERE i < 3 * (2 + doc_id % 3)) "
+            "SELECT doc_id AS media_id, CAST(i // L AS INT) AS scene_idx, "
+            "CAST((i // L) * L * 100 AS BIGINT) AS scene_start_ms, "
+            "CAST(i AS INT) AS frame_idx, CAST(i * 100 AS BIGINT) AS ts_ms, "
+            "i % L = 0 AS selected FROM base"
         ),
         "video_neardup": (
             "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "

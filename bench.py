@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "video_neardup_paired",
     "video_neardup_guarded",
     "video_frame_plan",
+    "video_scene_sample",
     "pipeline_e2e",
 ]
 

@@ -1082,3 +1082,100 @@ def append_video_history(
     rows.write.mode("append").parquet(
         history_data_dir(media.sparkSession, state_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene segmentation — the sampling policy layer above the frame plan
+# ---------------------------------------------------------------------------
+
+
+def video_scene_cuts(
+    media: DataFrame,
+    threshold: int = 16,
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+) -> DataFrame:
+    """(media_id, frame_idx, ts_ms, prev_hamming, is_cut): shot-boundary
+    detection by perceptual-hash discontinuity — frame i is a cut when
+    the Hamming distance between its dHash and frame i-1's exceeds
+    ``threshold`` bits (frame 0 is always a cut: the first shot). A
+    hard cut moves ~half the 64 comparison bits of a dHash; motion
+    within a shot moves a handful — 16 (a quarter) is the conventional
+    operating point for difference-hash shot detection.
+
+    Everything past the decode scan is JVM-side: one window shuffle by
+    clip (lag + xor + bit_count), no Python. Pairs with
+    scene_sample_plan for the training-data sampling policy."""
+    if not (0 <= threshold <= 64):
+        raise ValueError("need 0 <= threshold <= 64")
+    from pyspark.sql import Window
+
+    subs = video_fingerprint(media, id_col, every_ms)
+    frames = decode_video_frames(media, id_col, every_ms).select(
+        id_col, "frame_idx", "ts_ms"
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = subs.withColumn("__prev", F.lag("dhash").over(w))
+    out = lagged.select(
+        "media_id",
+        "frame_idx",
+        F.when(
+            F.col("__prev").isNotNull(),
+            F.bit_count(F.col("dhash").bitwiseXOR(F.col("__prev"))),
+        ).alias("prev_hamming"),
+    ).withColumn(
+        "is_cut",
+        F.col("prev_hamming").isNull()
+        | (F.col("prev_hamming") > threshold),
+    )
+    # ts_ms rides along from the decode pass (same sampling rule, same
+    # dense renumbering as video_fingerprint)
+    ts = frames.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("frame_idx", "ts_ms"))).alias("__t")
+    ).select(
+        F.col(id_col).alias("media_id"),
+        F.posexplode(
+            F.transform("__t", lambda s: s.getField("ts_ms"))
+        ).alias("frame_idx", "ts_ms"),
+    )
+    return out.join(ts, ["media_id", "frame_idx"]).select(
+        "media_id", "frame_idx", "ts_ms", "prev_hamming", "is_cut"
+    )
+
+
+def scene_sample_plan(
+    media: DataFrame,
+    threshold: int = 16,
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+) -> DataFrame:
+    """(media_id, scene_idx, scene_start_ms, frame_idx, ts_ms,
+    selected): per-SCENE frame sampling — the training-data policy
+    (one representative frame per shot beats one per wall-clock tick:
+    a static shot contributes one frame however long it lingers, and a
+    fast cut sequence is never skipped over). scene_idx is the running
+    cut count; ``selected`` marks each scene's FIRST frame (the frame
+    at the cut — by construction the most different from what preceded
+    it). A downstream decode fans out over exactly the selected rows."""
+    from pyspark.sql import Window
+
+    cuts = video_scene_cuts(media, threshold, id_col, every_ms)
+    w = (
+        Window.partitionBy("media_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scenes = cuts.withColumn(
+        "scene_idx", F.sum(F.col("is_cut").cast("int")).over(w) - 1
+    )
+    ws = Window.partitionBy("media_id", "scene_idx").orderBy("frame_idx")
+    return scenes.select(
+        "media_id",
+        "scene_idx",
+        F.min("ts_ms").over(
+            Window.partitionBy("media_id", "scene_idx")
+        ).alias("scene_start_ms"),
+        "frame_idx",
+        "ts_ms",
+        (F.row_number().over(ws) == 1).alias("selected"),
+    )

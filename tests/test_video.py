@@ -335,3 +335,46 @@ def test_video_neardup_pair_probe(spark):
     single = _media(spark, [(1, _clip(50, n=1)), (2, _clip(50, n=1))])
     assert video_neardup_join(single, 3, pair_probe=True).count() == 0
     assert video_neardup_join(single, 3).count() == 1
+
+
+def _scene_clip(L=3, fps=10):
+    """3 planted scenes of L identical frames each: ramp-up columns
+    (dHash all-ones), ramp-down (all-zeros), alternating (0101..) —
+    consecutive-scene Hamming 64 and 32, within-scene 0."""
+    pats = []
+    up = np.tile(np.arange(9, dtype=np.uint8) * 16, (8, 1))
+    pats.append(up)
+    pats.append(128 - up)
+    alt = np.tile(
+        np.where(np.arange(9) % 2 == 1, 200, 40).astype(np.uint8), (8, 1)
+    )
+    pats.append(alt)
+    frames = []
+    for p in pats:
+        frames.extend([p.tobytes()] * L)
+    return make_avi(9, 8, frames, fps_num=fps)
+
+
+def test_video_scene_cuts_and_sample_plan(spark):
+    from fluent_bit_spark.extensions.video import (
+        scene_sample_plan,
+        video_scene_cuts,
+    )
+
+    media = _media(spark, [(1, _scene_clip(L=3))])
+    cuts = {
+        r.frame_idx: (r.prev_hamming, r.is_cut, r.ts_ms)
+        for r in video_scene_cuts(media, threshold=16).collect()
+    }
+    assert cuts[0] == (None, True, 0)
+    assert cuts[3] == (64, True, 300)
+    assert cuts[6] == (32, True, 600)
+    for i in (1, 2, 4, 5, 7, 8):
+        assert cuts[i][0] == 0 and not cuts[i][1]
+    plan = sorted(
+        scene_sample_plan(media, threshold=16).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.scene_idx for r in plan] == [0] * 3 + [1] * 3 + [2] * 3
+    assert [r.selected for r in plan] == [True, False, False] * 3
+    assert [r.scene_start_ms for r in plan] == [0] * 3 + [300] * 3 + [600] * 3
