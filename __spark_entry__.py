@@ -2487,6 +2487,74 @@ def video_scene_sample_q(spark, sf_dir):
     )
 
 
+def caption_frames_q(spark, sf_dir):
+    """Vision-language pairing: each document mints an MP4 (constant
+    100 ms samples) AND a caption track — SRT for even doc_ids, WebVTT
+    for odd (both grammars exercised at scale) — with two cues whose
+    windows derive from doc_id: cue 0 covers [0, 100 + 100*(doc_id%2)),
+    cue 1 covers [200, 400). align_captions_to_frames joins each
+    planned frame to the cue covering its timestamp (equi-join on the
+    clip + residual range filter — co-partitioned, no interval
+    machinery); the oracle replays the coverage arithmetic in SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+    from fluent_bit_spark.extensions.video import (
+        align_captions_to_frames,
+        extract_captions,
+        make_mp4,
+        video_frame_plan,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    @pandas_udf("binary")
+    def to_mp4(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_mp4(16, 16, [100] * (4 + int(d) % 3), [40] * (4 + int(d) % 3))
+                for d in ids
+            ]
+        )
+
+    @pandas_udf("string")
+    def to_track(ids: pd.Series) -> pd.Series:
+        out = []
+        for d in ids:
+            d = int(d)
+            e0 = 100 + 100 * (d % 2)
+            if d % 2 == 0:
+                out.append(
+                    f"1\n00:00:00,000 --> 00:00:00,{e0:03d}\nd{d} c0\n\n"
+                    f"2\n00:00:00,200 --> 00:00:00,400\nd{d} c1\n"
+                )
+            else:
+                out.append(
+                    "WEBVTT\n\n"
+                    f"00:00.000 --> 00:00.{e0:03d} align:start\nd{d} c0\n\n"
+                    f"00:00.200 --> 00:00.400\nd{d} c1\n"
+                )
+        return pd.Series(out)
+
+    media = to_media_frame(
+        docs.select(
+            F.col("doc_id").alias("media_id"), to_mp4("doc_id").alias("content")
+        ),
+        "media_id", F.col("content"), "video",
+    )
+    plan = video_frame_plan(media)
+    cues = extract_captions(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            to_track("doc_id").alias("caption_text"),
+        )
+    )
+    return align_captions_to_frames(cues, plan).select(
+        "media_id", "frame_idx", "ts_ms", "cue_idx", "caption"
+    )
+
+
 def _audio_wav_corpus(spark, sf_dir):
     """The audio_neardup corpus: each embedding row rendered as a real
     16-bit mono WAV (a deterministic step-wave from the quantized
@@ -4744,11 +4812,11 @@ def flowcounter_q(spark, sf_dir):
 # r05-era rows — exactly the 50 stalest per the staleness histogram.
 #
 # ROUND-9 WINDOW: the 50 stalest again: the 6 never-driver-checked
-# round-9 additions (bm25_appended, pq_appended, and the four video
-# queries) lead; then the 28 remaining r05-era rows; then the 16
-# alphabetically-first r06-era rows (edit_distance_join,
-# entity_resolution, es_bulk_encode, es_bulk_roundtrip spill to the
-# next rotation).
+# round-9 additions (bm25_appended, pq_appended, the four video
+# queries, and caption_frames) lead; then the 28 remaining r05-era
+# rows; then the 15 alphabetically-first r06-era rows (domain_mix,
+# edit_distance_join, entity_resolution, es_bulk_encode,
+# es_bulk_roundtrip spill to the next rotation).
 # The round-9 semantic changes to already-green queries (image_neardup's
 # jpeg truth columns, attribution's duplicate-conversion scaling,
 # audio_neardup's refactored verify) are re-verified by the full
@@ -4756,7 +4824,7 @@ def flowcounter_q(spark, sf_dir):
 _DRIVER_WINDOW = [
     "bm25_appended", "pq_appended",
     "video_headers", "video_frame_plan", "video_neardup",
-    "video_scene_sample",
+    "video_scene_sample", "caption_frames",
     "multiline_sessionize", "otel_envelope", "pack_sequences",
     "pagerank_nodes", "parser_json_props", "parser_logfmt_roundtrip",
     "parser_ltsv_roundtrip", "parser_regex_access_log",
@@ -4771,7 +4839,7 @@ _DRIVER_WINDOW = [
     "bm25_indexed", "c4_clean_docs", "c4_line_filter",
     "cloudwatch_shape", "cluster_balanced", "cohort_retention",
     "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
-    "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
+    "dedup_jaccard_pairs", "doc_fingerprint",
 ]
 
 
@@ -4911,6 +4979,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_plan": video_frame_plan_q,
         "video_neardup": video_neardup_q,
         "video_scene_sample": video_scene_sample_q,
+        "caption_frames": caption_frames_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -6109,6 +6178,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST((i // L) * L * 100 AS BIGINT) AS scene_start_ms, "
             "CAST(i AS INT) AS frame_idx, CAST(i * 100 AS BIGINT) AS ts_ms, "
             "i % L = 0 AS selected FROM base"
+        ),
+        "caption_frames": (
+            "WITH f AS (SELECT doc_id, i FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 6)) AS i) gi "
+            "WHERE i < 4 + doc_id % 3), "
+            "m AS (SELECT doc_id, i, i * 100 AS ts, "
+            "CASE WHEN i = 0 THEN 0 "
+            "WHEN i = 1 AND doc_id % 2 = 1 THEN 0 "
+            "WHEN i * 100 >= 200 AND i * 100 < 400 THEN 1 END AS cue "
+            "FROM f) "
+            "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(ts AS BIGINT) AS ts_ms, CAST(cue AS INT) AS cue_idx, "
+            "'d' || doc_id || ' c' || cue AS caption "
+            "FROM m WHERE cue IS NOT NULL"
         ),
         "video_neardup": (
             "SELECT vec_id, TRUE AS found, TRUE AS pair_witnessed, "

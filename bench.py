@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "video_neardup_guarded",
     "video_frame_plan",
     "video_scene_sample",
+    "caption_frames",
     "pipeline_e2e",
 ]
 

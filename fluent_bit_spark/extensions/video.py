@@ -1179,3 +1179,115 @@ def scene_sample_plan(
         "ts_ms",
         (F.row_number().over(ws) == 1).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Captions (SRT / WebVTT) — the text track next to the frame track
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_CUE_TIME = _re.compile(
+    r"(?:(\d{1,2}):)?(\d{1,2}):(\d{2})[,.](\d{3})"
+)
+_CUE_LINE = _re.compile(
+    r"(?:(?:\d{1,2}:)?\d{1,2}:\d{2}[,.]\d{3})\s*-->\s*"
+    r"(?:(?:\d{1,2}:)?\d{1,2}:\d{2}[,.]\d{3})"
+)
+
+
+def _cue_ms(tok: str) -> int:
+    m = _CUE_TIME.match(tok)
+    h = int(m.group(1) or 0)
+    return ((h * 60 + int(m.group(2))) * 60 + int(m.group(3))) * 1000 + int(
+        m.group(4)
+    )
+
+
+def parse_captions(text: str) -> list[tuple[int, int, int, str]]:
+    """SRT or WebVTT -> [(cue_idx, start_ms, end_ms, caption)]. Both
+    formats are cue blocks separated by blank lines; SRT leads each
+    block with a numeric counter and uses ',' millisecond separators,
+    WebVTT opens with a 'WEBVTT' header, allows '.' separators, short
+    MM:SS.mmm times, cue ids, and settings after the end timestamp —
+    all tolerated by the shared grammar here. Malformed blocks are
+    skipped (filter, don't crash); cue_idx renumbers surviving cues
+    densely in file order."""
+    if not text:
+        return []
+    body = text.lstrip("﻿")
+    lines_iter = body.splitlines()
+    if lines_iter and lines_iter[0].startswith("WEBVTT"):
+        body = "\n".join(lines_iter[1:])
+    cues: list[tuple[int, int, int, str]] = []
+    for blk in _re.split(r"\r?\n\s*\r?\n+", body.strip()):
+        lines = blk.splitlines()
+        ti = next(
+            (i for i, ln in enumerate(lines) if _CUE_LINE.search(ln)), None
+        )
+        if ti is None:
+            continue
+        times = _CUE_TIME.findall(lines[ti])
+        if len(times) < 2:
+            continue
+        parts = _re.split(r"-->", lines[ti])
+        try:
+            start = _cue_ms(_CUE_TIME.search(parts[0]).group(0))
+            end = _cue_ms(_CUE_TIME.search(parts[1]).group(0))
+        except (AttributeError, IndexError):
+            continue
+        if end < start:
+            continue
+        caption = "\n".join(lines[ti + 1 :]).strip()
+        cues.append((len(cues), start, end, caption))
+    return cues
+
+
+CAPTIONS_SCHEMA = (
+    "media_id bigint, cue_idx int, start_ms bigint, end_ms bigint, "
+    "caption string"
+)
+
+
+def extract_captions(
+    df: DataFrame, id_col: str = "media_id", text_col: str = "caption_text"
+) -> DataFrame:
+    """(media_id, cue_idx, start_ms, end_ms, caption) from a string
+    column of SRT/WebVTT payloads — Arrow-batched mapInPandas, one
+    output row per cue, none for unparseable payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "cue_idx", "start_ms", "end_ms", "caption"]
+        for pdf in batches:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                for idx, s, e, cap in parse_captions(text or ""):
+                    out.append((mid, idx, s, e, cap))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=CAPTIONS_SCHEMA)
+
+
+def align_captions_to_frames(
+    captions: DataFrame, plan: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(frame rows) x (cue covering the frame's timestamp): the
+    vision-language pairing step — each planned frame joins the caption
+    whose [start_ms, end_ms) interval contains its ts_ms. The join is
+    an EQUI-join on the media id with the interval as a residual range
+    filter, so both sides co-partition by clip and no interval-join
+    machinery (or worse, a cartesian) is involved; frames with no
+    covering cue drop (inner semantics — emit the plan separately if
+    uncovered frames matter)."""
+    c = captions.select(
+        F.col(id_col),
+        F.col("cue_idx"),
+        F.col("start_ms").alias("__cs"),
+        F.col("end_ms").alias("__ce"),
+        F.col("caption"),
+    )
+    return (
+        plan.join(c, id_col)
+        .where((F.col("ts_ms") >= F.col("__cs")) & (F.col("ts_ms") < F.col("__ce")))
+        .drop("__cs", "__ce")
+    )

@@ -378,3 +378,55 @@ def test_video_scene_cuts_and_sample_plan(spark):
     assert [r.scene_idx for r in plan] == [0] * 3 + [1] * 3 + [2] * 3
     assert [r.selected for r in plan] == [True, False, False] * 3
     assert [r.scene_start_ms for r in plan] == [0] * 3 + [300] * 3 + [600] * 3
+
+
+def test_parse_captions_srt_and_vtt():
+    from fluent_bit_spark.extensions.video import parse_captions
+
+    srt = (
+        "1\n00:00:00,000 --> 00:00:02,500\nhello world\n\n"
+        "2\n00:00:03,000 --> 00:00:05,000\nsecond cue\ncontinued\n"
+    )
+    assert parse_captions(srt) == [
+        (0, 0, 2500, "hello world"),
+        (1, 3000, 5000, "second cue\ncontinued"),
+    ]
+    vtt = (
+        "WEBVTT\n\nintro\n00:00.000 --> 00:02.500 align:start\nhello vtt\n\n"
+        "00:00:03.000 --> 00:00:05.000\nsecond\n"
+    )
+    assert parse_captions(vtt) == [
+        (0, 0, 2500, "hello vtt"),
+        (1, 3000, 5000, "second"),
+    ]
+    # malformed blocks skip; inverted intervals skip; empty input empty
+    assert parse_captions("no cue here\n\n99\nnot a time\ntext") == []
+    assert parse_captions("1\n00:00:05,000 --> 00:00:01,000\nbackwards") == []
+    assert parse_captions("") == []
+
+
+def test_align_captions_to_frames(spark):
+    from fluent_bit_spark.extensions.video import (
+        align_captions_to_frames,
+        extract_captions,
+    )
+
+    plan = _media(
+        spark, [(1, make_mp4(16, 16, [100] * 5, [40] * 5))]
+    )
+    from fluent_bit_spark.extensions.video import video_frame_plan
+
+    frames = video_frame_plan(plan)
+    caps = spark.createDataFrame(
+        [(1, "1\n00:00:00,000 --> 00:00:00,250\nfirst\n\n"
+             "2\n00:00:00,300 --> 00:00:00,450\nsecond\n")],
+        "media_id long, caption_text string",
+    )
+    cues = extract_captions(caps)
+    got = {
+        r.frame_idx: (r.cue_idx, r.caption)
+        for r in align_captions_to_frames(cues, frames).collect()
+    }
+    # frames at 0,100,200,300,400: cue0 covers [0,250), cue1 [300,450)
+    assert got == {0: (0, "first"), 1: (0, "first"), 2: (0, "first"),
+                   3: (1, "second"), 4: (1, "second")}
