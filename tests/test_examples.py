@@ -306,3 +306,23 @@ def test_event_stream_pipeline_single_query_matches_two_query(spark):
     two = esp.run(spark, in_dir)
     one = esp.run_single(spark, in_dir)
     assert one == two
+
+
+def test_media_pipeline_example(spark):
+    """The media-quartet composition: trimmed duplicates drop in the
+    near-dup stage, every survivor yields exactly two planted shots,
+    and every per-scene representative frame pairs with the cue
+    covering its timestamp — the counts interlock."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import media_pipeline
+
+    counts = media_pipeline.run(spark, "/root/testdata/sf0.001")
+    assert counts["input_clips"] == 550  # 500 + 50 trimmed dups
+    assert counts["parseable"] == 550
+    assert counts["after_dedup"] == 500  # every trim collapsed
+    assert counts["scenes"] == 1000  # two planted shots per survivor
+    assert counts["rep_frames"] == 1000  # one representative per shot
+    assert counts["training_pairs"] == 1000  # every frame captioned
