@@ -2555,6 +2555,47 @@ def caption_frames_q(spark, sf_dir):
     )
 
 
+def tar_shard_roundtrip_q(spark, sf_dir):
+    """WebDataset-layout terminal step: every document becomes a
+    two-member sample (<key>.txt = the text, <key>.cls = the label
+    digit), written into 16 deterministic tar shards (stdlib tarfile,
+    mtime-0 reproducible bytes, tmp+rename publication, same-key
+    co-location by hash-of-key) and read BACK through the binaryFile
+    source — the output is the re-read member table (key, ext, n_bytes,
+    md5), which the oracle recomputes from the documents table alone,
+    so a corrupted write, a lost member, or a content mutation anywhere
+    in the tar cycle hash-fails the row."""
+    import tempfile
+
+    from fluent_bit_spark.extensions.shards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    members = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        F.lit("txt").alias("ext"),
+        F.encode("text", "UTF-8").alias("content"),
+    ).unionByName(
+        docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+            F.lit("cls").alias("ext"),
+            F.encode((F.col("doc_id") % 10).cast("string"), "UTF-8").alias(
+                "content"
+            ),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="fbs_tar_shards_")
+    write_tar_shards(members, out_dir, 16).collect()  # materialize the write
+    back = read_tar_shards(spark, out_dir)
+    return back.select(
+        "key", "ext",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def _audio_wav_corpus(spark, sf_dir):
     """The audio_neardup corpus: each embedding row rendered as a real
     16-bit mono WAV (a deterministic step-wave from the quantized
@@ -4813,10 +4854,11 @@ def flowcounter_q(spark, sf_dir):
 #
 # ROUND-9 WINDOW: the 50 stalest again: the 6 never-driver-checked
 # round-9 additions (bm25_appended, pq_appended, the four video
-# queries, and caption_frames) lead; then the 28 remaining r05-era
-# rows; then the 15 alphabetically-first r06-era rows (domain_mix,
-# edit_distance_join, entity_resolution, es_bulk_encode,
-# es_bulk_roundtrip spill to the next rotation).
+# queries, caption_frames, and tar_shard_roundtrip) lead; then the 28
+# remaining r05-era rows; then the 14 alphabetically-first r06-era
+# rows (doc_fingerprint, domain_mix, edit_distance_join,
+# entity_resolution, es_bulk_encode, es_bulk_roundtrip spill to the
+# next rotation).
 # The round-9 semantic changes to already-green queries (image_neardup's
 # jpeg truth columns, attribution's duplicate-conversion scaling,
 # audio_neardup's refactored verify) are re-verified by the full
@@ -4824,7 +4866,7 @@ def flowcounter_q(spark, sf_dir):
 _DRIVER_WINDOW = [
     "bm25_appended", "pq_appended",
     "video_headers", "video_frame_plan", "video_neardup",
-    "video_scene_sample", "caption_frames",
+    "video_scene_sample", "caption_frames", "tar_shard_roundtrip",
     "multiline_sessionize", "otel_envelope", "pack_sequences",
     "pagerank_nodes", "parser_json_props", "parser_logfmt_roundtrip",
     "parser_ltsv_roundtrip", "parser_regex_access_log",
@@ -4839,7 +4881,7 @@ _DRIVER_WINDOW = [
     "bm25_indexed", "c4_clean_docs", "c4_line_filter",
     "cloudwatch_shape", "cluster_balanced", "cohort_retention",
     "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
-    "dedup_jaccard_pairs", "doc_fingerprint",
+    "dedup_jaccard_pairs",
 ]
 
 
@@ -4980,6 +5022,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": video_neardup_q,
         "video_scene_sample": video_scene_sample_q,
         "caption_frames": caption_frames_q,
+        "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
         "otlp_logs_roundtrip": otlp_logs_roundtrip,
@@ -6178,6 +6221,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST((i // L) * L * 100 AS BIGINT) AS scene_start_ms, "
             "CAST(i AS INT) AS frame_idx, CAST(i * 100 AS BIGINT) AS ts_ms, "
             "i % L = 0 AS selected FROM base"
+        ),
+        "tar_shard_roundtrip": (
+            "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key, 'txt' AS ext, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS content_md5 FROM documents "
+            "UNION ALL "
+            "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
+            "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
+            "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
         ),
         "caption_frames": (
             "WITH f AS (SELECT doc_id, i FROM documents "

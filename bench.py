@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "video_frame_plan",
     "video_scene_sample",
     "caption_frames",
+    "tar_shard_roundtrip",
     "pipeline_e2e",
 ]
 
