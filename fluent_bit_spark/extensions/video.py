@@ -508,23 +508,31 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
         if not timescale:
             return None
 
-        ts_, _e = found[b"stts"]
-        n_runs = _struct.unpack(">I", b[ts_ + 4 : ts_ + 8])[0]
-        deltas: list[int] = []
-        off = ts_ + 8
-        for _ in range(n_runs):
-            cnt, d = _struct.unpack(">II", b[off : off + 8])
-            deltas.extend([d] * cnt)
-            off += 8
-
+        # read the AUTHORITATIVE sample count first: every run-length
+        # expansion below is bounded by it, so adversarial counts in
+        # stts/stsc can demand at most n-sized lists, never gigabytes
+        # (untrusted-container hardening — fuzz-found)
         zs, _e = found[b"stsz"]
         fixed, n = _struct.unpack(">II", b[zs + 4 : zs + 12])
+        if n > (len(b) // 4 if fixed else (_e - zs - 12) // 4 + 1):
+            return None  # claims more samples than the box can hold
         if fixed:
             sizes = [fixed] * n
         else:
             sizes = list(
                 _struct.unpack(f">{n}I", b[zs + 12 : zs + 12 + 4 * n])
             )
+
+        ts_, _e = found[b"stts"]
+        n_runs = _struct.unpack(">I", b[ts_ + 4 : ts_ + 8])[0]
+        if ts_ + 8 + 8 * n_runs > _e:
+            return None
+        deltas: list[int] = []
+        off = ts_ + 8
+        for _ in range(n_runs):
+            cnt, d = _struct.unpack(">II", b[off : off + 8])
+            deltas.extend([d] * min(cnt, n + 1 - len(deltas)))
+            off += 8
         if len(deltas) < n:
             return None
 
@@ -548,11 +556,18 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
                 _struct.unpack(f">{n_k}I", b[ks + 8 : ks + 8 + 4 * n_k])
             )
 
-        # expand stsc: per-chunk sample count
+        # expand stsc: per-chunk sample count (first_chunk values are
+        # untrusted — clamp the expansion to the stco chunk count so a
+        # hostile entry can't demand a 2^32-item list)
         per_chunk: list[int] = []
         for i, (first, spc, _desc) in enumerate(ents):
             last = ents[i + 1][0] if i + 1 < n_ent else n_chunks + 1
+            last = min(last, n_chunks + 1)
+            if first < 1 or last < first:
+                return None
             per_chunk.extend([spc] * (last - first))
+            if len(per_chunk) > n_chunks:
+                return None
         out = []
         sample = 0
         t = 0

@@ -691,3 +691,77 @@ def test_warc_roundtrip_random_records(spark, uri, status, ctype, body, crlf):
     assert r.http_status == status
     assert r.content_type == ctype
     assert r.body == body
+
+
+# --- round-9 media parsers: fuzz + roundtrip properties -------------------
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.binary(max_size=400))
+def test_video_parsers_never_raise(data):
+    """Filter-don't-crash over ARBITRARY bytes (not just truncations of
+    valid payloads): every video-side parser returns a value or None."""
+    from fluent_bit_spark.extensions.video import (
+        decode_avi_frames,
+        mp4_sample_table,
+        parse_avi,
+        parse_mp4,
+        parse_video_header,
+    )
+
+    parse_video_header(data)
+    parse_avi(data)
+    parse_mp4(data)
+    mp4_sample_table(data)
+    decode_avi_frames(data)
+    # prefixing valid magic must not change the no-raise contract
+    for magic in (b"RIFF\x10\x00\x00\x00AVI ", b"\x00\x00\x00\x10ftyp"):
+        parse_video_header(magic + data)
+        decode_avi_frames(magic + data)
+        mp4_sample_table(magic + data)
+
+
+@given(text=st.text(max_size=300))
+def test_parse_captions_never_raises(text):
+    from fluent_bit_spark.extensions.video import parse_captions
+
+    got = parse_captions(text)
+    for idx, start, end, _cap in got:
+        assert 0 <= start <= end
+
+
+@given(
+    cues=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3_599_000),  # start ms
+            st.integers(min_value=0, max_value=60_000),  # duration ms
+            st.from_regex(r"[A-Za-z0-9 ,.!?]{1,40}", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    vtt=st.booleans(),
+)
+def test_caption_format_roundtrip(cues, vtt):
+    """render(cues) -> parse == cues for both grammars."""
+    from fluent_bit_spark.extensions.video import parse_captions
+
+    def fmt(ms, sep):
+        h, rem = divmod(ms, 3_600_000)
+        m, rem = divmod(rem, 60_000)
+        s, milli = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}{sep}{milli:03d}"
+
+    sep = "." if vtt else ","
+    blocks = []
+    for i, (start, dur, text) in enumerate(cues):
+        head = "" if vtt else f"{i + 1}\n"
+        blocks.append(
+            f"{head}{fmt(start, sep)} --> {fmt(start + dur, sep)}\n{text}"
+        )
+    payload = ("WEBVTT\n\n" if vtt else "") + "\n\n".join(blocks) + "\n"
+    got = parse_captions(payload)
+    assert got == [
+        (i, start, start + dur, text.strip())
+        for i, (start, dur, text) in enumerate(cues)
+    ]
