@@ -773,15 +773,17 @@ def decode_video_frames(
 def video_fingerprint(
     media: DataFrame, id_col: str = "media_id", every_ms: int | None = None
 ) -> DataFrame:
-    """(media_id, frame_idx, dhash): per-sampled-frame 64-bit dHash —
-    the video signature, hashed in the SAME Arrow pass as the decode so
-    pixel planes never ship through a shuffle. frame_idx renumbers the
-    SAMPLED frames densely (0, 1, 2, ...) so alignment offsets count
-    sampled positions — two clips sampled at the same cadence align."""
+    """(media_id, frame_idx, ts_ms, dhash): per-sampled-frame 64-bit
+    dHash — the video signature, hashed in the SAME Arrow pass as the
+    decode so pixel planes never ship through a shuffle (and timestamps
+    ride along, so scene segmentation needs no second decode pass).
+    frame_idx renumbers the SAMPLED frames densely (0, 1, 2, ...) so
+    alignment offsets count sampled positions — two clips sampled at
+    the same cadence align."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
+            ids, idxs, tss, hashes = [], [], [], []
             for mid, content in zip(pdf[id_col], pdf["content"]):
                 b = bytes(content or b"")
                 got = decode_avi_frames(b)
@@ -803,14 +805,20 @@ def video_fingerprint(
                     v = dhash64(fr, w, h, 1)
                     ids.append(mid)
                     idxs.append(k)
+                    tss.append(ts[i])
                     hashes.append(v - (1 << 64 if v >= 1 << 63 else 0))
                     k += 1
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "dhash": hashes}
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "dhash": hashes,
+                }
             )
 
     return media.mapInPandas(
-        run, schema="media_id bigint, frame_idx int, dhash bigint"
+        run, schema="media_id bigint, frame_idx int, ts_ms bigint, dhash bigint"
     )
 
 
@@ -1125,15 +1133,14 @@ def video_scene_cuts(
         raise ValueError("need 0 <= threshold <= 64")
     from pyspark.sql import Window
 
+    # ts_ms rides along in the fingerprint rows — ONE decode pass
     subs = video_fingerprint(media, id_col, every_ms)
-    frames = decode_video_frames(media, id_col, every_ms).select(
-        id_col, "frame_idx", "ts_ms"
-    )
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     lagged = subs.withColumn("__prev", F.lag("dhash").over(w))
-    out = lagged.select(
+    return lagged.select(
         "media_id",
         "frame_idx",
+        "ts_ms",
         F.when(
             F.col("__prev").isNotNull(),
             F.bit_count(F.col("dhash").bitwiseXOR(F.col("__prev"))),
@@ -1142,19 +1149,6 @@ def video_scene_cuts(
         "is_cut",
         F.col("prev_hamming").isNull()
         | (F.col("prev_hamming") > threshold),
-    )
-    # ts_ms rides along from the decode pass (same sampling rule, same
-    # dense renumbering as video_fingerprint)
-    ts = frames.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("frame_idx", "ts_ms"))).alias("__t")
-    ).select(
-        F.col(id_col).alias("media_id"),
-        F.posexplode(
-            F.transform("__t", lambda s: s.getField("ts_ms"))
-        ).alias("frame_idx", "ts_ms"),
-    )
-    return out.join(ts, ["media_id", "frame_idx"]).select(
-        "media_id", "frame_idx", "ts_ms", "prev_hamming", "is_cut"
     )
 
 
