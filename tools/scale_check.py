@@ -68,6 +68,10 @@ HEAVY = [
     # audio_neardup_guarded pattern); the pair_probe form is bench-only
     # (measured: concentrates structured hashes, BASELINE.md r9)
     "video_neardup_guarded",
+    # round-9 scan-shaped additions: linear by design, measured to prove it
+    "video_scene_sample",
+    "caption_frames",
+    "tar_shard_roundtrip",
 ]
 
 
