@@ -2487,6 +2487,63 @@ def video_scene_sample_q(spark, sf_dir):
     )
 
 
+def mkv_headers_q(spark, sf_dir):
+    """Matroska/WebM (EBML) header parsing: every document mints one
+    matroska clip (V_UNCOMPRESSED) and one webm clip (V_VP9) with
+    dimensions and duration derived from doc_id — and the webm fixture
+    stores its Duration float under a NON-default TimecodeScale (100 us
+    units), so the parser's TimecodeScale * Duration reconstruction is
+    exercised, not just the default path. The oracle recomputes every
+    field arithmetically."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+    from fluent_bit_spark.extensions.video import (
+        extract_video_headers,
+        make_mkv,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    @pandas_udf("binary")
+    def to_mkv(ids: pd.Series, webm: pd.Series) -> pd.Series:
+        out = []
+        for d, wb in zip(ids, webm):
+            d = int(d)
+            if wb:
+                out.append(
+                    make_mkv(
+                        320 + d % 16, 180 + d % 9, 1000 + d % 7 * 250,
+                        codec_id="V_VP9", doctype="webm",
+                        timecode_scale=100_000,
+                    )
+                )
+            else:
+                out.append(
+                    make_mkv(
+                        8 + d % 4, 8, 100 * (2 + d % 5),
+                        codec_id="V_UNCOMPRESSED",
+                    )
+                )
+        return pd.Series(out)
+
+    mk = docs.select(
+        F.col("doc_id").alias("media_id"),
+        to_mkv("doc_id", F.lit(False)).alias("content"),
+    )
+    wb = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("media_id"),
+        to_mkv("doc_id", F.lit(True)).alias("content"),
+    )
+    media = to_media_frame(
+        mk.unionByName(wb), "media_id", F.col("content"), "video"
+    )
+    return extract_video_headers(media).select(
+        "media_id", "container", "codec", "width", "height", "duration_ms"
+    )
+
+
 def caption_frames_q(spark, sf_dir):
     """Vision-language pairing: each document mints an MP4 (constant
     100 ms samples) AND a caption track — SRT for even doc_ids, WebVTT
@@ -4854,11 +4911,11 @@ def flowcounter_q(spark, sf_dir):
 #
 # ROUND-9 WINDOW: the 50 stalest again: the 6 never-driver-checked
 # round-9 additions (bm25_appended, pq_appended, the four video
-# queries, caption_frames, and tar_shard_roundtrip) lead; then the 28
-# remaining r05-era rows; then the 14 alphabetically-first r06-era
-# rows (doc_fingerprint, domain_mix, edit_distance_join,
-# entity_resolution, es_bulk_encode, es_bulk_roundtrip spill to the
-# next rotation).
+# queries, caption_frames, tar_shard_roundtrip, and mkv_headers)
+# lead; then the 28 remaining r05-era rows; then the 13
+# alphabetically-first r06-era rows (dedup_jaccard_pairs,
+# doc_fingerprint, domain_mix, edit_distance_join, entity_resolution,
+# es_bulk_encode, es_bulk_roundtrip spill to the next rotation).
 # The round-9 semantic changes to already-green queries (image_neardup's
 # jpeg truth columns, attribution's duplicate-conversion scaling,
 # audio_neardup's refactored verify) are re-verified by the full
@@ -4867,6 +4924,7 @@ _DRIVER_WINDOW = [
     "bm25_appended", "pq_appended",
     "video_headers", "video_frame_plan", "video_neardup",
     "video_scene_sample", "caption_frames", "tar_shard_roundtrip",
+    "mkv_headers",
     "multiline_sessionize", "otel_envelope", "pack_sequences",
     "pagerank_nodes", "parser_json_props", "parser_logfmt_roundtrip",
     "parser_ltsv_roundtrip", "parser_regex_access_log",
@@ -4881,7 +4939,6 @@ _DRIVER_WINDOW = [
     "bm25_indexed", "c4_clean_docs", "c4_line_filter",
     "cloudwatch_shape", "cluster_balanced", "cohort_retention",
     "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
-    "dedup_jaccard_pairs",
 ]
 
 
@@ -5022,6 +5079,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": video_neardup_q,
         "video_scene_sample": video_scene_sample_q,
         "caption_frames": caption_frames_q,
+        "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
         "splunk_hec_shape": splunk_hec_shape,
@@ -6221,6 +6279,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST((i // L) * L * 100 AS BIGINT) AS scene_start_ms, "
             "CAST(i AS INT) AS frame_idx, CAST(i * 100 AS BIGINT) AS ts_ms, "
             "i % L = 0 AS selected FROM base"
+        ),
+        "mkv_headers": (
+            "SELECT doc_id AS media_id, 'matroska' AS container, "
+            "'V_UNCOMPRESSED' AS codec, CAST(8 + doc_id % 4 AS INT) AS width, "
+            "8 AS height, CAST(100 * (2 + doc_id % 5) AS BIGINT) AS duration_ms "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 1000000, 'webm', 'V_VP9', "
+            "CAST(320 + doc_id % 16 AS INT), CAST(180 + doc_id % 9 AS INT), "
+            "CAST(1000 + doc_id % 7 * 250 AS BIGINT) FROM documents"
         ),
         "tar_shard_roundtrip": (
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key, 'txt' AS ext, "

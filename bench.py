@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "video_scene_sample",
     "caption_frames",
     "tar_shard_roundtrip",
+    "mkv_headers",
     "pipeline_e2e",
 ]
 

@@ -635,6 +635,21 @@ def parse_video_header(b: bytes) -> dict | None:
             "fps_x1000": fps,
             "duration_ms": dur,
         }
+    if b[:4] == b"\x1aE\xdf\xa3":
+        got = parse_mkv(b)
+        if got is None:
+            return None
+        return {
+            # the doctype IS the container flavor (matroska vs webm)
+            "container": got["doctype"],
+            "codec": got["codec"],
+            "width": got["width"],
+            "height": got["height"],
+            # frame count / rate live in clusters, not the header
+            "n_frames": None,
+            "fps_x1000": None,
+            "duration_ms": got["duration_ms"],
+        }
     return None
 
 
@@ -1300,3 +1315,185 @@ def align_captions_to_frames(
         .where((F.col("ts_ms") >= F.col("__cs")) & (F.col("ts_ms") < F.col("__ce")))
         .drop("__cs", "__ce")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML) — the third container family
+# ---------------------------------------------------------------------------
+
+# EBML element ids (public Matroska spec)
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMECODE_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+_MKV_MASTERS = {_EBML_HEADER, _MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS,
+                _MKV_TRACK_ENTRY, _MKV_VIDEO}
+
+
+def _ebml_id_bytes(eid: int) -> bytes:
+    out = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return out
+
+
+def _ebml_size(n: int) -> bytes:
+    """EBML variable-length size: leading-1 marker in the first byte."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            v = n | (1 << (7 * length))
+            return v.to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    return _ebml_id_bytes(eid) + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def make_mkv(
+    w: int,
+    h: int,
+    duration_ms: int,
+    codec_id: str = "V_UNCOMPRESSED",
+    timecode_scale: int = 1_000_000,
+    doctype: str = "matroska",
+) -> bytes:
+    """Minimal Matroska/WebM writer — fixture support for the EBML
+    parser: EBML header (DocType), Segment(Info(TimecodeScale,
+    Duration), Tracks(TrackEntry(video, CodecID, PixelWidth/Height))).
+    Duration is stored per the spec as a float in TimecodeScale units
+    (default 1 ms units)."""
+    header = _ebml_elem(
+        _EBML_HEADER, _ebml_elem(_EBML_DOCTYPE, doctype.encode())
+    )
+    dur_units = duration_ms * 1_000_000 / timecode_scale
+    info = _ebml_elem(
+        _MKV_INFO,
+        _ebml_elem(_MKV_TIMECODE_SCALE, _ebml_uint(timecode_scale))
+        + _ebml_elem(_MKV_DURATION, _struct.pack(">d", dur_units)),
+    )
+    video = _ebml_elem(
+        _MKV_VIDEO,
+        _ebml_elem(_MKV_PIXEL_W, _ebml_uint(w))
+        + _ebml_elem(_MKV_PIXEL_H, _ebml_uint(h)),
+    )
+    track = _ebml_elem(
+        _MKV_TRACK_ENTRY,
+        _ebml_elem(_MKV_TRACK_TYPE, _ebml_uint(1))
+        + _ebml_elem(_MKV_CODEC_ID, codec_id.encode())
+        + video,
+    )
+    segment = _ebml_elem(
+        _MKV_SEGMENT, info + _ebml_elem(_MKV_TRACKS, track)
+    )
+    return header + segment
+
+
+def _ebml_read_id(b: bytes, off: int) -> tuple[int, int] | None:
+    if off >= len(b):
+        return None
+    first = b[off]
+    for length in range(1, 5):
+        if first & (0x100 >> length):
+            if off + length > len(b):
+                return None
+            return int.from_bytes(b[off : off + length], "big"), off + length
+    return None
+
+
+def _ebml_read_size(b: bytes, off: int) -> tuple[int, int] | None:
+    if off >= len(b):
+        return None
+    first = b[off]
+    for length in range(1, 9):
+        if first & (0x100 >> length):
+            if off + length > len(b):
+                return None
+            raw = int.from_bytes(b[off : off + length], "big")
+            return raw - (1 << (7 * length)), off + length
+    return None
+
+
+def _ebml_walk(b: bytes, start: int, end: int, depth: int = 0):
+    """Yield (element_id, payload_start, payload_end) for siblings in
+    [start, end), recursing into known master elements."""
+    off = start
+    while off < end and depth < 8:
+        got = _ebml_read_id(b, off)
+        if got is None:
+            return
+        eid, off = got
+        got = _ebml_read_size(b, off)
+        if got is None:
+            return
+        size, off = got
+        pe = off + size
+        if pe > end:
+            return
+        yield eid, off, pe
+        if eid in _MKV_MASTERS:
+            yield from _ebml_walk(b, off, pe, depth + 1)
+        off = pe
+
+
+def parse_mkv(b: bytes) -> dict | None:
+    """Matroska/WebM header parse -> dict(container, doctype, codec,
+    width, height, timecode_scale, duration_ms) from the first video
+    track; None outside the envelope. duration_ms floors
+    Duration * TimecodeScale / 1e6 (Duration is a float of timecode
+    units per the spec)."""
+    try:
+        if len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
+            return None
+        doctype = codec = None
+        w = h = None
+        tscale = 1_000_000
+        dur_units = None
+        in_video_track = False
+        for eid, ps, pe in _ebml_walk(b, 0, len(b)):
+            payload = b[ps:pe]
+            if eid == _EBML_DOCTYPE:
+                doctype = payload.rstrip(b"\x00").decode("ascii", "replace")
+            elif eid == _MKV_TIMECODE_SCALE:
+                tscale = int.from_bytes(payload, "big")
+            elif eid == _MKV_DURATION and len(payload) in (4, 8):
+                dur_units = _struct.unpack(
+                    ">f" if len(payload) == 4 else ">d", payload
+                )[0]
+            elif eid == _MKV_TRACK_TYPE:
+                in_video_track = int.from_bytes(payload, "big") == 1
+            elif eid == _MKV_CODEC_ID and in_video_track and codec is None:
+                codec = payload.rstrip(b"\x00").decode("ascii", "replace")
+            elif eid == _MKV_PIXEL_W and in_video_track and w is None:
+                w = int.from_bytes(payload, "big")
+            elif eid == _MKV_PIXEL_H and in_video_track and h is None:
+                h = int.from_bytes(payload, "big")
+        if doctype is None or not tscale:
+            return None
+        duration_ms = (
+            None
+            if dur_units is None
+            else int(dur_units * tscale // 1_000_000)
+        )
+        return {
+            "container": "mkv",
+            "doctype": doctype,
+            "codec": codec,
+            "width": w,
+            "height": h,
+            "timecode_scale": tscale,
+            "duration_ms": duration_ms,
+        }
+    except (IndexError, _struct.error, OverflowError):
+        return None

@@ -715,7 +715,11 @@ def test_video_parsers_never_raise(data):
     mp4_sample_table(data)
     decode_avi_frames(data)
     # prefixing valid magic must not change the no-raise contract
-    for magic in (b"RIFF\x10\x00\x00\x00AVI ", b"\x00\x00\x00\x10ftyp"):
+    for magic in (
+        b"RIFF\x10\x00\x00\x00AVI ",
+        b"\x00\x00\x00\x10ftyp",
+        b"\x1aE\xdf\xa3",
+    ):
         parse_video_header(magic + data)
         decode_avi_frames(magic + data)
         mp4_sample_table(magic + data)

@@ -430,3 +430,34 @@ def test_align_captions_to_frames(spark):
     # frames at 0,100,200,300,400: cue0 covers [0,250), cue1 [300,450)
     assert got == {0: (0, "first"), 1: (0, "first"), 2: (0, "first"),
                    3: (1, "second"), 4: (1, "second")}
+
+
+def test_mkv_roundtrip_and_fuzz():
+    from fluent_bit_spark.extensions.video import make_mkv, parse_mkv
+
+    b = make_mkv(640, 360, 12345, codec_id="V_VP9", doctype="webm",
+                 timecode_scale=100_000)
+    got = parse_mkv(b)
+    assert got == {
+        "container": "mkv", "doctype": "webm", "codec": "V_VP9",
+        "width": 640, "height": 360, "timecode_scale": 100_000,
+        "duration_ms": 12345,
+    }
+    d = parse_mkv(make_mkv(9, 8, 600))
+    assert d["doctype"] == "matroska" and d["codec"] == "V_UNCOMPRESSED"
+    assert parse_mkv(b"junk") is None and parse_mkv(b"") is None
+    for cut in range(0, len(b), 3):
+        parse_mkv(b[:cut])  # truncation never raises
+
+
+def test_extract_video_headers_mkv(spark):
+    from fluent_bit_spark.extensions.video import make_mkv
+
+    media = _media(spark, [
+        (1, make_mkv(320, 180, 2000, codec_id="V_VP9", doctype="webm")),
+        (2, make_mkv(16, 8, 500)),
+    ])
+    got = {r.media_id: r for r in extract_video_headers(media).collect()}
+    assert got[1].container == "webm" and got[1].codec == "V_VP9"
+    assert got[1].duration_ms == 2000 and got[1].n_frames is None
+    assert got[2].container == "matroska" and got[2].width == 16
