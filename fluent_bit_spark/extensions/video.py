@@ -741,6 +741,13 @@ def video_frame_plan(
                     sel = _select_flags([r[1] for r in tbl], every_ms)
                     for (i, t, sz, off, key), s in zip(tbl, sel):
                         out.append((mid, "mp4", i, t, sz, off, key, s))
+                elif b[:4] == b"\x1aE\xdf\xa3":
+                    tbl = mkv_block_table(b)
+                    if tbl is None:
+                        continue
+                    sel = _select_flags([r[1] for r in tbl], every_ms)
+                    for (i, t, sz, off, key), s in zip(tbl, sel):
+                        out.append((mid, "mkv", i, t, sz, off, key, s))
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=FRAME_PLAN_SCHEMA)
@@ -1495,5 +1502,167 @@ def parse_mkv(b: bytes) -> dict | None:
             "timecode_scale": tscale,
             "duration_ms": duration_ms,
         }
+    except (IndexError, _struct.error, OverflowError):
+        return None
+
+
+_MKV_CLUSTER = 0x1F43B675
+_MKV_TIMECODE = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_MASTERS.add(_MKV_CLUSTER)
+
+
+def make_mkv_blocks(
+    w: int,
+    h: int,
+    blocks: list[tuple[int, bytes, bool]],
+    cluster_ms: int = 1000,
+    codec_id: str = "V_UNCOMPRESSED",
+    timecode_scale: int = 1_000_000,
+    doctype: str = "matroska",
+) -> bytes:
+    """Matroska writer WITH frame data: ``blocks`` is [(ts_ms, payload,
+    keyframe)] in presentation order; a new Cluster opens whenever the
+    block timestamp crosses a ``cluster_ms`` boundary from the cluster's
+    Timecode (SimpleBlock relative timecodes are int16, so clusters must
+    stay short — the spec's own reason for clusters). Track number 1,
+    keyframe flag 0x80 per the SimpleBlock layout."""
+    if blocks and blocks[-1][0] < blocks[0][0]:
+        raise ValueError("blocks must be in ascending ts order")
+    header = _ebml_elem(
+        _EBML_HEADER, _ebml_elem(_EBML_DOCTYPE, doctype.encode())
+    )
+    dur_ms = (blocks[-1][0] + 1) if blocks else 0
+    info = _ebml_elem(
+        _MKV_INFO,
+        _ebml_elem(_MKV_TIMECODE_SCALE, _ebml_uint(timecode_scale))
+        + _ebml_elem(
+            _MKV_DURATION,
+            _struct.pack(">d", dur_ms * 1_000_000 / timecode_scale),
+        ),
+    )
+    video = _ebml_elem(
+        _MKV_VIDEO,
+        _ebml_elem(_MKV_PIXEL_W, _ebml_uint(w))
+        + _ebml_elem(_MKV_PIXEL_H, _ebml_uint(h)),
+    )
+    track = _ebml_elem(
+        _MKV_TRACK_ENTRY,
+        _ebml_elem(_MKV_TRACK_TYPE, _ebml_uint(1))
+        + _ebml_elem(_MKV_CODEC_ID, codec_id.encode())
+        + video,
+    )
+    to_units = lambda ms: ms * 1_000_000 // timecode_scale
+    clusters = b""
+    cur: list[tuple[int, bytes, bool]] = []
+    cur_start = None
+
+    def flush():
+        nonlocal clusters, cur, cur_start
+        if not cur:
+            return
+        body = _ebml_elem(_MKV_TIMECODE, _ebml_uint(to_units(cur_start)))
+        for ts, payload, key in cur:
+            rel = to_units(ts) - to_units(cur_start)
+            body += _ebml_elem(
+                _MKV_SIMPLEBLOCK,
+                b"\x81"  # track 1, EBML varint
+                + _struct.pack(">h", rel)
+                + bytes([0x80 if key else 0x00])
+                + payload,
+            )
+        clusters += _ebml_elem(_MKV_CLUSTER, body)
+        cur, cur_start = [], None
+
+    for ts, payload, key in blocks:
+        if cur_start is None or ts - cur_start >= cluster_ms:
+            flush()
+            cur_start = ts
+        cur.append((ts, payload, key))
+    flush()
+    segment = _ebml_elem(
+        _MKV_SEGMENT, info + _ebml_elem(_MKV_TRACKS, track) + clusters
+    )
+    return header + segment
+
+
+def mkv_block_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
+    """The Matroska frame-extraction plan: [(idx, ts_ms, size,
+    absolute_payload_offset, keyframe)] from the Cluster/SimpleBlock
+    layer — mp4_sample_table's EBML twin, the same
+    header-sized-read-plans-independent-range-reads shape. None outside
+    the envelope; BlockGroup-wrapped blocks and lacing are the
+    documented edge (SimpleBlock, no lacing, is what mainstream muxers
+    emit for video)."""
+    try:
+        if len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
+            return None
+        hdr = parse_mkv(b)
+        if hdr is None:
+            return None
+        tscale = hdr["timecode_scale"]
+        out = []
+        # manual walk (not _ebml_walk): cluster Timecode context must
+        # attach to the SimpleBlocks that follow it, in document order
+        seg = None
+        off = 0
+        while off < len(b):
+            got = _ebml_read_id(b, off)
+            if got is None:
+                break
+            eid, off2 = got
+            got = _ebml_read_size(b, off2)
+            if got is None:
+                break
+            size, body = got
+            if eid == _MKV_SEGMENT:
+                seg = (body, body + size)
+                break
+            off = body + size
+        if seg is None:
+            return None
+        cluster_tc = None
+        sb, se = seg
+        stack = [(sb, se)]
+        while stack:
+            lo, hi = stack.pop(0)
+            off = lo
+            while off < hi:
+                got = _ebml_read_id(b, off)
+                if got is None:
+                    return None
+                eid, off2 = got
+                got = _ebml_read_size(b, off2)
+                if got is None:
+                    return None
+                size, body = got
+                end = body + size
+                if end > hi:
+                    return None
+                if eid == _MKV_CLUSTER:
+                    stack.append((body, end))
+                elif eid == _MKV_TIMECODE:
+                    cluster_tc = int.from_bytes(b[body:end], "big")
+                elif eid == _MKV_SIMPLEBLOCK and cluster_tc is not None:
+                    got = _ebml_read_size(b, body)  # track varint
+                    if got is None:
+                        return None
+                    _track, p = got
+                    if p + 3 > end:
+                        return None
+                    rel = _struct.unpack(">h", b[p : p + 2])[0]
+                    flags = b[p + 2]
+                    payload_off = p + 3
+                    out.append(
+                        (
+                            len(out),
+                            (cluster_tc + rel) * tscale // 1_000_000,
+                            end - payload_off,
+                            payload_off,
+                            bool(flags & 0x80),
+                        )
+                    )
+                off = end
+        return out
     except (IndexError, _struct.error, OverflowError):
         return None

@@ -461,3 +461,28 @@ def test_extract_video_headers_mkv(spark):
     assert got[1].container == "webm" and got[1].codec == "V_VP9"
     assert got[1].duration_ms == 2000 and got[1].n_frames is None
     assert got[2].container == "matroska" and got[2].width == 16
+
+
+def test_mkv_block_table_and_frame_plan(spark):
+    from fluent_bit_spark.extensions.video import (
+        make_mkv_blocks,
+        mkv_block_table,
+    )
+
+    blocks = [(i * 400, bytes([i]) * (10 + i), i % 2 == 0) for i in range(6)]
+    b = make_mkv_blocks(320, 180, blocks, cluster_ms=1000)
+    tbl = mkv_block_table(b)
+    assert [r[0] for r in tbl] == list(range(6))
+    for (idx, ts, sz, off, key), (ets, payload, ek) in zip(tbl, blocks):
+        assert (ts, key) == (ets, ek)
+        assert b[off : off + sz] == payload  # exact range-read plan
+    for cut in range(0, len(b), 7):
+        mkv_block_table(b[:cut])  # truncation never raises
+    # the unified frame plan covers the third container too
+    plan = video_frame_plan(_media(spark, [(1, b)]), every_ms=800)
+    rows = sorted(plan.collect(), key=lambda r: r.frame_idx)
+    assert [r.container for r in rows] == ["mkv"] * 6
+    assert [r.ts_ms for r in rows] == [0, 400, 800, 1200, 1600, 2000]
+    assert [r.keyframe for r in rows] == [True, False, True, False, True, False]
+    # 800ms buckets: 0,0,1,1,2,2 -> first of each
+    assert [r.selected for r in rows] == [True, False, True, False, True, False]
