@@ -514,7 +514,7 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
         # (untrusted-container hardening — fuzz-found)
         zs, _e = found[b"stsz"]
         fixed, n = _struct.unpack(">II", b[zs + 4 : zs + 12])
-        if n > (len(b) // 4 if fixed else (_e - zs - 12) // 4 + 1):
+        if n > (len(b) // 4 if fixed else (_e - zs - 12) // 4):
             return None  # claims more samples than the box can hold
         if fixed:
             sizes = [fixed] * n
@@ -1420,6 +1420,10 @@ def _ebml_read_id(b: bytes, off: int) -> tuple[int, int] | None:
 
 
 def _ebml_read_size(b: bytes, off: int) -> tuple[int, int] | None:
+    """Read an EBML size VINT. The all-data-bits-set encoding is
+    reserved by the spec for 'unknown size' (live/streamed muxers emit
+    it on Segment/Cluster) — returned as -1; callers clamp the element
+    to the enclosing bound."""
     if off >= len(b):
         return None
     first = b[off]
@@ -1428,7 +1432,10 @@ def _ebml_read_size(b: bytes, off: int) -> tuple[int, int] | None:
             if off + length > len(b):
                 return None
             raw = int.from_bytes(b[off : off + length], "big")
-            return raw - (1 << (7 * length)), off + length
+            size = raw - (1 << (7 * length))
+            if size == (1 << (7 * length)) - 1:
+                return -1, off + length
+            return size, off + length
     return None
 
 
@@ -1445,7 +1452,7 @@ def _ebml_walk(b: bytes, start: int, end: int, depth: int = 0):
         if got is None:
             return
         size, off = got
-        pe = off + size
+        pe = end if size < 0 else off + size  # unknown size -> clamp
         if pe > end:
             return
         yield eid, off, pe
@@ -1467,7 +1474,7 @@ def parse_mkv(b: bytes) -> dict | None:
         w = h = None
         tscale = 1_000_000
         dur_units = None
-        in_video_track = False
+        track_ranges: list[tuple[int, int]] = []
         for eid, ps, pe in _ebml_walk(b, 0, len(b)):
             payload = b[ps:pe]
             if eid == _EBML_DOCTYPE:
@@ -1478,14 +1485,29 @@ def parse_mkv(b: bytes) -> dict | None:
                 dur_units = _struct.unpack(
                     ">f" if len(payload) == 4 else ">d", payload
                 )[0]
-            elif eid == _MKV_TRACK_TYPE:
-                in_video_track = int.from_bytes(payload, "big") == 1
-            elif eid == _MKV_CODEC_ID and in_video_track and codec is None:
-                codec = payload.rstrip(b"\x00").decode("ascii", "replace")
-            elif eid == _MKV_PIXEL_W and in_video_track and w is None:
-                w = int.from_bytes(payload, "big")
-            elif eid == _MKV_PIXEL_H and in_video_track and h is None:
-                h = int.from_bytes(payload, "big")
+            elif eid == _MKV_TRACK_ENTRY:
+                track_ranges.append((ps, pe))
+        # EBML guarantees no child order inside TrackEntry (a muxer may
+        # emit CodecID before TrackType) — accumulate fields per entry,
+        # select the first video track after the entry closes
+        for ps, pe in track_ranges:
+            fields: dict = {}
+            for eid, cs, ce in _ebml_walk(b, ps, pe, depth=1):
+                if eid == _MKV_TRACK_TYPE:
+                    fields["type"] = int.from_bytes(b[cs:ce], "big")
+                elif eid == _MKV_CODEC_ID:
+                    fields["codec"] = (
+                        b[cs:ce].rstrip(b"\x00").decode("ascii", "replace")
+                    )
+                elif eid == _MKV_PIXEL_W:
+                    fields["w"] = int.from_bytes(b[cs:ce], "big")
+                elif eid == _MKV_PIXEL_H:
+                    fields["h"] = int.from_bytes(b[cs:ce], "big")
+            if fields.get("type") == 1:
+                codec = fields.get("codec")
+                w = fields.get("w")
+                h = fields.get("h")
+                break
         if doctype is None or not tscale:
             return None
         duration_ms = (
@@ -1616,16 +1638,22 @@ def mkv_block_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
                 break
             size, body = got
             if eid == _MKV_SEGMENT:
-                seg = (body, body + size)
+                # unknown-size Segment (live muxers) clamps to EOF
+                seg = (body, len(b) if size < 0 else body + size)
+                break
+            if size < 0:
                 break
             off = body + size
         if seg is None:
             return None
-        cluster_tc = None
         sb, se = seg
-        stack = [(sb, se)]
+        # (lo, hi, is_cluster): the timecode context RESETS per cluster
+        # — a malformed Timecode-less cluster must filter its blocks,
+        # never inherit the previous cluster's timestamp
+        stack: list[tuple[int, int, bool]] = [(sb, se, False)]
         while stack:
-            lo, hi = stack.pop(0)
+            lo, hi, is_cluster = stack.pop(0)
+            cluster_tc: int | None = None
             off = lo
             while off < hi:
                 got = _ebml_read_id(b, off)
@@ -1636,12 +1664,16 @@ def mkv_block_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
                 if got is None:
                     return None
                 size, body = got
-                end = body + size
+                end = hi if size < 0 else body + size
                 if end > hi:
                     return None
                 if eid == _MKV_CLUSTER:
-                    stack.append((body, end))
-                elif eid == _MKV_TIMECODE:
+                    stack.append((body, end, True))
+                elif (
+                    eid == _MKV_TIMECODE
+                    and is_cluster
+                    and cluster_tc is None
+                ):
                     cluster_tc = int.from_bytes(b[body:end], "big")
                 elif eid == _MKV_SIMPLEBLOCK and cluster_tc is not None:
                     got = _ebml_read_size(b, body)  # track varint

@@ -769,3 +769,59 @@ def test_caption_format_roundtrip(cues, vtt):
         (i, start, start + dur, text.strip())
         for i, (start, dur, text) in enumerate(cues)
     ]
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    clusters=st.lists(
+        st.tuples(
+            st.booleans(),  # has a Timecode element
+            st.integers(min_value=0, max_value=50_000),  # cluster tc
+            st.lists(st.binary(min_size=1, max_size=12), max_size=4),
+            st.booleans(),  # unknown-size encoding for this cluster
+        ),
+        max_size=5,
+    ),
+)
+def test_mkv_block_rows_require_same_cluster_timecode(clusters):
+    """No plan row is EVER emitted without a same-cluster Timecode:
+    blocks in Timecode-less clusters filter, never inherit a neighbor's
+    context — r9 verdict nit #1's fuzz gate. Unknown-size clusters
+    (live-muxer encoding) keep the same contract."""
+    import struct
+
+    from fluent_bit_spark.extensions import video as V
+
+    def sblock(rel, payload):
+        return V._ebml_elem(
+            V._MKV_SIMPLEBLOCK,
+            b"\x81" + struct.pack(">h", rel) + b"\x80" + payload,
+        )
+
+    header = V._ebml_elem(
+        V._EBML_HEADER, V._ebml_elem(V._EBML_DOCTYPE, b"matroska")
+    )
+    info = V._ebml_elem(
+        V._MKV_INFO,
+        V._ebml_elem(V._MKV_TIMECODE_SCALE, V._ebml_uint(1_000_000)),
+    )
+    body = info
+    expect = []
+    for i, (has_tc, tc, payloads, unknown_size) in enumerate(clusters):
+        cbody = b""
+        if has_tc:
+            cbody += V._ebml_elem(V._MKV_TIMECODE, V._ebml_uint(tc))
+        for j, p in enumerate(payloads):
+            cbody += sblock(j, p)
+            if has_tc:
+                expect.append((tc + j, p))
+        if unknown_size and i == len(clusters) - 1:
+            # unknown size is only unambiguous on the LAST cluster
+            # (it clamps to the enclosing bound)
+            body += V._ebml_id_bytes(V._MKV_CLUSTER) + b"\xff" + cbody
+        else:
+            body += V._ebml_elem(V._MKV_CLUSTER, cbody)
+    b = header + V._ebml_elem(V._MKV_SEGMENT, body)
+    tbl = V.mkv_block_table(b)
+    assert tbl is not None
+    assert [(ts, b[off : off + sz]) for (_i, ts, sz, off, _k) in tbl] == expect

@@ -486,3 +486,164 @@ def test_mkv_block_table_and_frame_plan(spark):
     assert [r.keyframe for r in rows] == [True, False, True, False, True, False]
     # 800ms buckets: 0,0,1,1,2,2 -> first of each
     assert [r.selected for r in rows] == [True, False, True, False, True, False]
+
+
+# -------------------------------------------- round-10 hardening regressions
+
+
+def _mkv_parts():
+    """Shared hand-built EBML pieces for the malformed-cluster tests."""
+    import struct
+
+    from fluent_bit_spark.extensions import video as V
+
+    def sblock(rel, payload, key=True):
+        return V._ebml_elem(
+            V._MKV_SIMPLEBLOCK,
+            b"\x81" + struct.pack(">h", rel)
+            + bytes([0x80 if key else 0x00]) + payload,
+        )
+
+    header = V._ebml_elem(
+        V._EBML_HEADER, V._ebml_elem(V._EBML_DOCTYPE, b"matroska")
+    )
+    info = V._ebml_elem(
+        V._MKV_INFO,
+        V._ebml_elem(V._MKV_TIMECODE_SCALE, V._ebml_uint(1_000_000)),
+    )
+    track = V._ebml_elem(
+        V._MKV_TRACK_ENTRY,
+        V._ebml_elem(V._MKV_TRACK_TYPE, V._ebml_uint(1))
+        + V._ebml_elem(V._MKV_CODEC_ID, b"V_UNCOMPRESSED")
+        + V._ebml_elem(
+            V._MKV_VIDEO,
+            V._ebml_elem(V._MKV_PIXEL_W, V._ebml_uint(4))
+            + V._ebml_elem(V._MKV_PIXEL_H, V._ebml_uint(4)),
+        ),
+    )
+    return V, sblock, header, info, track
+
+
+def test_mkv_timecodeless_cluster_filters_not_inherits():
+    """A cluster missing its Timecode must drop its blocks (filter-don't-
+    corrupt) instead of inheriting the PREVIOUS cluster's timecode —
+    r9 verdict nit #1."""
+    V, sblock, header, info, track = _mkv_parts()
+    good0 = V._ebml_elem(
+        V._MKV_CLUSTER,
+        V._ebml_elem(V._MKV_TIMECODE, V._ebml_uint(0)) + sblock(0, b"AA"),
+    )
+    bad = V._ebml_elem(V._MKV_CLUSTER, sblock(5, b"BB"))  # no Timecode
+    good2 = V._ebml_elem(
+        V._MKV_CLUSTER,
+        V._ebml_elem(V._MKV_TIMECODE, V._ebml_uint(2000)) + sblock(7, b"CC"),
+    )
+    seg = V._ebml_elem(
+        V._MKV_SEGMENT,
+        info + V._ebml_elem(V._MKV_TRACKS, track) + good0 + bad + good2,
+    )
+    b = header + seg
+    tbl = V.mkv_block_table(b)
+    assert [b[off : off + sz] for (_i, _ts, sz, off, _k) in tbl] == [
+        b"AA", b"CC",
+    ]
+    assert [ts for (_i, ts, _sz, _off, _k) in tbl] == [0, 2007]
+    # a SimpleBlock ORDERED BEFORE its cluster's Timecode is likewise
+    # context-free and must be dropped, not given the later timecode
+    swapped = V._ebml_elem(
+        V._MKV_CLUSTER,
+        sblock(1, b"DD") + V._ebml_elem(V._MKV_TIMECODE, V._ebml_uint(3000))
+        + sblock(2, b"EE"),
+    )
+    seg = V._ebml_elem(
+        V._MKV_SEGMENT, info + V._ebml_elem(V._MKV_TRACKS, track) + swapped
+    )
+    b = header + seg
+    tbl = V.mkv_block_table(b)
+    assert [b[off : off + sz] for (_i, _ts, sz, off, _k) in tbl] == [b"EE"]
+
+
+def test_mkv_trackentry_field_order_independent():
+    """EBML doesn't guarantee child order: CodecID before TrackType must
+    still resolve the video track; a preceding audio track must not leak
+    its codec — ADVICE r9."""
+    V, _sblock, header, info, _track = _mkv_parts()
+    audio = V._ebml_elem(
+        V._MKV_TRACK_ENTRY,
+        V._ebml_elem(V._MKV_CODEC_ID, b"A_OPUS")
+        + V._ebml_elem(V._MKV_TRACK_TYPE, V._ebml_uint(2)),
+    )
+    video = V._ebml_elem(
+        V._MKV_TRACK_ENTRY,
+        V._ebml_elem(V._MKV_CODEC_ID, b"V_VP9")  # codec BEFORE type
+        + V._ebml_elem(
+            V._MKV_VIDEO,
+            V._ebml_elem(V._MKV_PIXEL_W, V._ebml_uint(320))
+            + V._ebml_elem(V._MKV_PIXEL_H, V._ebml_uint(180)),
+        )
+        + V._ebml_elem(V._MKV_TRACK_TYPE, V._ebml_uint(1)),
+    )
+    seg = V._ebml_elem(
+        V._MKV_SEGMENT,
+        info + V._ebml_elem(V._MKV_TRACKS, audio + video),
+    )
+    got = V.parse_mkv(header + seg)
+    assert got["codec"] == "V_VP9"
+    assert (got["width"], got["height"]) == (320, 180)
+
+
+def test_mkv_unknown_size_segment_and_cluster():
+    """The all-ones size VINT means 'unknown size' per the EBML spec
+    (live muxers emit it on Segment/Cluster) — clamp to the enclosing
+    bound instead of failing the bounds check — ADVICE r9."""
+    V, sblock, header, info, track = _mkv_parts()
+    body0 = V._ebml_elem(V._MKV_TIMECODE, V._ebml_uint(0)) + sblock(0, b"AA")
+    known_cluster = V._ebml_elem(
+        V._MKV_CLUSTER,
+        V._ebml_elem(V._MKV_TIMECODE, V._ebml_uint(1000)) + sblock(0, b"BB"),
+    )
+    # unknown-size cluster (1-byte all-ones VINT), terminated by EOF
+    unk_tail = (
+        V._ebml_id_bytes(V._MKV_CLUSTER) + b"\xff"
+        + V._ebml_elem(V._MKV_TIMECODE, V._ebml_uint(2000)) + sblock(0, b"CC")
+    )
+    seg_payload = (
+        info + V._ebml_elem(V._MKV_TRACKS, track)
+        + V._ebml_elem(V._MKV_CLUSTER, body0)
+        + known_cluster
+        + unk_tail
+    )
+    # unknown-size Segment too: ID + 0xff + payload to EOF
+    b = header + V._ebml_id_bytes(V._MKV_SEGMENT) + b"\xff" + seg_payload
+    hdr = V.parse_mkv(b)
+    assert hdr is not None and hdr["doctype"] == "matroska"
+    assert hdr["codec"] == "V_UNCOMPRESSED"
+    tbl = V.mkv_block_table(b)
+    assert [(ts, b[off : off + sz]) for (_i, ts, sz, off, _k) in tbl] == [
+        (0, b"AA"), (1000, b"BB"), (2000, b"CC"),
+    ]
+    for cut in range(0, len(b), 5):
+        V.parse_mkv(b[:cut])
+        V.mkv_block_table(b[:cut])  # truncation never raises
+
+
+def test_mp4_stsz_count_must_fit_payload():
+    """stsz claiming entries+1 samples used to read 4 bytes of the next
+    box header as the last size (off-by-one bound) — must be None now —
+    ADVICE r10."""
+    import struct
+
+    n = 5
+    b = bytearray(make_mp4(8, 8, [100] * n, [40 + i for i in range(n)]))
+    zi = bytes(b).find(b"stsz")
+    assert struct.unpack(">I", b[zi + 12 : zi + 16])[0] == n
+    b[zi + 12 : zi + 16] = struct.pack(">I", n + 1)
+    ti = bytes(b).find(b"stts")
+    assert struct.unpack(">I", b[ti + 12 : ti + 16])[0] == n  # one RLE run
+    b[ti + 12 : ti + 16] = struct.pack(">I", n + 1)
+    ci = bytes(b).find(b"stsc")
+    assert struct.unpack(">I", b[ci + 16 : ci + 20])[0] == n  # spc
+    b[ci + 16 : ci + 20] = struct.pack(">I", n + 1)
+    assert mp4_sample_table(bytes(b)) is None
+    # the untouched original still parses
+    assert len(mp4_sample_table(make_mp4(8, 8, [100] * n, [40] * n))) == n
