@@ -1651,6 +1651,60 @@ def bm25_appended_q(spark, sf_dir):
     )
 
 
+def _bm25_append_only_path(sf_dir):
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/fbs_bm25_appendonly_{tag}"
+
+
+def bm25_append_setup(spark, sf_dir):
+    """Bench setup for bm25_append_only: build + persist the even-half
+    base index OUTSIDE the timer (it amortizes across every later
+    append), so the benched number is the operational append-freshness
+    cost alone. bm25_appended keeps the full gated form — its 13-14 s is
+    dominated by the PROOF (a union rebuild + multiset equality), which
+    capacity planning should not quote as the append cost."""
+    import shutil
+
+    from fluent_bit_spark.extensions.retrieval import bm25_index, bm25_index_save
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    path = _bm25_append_only_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    bm25_index_save(bm25_index(even, c=20), path)
+
+
+def bm25_append_only_raw(spark, sf_dir):
+    """The operational append alone: absorb the odd-doc_id half into the
+    persisted even-half index (postings re-derive + manifest flip,
+    retrieval.py bm25_index_append) with NO rebuild-equality proof —
+    that exactness is bm25_appended's oracle-gated job. Re-run-safe: the
+    append writes an immutable version dir + manifest pointer, so each
+    run first drops the pointer and appended versions (millisecond local
+    fs ops), restoring the pristine base."""
+    import glob
+    import os
+    import shutil
+
+    from fluent_bit_spark.extensions.retrieval import bm25_index_append
+
+    path = _bm25_append_only_path(sf_dir)
+    if not os.path.isdir(path):
+        bm25_append_setup(spark, sf_dir)
+    for mf in glob.glob(os.path.join(path, "MANIFEST*")):
+        os.remove(mf)
+    for v in glob.glob(os.path.join(path, "v[0-9]*")):
+        shutil.rmtree(v, ignore_errors=True)
+    odd = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    n = bm25_index_append(spark, path, odd)
+    return spark.range(1).select(F.lit(int(n)).alias("n_appended"))
+
+
 def pq_appended_q(spark, sf_dir):
     """Incremental PQ index append, oracle-gated (similarity.py
     pq_index_append): build + persist on the even-vec half, append the

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "bm25_served",
     "bm25_serve_only",
     "bm25_appended",
+    "bm25_append_only",
     "pq_appended",
     "ann_served",
     "ann_serve_only",
@@ -156,6 +157,7 @@ BENCH_FORMS = {
     "similarity_lsh_ann": entrymod.similarity_lsh_ann_raw,
     "fuzzy_decontaminate": entrymod.fuzzy_decontaminate_raw,
     "bm25_serve_only": entrymod.bm25_serve_only_raw,
+    "bm25_append_only": entrymod.bm25_append_only_raw,
     "ann_serve_only": entrymod.ann_serve_only_raw,
     "audio_neardup_guarded": entrymod.audio_neardup_guarded_raw,
     "video_neardup": entrymod.video_neardup_raw,
@@ -168,6 +170,7 @@ BENCH_FORMS = {
 # not include it (bm25_served / ann_served time the full cycle)
 BENCH_SETUP = {
     "bm25_serve_only": entrymod.bm25_serve_setup,
+    "bm25_append_only": entrymod.bm25_append_setup,
     "ann_serve_only": entrymod.ann_serve_setup,
 }
 

@@ -65,21 +65,37 @@ def throttle_stream(
     interval_sec: int = 1,
     key: str = "tag",
     time_col: str = TS_COL,
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming filter_throttle: per-key token counter per interval pane
-    (throttle.h:27-56). State = (current_pane, used_count)."""
+    (throttle.h:27-56). State = (current_pane, used_count).
+
+    ``idle_timeout`` (seconds, requires ``watermark``) evicts a key whose
+    newest event fell that far behind the watermark — the reference's
+    panes age out the same way, so on a years-long stream with key churn
+    the state store tracks ACTIVE keys, not ever-seen keys. Eviction is
+    exactness-free here: the evicted state is a pane counter for a pane
+    the watermark already closed, so a returning key starts a fresh pane
+    as it would have anyway."""
     out_schema = f"{key} string, {time_col} timestamp, passed long"
     state_schema = "pane long, used long"
 
     def fn(
         key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         pane, used = state.get if state.exists else (-1, 0)
         outs = []
+        newest = None
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col)
             keep_rows = []
             for ts in pdf[time_col]:
+                t_us = int(pd.Timestamp(ts).value // 1_000)
+                newest = t_us if newest is None else max(newest, t_us)
                 p = int(ts.timestamp() // interval_sec)
                 if p != pane:
                     pane, used = p, 0
@@ -93,13 +109,15 @@ def throttle_stream(
                     )
                 )
         state.update((pane, used))
+        if idle_us is not None:
+            _arm_idle_timeout(state, newest, idle_us)
         yield from outs or [pd.DataFrame({key: [], time_col: [], "passed": []})]
 
-    return (
-        sdf.groupBy(key)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    src, mode, idle_us = _idle_evict_setup(
+        sdf, time_col, idle_timeout, watermark, "throttle_stream"
+    )
+    return src.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -110,19 +128,33 @@ def snapshot_stream(
     key: str = "tag",
     value_col: str = "value",
     time_col: str = TS_COL,
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming CREATE SNAPSHOT / FLUSH SNAPSHOT (flb_sp_snapshot.c:46-277):
     per-key ring buffer of the last `limit` records; when a record's
-    value matches `flush_value`, the buffered records are emitted."""
+    value matches `flush_value`, the buffered records are emitted.
+
+    ``idle_timeout`` (seconds, requires ``watermark``) evicts an idle
+    key's ring buffer: records buffered for a key that then goes silent
+    past the horizon are DISCARDED, never flushed — the reference's
+    snapshot likewise only keeps a bounded recent window, and a flush
+    arriving after the idle horizon legitimately has nothing to replay."""
     out_schema = f"{key} string, {time_col} timestamp, {value_col} string"
     state_schema = f"buf array<struct<t: timestamp, v: string>>"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         buf = list(state.get[0]) if state.exists else []
         flushed = []
+        newest = None
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col)
             for t, v in zip(pdf[time_col], pdf[value_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                newest = t_us if newest is None else max(newest, t_us)
                 if str(v) == flush_value:
                     flushed.extend(buf)
                     buf = []
@@ -130,6 +162,8 @@ def snapshot_stream(
                 if len(buf) > limit:
                     buf = buf[-limit:]
         state.update((buf,))
+        if idle_us is not None:
+            _arm_idle_timeout(state, newest, idle_us)
         if flushed:
             yield pd.DataFrame(
                 {
@@ -139,8 +173,11 @@ def snapshot_stream(
                 }
             )
 
-    return sdf.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    src, mode, idle_us = _idle_evict_setup(
+        sdf, time_col, idle_timeout, watermark, "snapshot_stream"
+    )
+    return src.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 
@@ -150,11 +187,18 @@ def multiline_stream(
     key: str = "tag",
     line_col: str = "line",
     time_col: str = TS_COL,
+    idle_timeout: float | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming multiline reassembly (src/multiline/flb_ml.c:671-870):
     buffer continuation lines per key until the next start line arrives,
-    then emit the assembled record. (Timeout flush maps to state timeouts;
-    kept simple here: emit on next start.)"""
+    then emit the assembled record.
+
+    ``idle_timeout`` (seconds, requires ``watermark``) is the reference's
+    flush timeout: a key idle past the horizon FLUSHES its pending lines
+    as one assembled record (the record was never going to get a closing
+    start line) and is then evicted — flush-then-evict, so no buffered
+    line is ever silently dropped and state tracks active keys only."""
     import re
 
     out_schema = f"{key} string, message string, n_lines long"
@@ -162,11 +206,26 @@ def multiline_stream(
     rx = re.compile(start_pattern)
 
     def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            pending = list(state.get[0]) if state.exists else []
+            state.remove()
+            if pending:
+                yield pd.DataFrame(
+                    {
+                        key: [key_tuple[0]],
+                        "message": ["\n".join(pending)],
+                        "n_lines": [len(pending)],
+                    }
+                )
+            return
         pending = list(state.get[0]) if state.exists else []
         done: list[list[str]] = []
+        newest = None
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col)
-            for line in pdf[line_col]:
+            for t, line in zip(pdf[time_col], pdf[line_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                newest = t_us if newest is None else max(newest, t_us)
                 line = str(line)
                 if rx.search(line):
                     if pending:
@@ -177,6 +236,8 @@ def multiline_stream(
                 else:
                     pending = [line]  # orphan continuation starts a record
         state.update((pending,))
+        if idle_us is not None:
+            _arm_idle_timeout(state, newest, idle_us)
         if done:
             yield pd.DataFrame(
                 {
@@ -186,8 +247,11 @@ def multiline_stream(
                 }
             )
 
-    return sdf.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    src, mode, idle_us = _idle_evict_setup(
+        sdf, time_col, idle_timeout, watermark, "multiline_stream"
+    )
+    return src.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", mode
     )
 
 

@@ -1951,3 +1951,109 @@ def test_event_analytics_idle_eviction(spark, tmp_path):
     c1 = T0.strftime("%Y-%m-%d")
     c2 = (T0 + dt.timedelta(days=40)).strftime("%Y-%m-%d")
     assert got == [(c1, 0, 1), (c1, 2, 1), (c2, 0, 1), (c2, 1, 1)]
+
+
+def test_pipeline_folds_idle_eviction(spark, tmp_path):
+    """Idle-key eviction for the three pipeline folds (throttle /
+    snapshot / multiline) — the last NoTimeout holdouts: a key whose
+    newest event ages idle_timeout behind the watermark leaves the
+    state store. Throttle forgets a dead pane counter (exactness-free),
+    snapshot discards the idle ring buffer, and multiline FLUSHES its
+    pending lines as one record before evicting (flush-then-evict, the
+    reference's flush timeout) — r9 verdict task #2."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 7, 1)
+
+    def run(name, rows, fields, schema, make):
+        d = _spool(tmp_path, name, rows, fields, chunk=2)
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        q = (
+            make(sdf).writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        return spark.sql(f"SELECT * FROM {name}").collect(), n_state
+
+    # --- throttle: tag A lives early then dies; tag B arrives 8000 s on
+    rows = [
+        ("A", T0, 1.0), ("A", T0 + dt.timedelta(seconds=1), 1.0),
+        ("B", T0 + dt.timedelta(seconds=8000), 1.0),
+        ("B", T0 + dt.timedelta(seconds=8001), 1.0),
+        ("B", T0 + dt.timedelta(seconds=8002), 1.0),
+    ]
+    out, n_state = run(
+        "evict_thr", rows, ["tag", "ts", "value"],
+        "tag string, ts timestamp, value double",
+        lambda s: throttle_stream(
+            s, rate=10, interval_sec=60, key="tag", time_col="ts",
+            idle_timeout=3600.0, watermark="10 seconds",
+        ),
+    )
+    assert n_state == 1  # A evicted, B live
+    assert len(out) == 5  # rate never exceeded: all pass
+
+    # --- snapshot: idle key's buffered-but-unflushed rows discard
+    rows = [
+        ("A", T0, "a1"), ("A", T0 + dt.timedelta(seconds=1), "a2"),
+        ("B", T0 + dt.timedelta(seconds=8000), "b1"),
+        ("B", T0 + dt.timedelta(seconds=8001), "FLUSH"),
+        ("B", T0 + dt.timedelta(seconds=8002), "b2"),
+    ]
+    out, n_state = run(
+        "evict_snap", rows, ["tag", "ts", "value"],
+        "tag string, ts timestamp, value string",
+        lambda s: snapshot_stream(
+            s, limit=10, flush_value="FLUSH", key="tag", time_col="ts",
+            idle_timeout=3600.0, watermark="10 seconds",
+        ),
+    )
+    assert n_state == 1  # A's ring buffer evicted
+    assert [r.value for r in out] == ["b1"]  # only B's flush replays
+
+    # --- multiline: idle key FLUSHES pending lines, then evicts
+    rows = [
+        ("A", T0, "Exception in thread main"),
+        ("A", T0 + dt.timedelta(seconds=1), "  at Foo.bar(Foo.java:1)"),
+        ("B", T0 + dt.timedelta(seconds=8000), "B record one"),
+        ("B", T0 + dt.timedelta(seconds=8001), "B record two"),
+        ("B", T0 + dt.timedelta(seconds=8002), "  b continuation"),
+    ]
+    out, n_state = run(
+        "evict_ml", rows, ["tag", "ts", "line"],
+        "tag string, ts timestamp, line string",
+        lambda s: multiline_stream(
+            s, start_pattern=r"^\S", key="tag", time_col="ts",
+            idle_timeout=3600.0, watermark="10 seconds",
+        ),
+    )
+    assert n_state == 1  # A flushed + evicted; B still pending
+    got = {r.message: r.n_lines for r in out}
+    assert got == {
+        "Exception in thread main\n  at Foo.bar(Foo.java:1)": 2,
+        "B record one": 1,  # closed by B's second start line
+    }
+
+    # --- without idle_timeout the contract is unchanged: NoTimeout
+    rows = [("A", T0, 1.0), ("B", T0 + dt.timedelta(seconds=8000), 1.0)]
+    _out, n_state = run(
+        "noevict_thr", rows, ["tag", "ts", "value"],
+        "tag string, ts timestamp, value double",
+        lambda s: throttle_stream(
+            s, rate=10, interval_sec=60, key="tag", time_col="ts",
+        ),
+    )
+    assert n_state == 2  # ever-seen keys persist
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="watermark"):
+        throttle_stream(
+            spark.readStream.schema("tag string, ts timestamp, value double")
+            .json(str(tmp_path)), rate=1, idle_timeout=60.0,
+        )

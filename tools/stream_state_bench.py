@@ -339,6 +339,72 @@ def run_churn(n_batches: int = 12, users_per_batch: int = 5_000) -> dict:
     return summary
 
 
+def run_throttle_churn(n_batches: int = 12, tags_per_batch: int = 5_000) -> dict:
+    """Idle-eviction plateau for throttle_stream — the run_churn table's
+    twin for the pipeline folds (r9 verdict task #2): every batch
+    carries a FRESH tag cohort (100% churn — each tag lives one batch,
+    three events, never returns), event time advancing 60 s per batch.
+    Without idle_timeout the pane-counter state grows with ever-seen
+    tags; with idle_timeout=120 s + a 10 s watermark, cohorts evict ~2-3
+    batches after their last event and state plateaus at a few cohorts
+    regardless of stream length. The churning key rides the spool's
+    event_type column."""
+    import os
+
+    from fluent_bit_spark import get_spark
+    from fluent_bit_spark.streaming.stateful import throttle_stream
+
+    spark = get_spark("fbs-state-bench-throttle-churn")
+    results = {}
+    for mode, kw in (
+        ("no_eviction", {}),
+        ("idle_120s", {"idle_timeout": 120.0, "watermark": "10 seconds"}),
+    ):
+        work = Path(tempfile.mkdtemp(prefix=f"fbs_thr_churn_{mode}_"))
+        src = work / "in"
+        src.mkdir()
+        t0 = 1_700_000_000
+        base = __import__("time").time() - 10_000
+        for b in range(n_batches):
+            fp = src / f"b{b:04d}.json"
+            with open(fp, "w") as f:
+                for u in range(b * tags_per_batch, (b + 1) * tags_per_batch):
+                    for j in range(3):
+                        f.write(json.dumps({
+                            "user_id": 0,
+                            "ts": __import__("datetime").datetime.utcfromtimestamp(
+                                t0 + b * BATCH_GAP_S + j
+                            ).isoformat(),
+                            "event_type": f"tag{u}", "value": 0.0,
+                        }) + "\n")
+            os.utime(fp, (base + b, base + b))
+        per_batch = _drain_batches(
+            spark,
+            lambda s: throttle_stream(
+                s, rate=2, interval_sec=60, key="event_type", time_col="ts",
+                **kw,
+            ),
+            src, str(work / "ckpt"),
+        )
+        results[mode] = per_batch
+        shutil.rmtree(work, ignore_errors=True)
+        print(mode, [p_["state_rows"] for p_ in per_batch])
+    summary = {
+        "mode": "throttle_churn_eviction",
+        "n_batches": n_batches,
+        "tags_per_batch": tags_per_batch,
+        "final_state_rows": {m: r[-1]["state_rows"] for m, r in results.items()},
+        "max_state_rows": {
+            m: max(p_["state_rows"] for p_ in r) for m, r in results.items()
+        },
+        "per_batch_state_rows": {
+            m: [p_["state_rows"] for p_ in r] for m, r in results.items()
+        },
+    }
+    print(json.dumps(summary))
+    return summary
+
+
 def run_twins(n_batches: int = 8) -> dict:
     """Per-trigger cost decomposition for the round-8 streaming twins
     (transitions / exact rolling WAU / last-touch attribution): each
@@ -437,6 +503,10 @@ if __name__ == "__main__":
         n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
         users = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
         run_churn(n_batches, users)
+    elif len(sys.argv) > 1 and sys.argv[1] == "throttle_churn":
+        n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        tags = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
+        run_throttle_churn(n_batches, tags)
     elif len(sys.argv) > 1 and sys.argv[1] == "twins":
         run_twins(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     else:
