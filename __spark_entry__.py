@@ -1918,11 +1918,15 @@ def image_neardup_q(spark, sf_dir):
     PGM original's bit-for-bit, so the join must pair them at hamming 0
     across container formats — every 75th vec a PNG rendition
     (stdlib-zlib decode, LOSSLESS, cycling through all five scanline
-    filter types), and every 100th a GIF rendition (pure-Python LZW,
-    lossless through the gray palette), all pairing the same way.
-    Output truth table: per planted id, found + pair_witnessed +
-    {jpeg,png,gif}_found + {jpeg,png,gif}_pair_witnessed + the global
-    all_pairs_witnessed (covers incidental non-planted pairs too)."""
+    filter types), every 100th a GIF rendition (pure-Python LZW,
+    lossless through the gray palette), and every 125th a PROGRESSIVE
+    JPEG rendition (SOF2 spectral-selection + successive-approximation
+    scans, THREE interleaved-DC components, same constant-block q100
+    trick so the multi-scan reconstruction is exact), all pairing the
+    same way. Output truth table: per planted id, found +
+    pair_witnessed + {jpeg,png,gif,prog}_found +
+    {jpeg,png,gif,prog}_pair_witnessed + the global all_pairs_witnessed
+    (covers incidental non-planted pairs too)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1933,6 +1937,7 @@ def image_neardup_q(spark, sf_dir):
         image_neardup_join,
         make_gif_pixels,
         make_jpeg_pixels,
+        make_jpeg_progressive_pixels,
         make_pgm,
         make_png_pixels,
         to_media_frame,
@@ -1980,6 +1985,18 @@ def image_neardup_q(spark, sf_dir):
             [make_gif_pixels(9, 8, _grid(v).tobytes(), 1) for v in vecs]
         )
 
+    @pandas_udf("binary")
+    def to_prog(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            big = np.kron(_grid(v), np.ones((8, 8), dtype=np.uint8))
+            out.append(
+                make_jpeg_progressive_pixels(
+                    72, 64, big.tobytes(), quality=100, channels=3
+                )
+            )
+        return pd.Series(out)
+
     base = emb.select(
         F.col("vec_id").alias("media_id"),
         to_pgm(F.col("embedding"), F.lit(False)).alias("content"),
@@ -2000,9 +2017,14 @@ def image_neardup_q(spark, sf_dir):
         (F.col("vec_id") + 4_000_000).alias("media_id"),
         to_gif(F.col("embedding")).alias("content"),
     )
+    prog_copies = emb.filter(F.col("vec_id") % 125 == 0).select(
+        (F.col("vec_id") + 5_000_000).alias("media_id"),
+        to_prog(F.col("embedding")).alias("content"),
+    )
     media = to_media_frame(
         base.unionByName(copies).unionByName(jpeg_copies)
-        .unionByName(png_copies).unionByName(gif_copies),
+        .unionByName(png_copies).unionByName(gif_copies)
+        .unionByName(prog_copies),
         "media_id", F.col("content"), "image",
     )
     pairs = image_neardup_join(media, max_hamming=3).localCheckpoint(eager=True)
@@ -2070,12 +2092,19 @@ def image_neardup_q(spark, sf_dir):
             "gif_pair_witnessed"
         ),
     )
+    wit_prog = wit.where(F.col("id_b") == F.col("id_a") + 5_000_000).select(
+        F.col("id_a").alias("vec_id"),
+        ((F.col("hamming") == F.col("w_h")) & (F.col("hamming") == 0)).alias(
+            "prog_pair_witnessed"
+        ),
+    )
     planted = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
     return (
         planted.join(wit_planted, "vec_id", "left")
         .join(wit_jpeg, "vec_id", "left")
         .join(wit_png, "vec_id", "left")
         .join(wit_gif, "vec_id", "left")
+        .join(wit_prog, "vec_id", "left")
         .select(
             "vec_id",
             F.col("pair_witnessed").isNotNull().alias("found"),
@@ -2091,6 +2120,10 @@ def image_neardup_q(spark, sf_dir):
             F.col("gif_pair_witnessed").isNotNull().alias("gif_found"),
             F.coalesce("gif_pair_witnessed", F.lit(False)).alias(
                 "gif_pair_witnessed"
+            ),
+            F.col("prog_pair_witnessed").isNotNull().alias("prog_found"),
+            F.coalesce("prog_pair_witnessed", F.lit(False)).alias(
+                "prog_pair_witnessed"
             ),
             F.lit(bool(all_ok)).alias("all_pairs_witnessed"),
         )
@@ -2663,6 +2696,78 @@ def caption_frames_q(spark, sf_dir):
     )
     return align_captions_to_frames(cues, plan).select(
         "media_id", "frame_idx", "ts_ms", "cue_idx", "caption"
+    )
+
+
+def caption_coverage_q(spark, sf_dir):
+    """Caption COVERAGE accounting (r9 verdict task #8): the same
+    fixtures as caption_frames, but aligned with ``uncovered=True`` —
+    the LEFT-join mode that emits NULL-cue rows for frames no cue
+    covers — then folded to per-clip coverage (n_frames, n_covered,
+    coverage). The oracle replays the cue-window arithmetic in SQL, so
+    a dropped uncovered frame (the inner join's failure mode) or a
+    double-counted covered frame hash-fails the row. Every clip here
+    has uncovered frames by construction (the last 1-2 samples fall
+    past cue 1's 400 ms end, and even doc_ids leave a 100-200 ms gap)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+    from fluent_bit_spark.extensions.video import (
+        align_captions_to_frames,
+        extract_captions,
+        make_mp4,
+        video_frame_plan,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    @pandas_udf("binary")
+    def to_mp4(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                make_mp4(16, 16, [100] * (4 + int(d) % 3), [40] * (4 + int(d) % 3))
+                for d in ids
+            ]
+        )
+
+    @pandas_udf("string")
+    def to_track(ids: pd.Series) -> pd.Series:
+        out = []
+        for d in ids:
+            d = int(d)
+            e0 = 100 + 100 * (d % 2)
+            if d % 2 == 0:
+                out.append(
+                    f"1\n00:00:00,000 --> 00:00:00,{e0:03d}\nd{d} c0\n\n"
+                    f"2\n00:00:00,200 --> 00:00:00,400\nd{d} c1\n"
+                )
+            else:
+                out.append(
+                    "WEBVTT\n\n"
+                    f"00:00.000 --> 00:00.{e0:03d} align:start\nd{d} c0\n\n"
+                    f"00:00.200 --> 00:00.400\nd{d} c1\n"
+                )
+        return pd.Series(out)
+
+    media = to_media_frame(
+        docs.select(
+            F.col("doc_id").alias("media_id"), to_mp4("doc_id").alias("content")
+        ),
+        "media_id", F.col("content"), "video",
+    )
+    plan = video_frame_plan(media)
+    cues = extract_captions(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            to_track("doc_id").alias("caption_text"),
+        )
+    )
+    aligned = align_captions_to_frames(cues, plan, uncovered=True)
+    return aligned.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count("cue_idx").alias("n_covered"),
+        F.round(F.count("cue_idx") / F.count(F.lit(1)), 6).alias("coverage"),
     )
 
 
@@ -5133,6 +5238,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": video_neardup_q,
         "video_scene_sample": video_scene_sample_q,
         "caption_frames": caption_frames_q,
+        "caption_coverage": caption_coverage_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6285,6 +6391,8 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 75 = 0 AS png_pair_witnessed, "
             "vec_id % 100 = 0 AS gif_found, "
             "vec_id % 100 = 0 AS gif_pair_witnessed, "
+            "vec_id % 125 = 0 AS prog_found, "
+            "vec_id % 125 = 0 AS prog_pair_witnessed, "
             "TRUE AS all_pairs_witnessed FROM embeddings WHERE vec_id % 25 = 0"
         ),
         "audio_neardup": (
@@ -6352,6 +6460,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "caption_coverage": (
+            "WITH f AS (SELECT doc_id, i FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 6)) AS i) gi "
+            "WHERE i < 4 + doc_id % 3), "
+            "m AS (SELECT doc_id, i, i * 100 AS ts, "
+            "CASE WHEN i = 0 THEN 0 "
+            "WHEN i = 1 AND doc_id % 2 = 1 THEN 0 "
+            "WHEN i * 100 >= 200 AND i * 100 < 400 THEN 1 END AS cue "
+            "FROM f) "
+            "SELECT doc_id AS media_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_frames, "
+            "CAST(COUNT(cue) AS BIGINT) AS n_covered, "
+            "ROUND(COUNT(cue) * 1.0 / COUNT(*), 6) AS coverage "
+            "FROM m GROUP BY doc_id"
         ),
         "caption_frames": (
             "WITH f AS (SELECT doc_id, i FROM documents "

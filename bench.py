@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "video_frame_plan",
     "video_scene_sample",
     "caption_frames",
+    "caption_coverage",
     "tar_shard_roundtrip",
     "mkv_headers",
     "pipeline_e2e",

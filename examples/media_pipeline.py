@@ -63,10 +63,12 @@ def _corpus(spark, sf_dir: str):
 
     @pandas_udf("string")
     def to_srt(ids: pd.Series) -> pd.Series:
+        # cue 2 ends at 500 ms: the LAST frame (ts 500) is uncovered by
+        # construction, so the coverage accounting stage has real work
         return pd.Series(
             [
                 f"1\n00:00:00,000 --> 00:00:00,300\nshot one of {int(i)}\n\n"
-                f"2\n00:00:00,300 --> 00:00:00,600\nshot two of {int(i)}\n"
+                f"2\n00:00:00,300 --> 00:00:00,500\nshot two of {int(i)}\n"
                 for i in ids
             ]
         )
@@ -137,6 +139,123 @@ def run(spark, sf_dir: str) -> dict[str, int]:
         cues, frames.select("media_id", "frame_idx", "scene_idx", "ts_ms", "pixels")
     )
     counts["training_pairs"] = paired.count()
+
+    # 6. caption-coverage accounting over the FULL plan (uncovered=True:
+    # frames with no covering cue ride along as NULL-cue rows, so the
+    # coverage rate is one aggregate away instead of a separate anti-join)
+    cov = align_captions_to_frames(
+        cues, plan.select("media_id", "frame_idx", "ts_ms"), uncovered=True
+    )
+    counts["planned_frames"] = cov.count()
+    counts["uncovered_frames"] = cov.where(F.col("cue_idx").isNull()).count()
+    return counts
+
+
+def run_stream(spark, sf_dir: str, work_dir: str) -> dict[str, int]:
+    """The SAME composition as ``run`` in its always-on deployment
+    shape: a foreachBatch stage that per micro-batch triages, collapses
+    within-batch near-dups, drops clips colliding with the video
+    HISTORY store (so a trim re-ingested in a later batch still
+    collapses — video_dedup_against_history's cross-batch contract),
+    then scene-samples, decodes representatives and caption-aligns the
+    survivors. The corpus is spooled as two micro-batches with every
+    trimmed duplicate in a LATER batch than its original, so the summed
+    per-batch counts equal the batch run's — asserted in
+    tests/test_examples.py."""
+    import os
+    import time
+
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+    from fluent_bit_spark.extensions.video import (
+        align_captions_to_frames,
+        append_video_history,
+        decode_video_frames,
+        extract_captions,
+        extract_video_headers,
+        scene_sample_plan,
+        video_dedup_against_history,
+        video_neardup_join,
+    )
+
+    raw, caption_src = _corpus(spark, sf_dir)
+    base = raw.where(F.col("media_id") < 1_000_000)
+    dups = raw.where(F.col("media_id") >= 1_000_000)
+    spool = os.path.join(work_dir, "in")
+    os.makedirs(spool, exist_ok=True)
+    t0 = time.time() - 1000
+    for i, part in enumerate((base, dups)):
+        bdir = os.path.join(work_dir, f"render_b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(bdir)
+        src = next(p for p in os.listdir(bdir) if p.endswith(".parquet"))
+        dst = os.path.join(spool, f"b{i}.parquet")
+        os.replace(os.path.join(bdir, src), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    state = os.path.join(work_dir, "video_history")
+    cues = extract_captions(caption_src).localCheckpoint(eager=True)
+    counts: dict[str, int] = {
+        k: 0
+        for k in (
+            "input_clips", "parseable", "after_dedup", "scenes",
+            "rep_frames", "training_pairs", "planned_frames",
+            "uncovered_frames", "n_batches",
+        )
+    }
+
+    def process(batch_df, batch_id: int) -> None:
+        media = to_media_frame(
+            batch_df, "media_id", F.col("content"), "video"
+        ).localCheckpoint(eager=True)
+        counts["n_batches"] += 1
+        counts["input_clips"] += media.count()
+        headers = extract_video_headers(media)
+        counts["parseable"] += headers.where(
+            F.col("container").isNotNull()
+        ).count()
+        pairs = video_neardup_join(media, max_hamming=3)
+        losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
+        within = media.join(losers, "media_id", "left_anti")
+        kept = video_dedup_against_history(
+            within, state, max_hamming=3, update_state=False
+        ).localCheckpoint(eager=True)
+        counts["after_dedup"] += kept.count()
+        plan = scene_sample_plan(kept, threshold=16)
+        counts["scenes"] += (
+            plan.select("media_id", "scene_idx").distinct().count()
+        )
+        reps = plan.where(F.col("selected")).select(
+            "media_id", "frame_idx", "scene_idx"
+        )
+        frames = decode_video_frames(kept).join(reps, ["media_id", "frame_idx"])
+        counts["rep_frames"] += frames.count()
+        paired = align_captions_to_frames(
+            cues,
+            frames.select("media_id", "frame_idx", "scene_idx", "ts_ms", "pixels"),
+        )
+        counts["training_pairs"] += paired.count()
+        cov = align_captions_to_frames(
+            cues, plan.select("media_id", "frame_idx", "ts_ms"), uncovered=True
+        )
+        counts["planned_frames"] += cov.count()
+        counts["uncovered_frames"] += cov.where(
+            F.col("cue_idx").isNull()
+        ).count()
+        # sink-before-state happened above (the counts ARE the sink);
+        # survivors' band rows append last — the at-least-once contract
+        append_video_history(kept, state, max_hamming=3)
+
+    sdf = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
     return counts
 
 

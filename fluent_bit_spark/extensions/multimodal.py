@@ -58,8 +58,8 @@ def decode_stub(content: bytes, kind: str) -> dict:
 # Real container-header decoding — pure-Python parsers for the public file
 # formats (PNG, JPEG, GIF, BMP, WAV). Pixel/sample decode below covers
 # BMP/PPM/PGM/WAV (pure numpy), PNG (stdlib zlib + numpy unfilter), and
-# baseline JPEG (pure-numpy Huffman + IDCT); GIF/LZW, progressive JPEG,
-# and 16-bit/interlaced PNG remain header-only — the documented envelope.
+# baseline AND progressive JPEG (pure-numpy Huffman + IDCT); GIF/LZW;
+# 16-bit/interlaced PNG remains header-only — the documented envelope.
 # --------------------------------------------------------------------------
 import struct as _struct
 
@@ -759,13 +759,16 @@ def make_gif_pixels(
 
 
 # --------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81, sequential DCT, 8-bit, Huffman) — pure
-# numpy/stdlib, no codec library: entropy decode + dequant + IDCT for the
-# decoder, and a single-component grayscale encoder for test fixtures.
-# Progressive (SOF2), arithmetic-coded, 12-bit, and hierarchical payloads
-# return None (the remaining documented gap). The decoder emits the LUMA
-# plane (channels=1): chroma blocks are entropy-decoded to keep bitstream
-# sync, then discarded — the perceptual-hash pipeline grayscales anyway.
+# JPEG (ITU-T T.81) — pure numpy/stdlib, no codec library: baseline
+# sequential (SOF0/1) and PROGRESSIVE (SOF2, spectral selection +
+# successive approximation, T.81 Annex G — ~10% of web-crawled JPEGs)
+# entropy decode + dequant + IDCT for the decoder, plus sequential and
+# progressive grayscale encoders for test fixtures. Arithmetic-coded,
+# 12-bit, and hierarchical payloads return None (the remaining documented
+# gap). The decoder emits the LUMA plane (channels=1): chroma blocks are
+# entropy-decoded for bitstream sync where interleaved with luma, while
+# chroma-only progressive scans (self-delimited by the next marker) are
+# skipped whole — the perceptual-hash pipeline grayscales anyway.
 # --------------------------------------------------------------------------
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -882,13 +885,42 @@ def _jpeg_huff_decode(r: _JpegBitReader, t: _JpegHuffTable) -> int:
 
 
 def _decode_jpeg_gray(b: bytes):
-    """Baseline-JPEG -> (w, h, 1, luma bytes), or None on any payload
-    outside the supported envelope (progressive/arithmetic/12-bit/
-    truncated/corrupt) — the filter-don't-crash contract."""
+    """Baseline or progressive JPEG -> (w, h, 1, luma bytes), or None on
+    any payload outside the supported envelope (arithmetic/12-bit/
+    lossless/hierarchical/truncated/corrupt) — the filter-don't-crash
+    contract."""
     try:
         return _decode_jpeg_gray_inner(b)
     except Exception:
         return None
+
+
+def _jpeg_entropy_segments(b: bytes, start: int):
+    """Unstuff a scan's entropy bytes from ``start``; segments split at
+    restart markers. Returns (segments, index of the next real marker's
+    0xFF — or len(b) if the stream ends inside the scan)."""
+    n = len(b)
+    segments: list = []
+    cur = bytearray()
+    i = start
+    while i < n:
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        m = b[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next real marker
+            break
+    segments.append(bytes(cur))
+    return segments, i
 
 
 def _decode_jpeg_gray_inner(b: bytes):
@@ -899,16 +931,23 @@ def _decode_jpeg_gray_inner(b: bytes):
     qt: dict = {}
     huff: dict = {}
     sof = None
+    progressive = False
+    store: dict | None = None  # progressive: cid -> (bh, bw, 64) zigzag coefs
+    any_scan = False
     dri = 0
-    while i + 4 <= n:
+    while i + 2 <= n:
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
-        if marker == 0xD9:  # EOI before any scan
-            return None
+        if marker == 0xD9:  # EOI
+            if progressive and any_scan:
+                return _jpeg_finalize_progressive(sof, store, qt)
+            return None  # sequential: EOI before the scan
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
+        if i + 4 > n:
+            return None
         seglen = _struct.unpack(">H", b[i + 2 : i + 4])[0]
         seg = b[i + 4 : i + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -923,7 +962,9 @@ def _decode_jpeg_gray_inner(b: bytes):
                     tab[_JPEG_ZIGZAG[z]] = seg[j + z]
                 qt[tq] = tab.reshape(8, 8)
                 j += 64
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if sof is not None:
+                return None
             prec = seg[0]
             if prec != 8:
                 return None
@@ -938,8 +979,9 @@ def _decode_jpeg_gray_inner(b: bytes):
                      "tq": seg[8 + 3 * c]}
                 )
             sof = {"w": w, "h": h, "comps": comps}
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive / arithmetic / lossless / hierarchical
+            progressive = marker == 0xC2
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # arithmetic / lossless / hierarchical
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -961,36 +1003,233 @@ def _decode_jpeg_gray_inner(b: bytes):
                 tt = seg[2 + 2 * c]
                 comp = next(x for x in sof["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
-            return _jpeg_decode_scan(
-                b, i + 2 + seglen, sof, scan, qt, huff, dri
-            )
+            if not progressive:
+                return _jpeg_decode_scan(
+                    b, i + 2 + seglen, sof, scan, qt, huff, dri
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if store is None:
+                store = _jpeg_prog_alloc(sof)
+                if store is None:
+                    return None
+            segments, nxt = _jpeg_entropy_segments(b, i + 2 + seglen)
+            if len(scan) == 1 and scan[0][0]["id"] != sof["comps"][0]["id"]:
+                pass  # chroma-only scan: self-delimited, luma unaffected
+            else:
+                _jpeg_prog_scan(
+                    segments, sof, scan, huff, dri, store, ss, se, ah, al
+                )
+            any_scan = True
+            i = nxt
+            continue
         i += 2 + seglen
     return None
 
 
+def _jpeg_prog_alloc(sof):
+    """Per-component persistent coefficient stores for a progressive
+    decode: (block_rows, block_cols, 64) int32 in ZIGZAG order, sized to
+    the MCU-padded grid (interleaved DC scans address padded blocks).
+    None when the geometry is out of envelope."""
+    w, h = sof["w"], sof["h"]
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        return None
+    comps = sof["comps"]
+    if not all(1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps):
+        return None
+    y = comps[0]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if y["h"] != hmax or y["v"] != vmax:
+        return None  # subsampled luma: out of envelope (as sequential)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    store = {"__mcu__": (mcx, mcy)}
+    for c in comps:
+        store[c["id"]] = _np.zeros(
+            (mcy * c["v"], mcx * c["h"], 64), dtype=_np.int64
+        )
+    return store
+
+
+def _jpeg_comp_grid(sof, comp):
+    """A component's REAL block grid (non-interleaved scans cover only
+    this, not the MCU padding) — T.81 A.2.2."""
+    hmax = max(c["h"] for c in sof["comps"])
+    vmax = max(c["v"] for c in sof["comps"])
+    cw = -(-(sof["w"] * comp["h"]) // hmax)
+    ch = -(-(sof["h"] * comp["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_prog_scan(segments, sof, scan, huff, dri, store, ss, se, ah, al):
+    """One progressive scan into the persistent stores (T.81 Annex G):
+    DC first / DC refine (interleaved or single-component), AC first /
+    AC refine (single-component per the spec, with EOB-run state).
+    Coefficients live in ZIGZAG order; AC values use the sign-magnitude
+    successive-approximation convention, DC the two's-complement one —
+    matching the encoder side of the standard (and libjpeg)."""
+    if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError("bad spectral/approximation parameters")
+    mcx, mcy = store["__mcu__"]
+    if ss == 0:  # ---- DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("DC scan with se != 0")
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = mcx * mcy
+        else:
+            bw, bh = _jpeg_comp_grid(sof, scan[0][0])
+            units = bw * bh
+        seg_idx = 0
+        r = _JpegBitReader(segments[0])
+        pred = {c["id"]: 0 for c in sof["comps"]}
+        for u in range(units):
+            if dri and u and u % dri == 0:
+                seg_idx += 1
+                r = _JpegBitReader(segments[seg_idx])
+                pred = {c["id"]: 0 for c in sof["comps"]}
+            for comp, td, _ta in scan:
+                coefs = store[comp["id"]]
+                nb = comp["h"] * comp["v"] if interleaved else 1
+                for blk in range(nb):
+                    if interleaved:
+                        my, mx = divmod(u, mcx)
+                        by, bx = divmod(blk, comp["h"])
+                        row = my * comp["v"] + by
+                        col = mx * comp["h"] + bx
+                    else:
+                        row, col = divmod(u, bw)
+                    if ah == 0:  # first pass
+                        t = huff.get((0, td))
+                        if t is None:
+                            raise ValueError("missing DC table")
+                        s = _jpeg_huff_decode(r, t)
+                        diff = _jpeg_extend(r.receive(s), s) if s else 0
+                        pred[comp["id"]] += diff
+                        coefs[row, col, 0] = pred[comp["id"]] << al
+                    else:  # refinement: one raw bit per block
+                        if r.bit():
+                            coefs[row, col, 0] |= 1 << al
+        return
+    # ---- AC scan: single component, non-interleaved (spec G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("interleaved AC progressive scan")
+    comp, _td, ta = scan[0]
+    coefs = store[comp["id"]]
+    bw, bh = _jpeg_comp_grid(sof, comp)
+    t = huff.get((1, ta))
+    if t is None:
+        raise ValueError("missing AC table")
+    seg_idx = 0
+    r = _JpegBitReader(segments[0])
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for u in range(bw * bh):
+        if dri and u and u % dri == 0:
+            seg_idx += 1
+            r = _JpegBitReader(segments[seg_idx])
+            eobrun = 0
+        row, col = divmod(u, bw)
+        zz = coefs[row, col]
+        if ah == 0:  # ---- AC first pass
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(r, t)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.receive(rr)
+                    break
+                k += rr
+                if k > se:
+                    raise ValueError("AC run past se")
+                zz[k] = _jpeg_extend(r.receive(s), s) << al
+                k += 1
+        else:  # ---- AC refinement (G.1.2.3 / libjpeg decode_mcu_AC_refine)
+            # eobrun here counts blocks INCLUDING the current one (the
+            # tail-refine below reads the current block's remaining
+            # correction bits even for a run of 1, then decrements —
+            # libjpeg's exact flow; pre-decrementing desyncs by the
+            # buffered tail bits)
+            k = ss
+            if not eobrun:
+                while k <= se:
+                    rs = _jpeg_huff_decode(r, t)
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.receive(rr)
+                            break
+                        # ZRL: advance past 16 zero-history coefs
+                        newval = 0
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refine with s != 1")
+                        newval = p1 if r.bit() else m1
+                    while k <= se:
+                        if zz[k]:
+                            if r.bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if rr == 0:
+                                if newval:
+                                    zz[k] = newval
+                                k += 1
+                                break
+                            rr -= 1
+                        k += 1
+            if eobrun:
+                # EOB span: correction bits for the remaining
+                # nonzero-history coefs of this block, then consume it
+                while k <= se:
+                    if zz[k]:
+                        if r.bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _jpeg_finalize_progressive(sof, store, qt):
+    """Dequantize + IDCT the accumulated luma coefficients."""
+    if store is None:
+        return None
+    y = sof["comps"][0]
+    qy = qt.get(y["tq"])
+    if qy is None:
+        return None
+    w, h = sof["w"], sof["h"]
+    coefs = store[y["id"]]
+    bh, bw = coefs.shape[0], coefs.shape[1]
+    # zigzag -> natural order
+    nat = _np.zeros_like(coefs, dtype=_np.float64)
+    zig = _np.asarray(_JPEG_ZIGZAG)
+    nat[:, :, zig] = coefs
+    F_ = nat.reshape(bh * bw, 8, 8) * qy[None, :, :]
+    A = _jpeg_idct_matrix()
+    f = _np.einsum("ux,nuv,vy->nxy", A, F_, A)
+    px = _np.clip(_np.round(f) + 128, 0, 255).astype(_np.uint8)
+    plane = (
+        px.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
+    return w, h, 1, plane[:h, :w].tobytes()
+
+
 def _jpeg_decode_scan(b, start, sof, scan, qt, huff, dri):
-    n = len(b)
-    # unstuff entropy bytes; segments split at restart markers
-    segments: list = []
-    cur = bytearray()
-    i = start
-    while i < n:
-        c = b[i]
-        if c != 0xFF:
-            cur.append(c)
-            i += 1
-            continue
-        m = b[i + 1] if i + 1 < n else 0xD9
-        if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # EOI or next real marker
-            break
-    segments.append(bytes(cur))
+    segments, _ = _jpeg_entropy_segments(b, start)
 
     w, h = sof["w"], sof["h"]
     if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
@@ -1192,15 +1431,228 @@ def make_jpeg_pixels(
     return out
 
 
+def _jpeg_prog_ac_counts_symbols():
+    """A valid (suboptimal) canonical Huffman table covering every AC
+    symbol a progressive scan can emit: EOBn (0x00..0xE0), ZRL (0xF0),
+    and (run, size) for sizes 1..10 — the standard Annex K sequential
+    table lacks the EOBn codes, so progressive encoders carry their own
+    (real files ship optimized ones; fixtures just need coverage). All
+    codes get length 9 (176 symbols < 2^9), trivially prefix-free."""
+    symbols = [rr << 4 for rr in range(15)]  # EOB1..EOB2^14
+    symbols.append(0xF0)  # ZRL
+    for s in range(1, 11):
+        for run in range(16):
+            symbols.append((run << 4) | s)
+    counts = [0] * 16
+    counts[8] = len(symbols)  # all length 9 (counts[len-1] layout)
+    return counts, symbols
+
+
+def make_jpeg_progressive_pixels(
+    w: int, h: int, gray: bytes, quality: int = 90, channels: int = 1
+) -> bytes:
+    """Progressive (SOF2) JPEG encoder carrying REAL pixel data —
+    fixture support for the progressive decoder, spectral selection AND
+    successive approximation (the libjpeg-style script: DC first at
+    Al=1; AC 1-5 then 6-63 first at Al=2; AC refine to Al=1; DC refine;
+    AC refine to Al=0). ``channels=3`` emits three 1x1-sampled
+    components carrying the same gray plane, making the DC scans
+    INTERLEAVED (the multi-component sync path); the decoder's luma
+    output is identical either way. The quantized coefficients equal
+    make_jpeg_pixels' at the same quality, so decode(progressive) ==
+    decode(baseline) bit-exactly — the fixture-side equivalence the
+    tests assert."""
+    if len(gray) != w * h:
+        raise ValueError("pixel buffer must be w*h bytes")
+    if not (1 <= quality <= 100):
+        raise ValueError("quality must be in 1..100")
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = _np.clip((_np.array(_JPEG_QLUM) * scale + 50) // 100, 1, 255).astype(int)
+    qm = q.reshape(8, 8).astype(float)
+    dc_t = _JpegHuffTable(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac_counts, ac_symbols = _jpeg_prog_ac_counts_symbols()
+    ac_t = _JpegHuffTable(ac_counts, ac_symbols)
+
+    img = _np.frombuffer(gray, dtype=_np.uint8).reshape(h, w).astype(float)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = _np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    A = _jpeg_idct_matrix()
+    zig = _JPEG_ZIGZAG
+    bw_, bh_ = pw // 8, ph // 8
+    blocks: list[list[int]] = []  # raster over block grid, zigzag coefs
+    for by in range(bh_):
+        for bx in range(bw_):
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            qc = _np.round((A @ blk @ A.T) / qm).astype(int)
+            blocks.append([int(qc.flat[zig[k]]) for k in range(64)])
+    comp_ids = [1] if channels == 1 else [1, 2, 3]
+
+    def size_of(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    def scan_dc_first(wtr, al):
+        pred = {c: 0 for c in comp_ids}
+        for zz in blocks:  # MCU order == block raster (all comps 1x1)
+            for c in comp_ids:
+                v = zz[0] >> al  # arithmetic point transform (T.81)
+                diff = v - pred[c]
+                pred[c] = v
+                s = size_of(diff)
+                code, ln = dc_t.codes[s]
+                wtr.put(code, ln)
+                if s:
+                    wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def scan_dc_refine(wtr, al):
+        for zz in blocks:
+            for _c in comp_ids:
+                wtr.put((zz[0] >> al) & 1, 1)
+
+    def scan_ac_first(wtr, ss, se, al):
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = ac_t.codes[nbits << 4]
+                wtr.put(code, ln)
+                if nbits:
+                    wtr.put(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        for zz in blocks:
+            r = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = zz[k]
+                a = abs(v) >> al
+                if a == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, ln = ac_t.codes[0xF0]
+                    wtr.put(code, ln)
+                    r -= 16
+                s = a.bit_length()
+                t = a if v >= 0 else -a
+                code, ln = ac_t.codes[(r << 4) | s]
+                wtr.put(code, ln)
+                wtr.put(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def scan_ac_refine(wtr, ss, se, al):
+        eobrun = 0
+        be_bits: list[int] = []  # correction bits riding the EOB run
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = ac_t.codes[nbits << 4]
+                wtr.put(code, ln)
+                if nbits:
+                    wtr.put(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+            for bit in be_bits:
+                wtr.put(bit, 1)
+            be_bits = []
+
+        for zz in blocks:
+            absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+            eob_idx = max(
+                (i for i, a in enumerate(absv) if a), default=-1
+            )
+            r = 0
+            br: list[int] = []  # this block's pending correction bits
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_idx:
+                    flush_eob()
+                    code, ln = ac_t.codes[0xF0]
+                    wtr.put(code, ln)
+                    r -= 16
+                    for bit in br:
+                        wtr.put(bit, 1)
+                    br = []
+                if a > 1:  # history coefficient: buffer its correction bit
+                    br.append(a & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_t.codes[(r << 4) | 1]
+                wtr.put(code, ln)
+                wtr.put(1 if zz[ss + i] >= 0 else 0, 1)
+                for bit in br:
+                    wtr.put(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF or len(be_bits) > 900:
+                    flush_eob()
+        flush_eob()
+
+    def dht(tc, counts, symbols):
+        body = bytes([tc]) + bytes(counts) + bytes(symbols)
+        return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+
+    def sos(comp_list, ss, se, ah, al, ta=0):
+        body = bytes([len(comp_list)])
+        for c in comp_list:
+            body += bytes([c, (0 << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + _struct.pack(">H", 2 + len(body)) + body
+
+    qz = bytes(int(q[zig[z]]) for z in range(64))
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + qz
+    sof = b"\x08" + _struct.pack(">HH", h, w) + bytes([channels])
+    for c in comp_ids:
+        sof += bytes([c, 0x11, 0])
+    out += b"\xff\xc2" + _struct.pack(">H", 2 + len(sof)) + sof
+    out += dht(0x00, _JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    out += dht(0x10, ac_counts, ac_symbols)
+
+    def run_scan(header, emit, *args):
+        nonlocal out
+        wtr = _JpegBitWriter()
+        emit(wtr, *args)
+        wtr.flush()
+        out += header + bytes(wtr.out)
+
+    run_scan(sos(comp_ids, 0, 0, 0, 1), scan_dc_first, 1)
+    for c in comp_ids:
+        run_scan(sos([c], 1, 5, 0, 2, ta=0), scan_ac_first, 1, 5, 2)
+        run_scan(sos([c], 6, 63, 0, 2, ta=0), scan_ac_first, 6, 63, 2)
+    for c in comp_ids:
+        run_scan(sos([c], 1, 63, 2, 1, ta=0), scan_ac_refine, 1, 63, 1)
+    run_scan(sos(comp_ids, 0, 0, 1, 0), scan_dc_refine, 0)
+    for c in comp_ids:
+        run_scan(sos([c], 1, 63, 1, 0, ta=0), scan_ac_refine, 1, 63, 0)
+    return out + b"\xff\xd9"
+
+
 def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Pure-numpy/stdlib pixel decode via Arrow-batched mapInPandas —
     uncompressed BMP, binary PPM/PGM, PNG (stdlib zlib inflate + numpy
     unfilter, 8-bit), GIF (pure-Python LZW, first frame, palette->RGB),
-    and baseline JPEG (Huffman + dequant + IDCT, luma plane,
-    channels=1): (media_id, format, width, height, channels, pixels)
-    with ``pixels`` the row-major top-down uint8 samples
+    and JPEG — baseline AND progressive (Huffman + dequant + IDCT, luma
+    plane, channels=1): (media_id, format, width, height, channels,
+    pixels) with ``pixels`` the row-major top-down uint8 samples
     (channel-interleaved RGB, or single-channel gray). Payloads outside
-    the envelope (interlaced/16-bit PNG, progressive JPEG, later GIF
+    the envelope (interlaced/16-bit PNG, arithmetic JPEG, later GIF
     frames) or malformed ones yield NULL pixels with the sniffed
     ``format``, so callers filter rather than crash mid-scan."""
 

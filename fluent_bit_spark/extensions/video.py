@@ -1300,28 +1300,46 @@ def extract_captions(
 
 
 def align_captions_to_frames(
-    captions: DataFrame, plan: DataFrame, id_col: str = "media_id"
+    captions: DataFrame,
+    plan: DataFrame,
+    id_col: str = "media_id",
+    uncovered: bool = False,
 ) -> DataFrame:
     """(frame rows) x (cue covering the frame's timestamp): the
     vision-language pairing step — each planned frame joins the caption
     whose [start_ms, end_ms) interval contains its ts_ms. The join is
     an EQUI-join on the media id with the interval as a residual range
     filter, so both sides co-partition by clip and no interval-join
-    machinery (or worse, a cartesian) is involved; frames with no
-    covering cue drop (inner semantics — emit the plan separately if
-    uncovered frames matter)."""
+    machinery (or worse, a cartesian) is involved.
+
+    ``uncovered=False`` (default) keeps inner semantics: frames with no
+    covering cue drop. ``uncovered=True`` switches to a LEFT join that
+    emits those frames with NULL cue_idx/caption, so caption COVERAGE
+    is accountable in the same pass — a vision-language build filters
+    or weights on `cue_idx IS NULL` instead of re-deriving coverage
+    from a separate anti-join of the plan."""
     c = captions.select(
-        F.col(id_col),
+        F.col(id_col).alias("__cid"),
         F.col("cue_idx"),
         F.col("start_ms").alias("__cs"),
         F.col("end_ms").alias("__ce"),
         F.col("caption"),
     )
-    return (
-        plan.join(c, id_col)
-        .where((F.col("ts_ms") >= F.col("__cs")) & (F.col("ts_ms") < F.col("__ce")))
-        .drop("__cs", "__ce")
+    if not uncovered:
+        return (
+            plan.join(c, plan[id_col] == c["__cid"])
+            .where(
+                (F.col("ts_ms") >= F.col("__cs"))
+                & (F.col("ts_ms") < F.col("__ce"))
+            )
+            .drop("__cid", "__cs", "__ce")
+        )
+    cond = (
+        (plan[id_col] == c["__cid"])
+        & (plan["ts_ms"] >= c["__cs"])
+        & (plan["ts_ms"] < c["__ce"])
     )
+    return plan.join(c, cond, "left").drop("__cid", "__cs", "__ce")
 
 
 # ---------------------------------------------------------------------------

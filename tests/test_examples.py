@@ -326,3 +326,29 @@ def test_media_pipeline_example(spark):
     assert counts["scenes"] == 1000  # two planted shots per survivor
     assert counts["rep_frames"] == 1000  # one representative per shot
     assert counts["training_pairs"] == 1000  # every frame captioned
+    # coverage accounting (uncovered=True): 6 planned frames/survivor,
+    # the last (ts 500) past cue 2's end by construction
+    assert counts["planned_frames"] == 3000
+    assert counts["uncovered_frames"] == 500
+    assert counts["planned_frames"] - counts["uncovered_frames"] == 2500
+
+
+def test_media_pipeline_stream_matches_batch(spark, tmp_path):
+    """The streaming composition gate (r9 verdict task #6): the
+    foreachBatch version — triage -> within-batch + HISTORY near-dup ->
+    scene sample -> decode -> caption align per micro-batch — sums to
+    the batch run's counts on a 2-batch split that re-ingests every
+    trimmed duplicate AFTER its original (so the drop happens via the
+    history store, not the within-batch join)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import media_pipeline
+
+    batch = media_pipeline.run(spark, "/root/testdata/sf0.001")
+    stream = media_pipeline.run_stream(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "mp_stream")
+    )
+    assert stream.pop("n_batches") == 2
+    assert stream == batch

@@ -356,8 +356,74 @@ def test_jpeg_baseline_codec_roundtrip():
     # out-of-envelope payloads -> None, never an exception
     assert _decode_jpeg_gray(jb[:40]) is None                 # truncated
     assert _decode_jpeg_gray(b"\xff\xd8\xff\xee junk") is None
-    prog = jb.replace(b"\xff\xc0", b"\xff\xc2", 1)            # progressive SOF
-    assert _decode_jpeg_gray(prog) is None
+    arith = jb.replace(b"\xff\xc0", b"\xff\xc9", 1)           # arithmetic SOF
+    assert _decode_jpeg_gray(arith) is None
+    # SOF2 with a BASELINE scan header (Se=63 on a DC-start scan) is a
+    # malformed progressive file, not a baseline one: still None
+    bad_prog = jb.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _decode_jpeg_gray(bad_prog) is None
+
+
+def test_jpeg_progressive_codec_roundtrip():
+    """Progressive JPEG (SOF2, spectral selection + successive
+    approximation): the progressive encoding of an image decodes to
+    EXACTLY the pixels of its baseline encoding at the same quality —
+    both reconstruct identical quantized coefficients, so this is a
+    bit-exact equivalence, not a tolerance check. Covers single- and
+    multi-component (interleaved DC) files, EOBRUN-heavy smooth/constant
+    content, and the filter-don't-crash contract over truncations and
+    single-byte corruptions — r9 verdict task #7."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_jpeg_gray, make_jpeg_pixels, make_jpeg_progressive_pixels,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((16, 16), 90, 1), ((17, 13), 75, 1), ((8, 8), 50, 1),
+        ((24, 18), 90, 3), ((33, 9), 95, 3), ((1, 1), 90, 1),
+        ((40, 40), 70, 3), ((9, 16), 100, 1),
+    ]
+    for (w, h), q, ch in cases:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8).tobytes()
+        base = _decode_jpeg_gray(make_jpeg_pixels(w, h, px, quality=q))
+        prog = _decode_jpeg_gray(
+            make_jpeg_progressive_pixels(w, h, px, quality=q, channels=ch)
+        )
+        assert prog is not None and prog[:3] == (w, h, 1)
+        assert prog[3] == base[3], (w, h, q, ch)
+    # EOBRUN-heavy paths: gradients and constants span many all-zero bands
+    for w, h in [(32, 32), (48, 16)]:
+        grad = np.tile(
+            np.arange(w) * 255 // max(w - 1, 1), (h, 1)
+        ).astype(np.uint8)
+        for px in (grad.tobytes(), bytes(w * h)):
+            for ch in (1, 3):
+                b_ = make_jpeg_pixels(w, h, px, quality=90)
+                p_ = make_jpeg_progressive_pixels(
+                    w, h, px, quality=90, channels=ch
+                )
+                assert _decode_jpeg_gray(p_)[3] == _decode_jpeg_gray(b_)[3]
+    # constant 8x8 blocks at q100 roundtrip EXACTLY (as baseline does)
+    blocks = rng.randint(16, 240, (3, 4)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    got = _decode_jpeg_gray(
+        make_jpeg_progressive_pixels(32, 24, img.tobytes(), quality=100)
+    )
+    assert np.array_equal(
+        np.frombuffer(got[3], np.uint8).reshape(24, 32), img
+    )
+    # filter-don't-crash: truncations + bit flips never raise
+    px = rng.randint(0, 256, (18, 24)).astype(np.uint8).tobytes()
+    p_ = make_jpeg_progressive_pixels(24, 18, px, quality=90, channels=3)
+    for cut in range(0, len(p_), 5):
+        _decode_jpeg_gray(p_[:cut])
+    mut = bytearray(p_)
+    for pos in range(20, len(mut), 13):
+        mut[pos] ^= 0xFF
+        _decode_jpeg_gray(bytes(mut))
+        mut[pos] ^= 0xFF
 
 
 def test_decode_pixels_jpeg_dispatch(spark):

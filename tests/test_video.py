@@ -647,3 +647,37 @@ def test_mp4_stsz_count_must_fit_payload():
     assert mp4_sample_table(bytes(b)) is None
     # the untouched original still parses
     assert len(mp4_sample_table(make_mp4(8, 8, [100] * n, [40] * n))) == n
+
+
+def test_align_captions_uncovered_mode(spark):
+    """uncovered=True left-joins so caption coverage is accountable:
+    frames with no covering cue emit NULL cue rows — r9 verdict task #8."""
+    from fluent_bit_spark.extensions.video import (
+        align_captions_to_frames,
+        extract_captions,
+        video_frame_plan,
+    )
+
+    plan = _media(spark, [
+        (1, make_mp4(16, 16, [100] * 5, [40] * 5)),
+        (2, make_mp4(16, 16, [100] * 2, [40] * 2)),  # no captions at all
+    ])
+    frames = video_frame_plan(plan)
+    caps = spark.createDataFrame(
+        [(1, "1\n00:00:00,000 --> 00:00:00,150\nfirst\n\n"
+             "2\n00:00:00,300 --> 00:00:00,450\nsecond\n")],
+        "media_id long, caption_text string",
+    )
+    cues = extract_captions(caps)
+    rows = align_captions_to_frames(cues, frames, uncovered=True).collect()
+    got = {(r.media_id, r.frame_idx): (r.cue_idx, r.caption) for r in rows}
+    assert got == {
+        (1, 0): (0, "first"), (1, 1): (0, "first"),
+        (1, 2): (None, None),                      # 200ms gap between cues
+        (1, 3): (1, "second"), (1, 4): (1, "second"),
+        (2, 0): (None, None), (2, 1): (None, None),  # captionless clip
+    }
+    assert len(rows) == 7  # every planned frame appears exactly once
+    # inner mode unchanged: uncovered frames drop
+    inner = align_captions_to_frames(cues, frames).collect()
+    assert len(inner) == 4
