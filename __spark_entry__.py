@@ -5079,25 +5079,35 @@ def flowcounter_q(spark, sf_dir):
 # jpeg truth columns, attribution's duplicate-conversion scaling,
 # audio_neardup's refactored verify) are re-verified by the full
 # two-scale ORACLE_*_r09 reports regenerated after the change.
+#
+# ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
+# ranking: the 1 never-driver-checked round-10 addition
+# (caption_coverage) leads; then the 37 remaining r06-era rows; then
+# the 12 alphabetically-first r07-era rows (grep_filter, heavy_hitters,
+# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
+# rotation). The round-10 semantic changes to already-green queries
+# (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
+# pyarrow-fs publication path, caption_frames' refactored join) are
+# re-verified by the full two-scale ORACLE_*_r10 reports regenerated
+# after the change.
 _DRIVER_WINDOW = [
-    "bm25_appended", "pq_appended",
-    "video_headers", "video_frame_plan", "video_neardup",
-    "video_scene_sample", "caption_frames", "tar_shard_roundtrip",
-    "mkv_headers",
-    "multiline_sessionize", "otel_envelope", "pack_sequences",
-    "pagerank_nodes", "parser_json_props", "parser_logfmt_roundtrip",
-    "parser_ltsv_roundtrip", "parser_regex_access_log",
-    "parser_syslog_preset", "q6_forecast_revenue", "repeated_spans",
-    "rewrite_tag_rules", "robots_compliance", "router_split",
-    "sampling_deterministic", "sampling_tail_traces", "semantic_dedup",
-    "session_window_gap", "sp_projection_variant", "stratified_sample",
-    "table_profile", "tda_betti_windows", "throttle_rate",
-    "throttle_size_budget", "type_converter_casts", "udf_hook",
-    "union_tag_merge", "warc_wet",
-    "active_users_window", "asof_last_signup", "avro_roundtrip",
-    "bm25_indexed", "c4_clean_docs", "c4_line_filter",
-    "cloudwatch_shape", "cluster_balanced", "cohort_retention",
-    "datadog_shape", "decontaminate", "dedup_clusters", "dedup_exact",
+    "caption_coverage",
+    "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
+    "edit_distance_join", "entity_resolution", "es_bulk_encode",
+    "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
+    "experiment_stats", "flowcounter_rates", "forward_wire_roundtrip",
+    "funnel_levels", "fuzzy_join_trigram", "geoip_enrich", "http_body",
+    "http_requests", "influxdb_lines", "join_q3_shipping",
+    "join_q5_region", "kafka_messages", "kubernetes_enrich",
+    "leakage_safe_split", "log_templates", "loki_push_shape",
+    "mix_temperature", "ml_inference_mlp", "nb_quality_classifier",
+    "pack_ffd", "pivot_status_revenue", "rfm_segments",
+    "session_summaries", "shuffle_shards", "span_decontaminate",
+    "token_budget_select", "top_session_paths", "window_rank_topk",
+    "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
+    "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
+    "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
+    "gopher_quality",
 ]
 
 

@@ -39,6 +39,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import functions as F
 
 BATCH_GAP_S = 60           # event-time advance per batch
@@ -405,6 +406,104 @@ def run_throttle_churn(n_batches: int = 12, tags_per_batch: int = 5_000) -> dict
     return summary
 
 
+def run_video_history(n_batches: int = 6, clips_per_batch: int = 200) -> dict:
+    """Video-history growth + compaction (r9 verdict stretch #9 — the
+    text history's r7 table for the video twin): each batch carries
+    ``clips_per_batch`` FRESH 6-frame AVI clips plus 20% TRIMS of the
+    previous batch's clips (cross-batch near-dups: they must drop
+    against the (band, bv, idx, fp) history and must NOT grow it), run
+    through video_neardup_foreach_batch's exact processor. History rows
+    grow linearly with KEPT clips only (frames x bands per clip); a
+    replayed duplicate append then inflates the table and
+    compact_history collapses it back to one row per (band, bv, idx,
+    fp, id) — the at-least-once crash-replay hygiene."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark import get_spark
+    from fluent_bit_spark.extensions.dedup import compact_history
+    from fluent_bit_spark.extensions.multimodal import to_media_frame
+    from fluent_bit_spark.extensions.video import (
+        append_video_history, make_avi,
+    )
+    from fluent_bit_spark.streaming.stateful import video_neardup_foreach_batch
+
+    spark = get_spark("fbs-state-bench-video-history")
+    work = Path(tempfile.mkdtemp(prefix="fbs_vidhist_"))
+    hist = str(work / "hist")
+
+    @pandas_udf("binary")
+    def to_clip(seeds: pd.Series, trims: pd.Series) -> pd.Series:
+        out = []
+        for seed, trim in zip(seeds, trims):
+            base = np.random.RandomState(int(seed) % 100_000).randint(
+                0, 256, (8, 9)
+            ).astype(np.uint8)
+            frames = [
+                np.roll(base, f, axis=1).copy().tobytes() for f in range(6)
+            ]
+            out.append(make_avi(9, 8, frames[int(trim):], fps_num=10))
+        return pd.Series(out)
+
+    survivors_per_batch: list[int] = []
+    sink = lambda bdf, bid: survivors_per_batch.append(bdf.count())
+    process = video_neardup_foreach_batch(sink, hist)
+    per_batch = []
+    last_kept = None
+    for b in range(n_batches):
+        fresh = spark.range(
+            b * clips_per_batch, (b + 1) * clips_per_batch
+        ).select(
+            F.col("id").alias("media_id"),
+            to_clip(F.col("id"), F.lit(0)).alias("content"),
+        )
+        batch = fresh
+        if b > 0:
+            trims = spark.range(
+                (b - 1) * clips_per_batch, b * clips_per_batch
+            ).filter(F.col("id") % 5 == 0).select(
+                (F.col("id") + 10_000_000 * b).alias("media_id"),
+                to_clip(F.col("id"), F.lit(2)).alias("content"),
+            )
+            batch = batch.unionByName(trims)
+        media = to_media_frame(batch, "media_id", F.col("content"), "video")
+        process(media, b)
+        hist_rows = spark.read.parquet(hist).count()
+        hist_bytes = sum(
+            p.stat().st_size for p in Path(hist).rglob("*.parquet")
+        )
+        per_batch.append({
+            "batch": b,
+            "input_clips": clips_per_batch + (
+                clips_per_batch // 5 if b else 0
+            ),
+            "survivors": survivors_per_batch[-1],
+            "hist_rows": hist_rows,
+            "hist_bytes": hist_bytes,
+        })
+        print(per_batch[-1])
+        last_kept = media
+    # crash-replay simulation: re-append the last batch's fresh clips
+    # (duplicate band rows), then compact back to distinct
+    append_video_history(
+        last_kept.filter(F.col("media_id") < 10_000_000), hist
+    )
+    inflated = spark.read.parquet(hist).count()
+    compacted = compact_history(spark, hist)
+    summary = {
+        "mode": "video_history_growth",
+        "n_batches": n_batches,
+        "clips_per_batch": clips_per_batch,
+        "per_batch": per_batch,
+        "history_rows_after_replay": inflated,
+        "history_rows_after_compaction": compacted,
+    }
+    print(json.dumps(summary))
+    shutil.rmtree(work, ignore_errors=True)
+    return summary
+
+
 def run_twins(n_batches: int = 8) -> dict:
     """Per-trigger cost decomposition for the round-8 streaming twins
     (transitions / exact rolling WAU / last-touch attribution): each
@@ -507,6 +606,10 @@ if __name__ == "__main__":
         n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
         tags = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
         run_throttle_churn(n_batches, tags)
+    elif len(sys.argv) > 1 and sys.argv[1] == "video_history":
+        n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+        clips = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+        run_video_history(n_batches, clips)
     elif len(sys.argv) > 1 and sys.argv[1] == "twins":
         run_twins(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     else:
