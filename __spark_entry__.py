@@ -2699,6 +2699,86 @@ def caption_frames_q(spark, sf_dir):
     )
 
 
+def mkv_frame_plan_q(spark, sf_dir):
+    """The Matroska frame-extraction plan (video.py mkv_block_table),
+    content-exact: every document mints TWO fixtures — (a) a multi-
+    cluster block file, SimpleBlocks for even doc_ids and
+    BlockGroup-wrapped Blocks for odd (keyframe = no ReferenceBlock,
+    the spec's rule), blocks at 400 ms steps with sizes varying mod 5;
+    and (b) at media_id + 1M a LACED SimpleBlock (mode cycles
+    xiph/fixed/ebml by doc_id%3; fixed gets equal sizes as the mode
+    requires). The output md5s the ACTUAL bytes each plan row's
+    (offset, size) range-reads out of the container, and the oracle
+    recomputes that md5 from the payload-construction arithmetic alone
+    (md5(repeat(chr(65+i), size))) — so a wrong offset, a size off by
+    one, a lace split at the wrong boundary, or a keyframe flag read
+    from the wrong bit all hash-fail. This is the query-level proof the
+    100 TB range-read fan-out reads the right bytes."""
+    import hashlib
+
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.video import (
+        make_mkv_blocks,
+        make_mkv_laced,
+        mkv_block_table,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 4 + d % 3
+                blocks = [
+                    (i * 400, bytes([65 + i]) * (10 + (d + i) % 5), i % 2 == 0)
+                    for i in range(n)
+                ]
+                out.append(
+                    (d, make_mkv_blocks(
+                        16, 8, blocks, cluster_ms=1000,
+                        blockgroup=bool(d % 2),
+                    ))
+                )
+                mode = ("xiph", "fixed", "ebml")[d % 3]
+                k = 2 + d % 3
+                frames = [
+                    bytes([65 + j]) * (
+                        (8 + d % 5) if mode == "fixed" else (8 + (d + j) % 5)
+                    )
+                    for j in range(k)
+                ]
+                out.append(
+                    (d + 1_000_000,
+                     make_mkv_laced(16, 8, (d * 7) % 30_000, frames, mode=mode))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(gen, schema="media_id long, content binary")
+
+    def plan(batches):
+        cols = ["media_id", "frame_idx", "ts_ms", "size", "payload_md5",
+                "keyframe"]
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                for idx, ts, sz, off, key in mkv_block_table(b) or []:
+                    out.append((
+                        mid, idx, ts, sz,
+                        hashlib.md5(b[off : off + sz]).hexdigest(), key,
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(
+        plan,
+        schema="media_id long, frame_idx int, ts_ms bigint, size bigint, "
+               "payload_md5 string, keyframe boolean",
+    )
+
+
 def caption_coverage_q(spark, sf_dir):
     """Caption COVERAGE accounting (r9 verdict task #8): the same
     fixtures as caption_frames, but aligned with ``uncovered=True`` —
@@ -5081,17 +5161,17 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 1 never-driver-checked round-10 addition
-# (caption_coverage) leads; then the 37 remaining r06-era rows; then
-# the 12 alphabetically-first r07-era rows (grep_filter, heavy_hitters,
-# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
-# rotation). The round-10 semantic changes to already-green queries
+# ranking: the 2 never-driver-checked round-10 additions
+# (caption_coverage, mkv_frame_plan) lead; then the 37 remaining
+# r06-era rows; then the 11 alphabetically-first r07-era rows
+# (gopher_quality, grep_filter, heavy_hitters, interval_band_join,
+# kinesis_shape, line_dedup, ... spill to the next rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
 # pyarrow-fs publication path, caption_frames' refactored join) are
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
 # after the change.
 _DRIVER_WINDOW = [
-    "caption_coverage",
+    "caption_coverage", "mkv_frame_plan",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5107,7 +5187,6 @@ _DRIVER_WINDOW = [
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
     "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
     "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
-    "gopher_quality",
 ]
 
 
@@ -5249,6 +5328,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_sample": video_scene_sample_q,
         "caption_frames": caption_frames_q,
         "caption_coverage": caption_coverage_q,
+        "mkv_frame_plan": mkv_frame_plan_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6470,6 +6550,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "mkv_frame_plan": (
+            "WITH f AS (SELECT doc_id, i FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 6)) AS i) gi "
+            "WHERE i < 4 + doc_id % 3), "
+            "base AS (SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(i * 400 AS BIGINT) AS ts_ms, "
+            "CAST(10 + (doc_id + i) % 5 AS BIGINT) AS size, "
+            "md5(repeat(chr(CAST(65 + i AS INT)), "
+            "CAST(10 + (doc_id + i) % 5 AS INT))) AS payload_md5, "
+            "i % 2 = 0 AS keyframe FROM f), "
+            "lf AS (SELECT doc_id, j FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 5)) AS j) gj "
+            "WHERE j < 2 + doc_id % 3), "
+            "laced AS (SELECT doc_id + 1000000 AS media_id, "
+            "CAST(j AS INT) AS frame_idx, "
+            "CAST(doc_id * 7 % 30000 AS BIGINT) AS ts_ms, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN 8 + doc_id % 5 "
+            "ELSE 8 + (doc_id + j) % 5 END AS BIGINT) AS size, "
+            "md5(repeat(chr(CAST(65 + j AS INT)), "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN 8 + doc_id % 5 "
+            "ELSE 8 + (doc_id + j) % 5 END AS INT))) AS payload_md5, "
+            "TRUE AS keyframe FROM lf) "
+            "SELECT * FROM base UNION ALL SELECT * FROM laced"
         ),
         "caption_coverage": (
             "WITH f AS (SELECT doc_id, i FROM documents "

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "caption_coverage",
     "tar_shard_roundtrip",
     "mkv_headers",
+    "mkv_frame_plan",
     "pipeline_e2e",
 ]
 

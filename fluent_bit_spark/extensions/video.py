@@ -1549,7 +1549,119 @@ def parse_mkv(b: bytes) -> dict | None:
 _MKV_CLUSTER = 0x1F43B675
 _MKV_TIMECODE = 0xE7
 _MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
+_MKV_REFERENCEBLOCK = 0xFB
 _MKV_MASTERS.add(_MKV_CLUSTER)
+
+
+def _ebml_read_svint(b: bytes, off: int) -> tuple[int, int] | None:
+    """Signed EBML VINT (EBML-lacing size deltas): unsigned VINT value
+    minus (2^(7*len-1) - 1)."""
+    if off >= len(b):
+        return None
+    first = b[off]
+    for length in range(1, 9):
+        if first & (0x100 >> length):
+            if off + length > len(b):
+                return None
+            raw = int.from_bytes(b[off : off + length], "big") - (
+                1 << (7 * length)
+            )
+            return raw - ((1 << (7 * length - 1)) - 1), off + length
+    return None
+
+
+def _ebml_svint(v: int) -> bytes:
+    """Encode a signed EBML VINT (writer half of _ebml_read_svint)."""
+    for length in range(1, 9):
+        half = (1 << (7 * length - 1)) - 1
+        if -half <= v <= half:
+            return ((v + half) | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("svint out of range")
+
+
+def _mkv_block_frames(
+    b: bytes,
+    bs: int,
+    be: int,
+    cluster_tc: int,
+    tscale: int,
+    key_override: bool | None,
+) -> list[tuple[int, int, int, bool]] | None:
+    """Frames of one (Simple)Block payload at [bs, be): track VINT,
+    int16 relative timecode, flags, then 0 or more laced frames per the
+    flags' lacing mode (0x00 none / 0x02 Xiph / 0x04 fixed / 0x06 EBML).
+    Returns [(ts_ms, size, absolute_offset, keyframe)] — one row per
+    laced frame; laced frames share the block timecode (per-frame times
+    need the track's DefaultDuration, which video tracks rarely lace
+    anyway — lacing is the audio-packing feature). ``key_override`` is
+    the BlockGroup rule: keyframe = no ReferenceBlock sibling; None
+    means SimpleBlock's own 0x80 flag."""
+    got = _ebml_read_size(b, bs)  # track number VINT
+    if got is None:
+        return None
+    _track, p = got
+    if p + 3 > be:
+        return None
+    rel = _struct.unpack(">h", b[p : p + 2])[0]
+    flags = b[p + 2]
+    p += 3
+    key = bool(flags & 0x80) if key_override is None else key_override
+    ts = (cluster_tc + rel) * tscale // 1_000_000
+    lac = flags & 0x06
+    if lac == 0x00:
+        return [(ts, be - p, p, key)]
+    if p >= be:
+        return None
+    nframes = b[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if lac == 0x02:  # Xiph: 255-run-length sizes for all but the last
+        for _ in range(nframes - 1):
+            s = 0
+            while True:
+                if p >= be:
+                    return None
+                v = b[p]
+                p += 1
+                s += v
+                if v < 255:
+                    break
+            sizes.append(s)
+    elif lac == 0x04:  # fixed-size: no table, equal split
+        total = be - p
+        if nframes == 0 or total % nframes:
+            return None
+        sizes = [total // nframes] * (nframes - 1)
+    else:  # 0x06 EBML: first size unsigned VINT, then signed deltas
+        if nframes > 1:
+            got = _ebml_read_size(b, p)
+            if got is None:
+                return None
+            s, p = got
+            if s < 0:
+                return None
+            sizes.append(s)
+            for _ in range(nframes - 2):
+                got = _ebml_read_svint(b, p)
+                if got is None:
+                    return None
+                d, p = got
+                s += d
+                if s < 0:
+                    return None
+                sizes.append(s)
+    last = (be - p) - sum(sizes)
+    if last < 0:
+        return None
+    sizes.append(last)
+    rows = []
+    off = p
+    for s in sizes:
+        rows.append((ts, s, off, key))
+        off += s
+    return rows
 
 
 def make_mkv_blocks(
@@ -1560,13 +1672,18 @@ def make_mkv_blocks(
     codec_id: str = "V_UNCOMPRESSED",
     timecode_scale: int = 1_000_000,
     doctype: str = "matroska",
+    blockgroup: bool = False,
 ) -> bytes:
     """Matroska writer WITH frame data: ``blocks`` is [(ts_ms, payload,
     keyframe)] in presentation order; a new Cluster opens whenever the
     block timestamp crosses a ``cluster_ms`` boundary from the cluster's
     Timecode (SimpleBlock relative timecodes are int16, so clusters must
     stay short — the spec's own reason for clusters). Track number 1,
-    keyframe flag 0x80 per the SimpleBlock layout."""
+    keyframe flag 0x80 per the SimpleBlock layout. ``blockgroup=True``
+    wraps every frame in a BlockGroup(Block) instead, signalling
+    keyframes the spec's way: a non-keyframe carries ReferenceBlock(-1),
+    a keyframe carries none (the layout older muxers and subtitle/
+    duration-carrying tracks emit)."""
     if blocks and blocks[-1][0] < blocks[0][0]:
         raise ValueError("blocks must be in ascending ts order")
     header = _ebml_elem(
@@ -1604,13 +1721,20 @@ def make_mkv_blocks(
         body = _ebml_elem(_MKV_TIMECODE, _ebml_uint(to_units(cur_start)))
         for ts, payload, key in cur:
             rel = to_units(ts) - to_units(cur_start)
-            body += _ebml_elem(
-                _MKV_SIMPLEBLOCK,
+            raw = (
                 b"\x81"  # track 1, EBML varint
                 + _struct.pack(">h", rel)
-                + bytes([0x80 if key else 0x00])
-                + payload,
+                + bytes([(0x80 if key else 0x00) if not blockgroup else 0x00])
+                + payload
             )
+            if blockgroup:
+                grp = _ebml_elem(_MKV_BLOCK, raw)
+                if not key:
+                    # ReferenceBlock(-1): depends on the previous frame
+                    grp += _ebml_elem(_MKV_REFERENCEBLOCK, b"\xff")
+                body += _ebml_elem(_MKV_BLOCKGROUP, grp)
+            else:
+                body += _ebml_elem(_MKV_SIMPLEBLOCK, raw)
         clusters += _ebml_elem(_MKV_CLUSTER, body)
         cur, cur_start = [], None
 
@@ -1626,14 +1750,80 @@ def make_mkv_blocks(
     return header + segment
 
 
+def make_mkv_laced(
+    w: int,
+    h: int,
+    ts_ms: int,
+    frames: list[bytes],
+    mode: str = "xiph",
+    keyframe: bool = True,
+    codec_id: str = "V_UNCOMPRESSED",
+    timecode_scale: int = 1_000_000,
+) -> bytes:
+    """Matroska writer with ONE laced SimpleBlock holding ``frames`` —
+    fixture support for the three lacing modes ('xiph' / 'fixed' /
+    'ebml'; fixed requires equal-size frames). Laced frames share the
+    block timecode, per the plan extractor's contract."""
+    lac = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[mode]
+    if mode == "fixed" and len({len(f) for f in frames}) > 1:
+        raise ValueError("fixed lacing requires equal-size frames")
+    table = b""
+    if mode == "xiph":
+        for f in frames[:-1]:
+            s = len(f)
+            table += b"\xff" * (s // 255) + bytes([s % 255])
+    elif mode == "ebml":
+        sizes = [len(f) for f in frames]
+        if len(frames) > 1:
+            table += _ebml_size(sizes[0])
+            for prev, cur in zip(sizes, sizes[1:-1]):
+                table += _ebml_svint(cur - prev)
+    payload = (
+        b"\x81"
+        + _struct.pack(">h", 0)
+        + bytes([(0x80 if keyframe else 0x00) | lac])
+        + bytes([len(frames) - 1])
+        + table
+        + b"".join(frames)
+    )
+    header = _ebml_elem(
+        _EBML_HEADER, _ebml_elem(_EBML_DOCTYPE, b"matroska")
+    )
+    info = _ebml_elem(
+        _MKV_INFO,
+        _ebml_elem(_MKV_TIMECODE_SCALE, _ebml_uint(timecode_scale)),
+    )
+    track = _ebml_elem(
+        _MKV_TRACK_ENTRY,
+        _ebml_elem(_MKV_TRACK_TYPE, _ebml_uint(1))
+        + _ebml_elem(_MKV_CODEC_ID, codec_id.encode())
+        + _ebml_elem(
+            _MKV_VIDEO,
+            _ebml_elem(_MKV_PIXEL_W, _ebml_uint(w))
+            + _ebml_elem(_MKV_PIXEL_H, _ebml_uint(h)),
+        ),
+    )
+    to_units = lambda ms: ms * 1_000_000 // timecode_scale
+    cluster = _ebml_elem(
+        _MKV_CLUSTER,
+        _ebml_elem(_MKV_TIMECODE, _ebml_uint(to_units(ts_ms)))
+        + _ebml_elem(_MKV_SIMPLEBLOCK, payload),
+    )
+    return header + _ebml_elem(
+        _MKV_SEGMENT, info + _ebml_elem(_MKV_TRACKS, track) + cluster
+    )
+
+
 def mkv_block_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
     """The Matroska frame-extraction plan: [(idx, ts_ms, size,
     absolute_payload_offset, keyframe)] from the Cluster/SimpleBlock
     layer — mp4_sample_table's EBML twin, the same
     header-sized-read-plans-independent-range-reads shape. None outside
-    the envelope; BlockGroup-wrapped blocks and lacing are the
-    documented edge (SimpleBlock, no lacing, is what mainstream muxers
-    emit for video)."""
+    the envelope. Covers SimpleBlocks AND BlockGroup-wrapped Blocks
+    (keyframe = no ReferenceBlock in the group, the spec's rule) plus
+    all three lacing modes (Xiph / fixed-size / EBML — laced frames
+    share the block timecode; lacing is the audio-packing feature, so
+    per-frame times within a lace are out of scope)."""
     try:
         if len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
             return None
@@ -1694,24 +1884,43 @@ def mkv_block_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
                 ):
                     cluster_tc = int.from_bytes(b[body:end], "big")
                 elif eid == _MKV_SIMPLEBLOCK and cluster_tc is not None:
-                    got = _ebml_read_size(b, body)  # track varint
-                    if got is None:
-                        return None
-                    _track, p = got
-                    if p + 3 > end:
-                        return None
-                    rel = _struct.unpack(">h", b[p : p + 2])[0]
-                    flags = b[p + 2]
-                    payload_off = p + 3
-                    out.append(
-                        (
-                            len(out),
-                            (cluster_tc + rel) * tscale // 1_000_000,
-                            end - payload_off,
-                            payload_off,
-                            bool(flags & 0x80),
-                        )
+                    rows = _mkv_block_frames(
+                        b, body, end, cluster_tc, tscale, None
                     )
+                    if rows is None:
+                        return None
+                    for ts, sz, po, key in rows:
+                        out.append((len(out), ts, sz, po, key))
+                elif eid == _MKV_BLOCKGROUP and cluster_tc is not None:
+                    blk = None
+                    has_ref = False
+                    goff = body
+                    while goff < end:
+                        g = _ebml_read_id(b, goff)
+                        if g is None:
+                            return None
+                        geid, g2 = g
+                        g = _ebml_read_size(b, g2)
+                        if g is None:
+                            return None
+                        gsize, gbody = g
+                        gend = end if gsize < 0 else gbody + gsize
+                        if gend > end:
+                            return None
+                        if geid == _MKV_BLOCK and blk is None:
+                            blk = (gbody, gend)
+                        elif geid == _MKV_REFERENCEBLOCK:
+                            has_ref = True
+                        goff = gend
+                    if blk is not None:
+                        rows = _mkv_block_frames(
+                            b, blk[0], blk[1], cluster_tc, tscale,
+                            not has_ref,
+                        )
+                        if rows is None:
+                            return None
+                        for ts, sz, po, key in rows:
+                            out.append((len(out), ts, sz, po, key))
                 off = end
         return out
     except (IndexError, _struct.error, OverflowError):

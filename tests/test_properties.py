@@ -825,3 +825,21 @@ def test_mkv_block_rows_require_same_cluster_timecode(clusters):
     tbl = V.mkv_block_table(b)
     assert tbl is not None
     assert [(ts, b[off : off + sz]) for (_i, ts, sz, off, _k) in tbl] == expect
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    frames=st.lists(st.binary(min_size=0, max_size=600), min_size=1, max_size=8),
+    mode=st.sampled_from(["xiph", "ebml"]),
+    ts=st.integers(min_value=0, max_value=100_000),
+)
+def test_mkv_lacing_roundtrip_property(frames, mode, ts):
+    """write(laced frames) -> plan -> range-reads == frames for random
+    sizes (zero-length frames included) in both variable-size modes."""
+    from fluent_bit_spark.extensions.video import make_mkv_laced, mkv_block_table
+
+    b = make_mkv_laced(8, 8, ts, frames, mode=mode)
+    tbl = mkv_block_table(b)
+    assert tbl is not None and len(tbl) == len(frames)
+    for (_i, t, sz, off, _k), f in zip(tbl, frames):
+        assert t == ts and b[off : off + sz] == f

@@ -681,3 +681,59 @@ def test_align_captions_uncovered_mode(spark):
     # inner mode unchanged: uncovered frames drop
     inner = align_captions_to_frames(cues, frames).collect()
     assert len(inner) == 4
+
+
+def test_mkv_blockgroup_blocks():
+    """BlockGroup-wrapped Blocks parse like SimpleBlocks, with the
+    spec's keyframe rule: keyframe = NO ReferenceBlock in the group —
+    r9 verdict envelope edge #4."""
+    from fluent_bit_spark.extensions.video import (
+        make_mkv_blocks,
+        mkv_block_table,
+    )
+
+    blocks = [(i * 400, bytes([65 + i]) * (10 + i), i % 2 == 0) for i in range(6)]
+    simple = make_mkv_blocks(320, 180, blocks, cluster_ms=1000)
+    grouped = make_mkv_blocks(320, 180, blocks, cluster_ms=1000,
+                              blockgroup=True)
+    ts = mkv_block_table(simple)
+    tg = mkv_block_table(grouped)
+    assert [r[0] for r in tg] == list(range(6))
+    # same plan modulo the absolute offsets (layouts differ)
+    assert [(r[1], r[2], r[4]) for r in tg] == [(r[1], r[2], r[4]) for r in ts]
+    for (_i, _ts, sz, off, _k), (ets, payload, _ek) in zip(tg, blocks):
+        assert grouped[off : off + sz] == payload  # exact range-read plan
+    for cut in range(0, len(grouped), 7):
+        mkv_block_table(grouped[:cut])  # truncation never raises
+
+
+@pytest.mark.parametrize("mode", ["xiph", "fixed", "ebml"])
+def test_mkv_lacing_modes(mode):
+    """All three lacing modes (Xiph 255-run, fixed-size, EBML svint
+    deltas) expand to per-frame plan rows with exact byte ranges; laced
+    frames share the block timecode."""
+    from fluent_bit_spark.extensions.video import (
+        make_mkv_laced,
+        mkv_block_table,
+    )
+
+    if mode == "fixed":
+        frames = [bytes([i]) * 20 for i in range(4)]
+    elif mode == "xiph":
+        # exercise the 255-run-length encoding with a 300-byte frame
+        frames = [b"A" * 300, b"B" * 7, b"C" * 255, b"D" * 2]
+    else:
+        frames = [b"A" * 50, b"B" * 90, b"C" * 30, b"D" * 11]
+    b = make_mkv_laced(16, 8, 2000, frames, mode=mode, keyframe=True)
+    tbl = mkv_block_table(b)
+    assert [r[0] for r in tbl] == list(range(len(frames)))
+    assert all(r[1] == 2000 for r in tbl)  # shared block timecode
+    assert all(r[4] for r in tbl)  # keyframe flag rides every lace row
+    for (_i, _ts, sz, off, _k), f in zip(tbl, frames):
+        assert b[off : off + sz] == f
+    for cut in range(0, len(b), 7):
+        mkv_block_table(b[:cut])
+    # single-frame lace degenerates cleanly
+    one = make_mkv_laced(16, 8, 0, [b"Z" * 9], mode=mode)
+    t1 = mkv_block_table(one)
+    assert len(t1) == 1 and one[t1[0][3] : t1[0][3] + t1[0][2]] == b"Z" * 9
