@@ -1918,7 +1918,10 @@ def image_neardup_q(spark, sf_dir):
     PGM original's bit-for-bit, so the join must pair them at hamming 0
     across container formats — every 75th vec a PNG rendition
     (stdlib-zlib decode, LOSSLESS, cycling through all five scanline
-    filter types), every 100th a GIF rendition (pure-Python LZW,
+    filter types AND the Adam7-interlace / 16-bit-depth envelope —
+    every other planted PNG interlaced, every third 16-bit, both
+    lossless so the truth table is unchanged), every 100th a GIF
+    rendition (pure-Python LZW,
     lossless through the gray palette), and every 125th a PROGRESSIVE
     JPEG rendition (SOF2 spectral-selection + successive-approximation
     scans, THREE interleaved-DC components, same constant-block q100
@@ -1969,15 +1972,21 @@ def image_neardup_q(spark, sf_dir):
         return pd.Series(out)
 
     @pandas_udf("binary")
-    def to_png(vecs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
+    def to_png(vecs: pd.Series, ids: pd.Series) -> pd.Series:
+        # the PNG family cycles the envelope: every other planted PNG is
+        # Adam7-INTERLACED, every third 16-BIT — both lossless, so the
+        # truth table is unchanged while the decode paths are exercised
+        # at registry scale
+        out = []
+        for v, i in zip(vecs, ids):
+            i = int(i) // 75
+            out.append(
                 make_png_pixels(
-                    9, 8, _grid(v).tobytes(), 1, filters=[0, 1, 2, 3, 4]
+                    9, 8, _grid(v).tobytes(), 1, filters=[0, 1, 2, 3, 4],
+                    interlace=bool(i % 2), bit_depth=16 if i % 3 == 0 else 8,
                 )
-                for v in vecs
-            ]
-        )
+            )
+        return pd.Series(out)
 
     @pandas_udf("binary")
     def to_gif(vecs: pd.Series) -> pd.Series:
@@ -2011,7 +2020,7 @@ def image_neardup_q(spark, sf_dir):
     )
     png_copies = emb.filter(F.col("vec_id") % 75 == 0).select(
         (F.col("vec_id") + 3_000_000).alias("media_id"),
-        to_png(F.col("embedding")).alias("content"),
+        to_png(F.col("embedding"), F.col("vec_id")).alias("content"),
     )
     gif_copies = emb.filter(F.col("vec_id") % 100 == 0).select(
         (F.col("vec_id") + 4_000_000).alias("media_id"),

@@ -419,10 +419,17 @@ def _decode_pnm_pixels(b: bytes):
 
 # --------------------------------------------------------------------------
 # PNG (RFC 2083) — stdlib zlib inflate + numpy scanline unfiltering; no
-# codec library. Envelope: 8-bit depth, color types 0/2/3/4/6, no
-# interlace (Adam7 returns None, documented). Palette maps to RGB; alpha
-# channels drop (the BMP-32 convention).
+# codec library. Envelope: 8- and 16-bit depth (16-bit downsamples to the
+# high byte, the PIL convention), color types 0/2/3/4/6, non-interlaced
+# AND Adam7-interlaced (each of the 7 passes unfilters as its own
+# sub-image, then scatters into place). Palette maps to RGB; alpha
+# channels drop (the BMP-32 convention). Low-bit-depth (1/2/4) stays
+# header-only — the remaining documented envelope.
 # --------------------------------------------------------------------------
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth).
     Sub is a modular prefix-sum per byte lane (vectorized); Up is a
@@ -466,10 +473,10 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
 
 def _decode_png_pixels(b: bytes):
     """PNG -> (w, h, channels, row-major top-down uint8 bytes): stdlib
-    zlib inflate + numpy unfilter. 8-bit depth only; palette (type 3)
-    maps through PLTE to RGB; alpha drops (types 4/6 -> 1/3 channels);
-    interlaced/16-bit/low-bit-depth payloads return None — filter,
-    don't crash, mid-scan."""
+    zlib inflate + numpy unfilter. 8- and 16-bit depth (16-bit keeps the
+    high byte), non-interlaced and Adam7; palette (type 3) maps through
+    PLTE to RGB; alpha drops (types 4/6 -> 1/3 channels); low-bit-depth
+    payloads return None — filter, don't crash, mid-scan."""
     import zlib
 
     try:
@@ -499,19 +506,46 @@ def _decode_png_pixels(b: bytes):
             elif cid == b"IEND":
                 break
             pos += 12 + clen  # len + id + crc
-        if w is None or not idat or interlace != 0 or depth != 8:
+        if w is None or not idat or interlace not in (0, 1):
             return None
+        if depth not in (8, 16) or (depth == 16 and ctype == 3):
+            return None  # low-bit-depth out of envelope; 16-bit PLTE invalid
         nch_in = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
         if nch_in is None or not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
             return None
         raw = zlib.decompress(bytes(idat))
-        stride = w * nch_in
-        if len(raw) != h * (stride + 1):
-            return None
-        px = _png_unfilter(raw, h, stride, nch_in)
-        if px is None:
-            return None
-        px = px.reshape(h, w, nch_in)
+        bps = depth // 8
+        bpp = nch_in * bps
+        if interlace == 0:
+            stride = w * bpp
+            if len(raw) != h * (stride + 1):
+                return None
+            px = _png_unfilter(raw, h, stride, bpp)
+            if px is None:
+                return None
+            px = px.reshape(h, w, bpp)
+        else:  # Adam7: 7 independently-filtered sub-images, scattered
+            px = _np.zeros((h, w, bpp), dtype=_np.uint8)
+            at = 0
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = pw * bpp
+                need = ph * (stride + 1)
+                sub = raw[at : at + need]
+                if len(sub) != need:
+                    return None
+                at += need
+                img = _png_unfilter(sub, ph, stride, bpp)
+                if img is None:
+                    return None
+                px[y0::dy, x0::dx, :] = img.reshape(ph, pw, bpp)
+            if at != len(raw):
+                return None
+        if bps == 2:
+            px = px[:, :, 0::2]  # big-endian: high byte downsample
         if ctype == 3:
             if plte is None or int(px.max(initial=0)) >= len(plte):
                 return None
@@ -524,25 +558,15 @@ def _decode_png_pixels(b: bytes):
         return None
 
 
-def make_png_pixels(
-    w: int, h: int, pixels: bytes, channels: int = 3, filters=None
-) -> bytes:
-    """PNG encoder carrying REAL pixel data (fixture support): 8-bit
-    gray or RGB, one filter type per scanline (default 0; pass a list
-    to exercise Sub/Up/Average/Paeth decode paths)."""
-    import zlib
-
-    if channels not in (1, 3):
-        raise ValueError("channels must be 1 or 3")
-    if len(pixels) != w * h * channels:
-        raise ValueError("pixel buffer must be w*h*channels bytes")
-    a = _np.frombuffer(pixels, _np.uint8).reshape(h, w * channels)
-    bpp = channels
+def _png_filter_rows(a: "_np.ndarray", bpp: int, filters) -> bytearray:
+    """Forward-filter the byte rows of one (sub-)image: a is (rows,
+    stride) uint8; one filter byte + filtered bytes per scanline."""
     lines = bytearray()
-    for y in range(h):
+    stride = a.shape[1]
+    for y in range(a.shape[0]):
         ft = filters[y % len(filters)] if filters else 0
         row = a[y].astype(_np.int64)
-        prev = a[y - 1].astype(_np.int64) if y else _np.zeros(w * channels, _np.int64)
+        prev = a[y - 1].astype(_np.int64) if y else _np.zeros(stride, _np.int64)
         if ft == 0:
             enc = row
         elif ft == 1:
@@ -566,13 +590,61 @@ def make_png_pixels(
             raise ValueError("filter type must be 0..4")
         lines.append(ft)
         lines += (enc % 256).astype(_np.uint8).tobytes()
+    return lines
+
+
+def make_png_pixels(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int = 3,
+    filters=None,
+    interlace: bool = False,
+    bit_depth: int = 8,
+) -> bytes:
+    """PNG encoder carrying REAL pixel data (fixture support): gray or
+    RGB, one filter type per scanline (default 0; pass a list to
+    exercise Sub/Up/Average/Paeth decode paths). ``interlace=True``
+    emits Adam7 (each pass filtered as its own sub-image, per the
+    spec); ``bit_depth=16`` widens each 8-bit sample to v<<8|v
+    big-endian, so the decoder's high-byte downsample round-trips the
+    input exactly."""
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer must be w*h*channels bytes")
+    a = _np.frombuffer(pixels, _np.uint8).reshape(h, w, channels)
+    if bit_depth == 16:
+        wide = _np.zeros((h, w, channels * 2), dtype=_np.uint8)
+        wide[:, :, 0::2] = a
+        wide[:, :, 1::2] = a  # v<<8 | v: full-range widening
+        a = wide
+    bpp = channels * (bit_depth // 8)
+    if not interlace:
+        lines = _png_filter_rows(a.reshape(h, w * bpp), bpp, filters)
+    else:
+        lines = bytearray()
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = a[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_filter_rows(
+                _np.ascontiguousarray(sub).reshape(
+                    sub.shape[0], sub.shape[1] * bpp
+                ),
+                bpp, filters,
+            )
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         return (_struct.pack(">I", len(data)) + cid + data
                 + _struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF))
 
     ihdr = _struct.pack(">II", w, h) + bytes(
-        [8, 0 if channels == 1 else 2, 0, 0, 0]
+        [bit_depth, 0 if channels == 1 else 2, 0, 0, 1 if interlace else 0]
     )
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(lines)))

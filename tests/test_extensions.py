@@ -227,7 +227,7 @@ def test_png_codec_roundtrip():
     """Stdlib-zlib PNG decode: LOSSLESS roundtrip for gray and RGB
     through every scanline filter type (None/Sub/Up/Average/Paeth),
     palette mapping to RGB, alpha dropping, and None for everything
-    outside the envelope (interlace, 16-bit, truncated IDAT)."""
+    outside the envelope (low bit depth, truncated IDAT)."""
     import struct
     import zlib
 
@@ -274,17 +274,56 @@ def test_png_codec_roundtrip():
     p4 = png(bytes([8, 6, 0, 0, 0]), [chunk(b"IDAT", zlib.compress(rows))])
     w, h, nch, px = _decode_png_pixels(p4)
     assert (w, h, nch) == (3, 2, 3) and px[:3] == bytes([10, 20, 30])
-    # rejections: interlaced, 16-bit, truncated inflate, out-of-range index
+    # rejections: wrong-size interlaced stream, low bit depth, 16-bit
+    # palette (spec-invalid), truncated inflate, out-of-range index
     assert _decode_png_pixels(png(bytes([8, 2, 0, 0, 1]),
         [chunk(b"IDAT", zlib.compress(b"\x00" * 20))])) is None
-    assert _decode_png_pixels(png(bytes([16, 2, 0, 0, 0]),
+    assert _decode_png_pixels(png(bytes([4, 0, 0, 0, 0]),
         [chunk(b"IDAT", zlib.compress(b"\x00" * 20))])) is None
+    assert _decode_png_pixels(png(bytes([16, 3, 0, 0, 0]),
+        [chunk(b"PLTE", pal), chunk(b"IDAT", zlib.compress(b"\x00" * 20))])
+    ) is None
     assert _decode_png_pixels(png(bytes([8, 2, 0, 0, 0]),
         [chunk(b"IDAT", zlib.compress(b"\x00" * 5))])) is None
     bad_idx = png(bytes([8, 3, 0, 0, 0]),
         [chunk(b"PLTE", pal), chunk(b"IDAT", zlib.compress(
             bytes([0, 0, 0, 7, 0, 0, 0, 0])))])
     assert _decode_png_pixels(bad_idx) is None
+
+
+def test_png_interlaced_and_16bit_roundtrip():
+    """Adam7 interlace + 16-bit depth (r9 verdict envelope edge #4):
+    both decode LOSSLESSLY — each Adam7 pass unfilters as its own
+    sub-image and scatters into place; 16-bit samples (fixture-widened
+    v<<8|v) downsample to the high byte, recovering the 8-bit input
+    exactly. Every geometry x filter x depth x interlace combination
+    roundtrips; truncations never raise."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_png_pixels, make_png_pixels,
+    )
+
+    rng = np.random.RandomState(5)
+    for w, h, ch in [(9, 8, 1), (16, 16, 3), (1, 1, 1), (7, 3, 3),
+                     (2, 9, 1), (33, 21, 3), (8, 1, 1), (1, 8, 3)]:
+        px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8).tobytes()
+        for interlace in (False, True):
+            for depth in (8, 16):
+                for filt in (None, [0, 1, 2, 3, 4]):
+                    got = _decode_png_pixels(make_png_pixels(
+                        w, h, px, ch, filters=filt,
+                        interlace=interlace, bit_depth=depth,
+                    ))
+                    assert got is not None, (w, h, ch, interlace, depth)
+                    assert got[:3] == (w, h, ch)
+                    assert got[3] == px, (w, h, ch, interlace, depth, filt)
+    b = make_png_pixels(
+        16, 16, rng.randint(0, 256, (16, 16, 3)).astype(np.uint8).tobytes(),
+        3, interlace=True, bit_depth=16,
+    )
+    for cut in range(0, len(b), 3):
+        _decode_png_pixels(b[:cut])  # truncation never raises
 
 
 def test_gif_lzw_codec_roundtrip():
