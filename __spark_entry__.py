@@ -2788,6 +2788,65 @@ def mkv_frame_plan_q(spark, sf_dir):
     )
 
 
+def gif_animation_q(spark, sf_dir):
+    """Animated-GIF frame COMPOSITION (multimodal.py
+    gif_animation_frames): every document mints a GIF89a with a full
+    base frame (canvas value at linear pixel i = (doc_id*31 + 17i) %
+    256 on the identity gray palette) plus 2-4 one-by-two patch frames,
+    each patch's SECOND pixel transparent (index 255) so composition
+    must keep the underlying canvas there, patches at distinct linear
+    positions 2(f-1) with value (doc_id + 91f) % 255, delays of f+1
+    centiseconds, disposal keep. The output row per composed frame is
+    (frame_idx, ts_ms = cumulative prior delays, delay_ms, px_sum =
+    sum of the red channel over the whole canvas) — and the oracle
+    recomputes px_sum as base-sum plus the running patch deltas in pure
+    SQL, so a mis-composed transparent pixel, a wrong patch offset, a
+    dropped frame, or delay/timestamp arithmetic errors all hash-fail."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.multimodal import (
+        gif_animation_frames,
+        make_gif_animation,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    @pandas_udf("binary")
+    def to_gif(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            d = int(did)
+            base = bytes((d * 31 + 17 * i) % 256 for i in range(72))
+            frames = [(0, 0, 9, 8, base, 1, 1, None)]
+            for f in range(1, 3 + d % 3):
+                p = 2 * (f - 1)
+                y, x = divmod(p, 9)
+                newv = (d + 91 * f) % 255
+                frames.append(
+                    (x, y, 2, 1, bytes([newv, 255]), f + 1, 1, 255)
+                )
+            out.append(make_gif_animation(9, 8, frames))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), to_gif("doc_id").alias("content")
+    )
+    frames = gif_animation_frames(media)
+
+    @pandas_udf("long")
+    def red_sum(px: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.frombuffer(p, np.uint8)[0::3].sum()) for p in px]
+        )
+
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms", "delay_ms",
+        red_sum("pixels").alias("px_sum"),
+    )
+
+
 def caption_coverage_q(spark, sf_dir):
     """Caption COVERAGE accounting (r9 verdict task #8): the same
     fixtures as caption_frames, but aligned with ``uncovered=True`` —
@@ -5170,17 +5229,18 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 2 never-driver-checked round-10 additions
-# (caption_coverage, mkv_frame_plan) lead; then the 37 remaining
-# r06-era rows; then the 11 alphabetically-first r07-era rows
-# (gopher_quality, grep_filter, heavy_hitters, interval_band_join,
-# kinesis_shape, line_dedup, ... spill to the next rotation). The round-10 semantic changes to already-green queries
+# ranking: the 3 never-driver-checked round-10 additions
+# (caption_coverage, mkv_frame_plan, gif_animation) lead; then the 37
+# remaining r06-era rows; then the 10 alphabetically-first r07-era rows
+# (fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
+# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
+# rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
 # pyarrow-fs publication path, caption_frames' refactored join) are
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
 # after the change.
 _DRIVER_WINDOW = [
-    "caption_coverage", "mkv_frame_plan",
+    "caption_coverage", "mkv_frame_plan", "gif_animation",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5195,7 +5255,7 @@ _DRIVER_WINDOW = [
     "token_budget_select", "top_session_paths", "window_rank_topk",
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
     "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
-    "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
+    "embedding_dedup", "embedding_quantize",
 ]
 
 
@@ -5338,6 +5398,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_frames": caption_frames_q,
         "caption_coverage": caption_coverage_q,
         "mkv_frame_plan": mkv_frame_plan_q,
+        "gif_animation": gif_animation_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6559,6 +6620,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "gif_animation": (
+            "WITH fr AS (SELECT doc_id, f FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 5)) AS f) g "
+            "WHERE f < 3 + doc_id % 3), "
+            "base AS (SELECT doc_id, "
+            "SUM((doc_id * 31 + i * 17) % 256) AS s0 FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 72)) AS i) gi "
+            "GROUP BY doc_id), "
+            "delta AS (SELECT doc_id, f, CASE WHEN f = 0 THEN 0 ELSE "
+            "(doc_id + 91 * f) % 255 "
+            "- (doc_id * 31 + 17 * (2 * (f - 1))) % 256 END AS d_ FROM fr) "
+            "SELECT fr.doc_id AS media_id, CAST(fr.f AS INT) AS frame_idx, "
+            "CAST(5 * fr.f * (fr.f + 1) AS BIGINT) AS ts_ms, "
+            "CAST(10 * (fr.f + 1) AS BIGINT) AS delay_ms, "
+            "CAST(s0 + SUM(d_) OVER (PARTITION BY fr.doc_id ORDER BY fr.f) "
+            "AS BIGINT) AS px_sum "
+            "FROM fr JOIN base ON fr.doc_id = base.doc_id "
+            "JOIN delta ON fr.doc_id = delta.doc_id AND fr.f = delta.f"
         ),
         "mkv_frame_plan": (
             "WITH f AS (SELECT doc_id, i FROM documents "

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "tar_shard_roundtrip",
     "mkv_headers",
     "mkv_frame_plan",
+    "gif_animation",
     "pipeline_e2e",
 ]
 

@@ -795,6 +795,17 @@ def make_gif_pixels(
         order = (list(range(0, h, 8)) + list(range(4, h, 8))
                  + list(range(2, h, 4)) + list(range(1, h, 2)))
         idx = idx[order]
+    sub = _gif_lzw_encode_trivial(bytes(idx.reshape(-1)))
+    out = b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00, 8]) + sub
+    return out + b"\x3b"
+
+
+def _gif_lzw_encode_trivial(indices: bytes) -> bytes:
+    """Sub-blocked LZW stream (min_code 8, clear-code-per-pixel — the
+    trivially valid scheme; decoders must honor CLEAR anywhere)."""
     min_code = 8
     clear = 1 << min_code
     end = clear + 1
@@ -811,7 +822,7 @@ def make_gif_pixels(
             acc >>= 8
             nbits -= 8
 
-    for v in idx.reshape(-1):
+    for v in indices:
         put(clear)
         put(int(v))
     put(end)
@@ -823,11 +834,140 @@ def make_gif_pixels(
         sub.append(len(part))
         sub += part
     sub.append(0)
-    out = b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    return bytes(sub)
+
+
+def make_gif_animation(
+    w: int,
+    h: int,
+    frames: list[tuple[int, int, int, int, bytes, int, int, int | None]],
+    bg_index: int = 0,
+) -> bytes:
+    """Animated GIF89a writer (fixture support): identity 256-gray
+    palette; ``frames`` entries are (left, top, fw, fh, gray_indices,
+    delay_cs, disposal, transparent_idx|None) — each preceded by its
+    Graphic Control Extension carrying the delay (centiseconds),
+    disposal method (0 none / 1 keep / 2 restore-background / 3
+    restore-previous) and optional transparency index."""
+    pal = _np.repeat(_np.arange(256, dtype=_np.uint8), 3).reshape(256, 3)
+    out = b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0xF7, bg_index, 0])
     out += pal.tobytes()
-    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h)
-    out += bytes([0x40 if interlace else 0x00, min_code]) + bytes(sub)
+    for left, top, fw, fh, data, delay_cs, disposal, tidx in frames:
+        if len(data) != fw * fh:
+            raise ValueError("frame data must be fw*fh bytes")
+        flags = (disposal & 7) << 2 | (1 if tidx is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([flags])
+                + _struct.pack("<H", delay_cs)
+                + bytes([tidx or 0, 0]))
+        out += b"\x2c" + _struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([0x00, 8]) + _gif_lzw_encode_trivial(data)
     return out + b"\x3b"
+
+
+def decode_gif_frames(b: bytes):
+    """Animated GIF -> (w, h, [(delay_ms, composed RGB bytes)]): every
+    frame composited onto the logical screen per its Graphic Control
+    Extension — transparency indices leave the underlying canvas,
+    disposal 2 restores the frame region to the background color,
+    disposal 3 restores the pre-frame canvas (the full GIF89a animation
+    model; _decode_gif_pixels stays the first-frame fast path). None on
+    anything truncated/corrupt — filter, don't crash."""
+    try:
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh = _struct.unpack("<HH", b[6:10])
+        if not (0 < sw <= 1 << 13 and 0 < sh <= 1 << 13):
+            return None
+        packed = b[10]
+        bg_index = b[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = _np.frombuffer(b, _np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        bg_rgb = (
+            gct[bg_index] if gct is not None and bg_index < len(gct)
+            else _np.zeros(3, _np.uint8)
+        )
+        canvas = _np.tile(bg_rgb, (sh, sw, 1)).astype(_np.uint8)
+        frames: list[tuple[int, bytes]] = []
+        delay_cs = 0
+        disposal = 0
+        tidx: int | None = None
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x21:  # extension
+                label = b[pos + 1]
+                pos += 2
+                if label == 0xF9 and b[pos] >= 4:  # GCE
+                    flags = b[pos + 1]
+                    delay_cs = _struct.unpack(
+                        "<H", b[pos + 2 : pos + 4]
+                    )[0]
+                    disposal = (flags >> 2) & 7
+                    tidx = b[pos + 4] if flags & 1 else None
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif blk == 0x2C:  # image descriptor
+                left, top, w, h = _struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+                ipacked = b[pos + 9]
+                pos += 10
+                pal = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    pal = _np.frombuffer(b, _np.uint8, n * 3, pos).reshape(n, 3)
+                    pos += n * 3
+                if pal is None or left + w > sw or top + h > sh or not (
+                    0 < w and 0 < h
+                ):
+                    return None
+                min_code = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos] != 0:
+                    ln = b[pos]
+                    data += b[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                if not (2 <= min_code <= 8):
+                    return None
+                idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+                if len(idx) < w * h:
+                    return None
+                a = _np.frombuffer(idx[: w * h], _np.uint8).reshape(h, w)
+                if int(a.max(initial=0)) >= len(pal):
+                    return None
+                if ipacked & 0x40:  # interlaced rows
+                    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                             + list(range(2, h, 4)) + list(range(1, h, 2)))
+                    de = _np.empty_like(a)
+                    de[order] = a
+                    a = de
+                before = canvas.copy() if disposal == 3 else None
+                region = canvas[top : top + h, left : left + w]
+                rgb = pal[a]
+                if tidx is not None:
+                    opaque = a != tidx
+                    region[opaque] = rgb[opaque]
+                else:
+                    region[:] = rgb
+                frames.append((delay_cs * 10, canvas.tobytes()))
+                if disposal == 2:
+                    canvas[top : top + h, left : left + w] = bg_rgb
+                elif disposal == 3 and before is not None:
+                    canvas = before
+                delay_cs, disposal, tidx = 0, 0, None
+            elif blk == 0x3B:
+                break
+            else:
+                return None
+        if not frames:
+            return None
+        return sw, sh, frames
+    except Exception:
+        return None
 
 
 # --------------------------------------------------------------------------
@@ -1719,13 +1859,14 @@ def make_jpeg_progressive_pixels(
 def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Pure-numpy/stdlib pixel decode via Arrow-batched mapInPandas —
     uncompressed BMP, binary PPM/PGM, PNG (stdlib zlib inflate + numpy
-    unfilter, 8-bit), GIF (pure-Python LZW, first frame, palette->RGB),
-    and JPEG — baseline AND progressive (Huffman + dequant + IDCT, luma
-    plane, channels=1): (media_id, format, width, height, channels,
-    pixels) with ``pixels`` the row-major top-down uint8 samples
-    (channel-interleaved RGB, or single-channel gray). Payloads outside
-    the envelope (interlaced/16-bit PNG, arithmetic JPEG, later GIF
-    frames) or malformed ones yield NULL pixels with the sniffed
+    unfilter, 8/16-bit, plain or Adam7-interlaced), GIF (pure-Python
+    LZW, first frame, palette->RGB — gif_animation_frames is the
+    multi-frame operator), and JPEG — baseline AND progressive (Huffman
+    + dequant + IDCT, luma plane, channels=1): (media_id, format,
+    width, height, channels, pixels) with ``pixels`` the row-major
+    top-down uint8 samples (channel-interleaved RGB, or single-channel
+    gray). Payloads outside the envelope (low-bit-depth PNG, arithmetic
+    JPEG) or malformed ones yield NULL pixels with the sniffed
     ``format``, so callers filter rather than crash mid-scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1760,6 +1901,44 @@ def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=PIXELS_SCHEMA)
+
+
+GIF_FRAMES_SCHEMA = (
+    "media_id bigint, frame_idx int, ts_ms bigint, delay_ms bigint, "
+    "width int, height int, pixels binary"
+)
+
+
+def gif_animation_frames(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Animated-GIF frame extraction via Arrow-batched mapInPandas —
+    the web-corpus sibling of decode_video_frames: one row per frame,
+    each COMPOSED onto the logical screen per its Graphic Control
+    Extension (transparency holes keep the underlying canvas, disposal
+    2 restores background, disposal 3 restores the pre-frame canvas).
+    (media_id, frame_idx, ts_ms, delay_ms, width, height, pixels) with
+    ``ts_ms`` the cumulative presentation time (sum of PRIOR frames'
+    delays) and pixels full-canvas RGB. Non-GIF/malformed payloads emit
+    nothing — filter, don't crash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "ts_ms", "delay_ms", "width",
+                "height", "pixels"]
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                got = decode_gif_frames(bytes(content or b""))
+                if got is None:
+                    continue
+                w, h, frames = got
+                ts = 0
+                for i, (delay_ms, rgb) in enumerate(frames):
+                    out.append((mid, i, ts, delay_ms, w, h, rgb))
+                    ts += delay_ms
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=GIF_FRAMES_SCHEMA)
 
 
 def _gray_grid(px: bytes, w: int, h: int, nch: int, gw: int = 9, gh: int = 8):

@@ -3456,3 +3456,38 @@ def test_robust_anomaly_scores(spark):
     b = {r.v: r for r in out.collect() if r.k == "b"}
     assert b[5.0].mad == 0.0 and not b[5.0].is_anomaly
     assert b[99.0].is_anomaly and b[99.0].robust_z == 0.0
+
+
+def test_gif_animation_frames(spark):
+    """Multi-frame GIF composition as a Spark operator: transparency
+    holes keep the canvas, disposal restore-background/restore-previous
+    honored, ts_ms accumulates prior delays, non-GIF payloads emit
+    nothing — r9 verdict envelope edge #4."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.multimodal import (
+        gif_animation_frames, make_gif_animation,
+    )
+
+    base = np.arange(72, dtype=np.uint8).reshape(8, 9)
+    anim = make_gif_animation(9, 8, [
+        (0, 0, 9, 8, base.tobytes(), 1, 1, None),
+        (0, 0, 2, 1, bytes([200, 255]), 2, 1, 255),  # 2nd px transparent
+        (3, 3, 2, 2, bytes([9] * 4), 3, 2, None),    # restore-bg after
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(b"not a gif"))],
+        "media_id long, content binary",
+    )
+    rows = sorted(
+        gif_animation_frames(df).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.media_id for r in rows] == [1, 1, 1]
+    assert [r.delay_ms for r in rows] == [10, 20, 30]
+    assert [r.ts_ms for r in rows] == [0, 10, 30]
+    f1 = np.frombuffer(bytes(rows[1].pixels), np.uint8).reshape(8, 9, 3)
+    assert f1[0, 0, 0] == 200 and f1[0, 1, 0] == base[0, 1]  # transparency
+    f2 = np.frombuffer(bytes(rows[2].pixels), np.uint8).reshape(8, 9, 3)
+    assert (f2[3:5, 3:5, 0] == 9).all()  # rendered before disposal
