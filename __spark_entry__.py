@@ -2238,13 +2238,17 @@ def video_frame_plan_q(spark, sf_dir):
     per document an MP4 whose stts carries TWO delta runs (first half
     slow, second half double-speed), per-sample sizes varying mod 7,
     keyframes at the odd samples, two samples per chunk (so stsc/stco
-    chunk resolution is exercised, not just contiguity), and 100 ms
+    chunk resolution is exercised, not just contiguity), CTTS
+    composition offsets of ((doc_id + i) % 2) * 10 units (presentation
+    = decode + offset, the B-frame reorder path, order-preserving by
+    construction), odd doc_ids on CO64 64-bit chunk offsets (the >4 GB
+    layout — byte-identical plan, different box format), and 100 ms
     first-of-bucket sampling. The oracle rebuilds every row —
-    timestamps from the two-run arithmetic, offsets as the running sum
-    of prior sizes, the selected flag from the lagged tick bucket —
-    in pure SQL. rel_offset is the byte offset within the sample data
-    region (absolute minus the first sample's), which is what the
-    SQL can state without replaying the box writer."""
+    timestamps from the two-run arithmetic plus the ctts term, offsets
+    as the running sum of prior sizes, the selected flag from the
+    lagged tick bucket — in pure SQL. rel_offset is the byte offset
+    within the sample data region (absolute minus the first sample's),
+    which is what the SQL can state without replaying the box writer."""
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
@@ -2269,6 +2273,8 @@ def video_frame_plan_q(spark, sf_dir):
                     16, 16, deltas, sizes,
                     keyframes=list(range(1, n + 1, 2)),
                     timescale=1000, samples_per_chunk=2,
+                    co64=bool(did % 2),
+                    ctts_offsets=[((did + i) % 2) * 10 for i in range(n)],
                 )
             )
         return pd.Series(out)
@@ -6582,7 +6588,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents CROSS JOIN (SELECT unnest(range(0, 6)) AS i) gi "
             "WHERE i < 4 + doc_id % 3), "
             "r AS (SELECT doc_id, i, "
-            "LEAST(i, half) * d1 + GREATEST(i - half, 0) * 2 * d1 AS ts_ms, "
+            "LEAST(i, half) * d1 + GREATEST(i - half, 0) * 2 * d1 "
+            "+ ((doc_id + i) % 2) * 10 AS ts_ms, "
             "50 + ((doc_id + i) % 7) * 10 AS sz, i % 2 = 0 AS keyframe "
             "FROM base) "
             "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "

@@ -292,6 +292,8 @@ def make_mp4(
     timescale: int = 1000,
     codec: str = "mp4v",
     samples_per_chunk: int = 0,
+    co64: bool = False,
+    ctts_offsets: list[int] | None = None,
 ) -> bytes:
     """Minimal ISO BMFF writer — fixture support for the sample-table
     parser. One video track; ``sample_deltas`` in ``timescale`` units
@@ -299,8 +301,11 @@ def make_mp4(
     deterministic filler in mdat, ``keyframes`` 1-based sample numbers
     (stss; None = no stss = every sample sync per the spec), and
     ``samples_per_chunk`` grouping for stsc/stco (0 = one chunk holds
-    everything). The mdat payload is filler — real tracks need a codec;
-    what this exercises is the PLAN machinery (offsets/sizes/times)."""
+    everything); ``co64=True`` writes 64-bit chunk offsets (the >4 GB
+    layout); ``ctts_offsets`` adds per-sample composition offsets
+    (version 1, signed, run-length encoded). The mdat payload is
+    filler — real tracks need a codec; what this exercises is the PLAN
+    machinery (offsets/sizes/times)."""
     n = len(sample_deltas)
     if len(sample_sizes) != n:
         raise ValueError("sample_deltas and sample_sizes must align")
@@ -327,17 +332,34 @@ def make_mp4(
         _struct.pack(">I", len(_rle_deltas(sample_deltas)))
         + b"".join(_struct.pack(">II", c, d) for c, d in _rle_deltas(sample_deltas)),
     )
+    ctts = b""
+    if ctts_offsets is not None:
+        if len(ctts_offsets) != n:
+            raise ValueError("ctts_offsets must align with samples")
+        runs = _rle_deltas(ctts_offsets)
+        ctts = _full(
+            b"ctts", 1, 0,
+            _struct.pack(">I", len(runs))
+            + b"".join(_struct.pack(">Ii", c, o) for c, o in runs),
+        )
     stsc = _full(b"stsc", 0, 0, _struct.pack(">IIII", 1, 1, spc, 1))
     stsz = _full(
         b"stsz", 0, 0,
         _struct.pack(">II", 0, n)
         + b"".join(_struct.pack(">I", s) for s in sample_sizes),
     )
-    stco = _full(
-        b"stco", 0, 0,
-        _struct.pack(">I", len(chunk_offsets))
-        + b"".join(_struct.pack(">I", o) for o in chunk_offsets),
-    )
+    if co64:
+        stco = _full(
+            b"co64", 0, 0,
+            _struct.pack(">I", len(chunk_offsets))
+            + b"".join(_struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = _full(
+            b"stco", 0, 0,
+            _struct.pack(">I", len(chunk_offsets))
+            + b"".join(_struct.pack(">I", o) for o in chunk_offsets),
+        )
     stss = b""
     if keyframes is not None:
         stss = _full(
@@ -360,7 +382,7 @@ def make_mp4(
         b"stsd", 0, 0,
         _struct.pack(">I", 1) + _box(codec.encode().ljust(4)[:4], entry_body),
     )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
     vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
     dref = _full(b"dref", 0, 0, _struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
     dinf = _box(b"dinf", dref)
@@ -489,17 +511,23 @@ def parse_mp4(b: bytes) -> dict | None:
 def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
     """The distributed frame-extraction plan: [(sample_idx, ts_ms,
     size, absolute_byte_offset, keyframe)] from the first track's
-    stts + stsz + stsc + stco + stss tables. This is the exact unit of
-    work a 1000-executor decode fans out over — each executor range-
-    reads (offset, size) and decodes independently; no stateful scan
-    of the file. None outside the envelope."""
+    stts + stsz + stsc + stco/co64 + stss (+ctts) tables. co64 is the
+    64-bit chunk-offset layout every >4 GB file carries — exactly the
+    files a 100 TB corpus is made of; ctts composition offsets shift
+    each sample's timestamp to PRESENTATION time (B-frame reorder)
+    while rows stay in decode order (the range-read order). This is the
+    exact unit of work a 1000-executor decode fans out over — each
+    executor range-reads (offset, size) and decodes independently; no
+    stateful scan of the file. None outside the envelope."""
     try:
         found = _mp4_collect(b)
         if found is None:
             return None
-        for need in (b"stts", b"stsz", b"stsc", b"stco", b"mdhd"):
+        for need in (b"stts", b"stsz", b"stsc", b"mdhd"):
             if need not in found:
                 return None
+        if b"stco" not in found and b"co64" not in found:
+            return None
         ms, _ = found[b"mdhd"]
         version = b[ms]
         timescale = _struct.unpack(
@@ -542,11 +570,45 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
             _struct.unpack(">III", b[cs + 8 + 12 * i : cs + 20 + 12 * i])
             for i in range(n_ent)
         ]
-        os_, _e = found[b"stco"]
-        n_chunks = _struct.unpack(">I", b[os_ + 4 : os_ + 8])[0]
-        chunk_off = list(
-            _struct.unpack(f">{n_chunks}I", b[os_ + 8 : os_ + 8 + 4 * n_chunks])
-        )
+        if b"stco" in found:  # 32-bit chunk offsets
+            os_, _e = found[b"stco"]
+            n_chunks = _struct.unpack(">I", b[os_ + 4 : os_ + 8])[0]
+            if os_ + 8 + 4 * n_chunks > _e:
+                return None
+            chunk_off = list(
+                _struct.unpack(
+                    f">{n_chunks}I", b[os_ + 8 : os_ + 8 + 4 * n_chunks]
+                )
+            )
+        else:  # co64: the >4 GB layout — what a 100 TB corpus's files use
+            os_, _e = found[b"co64"]
+            n_chunks = _struct.unpack(">I", b[os_ + 4 : os_ + 8])[0]
+            if os_ + 8 + 8 * n_chunks > _e:
+                return None
+            chunk_off = list(
+                _struct.unpack(
+                    f">{n_chunks}Q", b[os_ + 8 : os_ + 8 + 8 * n_chunks]
+                )
+            )
+
+        # ctts (composition offsets, B-frame reorder): presentation time
+        # = decode time + offset; run-length bounded by n like stts
+        cofs: list[int] | None = None
+        if b"ctts" in found:
+            cb, _e = found[b"ctts"]
+            cver = b[cb]
+            n_cruns = _struct.unpack(">I", b[cb + 4 : cb + 8])[0]
+            if cb + 8 + 8 * n_cruns > _e:
+                return None
+            cofs = []
+            coff = cb + 8
+            cfmt = ">Ii" if cver == 1 else ">II"
+            for _ in range(n_cruns):
+                cnt, o = _struct.unpack(cfmt, b[coff : coff + 8])
+                cofs.extend([o] * min(cnt, n + 1 - len(cofs)))
+                coff += 8
+            if len(cofs) < n:
+                return None
 
         sync: set[int] | None = None
         if b"stss" in found:
@@ -577,8 +639,9 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
                 if sample >= n:
                     break
                 key = True if sync is None else (sample + 1) in sync
+                pt = t + (cofs[sample] if cofs is not None else 0)
                 out.append(
-                    (sample, t * 1000 // timescale, sizes[sample], acc, key)
+                    (sample, pt * 1000 // timescale, sizes[sample], acc, key)
                 )
                 acc += sizes[sample]
                 t += deltas[sample]

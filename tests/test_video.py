@@ -737,3 +737,30 @@ def test_mkv_lacing_modes(mode):
     one = make_mkv_laced(16, 8, 0, [b"Z" * 9], mode=mode)
     t1 = mkv_block_table(one)
     assert len(t1) == 1 and one[t1[0][3] : t1[0][3] + t1[0][2]] == b"Z" * 9
+
+
+def test_mp4_co64_and_ctts():
+    """co64 (64-bit chunk offsets, the >4 GB layout) yields the
+    byte-identical plan as stco; ctts composition offsets shift each
+    sample to PRESENTATION time while rows stay in decode order —
+    r10 envelope extension."""
+    deltas = [40] * 3 + [80] * 4
+    sizes = [100 + i * 10 for i in range(7)]
+    a = mp4_sample_table(make_mp4(
+        32, 24, deltas, sizes, keyframes=[1, 4], samples_per_chunk=3))
+    b = mp4_sample_table(make_mp4(
+        32, 24, deltas, sizes, keyframes=[1, 4], samples_per_chunk=3,
+        co64=True))
+    assert a == b
+    cof = [0, 80, -40, 40, 0, 80, -40]
+    c = mp4_sample_table(make_mp4(
+        32, 24, deltas, sizes, keyframes=[1, 4], samples_per_chunk=3,
+        ctts_offsets=cof))
+    dts = [0, 40, 80, 120, 200, 280, 360]
+    assert [r[1] for r in c] == [d + o for d, o in zip(dts, cof)]
+    assert [r[2] for r in c] == sizes
+    assert [r[3] for r in c] == [r[3] for r in a]  # decode-order ranges
+    x = make_mp4(16, 16, [40] * 5, [50] * 5, co64=True,
+                 ctts_offsets=[0, 40, -40, 0, 40])
+    for cut in range(0, len(x), 3):
+        mp4_sample_table(x[:cut])  # truncation never raises
