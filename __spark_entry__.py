@@ -2794,6 +2794,65 @@ def mkv_frame_plan_q(spark, sf_dir):
     )
 
 
+def adpcm_roundtrip_q(spark, sf_dir):
+    """IMA-ADPCM WAV decode (multimodal.py _ima_decode via
+    decode_wav_samples — format tag 0x11, the common compressed-WAV
+    layout): every document synthesizes a deterministic int16 signal,
+    encodes it to ADPCM (mono block_align=64 for even doc_ids, STEREO
+    block_align=72 for odd — the 4-byte channel-group interleave path),
+    and decodes through the public operator. ADPCM is lossy, but
+    encoder and decoder run the same public state machine, so the
+    decoded stream must equal the encoder's own reconstruction
+    BIT-EXACTLY — that equality is the truth column, and n_samples
+    comes from the block arithmetic the oracle restates in SQL
+    (121 samples/block mono, 65 stereo)."""
+    import numpy as np
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.multimodal import (
+        decode_wav_samples,
+        make_wav_ima_adpcm,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def run(batches):
+        cols = ["doc_id", "n_samples", "decode_matches_encoder"]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                k = 1 + d % 3
+                stereo = bool(d % 2)
+                spb = 65 if stereo else 121
+                sig = np.array(
+                    [((d * 13 + i * i) % 20_000) - 10_000
+                     for i in range(spb * k)],
+                    dtype=np.int64,
+                )
+                wav, recon = make_wav_ima_adpcm(
+                    8000, sig, channels=2 if stereo else 1,
+                    block_align=72 if stereo else 64,
+                )
+                got = decode_wav_samples(wav)
+                ok = False
+                n = 0
+                if got is not None:
+                    dec16 = np.round(got[1] * 32768).astype(np.int64)
+                    n = len(dec16)
+                    ok = n == len(recon) and bool(
+                        (dec16 == recon.astype(np.int64)).all()
+                    )
+                out.append((d, n, ok))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id bigint, n_samples bigint, "
+               "decode_matches_encoder boolean",
+    )
+
+
 def gif_animation_q(spark, sf_dir):
     """Animated-GIF frame COMPOSITION (multimodal.py
     gif_animation_frames): every document mints a GIF89a with a full
@@ -5235,10 +5294,11 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 3 never-driver-checked round-10 additions
-# (caption_coverage, mkv_frame_plan, gif_animation) lead; then the 37
-# remaining r06-era rows; then the 10 alphabetically-first r07-era rows
-# (fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
+# ranking: the 4 never-driver-checked round-10 additions
+# (caption_coverage, mkv_frame_plan, gif_animation, adpcm_roundtrip)
+# lead; then the 37 remaining r06-era rows; then the 9
+# alphabetically-first r07-era rows (embedding_quantize,
+# fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
 # interval_band_join, kinesis_shape, line_dedup, ... spill to the next
 # rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
@@ -5247,6 +5307,7 @@ def flowcounter_q(spark, sf_dir):
 # after the change.
 _DRIVER_WINDOW = [
     "caption_coverage", "mkv_frame_plan", "gif_animation",
+    "adpcm_roundtrip",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5261,7 +5322,7 @@ _DRIVER_WINDOW = [
     "token_budget_select", "top_session_paths", "window_rank_topk",
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
     "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
-    "embedding_dedup", "embedding_quantize",
+    "embedding_dedup",
 ]
 
 
@@ -5405,6 +5466,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_coverage": caption_coverage_q,
         "mkv_frame_plan": mkv_frame_plan_q,
         "gif_animation": gif_animation_q,
+        "adpcm_roundtrip": adpcm_roundtrip_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6627,6 +6689,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "adpcm_roundtrip": (
+            "SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN 121 * (1 + doc_id % 3) ELSE 65 * (1 + doc_id % 3) END "
+            "AS BIGINT) AS n_samples, TRUE AS decode_matches_encoder "
+            "FROM documents"
         ),
         "gif_animation": (
             "WITH fr AS (SELECT doc_id, f FROM documents "

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "mkv_headers",
     "mkv_frame_plan",
     "gif_animation",
+    "adpcm_roundtrip",
     "pipeline_e2e",
 ]
 

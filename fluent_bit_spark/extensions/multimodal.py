@@ -2296,10 +2296,158 @@ def make_bmp_pixels(w: int, h: int, rgb: bytes) -> bytes:
 # candidate discipline: an exact 32-bit subfingerprint match probes the
 # candidate set, then the bit-error rate over aligned frames verifies.
 # --------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — the common compressed-WAV
+# layout: 4-bit nibbles against the public step/index tables, per-block
+# (predictor, step index) headers, stereo nibbles interleaved in 4-byte
+# channel groups. Public spec: IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility" (1992); reference parity: fluent-bit has
+# no audio layer — this extends the corpus envelope like progressive
+# JPEG does for images.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA state transition: (new predictor, new index)."""
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    if n & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX[n]))
+    return pred, index
+
+
+def _ima_decode(data: bytes, nch: int, block_align: int):
+    """IMA-ADPCM data chunk -> interleaved int16 numpy array. Blocks of
+    ``block_align`` bytes; per channel a 4-byte (predictor, index)
+    header, then nibbles in 4-byte channel groups (low nibble first). A
+    trailing partial block decodes as far as its bytes go."""
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    for bstart in range(0, len(data), block_align):
+        blk = data[bstart : bstart + block_align]
+        if len(blk) < 4 * nch:
+            break
+        preds = []
+        idxs = []
+        for c in range(nch):
+            p, i, _r = _struct.unpack_from("<hBB", blk, c * 4)
+            preds.append(p)
+            idxs.append(min(i, 88))
+            chans[c].append(p)
+        body = blk[4 * nch :]
+        for g in range(0, len(body) - len(body) % 4, 4):
+            c = (g // 4) % nch
+            p, i = preds[c], idxs[c]
+            for byte in body[g : g + 4]:
+                for n in (byte & 0x0F, byte >> 4):
+                    p, i = _ima_step_nibble(n, p, i)
+                    chans[c].append(p)
+            preds[c], idxs[c] = p, i
+    usable = min(len(c) for c in chans)
+    out = _np.empty((usable, nch), dtype=_np.int16)
+    for c in range(nch):
+        out[:, c] = chans[c][:usable]
+    return out.reshape(-1)
+
+
+def make_wav_ima_adpcm(
+    sample_rate: int,
+    samples: "list[int] | _np.ndarray",
+    channels: int = 1,
+    block_align: int = 64,
+) -> tuple[bytes, "_np.ndarray"]:
+    """IMA-ADPCM WAV encoder (fixture support): ``samples`` is the
+    int16 MONO source; ``channels=2`` duplicates it per channel (so the
+    decoder's mono mix reproduces the channel exactly). Returns (wav
+    bytes, the encoder's own reconstructed int16 stream) — ADPCM is
+    lossy, but encode and decode run the SAME state machine, so the
+    decoder must match the reconstruction BIT-EXACTLY (what the tests
+    and the adpcm_roundtrip oracle assert). Input pads to whole
+    blocks."""
+    src = _np.asarray(samples, dtype=_np.int64)
+    nch = channels
+    per_ch_bytes = (block_align - 4 * nch) // nch
+    if per_ch_bytes <= 0 or per_ch_bytes % 4 or (
+        block_align != 4 * nch + per_ch_bytes * nch
+    ):
+        raise ValueError("block_align must fit whole 4-byte channel groups")
+    spb = per_ch_bytes * 2 + 1  # samples per block per channel
+    n_blocks = max(1, -(-len(src) // spb))
+    pad = _np.zeros(n_blocks * spb, dtype=_np.int64)
+    pad[: len(src)] = src
+    recon: list[int] = []
+    data = bytearray()
+    index = 0  # step index persists across blocks (common practice)
+    for bi in range(n_blocks):
+        seg = pad[bi * spb : (bi + 1) * spb]
+        pred = int(seg[0])
+        for _c in range(nch):
+            data += _struct.pack("<hBB", pred, index, 0)
+        recon.append(pred)
+        p, i = pred, index
+        nibs: list[int] = []
+        for s in seg[1:]:
+            step = _IMA_STEP[i]
+            delta = int(s) - p
+            n = 0
+            if delta < 0:
+                n = 8
+                delta = -delta
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            p, i = _ima_step_nibble(n, p, i)
+            nibs.append(n)
+            recon.append(p)
+        index = i
+        packed = bytearray()
+        for j in range(0, len(nibs), 2):
+            lo = nibs[j]
+            hi = nibs[j + 1] if j + 1 < len(nibs) else 0
+            packed.append(lo | (hi << 4))
+        if nch == 1:
+            data += packed
+        else:  # duplicate the mono nibble stream per channel, 4-byte groups
+            for g in range(0, len(packed), 4):
+                grp = bytes(packed[g : g + 4])
+                for _c in range(nch):
+                    data += grp
+    fmt = _struct.pack(
+        "<HHIIHHHH", 0x11, nch, sample_rate,
+        max(1, sample_rate * block_align // spb), block_align, 4, 2, spb,
+    )
+    out = (b"RIFF" + _struct.pack("<I", 28 + len(fmt) + len(data)) + b"WAVE"
+           + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+           + b"data" + _struct.pack("<I", len(data)) + bytes(data))
+    rec = _np.asarray(recon, dtype=_np.int16)
+    return out, rec
+
+
 def decode_wav_samples(b: bytes):
-    """Uncompressed PCM WAV -> (sample_rate, mono float64 samples in
-    [-1, 1]); channels average down to mono. Non-PCM / truncated / other
-    formats return None."""
+    """WAV -> (sample_rate, mono float64 samples in [-1, 1]); channels
+    average down to mono. PCM (8/16-bit) decodes raw; IMA/DVI ADPCM
+    (format 0x11, 4-bit) decodes through the public step/index state
+    machine. Other formats / truncated payloads return None."""
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     off, n = 12, len(b)
@@ -2314,17 +2462,23 @@ def decode_wav_samples(b: bytes):
                 return None  # truncated payload: header claims more samples
             data = b[off + 8 : off + 8 + clen]
         off += 8 + clen + (clen & 1)
-    if fmt is None or data is None or fmt[0] != 1:
+    if fmt is None or data is None:
         return None
-    _, nch, rate, _, _, bits = fmt
-    if not nch or not rate or bits not in (8, 16):
+    tag, nch, rate, _, block_align, bits = fmt
+    if not nch or not rate:
         return None
-    if bits == 16:
-        a = _np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if tag == 1 and bits in (8, 16):
+        if bits == 16:
+            a = _np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+            x = a.astype(_np.float64) / 32768.0
+        else:
+            a = _np.frombuffer(data, dtype=_np.uint8)
+            x = (a.astype(_np.float64) - 128.0) / 128.0
+    elif tag == 0x11 and bits == 4 and nch in (1, 2) and block_align >= 8:
+        a = _ima_decode(data, nch, block_align)
         x = a.astype(_np.float64) / 32768.0
     else:
-        a = _np.frombuffer(data, dtype=_np.uint8)
-        x = (a.astype(_np.float64) - 128.0) / 128.0
+        return None
     usable = (len(x) // nch) * nch
     x = x[:usable].reshape(-1, nch).mean(axis=1)
     return rate, x

@@ -3491,3 +3491,39 @@ def test_gif_animation_frames(spark):
     assert f1[0, 0, 0] == 200 and f1[0, 1, 0] == base[0, 1]  # transparency
     f2 = np.frombuffer(bytes(rows[2].pixels), np.uint8).reshape(8, 9, 3)
     assert (f2[3:5, 3:5, 0] == 9).all()  # rendered before disposal
+
+
+def test_wav_ima_adpcm_roundtrip():
+    """IMA-ADPCM WAV (format 0x11): the decoder reproduces the
+    encoder's reconstruction BIT-EXACTLY (same public state machine) in
+    mono and stereo (4-byte channel-group interleave), tracks smooth
+    signals within codec error, and filters non-envelope/truncated
+    payloads — r10 audio envelope extension."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        decode_wav_samples, make_wav_ima_adpcm,
+    )
+
+    rng = np.random.RandomState(4)
+    for sig in (
+        (np.sin(np.arange(500) * 0.05) * 12000).astype(np.int64),
+        rng.randint(-3000, 3000, 400).astype(np.int64),
+        np.arange(-200, 300, dtype=np.int64) * 40,
+    ):
+        for nch, ba in [(1, 64), (2, 72), (1, 256)]:
+            wav, recon = make_wav_ima_adpcm(
+                8000, sig, channels=nch, block_align=ba
+            )
+            rate, x = decode_wav_samples(wav)
+            assert rate == 8000
+            dec16 = np.round(x * 32768).astype(np.int64)
+            assert len(dec16) == len(recon)
+            assert (dec16 == recon.astype(np.int64)).all(), (nch, ba)
+    # ramp of +40/sample: ADPCM tracks within one small step
+    ramp = np.arange(-200, 300, dtype=np.int64) * 40
+    _, recon = make_wav_ima_adpcm(8000, ramp)
+    assert np.abs(recon[: len(ramp)].astype(np.int64) - ramp).max() <= 64
+    wav, _ = make_wav_ima_adpcm(8000, ramp)
+    for cut in range(0, len(wav), 7):
+        decode_wav_samples(wav[:cut])  # truncation never raises
