@@ -2794,6 +2794,63 @@ def mkv_frame_plan_q(spark, sf_dir):
     )
 
 
+def media_sniff_extended_q(spark, sf_dir):
+    """Extended media triage (multimodal.py parse_media_header): the
+    crawled-corpus formats beyond the PNG/JPEG/GIF/BMP/WAV five — every
+    document mints a WebP (variant cycling lossy VP8 / lossless VP8L /
+    extended VP8X by doc_id%3), a FLAC STREAMINFO (rate/channels/bits/
+    duration all doc_id-derived), an MPEG-1 Layer III frame header
+    (alternating stereo/mono, every other one behind an ID3v2 tag — the
+    tag-skip path), and a TIFF IFD (alternating little/big endian,
+    SHORT and LONG tag types). The oracle recomputes every field
+    arithmetically, so a bit-packing mistake in any of the four parsers
+    hash-fails its rows."""
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.multimodal import (
+        extract_media_headers,
+        make_flac,
+        make_mp3,
+        make_tiff,
+        make_webp,
+        to_media_frame,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                out.append((d, make_webp(
+                    16 + d % 600, 16 + d % 400,
+                    ("vp8", "vp8l", "vp8x")[d % 3],
+                )))
+                rate = 8000 + (d % 5) * 4000
+                out.append((d + 1_000_000, make_flac(
+                    rate, 1 + d % 2, 16 + (d % 2) * 8, rate * (1 + d % 4),
+                )))
+                out.append((d + 2_000_000, make_mp3(
+                    (44100, 48000, 32000)[d % 3],
+                    stereo=(d % 2 == 0), id3=(d % 4 < 2),
+                )))
+                out.append((d + 3_000_000, make_tiff(
+                    1 + d % 640, 1 + d % 480, 8 + (d % 2) * 8, 1 + d % 3,
+                    big_endian=bool(d % 2),
+                )))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = to_media_frame(
+        docs.mapInPandas(gen, schema="media_id long, content binary"),
+        "media_id", F.col("content"), "image",
+    )
+    return extract_media_headers(media).select(
+        "media_id", "format", "width", "height", "channels", "bit_depth",
+        "sample_rate", "duration_ms",
+    )
+
+
 def adpcm_roundtrip_q(spark, sf_dir):
     """IMA-ADPCM WAV decode (multimodal.py _ima_decode via
     decode_wav_samples — format tag 0x11, the common compressed-WAV
@@ -5294,20 +5351,20 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 4 never-driver-checked round-10 additions
-# (caption_coverage, mkv_frame_plan, gif_animation, adpcm_roundtrip)
-# lead; then the 37 remaining r06-era rows; then the 9
-# alphabetically-first r07-era rows (embedding_quantize,
-# fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
-# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
-# rotation). The round-10 semantic changes to already-green queries
+# ranking: the 5 never-driver-checked round-10 additions
+# (caption_coverage, mkv_frame_plan, gif_animation, adpcm_roundtrip,
+# media_sniff_extended) lead; then the 37 remaining r06-era rows; then
+# the 8 alphabetically-first r07-era rows (embedding_dedup,
+# embedding_quantize, fuzzy_decontaminate, gopher_quality, grep_filter,
+# heavy_hitters, interval_band_join, kinesis_shape, line_dedup, ...
+# spill to the next rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
 # pyarrow-fs publication path, caption_frames' refactored join) are
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
 # after the change.
 _DRIVER_WINDOW = [
     "caption_coverage", "mkv_frame_plan", "gif_animation",
-    "adpcm_roundtrip",
+    "adpcm_roundtrip", "media_sniff_extended",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5322,7 +5379,6 @@ _DRIVER_WINDOW = [
     "token_budget_select", "top_session_paths", "window_rank_topk",
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
     "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
-    "embedding_dedup",
 ]
 
 
@@ -5467,6 +5523,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mkv_frame_plan": mkv_frame_plan_q,
         "gif_animation": gif_animation_q,
         "adpcm_roundtrip": adpcm_roundtrip_q,
+        "media_sniff_extended": media_sniff_extended_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6689,6 +6746,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "media_sniff_extended": (
+            "SELECT doc_id AS media_id, 'webp' AS format, "
+            "CAST(16 + doc_id % 600 AS INT) AS width, "
+            "CAST(16 + doc_id % 400 AS INT) AS height, "
+            "CAST(3 AS INT) AS channels, CAST(8 AS INT) AS bit_depth, "
+            "CAST(NULL AS INT) AS sample_rate, "
+            "CAST(NULL AS INT) AS duration_ms FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, 'flac', NULL, NULL, "
+            "CAST(1 + doc_id % 2 AS INT), CAST(16 + (doc_id % 2) * 8 AS INT), "
+            "CAST(8000 + (doc_id % 5) * 4000 AS INT), "
+            "CAST((1 + doc_id % 4) * 1000 AS INT) FROM documents "
+            "UNION ALL SELECT doc_id + 2000000, 'mp3', NULL, NULL, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT), NULL, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "ELSE 32000 END AS INT), NULL FROM documents "
+            "UNION ALL SELECT doc_id + 3000000, 'tiff', "
+            "CAST(1 + doc_id % 640 AS INT), CAST(1 + doc_id % 480 AS INT), "
+            "CAST(1 + doc_id % 3 AS INT), CAST(8 + (doc_id % 2) * 8 AS INT), "
+            "NULL, NULL FROM documents"
         ),
         "adpcm_roundtrip": (
             "SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 "

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "mkv_frame_plan",
     "gif_animation",
     "adpcm_roundtrip",
+    "media_sniff_extended",
     "pipeline_e2e",
 ]
 

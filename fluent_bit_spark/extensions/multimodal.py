@@ -128,6 +128,96 @@ def parse_media_header(b: bytes) -> dict:
             if None not in (nch, rate, bits, data_len) and nch and rate and bits:
                 frames = data_len // (nch * (bits // 8))
                 out["duration_ms"] = int(frames * 1000 // rate)
+        elif b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 20:
+            cid = b[12:16]
+            if cid == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+                w = _struct.unpack("<H", b[26:28])[0] & 0x3FFF
+                h = _struct.unpack("<H", b[28:30])[0] & 0x3FFF
+                out.update(format="webp", width=w, height=h, channels=3,
+                           bit_depth=8)
+            elif cid == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+                b1, b2, b3, b4 = b[21], b[22], b[23], b[24]
+                w = 1 + (((b2 & 0x3F) << 8) | b1)
+                h = 1 + (((b4 & 0x0F) << 10) | (b3 << 2) | (b2 >> 6))
+                alpha = (b4 >> 4) & 1
+                out.update(format="webp", width=w, height=h,
+                           channels=4 if alpha else 3, bit_depth=8)
+            elif cid == b"VP8X" and len(b) >= 30:
+                w = 1 + int.from_bytes(b[24:27], "little")
+                h = 1 + int.from_bytes(b[27:30], "little")
+                alpha = (b[20] >> 4) & 1
+                out.update(format="webp", width=w, height=h,
+                           channels=4 if alpha else 3, bit_depth=8)
+            else:
+                out.update(format="webp")
+        elif b[:4] == b"fLaC" and len(b) >= 26:
+            # first metadata block must be STREAMINFO (type 0)
+            if b[4] & 0x7F == 0:
+                si = b[8:]
+                rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+                nch = ((si[12] >> 1) & 0x07) + 1
+                bits = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+                total = ((si[13] & 0x0F) << 32) | int.from_bytes(
+                    si[14:18], "big"
+                )
+                out.update(format="flac", channels=nch, sample_rate=rate,
+                           bit_depth=bits)
+                if rate and total:
+                    out["duration_ms"] = int(total * 1000 // rate)
+            else:
+                out.update(format="flac")
+        elif b[:3] == b"ID3" or (
+            len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+        ):
+            off = 0
+            if b[:3] == b"ID3" and len(b) >= 10:
+                # syncsafe tag size, then the first MPEG frame follows
+                sz = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                      | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+                off = 10 + sz
+            if off + 4 <= len(b) and b[off] == 0xFF and (
+                b[off + 1] & 0xE0
+            ) == 0xE0:
+                ver = (b[off + 1] >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+                layer = (b[off + 1] >> 1) & 3  # 1=III, 2=II, 3=I
+                sr_idx = (b[off + 2] >> 2) & 3
+                mode = (b[off + 3] >> 6) & 3
+                rates = {
+                    3: (44100, 48000, 32000),
+                    2: (22050, 24000, 16000),
+                    0: (11025, 12000, 8000),
+                }.get(ver)
+                if rates is not None and sr_idx < 3 and layer != 0:
+                    out.update(
+                        format="mp3",
+                        sample_rate=rates[sr_idx],
+                        channels=1 if mode == 3 else 2,
+                    )
+                else:
+                    out.update(format="mp3")
+            elif b[:3] == b"ID3":
+                out.update(format="mp3")
+        elif b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+            end = "<" if b[:2] == b"II" else ">"
+            ifd = _struct.unpack(end + "I", b[4:8])[0]
+            n_tags = _struct.unpack(end + "H", b[ifd : ifd + 2])[0]
+            vals: dict[int, int] = {}
+            for t in range(min(n_tags, 64)):
+                e = ifd + 2 + 12 * t
+                tag, typ, cnt = _struct.unpack(end + "HHI", b[e : e + 8])
+                if cnt != 1:
+                    continue  # multi-value (e.g. per-channel bits): offset
+                if typ == 3:  # SHORT
+                    vals[tag] = _struct.unpack(end + "H", b[e + 8 : e + 10])[0]
+                elif typ == 4:  # LONG
+                    vals[tag] = _struct.unpack(end + "I", b[e + 8 : e + 12])[0]
+            out.update(
+                format="tiff",
+                width=vals.get(256),
+                height=vals.get(257),
+                bit_depth=vals.get(258),
+                channels=vals.get(277),
+            )
     except (IndexError, _struct.error):
         return {"format": "unknown", "width": None, "height": None, "channels": None,
                 "bit_depth": None, "sample_rate": None, "duration_ms": None}
@@ -166,6 +256,85 @@ def make_wav(channels: int, sample_rate: int, bits: int, n_frames: int) -> bytes
     return (b"RIFF" + _struct.pack("<I", 36 + data_len) + b"WAVE"
             + b"fmt " + _struct.pack("<I", 16) + fmt
             + b"data" + _struct.pack("<I", data_len) + b"\x00" * data_len)
+
+
+def make_webp(w: int, h: int, variant: str = "vp8") -> bytes:
+    """Minimal WebP header fixture: 'vp8' (lossy), 'vp8l' (lossless),
+    or 'vp8x' (extended canvas)."""
+    if variant == "vp8":
+        payload = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                   + _struct.pack("<HH", w & 0x3FFF, h & 0x3FFF))
+        chunk = b"VP8 " + _struct.pack("<I", len(payload)) + payload
+    elif variant == "vp8l":
+        ww, hh = w - 1, h - 1
+        bits = ww | (hh << 14)
+        payload = bytes([0x2F, bits & 0xFF, (bits >> 8) & 0xFF,
+                         (bits >> 16) & 0xFF, (bits >> 24) & 0x0F])
+        chunk = b"VP8L" + _struct.pack("<I", len(payload)) + payload
+    elif variant == "vp8x":
+        payload = (b"\x00\x00\x00\x00"
+                   + (w - 1).to_bytes(3, "little")
+                   + (h - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + _struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError("variant must be vp8 / vp8l / vp8x")
+    if len(chunk) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_flac(
+    sample_rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal FLAC STREAMINFO fixture."""
+    si = bytearray(34)
+    si[0:2] = _struct.pack(">H", 4096)  # min blocksize
+    si[2:4] = _struct.pack(">H", 4096)
+    si[10] = (sample_rate >> 12) & 0xFF
+    si[11] = (sample_rate >> 4) & 0xFF
+    si[12] = (((sample_rate & 0x0F) << 4)
+              | ((channels - 1) << 1) | ((bits - 1) >> 4))
+    si[13] = (((bits - 1) & 0x0F) << 4) | ((total_samples >> 32) & 0x0F)
+    si[14:18] = _struct.pack(">I", total_samples & 0xFFFFFFFF)
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+
+
+def make_mp3(
+    sample_rate: int = 44100, stereo: bool = True, id3: bool = False
+) -> bytes:
+    """Minimal MPEG-1 Layer III frame-header fixture, optionally behind
+    an (empty) ID3v2 tag."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1),             # MPEG1, Layer III
+        (9 << 4) | (sr_idx << 2),               # bitrate idx 9, sr idx
+        (0x00 if stereo else 0xC0),
+    ])
+    body = hdr + b"\x00" * 16
+    if id3:
+        return b"ID3\x04\x00\x00" + bytes([0, 0, 0, 8]) + b"\x00" * 8 + body
+    return body
+
+
+def make_tiff(
+    w: int, h: int, bits: int = 8, channels: int = 1, big_endian: bool = False
+) -> bytes:
+    """Minimal single-IFD TIFF fixture (SHORT/LONG inline values)."""
+    end = ">" if big_endian else "<"
+    tags = [(256, 4, w), (257, 4, h), (258, 3, bits), (277, 3, channels)]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += _struct.pack(end + "I", 8)
+    out += _struct.pack(end + "H", len(tags))
+    for tag, typ, val in tags:
+        out += _struct.pack(end + "HHI", tag, typ, 1)
+        if typ == 3:
+            out += _struct.pack(end + "H", val) + b"\x00\x00"
+        else:
+            out += _struct.pack(end + "I", val)
+    out += _struct.pack(end + "I", 0)  # no next IFD
+    return bytes(out)
 
 
 def real_decode(content: bytes, kind: str) -> dict:

@@ -3527,3 +3527,37 @@ def test_wav_ima_adpcm_roundtrip():
     wav, _ = make_wav_ima_adpcm(8000, ramp)
     for cut in range(0, len(wav), 7):
         decode_wav_samples(wav[:cut])  # truncation never raises
+
+
+def test_media_sniff_extended_formats():
+    """WebP (VP8/VP8L/VP8X), FLAC STREAMINFO, MP3 frame header (plain +
+    behind ID3v2), and TIFF IFD (both endiannesses, SHORT and LONG tag
+    types, multi-value tags skipped) all sniff with exact fields;
+    truncations never raise — r10 corpus-triage extension."""
+    from fluent_bit_spark.extensions.multimodal import (
+        make_flac, make_mp3, make_tiff, make_webp,
+        parse_media_header as P,
+    )
+
+    g = P(make_webp(320, 180, "vp8"))
+    assert (g["format"], g["width"], g["height"]) == ("webp", 320, 180)
+    g = P(make_webp(1001, 707, "vp8l"))
+    assert (g["width"], g["height"]) == (1001, 707)
+    g = P(make_webp(5000, 3000, "vp8x"))
+    assert (g["width"], g["height"]) == (5000, 3000)
+    g = P(make_flac(44100, 2, 16, 441000))
+    assert (g["format"], g["sample_rate"], g["channels"], g["bit_depth"],
+            g["duration_ms"]) == ("flac", 44100, 2, 16, 10000)
+    g = P(make_mp3(48000, stereo=False))
+    assert (g["format"], g["sample_rate"], g["channels"]) == ("mp3", 48000, 1)
+    g = P(make_mp3(44100, stereo=True, id3=True))
+    assert (g["sample_rate"], g["channels"]) == (44100, 2)
+    g = P(make_tiff(640, 480, 16, 3))
+    assert (g["format"], g["width"], g["height"], g["bit_depth"],
+            g["channels"]) == ("tiff", 640, 480, 16, 3)
+    g = P(make_tiff(99, 77, 8, 1, big_endian=True))
+    assert (g["width"], g["height"]) == (99, 77)
+    for mk in (make_webp(9, 8), make_flac(8000, 1, 16, 100), make_mp3(),
+               make_tiff(4, 4)):
+        for cut in range(len(mk)):
+            P(mk[:cut])  # truncation never raises
