@@ -72,6 +72,15 @@ HEAVY = [
     "video_scene_sample",
     "caption_frames",
     "tar_shard_roundtrip",
+    # round-10 additions: the codec/triage envelope queries (Arrow scan
+    # passes, linear by design) + the coverage left-join + the
+    # operational bm25 append split
+    "gif_animation",
+    "mkv_frame_plan",
+    "adpcm_roundtrip",
+    "media_sniff_extended",
+    "caption_coverage",
+    "bm25_append_only",
 ]
 
 
