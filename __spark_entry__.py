@@ -2794,6 +2794,42 @@ def mkv_frame_plan_q(spark, sf_dir):
     )
 
 
+def mojibake_repair_q(spark, sf_dir):
+    """ftfy-style Unicode hygiene (text.py fix_mojibake_str via
+    normalize_unicode): every document gets a non-ASCII suffix (curly
+    quotes, dashes, currency, CJK — the testdata corpus is pure ASCII,
+    so the suffix makes the repair path real work), then the text is
+    MANGLED the way broken pipelines do it — UTF-8 bytes re-read as
+    latin-1 ('café' -> 'cafÃ©'), DOUBLE-mangled for every 3rd doc —
+    and the operator must recover the original exactly (the oracle is
+    the plain documents.text plus the literal suffix). The repair is
+    self-limiting: it fires only when the strict re-encode/re-decode
+    roundtrip succeeds AND shrinks, so genuine accented text never
+    corrupts (unit-tested)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from fluent_bit_spark.extensions.text import normalize_unicode
+
+    suffix = " café № Ω — ₤5 “quoted” 日本語"
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    @pandas_udf("string")
+    def mangle(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for d, t in zip(ids, texts):
+            s = (str(t) + suffix).encode("utf-8").decode("latin-1")
+            if int(d) % 3 == 0:  # double-encoded payload
+                s = s.encode("utf-8").decode("latin-1")
+            out.append(s)
+        return pd.Series(out)
+
+    broken = docs.select(
+        "doc_id", mangle("doc_id", "text").alias("text")
+    )
+    return normalize_unicode(broken).select("doc_id", "text")
+
+
 def media_sniff_extended_q(spark, sf_dir):
     """Extended media triage (multimodal.py parse_media_header): the
     crawled-corpus formats beyond the PNG/JPEG/GIF/BMP/WAV five — every
@@ -5351,20 +5387,21 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 5 never-driver-checked round-10 additions
+# ranking: the 6 never-driver-checked round-10 additions
 # (caption_coverage, mkv_frame_plan, gif_animation, adpcm_roundtrip,
-# media_sniff_extended) lead; then the 37 remaining r06-era rows; then
-# the 8 alphabetically-first r07-era rows (embedding_dedup,
-# embedding_quantize, fuzzy_decontaminate, gopher_quality, grep_filter,
-# heavy_hitters, interval_band_join, kinesis_shape, line_dedup, ...
-# spill to the next rotation). The round-10 semantic changes to already-green queries
+# media_sniff_extended, mojibake_repair) lead; then the 37 remaining
+# r06-era rows; then the 7 alphabetically-first r07-era rows
+# (domain_cap, embedding_dedup, embedding_quantize,
+# fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
+# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
+# rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
 # pyarrow-fs publication path, caption_frames' refactored join) are
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
 # after the change.
 _DRIVER_WINDOW = [
     "caption_coverage", "mkv_frame_plan", "gif_animation",
-    "adpcm_roundtrip", "media_sniff_extended",
+    "adpcm_roundtrip", "media_sniff_extended", "mojibake_repair",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5378,7 +5415,7 @@ _DRIVER_WINDOW = [
     "session_summaries", "shuffle_shards", "span_decontaminate",
     "token_budget_select", "top_session_paths", "window_rank_topk",
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
-    "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
+    "dataset_split", "dedup_minhash", "dedup_simhash",
 ]
 
 
@@ -5524,6 +5561,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_animation": gif_animation_q,
         "adpcm_roundtrip": adpcm_roundtrip_q,
         "media_sniff_extended": media_sniff_extended_q,
+        "mojibake_repair": mojibake_repair_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6746,6 +6784,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "mojibake_repair": (
+            "SELECT doc_id, text || ' café № Ω — ₤5 “quoted” 日本語' AS text "
+            "FROM documents"
         ),
         "media_sniff_extended": (
             "SELECT doc_id AS media_id, 'webp' AS format, "

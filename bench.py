@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "gif_animation",
     "adpcm_roundtrip",
     "media_sniff_extended",
+    "mojibake_repair",
     "pipeline_e2e",
 ]
 

@@ -976,3 +976,116 @@ def c4_clean(
         .filter(F.col("n_kept_lines") >= min_lines)
     )
     return kept
+
+
+# --------------------------------------------------------------------------
+# Unicode hygiene: mojibake repair + NFC normalization + control stripping —
+# the ftfy-style pass every web-crawl pipeline runs before anything else.
+# Pure-Python heuristics over Arrow batches (Unicode tables aren't Catalyst
+# expressions); the repair is self-limiting: it only rewrites a string when
+# re-encoding via latin-1/cp1252 yields STRICTLY valid UTF-8 that is
+# SHORTER than the input (multi-byte mojibake always shrinks; genuine text
+# with real accented characters fails the strict re-decode and passes
+# through untouched).
+# --------------------------------------------------------------------------
+def _mojibake_bytes(s: str) -> bytes | None:
+    """Reverse the wrong decode: latin-1 (pure byte identity), then
+    cp1252 (the common web case — curly quotes/euro/dashes live in
+    0x80-0x9F), then cp1252 with the five undefined gaps passed through
+    as C1 bytes (what lenient decoders emit)."""
+    try:
+        return s.encode("latin-1", errors="strict")
+    except UnicodeEncodeError:
+        pass
+    try:
+        return s.encode("cp1252", errors="strict")
+    except UnicodeEncodeError:
+        pass
+    out = bytearray()
+    for ch in s:
+        o = ord(ch)
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            if o < 0x100:
+                out.append(o)  # cp1252 gap chars (0x81, 0x8D, ...)
+            else:
+                return None
+    return bytes(out)
+
+
+def fix_mojibake_str(s: str, max_rounds: int = 3) -> str:
+    """Repair UTF-8-read-as-latin-1/cp1252 text ('cafÃ©' -> 'café'),
+    iterating for double-encoded payloads; non-mojibake strings pass
+    through unchanged (see module note on the self-limiting rule)."""
+    for _ in range(max_rounds):
+        if s.isascii():
+            return s
+        b = _mojibake_bytes(s)
+        if b is None:
+            return s
+        try:
+            t = b.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return s
+        if len(t) >= len(s):
+            return s
+        s = t
+    return s
+
+
+_ZERO_WIDTH = {0x200B, 0x200C, 0x200D, 0xFEFF, 0x2060}
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    fix_encoding: bool = True,
+    strip_controls: bool = True,
+) -> DataFrame:
+    """ftfy-style Unicode hygiene over an Arrow batch pass: mojibake
+    repair (optional), canonical normalization (NFC by default — the
+    form LLM tokenizers expect), zero-width/BOM removal, NBSP -> space,
+    and control stripping (keeps \\n and \\t). Writes ``out_col``
+    (default: in place)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    dst = out_col or text_col
+
+    @pandas_udf("string")
+    def run(col):
+        import pandas as pd
+
+        out = []
+        for s in col:
+            if s is None:
+                out.append(None)
+                continue
+            s = str(s)
+            if strip_controls:
+                # zero-width chars strip BEFORE the repair (they are
+                # > 0xFF, so never mojibake bytes, but a stray ZWSP
+                # would block the strict re-encode); C1 controls strip
+                # AFTER — 0x80-0x9F are exactly what latin-1 mojibake
+                # is made of
+                s = "".join(
+                    ch for ch in s if ord(ch) not in _ZERO_WIDTH
+                )
+            if fix_encoding:
+                s = fix_mojibake_str(s)
+            if strip_controls:
+                s = "".join(
+                    " " if ch == " " else ch  # NBSP -> plain space
+                    for ch in s
+                    if not (unicodedata.category(ch) == "Cc"
+                            and ch not in "\n\t")
+                )
+            s = unicodedata.normalize(form, s)
+            out.append(s)
+        return pd.Series(out)
+
+    return df.withColumn(dst, run(F.col(text_col)))

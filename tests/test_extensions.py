@@ -3561,3 +3561,39 @@ def test_media_sniff_extended_formats():
                make_tiff(4, 4)):
         for cut in range(len(mk)):
             P(mk[:cut])  # truncation never raises
+
+
+def test_unicode_hygiene():
+    """fix_mojibake_str repairs single- and double-encoded UTF-8-as-
+    latin-1/cp1252 text and NEVER touches genuine accented text (the
+    strict-roundtrip + shrink rule); normalize_unicode adds NFC,
+    zero-width/control stripping, and NBSP folding — r10 text-pipeline
+    addition."""
+    from fluent_bit_spark.extensions.text import fix_mojibake_str as fx
+
+    orig = "café № Ω — ₤5 “quoted” 日本語 and plain ascii"
+    one = orig.encode("utf-8").decode("latin-1")
+    two = one.encode("utf-8").decode("latin-1")
+    assert fx(one) == orig and fx(two) == orig
+    m = "â€œquotedâ€\x9d and â‚¬5 naÃ¯ve"  # lenient-cp1252 mojibake
+    assert fx(m) == "“quoted” and €5 naïve"
+    for clean in ("café au lait", "naïve résumé", "Ω≈ç√", "日本語テキスト",
+                  "plain", "", "cafÃ© mixed with real é stays"):
+        assert fx(clean) == clean  # last one: mixed -> unsafe -> untouched
+
+
+def test_normalize_unicode_operator(spark):
+    from fluent_bit_spark.extensions.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "cafÃ© x\x00\x07 a​b"),  # mojibake + controls + ZWSP
+         (2, None),
+         (3, "é decomposed"),  # NFD e + combining acute
+         (4, "c\xa0d\x01e")],  # NBSP folds, control strips
+        "id long, text string",
+    )
+    got = {r.id: r.text for r in normalize_unicode(df).collect()}
+    assert got[1] == "café x ab"  # ZWSP/controls gone, THEN repaired
+    assert got[2] is None
+    assert got[3] == "é decomposed"  # NFC composes
+    assert got[4] == "c de"
