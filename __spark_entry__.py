@@ -2794,6 +2794,68 @@ def mkv_frame_plan_q(spark, sf_dir):
     )
 
 
+def warc_gz_roundtrip_q(spark, sf_dir):
+    """The ON-DISK crawl layout (html.py warc_gz_records): every
+    document mints a 3-record .warc.gz — a response (status cycling
+    200/404/301, HTML body), a request (no HTTP block -> NULL status),
+    and a text/plain 500 response — gzip-compressed one member per
+    record for even doc_ids (the canonical random-access layout) and as
+    ONE whole-stream member for odd (the non-canonical layout some
+    writers emit; Content-Length framing splits it identically). The
+    records flow through member inflate -> Content-Length split ->
+    warc_parse, and the oracle restates every field from doc_id
+    arithmetic — a framing bug (separator scan instead of
+    Content-Length, torn member, wrong body slice) hash-fails."""
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.html import (
+        make_warc_gz,
+        make_warc_record,
+        warc_gz_records,
+        warc_parse,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                status = (200, 404, 301)[d % 3]
+                recs = [
+                    make_warc_record(
+                        "response", f"https://ex.com/d{d}/0",
+                        f"<html><p>doc {d} body</p></html>",
+                        http_status=status,
+                    ),
+                    make_warc_record(
+                        "request", f"https://ex.com/d{d}/0",
+                        f"GET /d{d}", http_status=None,
+                    ),
+                    make_warc_record(
+                        "response", f"https://ex.com/d{d}/2",
+                        f"plain {d}", http_status=500,
+                        content_type="text/plain",
+                    ),
+                ]
+                out.append(
+                    (d, make_warc_gz(recs, per_record_members=(d % 2 == 0)))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    gz = docs.mapInPandas(gen, schema="doc_id long, content binary")
+    recs = warc_gz_records(gz).withColumn(
+        "rk", F.col("doc_id") * 4 + F.col("record_idx")
+    )
+    parsed = warc_parse(recs, raw_col="raw", id_col="rk")
+    return parsed.select(
+        (F.col("rk") / 4).cast("long").alias("doc_id"),
+        F.pmod(F.col("rk"), F.lit(4)).cast("int").alias("record_idx"),
+        "warc_type", "target_uri", "http_status", "content_type", "body",
+    )
+
+
 def mojibake_repair_q(spark, sf_dir):
     """ftfy-style Unicode hygiene (text.py fix_mojibake_str via
     normalize_unicode): every document gets a non-ASCII suffix (curly
@@ -5387,14 +5449,14 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 6 never-driver-checked round-10 additions
+# ranking: the 7 never-driver-checked round-10 additions
 # (caption_coverage, mkv_frame_plan, gif_animation, adpcm_roundtrip,
-# media_sniff_extended, mojibake_repair) lead; then the 37 remaining
-# r06-era rows; then the 7 alphabetically-first r07-era rows
-# (domain_cap, embedding_dedup, embedding_quantize,
-# fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
-# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
-# rotation). The round-10 semantic changes to already-green queries
+# media_sniff_extended, mojibake_repair, warc_gz_roundtrip) lead; then
+# the 37 remaining r06-era rows; then the 6 alphabetically-first
+# r07-era rows (dedup_simhash, domain_cap, embedding_dedup,
+# embedding_quantize, fuzzy_decontaminate, gopher_quality, grep_filter,
+# heavy_hitters, interval_band_join, kinesis_shape, line_dedup, ...
+# spill to the next rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
 # pyarrow-fs publication path, caption_frames' refactored join) are
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
@@ -5402,6 +5464,7 @@ def flowcounter_q(spark, sf_dir):
 _DRIVER_WINDOW = [
     "caption_coverage", "mkv_frame_plan", "gif_animation",
     "adpcm_roundtrip", "media_sniff_extended", "mojibake_repair",
+    "warc_gz_roundtrip",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5415,7 +5478,7 @@ _DRIVER_WINDOW = [
     "session_summaries", "shuffle_shards", "span_decontaminate",
     "token_budget_select", "top_session_paths", "window_rank_topk",
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
-    "dataset_split", "dedup_minhash", "dedup_simhash",
+    "dataset_split", "dedup_minhash",
 ]
 
 
@@ -5562,6 +5625,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adpcm_roundtrip": adpcm_roundtrip_q,
         "media_sniff_extended": media_sniff_extended_q,
         "mojibake_repair": mojibake_repair_q,
+        "warc_gz_roundtrip": warc_gz_roundtrip_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6784,6 +6848,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "warc_gz_roundtrip": (
+            "SELECT doc_id, 0 AS record_idx, 'response' AS warc_type, "
+            "'https://ex.com/d' || doc_id || '/0' AS target_uri, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 "
+            "ELSE 301 END AS INT) AS http_status, "
+            "'text/html' AS content_type, "
+            "'<html><p>doc ' || doc_id || ' body</p></html>' AS body "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 1, 'request', "
+            "'https://ex.com/d' || doc_id || '/0', CAST(NULL AS INT), "
+            "CAST(NULL AS VARCHAR), 'GET /d' || doc_id FROM documents "
+            "UNION ALL SELECT doc_id, 2, 'response', "
+            "'https://ex.com/d' || doc_id || '/2', 500, 'text/plain', "
+            "'plain ' || doc_id FROM documents"
         ),
         "mojibake_repair": (
             "SELECT doc_id, text || ' café № Ω — ₤5 “quoted” 日本語' AS text "

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "adpcm_roundtrip",
     "media_sniff_extended",
     "mojibake_repair",
+    "warc_gz_roundtrip",
     "pipeline_e2e",
 ]
 

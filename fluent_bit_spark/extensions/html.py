@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["strip_tags", "decode_entities", "html_extract", "warc_parse"]
+__all__ = ["strip_tags", "decode_entities", "html_extract", "warc_parse",
+           "warc_gz_records", "make_warc_gz", "make_warc_record"]
 
 # non-greedy block removals; (?is) = case-insensitive + dotall
 _BLOCK_RES = (
@@ -129,3 +130,143 @@ def warc_parse(
         F.trim(content_type).alias("content_type"),
         body.alias("body"),
     )
+
+
+# --------------------------------------------------------------------------
+# warc.gz ingestion — the ON-DISK crawl layout (ISO 28500 Annex): a .warc.gz
+# is a concatenation of gzip MEMBERS, canonically one member per record so
+# archives support random access. Reading it needs (a) member-by-member
+# inflate (zlib.decompressobj exposes unused_data at each member boundary —
+# no guessing at 1f8b magics inside compressed data) and (b) record
+# splitting by the WARC Content-Length header (which also handles the
+# non-canonical whole-file-one-member layout some writers emit). Both are
+# pure stdlib over Arrow batches; records then chain into warc_parse /
+# html_extract exactly like pre-split strings.
+# --------------------------------------------------------------------------
+def _gzip_members(b: bytes) -> bytes:
+    """Inflate every gzip member of a concatenated stream into one plain
+    byte blob (members are self-delimiting; a torn trailing member yields
+    what it held). Non-gzip input passes through unchanged (a plain
+    .warc)."""
+    import zlib
+
+    if b[:2] != b"\x1f\x8b":
+        return b
+    out = bytearray()
+    buf = b
+    while buf[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        try:
+            out += d.decompress(buf)
+        except zlib.error:
+            break
+        buf = d.unused_data
+        if not buf:
+            break
+    return bytes(out)
+
+
+def _split_warc_records(b: bytes) -> list[bytes]:
+    """Split a plain WARC byte stream into records by each record's
+    Content-Length header (the spec's framing — payloads may contain
+    blank lines and even 'WARC/' strings, so scanning for separators is
+    wrong). Malformed tails drop; filter, don't crash."""
+    import re as _re
+
+    out: list[bytes] = []
+    i = 0
+    n = len(b)
+    while i < n:
+        j = b.find(b"WARC/", i)
+        if j < 0:
+            break
+        he = b.find(b"\r\n\r\n", j)
+        sep = 4
+        alt = b.find(b"\n\n", j)
+        if he < 0 or (0 <= alt < he and b[alt - 1 : alt] != b"\r"):
+            he, sep = alt, 2
+        if he < 0:
+            break
+        header = b[j:he]
+        m = _re.search(rb"(?im)^Content-Length:[ \t]*(\d+)", header)
+        if m is None:
+            break
+        clen = int(m.group(1))
+        end = he + sep + clen
+        if end > n:
+            break  # torn trailing record
+        out.append(b[j:end])
+        i = end
+    return out
+
+
+def warc_gz_records(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, record_idx, raw): explode a BINARY column of .warc.gz (or
+    plain .warc) payloads into per-record strings — the step between
+    `spark.read.format('binaryFile')` over a crawl bucket and
+    `warc_parse`. Arrow-batched; unparseable payloads emit nothing."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "record_idx", "raw"]
+        for pdf in batches:
+            out = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    plain = _gzip_members(bytes(content or b""))
+                    recs = _split_warc_records(plain)
+                except Exception:
+                    continue
+                for k, r in enumerate(recs):
+                    out.append((rid, k, r.decode("utf-8", "replace")))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, record_idx int, raw string"
+    )
+
+
+def make_warc_gz(
+    records: list[str], per_record_members: bool = True
+) -> bytes:
+    """Fixture writer: records (header already carrying the correct
+    Content-Length) gzip-compressed one member per record (the canonical
+    layout) or as one whole-stream member."""
+    import gzip as _gzip
+
+    if per_record_members:
+        return b"".join(
+            _gzip.compress(r.encode("utf-8"), mtime=0) for r in records
+        )
+    return _gzip.compress("".join(records).encode("utf-8"), mtime=0)
+
+
+def make_warc_record(
+    warc_type: str,
+    target_uri: str,
+    body: str,
+    http_status: int | None = 200,
+    content_type: str = "text/html",
+    date: str = "2024-01-01T00:00:00Z",
+) -> str:
+    """One spec-framed WARC record string (Content-Length covers the
+    whole payload block, HTTP headers included for response records)."""
+    if http_status is not None:
+        payload = (
+            f"HTTP/1.1 {http_status} OK\r\n"
+            f"Content-Type: {content_type}\r\n\r\n{body}"
+        )
+    else:
+        payload = body
+    header = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(payload.encode('utf-8'))}\r\n"
+    )
+    return header + "\r\n" + payload + "\r\n\r\n"

@@ -3597,3 +3597,33 @@ def test_normalize_unicode_operator(spark):
     assert got[2] is None
     assert got[3] == "é decomposed"  # NFC composes
     assert got[4] == "c de"
+
+
+def test_warc_gz_member_split():
+    """warc.gz ingestion: per-record gzip members and whole-stream
+    single members both split into records by Content-Length framing
+    (payloads may contain blank lines and 'WARC/' strings); torn
+    members / truncations never raise — r10 crawl-layout addition."""
+    from fluent_bit_spark.extensions.html import (
+        _gzip_members, _split_warc_records, make_warc_gz, make_warc_record,
+    )
+
+    recs = [
+        make_warc_record("response", "https://e.com/1",
+                         "<html>body one</html>"),
+        make_warc_record("request", "https://e.com/1", "GET /1",
+                         http_status=None),
+        make_warc_record("response", "https://e.com/2",
+                         "two\r\n\r\nwith blank line WARC/ tricky"),
+    ]
+    for per_member in (True, False):
+        gz = make_warc_gz(recs, per_member)
+        got = _split_warc_records(_gzip_members(gz))
+        assert len(got) == 3, per_member
+        assert b"body one" in got[0] and b"tricky" in got[2]
+    # plain (uncompressed) .warc passes through the inflate step
+    plain = "".join(recs).encode()
+    assert len(_split_warc_records(_gzip_members(plain))) == 3
+    gz = make_warc_gz(recs)
+    for cut in range(0, len(gz), 13):
+        _split_warc_records(_gzip_members(gz[:cut]))
