@@ -81,6 +81,8 @@ HEAVY = [
     "media_sniff_extended",
     "caption_coverage",
     "bm25_append_only",
+    "mojibake_repair",
+    "warc_gz_roundtrip",
 ]
 
 
