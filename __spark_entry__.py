@@ -2794,6 +2794,69 @@ def mkv_frame_plan_q(spark, sf_dir):
     )
 
 
+def fmp4_frame_plan_q(spark, sf_dir):
+    """Fragmented-MP4 frame extraction (video.py mp4_fragment_table via
+    the unified mp4_sample_table dispatch) — the DASH/HLS segment
+    layout streamed web video ships in, where the sample table arrives
+    per-fragment in moof/tfhd/tfdt/trun instead of one stbl: every
+    document mints a TWO-fragment file (5 samples total, counts split
+    2+3 or 3+2 by doc_id parity, constant per-doc duration, sizes
+    varying mod 5, keyframes at even samples via trun sample_flags,
+    fragment 1's tfdt continuing fragment 0's decode time). The output
+    md5s the bytes each plan row range-reads; the oracle restates the
+    payload construction, the tfdt/duration timing, and the sync flags
+    arithmetically — wrong trun offsets, a broken default-base-is-moof
+    base, or a tfdt discontinuity all hash-fail."""
+    import hashlib
+
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.video import (
+        make_fmp4,
+        mp4_sample_table,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                dur = 40 + 10 * (d % 3)
+                n0 = 2 + d % 2
+                sizes = [8 + (d + g) % 5 for g in range(5)]
+                keys = [g % 2 == 0 for g in range(5)]
+                frag0 = [(dur, sizes[g], keys[g]) for g in range(n0)]
+                frag1 = [(dur, sizes[g], keys[g]) for g in range(n0, 5)]
+                out.append(
+                    (d, make_fmp4(320, 180, [(0, frag0), (n0 * dur, frag1)]))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(gen, schema="media_id long, content binary")
+
+    def plan(batches):
+        cols = ["media_id", "frame_idx", "ts_ms", "size", "payload_md5",
+                "keyframe"]
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                for idx, ts, sz, off, key in mp4_sample_table(b) or []:
+                    out.append((
+                        mid, idx, ts, sz,
+                        hashlib.md5(b[off : off + sz]).hexdigest(), key,
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(
+        plan,
+        schema="media_id long, frame_idx int, ts_ms bigint, size bigint, "
+               "payload_md5 string, keyframe boolean",
+    )
+
+
 def warc_gz_roundtrip_q(spark, sf_dir):
     """The ON-DISK crawl layout (html.py warc_gz_records): every
     document mints a 3-record .warc.gz — a response (status cycling
@@ -5449,14 +5512,15 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 7 never-driver-checked round-10 additions
+# ranking: the 8 never-driver-checked round-10 additions
 # (caption_coverage, mkv_frame_plan, gif_animation, adpcm_roundtrip,
-# media_sniff_extended, mojibake_repair, warc_gz_roundtrip) lead; then
-# the 37 remaining r06-era rows; then the 6 alphabetically-first
-# r07-era rows (dedup_simhash, domain_cap, embedding_dedup,
-# embedding_quantize, fuzzy_decontaminate, gopher_quality, grep_filter,
-# heavy_hitters, interval_band_join, kinesis_shape, line_dedup, ...
-# spill to the next rotation). The round-10 semantic changes to already-green queries
+# media_sniff_extended, mojibake_repair, warc_gz_roundtrip,
+# fmp4_frame_plan) lead; then the 37 remaining r06-era rows; then the
+# 5 alphabetically-first r07-era rows (dedup_minhash, dedup_simhash,
+# domain_cap, embedding_dedup, embedding_quantize,
+# fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
+# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
+# rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
 # pyarrow-fs publication path, caption_frames' refactored join) are
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
@@ -5464,7 +5528,7 @@ def flowcounter_q(spark, sf_dir):
 _DRIVER_WINDOW = [
     "caption_coverage", "mkv_frame_plan", "gif_animation",
     "adpcm_roundtrip", "media_sniff_extended", "mojibake_repair",
-    "warc_gz_roundtrip",
+    "warc_gz_roundtrip", "fmp4_frame_plan",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5478,7 +5542,7 @@ _DRIVER_WINDOW = [
     "session_summaries", "shuffle_shards", "span_decontaminate",
     "token_budget_select", "top_session_paths", "window_rank_topk",
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
-    "dataset_split", "dedup_minhash",
+    "dataset_split",
 ]
 
 
@@ -5626,6 +5690,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff_extended": media_sniff_extended_q,
         "mojibake_repair": mojibake_repair_q,
         "warc_gz_roundtrip": warc_gz_roundtrip_q,
+        "fmp4_frame_plan": fmp4_frame_plan_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6848,6 +6913,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "fmp4_frame_plan": (
+            "WITH f AS (SELECT doc_id, g FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 5)) AS g) gg) "
+            "SELECT doc_id AS media_id, CAST(g AS INT) AS frame_idx, "
+            "CAST(g * (40 + 10 * (doc_id % 3)) AS BIGINT) AS ts_ms, "
+            "CAST(8 + (doc_id + g) % 5 AS BIGINT) AS size, "
+            "md5(repeat(chr(CAST(65 + g % 26 AS INT)), "
+            "CAST(8 + (doc_id + g) % 5 AS INT))) AS payload_md5, "
+            "g % 2 = 0 AS keyframe FROM f"
         ),
         "warc_gz_roundtrip": (
             "SELECT doc_id, 0 AS record_idx, 'response' AS warc_type, "

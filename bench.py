@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "media_sniff_extended",
     "mojibake_repair",
     "warc_gz_roundtrip",
+    "fmp4_frame_plan",
     "pipeline_e2e",
 ]
 

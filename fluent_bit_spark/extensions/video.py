@@ -415,6 +415,229 @@ def make_mp4(
     return ftyp + mdat + moov
 
 
+def make_fmp4(
+    w: int,
+    h: int,
+    fragments: list[tuple[int, list[tuple[int, int, bool]]]],
+    timescale: int = 1000,
+    codec: str = "mp4v",
+) -> bytes:
+    """Fragmented-MP4 writer (fixture support) — the DASH/HLS segment
+    layout streamed web video ships in: ftyp(iso5) + moov carrying an
+    EMPTY sample table plus mvex/trex defaults, then per fragment a
+    moof (mfhd/tfhd/tfdt/trun) + mdat pair. ``fragments`` is
+    [(base_decode_time, [(duration, size, keyframe), ...])]; trun
+    carries data-offset + per-sample duration/size/flags, tfhd sets
+    default-base-is-moof (the modern muxer convention). mdat payload is
+    deterministic filler, per-sample bytes chr(65 + global_idx % 26) *
+    size so oracles can restate the range-read content."""
+    ftyp = _box(b"ftyp", b"iso5" + _struct.pack(">I", 0x200) + b"iso5dash")
+    entry_body = (
+        b"\x00" * 6 + _struct.pack(">H", 1) + b"\x00" * 16
+        + _struct.pack(">HH", w, h)
+        + _struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4 + _struct.pack(">H", 1) + b"\x00" * 32
+        + _struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(
+        b"stsd", 0, 0,
+        _struct.pack(">I", 1) + _box(codec.encode().ljust(4)[:4], entry_body),
+    )
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _full(b"stts", 0, 0, _struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, _struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, _struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, _struct.pack(">I", 0)),
+    )
+    vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    dref = _full(b"dref", 0, 0, _struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"V\x00")
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        _struct.pack(">IIII", 0, 0, timescale, 0) + _struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        _struct.pack(">IIIII", 0, 0, 1, 0, 0) + b"\x00" * 8
+        + _struct.pack(">hhhh", 0, 0, 0, 0)
+        + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + _struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        _struct.pack(">IIII", 0, 0, timescale, 0)
+        + _struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + _struct.pack(">I", 2),
+    )
+    trex = _full(b"trex", 0, 0, _struct.pack(">IIIII", 1, 1, 0, 0, 0x10000))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    out = ftyp + moov
+    gidx = 0
+    for seq, (bdt, samples) in enumerate(fragments, start=1):
+        mfhd = _full(b"mfhd", 0, 0, _struct.pack(">I", seq))
+        # tfhd: track 1, default-base-is-moof (0x020000)
+        tfhd = _full(b"tfhd", 0, 0x020000, _struct.pack(">I", 1))
+        tfdt = _full(b"tfdt", 1, 0, _struct.pack(">Q", bdt))
+        # trun flags: data-offset 0x1, duration 0x100, size 0x200,
+        # sample-flags 0x400
+        ent = b""
+        for dur, size, key in samples:
+            sflags = 0x00000000 if key else 0x00010000
+            ent += _struct.pack(">III", dur, size, sflags)
+        trun_body = _struct.pack(">I", len(samples)) + b"\x00\x00\x00\x00" + ent
+        trun = _full(b"trun", 0, 0x000701, trun_body)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        payload = bytearray()
+        for _dur, size, _key in samples:
+            payload += bytes([65 + gidx % 26]) * size
+            gidx += 1
+        mdat = _box(b"mdat", bytes(payload))
+        # patch trun data_offset: payload starts at moof_start + len(moof)
+        # + 8 (mdat header), relative to moof start per default-base-is-moof
+        data_off = len(moof) + 8
+        ti = moof.find(b"trun")
+        # layout from the fourcc: trun(4) ver/flags(4) count(4) offset(4)
+        moof = (
+            moof[: ti + 12]
+            + _struct.pack(">i", data_off)
+            + moof[ti + 16 :]
+        )
+        out += moof + mdat
+    return out
+
+
+def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
+    """mp4_sample_table's FRAGMENTED twin: [(idx, ts_ms, size,
+    absolute_offset, keyframe)] from moof/traf boxes (tfhd defaults,
+    tfdt base decode time, trun per-sample entries) — the DASH/HLS
+    segment layout, where the sample table arrives fragment by fragment
+    instead of in one stbl. Envelope: one traf per moof,
+    default-base-is-moof or explicit base-data-offset tfhd addressing,
+    trun versions 0/1. None outside it."""
+    try:
+        found = _mp4_collect(b)
+        if found is None or b"mdhd" not in found:
+            return None
+        ms, _ = found[b"mdhd"]
+        version = b[ms]
+        timescale = _struct.unpack(
+            ">I", b[ms + 20 : ms + 24] if version == 1 else b[ms + 12 : ms + 16]
+        )[0]
+        if not timescale:
+            return None
+        # trex defaults (optional)
+        d_dur = d_size = d_flags = 0
+        if b"trex" in found:
+            ts_, te_ = found[b"trex"]
+            _tid, _sdi, d_dur, d_size, d_flags = _struct.unpack(
+                ">IIIII", b[ts_ + 4 : ts_ + 24]
+            )
+        out: list[tuple[int, int, int, int, bool]] = []
+        t_next = 0  # running decode time when no tfdt present
+        for cc, ps, pe in _walk_boxes(b, 0, len(b)):
+            if cc != b"moof":
+                continue
+            moof_start = ps - 8
+            tfhd_flags = 0
+            base_data = None
+            dd, dsz, dfl = d_dur, d_size, d_flags
+            bdt = None
+            truns: list[tuple[int, int]] = []
+            for c2, p2, e2 in _walk_boxes(b, ps, pe):
+                if c2 != b"traf":
+                    continue
+                for c3, p3, e3 in _walk_boxes(b, p2, e2):
+                    if c3 == b"tfhd":
+                        tfhd_flags = int.from_bytes(b[p3 + 1 : p3 + 4], "big")
+                        q = p3 + 8
+                        if tfhd_flags & 0x1:  # base-data-offset
+                            base_data = _struct.unpack(">Q", b[q : q + 8])[0]
+                            q += 8
+                        if tfhd_flags & 0x2:  # sample-description-index
+                            q += 4
+                        if tfhd_flags & 0x8:
+                            dd = _struct.unpack(">I", b[q : q + 4])[0]
+                            q += 4
+                        if tfhd_flags & 0x10:
+                            dsz = _struct.unpack(">I", b[q : q + 4])[0]
+                            q += 4
+                        if tfhd_flags & 0x20:
+                            dfl = _struct.unpack(">I", b[q : q + 4])[0]
+                            q += 4
+                    elif c3 == b"tfdt":
+                        v3 = b[p3]
+                        bdt = (
+                            _struct.unpack(">Q", b[p3 + 4 : p3 + 12])[0]
+                            if v3 == 1
+                            else _struct.unpack(">I", b[p3 + 4 : p3 + 8])[0]
+                        )
+                    elif c3 == b"trun":
+                        truns.append((p3, e3))
+                break  # one traf per moof (the envelope)
+            if base_data is None:
+                if tfhd_flags & 0x020000:  # default-base-is-moof
+                    base_data = moof_start
+                else:
+                    base_data = moof_start  # iso5 implicit default
+            t = bdt if bdt is not None else t_next
+            for p3, e3 in truns:
+                tflags = int.from_bytes(b[p3 + 1 : p3 + 4], "big")
+                n = _struct.unpack(">I", b[p3 + 4 : p3 + 8])[0]
+                q = p3 + 8
+                data_off = 0
+                if tflags & 0x1:
+                    data_off = _struct.unpack(">i", b[q : q + 4])[0]
+                    q += 4
+                first_flags = None
+                if tflags & 0x4:
+                    first_flags = _struct.unpack(">I", b[q : q + 4])[0]
+                    q += 4
+                per = (
+                    (4 if tflags & 0x100 else 0)
+                    + (4 if tflags & 0x200 else 0)
+                    + (4 if tflags & 0x400 else 0)
+                    + (4 if tflags & 0x800 else 0)
+                )
+                if per:
+                    if n > (e3 - q) // per:
+                        return None  # more entries than the box holds
+                elif n > 1 << 22:
+                    return None
+                acc = base_data + data_off
+                for si in range(n):
+                    dur, size, sfl = dd, dsz, dfl
+                    if tflags & 0x100:
+                        dur = _struct.unpack(">I", b[q : q + 4])[0]
+                        q += 4
+                    if tflags & 0x200:
+                        size = _struct.unpack(">I", b[q : q + 4])[0]
+                        q += 4
+                    if tflags & 0x400:
+                        sfl = _struct.unpack(">I", b[q : q + 4])[0]
+                        q += 4
+                    if tflags & 0x800:
+                        q += 4  # composition offset: presentation shift
+                    if si == 0 and first_flags is not None:
+                        sfl = first_flags
+                    key = not (sfl & 0x00010000)  # sample_is_non_sync_sample
+                    out.append(
+                        (len(out), t * 1000 // timescale, size, acc, key)
+                    )
+                    acc += size
+                    t += dur
+            t_next = t
+        return out or None
+    except (IndexError, _struct.error):
+        return None
+
+
 def _walk_boxes(b: bytes, start: int, end: int):
     """Yield (fourcc, payload_start, payload_end) for sibling boxes in
     [start, end); handles 64-bit largesize."""
@@ -436,7 +659,7 @@ def _walk_boxes(b: bytes, start: int, end: int):
         off += size
 
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex"}
 
 
 def _mp4_collect(b: bytes) -> dict[bytes, tuple[int, int]] | None:
@@ -523,6 +746,8 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
         found = _mp4_collect(b)
         if found is None:
             return None
+        if b"moof" in found:  # fragmented (DASH/HLS): moof carries the table
+            return mp4_fragment_table(b)
         for need in (b"stts", b"stsz", b"stsc", b"mdhd"):
             if need not in found:
                 return None

@@ -764,3 +764,35 @@ def test_mp4_co64_and_ctts():
                  ctts_offsets=[0, 40, -40, 0, 40])
     for cut in range(0, len(x), 3):
         mp4_sample_table(x[:cut])  # truncation never raises
+
+
+def test_fmp4_fragment_plan(spark):
+    """Fragmented MP4 (DASH/HLS segments): the frame plan derives from
+    moof/tfhd/tfdt/trun instead of stbl — exact byte ranges, tfdt base
+    times + per-sample durations, sync flags from trun sample_flags —
+    and the unified mp4_sample_table/video_frame_plan path dispatches
+    to it transparently — r10 envelope extension."""
+    from fluent_bit_spark.extensions.video import (
+        make_fmp4,
+        mp4_fragment_table,
+    )
+
+    frags = [
+        (0, [(40, 10, True), (40, 12, False), (40, 11, False)]),
+        (120, [(80, 9, True), (80, 14, False)]),
+    ]
+    b = make_fmp4(320, 180, frags)
+    tbl = mp4_fragment_table(b)
+    assert [r[1] for r in tbl] == [0, 40, 80, 120, 200]
+    assert [r[2] for r in tbl] == [10, 12, 11, 9, 14]
+    assert [r[4] for r in tbl] == [True, False, False, True, False]
+    for g, (_i, _ts, sz, off, _k) in enumerate(tbl):
+        assert b[off : off + sz] == bytes([65 + g]) * sz  # range-read exact
+    # unified dispatch: mp4_sample_table and video_frame_plan handle it
+    assert mp4_sample_table(b) == tbl
+    plan = video_frame_plan(_media(spark, [(1, b)]), every_ms=100)
+    rows = sorted(plan.collect(), key=lambda r: r.frame_idx)
+    assert [r.ts_ms for r in rows] == [0, 40, 80, 120, 200]
+    assert [r.keyframe for r in rows] == [True, False, False, True, False]
+    for cut in range(0, len(b), 7):
+        mp4_fragment_table(b[:cut])  # truncation never raises

@@ -83,6 +83,7 @@ HEAVY = [
     "bm25_append_only",
     "mojibake_repair",
     "warc_gz_roundtrip",
+    "fmp4_frame_plan",
 ]
 
 
