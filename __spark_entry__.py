@@ -2794,6 +2794,72 @@ def mkv_frame_plan_q(spark, sf_dir):
     )
 
 
+def exif_orientation_q(spark, sf_dir):
+    """EXIF orientation baking (multimodal.py _exif_orientation +
+    _jpeg_apply_orientation): every document renders an ASCII-safe
+    8x9-cell constant-block raster (quality-100 baseline JPEG
+    roundtrips it exactly), stored PRE-ROTATED under each of the eight
+    EXIF orientations with the matching APP1 tag — the decoder must
+    bake the display transform so all eight decode to the IDENTICAL
+    upright 64x72 raster. Output is (media_id, orientation, width,
+    height, pixels_md5); the oracle recomputes the md5 from the
+    kron-expansion arithmetic alone, identical across orientations —
+    a wrong transform, a swapped width/height, or a missed APP1 parse
+    hash-fails. This is what makes a rotated-by-metadata photo
+    perceptually match its rotated-by-pixels copy in image dedup."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_jpeg_gray,
+        make_jpeg_pixels,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    inv = {
+        1: lambda a: a, 2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1, :], 5: lambda a: a.T,
+        6: lambda a: np.rot90(a, 1), 7: lambda a: np.rot90(a[:, ::-1], 1),
+        8: lambda a: np.rot90(a, -1),
+    }
+
+    def run(batches):
+        cols = ["media_id", "orientation", "width", "height", "pixels_md5"]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                grid = np.array(
+                    [32 + (d * 31 + 17 * g) % 96 for g in range(72)],
+                    dtype=np.uint8,
+                ).reshape(8, 9)
+                up = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                for o in range(1, 9):
+                    stored = np.ascontiguousarray(inv[o](up))
+                    sh, sw = stored.shape
+                    jb = make_jpeg_pixels(
+                        sw, sh, stored.tobytes(), quality=100,
+                        exif_orientation=o,
+                    )
+                    got = _decode_jpeg_gray(jb)
+                    if got is None:
+                        continue
+                    w2, h2, _nch, px = got
+                    out.append((
+                        d * 8 + (o - 1), o, w2, h2,
+                        hashlib.md5(px).hexdigest(),
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        schema="media_id bigint, orientation int, width int, height int, "
+               "pixels_md5 string",
+    )
+
+
 def fmp4_frame_plan_q(spark, sf_dir):
     """Fragmented-MP4 frame extraction (video.py mp4_fragment_table via
     the unified mp4_sample_table dispatch) — the DASH/HLS segment
@@ -5512,15 +5578,15 @@ def flowcounter_q(spark, sf_dir):
 # two-scale ORACLE_*_r09 reports regenerated after the change.
 #
 # ROUND-10 WINDOW: the 50 stalest by the same (last-passing-round, name)
-# ranking: the 8 never-driver-checked round-10 additions
+# ranking: the 9 never-driver-checked round-10 additions
 # (caption_coverage, mkv_frame_plan, gif_animation, adpcm_roundtrip,
 # media_sniff_extended, mojibake_repair, warc_gz_roundtrip,
-# fmp4_frame_plan) lead; then the 37 remaining r06-era rows; then the
-# 5 alphabetically-first r07-era rows (dedup_minhash, dedup_simhash,
-# domain_cap, embedding_dedup, embedding_quantize,
-# fuzzy_decontaminate, gopher_quality, grep_filter, heavy_hitters,
-# interval_band_join, kinesis_shape, line_dedup, ... spill to the next
-# rotation). The round-10 semantic changes to already-green queries
+# fmp4_frame_plan, exif_orientation) lead; then the 37 remaining
+# r06-era rows; then the 4 alphabetically-first r07-era rows
+# (dataset_split, dedup_minhash, dedup_simhash, domain_cap,
+# embedding_dedup, embedding_quantize, fuzzy_decontaminate,
+# gopher_quality, grep_filter, heavy_hitters, interval_band_join,
+# kinesis_shape, line_dedup, ... spill to the next rotation). The round-10 semantic changes to already-green queries
 # (image_neardup's progressive-JPEG truth columns, tar_shard_roundtrip's
 # pyarrow-fs publication path, caption_frames' refactored join) are
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
@@ -5528,7 +5594,7 @@ def flowcounter_q(spark, sf_dir):
 _DRIVER_WINDOW = [
     "caption_coverage", "mkv_frame_plan", "gif_animation",
     "adpcm_roundtrip", "media_sniff_extended", "mojibake_repair",
-    "warc_gz_roundtrip", "fmp4_frame_plan",
+    "warc_gz_roundtrip", "fmp4_frame_plan", "exif_orientation",
     "dedup_jaccard_pairs", "doc_fingerprint", "domain_mix",
     "edit_distance_join", "entity_resolution", "es_bulk_encode",
     "es_bulk_roundtrip", "event_transitions", "exact_substr_trim",
@@ -5542,7 +5608,6 @@ _DRIVER_WINDOW = [
     "session_summaries", "shuffle_shards", "span_decontaminate",
     "token_budget_select", "top_session_paths", "window_rank_topk",
     "azure_shape", "bigquery_shape", "bm25_served", "bpe_roundtrip",
-    "dataset_split",
 ]
 
 
@@ -5691,6 +5756,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": mojibake_repair_q,
         "warc_gz_roundtrip": warc_gz_roundtrip_q,
         "fmp4_frame_plan": fmp4_frame_plan_q,
+        "exif_orientation": exif_orientation_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
         "es_bulk_encode": es_bulk_encode,
@@ -6913,6 +6979,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls', "
             "CAST(octet_length(encode(CAST(doc_id % 10 AS VARCHAR))) AS BIGINT), "
             "md5(CAST(doc_id % 10 AS VARCHAR)) FROM documents"
+        ),
+        "exif_orientation": (
+            "WITH px AS (SELECT doc_id, i, "
+            "chr(CAST(32 + (doc_id * 31 + 17 * (((i // 72) // 8) * 9 "
+            "+ (i % 72) // 8)) % 96 AS INT)) AS ch "
+            "FROM documents CROSS JOIN "
+            "(SELECT unnest(range(0, 4608)) AS i) gi), "
+            "m AS (SELECT doc_id, md5(string_agg(ch, '' ORDER BY i)) AS h "
+            "FROM px GROUP BY doc_id) "
+            "SELECT doc_id * 8 + o - 1 AS media_id, CAST(o AS INT) AS "
+            "orientation, 72 AS width, 64 AS height, h AS pixels_md5 "
+            "FROM m CROSS JOIN (SELECT unnest(range(1, 9)) AS o) go"
         ),
         "fmp4_frame_plan": (
             "WITH f AS (SELECT doc_id, g FROM documents "

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "mojibake_repair",
     "warc_gz_roundtrip",
     "fmp4_frame_plan",
+    "exif_orientation",
     "pipeline_e2e",
 ]
 

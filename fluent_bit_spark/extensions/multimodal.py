@@ -1265,6 +1265,55 @@ def _jpeg_huff_decode(r: _JpegBitReader, t: _JpegHuffTable) -> int:
     raise ValueError("invalid jpeg huffman code")
 
 
+def _exif_orientation(seg: bytes) -> int | None:
+    """Orientation (tag 0x0112) from an APP1 Exif payload: 'Exif\\0\\0'
+    then a TIFF header + IFD0, either endianness."""
+    if seg[:6] != b"Exif\x00\x00":
+        return None
+    t = seg[6:]
+    if t[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    end = "<" if t[:2] == b"II" else ">"
+    ifd = _struct.unpack(end + "I", t[4:8])[0]
+    n_tags = _struct.unpack(end + "H", t[ifd : ifd + 2])[0]
+    for k in range(min(n_tags, 64)):
+        e = ifd + 2 + 12 * k
+        tag, typ, cnt = _struct.unpack(end + "HHI", t[e : e + 8])
+        if tag == 0x0112 and typ == 3 and cnt == 1:
+            return _struct.unpack(end + "H", t[e + 8 : e + 10])[0]
+    return None
+
+
+def _jpeg_apply_orientation(got, orientation: int | None):
+    """Bake the EXIF orientation into the decoded luma plane — the
+    display transform (orientation 6 = stored raster needs a 90-degree
+    clockwise rotation to stand upright, etc.), so perceptual hashes of
+    a rotated-by-metadata photo match its rotated-by-pixels copy.
+    Orientations 5-8 swap width/height."""
+    if got is None or not orientation or orientation == 1:
+        return got
+    w, h, nch, px = got
+    a = _np.frombuffer(px, _np.uint8).reshape(h, w)
+    if orientation == 2:
+        a = a[:, ::-1]
+    elif orientation == 3:
+        a = a[::-1, ::-1]
+    elif orientation == 4:
+        a = a[::-1, :]
+    elif orientation == 5:
+        a = a.T
+    elif orientation == 6:
+        a = _np.rot90(a, -1)  # stored needs 90 degrees CW
+    elif orientation == 7:
+        a = _np.rot90(a, -1)[:, ::-1]
+    elif orientation == 8:
+        a = _np.rot90(a, 1)
+    else:
+        return got  # unknown value: leave untouched
+    oh, ow = a.shape
+    return ow, oh, nch, _np.ascontiguousarray(a).tobytes()
+
+
 def _decode_jpeg_gray(b: bytes):
     """Baseline or progressive JPEG -> (w, h, 1, luma bytes), or None on
     any payload outside the supported envelope (arithmetic/12-bit/
@@ -1315,6 +1364,7 @@ def _decode_jpeg_gray_inner(b: bytes):
     progressive = False
     store: dict | None = None  # progressive: cid -> (bh, bw, 64) zigzag coefs
     any_scan = False
+    exif_o: int | None = None
     dri = 0
     while i + 2 <= n:
         if b[i] != 0xFF:
@@ -1322,7 +1372,9 @@ def _decode_jpeg_gray_inner(b: bytes):
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
             if progressive and any_scan:
-                return _jpeg_finalize_progressive(sof, store, qt)
+                return _jpeg_apply_orientation(
+                    _jpeg_finalize_progressive(sof, store, qt), exif_o
+                )
             return None  # sequential: EOI before the scan
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             i += 2
@@ -1331,6 +1383,11 @@ def _decode_jpeg_gray_inner(b: bytes):
             return None
         seglen = _struct.unpack(">H", b[i + 2 : i + 4])[0]
         seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xE1 and exif_o is None:  # APP1: Exif orientation
+            try:
+                exif_o = _exif_orientation(seg)
+            except (_struct.error, IndexError):
+                exif_o = None
         if marker == 0xDB:  # DQT
             j = 0
             while j < len(seg):
@@ -1385,8 +1442,11 @@ def _decode_jpeg_gray_inner(b: bytes):
                 comp = next(x for x in sof["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
             if not progressive:
-                return _jpeg_decode_scan(
-                    b, i + 2 + seglen, sof, scan, qt, huff, dri
+                return _jpeg_apply_orientation(
+                    _jpeg_decode_scan(
+                        b, i + 2 + seglen, sof, scan, qt, huff, dri
+                    ),
+                    exif_o,
                 )
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
@@ -1722,8 +1782,19 @@ class _JpegBitWriter:
             self.put(0x7F >> (7 - ((8 - self.n) % 8)), (8 - self.n) % 8)
 
 
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal APP1 Exif segment carrying just the orientation tag."""
+    tiff = (b"II*\x00" + _struct.pack("<I", 8)
+            + _struct.pack("<H", 1)
+            + _struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+            + _struct.pack("<I", 0))
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _struct.pack(">H", 2 + len(payload)) + payload
+
+
 def make_jpeg_pixels(
-    w: int, h: int, gray: bytes, quality: int = 90, restart_interval: int = 0
+    w: int, h: int, gray: bytes, quality: int = 90, restart_interval: int = 0,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """Single-component (grayscale) baseline JPEG encoder carrying REAL
     pixel data — fixture support for the numpy decoder, built from the
@@ -1799,6 +1870,8 @@ def make_jpeg_pixels(
 
     qz = bytes(int(q[_JPEG_ZIGZAG[z]]) for z in range(64))
     out = b"\xff\xd8"
+    if exif_orientation is not None:
+        out += _exif_app1(exif_orientation)
     out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + qz
     out += (b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
             + _struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0]))

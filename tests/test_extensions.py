@@ -3627,3 +3627,46 @@ def test_warc_gz_member_split():
     gz = make_warc_gz(recs)
     for cut in range(0, len(gz), 13):
         _split_warc_records(_gzip_members(gz[:cut]))
+
+
+def test_jpeg_exif_orientation_baking():
+    """All eight EXIF orientations bake into the decoded luma plane:
+    a pre-rotated raster stored with the matching APP1 tag decodes to
+    the identical upright image (dims swap for 5-8); files without
+    EXIF, or with unknown orientation values, pass through untouched —
+    r10: rotated-by-metadata photos now perceptually match their
+    rotated-by-pixels copies."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _decode_jpeg_gray, make_jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(9)
+    grid = rng.randint(16, 240, (8, 9)).astype(np.uint8)
+    up = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+    H, W = up.shape
+    inv = {
+        1: lambda a: a, 2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1, :], 5: lambda a: a.T,
+        6: lambda a: np.rot90(a, 1), 7: lambda a: np.rot90(a[:, ::-1], 1),
+        8: lambda a: np.rot90(a, -1),
+    }
+    for o in range(1, 9):
+        stored = np.ascontiguousarray(inv[o](up))
+        sh, sw = stored.shape
+        jb = make_jpeg_pixels(sw, sh, stored.tobytes(), quality=100,
+                              exif_orientation=o)
+        w2, h2, _nch, px = _decode_jpeg_gray(jb)
+        assert (w2, h2) == (W, H), o
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(H, W), up)
+    plain = make_jpeg_pixels(W, H, up.tobytes(), quality=100)
+    got = _decode_jpeg_gray(plain)
+    assert np.array_equal(
+        np.frombuffer(got[3], np.uint8).reshape(H, W), up
+    )
+    weird = make_jpeg_pixels(W, H, up.tobytes(), quality=100,
+                             exif_orientation=42)
+    assert _decode_jpeg_gray(weird)[3] == got[3]  # unknown value: untouched
+    for cut in range(0, len(jb), 9):
+        _decode_jpeg_gray(jb[:cut])  # truncation never raises

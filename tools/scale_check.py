@@ -84,6 +84,7 @@ HEAVY = [
     "mojibake_repair",
     "warc_gz_roundtrip",
     "fmp4_frame_plan",
+    "exif_orientation",
 ]
 
 
