@@ -2798,14 +2798,16 @@ def exif_orientation_q(spark, sf_dir):
     """EXIF orientation baking (multimodal.py _exif_orientation +
     _jpeg_apply_orientation): every document renders an ASCII-safe
     8x9-cell constant-block raster (quality-100 baseline JPEG
-    roundtrips it exactly), stored PRE-ROTATED under each of the eight
-    EXIF orientations with the matching APP1 tag — the decoder must
-    bake the display transform so all eight decode to the IDENTICAL
-    upright 64x72 raster. Output is (media_id, orientation, width,
+    roundtrips it exactly), stored PRE-ROTATED under EXIF orientation
+    1 + doc_id%8 with the matching APP1 tag (all eight transforms
+    exercised corpus-wide, one per document — the pure-Python q100
+    encode is the expensive half, so the fixture budget is one image
+    per doc, repartitioned for fan-out) — the decoder must bake the
+    display transform so every document decodes to the IDENTICAL
+    upright 64x72 raster. Output is (doc_id, orientation, width,
     height, pixels_md5); the oracle recomputes the md5 from the
-    kron-expansion arithmetic alone, identical across orientations —
-    a wrong transform, a swapped width/height, or a missed APP1 parse
-    hash-fails. This is what makes a rotated-by-metadata photo
+    kron-expansion arithmetic alone — a wrong transform, a swapped
+    width/height, or a missed APP1 parse hash-fails. This is what makes a rotated-by-metadata photo
     perceptually match its rotated-by-pixels copy in image dedup."""
     import hashlib
 
@@ -2817,7 +2819,7 @@ def exif_orientation_q(spark, sf_dir):
         make_jpeg_pixels,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id").repartition(32)
     inv = {
         1: lambda a: a, 2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
         4: lambda a: a[::-1, :], 5: lambda a: a.T,
@@ -2826,36 +2828,33 @@ def exif_orientation_q(spark, sf_dir):
     }
 
     def run(batches):
-        cols = ["media_id", "orientation", "width", "height", "pixels_md5"]
+        cols = ["doc_id", "orientation", "width", "height", "pixels_md5"]
         for pdf in batches:
             out = []
             for did in pdf["doc_id"]:
                 d = int(did)
+                o = 1 + d % 8
                 grid = np.array(
                     [32 + (d * 31 + 17 * g) % 96 for g in range(72)],
                     dtype=np.uint8,
                 ).reshape(8, 9)
                 up = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
-                for o in range(1, 9):
-                    stored = np.ascontiguousarray(inv[o](up))
-                    sh, sw = stored.shape
-                    jb = make_jpeg_pixels(
-                        sw, sh, stored.tobytes(), quality=100,
-                        exif_orientation=o,
-                    )
-                    got = _decode_jpeg_gray(jb)
-                    if got is None:
-                        continue
-                    w2, h2, _nch, px = got
-                    out.append((
-                        d * 8 + (o - 1), o, w2, h2,
-                        hashlib.md5(px).hexdigest(),
-                    ))
+                stored = np.ascontiguousarray(inv[o](up))
+                sh, sw = stored.shape
+                jb = make_jpeg_pixels(
+                    sw, sh, stored.tobytes(), quality=100,
+                    exif_orientation=o,
+                )
+                got = _decode_jpeg_gray(jb)
+                if got is None:
+                    continue
+                w2, h2, _nch, px = got
+                out.append((d, o, w2, h2, hashlib.md5(px).hexdigest()))
             yield pd.DataFrame(out, columns=cols)
 
     return docs.mapInPandas(
         run,
-        schema="media_id bigint, orientation int, width int, height int, "
+        schema="doc_id bigint, orientation int, width int, height int, "
                "pixels_md5 string",
     )
 
@@ -6985,12 +6984,11 @@ def oracle_sql() -> dict[str, str]:
             "chr(CAST(32 + (doc_id * 31 + 17 * (((i // 72) // 8) * 9 "
             "+ (i % 72) // 8)) % 96 AS INT)) AS ch "
             "FROM documents CROSS JOIN "
-            "(SELECT unnest(range(0, 4608)) AS i) gi), "
-            "m AS (SELECT doc_id, md5(string_agg(ch, '' ORDER BY i)) AS h "
-            "FROM px GROUP BY doc_id) "
-            "SELECT doc_id * 8 + o - 1 AS media_id, CAST(o AS INT) AS "
-            "orientation, 72 AS width, 64 AS height, h AS pixels_md5 "
-            "FROM m CROSS JOIN (SELECT unnest(range(1, 9)) AS o) go"
+            "(SELECT unnest(range(0, 4608)) AS i) gi) "
+            "SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation, "
+            "72 AS width, 64 AS height, "
+            "md5(string_agg(ch, '' ORDER BY i)) AS pixels_md5 "
+            "FROM px GROUP BY doc_id"
         ),
         "fmp4_frame_plan": (
             "WITH f AS (SELECT doc_id, g FROM documents "
