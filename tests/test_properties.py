@@ -843,3 +843,65 @@ def test_mkv_lacing_roundtrip_property(frames, mode, ts):
     assert tbl is not None and len(tbl) == len(frames)
     for (_i, t, sz, off, _k), f in zip(tbl, frames):
         assert t == ts and b[off : off + sz] == f
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.binary(max_size=400))
+def test_round10_parsers_never_raise(data):
+    """Filter-don't-crash over ARBITRARY bytes for every round-10
+    parser: fragmented MP4, animated GIF, ADPCM WAV, the extended
+    sniffers, warc.gz member split, and mojibake repair (on the bytes
+    decoded leniently)."""
+    from fluent_bit_spark.extensions.html import (
+        _gzip_members, _split_warc_records,
+    )
+    from fluent_bit_spark.extensions.multimodal import (
+        decode_gif_frames, decode_wav_samples, parse_media_header,
+    )
+    from fluent_bit_spark.extensions.text import fix_mojibake_str
+    from fluent_bit_spark.extensions.video import mp4_fragment_table
+
+    mp4_fragment_table(data)
+    decode_gif_frames(data)
+    decode_wav_samples(data)
+    parse_media_header(data)
+    _split_warc_records(_gzip_members(data))
+    fix_mojibake_str(data.decode("latin-1"))
+    # valid-magic prefixes must not change the no-raise contract
+    for magic in (
+        b"\x00\x00\x00\x10ftyp", b"GIF89a", b"RIFF\x10\x00\x00\x00WAVE",
+        b"RIFF\x10\x00\x00\x00WEBP", b"fLaC", b"II*\x00", b"MM\x00*",
+        b"\x1f\x8b\x08\x00", b"WARC/1.0\r\n",
+    ):
+        parse_media_header(magic + data)
+        mp4_fragment_table(magic + data)
+        decode_wav_samples(magic + data)
+        _split_warc_records(_gzip_members(magic + data))
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sig=st.lists(
+        st.integers(min_value=-32000, max_value=32000), min_size=1,
+        max_size=300,
+    ),
+    nch=st.sampled_from([1, 2]),
+)
+def test_adpcm_decoder_matches_encoder_property(sig, nch):
+    """decode(encode(x)) == the encoder's own reconstruction BIT-EXACTLY
+    for arbitrary int16 signals, mono and stereo — the two sides run
+    the same public state machine."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        decode_wav_samples, make_wav_ima_adpcm,
+    )
+
+    wav, recon = make_wav_ima_adpcm(
+        8000, np.asarray(sig, dtype=np.int64), channels=nch,
+        block_align=72 if nch == 2 else 64,
+    )
+    rate, x = decode_wav_samples(wav)
+    dec16 = np.round(x * 32768).astype(np.int64)
+    assert rate == 8000 and len(dec16) == len(recon)
+    assert (dec16 == recon.astype(np.int64)).all()
