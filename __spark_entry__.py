@@ -2823,7 +2823,8 @@ def exif_orientation_q(spark, sf_dir):
     inv = {
         1: lambda a: a, 2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
         4: lambda a: a[::-1, :], 5: lambda a: a.T,
-        6: lambda a: np.rot90(a, 1), 7: lambda a: np.rot90(a[:, ::-1], 1),
+        6: lambda a: np.rot90(a, 1),
+        7: lambda a: a.T[::-1, ::-1],  # transverse is self-inverse
         8: lambda a: np.rot90(a, -1),
     }
 

@@ -1305,7 +1305,10 @@ def _jpeg_apply_orientation(got, orientation: int | None):
     elif orientation == 6:
         a = _np.rot90(a, -1)  # stored needs 90 degrees CW
     elif orientation == 7:
-        a = _np.rot90(a, -1)[:, ::-1]
+        # TRANSVERSE (anti-diagonal flip, self-inverse) per TIFF/EXIF and
+        # PIL.ImageOps.exif_transpose — NOT rot90(a,-1)[:, ::-1], which
+        # algebraically reduces to a.T (orientation 5's transform)
+        a = a.T[::-1, ::-1]
     elif orientation == 8:
         a = _np.rot90(a, 1)
     else:

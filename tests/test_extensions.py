@@ -3649,7 +3649,8 @@ def test_jpeg_exif_orientation_baking():
     inv = {
         1: lambda a: a, 2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
         4: lambda a: a[::-1, :], 5: lambda a: a.T,
-        6: lambda a: np.rot90(a, 1), 7: lambda a: np.rot90(a[:, ::-1], 1),
+        6: lambda a: np.rot90(a, 1),
+        7: lambda a: a.T[::-1, ::-1],  # transverse is self-inverse
         8: lambda a: np.rot90(a, -1),
     }
     for o in range(1, 9):
@@ -3670,3 +3671,66 @@ def test_jpeg_exif_orientation_baking():
     assert _decode_jpeg_gray(weird)[3] == got[3]  # unknown value: untouched
     for cut in range(0, len(jb), 9):
         _decode_jpeg_gray(jb[:cut])  # truncation never raises
+
+
+def test_exif_orientation_transforms_match_spec_index_arithmetic():
+    """Each orientation's display transform checked against an
+    INDEPENDENT coordinate-arithmetic restatement of the TIFF/EXIF
+    mapping (stored raster -> upright display), on an asymmetric array
+    where every transform produces a distinct result. This is the gate
+    a consistently-wrong forward/inverse pair (the r10 orientation-7
+    transpose-instead-of-transverse bug, which the roundtrip test alone
+    could not see) cannot pass: the expected pixels are derived from
+    index formulas, not from the implementation's own inverse."""
+    import numpy as np
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _jpeg_apply_orientation,
+    )
+
+    h, w = 3, 4
+    a = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+
+    # display[i, j] in terms of stored a[r, c] — straight from the EXIF
+    # orientation definitions (row0/col0 placement), written as loops so
+    # no numpy-slicing identity is shared with the implementation
+    def expect(o):
+        if o in (1, 2, 3, 4):
+            oh, ow = h, w
+        else:
+            oh, ow = w, h
+        out = np.zeros((oh, ow), dtype=np.uint8)
+        for i in range(oh):
+            for j in range(ow):
+                if o == 1:
+                    out[i, j] = a[i, j]
+                elif o == 2:  # mirror horizontal
+                    out[i, j] = a[i, w - 1 - j]
+                elif o == 3:  # rotate 180
+                    out[i, j] = a[h - 1 - i, w - 1 - j]
+                elif o == 4:  # mirror vertical
+                    out[i, j] = a[h - 1 - i, j]
+                elif o == 5:  # transpose
+                    out[i, j] = a[j, i]
+                elif o == 6:  # stored needs 90 CW
+                    out[i, j] = a[h - 1 - j, i]
+                elif o == 7:  # transverse (anti-diagonal flip)
+                    out[i, j] = a[h - 1 - j, w - 1 - i]
+                elif o == 8:  # stored needs 90 CCW
+                    out[i, j] = a[j, w - 1 - i]
+        return out
+
+    results = {}
+    for o in range(1, 9):
+        got = _jpeg_apply_orientation((w, h, 1, a.tobytes()), o)
+        ow, oh, _nch, px = got
+        arr = np.frombuffer(px, np.uint8).reshape(oh, ow)
+        assert np.array_equal(arr, expect(o)), o
+        results[o] = arr.tobytes()
+        # self-inverse orientations (1-4, 7) roundtrip through themselves
+        if o in (1, 2, 3, 4, 7):
+            back = _jpeg_apply_orientation(got, o)
+            assert np.frombuffer(back[3], np.uint8).reshape(h, w).tobytes() \
+                == a.tobytes(), o
+    # all eight produce pairwise-distinct pixels on this asymmetric input
+    assert len(set(results.values())) == 8
