@@ -143,21 +143,38 @@ def warc_parse(
 # pure stdlib over Arrow batches; records then chain into warc_parse /
 # html_extract exactly like pre-split strings.
 # --------------------------------------------------------------------------
-def _gzip_members(b: bytes) -> bytes:
+#: Inflation ceiling for one .warc.gz payload (256 MB). Crawl payloads are
+#: untrusted: a kilobyte-sized gzip bomb otherwise expands fully into
+#: executor memory — the claims-vs-payload bound the other parsers carry.
+_GZIP_MAX_OUT = 256 * 1024 * 1024
+
+
+def _gzip_members(b: bytes, max_out: int = _GZIP_MAX_OUT) -> bytes:
     """Inflate every gzip member of a concatenated stream into one plain
     byte blob (members are self-delimiting; a torn trailing member yields
     what it held). Non-gzip input passes through unchanged (a plain
-    .warc)."""
+    .warc). Output is capped at ``max_out`` bytes — inflation proceeds in
+    bounded `decompress(chunk, max_length)` steps and stops at the cap,
+    so a gzip bomb yields a truncated blob whose torn trailing record the
+    Content-Length framing then drops (filter, don't explode)."""
     import zlib
 
     if b[:2] != b"\x1f\x8b":
         return b
     out = bytearray()
     buf = b
-    while buf[:2] == b"\x1f\x8b":
+    step = 1 << 20
+    while buf[:2] == b"\x1f\x8b" and len(out) < max_out:
         d = zlib.decompressobj(31)
         try:
-            out += d.decompress(buf)
+            data = buf
+            while True:
+                out += d.decompress(data, min(step, max_out - len(out)))
+                if len(out) >= max_out:
+                    return bytes(out)
+                data = d.unconsumed_tail
+                if not data or d.eof:
+                    break
         except zlib.error:
             break
         buf = d.unused_data

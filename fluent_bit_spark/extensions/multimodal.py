@@ -180,6 +180,7 @@ def parse_media_header(b: bytes) -> dict:
             ) == 0xE0:
                 ver = (b[off + 1] >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
                 layer = (b[off + 1] >> 1) & 3  # 1=III, 2=II, 3=I
+                br_idx = (b[off + 2] >> 4) & 0xF
                 sr_idx = (b[off + 2] >> 2) & 3
                 mode = (b[off + 3] >> 6) & 3
                 rates = {
@@ -187,13 +188,20 @@ def parse_media_header(b: bytes) -> dict:
                     2: (22050, 24000, 16000),
                     0: (11025, 12000, 8000),
                 }.get(ver)
-                if rates is not None and sr_idx < 3 and layer != 0:
+                # a bare 0xFF 0xEx prefix is NOT evidence of mp3 — the
+                # whole header must validate: version not reserved (1),
+                # layer not reserved (0), sample-rate index < 3, bitrate
+                # index not free-format (0) or forbidden (0xF). Arbitrary
+                # binary starting 0xFF 0xEx stays "unknown" (ID3-tagged
+                # files keep the mp3 label: the tag magic is the evidence).
+                if (rates is not None and sr_idx < 3 and layer != 0
+                        and 0 < br_idx < 15):
                     out.update(
                         format="mp3",
                         sample_rate=rates[sr_idx],
                         channels=1 if mode == 3 else 2,
                     )
-                else:
+                elif b[:3] == b"ID3":
                     out.update(format="mp3")
             elif b[:3] == b"ID3":
                 out.update(format="mp3")

@@ -3563,6 +3563,69 @@ def test_media_sniff_extended_formats():
             P(mk[:cut])  # truncation never raises
 
 
+def test_mp3_sniff_rejects_invalid_frame_headers():
+    """A bare 0xFF 0xEx prefix is not mp3: the whole frame header must
+    validate — reserved version (bits 01), reserved layer (00),
+    sample-rate index 3, and bitrate index 0x0 (free-format) / 0xF
+    (forbidden) all stay 'unknown', so arbitrary binary starting with a
+    sync-looking prefix is not mistriaged (r11 ADVICE fix). ID3-tagged
+    payloads keep the mp3 label from the tag magic even when no valid
+    frame follows."""
+    from fluent_bit_spark.extensions.multimodal import (
+        make_mp3, parse_media_header as P,
+    )
+
+    good = make_mp3(44100)
+    assert P(good)["format"] == "mp3"
+    # bitrate index 0xF (forbidden) and 0x0 (free-format): rejected
+    for br in (0x0, 0xF):
+        bad = bytes([good[0], good[1], (br << 4) | (good[2] & 0x0F),
+                     good[3]]) + good[4:]
+        assert P(bad)["format"] == "unknown", br
+    # reserved version (bits 19-20 == 01): rejected
+    bad_ver = bytes([good[0], 0xE0 | (1 << 3) | (1 << 1)]) + good[2:]
+    assert P(bad_ver)["format"] == "unknown"
+    # reserved layer (00): rejected
+    bad_layer = bytes([good[0], 0xE0 | (3 << 3)]) + good[2:]
+    assert P(bad_layer)["format"] == "unknown"
+    # sample-rate index 3 (reserved): rejected
+    bad_sr = bytes([good[0], good[1], (good[2] & 0xF0) | (3 << 2),
+                    good[3]]) + good[4:]
+    assert P(bad_sr)["format"] == "unknown"
+    # random 0xFF 0xEx junk (the ADVICE repro shape): not mp3
+    assert P(b"\xff\xee\x00\x00 junk payload")["format"] == "unknown"
+    # ID3 magic alone still triages mp3 even with an invalid frame after
+    tagged = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 0]) + b"\xff\xe0\xf0\x00"
+    assert P(tagged)["format"] == "mp3"
+
+
+def test_gzip_members_caps_inflation():
+    """_gzip_members inflates untrusted .warc.gz in bounded steps and
+    stops at the output cap, so a kilobyte-sized gzip bomb cannot expand
+    fully into executor memory (r11 ADVICE fix); the truncated blob's
+    torn trailing record then drops in Content-Length framing."""
+    import gzip
+
+    from fluent_bit_spark.extensions.html import (
+        _gzip_members, _split_warc_records, make_warc_gz, make_warc_record,
+    )
+
+    bomb = gzip.compress(b"\x00" * (32 * 1024 * 1024))  # ~32 KB compressed
+    assert len(bomb) < 64 * 1024
+    out = _gzip_members(bomb, max_out=1 << 20)
+    assert len(out) == 1 << 20
+    # multi-member bombs hit the same ceiling
+    assert len(_gzip_members(bomb * 4, max_out=1 << 20)) == 1 << 20
+    # a bomb prefixed by real records: the real records still split out
+    rec = make_warc_record("response", "https://e.com/x", "payload here")
+    gz = make_warc_gz([rec]) + bomb
+    recs = _split_warc_records(_gzip_members(gz, max_out=1 << 20))
+    assert len(recs) == 1 and b"payload here" in recs[0]
+    # capped inflation still roundtrips ordinary archives untouched
+    gz2 = make_warc_gz([rec, rec], per_record_members=False)
+    assert len(_split_warc_records(_gzip_members(gz2))) == 2
+
+
 def test_unicode_hygiene():
     """fix_mojibake_str repairs single- and double-encoded UTF-8-as-
     latin-1/cp1252 text and NEVER touches genuine accented text (the
