@@ -294,6 +294,8 @@ def make_mp4(
     samples_per_chunk: int = 0,
     co64: bool = False,
     ctts_offsets: list[int] | None = None,
+    elst_media_time: int | None = None,
+    elst_lead_empty: int | None = None,
 ) -> bytes:
     """Minimal ISO BMFF writer — fixture support for the sample-table
     parser. One video track; ``sample_deltas`` in ``timescale`` units
@@ -303,7 +305,12 @@ def make_mp4(
     ``samples_per_chunk`` grouping for stsc/stco (0 = one chunk holds
     everything); ``co64=True`` writes 64-bit chunk offsets (the >4 GB
     layout); ``ctts_offsets`` adds per-sample composition offsets
-    (version 1, signed, run-length encoded). The mdat payload is
+    (version 1, signed, run-length encoded); ``elst_media_time`` writes
+    an edts/elst edit list whose single non-empty edit starts the
+    presentation at that media time (the camera/editor initial-offset
+    layout), optionally preceded by an EMPTY edit of
+    ``elst_lead_empty`` movie-timescale units (media_time -1 — a
+    presentation delay the parser must skip over). The mdat payload is
     filler — real tracks need a codec; what this exercises is the PLAN
     machinery (offsets/sizes/times)."""
     n = len(sample_deltas)
@@ -401,7 +408,22 @@ def make_mp4(
         + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + _struct.pack(">II", w << 16, h << 16),
     )
-    trak = _box(b"trak", tkhd + mdia)
+    edts = b""
+    if elst_media_time is not None:
+        entries = []
+        if elst_lead_empty is not None:
+            entries.append(_struct.pack(">IiHH", elst_lead_empty, -1, 1, 0))
+        entries.append(
+            _struct.pack(">IiHH", duration, elst_media_time, 1, 0)
+        )
+        edts = _box(
+            b"edts",
+            _full(
+                b"elst", 0, 0,
+                _struct.pack(">I", len(entries)) + b"".join(entries),
+            ),
+        )
+    trak = _box(b"trak", tkhd + edts + mdia)
     mvhd = _full(
         b"mvhd", 0, 0,
         _struct.pack(">IIII", 0, 0, timescale, duration)
@@ -421,6 +443,8 @@ def make_fmp4(
     fragments: list[tuple[int, list[tuple[int, int, bool]]]],
     timescale: int = 1000,
     codec: str = "mp4v",
+    elst_media_time: int | None = None,
+    audio_fragments: list[tuple[int, list[tuple[int, int, bool]]]] | None = None,
 ) -> bytes:
     """Fragmented-MP4 writer (fixture support) — the DASH/HLS segment
     layout streamed web video ships in: ftyp(iso5) + moov carrying an
@@ -430,8 +454,30 @@ def make_fmp4(
     carries data-offset + per-sample duration/size/flags, tfhd sets
     default-base-is-moof (the modern muxer convention). mdat payload is
     deterministic filler, per-sample bytes chr(65 + global_idx % 26) *
-    size so oracles can restate the range-read content."""
+    size so oracles can restate the range-read content.
+    ``audio_fragments`` (parallel to ``fragments``) mints a MUXED
+    audio+video file: a second trak (track_ID 2, soun handler, its own
+    trex), with each moof carrying the audio traf FIRST and its samples
+    laid out before the video samples in mdat — the interleaved layout
+    real DASH segments use, which a video frame plan must skip, not
+    absorb. Audio filler bytes are chr(97 + idx % 26) so a plan that
+    wrongly reads audio ranges hash-fails. ``elst_media_time`` writes
+    an edts/elst on the video trak (see make_mp4)."""
+    if audio_fragments is not None and len(audio_fragments) != len(fragments):
+        raise ValueError("audio_fragments must parallel fragments")
     ftyp = _box(b"ftyp", b"iso5" + _struct.pack(">I", 0x200) + b"iso5dash")
+
+    def empty_stbl(entry: bytes) -> bytes:
+        return _box(
+            b"stbl",
+            _full(b"stsd", 0, 0, _struct.pack(">I", 1) + entry)
+            + _full(b"stts", 0, 0, _struct.pack(">I", 0))
+            + _full(b"stsc", 0, 0, _struct.pack(">I", 0))
+            + _full(b"stsz", 0, 0, _struct.pack(">II", 0, 0))
+            + _full(b"stco", 0, 0, _struct.pack(">I", 0)),
+        )
+
+    dref = _full(b"dref", 0, 0, _struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
     entry_body = (
         b"\x00" * 6 + _struct.pack(">H", 1) + b"\x00" * 16
         + _struct.pack(">HH", w, h)
@@ -439,21 +485,9 @@ def make_fmp4(
         + b"\x00" * 4 + _struct.pack(">H", 1) + b"\x00" * 32
         + _struct.pack(">Hh", 24, -1)
     )
-    stsd = _full(
-        b"stsd", 0, 0,
-        _struct.pack(">I", 1) + _box(codec.encode().ljust(4)[:4], entry_body),
-    )
-    stbl = _box(
-        b"stbl",
-        stsd
-        + _full(b"stts", 0, 0, _struct.pack(">I", 0))
-        + _full(b"stsc", 0, 0, _struct.pack(">I", 0))
-        + _full(b"stsz", 0, 0, _struct.pack(">II", 0, 0))
-        + _full(b"stco", 0, 0, _struct.pack(">I", 0)),
-    )
+    v_entry = _box(codec.encode().ljust(4)[:4], entry_body)
     vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
-    dref = _full(b"dref", 0, 0, _struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
-    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + empty_stbl(v_entry))
     hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"V\x00")
     mdhd = _full(
         b"mdhd", 0, 0,
@@ -467,50 +501,139 @@ def make_fmp4(
         + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + _struct.pack(">II", w << 16, h << 16),
     )
-    trak = _box(b"trak", tkhd + mdia)
+    edts = b""
+    if elst_media_time is not None:
+        edts = _box(
+            b"edts",
+            _full(
+                b"elst", 0, 0,
+                _struct.pack(">I", 1)
+                + _struct.pack(">IiHH", 0, elst_media_time, 1, 0),
+            ),
+        )
+    trak = _box(b"trak", tkhd + edts + mdia)
+    trexes = _full(b"trex", 0, 0, _struct.pack(">IIIII", 1, 1, 0, 0, 0x10000))
+    traks = trak
+    if audio_fragments is not None:
+        a_entry = _box(
+            b"mp4a",
+            b"\x00" * 6 + _struct.pack(">H", 1) + b"\x00" * 8
+            + _struct.pack(">HHI", 2, 16, 0)
+            + _struct.pack(">I", 44100 << 16),
+        )
+        smhd = _full(b"smhd", 0, 0, b"\x00" * 4)
+        a_minf = _box(b"minf", smhd + _box(b"dinf", dref) + empty_stbl(a_entry))
+        a_hdlr = _full(
+            b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"A\x00"
+        )
+        a_mdia = _box(b"mdia", mdhd + a_hdlr + a_minf)
+        a_tkhd = _full(
+            b"tkhd", 0, 7,
+            _struct.pack(">IIIII", 0, 0, 2, 0, 0) + b"\x00" * 8
+            + _struct.pack(">hhhh", 0, 0x0100, 0, 0)
+            + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + _struct.pack(">II", 0, 0),
+        )
+        traks += _box(b"trak", a_tkhd + a_mdia)
+        trexes += _full(
+            b"trex", 0, 0, _struct.pack(">IIIII", 2, 1, 0, 0, 0x10000)
+        )
     mvhd = _full(
         b"mvhd", 0, 0,
         _struct.pack(">IIII", 0, 0, timescale, 0)
         + _struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
         + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + b"\x00" * 24 + _struct.pack(">I", 2),
+        + b"\x00" * 24 + _struct.pack(">I", 3),
     )
-    trex = _full(b"trex", 0, 0, _struct.pack(">IIIII", 1, 1, 0, 0, 0x10000))
-    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    moov = _box(b"moov", mvhd + traks + _box(b"mvex", trexes))
     out = ftyp + moov
-    gidx = 0
-    for seq, (bdt, samples) in enumerate(fragments, start=1):
-        mfhd = _full(b"mfhd", 0, 0, _struct.pack(">I", seq))
-        # tfhd: track 1, default-base-is-moof (0x020000)
-        tfhd = _full(b"tfhd", 0, 0x020000, _struct.pack(">I", 1))
+
+    def mk_traf(tid, bdt, samples, data_off):
+        tfhd = _full(b"tfhd", 0, 0x020000, _struct.pack(">I", tid))
         tfdt = _full(b"tfdt", 1, 0, _struct.pack(">Q", bdt))
         # trun flags: data-offset 0x1, duration 0x100, size 0x200,
         # sample-flags 0x400
-        ent = b""
-        for dur, size, key in samples:
-            sflags = 0x00000000 if key else 0x00010000
-            ent += _struct.pack(">III", dur, size, sflags)
-        trun_body = _struct.pack(">I", len(samples)) + b"\x00\x00\x00\x00" + ent
-        trun = _full(b"trun", 0, 0x000701, trun_body)
-        traf = _box(b"traf", tfhd + tfdt + trun)
-        moof = _box(b"moof", mfhd + traf)
-        payload = bytearray()
-        for _dur, size, _key in samples:
-            payload += bytes([65 + gidx % 26]) * size
-            gidx += 1
-        mdat = _box(b"mdat", bytes(payload))
-        # patch trun data_offset: payload starts at moof_start + len(moof)
-        # + 8 (mdat header), relative to moof start per default-base-is-moof
-        data_off = len(moof) + 8
-        ti = moof.find(b"trun")
-        # layout from the fourcc: trun(4) ver/flags(4) count(4) offset(4)
-        moof = (
-            moof[: ti + 12]
-            + _struct.pack(">i", data_off)
-            + moof[ti + 16 :]
+        ent = b"".join(
+            _struct.pack(">III", dur, size, 0 if key else 0x00010000)
+            for dur, size, key in samples
         )
-        out += moof + mdat
+        trun = _full(
+            b"trun", 0, 0x000701,
+            _struct.pack(">Ii", len(samples), data_off) + ent,
+        )
+        return _box(b"traf", tfhd + tfdt + trun)
+
+    gidx = aidx = 0
+    for seq, (bdt, samples) in enumerate(fragments, start=1):
+        audio = audio_fragments[seq - 1] if audio_fragments is not None else None
+        mfhd = _full(b"mfhd", 0, 0, _struct.pack(">I", seq))
+
+        def mk_moof(voff, aoff):
+            trafs = b""
+            if audio is not None:  # audio traf FIRST: the plan must skip it
+                trafs += mk_traf(2, audio[0], audio[1], aoff)
+            trafs += mk_traf(1, bdt, samples, voff)
+            return _box(b"moof", mfhd + trafs)
+
+        # data offsets are relative to moof start (default-base-is-moof);
+        # trun bodies are fixed-size, so a zero-offset dry build has the
+        # final length and the real offsets drop straight in
+        base = len(mk_moof(0, 0)) + 8  # + mdat header
+        a_payload = bytearray()
+        if audio is not None:
+            for _dur, size, _key in audio[1]:
+                a_payload += bytes([97 + aidx % 26]) * size
+                aidx += 1
+        v_payload = bytearray()
+        for _dur, size, _key in samples:
+            v_payload += bytes([65 + gidx % 26]) * size
+            gidx += 1
+        moof = mk_moof(base + len(a_payload), base)
+        out += moof + _box(b"mdat", bytes(a_payload + v_payload))
     return out
+
+
+def _tkhd_track_id(b: bytes, found: dict[bytes, tuple[int, int]]) -> int:
+    """track_ID of the first (video) trak's tkhd; 1 when absent — the
+    trex/tfhd rows the fragment plan keeps are the ones matching it."""
+    if b"tkhd" not in found:
+        return 1
+    ks, _ = found[b"tkhd"]
+    v = b[ks]
+    off = ks + 20 if v == 1 else ks + 12
+    return _struct.unpack(">I", b[off : off + 4])[0]
+
+
+def _elst_media_time(
+    b: bytes, found: dict[bytes, tuple[int, int]]
+) -> int:
+    """Media-time offset of the first NON-EMPTY edit in the first
+    track's elst (ISO BMFF 8.6.5-8.6.6), in media-timescale units; 0
+    when no edit list. Real camera/editor output commonly carries an
+    initial media-time offset (or an empty edit) that shifts EVERY
+    presentation timestamp — a plan consumer aligning captions would
+    otherwise see a constant-offset error. Envelope: the first
+    non-empty edit's media_time is applied; empty edits (media_time ==
+    -1, a presentation delay) are skipped and additional edits /
+    media_rate != 1 are ignored (documented out of envelope — nothing
+    in a web-video corpus needs segment-spliced multi-edit timelines
+    for frame-plan purposes)."""
+    if b"elst" not in found:
+        return 0
+    es, ee = found[b"elst"]
+    v = b[es]
+    n = _struct.unpack(">I", b[es + 4 : es + 8])[0]
+    per = 20 if v == 1 else 12
+    q = es + 8
+    for _ in range(min(n, max(0, (ee - q) // per))):
+        if v == 1:
+            _segdur, mt = _struct.unpack(">Qq", b[q : q + 16])
+        else:
+            _segdur, mt = _struct.unpack(">Ii", b[q : q + 8])
+        if mt >= 0:
+            return mt
+        q += per
+    return 0
 
 
 def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
@@ -518,9 +641,16 @@ def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None
     absolute_offset, keyframe)] from moof/traf boxes (tfhd defaults,
     tfdt base decode time, trun per-sample entries) — the DASH/HLS
     segment layout, where the sample table arrives fragment by fragment
-    instead of in one stbl. Envelope: one traf per moof,
-    default-base-is-moof or explicit base-data-offset tfhd addressing,
-    trun versions 0/1. None outside it."""
+    instead of in one stbl. Muxed audio+video segments carry one traf
+    per TRACK per moof: the plan keeps only the trafs whose tfhd
+    track_ID matches the first (video) trak, with trex defaults
+    selected by the same track_ID. A trun without the data-offset flag
+    continues at the running end of the previous run's data (ISO BMFF
+    8.8.8; first run starts at the traf's base). An edit list shifts
+    every ts_ms by the first non-empty edit's media_time (see
+    _elst_media_time). Envelope: default-base-is-moof or explicit
+    base-data-offset tfhd addressing, trun versions 0/1. None outside
+    it."""
     try:
         found = _mp4_collect(b)
         if found is None or b"mdhd" not in found:
@@ -532,31 +662,41 @@ def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None
         )[0]
         if not timescale:
             return None
-        # trex defaults (optional)
+        vid_tid = _tkhd_track_id(b, found)
+        elst_shift = _elst_media_time(b, found)
+        # trex defaults for the VIDEO track (mvex holds one trex per
+        # track — match on track_ID, don't take whichever comes first)
         d_dur = d_size = d_flags = 0
-        if b"trex" in found:
-            ts_, te_ = found[b"trex"]
-            _tid, _sdi, d_dur, d_size, d_flags = _struct.unpack(
-                ">IIIII", b[ts_ + 4 : ts_ + 24]
-            )
+        if b"mvex" in found:
+            for cx, px, ex in _walk_boxes(b, *found[b"mvex"]):
+                if cx != b"trex":
+                    continue
+                tid_, _sdi, dd_, ds_, df_ = _struct.unpack(
+                    ">IIIII", b[px + 4 : px + 24]
+                )
+                if tid_ == vid_tid:
+                    d_dur, d_size, d_flags = dd_, ds_, df_
+                    break
         out: list[tuple[int, int, int, int, bool]] = []
         t_next = 0  # running decode time when no tfdt present
         for cc, ps, pe in _walk_boxes(b, 0, len(b)):
             if cc != b"moof":
                 continue
             moof_start = ps - 8
-            tfhd_flags = 0
-            base_data = None
-            dd, dsz, dfl = d_dur, d_size, d_flags
-            bdt = None
-            truns: list[tuple[int, int]] = []
             for c2, p2, e2 in _walk_boxes(b, ps, pe):
                 if c2 != b"traf":
                     continue
+                traf_tid = None
+                tfhd_flags = 0
+                base_data = None
+                dd, dsz, dfl = d_dur, d_size, d_flags
+                bdt = None
+                truns: list[tuple[int, int]] = []
                 for c3, p3, e3 in _walk_boxes(b, p2, e2):
                     if c3 == b"tfhd":
                         tfhd_flags = int.from_bytes(b[p3 + 1 : p3 + 4], "big")
                         q = p3 + 8
+                        traf_tid = _struct.unpack(">I", b[q - 4 : q])[0]
                         if tfhd_flags & 0x1:  # base-data-offset
                             base_data = _struct.unpack(">Q", b[q : q + 8])[0]
                             q += 8
@@ -580,59 +720,76 @@ def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None
                         )
                     elif c3 == b"trun":
                         truns.append((p3, e3))
-                break  # one traf per moof (the envelope)
-            if base_data is None:
-                if tfhd_flags & 0x020000:  # default-base-is-moof
-                    base_data = moof_start
-                else:
-                    base_data = moof_start  # iso5 implicit default
-            t = bdt if bdt is not None else t_next
-            for p3, e3 in truns:
-                tflags = int.from_bytes(b[p3 + 1 : p3 + 4], "big")
-                n = _struct.unpack(">I", b[p3 + 4 : p3 + 8])[0]
-                q = p3 + 8
-                data_off = 0
-                if tflags & 0x1:
-                    data_off = _struct.unpack(">i", b[q : q + 4])[0]
-                    q += 4
-                first_flags = None
-                if tflags & 0x4:
-                    first_flags = _struct.unpack(">I", b[q : q + 4])[0]
-                    q += 4
-                per = (
-                    (4 if tflags & 0x100 else 0)
-                    + (4 if tflags & 0x200 else 0)
-                    + (4 if tflags & 0x400 else 0)
-                    + (4 if tflags & 0x800 else 0)
-                )
-                if per:
-                    if n > (e3 - q) // per:
-                        return None  # more entries than the box holds
-                elif n > 1 << 22:
-                    return None
-                acc = base_data + data_off
-                for si in range(n):
-                    dur, size, sfl = dd, dsz, dfl
-                    if tflags & 0x100:
-                        dur = _struct.unpack(">I", b[q : q + 4])[0]
+                if traf_tid is not None and traf_tid != vid_tid:
+                    continue  # another track's traf (audio in a muxed seg)
+                if base_data is None:
+                    if tfhd_flags & 0x020000:  # default-base-is-moof
+                        base_data = moof_start
+                    else:
+                        base_data = moof_start  # iso5 implicit default
+                t = bdt if bdt is not None else t_next
+                run_end = None  # running end of the previous trun's data
+                for p3, e3 in truns:
+                    tflags = int.from_bytes(b[p3 + 1 : p3 + 4], "big")
+                    n = _struct.unpack(">I", b[p3 + 4 : p3 + 8])[0]
+                    q = p3 + 8
+                    data_off = None
+                    if tflags & 0x1:
+                        data_off = _struct.unpack(">i", b[q : q + 4])[0]
                         q += 4
-                    if tflags & 0x200:
-                        size = _struct.unpack(">I", b[q : q + 4])[0]
+                    first_flags = None
+                    if tflags & 0x4:
+                        first_flags = _struct.unpack(">I", b[q : q + 4])[0]
                         q += 4
-                    if tflags & 0x400:
-                        sfl = _struct.unpack(">I", b[q : q + 4])[0]
-                        q += 4
-                    if tflags & 0x800:
-                        q += 4  # composition offset: presentation shift
-                    if si == 0 and first_flags is not None:
-                        sfl = first_flags
-                    key = not (sfl & 0x00010000)  # sample_is_non_sync_sample
-                    out.append(
-                        (len(out), t * 1000 // timescale, size, acc, key)
+                    per = (
+                        (4 if tflags & 0x100 else 0)
+                        + (4 if tflags & 0x200 else 0)
+                        + (4 if tflags & 0x400 else 0)
+                        + (4 if tflags & 0x800 else 0)
                     )
-                    acc += size
-                    t += dur
-            t_next = t
+                    if per:
+                        if n > (e3 - q) // per:
+                            return None  # more entries than the box holds
+                    elif n > 1 << 22:
+                        return None
+                    if data_off is not None:
+                        acc = base_data + data_off
+                    elif run_end is not None:
+                        # no data-offset flag: the run continues right
+                        # after the previous run's data (not at the moof
+                        # header, which offset 0 would mean)
+                        acc = run_end
+                    else:
+                        acc = base_data
+                    for si in range(n):
+                        dur, size, sfl = dd, dsz, dfl
+                        if tflags & 0x100:
+                            dur = _struct.unpack(">I", b[q : q + 4])[0]
+                            q += 4
+                        if tflags & 0x200:
+                            size = _struct.unpack(">I", b[q : q + 4])[0]
+                            q += 4
+                        if tflags & 0x400:
+                            sfl = _struct.unpack(">I", b[q : q + 4])[0]
+                            q += 4
+                        if tflags & 0x800:
+                            q += 4  # composition offset: presentation shift
+                        if si == 0 and first_flags is not None:
+                            sfl = first_flags
+                        key = not (sfl & 0x00010000)  # sample_is_non_sync_sample
+                        out.append(
+                            (
+                                len(out),
+                                (t - elst_shift) * 1000 // timescale,
+                                size,
+                                acc,
+                                key,
+                            )
+                        )
+                        acc += size
+                        t += dur
+                    run_end = acc
+                t_next = t
         return out or None
     except (IndexError, _struct.error):
         return None
@@ -659,7 +816,9 @@ def _walk_boxes(b: bytes, start: int, end: int):
         off += size
 
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex"}
+_MP4_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex", b"edts",
+}
 
 
 def _mp4_collect(b: bytes) -> dict[bytes, tuple[int, int]] | None:
@@ -741,7 +900,10 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
     while rows stay in decode order (the range-read order). This is the
     exact unit of work a 1000-executor decode fans out over — each
     executor range-reads (offset, size) and decodes independently; no
-    stateful scan of the file. None outside the envelope."""
+    stateful scan of the file. An edit list (elst) shifts every ts_ms
+    by the first non-empty edit's media_time — the initial media-time
+    offset real camera/editor output commonly carries (see
+    _elst_media_time for the envelope). None outside the envelope."""
     try:
         found = _mp4_collect(b)
         if found is None:
@@ -760,6 +922,7 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
         )[0]
         if not timescale:
             return None
+        elst_shift = _elst_media_time(b, found)
 
         # read the AUTHORITATIVE sample count first: every run-length
         # expansion below is bounded by it, so adversarial counts in
@@ -864,7 +1027,7 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
                 if sample >= n:
                     break
                 key = True if sync is None else (sample + 1) in sync
-                pt = t + (cofs[sample] if cofs is not None else 0)
+                pt = t + (cofs[sample] if cofs is not None else 0) - elst_shift
                 out.append(
                     (sample, pt * 1000 // timescale, sizes[sample], acc, key)
                 )

@@ -796,3 +796,132 @@ def test_fmp4_fragment_plan(spark):
     assert [r.keyframe for r in rows] == [True, False, False, True, False]
     for cut in range(0, len(b), 7):
         mp4_fragment_table(b[:cut])  # truncation never raises
+
+
+def test_mp4_elst_shifts_presentation_times():
+    """An edit list's first non-empty edit media_time shifts EVERY
+    ts_ms (ISO BMFF 8.6.5-8.6.6) — real camera/editor output commonly
+    starts presentation at a media offset, and a plan consumer aligning
+    captions would otherwise see a constant-offset error. A leading
+    EMPTY edit (media_time -1, a presentation delay) is skipped, not
+    taken as offset 0; byte ranges never move — r11 envelope
+    extension."""
+    deltas = [40] * 5
+    sizes = [10, 11, 12, 13, 14]
+    base = mp4_sample_table(make_mp4(32, 24, deltas, sizes, keyframes=[1, 3]))
+    # ctts lifts every composition time by 80; elst media_time 80 is the
+    # matching initial offset a muxer writes — presentation returns to 0
+    shifted = mp4_sample_table(make_mp4(
+        32, 24, deltas, sizes, keyframes=[1, 3],
+        ctts_offsets=[80] * 5, elst_media_time=80))
+    assert [r[1] for r in shifted] == [r[1] for r in base]
+    assert [r[2:] for r in shifted] == [r[2:] for r in base]  # ranges fixed
+    # leading empty edit: skipped; the SECOND (non-empty) edit applies
+    lead = mp4_sample_table(make_mp4(
+        32, 24, deltas, sizes, elst_media_time=40, elst_lead_empty=500))
+    assert [r[1] for r in lead] == [-40, 0, 40, 80, 120]
+    # elst on a fragmented file: the moov-level edit shifts tfdt times
+    from fluent_bit_spark.extensions.video import make_fmp4
+
+    fe = make_fmp4(320, 180, [(100, [(40, 8, True), (40, 9, False)])],
+                   elst_media_time=100)
+    assert [r[1] for r in mp4_sample_table(fe)] == [0, 40]
+    x = make_mp4(16, 16, [40] * 3, [50] * 3, elst_media_time=40,
+                 elst_lead_empty=100)
+    for cut in range(0, len(x), 3):
+        mp4_sample_table(x[:cut])  # truncation never raises
+
+
+def test_fmp4_multitrack_skips_audio_trafs():
+    """Muxed audio+video DASH segments carry one traf per TRACK per
+    moof (audio first in this fixture); the video frame plan keeps only
+    the trafs whose tfhd track_ID matches the video trak and selects
+    trex defaults by the same ID — timing, sizes, and byte ranges must
+    equal the video-only file's plan CONTENT-wise, and every range-read
+    must hit video filler bytes (audio filler differs, so absorbing an
+    audio traf hash-fails) — r11 envelope extension."""
+    from fluent_bit_spark.extensions.video import (
+        make_fmp4,
+        mp4_fragment_table,
+    )
+
+    frags = [
+        (0, [(40, 10, True), (40, 12, False), (40, 11, False)]),
+        (120, [(80, 9, True), (80, 14, False)]),
+    ]
+    audio = [
+        (0, [(21, 5, True), (21, 6, True)]),
+        (42, [(21, 7, True), (21, 8, True)]),
+    ]
+    solo = mp4_fragment_table(make_fmp4(320, 180, frags))
+    b = make_fmp4(320, 180, frags, audio_fragments=audio)
+    muxed = mp4_fragment_table(b)
+    # identical plan rows except absolute offsets (mdat now holds audio)
+    assert [(r[0], r[1], r[2], r[4]) for r in muxed] \
+        == [(r[0], r[1], r[2], r[4]) for r in solo]
+    for g, (_i, _ts, sz, off, _k) in enumerate(muxed):
+        assert b[off : off + sz] == bytes([65 + g]) * sz  # video bytes only
+    for cut in range(0, len(b), 11):
+        mp4_fragment_table(b[:cut])  # truncation never raises
+
+
+def test_fmp4_trun_without_data_offset_continues_after_previous_run():
+    """A trun lacking the data-offset flag continues at the running end
+    of the previous run's data (ISO BMFF 8.8.8) — NOT at base_data
+    (the pre-r11 behavior, which pointed the run at the moof header
+    and silently read garbage). First-run-without-offset starts at the
+    traf's base."""
+    import struct
+
+    from fluent_bit_spark.extensions.video import (
+        _box, _full, make_fmp4, mp4_fragment_table,
+    )
+
+    # two truns in one traf: first carries the offset, second does not;
+    # reuse ftyp+moov from the writer (the fourcc sits at box start + 4)
+    shell = make_fmp4(320, 180, [(0, [(40, 4, True)])])
+    head = shell[: shell.find(b"moof") - 4]
+
+    def mk(n, data_off, sizes, flags=0x000701):
+        ent = b"".join(struct.pack(">III", 40, s, 0) for s in sizes)
+        if flags & 0x1:
+            body = struct.pack(">Ii", n, data_off) + ent
+        else:
+            body = struct.pack(">I", n) + ent
+        return _full(b"trun", 0, flags, body)
+
+    tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+    tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", 0))
+    mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 1))
+
+    def build(moof_payload_fn):
+        dry = _box(b"moof", moof_payload_fn(0))
+        base = len(dry) + 8
+        moof = _box(b"moof", moof_payload_fn(base))
+        return head + moof, base
+
+    sizes1, sizes2 = [10, 11], [12, 13]
+    payload = b"A" * 10 + b"B" * 11 + b"C" * 12 + b"D" * 13
+    f, base = build(lambda off: mfhd + _box(
+        b"traf",
+        tfhd + tfdt + mk(2, off, sizes1)
+        + mk(2, 0, sizes2, flags=0x000700),  # no data-offset flag
+    ))
+    f += _box(b"mdat", payload)
+    tbl = mp4_fragment_table(f)
+    assert [r[2] for r in tbl] == [10, 11, 12, 13]
+    offs = [r[3] for r in tbl]
+    start = f.find(b"moof") - 4  # moof BOX start
+    assert offs == [start + base, start + base + 10,
+                    start + base + 21, start + base + 33]
+    assert [f[o : o + s] for _i, _t, s, o, _k in tbl] \
+        == [b"A" * 10, b"B" * 11, b"C" * 12, b"D" * 13]
+    # first-and-only trun without the flag: starts at the traf base
+    f2, base2 = build(lambda off: mfhd + _box(
+        b"traf", tfhd + tfdt + mk(2, 0, sizes1, flags=0x000700)))
+    f2 += _box(b"mdat", b"A" * 10 + b"B" * 11)
+    tbl2 = mp4_fragment_table(f2)
+    start2 = f2.find(b"moof") - 4
+    # base_data = moof start (default-base-is-moof): the plan points at
+    # the moof header — offsets are honest, not fabricated
+    assert [r[3] for r in tbl2] == [start2, start2 + 10]
