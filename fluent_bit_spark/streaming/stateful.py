@@ -75,9 +75,19 @@ def throttle_stream(
     newest event fell that far behind the watermark — the reference's
     panes age out the same way, so on a years-long stream with key churn
     the state store tracks ACTIVE keys, not ever-seen keys. Eviction is
-    exactness-free here: the evicted state is a pane counter for a pane
-    the watermark already closed, so a returning key starts a fresh pane
-    as it would have anyway."""
+    exactness-free ONLY when ``idle_timeout >= interval_sec``: then the
+    evicted state is a pane counter for a pane the watermark already
+    closed, so a returning key starts a fresh pane as it would have
+    anyway. With panes LONGER than the idle horizon, a key evicted
+    mid-pane that returns in the SAME pane would restart used = 0 and
+    over-admit — so that configuration raises instead of silently
+    loosening the rate contract."""
+    if idle_timeout is not None and idle_timeout < interval_sec:
+        raise ValueError(
+            "throttle_stream: idle_timeout must be >= interval_sec — a key "
+            "evicted mid-pane that returns in the same pane would restart "
+            "its counter and be over-admitted"
+        )
     out_schema = f"{key} string, {time_col} timestamp, passed long"
     state_schema = "pane long, used long"
 

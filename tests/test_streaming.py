@@ -1998,6 +1998,18 @@ def test_pipeline_folds_idle_eviction(spark, tmp_path):
     assert n_state == 1  # A evicted, B live
     assert len(out) == 5  # rate never exceeded: all pass
 
+    # idle horizon shorter than a pane: mid-pane eviction would restart
+    # a returning key's counter and over-admit, so the config is
+    # rejected up front (r11 guard — the docstring's exactness claim
+    # holds only for idle_timeout >= interval_sec)
+    with pytest.raises(ValueError, match="idle_timeout must be >="):
+        throttle_stream(
+            spark.readStream.schema("tag string, ts timestamp")
+            .option("maxFilesPerTrigger", 1).json(str(tmp_path)),
+            rate=10, interval_sec=60, key="tag", time_col="ts",
+            idle_timeout=30.0, watermark="10 seconds",
+        )
+
     # --- snapshot: idle key's buffered-but-unflushed rows discard
     rows = [
         ("A", T0, "a1"), ("A", T0 + dt.timedelta(seconds=1), "a2"),
