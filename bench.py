@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "warc_gz_roundtrip",
     "fmp4_frame_plan",
     "exif_orientation",
+    "elst_frame_plan",
+    "fmp4_multitrack_plan",
+    "warc_quality_pipeline",
     "pipeline_e2e",
 ]
 
