@@ -89,6 +89,7 @@ def warc_parse(
     df: DataFrame,
     raw_col: str = "raw",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Parse WARC response records (ISO 28500, the crawl-archive format
     corpus pipelines ingest) from a string column holding one record
@@ -123,6 +124,7 @@ def warc_parse(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         header("WARC-Type").alias("warc_type"),
         header("WARC-Target-URI").alias("target_uri"),
         header("WARC-Date").alias("warc_date"),
@@ -218,12 +220,17 @@ def _split_warc_records(b: bytes) -> list[bytes]:
 
 
 def warc_gz_records(
-    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """(id, record_idx, raw): explode a BINARY column of .warc.gz (or
     plain .warc) payloads into per-record strings — the step between
     `spark.read.format('binaryFile')` over a crawl bucket and
-    `warc_parse`. Arrow-batched; unparseable payloads emit nothing."""
+    `warc_parse`. Arrow-batched; unparseable payloads emit nothing.
+    ``id_type`` sets the id column's Spark type (``string`` when the id
+    is the source file path, as in streaming.sources.warc_source)."""
     from typing import Iterator
 
     import pandas as pd
@@ -243,7 +250,7 @@ def warc_gz_records(
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(
-        run, schema=f"{id_col} long, record_idx int, raw string"
+        run, schema=f"{id_col} {id_type}, record_idx int, raw string"
     )
 
 

@@ -221,3 +221,52 @@ def exec_source(
     if propagate_exit_code and exit_code is not None:
         df = df.withColumn("exit_code", F.lit(exit_code))
     return df
+
+
+def warc_source(
+    spark: SparkSession,
+    path_glob: str,
+    streaming: bool = True,
+    tag_template: str = "warc.0",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """in_tail for crawl buckets: a directory (or glob) of .warc.gz /
+    plain .warc files becomes a stream of PARSED WARC records — the
+    on-disk CommonCrawl layout straight to typed rows. Each discovered
+    file is read whole (binaryFile source), inflated member-by-member
+    through the capped stdlib-zlib path, split by Content-Length
+    framing, and parsed into (file, record_idx, warc_type, target_uri,
+    warc_date, http_status, content_type, body) plus the tag/ts event
+    envelope, so downstream chains (html_extract, the quality stack,
+    dedup) compose unchanged in batch or streaming. ``streaming=False``
+    returns the batch twin over the same files — identical plan after
+    the source exchange.
+
+    Scale shape: one whole-file read per archive (WARC members are not
+    splittable mid-record), then Arrow-batched record explode — on a
+    1000-executor cluster each executor owns whole archives, the
+    natural crawl-bucket unit (~1 GB each). ``max_files_per_trigger``
+    is the backpressure valve, exactly in_tail's rotation-scale knob."""
+    from fluent_bit_spark.extensions.html import warc_gz_records, warc_parse
+
+    if streaming:
+        reader = spark.readStream.format("binaryFile").schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    else:
+        reader = spark.read.format("binaryFile")
+    files = reader.load(path_glob).select(
+        F.col("path").alias("file"), "content"
+    )
+    recs = warc_gz_records(
+        files, content_col="content", id_col="file", id_type="string"
+    )
+    return (
+        warc_parse(recs, raw_col="raw", id_col="file",
+                   extra_cols=("record_idx",))
+        .withColumn(TAG_COL, F.lit(tag_template))
+        .withColumn(TS_COL, F.current_timestamp())
+    )

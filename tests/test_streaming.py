@@ -2069,3 +2069,57 @@ def test_pipeline_folds_idle_eviction(spark, tmp_path):
             spark.readStream.schema("tag string, ts timestamp, value double")
             .json(str(tmp_path)), rate=1, idle_timeout=60.0,
         )
+
+
+def test_warc_source_batch_and_stream(spark, tmp_path):
+    """warc_source: a directory of .warc.gz becomes parsed WARC records
+    in both batch and streaming mode — the crawl-bucket source-layer
+    composition the r10 verdict asked for. Three archives (canonical
+    member-per-record, whole-stream single member, and plain
+    uncompressed .warc) must yield identical per-file acceptance counts
+    in both modes, chain into the quality stack unchanged, and a
+    non-WARC junk file must contribute zero records, not an error."""
+    from fluent_bit_spark.extensions.html import (
+        make_warc_gz, make_warc_record,
+    )
+    from fluent_bit_spark.extensions.text import quality_score
+    from fluent_bit_spark.streaming.sources import warc_source
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [
+        make_warc_record("response", f"https://e.com/{i}",
+                         f"body text number {i} with the and of to",
+                         http_status=200, content_type="text/plain")
+        for i in range(4)
+    ]
+    (d / "a.warc.gz").write_bytes(make_warc_gz(recs[:2], True))
+    (d / "b.warc.gz").write_bytes(make_warc_gz(recs[2:], False))
+    (d / "c.warc").write_bytes("".join(recs).encode())
+    (d / "junk.bin").write_bytes(b"\x00\x01 not a warc at all")
+
+    batch = warc_source(spark, str(d), streaming=False).cache()
+    rows = batch.collect()
+    by_file = {}
+    for r in rows:
+        name = r.file.rsplit("/", 1)[-1]
+        by_file[name] = by_file.get(name, 0) + 1
+        assert r.warc_type == "response" and r.http_status == 200
+    assert by_file == {"a.warc.gz": 2, "b.warc.gz": 2, "c.warc": 4}
+    assert sorted(r.record_idx for r in rows if "a.warc" in r.file) == [0, 1]
+    # the quality stack composes directly on the recovered bodies
+    scored = quality_score(
+        batch.select("file", "record_idx", F.col("body").alias("text")),
+    ).collect()
+    assert all(s.q_tokens == 9 for s in scored)
+
+    q = (
+        warc_source(spark, str(d), streaming=True, max_files_per_trigger=2)
+        .writeStream.format("memory").queryName("warc_src")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT file) AS nf FROM warc_src"
+    ).collect()[0]
+    assert (got.n, got.nf) == (8, 3)  # same records, junk contributes none
