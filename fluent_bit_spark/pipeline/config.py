@@ -483,12 +483,33 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
 
         out = type_converter(hit, [tuple(r) for r in fconf["rules"]])
     elif name == "throttle":
-        from fluent_bit_spark.operators.throttle import throttle
+        if hit.isStreaming:
+            # the always-on form: per-key pane counters in the state
+            # store, with the r10 idle-key eviction when the config sets
+            # idle_timeout + watermark. Contract difference vs batch:
+            # the fold emits its own (key, ts, passed) columns — the
+            # admitted-event audit stream — not the full record (use
+            # match: '*' so no mismatched passthrough union arises)
+            from fluent_bit_spark.streaming.stateful import throttle_stream
 
-        out = throttle(
-            hit, rate=int(fconf["rate"]), interval_sec=int(fconf.get("interval", 1)),
-            time_col=fconf.get("time_col", TS_COL), key=fconf.get("key"),
-        )
+            out = throttle_stream(
+                hit, rate=int(fconf["rate"]),
+                interval_sec=int(fconf.get("interval", 1)),
+                key=fconf.get("key", TAG_COL),
+                time_col=fconf.get("time_col", TS_COL),
+                idle_timeout=(
+                    float(fconf["idle_timeout"])
+                    if fconf.get("idle_timeout") else None
+                ),
+                watermark=fconf.get("watermark"),
+            )
+        else:
+            from fluent_bit_spark.operators.throttle import throttle
+
+            out = throttle(
+                hit, rate=int(fconf["rate"]), interval_sec=int(fconf.get("interval", 1)),
+                time_col=fconf.get("time_col", TS_COL), key=fconf.get("key"),
+            )
     elif name == "rewrite_tag":
         from fluent_bit_spark.operators.rewrite_tag import rewrite_tag
 
@@ -624,7 +645,9 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
     else:
         raise ValueError(f"unknown filter plugin {name!r}")
 
-    if miss.isEmpty():
+    if pattern == "*":
+        return out  # nothing missed; also the streaming fast path
+    if not df.isStreaming and miss.isEmpty():
         return out
     return out.unionByName(miss, allowMissingColumns=True)
 
@@ -766,10 +789,28 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
         tag = inp.get("tag", f"{inp['name']}.0")
         fmt = inp.get("format", inp.get("name", "parquet"))
         if fmt in ("parquet", "json", "csv", "text", "orc"):
-            reader = spark.read
-            if inp.get("schema"):
-                reader = reader.schema(inp["schema"])
-            df = reader.format(fmt).load(inp["path"])
+            if str(inp.get("stream", "")).lower() in ("true", "on", "1"):
+                # streaming twin of the file input: the same config block
+                # plus `stream: true` builds a readStream plan, so [FILTER]
+                # chains, stateful folds, and [STREAM_TASK] SQL compose on
+                # unbounded input; sinks are then driven with writeStream
+                # (run_outputs stays the batch path)
+                if not inp.get("schema"):
+                    raise ValueError(
+                        f"input {tag!r}: stream: true requires an explicit "
+                        "schema (streaming file sources cannot infer one)"
+                    )
+                reader = spark.readStream.schema(inp["schema"])
+                if inp.get("max_files_per_trigger"):
+                    reader = reader.option(
+                        "maxFilesPerTrigger", int(inp["max_files_per_trigger"])
+                    )
+                df = reader.format(fmt).load(inp["path"])
+            else:
+                reader = spark.read
+                if inp.get("schema"):
+                    reader = reader.schema(inp["schema"])
+                df = reader.format(fmt).load(inp["path"])
         elif fmt == "statsd":
             # in_statsd analog: text lines in the UDP datagram wire format
             from fluent_bit_spark.functions.statsd import statsd_decode
@@ -836,9 +877,17 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
         merged = _apply_filter(merged, fconf, parsers)
     pipe.inputs = {"__filtered__": merged}
 
-    # stream tasks see the filtered stream
+    # stream tasks see the filtered stream; a task-level `watermark`
+    # (streaming input only) re-registers the source with an event-time
+    # watermark so the task's windowed aggregates run append-mode — the
+    # SP dialect x always-on-state composition surface
     pipe.sp.register_stream("pipeline", merged)
     for task in conf.get("stream_tasks", []):
+        wm = task.get("watermark")
+        if wm and merged.isStreaming:
+            pipe.sp.register_stream(
+                "pipeline", merged.withWatermark(TS_COL, wm)
+            )
         pipe.sp.sql(task["exec"])
 
     pipe.outputs = conf.get("pipeline", {}).get("outputs", [])
