@@ -2972,6 +2972,62 @@ def elst_frame_plan_q(spark, sf_dir):
     )
 
 
+def mp3_frame_plan_q(spark, sf_dir):
+    """The AUDIO member of the frame-plan family (multimodal.py
+    mp3_frame_table): every document mints a 5-frame MPEG-1 Layer III
+    stream — sample rate cycling 44100/48000/32000, bitrate cycling
+    96/128/160/192, per-frame padding bits from doc_id%32, an ID3v2 tag
+    (26 bytes, must be skipped by its syncsafe size) on even doc_ids
+    and an ID3v1 'TAG' trailer (must stop the walk, not crash it) on
+    every 5th — and the plan derives each frame's (ts_ms, size,
+    absolute offset) from header arithmetic alone (ISO/IEC 11172-3:
+    len = 144*bitrate/rate + pad, 1152 samples/frame). The output md5s
+    each frame's codec payload; the oracle restates length, cumulative
+    offset (including the ID3 skip), sample-accurate timestamps, and
+    the filler bytes arithmetically — a wrong bitrate table, a missed
+    padding bit, or an unskipped tag hash-fails. Same 100 TB shape as
+    mp4_sample_table: independent (offset, size) range-read decode
+    tasks."""
+    import hashlib
+
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.multimodal import (
+        make_mp3_frames,
+        mp3_frame_table,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def run(batches):
+        cols = ["media_id", "frame_idx", "ts_ms", "size", "offset",
+                "payload_md5"]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                b = make_mp3_frames(
+                    5,
+                    sample_rate=(44100, 48000, 32000)[d % 3],
+                    bitrate_kbps=(96, 128, 160, 192)[d % 4],
+                    pad_pattern=d % 32,
+                    id3_size=16 if d % 2 == 0 else None,
+                    id3v1_trailer=(d % 5 == 0),
+                )
+                for idx, ts, sz, off in mp3_frame_table(b) or []:
+                    out.append((
+                        d, idx, ts, sz, off,
+                        hashlib.md5(b[off + 4 : off + sz]).hexdigest(),
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        schema="media_id long, frame_idx int, ts_ms bigint, size bigint, "
+               "offset bigint, payload_md5 string",
+    )
+
+
 def fmp4_multitrack_plan_q(spark, sf_dir):
     """Muxed audio+video fragmented MP4 (video.py mp4_fragment_table):
     every document mints a TWO-fragment DASH segment where each moof
@@ -5758,20 +5814,21 @@ def flowcounter_q(spark, sf_dir):
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
 # after the change.
 #
-# ROUND-11 WINDOW: the 3 never-driver-checked round-11 additions
-# (elst_frame_plan, fmp4_multitrack_plan, warc_quality_pipeline) lead;
-# then ALL 46 remaining r07-era rows (the stalest cohort — including
-# the four the r9 ranking listed but the r10 window couldn't fit:
-# grep_filter, modify_rules, nest_lift_roundtrip, dedup_minhash); then
-# the alphabetically-first r08-era row (alter_size_take; ann_served,
-# anomaly_zscore, attribution, audio_neardup, ... spill to the next
-# rotation). The round-11 semantic changes to already-green queries
+# ROUND-11 WINDOW: the 4 never-driver-checked round-11 additions
+# (elst_frame_plan, fmp4_multitrack_plan, warc_quality_pipeline,
+# mp3_frame_plan) lead; then ALL 46 remaining r07-era rows (the stalest
+# cohort — including the four the r9 ranking listed but the r10 window
+# couldn't fit: grep_filter, modify_rules, nest_lift_roundtrip,
+# dedup_minhash). The r08-era rows (alter_size_take, ann_served,
+# anomaly_zscore, attribution, audio_neardup, ...) spill to the next
+# rotation. The round-11 semantic changes to already-green queries
 # (exif_orientation's transverse fix, media_sniff_extended's stricter
 # MP3 triage, warc_gz_roundtrip's capped inflate, fmp4_frame_plan's
 # multi-traf/running-offset parser) are re-verified by the full
 # two-scale ORACLE_*_r11 reports regenerated after the change.
 _DRIVER_WINDOW = [
     "elst_frame_plan", "fmp4_multitrack_plan", "warc_quality_pipeline",
+    "mp3_frame_plan",
     "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
     "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
     "gopher_quality", "grep_filter", "heavy_hitters",
@@ -5787,7 +5844,6 @@ _DRIVER_WINDOW = [
     "statsd_decode", "syslog_3164_lines", "syslog_5424_lines",
     "text_langid", "text_quality", "text_repetition",
     "text_token_counts", "triangle_count", "winsorize",
-    "alter_size_take",
 ]
 
 
@@ -5939,6 +5995,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elst_frame_plan": elst_frame_plan_q,
         "fmp4_multitrack_plan": fmp4_multitrack_plan_q,
         "warc_quality_pipeline": warc_quality_pipeline_q,
+        "mp3_frame_plan": mp3_frame_plan_q,
         "exif_orientation": exif_orientation_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
@@ -7200,6 +7257,29 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "AS BIGINT) AS rel_offset, "
             "g IN (0, 3) AS keyframe FROM f"
+        ),
+        # pure header arithmetic: frame length 144*br/sr + padding bit,
+        # 1152 samples/frame timestamps, offsets cumulative past the
+        # 26-byte ID3v2 tag on even doc_ids; payload filler restated
+        "mp3_frame_plan": (
+            "WITH f AS (SELECT doc_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "ELSE 32000 END AS sr, "
+            "CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128 "
+            "WHEN 2 THEN 160 ELSE 192 END AS br, g FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 5)) AS g) gg), "
+            "s AS (SELECT doc_id, g, sr, "
+            "144 * br * 1000 // sr + (((doc_id % 32) >> g) & 1) AS size "
+            "FROM f) "
+            "SELECT doc_id AS media_id, CAST(g AS INT) AS frame_idx, "
+            "CAST(g * 1152 * 1000 // sr AS BIGINT) AS ts_ms, "
+            "CAST(size AS BIGINT) AS size, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 26 ELSE 0 END "
+            "+ COALESCE(SUM(size) OVER (PARTITION BY doc_id ORDER BY g "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS offset, "
+            "md5(repeat(chr(CAST(65 + g % 26 AS INT)), "
+            "CAST(size - 4 AS INT))) AS payload_md5 FROM s"
         ),
         # video-only arithmetic: the muxed file's audio trafs/samples
         # must vanish from the plan; video filler is uppercase

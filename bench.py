@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "elst_frame_plan",
     "fmp4_multitrack_plan",
     "warc_quality_pipeline",
+    "mp3_frame_plan",
     "pipeline_e2e",
 ]
 

@@ -307,6 +307,110 @@ def make_flac(
     return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
 
 
+# MPEG-1 Layer III bitrate table (kbps; index 0 = free-format, 15 =
+# forbidden) and the three Layer III samples-per-frame counts, straight
+# from ISO/IEC 11172-3 — shared by the sniffer fixture and the frame plan
+_MP3_BITRATES_V1L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def mp3_frame_table(b: bytes) -> list[tuple[int, int, int, int]] | None:
+    """The audio member of the frame-plan family: [(frame_idx, ts_ms,
+    size, absolute_byte_offset)] by walking MPEG audio frame headers —
+    an ID3v2 tag is skipped by its syncsafe size, each frame's length
+    derives from the header's bitrate/sample-rate/padding fields
+    (ISO/IEC 11172-3: Layer III len = 144*bitrate/rate + pad, Layer I
+    (12*bitrate/rate + pad)*4), and ts_ms accumulates samples-per-frame
+    over the sample rate. Like mp4_sample_table, each row is an
+    independent (offset, size) range-read decode task — the unit a
+    1000-executor transcode fans out over; no stateful scan. The walk
+    stops at the first non-frame byte (ID3v1 'TAG' trailer, truncation,
+    garbage) — filter, don't crash. None when no valid frame exists.
+    Envelope: constant version/layer within a stream (the broadcast
+    norm); free-format (bitrate index 0) returns what was walked so
+    far."""
+    try:
+        off = 0
+        if b[:3] == b"ID3" and len(b) >= 10:
+            off = 10 + ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                        | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        out: list[tuple[int, int, int, int]] = []
+        samples = 0
+        rate0 = None
+        while off + 4 <= len(b):
+            if b[off] != 0xFF or (b[off + 1] & 0xE0) != 0xE0:
+                break
+            ver = (b[off + 1] >> 3) & 3
+            layer = (b[off + 1] >> 1) & 3
+            br_idx = (b[off + 2] >> 4) & 0xF
+            sr_idx = (b[off + 2] >> 2) & 3
+            pad = (b[off + 2] >> 1) & 1
+            rates = _MP3_RATES.get(ver)
+            if (rates is None or sr_idx >= 3 or layer == 0
+                    or br_idx in (0, 15)):
+                break
+            rate = rates[sr_idx]
+            if ver == 3:
+                br = _MP3_BITRATES_V1L3[br_idx]
+                if br is None or layer != 1:
+                    break  # envelope: MPEG-1 Layer III table only
+                spf = 1152
+                size = 144 * br * 1000 // rate + pad
+            else:
+                spf = 576  # MPEG-2/2.5 Layer III
+                size = 72 * (8 * br_idx) * 1000 // rate + pad
+            if rate0 is None:
+                rate0 = rate
+            if size < 4 or off + size > len(b):
+                break  # torn trailing frame: plan only complete reads
+            out.append((len(out), samples * 1000 // rate0, size, off))
+            samples += spf
+            off += size
+        return out or None
+    except IndexError:
+        return None
+
+
+def make_mp3_frames(
+    n: int,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 128,
+    pad_pattern: int = 0,
+    id3_size: int | None = None,
+    id3v1_trailer: bool = False,
+) -> bytes:
+    """Multi-frame MPEG-1 Layer III fixture: ``n`` frames of
+    deterministic filler (frame g's codec payload is chr(65 + g%26)
+    repeated), frame g padded when bit g of ``pad_pattern`` is set,
+    optionally behind an ID3v2 tag of ``id3_size`` payload bytes and/or
+    before a 128-byte ID3v1 'TAG' trailer (both of which the frame plan
+    must skip / stop at)."""
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + b"\x00" * id3_size
+    for g in range(n):
+        pad = (pad_pattern >> g) & 1
+        size = 144 * bitrate_kbps * 1000 // sample_rate + pad
+        hdr = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1),          # MPEG1, Layer III
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            0x00,
+        ])
+        out += hdr + bytes([65 + g % 26]) * (size - 4)
+    if id3v1_trailer:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
 def make_mp3(
     sample_rate: int = 44100, stereo: bool = True, id3: bool = False
 ) -> bytes:

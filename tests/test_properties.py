@@ -905,3 +905,48 @@ def test_adpcm_decoder_matches_encoder_property(sig, nch):
     dec16 = np.round(x * 32768).astype(np.int64)
     assert rate == 8000 and len(dec16) == len(recon)
     assert (dec16 == recon.astype(np.int64)).all()
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.binary(max_size=300))
+def test_mp3_frame_table_never_raises(data):
+    """mp3_frame_table over arbitrary bytes: returns a list or None,
+    never raises; sync-looking and ID3 prefixes included. Every
+    returned row's range must lie inside the payload (the plan only
+    hands out complete range-reads)."""
+    from fluent_bit_spark.extensions.multimodal import mp3_frame_table
+
+    for payload in (data, b"\xff\xfb\x90\x00" + data, b"ID3" + data,
+                    b"ID3\x04\x00\x00\x00\x00\x00\x04" + data):
+        t = mp3_frame_table(payload)
+        if t:
+            for _i, ts, sz, off in t:
+                assert 0 <= off and off + sz <= len(payload) and ts >= 0
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    sr=st.sampled_from([44100, 48000, 32000]),
+    br=st.sampled_from([64, 96, 128, 160, 192, 320]),
+    pad=st.integers(min_value=0, max_value=4095),
+    id3=st.one_of(st.none(), st.integers(min_value=0, max_value=64)),
+)
+def test_mp3_frame_table_roundtrips_fixture(n, sr, br, pad, id3):
+    """Property: the frame plan recovers exactly the frames the fixture
+    wrote — count, per-frame length arithmetic (144*br/sr + padding
+    bit), cumulative offsets, and sample-accurate timestamps."""
+    from fluent_bit_spark.extensions.multimodal import (
+        make_mp3_frames, mp3_frame_table,
+    )
+
+    b = make_mp3_frames(n, sr, br, pad_pattern=pad, id3_size=id3,
+                        id3v1_trailer=True)
+    t = mp3_frame_table(b)
+    assert len(t) == n
+    off = 0 if id3 is None else 10 + id3
+    for g, (idx, ts, sz, o) in enumerate(t):
+        assert idx == g and o == off
+        assert sz == 144 * br * 1000 // sr + ((pad >> g) & 1)
+        assert ts == g * 1152 * 1000 // sr
+        off += sz
