@@ -85,6 +85,13 @@ HEAVY = [
     "warc_gz_roundtrip",
     "fmp4_frame_plan",
     "exif_orientation",
+    # round-11 additions: the edit-list / muxed-fragment / mp3 frame
+    # plans (Arrow scan passes, linear by design) + the crawl-source
+    # composition (inflate + framing + parse + quality in one chain)
+    "elst_frame_plan",
+    "fmp4_multitrack_plan",
+    "mp3_frame_plan",
+    "warc_quality_pipeline",
 ]
 
 
