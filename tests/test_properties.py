@@ -950,3 +950,68 @@ def test_mp3_frame_table_roundtrips_fixture(n, sr, br, pad, id3):
         assert sz == 144 * br * 1000 // sr + ((pad >> g) & 1)
         assert ts == g * 1152 * 1000 // sr
         off += sz
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=8),
+    dur=st.integers(min_value=10, max_value=200),
+    lift=st.integers(min_value=0, max_value=300),
+    m=st.integers(min_value=0, max_value=300),
+    lead=st.one_of(st.none(), st.integers(min_value=1, max_value=1000)),
+    spc=st.integers(min_value=1, max_value=4),
+)
+def test_elst_plan_matches_arithmetic(n, dur, lift, m, lead, spc):
+    """Property: with a constant ctts lift and an elst media-time (and
+    an optional leading EMPTY edit, which must be skipped), every plan
+    row's presentation time is dts + lift - media_time exactly; byte
+    ranges never move relative to the edit-free file."""
+    from fluent_bit_spark.extensions.video import make_mp4, mp4_sample_table
+
+    deltas = [dur] * n
+    sizes = [10 + (3 * g) % 7 for g in range(n)]
+    base = mp4_sample_table(
+        make_mp4(32, 24, deltas, sizes, samples_per_chunk=spc)
+    )
+    got = mp4_sample_table(make_mp4(
+        32, 24, deltas, sizes, samples_per_chunk=spc,
+        ctts_offsets=[lift] * n, elst_media_time=m, elst_lead_empty=lead,
+    ))
+    assert [r[1] for r in got] \
+        == [(g * dur + lift - m) * 1000 // 1000 for g in range(n)]
+    assert [r[2:] for r in got] == [r[2:] for r in base]
+
+
+@settings(deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=4), min_size=1,
+                    max_size=4),
+    dur=st.integers(min_value=10, max_value=100),
+    a_n=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_fmp4_multitrack_plan_matches_video_only(counts, dur, a_n, seed):
+    """Property: interleaving arbitrary audio trafs (one per moof,
+    before the video traf, samples laid out first in mdat) never
+    changes the video plan's indices/timestamps/sizes/keyflags, and
+    every muxed range-read still lands on the uppercase video filler."""
+    from fluent_bit_spark.extensions.video import make_fmp4, mp4_fragment_table
+
+    g = 0
+    frags, audio, t = [], [], 0
+    for c in counts:
+        samples = []
+        for _ in range(c):
+            samples.append((dur, 8 + (seed + g) % 9, g % 2 == 0))
+            g += 1
+        frags.append((t, samples))
+        audio.append((t // 2, [(21, 5 + (seed + k) % 4, True)
+                               for k in range(a_n)]))
+        t += c * dur
+    solo = mp4_fragment_table(make_fmp4(320, 180, frags))
+    b = make_fmp4(320, 180, frags, audio_fragments=audio)
+    muxed = mp4_fragment_table(b)
+    assert [(r[0], r[1], r[2], r[4]) for r in muxed] \
+        == [(r[0], r[1], r[2], r[4]) for r in solo]
+    for i, (_idx, _ts, sz, off, _k) in enumerate(muxed):
+        assert b[off : off + sz] == bytes([65 + i % 26]) * sz
