@@ -352,3 +352,34 @@ def test_media_pipeline_stream_matches_batch(spark, tmp_path):
     )
     assert stream.pop("n_batches") == 2
     assert stream == batch
+
+
+def test_warc_stream_pipeline_matches_batch(spark, tmp_path):
+    """The crawl-bucket composition gate (text twin of the media
+    pipeline): warc_source ingestion -> mojibake repair -> quality
+    filter -> minhash dedup, run batch over the archive directory and
+    streaming one-archive-per-micro-batch with the history store, must
+    agree on every stage count INCLUDING the surviving token total —
+    the padded duplicates live in a strictly-later archive, so the
+    streaming drop goes through the history bands, not the within-batch
+    join."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import warc_stream_pipeline
+
+    batch = warc_stream_pipeline.run(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "cp_batch")
+    )
+    stream = warc_stream_pipeline.run_stream(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "cp_stream")
+    )
+    n_batches = stream.pop("n_batches")
+    assert n_batches >= 3  # originals split across archives + dup tail
+    assert stream == batch
+    # the planted duplicates actually dropped (50 padded copies of
+    # every 10th of 500 docs), plus whatever natural near-dups the
+    # corpus carries — never more input than output
+    assert batch["input_records"] == 550
+    assert batch["after_dedup"] <= batch["quality_kept"] - 50
