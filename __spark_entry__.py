@@ -3145,6 +3145,48 @@ def warc_quality_pipeline_q(spark, sf_dir):
     )
 
 
+def boilerplate_blocks_q(spark, sf_dir):
+    """jusText-style block classification (html.py html_blocks): every
+    document mints a page with a 3-link nav div (5 tokens, link density
+    0.6 -> 'boilerplate') and four paragraphs of 5/10/15 tokens by
+    (doc_id+g)%3 ('short' under 10 tokens, else 'good') — the
+    block-level chrome-vs-prose separation corpus pipelines run between
+    WET extraction and quality scoring (Pomikálek 2011's two core
+    signals as pure Catalyst). The oracle restates every block's text,
+    token/link counts, density, and label from doc_id arithmetic — a
+    wrong split position, a fused tag, or a flipped label rule
+    hash-fails."""
+    from fluent_bit_spark.extensions.html import html_blocks
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    nav = ('<div>nav <a href="u">go</a> <a href="u">go</a> '
+           '<a href="u">go</a> menu</div>')
+    paras = F.concat(*[
+        F.concat(
+            F.lit("<p>"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(4) + ((F.col("doc_id") + g) % 3) * 5),
+                    lambda i: F.concat(
+                        F.lit("t"), F.col("doc_id").cast("string"),
+                        F.lit(f"_{g}_"), i.cast("string"),
+                    ),
+                ),
+            ),
+            F.lit("</p>"),
+        )
+        for g in range(4)
+    ])
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body>" + nav), paras, F.lit("</body></html>")
+        ).alias("html"),
+    )
+    return html_blocks(pages)
+
+
 def warc_gz_roundtrip_q(spark, sf_dir):
     """The ON-DISK crawl layout (html.py warc_gz_records): every
     document mints a 3-record .warc.gz — a response (status cycling
@@ -5814,21 +5856,22 @@ def flowcounter_q(spark, sf_dir):
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
 # after the change.
 #
-# ROUND-11 WINDOW: the 4 never-driver-checked round-11 additions
+# ROUND-11 WINDOW: the 5 never-driver-checked round-11 additions
 # (elst_frame_plan, fmp4_multitrack_plan, warc_quality_pipeline,
-# mp3_frame_plan) lead; then ALL 46 remaining r07-era rows (the stalest
-# cohort — including the four the r9 ranking listed but the r10 window
-# couldn't fit: grep_filter, modify_rules, nest_lift_roundtrip,
-# dedup_minhash). The r08-era rows (alter_size_take, ann_served,
-# anomaly_zscore, attribution, audio_neardup, ...) spill to the next
-# rotation. The round-11 semantic changes to already-green queries
+# mp3_frame_plan, boilerplate_blocks) lead; then 45 of the 46 r07-era
+# rows (the stalest cohort — including the four the r9 ranking listed
+# but the r10 window couldn't fit: grep_filter, modify_rules,
+# nest_lift_roundtrip, dedup_minhash; winsorize, the alphabetically
+# last, spills with the r08-era rows to the next rotation — it stays
+# hash-green in the r11 full-registry reports). The round-11 semantic
+# changes to already-green queries
 # (exif_orientation's transverse fix, media_sniff_extended's stricter
 # MP3 triage, warc_gz_roundtrip's capped inflate, fmp4_frame_plan's
 # multi-traf/running-offset parser) are re-verified by the full
 # two-scale ORACLE_*_r11 reports regenerated after the change.
 _DRIVER_WINDOW = [
     "elst_frame_plan", "fmp4_multitrack_plan", "warc_quality_pipeline",
-    "mp3_frame_plan",
+    "mp3_frame_plan", "boilerplate_blocks",
     "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
     "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
     "gopher_quality", "grep_filter", "heavy_hitters",
@@ -5843,7 +5886,7 @@ _DRIVER_WINDOW = [
     "splunk_hec_roundtrip", "splunk_hec_shape", "stackdriver_shape",
     "statsd_decode", "syslog_3164_lines", "syslog_5424_lines",
     "text_langid", "text_quality", "text_repetition",
-    "text_token_counts", "triangle_count", "winsorize",
+    "text_token_counts", "triangle_count",
 ]
 
 
@@ -5996,6 +6039,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fmp4_multitrack_plan": fmp4_multitrack_plan_q,
         "warc_quality_pipeline": warc_quality_pipeline_q,
         "mp3_frame_plan": mp3_frame_plan_q,
+        "boilerplate_blocks": boilerplate_blocks_q,
         "exif_orientation": exif_orientation_q,
         "mkv_headers": mkv_headers_q,
         "tar_shard_roundtrip": tar_shard_roundtrip_q,
@@ -7257,6 +7301,23 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "AS BIGINT) AS rel_offset, "
             "g IN (0, 3) AS keyframe FROM f"
+        ),
+        # the nav block is a constant; each paragraph's text, counts,
+        # density, and label restate from (doc_id+g)%3 arithmetic
+        "boilerplate_blocks": (
+            "WITH p AS (SELECT doc_id, g, "
+            "5 + ((doc_id + g) % 3) * 5 AS n FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 4)) AS g) gg), "
+            "t AS (SELECT doc_id, g, n, x.text FROM p CROSS JOIN LATERAL "
+            "(SELECT string_agg('t' || doc_id || '_' || g || '_' || i, "
+            "' ' ORDER BY i) AS text "
+            "FROM unnest(range(0, n)) AS tt(i)) x) "
+            "SELECT doc_id, 1 AS block_idx, "
+            "'nav go go go menu' AS text, 5 AS n_tokens, 3 AS n_links, "
+            "0.6 AS link_density, 'boilerplate' AS label FROM documents "
+            "UNION ALL SELECT doc_id, CAST(g + 2 AS INT), text, "
+            "CAST(n AS INT), 0, 0.0, "
+            "CASE WHEN n < 10 THEN 'short' ELSE 'good' END FROM t"
         ),
         # pure header arithmetic: frame length 144*br/sr + padding bit,
         # 1152 samples/frame timestamps, offsets cumulative past the

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "fmp4_multitrack_plan",
     "warc_quality_pipeline",
     "mp3_frame_plan",
+    "boilerplate_blocks",
     "pipeline_e2e",
 ]
 

@@ -3797,3 +3797,44 @@ def test_exif_orientation_transforms_match_spec_index_arithmetic():
                 == a.tobytes(), o
     # all eight produce pairwise-distinct pixels on this asymmetric input
     assert len(set(results.values())) == 8
+
+
+def test_html_blocks_justext_labels(spark):
+    """jusText-style block classification: pages split at block-tag
+    openings, per-block link density and length drive the
+    boilerplate/short/good labels; entities decode, nested inline tags
+    strip without fusing words, empty blocks drop, and a page with no
+    block tags yields one block at index 0 — r11 corpus-pipeline
+    addition (Pomikálek 2011's two core signals as pure Catalyst)."""
+    from fluent_bit_spark.extensions.html import html_blocks
+
+    page = (
+        '<html><body>'
+        '<div>nav <a href="/a">Home</a> <a href="/b">About</a> '
+        '<a href="/c">More</a> links</div>'
+        '<p>short one</p>'
+        '<p>' + " ".join(f"w{i}" for i in range(11)) + ' <b>bold</b>&amp;x</p>'
+        '<li><a href="/d">one link</a> in a longer block of words '
+        'that keeps density low under the threshold here</li>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "no tags at all just prose"), (3, "<p></p><p> </p>")],
+        "doc_id long, html string",
+    )
+    rows = {(r.doc_id, r.block_idx): r for r in html_blocks(df).collect()}
+    nav = rows[(1, 1)]
+    assert nav.label == "boilerplate" and nav.n_links == 3
+    assert nav.text == "nav Home About More links"
+    assert rows[(1, 2)].label == "short"
+    good = rows[(1, 3)]
+    assert good.label == "good" and good.n_tokens == 13
+    assert good.text.endswith("bold &x")  # tag stripped, entity decoded
+    li = rows[(1, 4)]
+    assert li.label == "good" and li.n_links == 1
+    assert li.link_density <= 0.2
+    # tagless page: one block at the split prefix (index 0)
+    assert rows[(2, 0)].text == "no tags at all just prose"
+    assert rows[(2, 0)].label == "short"
+    # doc 3: every block empty after stripping -> no rows at all
+    assert not any(d == 3 for d, _ in rows)

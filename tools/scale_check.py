@@ -92,6 +92,7 @@ HEAVY = [
     "fmp4_multitrack_plan",
     "mp3_frame_plan",
     "warc_quality_pipeline",
+    "boilerplate_blocks",
 ]
 
 
