@@ -307,11 +307,15 @@ def make_flac(
     return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
 
 
-# MPEG-1 Layer III bitrate table (kbps; index 0 = free-format, 15 =
-# forbidden) and the three Layer III samples-per-frame counts, straight
-# from ISO/IEC 11172-3 — shared by the sniffer fixture and the frame plan
+# Layer III bitrate tables (kbps; index 0 = free-format, 15 = forbidden)
+# straight from ISO/IEC 11172-3 (MPEG-1) and 13818-3 (MPEG-2/2.5 LSF) —
+# shared by the sniffer fixture and the frame plan. The LSF table is NOT
+# 8*index: it diverges above index 8 (80/96/112/128/144/160).
 _MP3_BITRATES_V1L3 = (
     None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_BITRATES_V2L3 = (
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
 )
 _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
               0: (11025, 12000, 8000)}
@@ -353,15 +357,17 @@ def mp3_frame_table(b: bytes) -> list[tuple[int, int, int, int]] | None:
                     or br_idx in (0, 15)):
                 break
             rate = rates[sr_idx]
+            if layer != 1:
+                break  # envelope: Layer III only (the broadcast norm)
             if ver == 3:
                 br = _MP3_BITRATES_V1L3[br_idx]
-                if br is None or layer != 1:
-                    break  # envelope: MPEG-1 Layer III table only
                 spf = 1152
                 size = 144 * br * 1000 // rate + pad
             else:
-                spf = 576  # MPEG-2/2.5 Layer III
-                size = 72 * (8 * br_idx) * 1000 // rate + pad
+                # MPEG-2/2.5 LSF: 576 samples/frame, half the slot count
+                br = _MP3_BITRATES_V2L3[br_idx]
+                spf = 576
+                size = 72 * br * 1000 // rate + pad
             if rate0 is None:
                 rate0 = rate
             if size < 4 or off + size > len(b):

@@ -3838,3 +3838,34 @@ def test_html_blocks_justext_labels(spark):
     assert rows[(2, 0)].label == "short"
     # doc 3: every block empty after stripping -> no rows at all
     assert not any(d == 3 for d, _ in rows)
+
+
+def test_mp3_frame_table_mpeg2_lsf():
+    """MPEG-2/2.5 LSF frames use their OWN bitrate table (ISO/IEC
+    13818-3 — it diverges from 8*index above index 8: 80/96/112/128/
+    144/160), 576 samples/frame, and half the slot count; Layer I/II
+    headers stop the walk (Layer III envelope). A V2 Layer III stream
+    at 22050 Hz / 80 kbps (index 9 — exactly where the naive 8*index
+    mapping would be wrong: 72, not 80) must plan frame length
+    72*80000/22050 = 261 and 26 ms steps."""
+    from fluent_bit_spark.extensions.multimodal import mp3_frame_table
+
+    def v2_frame(br_idx, sr_idx=0, pad=0, fill=65):
+        size = 72 * (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 144, 160)[br_idx] * 1000 \
+            // (22050, 24000, 16000)[sr_idx] + pad
+        hdr = bytes([0xFF, 0xE0 | (2 << 3) | (1 << 1) | 1,
+                     (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0])
+        return hdr + bytes([fill]) * (size - 4)
+
+    b = v2_frame(9) + v2_frame(9, pad=1, fill=66) + v2_frame(9, fill=67)
+    t = mp3_frame_table(b)
+    assert [r[2] for r in t] == [261, 262, 261]
+    assert [r[1] for r in t] == [0, 576 * 1000 // 22050,
+                                 2 * 576 * 1000 // 22050]
+    assert t[1][3] == 261 and t[2][3] == 523
+    # a Layer II header (layer bits 10) stops the walk, never computes
+    l2 = bytes([0xFF, 0xE0 | (3 << 3) | (2 << 1), 0x90, 0]) + b"\x00" * 400
+    assert mp3_frame_table(l2) is None
+    assert mp3_frame_table(v2_frame(9) + l2) is not None  # stop, keep prefix
+    assert len(mp3_frame_table(v2_frame(9) + l2)) == 1
