@@ -151,9 +151,11 @@ def run(spark, sf_dir: str, work_dir: str) -> dict[str, int]:
     kept = _stages(records, counts)
     survivors = minhash_dedup(kept)
     counts["after_dedup"] += survivors.count()
-    counts["total_tokens"] += survivors.select(
-        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n")
-    ).collect()[0].n
+    counts["total_tokens"] += (
+        survivors.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n")
+        ).collect()[0].n or 0  # SUM of zero rows is null, as in run_stream
+    )
     return counts
 
 

@@ -76,7 +76,7 @@ def html_extract(
     body = F.trim(
         F.regexp_replace(decode_entities(strip_tags(no_head)), r"\s+", " ")
     )
-    n_links = F.size(F.regexp_extract_all(html, F.lit(r"(?i)<a\s"), 0))
+    n_links = F.size(F.regexp_extract_all(html, F.lit(r"(?i)<a[\s>/]"), 0))
     return df.select(
         F.col(id_col),
         title.alias("title"),
@@ -123,7 +123,11 @@ def html_blocks(
     text = F.trim(
         F.regexp_replace(decode_entities(strip_tags(F.col("__seg"))), r"\s+", " ")
     )
-    n_links = F.size(F.regexp_extract_all(F.col("__seg"), F.lit(r"(?i)<a\s"), 0))
+    # [\s>/] and not \s alone: attribute-less anchors (<a>) are valid
+    # HTML and exactly the chrome this classifier exists to catch
+    n_links = F.size(
+        F.regexp_extract_all(F.col("__seg"), F.lit(r"(?i)<a[\s>/]"), 0)
+    )
     out = out.select(
         id_col, "block_idx", text.alias("text"), n_links.alias("n_links")
     ).where(F.length("text") > 0)
@@ -209,43 +213,60 @@ def warc_parse(
 # pure stdlib over Arrow batches; records then chain into warc_parse /
 # html_extract exactly like pre-split strings.
 # --------------------------------------------------------------------------
-#: Inflation ceiling for one .warc.gz payload (256 MB). Crawl payloads are
-#: untrusted: a kilobyte-sized gzip bomb otherwise expands fully into
-#: executor memory — the claims-vs-payload bound the other parsers carry.
-_GZIP_MAX_OUT = 256 * 1024 * 1024
+#: Default inflation ceiling for one .warc.gz payload (1 GB). Crawl
+#: payloads are untrusted: a kilobyte-sized gzip bomb otherwise expands
+#: fully into executor memory — the claims-vs-payload bound the other
+#: parsers carry. Legitimate archives larger than this (a whole-file
+#: CommonCrawl segment inflates to several GB) should raise the knob via
+#: warc_gz_records(max_inflate=...) / their own split — a capped payload
+#: yields only its LEADING records (the torn tail drops in framing).
+_GZIP_MAX_OUT = 1 << 30
 
 
 def _gzip_members(b: bytes, max_out: int = _GZIP_MAX_OUT) -> bytes:
     """Inflate every gzip member of a concatenated stream into one plain
     byte blob (members are self-delimiting; a torn trailing member yields
     what it held). Non-gzip input passes through unchanged (a plain
-    .warc). Output is capped at ``max_out`` bytes — inflation proceeds in
-    bounded `decompress(chunk, max_length)` steps and stops at the cap,
-    so a gzip bomb yields a truncated blob whose torn trailing record the
-    Content-Length framing then drops (filter, don't explode)."""
+    .warc). Output is capped at ``max_out`` bytes, and the compressed
+    input is fed in bounded WINDOWS (1 MB in / at most 8 MB out per
+    step) — passing the whole remaining buffer to decompress(data,
+    max_length) makes zlib copy the remainder into unconsumed_tail on
+    every step, which is quadratic in archive size (measured: 7.5 s for
+    a 128 MB member vs 0.26 s single-shot)."""
     import zlib
 
     if b[:2] != b"\x1f\x8b":
         return b
     out = bytearray()
-    buf = b
-    step = 1 << 20
-    while buf[:2] == b"\x1f\x8b" and len(out) < max_out:
+    pos = 0
+    chunk_in = 1 << 20
+    step_out = 8 << 20
+    while (
+        pos + 2 <= len(b)
+        and b[pos : pos + 2] == b"\x1f\x8b"
+        and len(out) < max_out
+    ):
         d = zlib.decompressobj(31)
         try:
-            data = buf
-            while True:
-                out += d.decompress(data, min(step, max_out - len(out)))
-                if len(out) >= max_out:
-                    return bytes(out)
-                data = d.unconsumed_tail
-                if not data or d.eof:
-                    break
+            while not d.eof:
+                chunk = b[pos : pos + chunk_in]
+                if not chunk:
+                    return bytes(out)  # torn trailing member
+                data = chunk
+                while data:
+                    out += d.decompress(
+                        data, min(step_out, max_out - len(out))
+                    )
+                    if len(out) >= max_out:
+                        return bytes(out)
+                    data = d.unconsumed_tail
+                    if d.eof:
+                        break
+                pos += len(chunk)
+                if d.eof:
+                    pos -= len(d.unused_data)  # next member starts here
         except zlib.error:
-            break
-        buf = d.unused_data
-        if not buf:
-            break
+            return bytes(out)  # corrupt member: keep what inflated
     return bytes(out)
 
 
@@ -288,13 +309,18 @@ def warc_gz_records(
     content_col: str = "content",
     id_col: str = "doc_id",
     id_type: str = "long",
+    max_inflate: int = _GZIP_MAX_OUT,
 ) -> DataFrame:
     """(id, record_idx, raw): explode a BINARY column of .warc.gz (or
     plain .warc) payloads into per-record strings — the step between
     `spark.read.format('binaryFile')` over a crawl bucket and
     `warc_parse`. Arrow-batched; unparseable payloads emit nothing.
     ``id_type`` sets the id column's Spark type (``string`` when the id
-    is the source file path, as in streaming.sources.warc_source)."""
+    is the source file path, as in streaming.sources.warc_source).
+    ``max_inflate`` caps one payload's inflated bytes (gzip-bomb guard,
+    default 1 GB): a payload hitting the cap yields only its LEADING
+    records — size the cap to your archives' inflated size, or split
+    oversized archives upstream."""
     from typing import Iterator
 
     import pandas as pd
@@ -305,7 +331,7 @@ def warc_gz_records(
             out = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    plain = _gzip_members(bytes(content or b""))
+                    plain = _gzip_members(bytes(content or b""), max_inflate)
                     recs = _split_warc_records(plain)
                 except Exception:
                     continue

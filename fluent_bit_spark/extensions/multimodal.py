@@ -183,11 +183,7 @@ def parse_media_header(b: bytes) -> dict:
                 br_idx = (b[off + 2] >> 4) & 0xF
                 sr_idx = (b[off + 2] >> 2) & 3
                 mode = (b[off + 3] >> 6) & 3
-                rates = {
-                    3: (44100, 48000, 32000),
-                    2: (22050, 24000, 16000),
-                    0: (11025, 12000, 8000),
-                }.get(ver)
+                rates = _MP3_RATES.get(ver)
                 # a bare 0xFF 0xEx prefix is NOT evidence of mp3 — the
                 # whole header must validate: version not reserved (1),
                 # layer not reserved (0), sample-rate index < 3, bitrate

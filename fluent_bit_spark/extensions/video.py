@@ -445,6 +445,7 @@ def make_fmp4(
     codec: str = "mp4v",
     elst_media_time: int | None = None,
     audio_fragments: list[tuple[int, list[tuple[int, int, bool]]]] | None = None,
+    audio_trak_first: bool = False,
 ) -> bytes:
     """Fragmented-MP4 writer (fixture support) — the DASH/HLS segment
     layout streamed web video ships in: ftyp(iso5) + moov carrying an
@@ -461,8 +462,11 @@ def make_fmp4(
     laid out before the video samples in mdat — the interleaved layout
     real DASH segments use, which a video frame plan must skip, not
     absorb. Audio filler bytes are chr(97 + idx % 26) so a plan that
-    wrongly reads audio ranges hash-fails. ``elst_media_time`` writes
-    an edts/elst on the video trak (see make_mp4)."""
+    wrongly reads audio ranges hash-fails. ``audio_trak_first`` writes
+    the audio TRAK before the video trak in moov (track order is
+    unconstrained by ISO BMFF — parsers must select by hdlr, not take
+    the first trak). ``elst_media_time`` writes an edts/elst on the
+    video trak (see make_mp4)."""
     if audio_fragments is not None and len(audio_fragments) != len(fragments):
         raise ValueError("audio_fragments must parallel fragments")
     ftyp = _box(b"ftyp", b"iso5" + _struct.pack(">I", 0x200) + b"iso5dash")
@@ -513,7 +517,7 @@ def make_fmp4(
         )
     trak = _box(b"trak", tkhd + edts + mdia)
     trexes = _full(b"trex", 0, 0, _struct.pack(">IIIII", 1, 1, 0, 0, 0x10000))
-    traks = trak
+    a_trak = b""
     if audio_fragments is not None:
         a_entry = _box(
             b"mp4a",
@@ -534,10 +538,11 @@ def make_fmp4(
             + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
             + _struct.pack(">II", 0, 0),
         )
-        traks += _box(b"trak", a_tkhd + a_mdia)
+        a_trak = _box(b"trak", a_tkhd + a_mdia)
         trexes += _full(
             b"trex", 0, 0, _struct.pack(">IIIII", 2, 1, 0, 0, 0x10000)
         )
+    traks = (a_trak + trak) if audio_trak_first else (trak + a_trak)
     mvhd = _full(
         b"mvhd", 0, 0,
         _struct.pack(">IIII", 0, 0, timescale, 0)
@@ -594,7 +599,8 @@ def make_fmp4(
 
 
 def _tkhd_track_id(b: bytes, found: dict[bytes, tuple[int, int]]) -> int:
-    """track_ID of the first (video) trak's tkhd; 1 when absent — the
+    """track_ID of the VIDEO trak's tkhd (per _mp4_collect's trak
+    selection — hdlr 'vide' first, see there); 1 when absent. The
     trex/tfhd rows the fragment plan keeps are the ones matching it."""
     if b"tkhd" not in found:
         return 1
@@ -821,9 +827,26 @@ _MP4_CONTAINERS = {
 }
 
 
+def _trak_is_video(b: bytes, trak_s: int, trak_e: int) -> bool:
+    """True when the trak's mdia/hdlr handler_type is 'vide'."""
+    for cc, ps, pe in _walk_boxes(b, trak_s, trak_e):
+        if cc != b"mdia":
+            continue
+        for c2, p2, e2 in _walk_boxes(b, ps, pe):
+            # hdlr payload: version/flags(4) pre_defined(4) handler(4)
+            if c2 == b"hdlr":
+                return b[p2 + 8 : p2 + 12] == b"vide"
+    return False
+
+
 def _mp4_collect(b: bytes) -> dict[bytes, tuple[int, int]] | None:
-    """First-track flat map fourcc -> (payload_start, payload_end) for
-    the boxes the parser reads."""
+    """Video-track flat map fourcc -> (payload_start, payload_end) for
+    the boxes the parser reads. The trak that gets collected is the
+    first whose hdlr says 'vide' (track order in moov is unconstrained
+    by ISO BMFF and real muxers do write the audio trak first — taking
+    'the first trak' would hand every downstream reader the AUDIO
+    track's tkhd/mdhd/elst/stbl); falls back to the first trak when no
+    handler says video."""
     if len(b) < 12 or b[4:8] != b"ftyp":
         return None
     found: dict[bytes, tuple[int, int]] = {}
@@ -831,12 +854,26 @@ def _mp4_collect(b: bytes) -> dict[bytes, tuple[int, int]] | None:
     while stack:
         s, e = stack.pop()
         for cc, ps, pe in _walk_boxes(b, s, e):
-            if cc in found and cc in (b"trak",):
-                continue  # first video track only
+            if cc == b"trak":
+                continue  # chosen at the moov level below
             if cc in _MP4_CONTAINERS:
                 if cc not in found:
                     found[cc] = (ps, pe)
                     stack.append((ps, pe))
+                    if cc == b"moov":
+                        first = chosen = None
+                        for c2, p2, e2 in _walk_boxes(b, ps, pe):
+                            if c2 != b"trak":
+                                continue
+                            if first is None:
+                                first = (p2, e2)
+                            if _trak_is_video(b, p2, e2):
+                                chosen = (p2, e2)
+                                break
+                        trak = chosen or first
+                        if trak is not None:
+                            found[b"trak"] = trak
+                            stack.append(trak)
             elif cc not in found:
                 found[cc] = (ps, pe)
     return found

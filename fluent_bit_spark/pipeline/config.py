@@ -488,8 +488,17 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
             # store, with the r10 idle-key eviction when the config sets
             # idle_timeout + watermark. Contract difference vs batch:
             # the fold emits its own (key, ts, passed) columns — the
-            # admitted-event audit stream — not the full record (use
-            # match: '*' so no mismatched passthrough union arises)
+            # admitted-event audit stream — not the full record, so a
+            # partial match would union mismatched schemas (throttled
+            # rows with every record field null, passthrough rows with
+            # null 'passed'); reject that config instead of emitting a
+            # silently corrupted stream
+            if pattern != "*":
+                raise ValueError(
+                    "streaming throttle requires match: '*' — the fold "
+                    "emits (key, ts, passed), which cannot union with "
+                    "unmatched full-schema records"
+                )
             from fluent_bit_spark.streaming.stateful import throttle_stream
 
             out = throttle_stream(
@@ -499,7 +508,7 @@ def _apply_filter(df: DataFrame, fconf: dict, parsers: dict) -> DataFrame:
                 time_col=fconf.get("time_col", TS_COL),
                 idle_timeout=(
                     float(fconf["idle_timeout"])
-                    if fconf.get("idle_timeout") else None
+                    if fconf.get("idle_timeout") is not None else None
                 ),
                 watermark=fconf.get("watermark"),
             )
@@ -878,9 +887,11 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
     pipe.inputs = {"__filtered__": merged}
 
     # stream tasks see the filtered stream; a task-level `watermark`
-    # (streaming input only) re-registers the source with an event-time
-    # watermark so the task's windowed aggregates run append-mode — the
-    # SP dialect x always-on-state composition surface
+    # (streaming input only) registers a watermarked source for THAT
+    # task so its windowed aggregates run append-mode — the SP dialect
+    # x always-on-state composition surface. The registration is scoped
+    # per task (restored after): a later watermark-less task must see
+    # the raw stream, not silently inherit an earlier task's horizon
     pipe.sp.register_stream("pipeline", merged)
     for task in conf.get("stream_tasks", []):
         wm = task.get("watermark")
@@ -888,7 +899,12 @@ def load_pipeline(spark: SparkSession, conf: str | dict) -> Pipeline:
             pipe.sp.register_stream(
                 "pipeline", merged.withWatermark(TS_COL, wm)
             )
-        pipe.sp.sql(task["exec"])
+            try:
+                pipe.sp.sql(task["exec"])
+            finally:
+                pipe.sp.register_stream("pipeline", merged)
+        else:
+            pipe.sp.sql(task["exec"])
 
     pipe.outputs = conf.get("pipeline", {}).get("outputs", [])
     return pipe

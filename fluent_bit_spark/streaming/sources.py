@@ -229,6 +229,7 @@ def warc_source(
     streaming: bool = True,
     tag_template: str = "warc.0",
     max_files_per_trigger: int | None = None,
+    max_inflate: int | None = None,
 ) -> DataFrame:
     """in_tail for crawl buckets: a directory (or glob) of .warc.gz /
     plain .warc files becomes a stream of PARSED WARC records — the
@@ -246,7 +247,11 @@ def warc_source(
     splittable mid-record), then Arrow-batched record explode — on a
     1000-executor cluster each executor owns whole archives, the
     natural crawl-bucket unit (~1 GB each). ``max_files_per_trigger``
-    is the backpressure valve, exactly in_tail's rotation-scale knob."""
+    is the backpressure valve, exactly in_tail's rotation-scale knob.
+    ``max_inflate`` caps one archive's inflated bytes (gzip-bomb guard;
+    default 1 GB via warc_gz_records) — size it to your archives'
+    INFLATED size (a ~1 GB compressed segment inflates to several GB),
+    since a capped archive yields only its leading records."""
     from fluent_bit_spark.extensions.html import warc_gz_records, warc_parse
 
     if streaming:
@@ -261,8 +266,10 @@ def warc_source(
     files = reader.load(path_glob).select(
         F.col("path").alias("file"), "content"
     )
+    kwargs = {} if max_inflate is None else {"max_inflate": max_inflate}
     recs = warc_gz_records(
-        files, content_col="content", id_col="file", id_type="string"
+        files, content_col="content", id_col="file", id_type="string",
+        **kwargs,
     )
     return (
         warc_parse(recs, raw_col="raw", id_col="file",

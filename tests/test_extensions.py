@@ -3840,6 +3840,22 @@ def test_html_blocks_justext_labels(spark):
     assert not any(d == 3 for d, _ in rows)
 
 
+def test_html_blocks_counts_attributeless_anchors(spark):
+    """Attribute-less anchors (<a>Home</a>) are valid HTML and exactly
+    the chrome this classifier exists to catch — a '<a\\s' link regex
+    counts them as zero links and lets nav blocks through as
+    short/good (r11 review fix: match '<a' followed by space, '>' or
+    '/')."""
+    from fluent_bit_spark.extensions.html import html_blocks
+
+    page = "<html><body><li><a>Home</a> <a>About</a> <a>More</a> and</li></body></html>"
+    row = html_blocks(
+        spark.createDataFrame([(1, page)], "doc_id long, html string")
+    ).collect()[0]
+    assert row.n_links == 3
+    assert row.label == "boilerplate"
+
+
 def test_mp3_frame_table_mpeg2_lsf():
     """MPEG-2/2.5 LSF frames use their OWN bitrate table (ISO/IEC
     13818-3 — it diverges from 8*index above index 8: 80/96/112/128/
@@ -3869,3 +3885,61 @@ def test_mp3_frame_table_mpeg2_lsf():
     assert mp3_frame_table(l2) is None
     assert mp3_frame_table(v2_frame(9) + l2) is not None  # stop, keep prefix
     assert len(mp3_frame_table(v2_frame(9) + l2)) == 1
+
+
+def test_gzip_members_windowed_inflate_roundtrips():
+    """The bounded-WINDOW inflate (r11 review fix for the quadratic
+    decompress(remaining, max_length) pattern) must still roundtrip
+    exactly: members larger than the 1 MB input window, members whose
+    boundaries straddle windows, multi-member streams, and plain
+    passthrough."""
+    import gzip
+    import random
+
+    from fluent_bit_spark.extensions.html import _gzip_members
+
+    rng = random.Random(7)
+    big = bytes(rng.randrange(256) for _ in range(3 * 1024 * 1024))
+    gz_big = gzip.compress(big)  # ~3 MB compressed: spans input windows
+    assert len(gz_big) > 2 * 1024 * 1024
+    assert _gzip_members(gz_big) == big
+    # multi-member with a window-straddling first member
+    small = b"second member payload" * 10
+    stream = gz_big + gzip.compress(small)
+    assert _gzip_members(stream) == big + small
+    # cap still binds
+    assert len(_gzip_members(stream, max_out=1 << 20)) == 1 << 20
+    # torn big member yields a prefix, never raises
+    out = _gzip_members(gz_big[: len(gz_big) // 2])
+    assert big.startswith(out)
+
+
+def test_fmp4_audio_trak_first_still_plans_video():
+    """Track order in moov is unconstrained by ISO BMFF: with the audio
+    TRAK written before the video trak (audio_trak_first), the plan
+    must still select the video track by its hdlr handler — first-trak
+    selection would hand every reader the audio track's
+    tkhd/mdhd/stbl and plan audio samples as frames (r11 review
+    fix)."""
+    from fluent_bit_spark.extensions.video import (
+        make_fmp4, mp4_fragment_table, parse_mp4,
+    )
+
+    frags = [
+        (0, [(40, 10, True), (40, 12, False)]),
+        (80, [(40, 9, True)]),
+    ]
+    audio = [(0, [(21, 5, True)]), (21, [(21, 6, True)])]
+    normal = mp4_fragment_table(
+        make_fmp4(320, 180, frags, audio_fragments=audio)
+    )
+    b = make_fmp4(320, 180, frags, audio_fragments=audio,
+                  audio_trak_first=True)
+    flipped = mp4_fragment_table(b)
+    assert [(r[0], r[1], r[2], r[4]) for r in flipped] \
+        == [(r[0], r[1], r[2], r[4]) for r in normal]
+    for i, (_idx, _ts, sz, off, _k) in enumerate(flipped):
+        assert b[off : off + sz] == bytes([65 + i % 26]) * sz
+    # header parse also follows the video trak (320x180, not 0x0)
+    hdr = parse_mp4(b)
+    assert (hdr["width"], hdr["height"]) == (320, 180)

@@ -2193,3 +2193,61 @@ def test_config_pipeline_sp_chain_over_idle_evicting_fold(spark, tmp_path):
     # A throttled 4 -> 2, B throttled 3 -> 2 (fresh pane after A's state
     # evicted); C's window never closes, so append mode omits it
     assert got == {"A": 2, "B": 2}
+
+
+def test_streaming_throttle_config_guards(spark, tmp_path):
+    """Config-level guards for the streaming throttle (r11 review
+    fixes): a partial match pattern is rejected up front (the fold's
+    3-column output cannot union with unmatched full-schema records —
+    the fallthrough would emit a silently corrupted merged stream), and
+    idle_timeout: 0 is NOT treated as absent (it takes the float path
+    and hits throttle_stream's idle-horizon guard). A task-level
+    watermark is scoped to its own task: after load_pipeline the
+    registered 'pipeline' stream carries no watermark."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from fluent_bit_spark.pipeline import load_pipeline
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.json").write_text(_json.dumps(
+        {"k": "A", "timestamp": "2024-07-01T00:00:00", "value": 1.0}
+    ) + "\n")
+    base_inp = {
+        "name": "tail", "format": "json", "tag": "logs.g",
+        "stream": True,
+        "schema": "k string, timestamp timestamp, value double",
+        "path": str(d),
+    }
+
+    def conf(fil, tasks=()):
+        return {"pipeline": {"inputs": [dict(base_inp)], "filters": [fil]},
+                "stream_tasks": list(tasks)}
+
+    with _pytest.raises(ValueError, match="match: '\\*'"):
+        load_pipeline(spark, conf({
+            "name": "throttle", "match": "logs.a", "rate": 2,
+            "interval": 60, "key": "k", "watermark": "10 seconds",
+        }))
+    with _pytest.raises(ValueError, match="idle_timeout must be >="):
+        load_pipeline(spark, conf({
+            "name": "throttle", "match": "*", "rate": 2, "interval": 60,
+            "key": "k", "idle_timeout": 0, "watermark": "10 seconds",
+        }))
+    # watermark scoping: the task ran with a watermarked registration,
+    # but the registered source is restored afterwards
+    pipe = load_pipeline(spark, conf(
+        {"name": "throttle", "match": "*", "rate": 2, "interval": 60,
+         "key": "k", "idle_timeout": 3600.0, "watermark": "10 seconds"},
+        tasks=[{"exec": "CREATE STREAM adm AS SELECT * FROM "
+                        "STREAM:pipeline WHERE passed = 1;",
+                "watermark": "10 seconds"}],
+    ))
+    analyzed = pipe.sp.streams["pipeline"]._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "EventTimeWatermark" not in analyzed.split("FlatMapGroups")[0]
+    # the chained stream (built inside the scoped registration) kept it
+    adm = pipe.sp.streams["adm"]._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in adm
