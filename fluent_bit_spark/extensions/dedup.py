@@ -168,6 +168,15 @@ def band_buckets(
     measure bucket-size distributions directly."""
     if sig_len is None:
         sig_len = sig_df.selectExpr("size(sig) AS n").limit(1).collect()[0].n
+    if num_bands > sig_len:
+        # F.slice past the array end yields [] and xxhash64([]) is one
+        # constant, so the excess bands would put EVERY doc in a shared
+        # bucket — in the unverified dedup path that silently collapses
+        # the corpus to the global min id. Reject, don't corrupt.
+        raise ValueError(
+            f"band_buckets: num_bands={num_bands} exceeds signature "
+            f"length {sig_len} — use num_bands <= num_hashes"
+        )
     rows_per_band = max(1, sig_len // num_bands)
     band_structs = [
         F.struct(
@@ -727,8 +736,19 @@ def simhash_dedup(
     """Near-dup removal by SimHash: band the fingerprint into num_bands bit
     slices (pigeonhole: any pair within hamming_threshold < num_bands shares
     a band), join candidates, verify hamming distance."""
-    # persisted: both sides of the slice self-join read it
-    sh = simhash(df, text_col, id_col, bits).persist()
+    if hamming_threshold >= num_bands:
+        # the pigeonhole guarantee needs threshold < num_bands: a pair
+        # differing in exactly `num_bands` bits spread one-per-slice
+        # shares NO band and is silently never a candidate
+        raise ValueError(
+            f"simhash_dedup: hamming_threshold={hamming_threshold} must "
+            f"be < num_bands={num_bands} (pigeonhole recall guarantee)"
+        )
+    # pinned: both sides of the slice self-join read it.
+    # localCheckpoint, not persist — a persist here leaks one
+    # session-lifetime cacheManager entry per call (the minhash_dedup
+    # lesson at _source_is_cached's comment)
+    sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     width = bits // num_bands
     band_structs = [
         F.struct(
@@ -772,14 +792,25 @@ def embedding_dedup(
     vec_col: str = "embedding",
     nbits: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup by cosine similarity: LSH (random-hyperplane) buckets limit
-    the pair space, exact cosine verifies. Deterministic hyperplanes."""
+    the pair space, exact cosine verifies. Deterministic hyperplanes.
+    ``dim`` is the embedding dimension (inferred from the first row when
+    None) — hyperplanes of the wrong width would NULL out every dot
+    product and silently collapse all rows into bucket 0, degrading the
+    bucketed join to the full O(n^2) pair space."""
     from fluent_bit_spark.extensions.similarity import cosine, hyperplane_bucket
 
+    if dim is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+        dim = row[0].n if row else 64
     # not persisted: the bucket projection is cheap to recompute and
     # caching the vectors measured slower than AQE exchange reuse
-    b = emb.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), nbits=nbits, seed=seed))
+    b = emb.withColumn(
+        "__bkt",
+        hyperplane_bucket(F.col(vec_col), dim=dim, nbits=nbits, seed=seed),
+    )
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(

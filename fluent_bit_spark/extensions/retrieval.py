@@ -35,6 +35,7 @@ from .dedup import normalize_text
 __all__ = [
     "doc_term_freqs", "bm25_topk", "bm25_index", "bm25_topk_indexed",
     "bm25_index_save", "bm25_index_load", "bm25_index_append",
+    "bm25_compact_index",
 ]
 
 
@@ -497,10 +498,13 @@ def bm25_index_load(spark, path: str) -> dict:
     table existed load fine (postings=None) but refuse appends."""
     base = _live_index_dir(spark, path.rstrip("/"))
     meta = spark.read.parquet(f"{base}/meta").collect()[0].asDict()
-    try:
-        postings = spark.read.parquet(f"{base}/postings")
-    except Exception:
-        postings = None  # pre-postings layout: serve-only
+    # narrow probe, not a bare except: only a genuinely-absent postings
+    # dir means the pre-postings serve-only layout — a permission error
+    # or corrupt footer must RAISE, not silently degrade to an index
+    # that then misleadingly refuses appends with "rebuild once"
+    from .dedup import _try_read_parquet
+
+    postings = _try_read_parquet(spark, f"{base}/postings")
     return {
         "tc": spark.read.parquet(f"{base}/tc"),
         "kept": spark.read.parquet(f"{base}/kept"),
@@ -608,3 +612,38 @@ def bm25_index_append(
     _write_index_tables(grown, f"{base}/{ver}")
     _write_manifest(spark, base, ver)
     return n_new
+
+
+def bm25_compact_index(spark, path: str) -> int:
+    """Delete superseded BM25 index versions. Each bm25_index_append
+    writes a COMPLETE copy of every table (postings included) into a
+    fresh vNNNNNN dir and flips MANIFEST last, but nothing removed the
+    old versions — a daily append job would hold every historical full
+    copy (30 appends on a 1 TB index = ~30 TB of dead versions). Run
+    this after appends commit: the manifest flip already happened, so
+    deleting every non-current version dir is safe (a crash mid-delete
+    leaves inert orphans the next compaction removes). NOT safe against
+    a concurrent reader still holding a plan over an old version — run
+    between serving batches, the same discipline as
+    dedup.compact_history. Returns the number of version dirs deleted;
+    a flat (never-appended) store is a no-op."""
+    from .dedup import _hadoop_fs, _is_version_dir, _read_manifest
+
+    base = path.rstrip("/")
+    cur = _read_manifest(spark, base)
+    if cur is None:
+        return 0  # flat layout: the single live copy IS the index
+    if not _is_version_dir(cur):
+        raise RuntimeError(
+            f"corrupt MANIFEST in {base!r}: {cur!r} is not a version "
+            "pointer; restore it to the newest complete vNNNNNN "
+            "directory before compacting"
+        )
+    fs, base_path = _hadoop_fs(spark, base)
+    deleted = 0
+    for st in fs.listStatus(base_path):
+        name = st.getPath().getName()
+        if st.isDirectory() and _is_version_dir(name) and name != cur:
+            fs.delete(st.getPath(), True)
+            deleted += 1
+    return deleted

@@ -90,9 +90,14 @@ def hyperplane_buckets_batch(
 
     @pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
-        # NULL embeddings would break np.stack; bucket them as the zero
-        # vector (all-sign-negative bucket) rather than failing the batch
-        m = np.stack([zero_vec if e is None else np.asarray(e) for e in v])  # N x dim
+        # NULL or wrong-length embeddings would break np.stack; bucket
+        # them as the zero vector (all-sign-negative bucket) rather than
+        # failing the batch — the same guard assign_clusters and
+        # probe_clusters carry
+        m = np.stack([
+            zero_vec if e is None or len(e) != dim else np.asarray(e)
+            for e in v
+        ])  # N x dim
         signs = (m @ planes.T) > 0  # N x (tables*nbits)
         per_table = signs.reshape(len(m), tables, nbits)
         ids = (per_table * weights).sum(axis=2)  # N x tables
@@ -182,6 +187,11 @@ def kmeans_centroids(
         .collect()
     )
     cents = [list(r[vec_col]) for r in init]
+    if not cents:
+        raise ValueError("kmeans_centroids: corpus is empty")
+    # a corpus smaller than n_centroids clamps k to the row count —
+    # cents[i] past the init would IndexError mid-Lloyd otherwise
+    n_centroids = min(n_centroids, len(cents))
     for _ in range(iters):
         assigned = assign_clusters(
             corpus.select(vec_col), cents, vec_col
@@ -278,6 +288,16 @@ def _l2_kmeans_subspace(
     """Driver-side Lloyd steps on an already-sampled subspace matrix
     (numpy; the sample is bounded, the full corpus never leaves executors)."""
     X = np.stack(sub["v"].to_numpy())
+    if len(X) < ksub:
+        # a short sample would silently train < ksub codes while the
+        # index metadata records the requested ksub — saveable but
+        # never loadable ("codebook table is missing entries"). Fail at
+        # train time with the fix in the message.
+        raise ValueError(
+            f"pq_train: sample has {len(X)} vectors but ksub={ksub} — "
+            "reduce ksub (or enlarge sample_rows) to at most the corpus "
+            "size"
+        )
     # deterministic init: rows with smallest xxhash-like key (already sorted)
     cents = X[:ksub].copy()
     for _ in range(iters):
@@ -935,9 +955,11 @@ def ivf_index_append(spark, path: str, new_vectors: DataFrame) -> int:
             f"new_vectors lacks the index's columns {missing} "
             f"(index at {path!r} uses id_col={id_col!r}, vec_col={vec_col!r})"
         )
+    # pin before count+write: the assignment matmul must run once, not
+    # once per action — and the returned count must be the rows written
     assigned = assign_clusters(
         new_vectors.select(id_col, vec_col), idx["centroids"], vec_col
-    )
+    ).localCheckpoint(eager=True)
     n = assigned.count()
     (
         assigned.repartition("cid")
@@ -972,9 +994,10 @@ def pq_index_append(spark, path: str, new_vectors: DataFrame) -> int:
             f"new_vectors lacks the index's columns {missing} "
             f"(index at {path!r} uses id_col={id_col!r}, vec_col={vec_col!r})"
         )
+    # pin before count+write (see ivf_index_append)
     codes = pq_encode(
         new_vectors.select(id_col, vec_col), idx["codebooks"], id_col, vec_col
-    )
+    ).localCheckpoint(eager=True)
     n = codes.count()
     codes.write.mode("append").parquet(f"{path.rstrip('/')}/codes")
     return n

@@ -3943,3 +3943,149 @@ def test_fmp4_audio_trak_first_still_plans_video():
     # header parse also follows the video trak (320x180, not 0x0)
     hdr = parse_mp4(b)
     assert (hdr["width"], hdr["height"]) == (320, 180)
+
+
+def test_dedup_parameter_guards(spark):
+    """r11 core-review guards: band_buckets rejects num_bands > sig_len
+    (excess bands hash empty slices to one constant, silently
+    collapsing the corpus to the global min id in the unverified dedup
+    path); simhash_dedup rejects hamming_threshold >= num_bands (the
+    pigeonhole recall guarantee) — both raise instead of silently
+    returning wrong survivors."""
+    import pytest
+
+    from fluent_bit_spark.extensions.dedup import (
+        minhash_dedup, minhash_signatures, band_buckets, simhash_dedup,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lam", "mu"]
+    df = spark.createDataFrame(
+        [(i, " ".join(rng.sample(words, 8))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df, num_hashes=8)
+    with pytest.raises(ValueError, match="num_bands=12 exceeds"):
+        band_buckets(sig, num_bands=12, sig_len=8)
+    with pytest.raises(ValueError, match="exceeds signature"):
+        minhash_dedup(df, num_hashes=8, num_bands=12)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_dedup(df, hamming_threshold=4, num_bands=4)
+    # valid configs still work (distinct shuffled texts all survive)
+    assert minhash_dedup(df, num_hashes=8, num_bands=4).count() >= 4
+    assert simhash_dedup(df, hamming_threshold=3, num_bands=4).count() >= 1
+
+
+def test_embedding_dedup_infers_dimension(spark):
+    """embedding_dedup derives the hyperplane width from the data (r11
+    core-review fix): with 16-dim vectors the old hardcoded 64-dim
+    planes NULLed every dot product and put ALL rows in bucket 0 — the
+    bucketed join silently degenerated to the full O(n^2) pair space.
+    Now the buckets split (verified directly) and exact duplicates
+    still collapse."""
+    from fluent_bit_spark.extensions.dedup import embedding_dedup
+    from fluent_bit_spark.extensions.similarity import hyperplane_bucket
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+    rows.append((99, rows[0][1]))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # buckets actually split with the inferred dim
+    from pyspark.sql import functions as F
+    n_buckets = emb.select(
+        hyperplane_bucket(F.col("embedding"), dim=16).alias("b")
+    ).distinct().count()
+    assert n_buckets > 1
+    kept = embedding_dedup(emb, threshold=0.999)
+    ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert 0 in ids and 99 not in ids  # duplicate dropped, original kept
+    assert len(ids) >= 39
+
+
+def test_similarity_small_corpus_guards(spark):
+    """r11 core-review fixes: kmeans_centroids clamps k to the corpus
+    size instead of IndexError mid-Lloyd; pq_train raises a clear error
+    when the sample is smaller than ksub (the old behavior trained
+    short codebooks that saved fine but could never be loaded); the
+    batch hyperplane UDF zero-buckets a wrong-length vector instead of
+    failing the whole Arrow batch."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.similarity import (
+        hyperplane_buckets_batch, kmeans_centroids, pq_train,
+    )
+
+    small = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(small, n_centroids=16, iters=2)
+    assert 1 <= len(cents) <= 5
+    with pytest.raises(ValueError, match="ksub"):
+        pq_train(small, m=2, ksub=16, iters=1)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = ragged.select(
+        hyperplane_buckets_batch(F.col("embedding"), dim=4, nbits=4,
+                                 tables=2).alias("b")
+    ).collect()
+    assert len(got) == 3  # no batch failure; ragged/null rows bucketed
+    assert got[1].b == got[2].b  # both map to the zero vector
+
+
+def test_bm25_compact_index(spark, tmp_path):
+    """bm25_index_append writes a complete new version per append and
+    flips the manifest; bm25_compact_index (r11 core-review fix)
+    deletes the superseded versions — without it a daily append job
+    retains every historical full copy. After two appends + compaction
+    exactly one version dir remains, the manifest still points at it,
+    and served results are unchanged."""
+    import os
+
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_compact_index, bm25_index, bm25_index_append,
+        bm25_index_load, bm25_index_save, bm25_topk_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} with shared words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25")
+    bm25_index_save(bm25_index(docs), path)
+    assert bm25_compact_index(spark, path) == 0  # flat layout: no-op
+    for start in (100, 200):
+        more = spark.createDataFrame(
+            [(start + i, f"gamma delta doc {start + i}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        bm25_index_append(spark, path, more)
+    versions = sorted(
+        d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()
+    )
+    assert len(versions) == 2  # two appends, two full copies
+    q = spark.createDataFrame([(1, "alpha gamma")], "query_id long, text string")
+    before = sorted(
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(bm25_index_load(spark, path), q, k=5).collect()
+    )
+    assert bm25_compact_index(spark, path) == 1
+    left = [d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()]
+    assert left == [versions[-1]]
+    after = sorted(
+        (r.doc_id, r.score)
+        for r in bm25_topk_indexed(bm25_index_load(spark, path), q, k=5).collect()
+    )
+    assert after == before
