@@ -6178,8 +6178,16 @@ def oracle_sql() -> dict[str, str]:
 
     def hits(lang):
         ws = f"string_split({norm}, ' ')"
+        # non-ASCII (CJK) markers match by substring — unsegmented text
+        # never token-EQUALS a single-character marker (mirrors
+        # text.py _marker_hits)
         return "(" + " + ".join(
-            f"CASE WHEN list_contains({ws}, '{m}') THEN 1 ELSE 0 END" for m in markers[lang]
+            (
+                f"CASE WHEN list_contains({ws}, '{m}') THEN 1 ELSE 0 END"
+                if m.isascii()
+                else f"CASE WHEN contains({norm}, '{m}') THEN 1 ELSE 0 END"
+            )
+            for m in markers[lang]
         ) + ")"
 
     # argmax with tie -> first language in sorted order (matches lang_id)
@@ -7138,11 +7146,14 @@ def oracle_sql() -> dict[str, str]:
         # stateless clip, shared 6-decimal grid
         "winsorize": (
             "WITH r AS (SELECT o_orderkey, ROUND(o_totalprice, 2) AS op, "
+            "CAST(o_totalprice AS DOUBLE) AS vraw, "
             "ROUND(CAST(o_totalprice AS DOUBLE), 6) AS v FROM orders), "
             "q AS (SELECT quantile_cont(v, 0.05) AS lo, "
             "quantile_cont(v, 0.95) AS hi FROM r) "
+            # cuts compute on the 6-dec grid (replayable); the CLIP
+            # applies to the raw value — in-range rows pass untouched
             "SELECT o_orderkey, op AS o_totalprice, "
-            "ROUND(LEAST(GREATEST(v, q.lo), q.hi), 6) AS clipped "
+            "ROUND(LEAST(GREATEST(vraw, q.lo), q.hi), 6) AS clipped "
             "FROM r CROSS JOIN q"
         ),
         # table_profile: exact fields replayed; the HLL estimate is an

@@ -69,6 +69,15 @@ def fuzzy_decontaminate(
         with_shingle_hashes,
     )
 
+    if num_bands > num_hashes:
+        # bands past the signature end hash an EMPTY slice to one shared
+        # constant, joining every corpus row to every bench row — the
+        # candidate set collapses into an all-pairs Jaccard join
+        raise ValueError(
+            f"fuzzy_decontaminate: num_bands={num_bands} exceeds "
+            f"num_hashes={num_hashes}"
+        )
+
     def bands_of(sig_df, idc):
         rows_per_band = max(1, num_hashes // num_bands)
         structs = [

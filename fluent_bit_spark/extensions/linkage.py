@@ -200,8 +200,11 @@ def edit_distance_join(
     Candidates: one edit destroys at most ``gram_n`` q-grams, so two
     keys within k edits differ in at most ``k*gram_n`` set q-grams —
     any qualifying pair must collide inside both records' first
-    ``k*gram_n + 1`` globally-rarest grams. That prefix join plus a
-    length filter (lengths within k) is complete; verification is the
+    ``k*gram_n + 1`` globally-rarest grams. That bound is vacuous for
+    SHORT keys (fewer than ``k*gram_n`` grams), which a pairwise join
+    of distinct short keys completes (see inline comment); together
+    with the length filter (lengths within k) the candidate set is
+    complete; verification is the
     built-in ``levenshtein`` on the normalized keys (JVM-side), so a
     wrong distance is never reported. Same scale shape as
     ``fuzzy_join_trigram``: gram-keyed candidate shuffle, nothing
@@ -251,6 +254,28 @@ def edit_distance_join(
     cand = prefix(lg, "l").join(prefix(rg, "r"), "__gram").select(
         "__lid", "__rid"
     ).distinct()
+    # SHORT keys escape the count-filter bound: with |G(x)| <= k*q the
+    # "differ in at most k*q grams" guarantee is vacuous and a
+    # qualifying pair can share ZERO grams ('ab' vs 'cb' at k=1, q=3 —
+    # disjoint padded trigram sets, distance 1). Any such pair has both
+    # keys within k*q + k characters, so complete the candidate set
+    # with the pairwise join of DISTINCT short keys — the quadratic
+    # piece runs on the value space (bounded by the tiny-string
+    # alphabet), never on row counts; ids map back by key equality.
+    short_len = max_dist * gram_n + max_dist
+    ls = lk.where(F.char_length("__lkey") <= short_len)
+    rs = rk.where(F.char_length("__rkey") <= short_len)
+    skeys = ls.select("__lkey").distinct().join(
+        F.broadcast(rs.select("__rkey").distinct()),
+        (F.abs(F.char_length("__lkey") - F.char_length("__rkey"))
+         <= F.lit(max_dist))
+        & (F.levenshtein("__lkey", "__rkey") <= F.lit(max_dist)),
+    )
+    short_cand = (
+        ls.join(skeys, "__lkey").join(rs, "__rkey")
+        .select("__lid", "__rid")
+    )
+    cand = cand.unionByName(short_cand).distinct()
     out_l = left_id if left_id != right_id else f"l_{left_id}"
     out_r = right_id if left_id != right_id else f"r_{right_id}"
     return (

@@ -87,8 +87,23 @@ def quantile_summary(
     sk = F.kll_sketch_agg_double(value_col, F.lit(k))
     aggs = [sk.alias("_sk")]
     out = df.groupBy(*keys).agg(*aggs)
+    names = []
     for q in quantiles:
-        name = f"p{round(q * 100):02d}" if q < 1 else "p100"
+        pct = q * 100
+        # integer percents keep the classic p50/p95/p99 names;
+        # fractional ones keep their precision with '_' for '.'
+        # (p99_9) — rounding to an int mislabeled 0.995 as p100 and
+        # silently overwrote neighboring quantile columns
+        if abs(pct - round(pct)) < 1e-9:
+            name = f"p{round(pct):02d}"
+        else:
+            name = "p" + f"{pct:g}".replace(".", "_")
+        if name in names:
+            raise ValueError(
+                f"quantile_summary: duplicate column name {name!r} for "
+                f"quantiles {quantiles}"
+            )
+        names.append(name)
         out = out.withColumn(
             name, F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(float(q)))
         )
@@ -293,12 +308,16 @@ def winsorize(
     Cutoffs are exact distributed percentiles of the 6-decimal-rounded
     values shipped to the driver as two scalars (the perplexity_buckets
     pattern — no global sort, no window); clipping is then a stateless
-    JVM comparison, streaming-legal and shuffle-free. Rounding makes the
-    cut arithmetic replayable bit-for-bit by a quantile_cont oracle.
-    NULLs pass through as NULL."""
+    JVM comparison, streaming-legal and shuffle-free. Rounding applies
+    to the CUT computation only — it makes the cut arithmetic
+    replayable bit-for-bit by a quantile_cont oracle — while in-range
+    values pass through at full precision (clipping the rounded value
+    would silently mutate every row: 0.12345678 -> 0.123457, and any
+    |x| < 5e-7 -> 0.0). NULLs pass through as NULL."""
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError("need 0 <= lower < upper <= 1")
-    r = F.round(F.col(col).cast("double"), 6)
+    v = F.col(col).cast("double")
+    r = F.round(v, 6)
     cuts = df.agg(
         F.percentile(r, F.lit(lower)).alias("lo"),
         F.percentile(r, F.lit(upper)).alias("hi"),
@@ -306,12 +325,12 @@ def winsorize(
     if cuts["lo"] is None:
         raise ValueError(f"winsorize: column {col!r} has no non-null values")
     clipped = F.least(
-        F.greatest(r, F.lit(float(cuts["lo"]))), F.lit(float(cuts["hi"]))
+        F.greatest(v, F.lit(float(cuts["lo"]))), F.lit(float(cuts["hi"]))
     )
     # Spark's greatest/least SKIP nulls (a NULL value would clip to the
     # lower cut); gate explicitly so NULL rows stay NULL
     return df.withColumn(
-        out_col or col, F.when(r.isNotNull(), clipped)
+        out_col or col, F.when(v.isNotNull(), clipped)
     )
 
 

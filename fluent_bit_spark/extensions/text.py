@@ -26,7 +26,15 @@ def _marker_hits(col: Column, markers: list[str]) -> Column:
     words = F.split(normalize_text(col), " ")
     hits = F.lit(0)
     for m in markers:
-        hits = hits + F.when(F.array_contains(words, m), 1).otherwise(0)
+        if m.isascii():
+            hit = F.array_contains(words, m)
+        else:
+            # CJK text is unsegmented — whitespace tokens never EQUAL a
+            # single-character marker ('我是学生' is one token), so
+            # non-ASCII markers match by substring containment; Latin
+            # markers keep token equality ('the' must not hit 'theater')
+            hit = F.contains(normalize_text(col), F.lit(m))
+        hits = hits + F.when(hit, 1).otherwise(0)
     return hits
 
 
@@ -99,7 +107,11 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: pure per-row projection (no shuffle, whole-stage
     codegen); runs at scan speed over any corpus size."""
-    t = F.col(text_col)
+    # NULL text coalesces to '' so every rule evaluates to a real
+    # boolean and keep=False: a NULL keep row vanishes from BOTH
+    # filter(keep) and filter(~keep), corrupting per-rule rejection
+    # accounting (sum(when(~r_x, 1)) skips it too)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     trimmed = F.trim(t)
     words = F.split(trimmed, r"\s+")
     n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(words))
@@ -185,7 +197,10 @@ def unigram_logprob(
     denominator (two scalars)."""
     import math
 
-    counts = unigram_counts(target, text_col)
+    # pinned: the target counts feed both the driver-scalar smoothing
+    # denominator and the broadcast model — without the checkpoint the
+    # explode+groupBy over the target corpus runs as two separate jobs
+    counts = unigram_counts(target, text_col).localCheckpoint(eager=True)
     stats = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -239,15 +254,25 @@ def bigram_logprob(
     combinable shuffle per model table + one per-doc aggregate."""
     import math
 
-    counts = unigram_counts(target, text_col)
+    # pinned: the target counts feed both the driver-scalar smoothing
+    # denominator and the broadcast model — without the checkpoint the
+    # explode+groupBy over the target corpus runs as two separate jobs
+    counts = unigram_counts(target, text_col).localCheckpoint(eager=True)
     stats = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
     denom = float((stats["n"] or 0) + stats["v"])
     if denom <= 0:
         raise ValueError("target corpus has no tokens to model")
-    if not (0.0 <= interpolation <= 1.0):
-        raise ValueError("interpolation must be in [0, 1]")
+    if not (0.0 <= interpolation < 1.0):
+        # lam = 1.0 assigns probability 0 to an unseen bigram in a SEEN
+        # context; log(0) is NULL, which avg() silently skips — the doc
+        # scores over fewer tokens than n_tokens reports, inflating
+        # avg_logp exactly where the model says "impossible"
+        raise ValueError(
+            "interpolation must be in [0, 1) — 1.0 zeroes unseen-bigram "
+            "probabilities and silently drops them from avg_logp"
+        )
     lam = float(interpolation)
     oov_p = 1.0 / denom
     uni = counts.select("word", ((F.col("c") + 1) / F.lit(denom)).alias("p_uni"))
@@ -866,10 +891,17 @@ def corpus_line_dedup(
     table lives distributed, never collected.
 
     Returns (id_col, clean_text, n_kept_lines, n_dropped_lines).
+    NULL-text documents behave exactly like empty-string documents
+    (one kept empty line -> ('', 1, 0)) rather than vanishing —
+    posexplode over a NULL split generates zero rows, which would drop
+    the document from the output with no signal to an id-joining
+    caller.
     """
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
     ).withColumn("line", F.trim(F.col("line")))
     eligible = F.length("line") >= min_chars
     freq = (

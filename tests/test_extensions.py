@@ -4089,3 +4089,70 @@ def test_bm25_compact_index(spark, tmp_path):
         for r in bm25_topk_indexed(bm25_index_load(spark, path), q, k=5).collect()
     )
     assert after == before
+
+
+def test_text_review_guards(spark):
+    """r11 text/sketch review batch: edit_distance_join completes the
+    candidate set for SHORT keys (count-filter bound vacuous — 'ab' vs
+    'cb' share zero padded trigrams at distance 1); quantile_summary
+    names fractional quantiles without collisions (0.995 used to label
+    p100 and overwrite its neighbor); bigram_logprob rejects
+    interpolation=1.0 (zero-prob tokens were silently dropped from
+    avg_logp); lang_id detects unsegmented Chinese (token-equality
+    markers never matched); NULL-text docs survive corpus_line_dedup
+    and get keep=False (not NULL) from gopher_quality."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.linkage import edit_distance_join
+    from fluent_bit_spark.extensions.sketches import quantile_summary
+    from fluent_bit_spark.extensions.text import (
+        bigram_logprob, corpus_line_dedup, gopher_quality, lang_id,
+    )
+
+    # short-key edit-distance pairs now found; non-pairs still excluded
+    L = spark.createDataFrame([(1, "ab"), (2, "warehouse")], "id long, k string")
+    R = spark.createDataFrame(
+        [(10, "cb"), (20, "warehose"), (30, "zz")], "id long, k string"
+    )
+    got = {(r[0], r[1]) for r in edit_distance_join(
+        L, R, "id", "k", "id", "k", max_dist=1).collect()}
+    assert (1, 10) in got and (2, 20) in got and (1, 30) not in got
+
+    # fractional quantile names: distinct, precise
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1000)], "g string, v double"
+    )
+    qs = quantile_summary(df, ["g"], "v", quantiles=(0.99, 0.995, 0.999))
+    assert {"p99", "p99_5", "p99_9"} <= set(qs.columns)
+    row = qs.collect()[0]
+    assert row.p99 <= row.p99_5 <= row.p99_9
+    with pytest.raises(ValueError, match="duplicate column name"):
+        quantile_summary(df, ["g"], "v", quantiles=(0.5, 0.5))
+
+    # interpolation = 1.0 rejected (silent score inflation otherwise)
+    tgt = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    doc = spark.createDataFrame([(2, "a c b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="interpolation"):
+        bigram_logprob(doc, tgt, interpolation=1.0)
+
+    # unsegmented Chinese now identified; Latin token semantics intact
+    lid = spark.createDataFrame(
+        [(1, "我是学生的书"), (2, "the theater of dreams is the best"),
+         (3, "no markers here xyz")],
+        "id long, text string",
+    ).select("id", lang_id(F.col("text")).alias("lang")).collect()
+    langs = {r.id: r.lang for r in lid}
+    assert langs[1] == "zh" and langs[2] == "en" and langs[3] == "und"
+
+    # NULL-text docs: present in line-dedup output, keep=False in gopher
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "real line\nreal line two")],
+        "doc_id long, text string",
+    )
+    ld = {r.doc_id: r for r in corpus_line_dedup(nulls).collect()}
+    # NULL behaves like '' (one kept empty line), instead of vanishing
+    assert 1 in ld and ld[1].clean_text == "" and ld[1].n_dropped_lines == 0
+    gq = {r.doc_id: r.keep for r in gopher_quality(nulls).collect()}
+    assert gq[1] is False  # not None
