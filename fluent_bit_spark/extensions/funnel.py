@@ -325,6 +325,10 @@ def rfm_segments(
     from pyspark.sql import Window
 
     d = F.to_date(F.col(ts_col))
+    # pinned: per_user feeds the max-date collect, the percentile-cuts
+    # collect, AND the returned plan — un-pinned, the corpus-sized
+    # events aggregation re-runs once per consumer (the graph.py
+    # multi-consumer materialization rule)
     per_user = events.groupBy(user_col).agg(
         F.max(d).alias("__last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -332,7 +336,7 @@ def rfm_segments(
             F.sum(F.when(F.col(type_col) == value_type, F.col(value_col))),
             F.lit(0.0),
         ).alias("monetary"),
-    )
+    ).localCheckpoint(eager=True)
     max_d = per_user.agg(F.max("__last")).collect()[0][0]
     per_user = per_user.withColumn(
         "recency_days", F.datediff(F.lit(max_d), F.col("__last"))

@@ -241,12 +241,24 @@ def dedup_clusters(
     """Full-corpus component assignment: every doc gets its transitive
     cluster representative (min doc_id; itself when unpaired) plus a
     keep/drop flag. Filter ``is_representative`` for the dedup pass."""
+    clash = {"component", "is_representative"} & set(df.columns)
+    if clash:
+        # a df already carrying the output columns (e.g. the result of
+        # a previous dedup_clusters pass) would either raise
+        # AMBIGUOUS_REFERENCE mid-plan or emit duplicate column names —
+        # fail here with the fix instead (the gopher_quality guard)
+        raise ValueError(
+            f"input columns collide with dedup_clusters outputs: "
+            f"{sorted(clash)}; drop or rename them first"
+        )
     comp = connected_components(pairs, src_col, dst_col, max_iter)
+    # resolve through comp[...] explicitly: a df with its own 'id'
+    # column would make the bare-name reference ambiguous
     return (
-        df.join(comp, df[id_col] == comp.id, "left")
+        df.join(comp, df[id_col] == comp["id"], "left")
         .select(
             df["*"],
-            F.coalesce("component", F.col(id_col)).alias("component"),
+            F.coalesce(comp["component"], df[id_col]).alias("component"),
         )
         .withColumn("is_representative", F.col(id_col) == F.col("component"))
     )
@@ -280,13 +292,19 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # pin the shared tables once (the _cc_alternating/triangle_count
+    # discipline): e feeds every iteration's join AND outdeg, nodes
+    # feeds the count and the rank init — un-pinned, each checkpoint/
+    # final materialization replays the source scan + distinct per
+    # accumulated consumer
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:

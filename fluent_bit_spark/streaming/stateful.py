@@ -107,8 +107,15 @@ def throttle_stream(
                 t_us = int(pd.Timestamp(ts).value // 1_000)
                 newest = t_us if newest is None else max(newest, t_us)
                 p = int(ts.timestamp() // interval_sec)
-                if p != pane:
+                if p > pane:
                     pane, used = p, 0
+                elif p < pane:
+                    # cross-batch straggler older than the current pane:
+                    # late, drop. Resetting here (the pre-r11 `p != pane`)
+                    # let a single stale event re-arm a fresh budget for
+                    # the CURRENT pane on the flip back — unbounded
+                    # over-admission from out-of-order input
+                    continue
                 if used < rate:
                     used += 1
                     keep_rows.append(ts)
@@ -815,8 +822,14 @@ def cohort_retention_stream(
     day (cohort_day + max_offset) the key can never emit an in-range
     row again and is EVICTED — the closed-window discipline. Summed
     deltas equal the batch matrix restricted to day_offset <=
-    max_offset exactly: eviction only fires past the horizon, where
-    batch rows are cut too.
+    max_offset exactly FOR USERS WHO DO NOT RETURN AFTER EVICTION: a
+    user re-appearing after their key evicted is indistinguishable
+    from a new user and starts a NEW cohort at the return day (one
+    extra (return_day, 0, +1) row batch does not have) — the standard
+    bounded-state approximation; distinguishing returns from new users
+    would require keeping every user key forever, the exact unbounded
+    growth max_offset exists to prevent. Cohort reports that must be
+    lifetime-exact across arbitrary gaps are the batch operator's job.
 
     In-order contract: the user's FIRST event must arrive before (or in
     the same micro-batch as) the rest, since it defines the cohort —
@@ -1251,8 +1264,19 @@ def attribution_stream(
                         hits = [("(direct)", 1.0)]
                     for ch, frac in hits:
                         c, val = deltas.get(ch, (0.0, 0.0))
-                        deltas[ch] = (c + frac, val + frac * float(v or 0.0))
-                elif touch_set is None or e in touch_set:
+                        # coalesce like the batch operator: NaN is
+                        # truthy, so `v or 0.0` would poison the sum
+                        vv = 0.0 if v is None or pd.isna(v) else float(v)
+                        deltas[ch] = (c + frac, val + frac * vv)
+                # a conversion-type event is ALSO a touch when
+                # touch_types lists it explicitly (the batch filter is
+                # isin(touch_types)); only the default touch set
+                # excludes the conversion type. Recording happens AFTER
+                # the attribution above, and the strict `< t_us`
+                # comparisons keep an event from touching its own
+                # conversion.
+                if (e in touch_set) if touch_set is not None else (
+                        e != conversion):
                     if use_list:
                         touches.append((e, t_us))
                     elif model == "first_touch":
@@ -1473,7 +1497,11 @@ def experiment_stats_stream(
     """Streaming twin of ``extensions.funnel.experiment_stats``'s
     counting core: per-user state = (seen, converted) two booleans;
     first sight of a user emits a +1 users delta for their variant,
-    first ``target`` event emits a +1 converters delta. Summing deltas
+    first ``target`` event emits a +1 converters delta. The fold keys
+    on (variant, user) — exactly the batch groupBy — so a user exposed
+    to more than one variant counts once per variant with the
+    conversion credited to the variant it happened UNDER, and a null
+    variant stays a null group (not the string 'None'). Summing deltas
     per variant gives exactly the batch users/converters columns; the
     derived conv_rate and pooled z-statistic are driver-side arithmetic
     over that tiny per-variant table (compute them in batch with
@@ -1494,13 +1522,11 @@ def experiment_stats_stream(
             return
         seen, conv = state.get if state.exists else (False, False)
         du = dc = 0
-        variant = None
+        variant = key_tuple[0]  # the grouping key, null-preserving
         newest = None
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, type_col])
-            for v, e, t in zip(pdf[variant_col], pdf[type_col], pdf[ts_col]):
-                if variant is None:
-                    variant = str(v)
+            for e, t in zip(pdf[type_col], pdf[ts_col]):
                 t_us = int(pd.Timestamp(t).value // 1_000)
                 newest = t_us if newest is None else max(newest, t_us)
                 if not seen:
@@ -1521,6 +1547,6 @@ def experiment_stats_stream(
         sdf.select(user_col, variant_col, ts_col, type_col), ts_col,
         idle_timeout, watermark, "experiment_stats_stream",
     )
-    return src.groupBy(user_col).applyInPandasWithState(
+    return src.groupBy(variant_col, user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", mode
     )

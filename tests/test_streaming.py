@@ -2251,3 +2251,118 @@ def test_streaming_throttle_config_guards(spark, tmp_path):
     # the chained stream (built inside the scoped registration) kept it
     adm = pipe.sp.streams["adm"]._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in adm
+
+
+def test_stream_fold_parity_corners(spark, tmp_path):
+    """r11 streaming-review regressions, each a silent batch-parity
+    break: (a) a cross-batch stale event must NOT re-arm the throttle
+    pane budget (the p != pane reset let one out-of-order event double
+    the current pane's admissions); (b) attribution coalesces NaN
+    conversion values to 0.0 like batch and records a conversion-type
+    event as a touch when touch_types lists it; (c) experiment stats
+    key on (variant, user) so a user exposed to two variants counts in
+    both, with the conversion credited to the variant it happened
+    under."""
+    import datetime as dt
+    import math
+
+    from fluent_bit_spark.extensions.funnel import (
+        attribution, experiment_stats,
+    )
+    from fluent_bit_spark.streaming.stateful import (
+        attribution_stream, experiment_stats_stream,
+    )
+
+    T0 = dt.datetime(2024, 7, 1)
+
+    def sec(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    # (a) throttle: batch 1 carries t=10.5s (admitted, rate=1/pane);
+    # batch 2 carries a STALE t=9.8s then t=10.7s — the stale event is
+    # late (dropped) and 10.7 must NOT be admitted into the already-
+    # full pane 10
+    rows = [("A", sec(10.5), 1.0), ("A", sec(9.8), 1.0),
+            ("A", sec(10.7), 1.0)]
+    d = _spool(tmp_path, "stale_thr", rows, ["tag", "ts", "value"], chunk=1)
+    sdf = (
+        spark.readStream.schema("tag string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).json(d)
+    )
+    out = _run_to_memory(
+        throttle_stream(sdf, rate=1, interval_sec=1, key="tag",
+                        time_col="ts"),
+        "stale_thr_out",
+    )
+    passed = [r.ts for r in spark.sql(
+        "SELECT ts FROM stale_thr_out ORDER BY ts").collect()]
+    assert len(passed) == 1 and passed[0].second == 10  # only t=10.5
+
+    # (b) + (c): one event stream exercised through BOTH folds
+    ev = [
+        # user 1: ad touch, then a purchase with NULL value, then a
+        # SECOND purchase — 'purchase' is in touch_types, so batch
+        # credits the first purchase as the last touch of the second
+        (1, "A", sec(10), "ad", 5.0),
+        (1, "A", sec(20), "purchase", None),
+        (1, "A", sec(30), "purchase", 7.0),
+        # user 2: seen under variant A, converts under variant B
+        (2, "A", sec(40), "view", None),
+        (2, "B", sec(50), "purchase", 3.0),
+    ]
+    batch_df = spark.createDataFrame(
+        ev, "user_id long, variant string, ts timestamp, "
+            "event_type string, value double",
+    )
+    d2 = _spool(tmp_path, "parity_ev", ev,
+                ["user_id", "variant", "ts", "event_type", "value"], chunk=2)
+    sdf2 = (
+        spark.readStream.schema(
+            "user_id long, variant string, ts timestamp, "
+            "event_type string, value double")
+        .option("maxFilesPerTrigger", 1).json(d2)
+    )
+
+    ba = {
+        r.channel: (r.credit, r.attributed_value)
+        for r in attribution(
+            batch_df, conversion="purchase",
+            touch_types=["ad", "purchase"]).collect()
+    }
+    _run_to_memory(
+        attribution_stream(sdf2, conversion="purchase",
+                           touch_types=["ad", "purchase"], ts_col="ts"),
+        "parity_attr",
+    )
+    sa = {
+        r.channel: (r.credit, r.attributed_value)
+        for r in spark.sql(
+            "SELECT channel, SUM(credit) AS credit, "
+            "SUM(attributed_value) AS attributed_value "
+            "FROM parity_attr GROUP BY channel").collect()
+    }
+    assert set(sa) == set(ba)
+    for ch in ba:
+        assert sa[ch][0] == ba[ch][0], ch
+        assert not math.isnan(sa[ch][1]), ch  # NaN poison guarded
+        assert abs(sa[ch][1] - ba[ch][1]) < 1e-9, ch
+
+    be = {
+        r.variant: (r.users, r.converters)
+        for r in experiment_stats(
+            batch_df, target="purchase").select(
+            "variant", "users", "converters").collect()
+    }
+    _run_to_memory(
+        experiment_stats_stream(sdf2, target="purchase", ts_col="ts"),
+        "parity_exp",
+    )
+    se = {
+        r.variant: (r.users, r.converters)
+        for r in spark.sql(
+            "SELECT variant, SUM(users) AS users, "
+            "SUM(converters) AS converters FROM parity_exp "
+            "GROUP BY variant").collect()
+    }
+    assert se == be  # user 2 in both A (no conv) and B (conv)
+    assert se["B"] == (1, 1) and se["A"][0] == 2
