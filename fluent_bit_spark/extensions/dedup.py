@@ -803,8 +803,16 @@ def embedding_dedup(
     from fluent_bit_spark.extensions.similarity import cosine, hyperplane_bucket
 
     if dim is None:
-        row = emb.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
-        dim = row[0].n if row else 64
+        # probe only non-null vectors: a NULL first row would yield
+        # dim=None and fail _hyperplanes with an opaque TypeError
+        row = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("n"))
+            .limit(1)
+            .collect()
+        )
+        n = row[0].n if row else None
+        dim = n if n is not None and n > 0 else 64
     # not persisted: the bucket projection is cheap to recompute and
     # caching the vectors measured slower than AQE exchange reuse
     b = emb.withColumn(

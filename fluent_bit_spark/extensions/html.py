@@ -223,7 +223,9 @@ def warc_parse(
 _GZIP_MAX_OUT = 1 << 30
 
 
-def _gzip_members(b: bytes, max_out: int = _GZIP_MAX_OUT) -> bytes:
+def _gzip_members_ex(
+    b: bytes, max_out: int = _GZIP_MAX_OUT
+) -> tuple[bytes, bool]:
     """Inflate every gzip member of a concatenated stream into one plain
     byte blob (members are self-delimiting; a torn trailing member yields
     what it held). Non-gzip input passes through unchanged (a plain
@@ -232,33 +234,34 @@ def _gzip_members(b: bytes, max_out: int = _GZIP_MAX_OUT) -> bytes:
     step) — passing the whole remaining buffer to decompress(data,
     max_length) makes zlib copy the remainder into unconsumed_tail on
     every step, which is quadratic in archive size (measured: 7.5 s for
-    a 128 MB member vs 0.26 s single-shot)."""
+    a 128 MB member vs 0.26 s single-shot). Returns (plain, capped):
+    ``capped`` is True when inflation STOPPED at the cap with compressed
+    data left over — downstream must be able to tell a complete archive
+    from one that silently lost its tail records to the bomb guard."""
     import zlib
 
     if b[:2] != b"\x1f\x8b":
-        return b
+        return b, False
     out = bytearray()
     pos = 0
     chunk_in = 1 << 20
     step_out = 8 << 20
-    while (
-        pos + 2 <= len(b)
-        and b[pos : pos + 2] == b"\x1f\x8b"
-        and len(out) < max_out
-    ):
+    while pos + 2 <= len(b) and b[pos : pos + 2] == b"\x1f\x8b":
+        if len(out) >= max_out:
+            return bytes(out), True  # cap hit with whole members left
         d = zlib.decompressobj(31)
         try:
             while not d.eof:
                 chunk = b[pos : pos + chunk_in]
                 if not chunk:
-                    return bytes(out)  # torn trailing member
+                    return bytes(out), False  # torn trailing member
                 data = chunk
                 while data:
                     out += d.decompress(
                         data, min(step_out, max_out - len(out))
                     )
-                    if len(out) >= max_out:
-                        return bytes(out)
+                    if len(out) >= max_out and not d.eof:
+                        return bytes(out), True  # cap hit mid-member
                     data = d.unconsumed_tail
                     if d.eof:
                         break
@@ -266,8 +269,13 @@ def _gzip_members(b: bytes, max_out: int = _GZIP_MAX_OUT) -> bytes:
                 if d.eof:
                     pos -= len(d.unused_data)  # next member starts here
         except zlib.error:
-            return bytes(out)  # corrupt member: keep what inflated
-    return bytes(out)
+            return bytes(out), False  # corrupt member: keep what inflated
+    return bytes(out), False
+
+
+def _gzip_members(b: bytes, max_out: int = _GZIP_MAX_OUT) -> bytes:
+    """Plain-bytes twin of _gzip_members_ex (see there)."""
+    return _gzip_members_ex(b, max_out)[0]
 
 
 def _split_warc_records(b: bytes) -> list[bytes]:
@@ -311,36 +319,42 @@ def warc_gz_records(
     id_type: str = "long",
     max_inflate: int = _GZIP_MAX_OUT,
 ) -> DataFrame:
-    """(id, record_idx, raw): explode a BINARY column of .warc.gz (or
-    plain .warc) payloads into per-record strings — the step between
-    `spark.read.format('binaryFile')` over a crawl bucket and
-    `warc_parse`. Arrow-batched; unparseable payloads emit nothing.
+    """(id, record_idx, raw, truncated): explode a BINARY column of
+    .warc.gz (or plain .warc) payloads into per-record strings — the
+    step between `spark.read.format('binaryFile')` over a crawl bucket
+    and `warc_parse`. Arrow-batched; unparseable payloads emit nothing.
     ``id_type`` sets the id column's Spark type (``string`` when the id
     is the source file path, as in streaming.sources.warc_source).
     ``max_inflate`` caps one payload's inflated bytes (gzip-bomb guard,
     default 1 GB): a payload hitting the cap yields only its LEADING
-    records — size the cap to your archives' inflated size, or split
-    oversized archives upstream."""
+    records, each carrying ``truncated = true`` so the silent-loss case
+    is detectable downstream (filter or alert on it) — size the cap to
+    your archives' inflated size, or split oversized archives
+    upstream."""
     from typing import Iterator
 
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [id_col, "record_idx", "raw"]
+        cols = [id_col, "record_idx", "raw", "truncated"]
         for pdf in batches:
             out = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    plain = _gzip_members(bytes(content or b""), max_inflate)
+                    plain, capped = _gzip_members_ex(
+                        bytes(content or b""), max_inflate
+                    )
                     recs = _split_warc_records(plain)
                 except Exception:
                     continue
                 for k, r in enumerate(recs):
-                    out.append((rid, k, r.decode("utf-8", "replace")))
+                    out.append((rid, k, r.decode("utf-8", "replace"), capped))
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(
-        run, schema=f"{id_col} {id_type}, record_idx int, raw string"
+        run,
+        schema=f"{id_col} {id_type}, record_idx int, raw string, "
+               "truncated boolean",
     )
 
 

@@ -175,6 +175,7 @@ def parse_media_header(b: bytes) -> dict:
                 sz = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
                       | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
                 off = 10 + sz
+            hdr_ok = False
             if off + 4 <= len(b) and b[off] == 0xFF and (
                 b[off + 1] & 0xE0
             ) == 0xE0:
@@ -188,18 +189,18 @@ def parse_media_header(b: bytes) -> dict:
                 # whole header must validate: version not reserved (1),
                 # layer not reserved (0), sample-rate index < 3, bitrate
                 # index not free-format (0) or forbidden (0xF). Arbitrary
-                # binary starting 0xFF 0xEx stays "unknown" (ID3-tagged
-                # files keep the mp3 label: the tag magic is the evidence).
+                # binary starting 0xFF 0xEx stays "unknown".
                 if (rates is not None and sr_idx < 3 and layer != 0
                         and 0 < br_idx < 15):
+                    hdr_ok = True
                     out.update(
                         format="mp3",
                         sample_rate=rates[sr_idx],
                         channels=1 if mode == 3 else 2,
                     )
-                elif b[:3] == b"ID3":
-                    out.update(format="mp3")
-            elif b[:3] == b"ID3":
+            if not hdr_ok and b[:3] == b"ID3":
+                # the tag magic alone is the evidence when the first
+                # frame header is absent from (or invalid in) the prefix
                 out.update(format="mp3")
         elif b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
             end = "<" if b[:2] == b"II" else ">"
@@ -322,9 +323,10 @@ def mp3_frame_table(b: bytes) -> list[tuple[int, int, int, int]] | None:
     size, absolute_byte_offset)] by walking MPEG audio frame headers —
     an ID3v2 tag is skipped by its syncsafe size, each frame's length
     derives from the header's bitrate/sample-rate/padding fields
-    (ISO/IEC 11172-3: Layer III len = 144*bitrate/rate + pad, Layer I
-    (12*bitrate/rate + pad)*4), and ts_ms accumulates samples-per-frame
-    over the sample rate. Like mp4_sample_table, each row is an
+    (ISO/IEC 11172-3 Layer III ONLY: len = 144*bitrate/rate + pad for
+    MPEG-1, 72*bitrate/rate + pad for MPEG-2/2.5 LSF; Layer I/II
+    streams stop the walk — out of envelope), and ts_ms accumulates
+    samples-per-frame over the sample rate. Like mp4_sample_table, each row is an
     independent (offset, size) range-read decode task — the unit a
     1000-executor transcode fans out over; no stateful scan. The walk
     stops at the first non-frame byte (ID3v1 'TAG' trailer, truncation,

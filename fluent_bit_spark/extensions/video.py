@@ -654,9 +654,10 @@ def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None
     continues at the running end of the previous run's data (ISO BMFF
     8.8.8; first run starts at the traf's base). An edit list shifts
     every ts_ms by the first non-empty edit's media_time (see
-    _elst_media_time). Envelope: default-base-is-moof or explicit
-    base-data-offset tfhd addressing, trun versions 0/1. None outside
-    it."""
+    _elst_media_time; pre-roll samples before the edit start carry
+    NEGATIVE ts_ms — see mp4_sample_table). Envelope:
+    default-base-is-moof or explicit base-data-offset tfhd addressing,
+    trun versions 0/1. None outside it."""
     try:
         found = _mp4_collect(b)
         if found is None or b"mdhd" not in found:
@@ -940,7 +941,13 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
     stateful scan of the file. An edit list (elst) shifts every ts_ms
     by the first non-empty edit's media_time — the initial media-time
     offset real camera/editor output commonly carries (see
-    _elst_media_time for the envelope). None outside the envelope."""
+    _elst_media_time for the envelope). Pre-roll samples presented
+    BEFORE the edit start (decode time < media_time) keep their shifted
+    ts_ms, which is therefore NEGATIVE — exactly how players treat them
+    (decode-only warm-up frames; consumers selecting by ts should drop
+    or clamp ts_ms < 0), and Python floor division rounds those toward
+    -inf (a -1 ms bias vs truncation at non-divisible timescales).
+    None outside the envelope."""
     try:
         found = _mp4_collect(b)
         if found is None:

@@ -3626,6 +3626,57 @@ def test_gzip_members_caps_inflation():
     assert len(_split_warc_records(_gzip_members(gz2))) == 2
 
 
+def test_warc_gz_truncation_flag(spark):
+    """r11 ADVICE fix: a payload that hits the inflate cap yields only
+    its LEADING records — they now carry truncated=true so the silent
+    record loss is detectable downstream, while complete archives
+    (including those inflating to exactly under the cap) stay
+    truncated=false."""
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.html import (
+        _gzip_members_ex, make_warc_gz, make_warc_record, warc_gz_records,
+    )
+
+    rec = make_warc_record("response", "https://e.com/1", "x" * 200)
+    full = make_warc_gz([rec] * 8, per_record_members=True)
+    _, capped = _gzip_members_ex(full)
+    assert capped is False
+    # cap below the total: leading records recover, flag raises
+    plain_len = len(_gzip_members_ex(full)[0])
+    _, capped = _gzip_members_ex(full, max_out=plain_len // 2)
+    assert capped is True
+    # exactly-at-the-boundary archive with nothing left over: not capped
+    _, capped = _gzip_members_ex(full, max_out=plain_len)
+    assert capped is False
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "content": [full, full]})
+    )
+    out = warc_gz_records(df, max_inflate=plain_len // 2)
+    rows = out.groupBy("truncated").count().collect()
+    got = {r.truncated: r["count"] for r in rows}
+    assert got.get(True, 0) > 0  # capped payloads flag every record
+    out_full = warc_gz_records(df)
+    assert out_full.filter("truncated").count() == 0
+    assert out_full.count() == 16
+
+
+def test_embedding_dedup_null_first_vector(spark):
+    """r11 ADVICE fix: the dim probe skips NULL embeddings — a NULL
+    first row used to reach _hyperplanes as dim=None and die with an
+    opaque TypeError."""
+    from fluent_bit_spark.extensions.dedup import embedding_dedup
+
+    rows = [(0, None)] + [
+        (i, [float(i), 1.0, -0.5, float(i % 3)]) for i in range(1, 8)
+    ] + [(99, [1.0, 1.0, -0.5, 1.0])]  # dup of vec 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in
+            embedding_dedup(emb, threshold=0.999).select("vec_id").collect()}
+    assert 1 in kept and 99 not in kept
+
+
 def test_unicode_hygiene():
     """fix_mojibake_str repairs single- and double-encoded UTF-8-as-
     latin-1/cp1252 text and NEVER touches genuine accented text (the
