@@ -3094,6 +3094,131 @@ def fmp4_multitrack_plan_q(spark, sf_dir):
     )
 
 
+def fmp4_audio_track_plan_q(spark, sf_dir):
+    """The AUDIO track of a muxed DASH segment (video.py
+    mp4_sample_table(track='audio')): the same interleaved audio+video
+    fixture shape as fmp4_multitrack_plan — two moofs, audio traf
+    (track_ID 2) first, audio samples before video in each mdat — but
+    planned for the soun trak: its track_ID selects the trafs and trex
+    defaults, ts accumulates the 21-unit audio durations, and the
+    output md5s the bytes each plan row range-reads (audio filler is
+    lowercase chr(97+g), video uppercase, so absorbing a video traf or
+    miscomputing the shared-mdat offsets hash-fails). Odd doc_ids write
+    the audio TRAK first in moov — selection must go by hdlr, not trak
+    order. Completes the muxed-container story: one segment now plans
+    BOTH tracks independently (r11 verdict task)."""
+    import hashlib
+
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.video import (
+        make_fmp4,
+        mp4_sample_table,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                dur = 30 + 10 * (d % 4)
+                n0 = 2 + (d + 1) % 2
+                sizes = [9 + (d + 2 * g) % 6 for g in range(5)]
+                keys = [g % 3 == 0 for g in range(5)]
+                frag0 = [(dur, sizes[g], keys[g]) for g in range(n0)]
+                frag1 = [(dur, sizes[g], keys[g]) for g in range(n0, 5)]
+                a0 = [(21, 6 + (d + g) % 4, True) for g in range(2)]
+                a1 = [(21, 6 + (d + g) % 4, True) for g in range(2, 4)]
+                out.append((d, make_fmp4(
+                    320, 180,
+                    [(0, frag0), (n0 * dur, frag1)],
+                    audio_fragments=[(0, a0), (42, a1)],
+                    audio_trak_first=(d % 2 == 1),
+                )))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(gen, schema="media_id long, content binary")
+
+    def plan(batches):
+        cols = ["media_id", "frame_idx", "ts_ms", "size", "payload_md5",
+                "keyframe"]
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                for idx, ts, sz, off, key in (
+                    mp4_sample_table(b, track="audio") or []
+                ):
+                    out.append((
+                        mid, idx, ts, sz,
+                        hashlib.md5(b[off : off + sz]).hexdigest(), key,
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(
+        plan,
+        schema="media_id long, frame_idx int, ts_ms bigint, size bigint, "
+               "payload_md5 string, keyframe boolean",
+    )
+
+
+def aac_frame_plan_q(spark, sf_dir):
+    """ADTS/AAC frame plans (multimodal.py adts_frame_table) — the
+    raw-stream AAC sibling of mp3_frame_plan, covering the audio format
+    real crawls carry alongside MP3: every document mints a 6-frame
+    ADTS stream — sample rate cycling 44100/48000/32000/22050 via the
+    sampling-frequency-index table, payload sizes 50+(doc_id+g)%9, a
+    per-frame CRC (9-byte header) when bit g of doc_id%64 is set, an
+    ID3v2 tag (14 payload bytes) skipped on even doc_ids — and the plan
+    reads each frame's length DIRECTLY from the 13-bit
+    aac_frame_length field (header included) with ts accumulating 1024
+    samples per frame. The output md5s each frame's codec payload; the
+    oracle restates length (incl. the CRC header growth), cumulative
+    offset, timestamps, and filler arithmetically. Same 100 TB shape:
+    independent (offset, size) range-read decode tasks."""
+    import hashlib
+
+    import pandas as pd
+
+    from fluent_bit_spark.extensions.multimodal import (
+        adts_frame_table,
+        make_adts_frames,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def run(batches):
+        cols = ["media_id", "frame_idx", "ts_ms", "size", "offset",
+                "payload_md5"]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                crc_pattern = d % 64
+                b = make_adts_frames(
+                    6,
+                    sample_rate=(44100, 48000, 32000, 22050)[d % 4],
+                    payload_size=[50 + (d + g) % 9 for g in range(6)],
+                    crc_pattern=crc_pattern,
+                    id3_size=14 if d % 2 == 0 else None,
+                )
+                for idx, ts, sz, off in adts_frame_table(b) or []:
+                    hdr = 9 if (crc_pattern >> idx) & 1 else 7
+                    out.append((
+                        d, idx, ts, sz, off,
+                        hashlib.md5(b[off + hdr : off + sz]).hexdigest(),
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        run,
+        schema="media_id long, frame_idx int, ts_ms bigint, size bigint, "
+               "offset bigint, payload_md5 string",
+    )
+
+
 def warc_quality_pipeline_q(spark, sf_dir):
     """The crawl-bucket composition gate (html.py warc_gz_records ->
     warc_parse -> text.py quality_score): every document's text ships
@@ -6037,6 +6162,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fmp4_frame_plan": fmp4_frame_plan_q,
         "elst_frame_plan": elst_frame_plan_q,
         "fmp4_multitrack_plan": fmp4_multitrack_plan_q,
+        "fmp4_audio_track_plan": fmp4_audio_track_plan_q,
+        "aac_frame_plan": aac_frame_plan_q,
         "warc_quality_pipeline": warc_quality_pipeline_q,
         "mp3_frame_plan": mp3_frame_plan_q,
         "boilerplate_blocks": boilerplate_blocks_q,
@@ -7365,6 +7492,42 @@ def oracle_sql() -> dict[str, str]:
             "md5(repeat(chr(CAST(65 + g % 26 AS INT)), "
             "CAST(9 + (doc_id + 2 * g) % 6 AS INT))) AS payload_md5, "
             "g % 3 = 0 AS keyframe FROM f"
+        ),
+        # the muxed segment's AUDIO track: 4 samples of 21-unit duration,
+        # sizes 6+(doc_id+g)%4, lowercase filler chr(97+g) — reading any
+        # video byte (uppercase) or a wrong shared-mdat offset hash-fails
+        "fmp4_audio_track_plan": (
+            "WITH f AS (SELECT doc_id, g FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 4)) AS g) gg) "
+            "SELECT doc_id AS media_id, CAST(g AS INT) AS frame_idx, "
+            "CAST(g * 21 AS BIGINT) AS ts_ms, "
+            "CAST(6 + (doc_id + g) % 4 AS BIGINT) AS size, "
+            "md5(repeat(chr(CAST(97 + g % 26 AS INT)), "
+            "CAST(6 + (doc_id + g) % 4 AS INT))) AS payload_md5, "
+            "TRUE AS keyframe FROM f"
+        ),
+        # ADTS: frame length is the 13-bit header field (7- or 9-byte
+        # header per the CRC bit), ts = 1024 samples/frame over the
+        # sfi-table rate, offsets cumulative past the 24-byte ID3v2 tag
+        # on even doc_ids; payload filler restated
+        "aac_frame_plan": (
+            "WITH f AS (SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "WHEN 2 THEN 32000 ELSE 22050 END AS sr, g FROM documents "
+            "CROSS JOIN (SELECT unnest(range(0, 6)) AS g) gg), "
+            "s AS (SELECT doc_id, g, sr, "
+            "50 + (doc_id + g) % 9 AS psize, "
+            "7 + 2 * (((doc_id % 64) >> g) & 1) "
+            "+ 50 + (doc_id + g) % 9 AS size FROM f) "
+            "SELECT doc_id AS media_id, CAST(g AS INT) AS frame_idx, "
+            "CAST(g * 1024 * 1000 // sr AS BIGINT) AS ts_ms, "
+            "CAST(size AS BIGINT) AS size, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 0 END "
+            "+ COALESCE(SUM(size) OVER (PARTITION BY doc_id ORDER BY g "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS offset, "
+            "md5(repeat(chr(CAST(65 + g % 26 AS INT)), "
+            "CAST(psize AS INT))) AS payload_md5 FROM s"
         ),
         "warc_gz_roundtrip": (
             "SELECT doc_id, 0 AS record_idx, 'response' AS warc_type, "

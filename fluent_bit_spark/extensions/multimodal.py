@@ -415,6 +415,104 @@ def make_mp3_frames(
     return bytes(out)
 
 
+# ADTS sampling_frequency_index table (ISO/IEC 14496-3, 1.6.3.4) —
+# shared by the frame plan and the fixture writer.
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def adts_frame_table(b: bytes) -> list[tuple[int, int, int, int]] | None:
+    """mp3_frame_table's AAC sibling — the in-MP4 and raw-stream audio
+    format real crawls actually carry: [(frame_idx, ts_ms, size,
+    absolute_byte_offset)] by walking ADTS headers (ISO/IEC 13818-7 /
+    14496-3). An ID3v2 tag is skipped by its syncsafe size (".aac"
+    files do ship tagged); each frame's length is read DIRECTLY from
+    the 13-bit aac_frame_length field (unlike MP3 there is no bitrate
+    arithmetic — the header carries the byte count, including the 7- or
+    9-byte header itself per protection_absent), and ts_ms accumulates
+    1024 samples per raw data block over the sampling-frequency-index
+    rate. Like mp4_sample_table, each row is an independent (offset,
+    size) range-read decode task — no stateful scan. The walk stops at
+    the first non-frame byte (truncation, garbage, an ID3v1 trailer) —
+    filter, don't crash. None when no valid frame exists."""
+    try:
+        off = 0
+        if b[:3] == b"ID3" and len(b) >= 10:
+            off = 10 + ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                        | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        out: list[tuple[int, int, int, int]] = []
+        samples = 0
+        rate0 = None
+        while off + 7 <= len(b):
+            # syncword 0xFFF, layer must be 00 in ADTS
+            if (b[off] != 0xFF or (b[off + 1] & 0xF0) != 0xF0
+                    or (b[off + 1] >> 1) & 3 != 0):
+                break
+            prot_absent = b[off + 1] & 1
+            sf_idx = (b[off + 2] >> 2) & 0xF
+            if sf_idx >= len(_ADTS_RATES):
+                break
+            flen = (((b[off + 3] & 0x03) << 11) | (b[off + 4] << 3)
+                    | (b[off + 5] >> 5))
+            hdr = 7 if prot_absent else 9  # CRC adds 2 bytes
+            if flen < hdr or off + flen > len(b):
+                break  # torn trailing frame: plan only complete reads
+            rdb = b[off + 6] & 0x03  # number_of_raw_data_blocks - 1
+            rate = _ADTS_RATES[sf_idx]
+            if rate0 is None:
+                rate0 = rate
+            out.append((len(out), samples * 1000 // rate0, flen, off))
+            samples += 1024 * (rdb + 1)
+            off += flen
+        return out or None
+    except IndexError:
+        return None
+
+
+def make_adts_frames(
+    n: int,
+    sample_rate: int = 44100,
+    profile: int = 1,
+    channels: int = 2,
+    payload_size: int | list[int] = 50,
+    crc_pattern: int = 0,
+    id3_size: int | None = None,
+) -> bytes:
+    """Multi-frame ADTS fixture: frame g's codec payload is
+    chr(65 + g%26) repeated payload_size[g] (or the scalar
+    ``payload_size``) bytes; frame g carries a CRC
+    (protection_absent=0, 9-byte header with two zero CRC bytes) when
+    bit g of ``crc_pattern`` is set; optionally behind an ID3v2 tag of
+    ``id3_size`` payload bytes."""
+    sf_idx = _ADTS_RATES.index(sample_rate)
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + b"\x00" * id3_size
+    for g in range(n):
+        crc = (crc_pattern >> g) & 1
+        hdr = 9 if crc else 7
+        psize = (
+            payload_size[g] if isinstance(payload_size, list) else payload_size
+        )
+        flen = hdr + psize
+        out += bytes([
+            0xFF,
+            0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1),  # MPEG-4, layer 00
+            ((profile & 3) << 6) | (sf_idx << 2) | ((channels >> 2) & 1),
+            ((channels & 3) << 6) | ((flen >> 11) & 3),
+            (flen >> 3) & 0xFF,
+            ((flen & 7) << 5) | 0x1F,        # buffer fullness hi (VBR)
+            0xFC,                            # fullness lo | rdb = 0
+        ])
+        if crc:
+            out += b"\x00\x00"
+        out += bytes([65 + g % 26]) * psize
+    return bytes(out)
+
+
 def make_mp3(
     sample_rate: int = 44100, stereo: bool = True, id3: bool = False
 ) -> bytes:

@@ -599,8 +599,8 @@ def make_fmp4(
 
 
 def _tkhd_track_id(b: bytes, found: dict[bytes, tuple[int, int]]) -> int:
-    """track_ID of the VIDEO trak's tkhd (per _mp4_collect's trak
-    selection — hdlr 'vide' first, see there); 1 when absent. The
+    """track_ID of the SELECTED trak's tkhd (per _mp4_collect's
+    handler-driven trak selection, see there); 1 when absent. The
     trex/tfhd rows the fragment plan keeps are the ones matching it."""
     if b"tkhd" not in found:
         return 1
@@ -642,15 +642,24 @@ def _elst_media_time(
     return 0
 
 
-def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
+#: handler_type per plannable track kind (ISO BMFF 8.4.3.3)
+_TRACK_HANDLERS = {"video": b"vide", "audio": b"soun"}
+
+
+def mp4_fragment_table(
+    b: bytes, track: str = "video"
+) -> list[tuple[int, int, int, int, bool]] | None:
     """mp4_sample_table's FRAGMENTED twin: [(idx, ts_ms, size,
     absolute_offset, keyframe)] from moof/traf boxes (tfhd defaults,
     tfdt base decode time, trun per-sample entries) — the DASH/HLS
     segment layout, where the sample table arrives fragment by fragment
     instead of in one stbl. Muxed audio+video segments carry one traf
     per TRACK per moof: the plan keeps only the trafs whose tfhd
-    track_ID matches the first (video) trak, with trex defaults
-    selected by the same track_ID. A trun without the data-offset flag
+    track_ID matches the trak selected by ``track`` ('video' = first
+    hdlr 'vide' trak, 'audio' = first hdlr 'soun' — None when absent,
+    never a mislabeled fallback), with trex defaults selected by the
+    same track_ID, so one muxed segment plans BOTH tracks
+    independently. A trun without the data-offset flag
     continues at the running end of the previous run's data (ISO BMFF
     8.8.8; first run starts at the traf's base). An edit list shifts
     every ts_ms by the first non-empty edit's media_time (see
@@ -659,7 +668,11 @@ def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None
     default-base-is-moof or explicit base-data-offset tfhd addressing,
     trun versions 0/1. None outside it."""
     try:
-        found = _mp4_collect(b)
+        found = _mp4_collect(
+            b,
+            handler=_TRACK_HANDLERS[track],
+            fallback_first=(track == "video"),
+        )
         if found is None or b"mdhd" not in found:
             return None
         ms, _ = found[b"mdhd"]
@@ -669,9 +682,9 @@ def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None
         )[0]
         if not timescale:
             return None
-        vid_tid = _tkhd_track_id(b, found)
+        vid_tid = _tkhd_track_id(b, found)  # the SELECTED track's id
         elst_shift = _elst_media_time(b, found)
-        # trex defaults for the VIDEO track (mvex holds one trex per
+        # trex defaults for the selected track (mvex holds one trex per
         # track — match on track_ID, don't take whichever comes first)
         d_dur = d_size = d_flags = 0
         if b"mvex" in found:
@@ -728,7 +741,7 @@ def mp4_fragment_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None
                     elif c3 == b"trun":
                         truns.append((p3, e3))
                 if traf_tid is not None and traf_tid != vid_tid:
-                    continue  # another track's traf (audio in a muxed seg)
+                    continue  # another track's traf in a muxed segment
                 if base_data is None:
                     if tfhd_flags & 0x020000:  # default-base-is-moof
                         base_data = moof_start
@@ -828,26 +841,35 @@ _MP4_CONTAINERS = {
 }
 
 
-def _trak_is_video(b: bytes, trak_s: int, trak_e: int) -> bool:
-    """True when the trak's mdia/hdlr handler_type is 'vide'."""
+def _trak_handler(b: bytes, trak_s: int, trak_e: int) -> bytes | None:
+    """The trak's mdia/hdlr handler_type ('vide', 'soun', ...)."""
     for cc, ps, pe in _walk_boxes(b, trak_s, trak_e):
         if cc != b"mdia":
             continue
         for c2, p2, e2 in _walk_boxes(b, ps, pe):
             # hdlr payload: version/flags(4) pre_defined(4) handler(4)
             if c2 == b"hdlr":
-                return b[p2 + 8 : p2 + 12] == b"vide"
-    return False
+                return b[p2 + 8 : p2 + 12]
+    return None
 
 
-def _mp4_collect(b: bytes) -> dict[bytes, tuple[int, int]] | None:
-    """Video-track flat map fourcc -> (payload_start, payload_end) for
+def _trak_is_video(b: bytes, trak_s: int, trak_e: int) -> bool:
+    """True when the trak's mdia/hdlr handler_type is 'vide'."""
+    return _trak_handler(b, trak_s, trak_e) == b"vide"
+
+
+def _mp4_collect(
+    b: bytes, handler: bytes = b"vide", fallback_first: bool = True
+) -> dict[bytes, tuple[int, int]] | None:
+    """Per-track flat map fourcc -> (payload_start, payload_end) for
     the boxes the parser reads. The trak that gets collected is the
-    first whose hdlr says 'vide' (track order in moov is unconstrained
-    by ISO BMFF and real muxers do write the audio trak first — taking
-    'the first trak' would hand every downstream reader the AUDIO
-    track's tkhd/mdhd/elst/stbl); falls back to the first trak when no
-    handler says video."""
+    first whose hdlr matches ``handler`` (track order in moov is
+    unconstrained by ISO BMFF and real muxers do write the audio trak
+    first — taking 'the first trak' would hand every downstream reader
+    the wrong track's tkhd/mdhd/elst/stbl). ``fallback_first`` (the
+    video default) falls back to the first trak when no hdlr matches;
+    audio selection passes False — planning VIDEO samples as audio
+    because no 'soun' trak exists must fail, not mislabel."""
     if len(b) < 12 or b[4:8] != b"ftyp":
         return None
     found: dict[bytes, tuple[int, int]] = {}
@@ -868,10 +890,10 @@ def _mp4_collect(b: bytes) -> dict[bytes, tuple[int, int]] | None:
                                 continue
                             if first is None:
                                 first = (p2, e2)
-                            if _trak_is_video(b, p2, e2):
+                            if _trak_handler(b, p2, e2) == handler:
                                 chosen = (p2, e2)
                                 break
-                        trak = chosen or first
+                        trak = chosen or (first if fallback_first else None)
                         if trak is not None:
                             found[b"trak"] = trak
                             stack.append(trak)
@@ -928,9 +950,13 @@ def parse_mp4(b: bytes) -> dict | None:
         return None
 
 
-def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
+def mp4_sample_table(
+    b: bytes, track: str = "video"
+) -> list[tuple[int, int, int, int, bool]] | None:
     """The distributed frame-extraction plan: [(sample_idx, ts_ms,
-    size, absolute_byte_offset, keyframe)] from the first track's
+    size, absolute_byte_offset, keyframe)] from the selected track's
+    (``track``: 'video' = first hdlr 'vide' trak with first-trak
+    fallback, 'audio' = first hdlr 'soun' trak, None when absent)
     stts + stsz + stsc + stco/co64 + stss (+ctts) tables. co64 is the
     64-bit chunk-offset layout every >4 GB file carries — exactly the
     files a 100 TB corpus is made of; ctts composition offsets shift
@@ -949,11 +975,15 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int, int, int, bool]] | None:
     -inf (a -1 ms bias vs truncation at non-divisible timescales).
     None outside the envelope."""
     try:
-        found = _mp4_collect(b)
+        found = _mp4_collect(
+            b,
+            handler=_TRACK_HANDLERS[track],
+            fallback_first=(track == "video"),
+        )
         if found is None:
             return None
         if b"moof" in found:  # fragmented (DASH/HLS): moof carries the table
-            return mp4_fragment_table(b)
+            return mp4_fragment_table(b, track=track)
         for need in (b"stts", b"stsz", b"stsc", b"mdhd"):
             if need not in found:
                 return None
