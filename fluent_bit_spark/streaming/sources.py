@@ -230,6 +230,7 @@ def warc_source(
     tag_template: str = "warc.0",
     max_files_per_trigger: int | None = None,
     max_inflate: int | None = None,
+    ts_from: str = "processing",
 ) -> DataFrame:
     """in_tail for crawl buckets: a directory (or glob) of .warc.gz /
     plain .warc files becomes a stream of PARSED WARC records — the
@@ -251,9 +252,23 @@ def warc_source(
     ``max_inflate`` caps one archive's inflated bytes (gzip-bomb guard;
     default 1 GB via warc_gz_records) — size it to your archives'
     INFLATED size (a ~1 GB compressed segment inflates to several GB),
-    since a capped archive yields only its leading records."""
+    since a capped archive yields only its leading records (they carry
+    truncated=true).
+
+    ``ts_from``: 'processing' (default) stamps the event-envelope ts
+    with current_timestamp(); 'warc_date' derives it from each record's
+    WARC-Date header (ISO 8601, the actual CRAWL time) so event-time
+    windowed aggregates + watermarks over a crawl stream work —
+    downsampling fetch rates by when pages were fetched, not when the
+    archive happened to be replayed. Records whose WARC-Date is missing
+    or unparsable fall back to processing time (a NULL ts would
+    silently drop them from watermarked aggregates)."""
     from fluent_bit_spark.extensions.html import warc_gz_records, warc_parse
 
+    if ts_from not in ("processing", "warc_date"):
+        raise ValueError(
+            f"ts_from must be 'processing' or 'warc_date', got {ts_from!r}"
+        )
     if streaming:
         reader = spark.readStream.format("binaryFile").schema(
             "path string, modificationTime timestamp, "
@@ -271,9 +286,27 @@ def warc_source(
         files, content_col="content", id_col="file", id_type="string",
         **kwargs,
     )
-    return (
-        warc_parse(recs, raw_col="raw", id_col="file",
-                   extra_cols=("record_idx",))
-        .withColumn(TAG_COL, F.lit(tag_template))
-        .withColumn(TS_COL, F.current_timestamp())
+    parsed = warc_parse(
+        recs, raw_col="raw", id_col="file", extra_cols=("record_idx",)
+    ).withColumn(TAG_COL, F.lit(tag_template))
+    ts = (
+        warc_event_time()
+        if ts_from == "warc_date"
+        else F.current_timestamp()
+    )
+    return parsed.withColumn(TS_COL, ts)
+
+
+def warc_event_time(col: str = "warc_date"):
+    """The ts_from='warc_date' derivation (see warc_source): WARC-Date
+    is ISO 8601 (WARC 1.0 whole-second 'Z', WARC 1.1 fractional, and
+    the '+00:00' offset spelling writers emit) — try_to_timestamp (not
+    to_timestamp, which RAISES under the ANSI default) NULLs unparsable
+    input, and the coalesce falls back to processing time so malformed
+    records keep flowing instead of vanishing at the watermark
+    operator."""
+    return F.coalesce(
+        F.try_to_timestamp(F.col(col), F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(F.col(col)),
+        F.current_timestamp(),
     )
