@@ -3372,6 +3372,64 @@ def boilerplate_blocks_q(spark, sf_dir):
     return html_blocks(pages)
 
 
+def boilerplate_context_q(spark, sf_dir):
+    """jusText's CONTEXT-SENSITIVE pass (html.py revise_block_labels
+    over html_blocks(near_good_tokens=15)) — the absorption rules that
+    were documented out of envelope until r12: every document mints a
+    10-block page planting each rule — a short block whose fate flips
+    with doc parity (bridged to good through a near_good block on even
+    docs; pinned boilerplate when that slot is a nav on odd docs), the
+    SAME parity flipping the near_good slot itself, a near_good between
+    good and boilerplate (kept), and a near_good surrounded by navs
+    (absorbed INTO boilerplate). The oracle restates every context-free
+    class AND final label from doc_id arithmetic — a wrong neighbour
+    walk (not skipping short blocks, missing the ignore-neargood
+    distinction, boundary not counting as boilerplate) flips labels and
+    hash-fails. Pure Catalyst: two window frames over one (doc,
+    block_idx) exchange."""
+    from fluent_bit_spark.extensions.html import (
+        html_blocks,
+        revise_block_labels,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    nav = ('<div>nav <a href="u">go</a> <a href="u">go</a> '
+           '<a href="u">go</a> menu</div>')
+
+    def para(blk, n):
+        return F.concat(
+            F.lit("<p>"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda i: F.concat(
+                        F.lit("t"), F.col("doc_id").cast("string"),
+                        F.lit(f"_{blk}_"), i.cast("string"),
+                    ),
+                ),
+            ),
+            F.lit("</p>"),
+        )
+
+    slot4 = F.when(F.col("doc_id") % 2 == 0, para(4, 12)).otherwise(
+        F.lit(nav)
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body>" + nav),
+            para(2, 20), para(3, 3), slot4, F.lit(nav),
+            para(6, 20), para(7, 12), F.lit(nav), para(9, 12),
+            F.lit(nav + "</body></html>"),
+        ).alias("html"),
+    )
+    blocks = html_blocks(pages, near_good_tokens=15)
+    return revise_block_labels(blocks).select(
+        "doc_id", "block_idx", "n_tokens", "cf_label", "label"
+    )
+
+
 def warc_gz_roundtrip_q(spark, sf_dir):
     """The ON-DISK crawl layout (html.py warc_gz_records): every
     document mints a 3-record .warc.gz — a response (status cycling
@@ -6225,6 +6283,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fmp4_audio_track_plan": fmp4_audio_track_plan_q,
         "aac_frame_plan": aac_frame_plan_q,
         "warc_fetch_windows": warc_fetch_windows_q,
+        "boilerplate_context": boilerplate_context_q,
         "warc_quality_pipeline": warc_quality_pipeline_q,
         "mp3_frame_plan": mp3_frame_plan_q,
         "boilerplate_blocks": boilerplate_blocks_q,
@@ -7589,6 +7648,33 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS offset, "
             "md5(repeat(chr(CAST(65 + g % 26 AS INT)), "
             "CAST(psize AS INT))) AS payload_md5 FROM s"
+        ),
+        # both the context-free class and the revised label restated
+        # from the planted 10-block pattern: slot 4 is near_good on
+        # even docs (bridging slot 3's short to good) and a nav on odd
+        # (pinning both to boilerplate); slot 9's near_good sits
+        # between navs and absorbs into boilerplate
+        "boilerplate_context": (
+            "WITH m AS (SELECT * FROM (VALUES "
+            "(1, 'nav', 5), (2, 'para', 20), (3, 'para', 3), "
+            "(4, 'mix', 12), (5, 'nav', 5), (6, 'para', 20), "
+            "(7, 'para', 12), (8, 'nav', 5), (9, 'para', 12), "
+            "(10, 'nav', 5)) AS t(blk, kind, n)) "
+            "SELECT d.doc_id, CAST(m.blk AS INT) AS block_idx, "
+            "CAST(CASE WHEN m.kind = 'mix' AND d.doc_id % 2 = 1 "
+            "THEN 5 ELSE m.n END AS INT) AS n_tokens, "
+            "CASE WHEN m.kind = 'nav' "
+            "OR (m.kind = 'mix' AND d.doc_id % 2 = 1) THEN 'boilerplate' "
+            "WHEN m.n >= 15 THEN 'good' "
+            "WHEN m.n >= 10 THEN 'near_good' ELSE 'short' END AS cf_label, "
+            "CASE m.blk WHEN 2 THEN 'good' WHEN 6 THEN 'good' "
+            "WHEN 7 THEN 'good' "
+            "WHEN 3 THEN CASE WHEN d.doc_id % 2 = 0 THEN 'good' "
+            "ELSE 'boilerplate' END "
+            "WHEN 4 THEN CASE WHEN d.doc_id % 2 = 0 THEN 'good' "
+            "ELSE 'boilerplate' END "
+            "ELSE 'boilerplate' END AS label "
+            "FROM documents d CROSS JOIN m"
         ),
         # timestamps restated ARITHMETICALLY (base + doc_id*7%600 s +
         # 250 ms on every 3rd doc) — the Spark side must parse the

@@ -18,8 +18,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["strip_tags", "decode_entities", "html_extract", "warc_parse",
-           "warc_gz_records", "make_warc_gz", "make_warc_record"]
+__all__ = ["strip_tags", "decode_entities", "html_extract", "html_blocks",
+           "revise_block_labels", "warc_parse", "warc_gz_records",
+           "make_warc_gz", "make_warc_record"]
 
 # non-greedy block removals; (?is) = case-insensitive + dotall
 _BLOCK_RES = (
@@ -91,6 +92,7 @@ def html_blocks(
     id_col: str = "doc_id",
     min_tokens: int = 10,
     max_link_density: float = 0.2,
+    near_good_tokens: int | None = None,
 ) -> DataFrame:
     """jusText-style boilerplate classification (Pomikálek 2011, the
     block-level heuristic corpus pipelines run between WET extraction
@@ -104,14 +106,19 @@ def html_blocks(
       n_tokens     < ``min_tokens``        -> 'short'
       otherwise                            -> 'good'
 
+    ``near_good_tokens`` (None keeps the two-class core) adds jusText's
+    fourth context-free class: blocks that clear the density bar but
+    sit in [min_tokens, near_good_tokens) are 'near_good' — medium
+    paragraphs whose fate the CONTEXT pass (revise_block_labels)
+    decides from their neighbours.
+
     Emits (id, block_idx, text, n_tokens, n_links, link_density,
     label); block_idx is the split position (0 = the pre-first-tag
     prefix), empty blocks drop. Downstream, `good` blocks re-join into
     the page's prose (html_extract keeps EVERYTHING — this is the
     filter that drops the chrome). The context-sensitive second pass of
-    full jusText (near-good absorption) is documented out of envelope:
-    on web chrome the two core signals do the bulk of the separation
-    and keep the operator a pure Catalyst projection.
+    full jusText lives in revise_block_labels — chain it after this
+    when near_good_tokens is set.
 
     Scale shape: split + posexplode + per-row regex counts — scan
     speed, no shuffle, no Python; runs at any corpus size."""
@@ -142,6 +149,13 @@ def html_blocks(
         .when(n_tokens < min_tokens, "short")
         .otherwise("good")
     )
+    if near_good_tokens is not None:
+        label = (
+            F.when(density > max_link_density, "boilerplate")
+            .when(n_tokens < min_tokens, "short")
+            .when(n_tokens < near_good_tokens, "near_good")
+            .otherwise("good")
+        )
     return out.select(
         id_col,
         F.col("block_idx").cast("int").alias("block_idx"),
@@ -150,6 +164,84 @@ def html_blocks(
         F.col("n_links").cast("int").alias("n_links"),
         density.alias("link_density"),
         label.alias("label"),
+    )
+
+
+def revise_block_labels(
+    blocks: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str = "block_idx",
+    label_col: str = "label",
+) -> DataFrame:
+    """jusText's CONTEXT-SENSITIVE second pass (Pomikálek 2011 §3;
+    mirrors revise_paragraph_classification in the published jusText
+    implementation) over html_blocks output with the four-class labels
+    (near_good_tokens set): 'good' and 'boilerplate' are final; every
+    'short' and 'near_good' block is absorbed by its NEIGHBOURHOOD —
+
+      short:     both nearest good/boilerplate neighbours good -> good;
+                 both boilerplate -> boilerplate; mixed -> good only
+                 when a near_good block stands between it and the
+                 boilerplate side (the bridge rule), else boilerplate
+      near_good: boilerplate on BOTH sides -> boilerplate; else good
+
+    'Nearest neighbour' skips short (and, for the first lookup,
+    near_good) blocks, exactly the paper's get_neighbour walk; a page
+    boundary counts as boilerplate. That walk is last()/first() with
+    ignorenulls over two frames of ONE (id, block_idx) window — pure
+    Catalyst, no Python, one exchange on id (r11 verdict task #5: the
+    pass previously documented out of envelope).
+
+    Emits the input columns with ``label`` revised to good/boilerplate
+    and the context-free class preserved as ``cf_label``."""
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col)
+    gb = F.when(lbl.isin("good", "boilerplate"), lbl)
+    gnb = F.when(lbl.isin("good", "boilerplate", "near_good"), lbl)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(block_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(id_col)
+        .orderBy(block_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    bad = F.lit("boilerplate")
+    prev_gb = F.coalesce(F.last(gb, ignorenulls=True).over(w_prev), bad)
+    next_gb = F.coalesce(F.first(gb, ignorenulls=True).over(w_next), bad)
+    prev_gnb = F.coalesce(F.last(gnb, ignorenulls=True).over(w_prev), bad)
+    next_gnb = F.coalesce(F.first(gnb, ignorenulls=True).over(w_next), bad)
+    revised = (
+        F.when(lbl.isin("good", "boilerplate"), lbl)
+        .when(
+            lbl == "short",
+            F.when((prev_gb == "good") & (next_gb == "good"), "good")
+            .when(
+                (prev_gb == "boilerplate") & (next_gb == "boilerplate"),
+                "boilerplate",
+            )
+            .when(
+                ((prev_gb == "boilerplate") & (prev_gnb == "near_good"))
+                | ((next_gb == "boilerplate") & (next_gnb == "near_good")),
+                "good",
+            )
+            .otherwise("boilerplate"),
+        )
+        .otherwise(  # near_good
+            F.when(
+                (prev_gb == "boilerplate") & (next_gb == "boilerplate"),
+                "boilerplate",
+            ).otherwise("good")
+        )
+    )
+    keep = [c for c in blocks.columns if c != label_col]
+    return blocks.select(
+        *keep,
+        lbl.alias("cf_label"),
+        revised.alias(label_col),
     )
 
 

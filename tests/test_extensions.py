@@ -3907,6 +3907,127 @@ def test_html_blocks_counts_attributeless_anchors(spark):
     assert row.label == "boilerplate"
 
 
+def _justext_revise_reference(cf: list[str]) -> list[str]:
+    """Spec reference for the context pass — a direct restatement of
+    revise_paragraph_classification from the published jusText
+    algorithm (Pomikálek 2011 §3), classes renamed to this module's
+    (bad='boilerplate'). Kept independent of the Spark implementation
+    so the test is spec-derived, not self-consistent."""
+    BAD, GOOD, SHORT, NG = "boilerplate", "good", "short", "near_good"
+
+    def neighbour(i, step, ignore_neargood):
+        j = i + step
+        while 0 <= j < len(cf):
+            c = cf[j]
+            if c in (GOOD, BAD) or (c == NG and not ignore_neargood):
+                return c
+            j += step
+        return BAD  # page boundary counts as bad
+
+    out = list(cf)
+    for i, c in enumerate(cf):
+        if c == SHORT:
+            prev, nxt = neighbour(i, -1, True), neighbour(i, 1, True)
+            if {prev, nxt} == {GOOD}:
+                out[i] = GOOD
+            elif {prev, nxt} == {BAD}:
+                out[i] = BAD
+            elif (prev == BAD and neighbour(i, -1, False) == NG) or (
+                nxt == BAD and neighbour(i, 1, False) == NG
+            ):
+                out[i] = GOOD
+            else:
+                out[i] = BAD
+    for i, c in enumerate(cf):
+        if c == NG:
+            prev, nxt = neighbour(i, -1, True), neighbour(i, 1, True)
+            out[i] = BAD if (prev, nxt) == (BAD, BAD) else GOOD
+    return out
+
+
+def test_revise_block_labels_context_pass(spark):
+    """jusText's context-sensitive second pass (r12: previously
+    documented out of envelope): short and near_good blocks absorb
+    into their neighbourhood — short between goods -> good, between
+    bads -> bad, mixed -> good only via the near_good bridge;
+    near_good -> bad only when boilerplate on BOTH sides; page
+    boundaries count as boilerplate. Every label sequence is checked
+    against an independent restatement of the published algorithm
+    (_justext_revise_reference), including the ignore-neargood
+    neighbour walk."""
+    from fluent_bit_spark.extensions.html import revise_block_labels
+
+    patterns = [
+        # every branch: bridge both directions, bad-bad absorption,
+        # boundary shorts, neargood islands, consecutive shorts
+        ["good", "short", "boilerplate"],
+        ["good", "short", "near_good", "boilerplate"],
+        ["boilerplate", "near_good", "short", "good"],
+        ["good", "short", "good"],
+        ["boilerplate", "short", "boilerplate"],
+        ["short", "good", "short"],
+        ["near_good"],
+        ["boilerplate", "near_good", "boilerplate"],
+        ["good", "near_good", "boilerplate", "near_good", "good"],
+        ["short", "short", "good", "short", "short"],
+        ["near_good", "short", "near_good"],
+        ["good", "short", "short", "boilerplate", "short", "near_good",
+         "good", "near_good", "boilerplate"],
+    ]
+    rows = [
+        (doc, idx, lbl)
+        for doc, cf in enumerate(patterns)
+        for idx, lbl in enumerate(cf)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, block_idx int, label string"
+    )
+    got = {
+        (r.doc_id, r.block_idx): (r.cf_label, r.label)
+        for r in revise_block_labels(df).collect()
+    }
+    for doc, cf in enumerate(patterns):
+        expect = _justext_revise_reference(cf)
+        for idx in range(len(cf)):
+            assert got[(doc, idx)] == (cf[idx], expect[idx]), (
+                doc, cf, idx, got[(doc, idx)], expect[idx],
+            )
+        assert all(got[(doc, i)][1] in ("good", "boilerplate")
+                   for i in range(len(cf)))
+
+
+def test_html_blocks_near_good_class(spark):
+    """html_blocks(near_good_tokens=...) adds jusText's fourth
+    context-free class without touching the default two-signal labels;
+    chaining revise_block_labels yields the final good/boilerplate
+    page segmentation."""
+    from fluent_bit_spark.extensions.html import (
+        html_blocks, revise_block_labels,
+    )
+
+    page = (
+        "<html><body>"
+        '<div>nav <a href="/a">x</a> <a href="/b">y</a> <a href="/c">z</a>'
+        " m</div>"
+        "<p>" + " ".join(f"g{i}" for i in range(20)) + "</p>"
+        "<p>tiny one</p>"
+        "<p>" + " ".join(f"n{i}" for i in range(12)) + "</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    cf = {r.block_idx: r.label
+          for r in html_blocks(df, near_good_tokens=15).collect()}
+    assert cf == {1: "boilerplate", 2: "good", 3: "short", 4: "near_good"}
+    # default call unchanged: near_good stays good
+    assert html_blocks(df).where("block_idx = 4").collect()[0].label == "good"
+    final = {r.block_idx: r.label for r in revise_block_labels(
+        html_blocks(df, near_good_tokens=15)
+    ).collect()}
+    # short: prev good, next (skip neargood) boundary->bad, bridge via
+    # the following near_good -> good; near_good: prev good -> good
+    assert final == {1: "boilerplate", 2: "good", 3: "good", 4: "good"}
+
+
 def test_mp3_frame_table_mpeg2_lsf():
     """MPEG-2/2.5 LSF frames use their OWN bitrate table (ISO/IEC
     13818-3 — it diverges from 8*index above index 8: 80/96/112/128/
