@@ -2272,6 +2272,73 @@ def test_config_pipeline_sp_chain_over_idle_evicting_fold(spark, tmp_path):
     assert got == {"A": 2, "B": 2}
 
 
+def test_config_pipeline_sp_hopping_over_fold(spark, tmp_path):
+    """The remaining SP x streaming combination (r11 verdict task #7):
+    WINDOW HOPPING (... ADVANCE BY ...) over a watermarked task fed by
+    the idle-evicting throttle fold, all driven by one config dict.
+    Each admitted event lands in TWO overlapping 120s/60s windows;
+    append mode emits exactly the window set the advancing watermark
+    closes — key A's two panes x 2 admitted, key B's (fresh state
+    after A's idle horizon) x 2, and the late key C that closes B's
+    windows never emits its own."""
+    import datetime as dt
+
+    from fluent_bit_spark.pipeline import load_pipeline
+
+    T0 = dt.datetime(2024, 7, 1)
+    rows = (
+        [("A", T0 + dt.timedelta(seconds=i), 1.0) for i in range(4)]
+        + [("B", T0 + dt.timedelta(seconds=8000 + i), 1.0) for i in range(3)]
+        + [("C", T0 + dt.timedelta(seconds=9000), 1.0)]
+    )
+    d = _spool(tmp_path, "cfg_hop", rows, ["k", "timestamp", "value"], chunk=2)
+    conf = {
+        "pipeline": {
+            "inputs": [{
+                "name": "tail", "format": "json", "tag": "logs.hop",
+                "stream": True, "max_files_per_trigger": 1,
+                "schema": "k string, timestamp timestamp, value double",
+                "path": d,
+            }],
+            "filters": [{
+                "name": "throttle", "match": "*", "rate": 2, "interval": 60,
+                "key": "k", "idle_timeout": 3600.0, "watermark": "10 seconds",
+            }],
+        },
+        "stream_tasks": [
+            {"exec": "CREATE STREAM admitted AS SELECT * FROM "
+                     "STREAM:pipeline WHERE passed = 1;",
+             "watermark": "10 seconds"},
+            {"exec": "CREATE STREAM hop AS SELECT k, COUNT(*) AS n FROM "
+                     "STREAM:admitted GROUP BY k "
+                     "WINDOW HOPPING (120 SECOND, ADVANCE BY 60 SECOND);"},
+        ],
+    }
+    pipe = load_pipeline(spark, conf)
+    out = pipe.sp.streams["hop"]
+    assert out.isStreaming
+    # same pass-through-fold justification as the tumbling twin above
+    key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prior = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName("cfg_sp_hop")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prior)
+    got = {(r.k, str(r.window_start)): r.n for r in spark.sql(
+        "SELECT k, window_start, n FROM cfg_sp_hop").collect()}
+    assert got == {
+        ("A", "2024-06-30 23:59:00"): 2,
+        ("A", "2024-07-01 00:00:00"): 2,
+        ("B", "2024-07-01 02:12:00"): 2,
+        ("B", "2024-07-01 02:13:00"): 2,
+    }
+
+
 def test_streaming_throttle_config_guards(spark, tmp_path):
     """Config-level guards for the streaming throttle (r11 review
     fixes): a partial match pattern is rejected up front (the fold's
