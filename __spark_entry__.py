@@ -6099,37 +6099,37 @@ def flowcounter_q(spark, sf_dir):
 # re-verified by the full two-scale ORACLE_*_r10 reports regenerated
 # after the change.
 #
-# ROUND-11 WINDOW: the 5 never-driver-checked round-11 additions
-# (elst_frame_plan, fmp4_multitrack_plan, warc_quality_pipeline,
-# mp3_frame_plan, boilerplate_blocks) lead; then 45 of the 46 r07-era
-# rows (the stalest cohort — including the four the r9 ranking listed
-# but the r10 window couldn't fit: grep_filter, modify_rules,
-# nest_lift_roundtrip, dedup_minhash; winsorize, the alphabetically
-# last, spills with the r08-era rows to the next rotation — it stays
-# hash-green in the r11 full-registry reports). The round-11 semantic
-# changes to already-green queries
-# (exif_orientation's transverse fix, media_sniff_extended's stricter
-# MP3 triage, warc_gz_roundtrip's capped inflate, fmp4_frame_plan's
-# multi-traf/running-offset parser) are re-verified by the full
-# two-scale ORACLE_*_r11 reports regenerated after the change.
+# ROUND-12 WINDOW: the 4 never-driver-checked round-12 additions
+# (aac_frame_plan, fmp4_audio_track_plan, warc_fetch_windows,
+# boilerplate_context) lead; then the 46 stalest rows — winsorize (last
+# driver-checked r7, the one row the r11 rotation couldn't fit) and the
+# alphabetically-first 45 of the 50 r08-era rows. The 5 spilled r08
+# rows (sp_window_tumbling, ts_downsample, ts_gapfill_locf, ts_rate,
+# url_canonicalize) lead the r13 rotation — they stay hash-green in the
+# full-registry reports regenerated at this round's snapshot. The
+# round-12 semantic changes to already-green queries (warc_gz_records'
+# truncated column is projected away by warc_parse in every consumer;
+# embedding_dedup's null-safe dim probe) are re-verified by those same
+# reports.
 _DRIVER_WINDOW = [
-    "elst_frame_plan", "fmp4_multitrack_plan", "warc_quality_pipeline",
-    "mp3_frame_plan", "boilerplate_blocks",
-    "dataset_split", "dedup_minhash", "dedup_simhash", "domain_cap",
-    "embedding_dedup", "embedding_quantize", "fuzzy_decontaminate",
-    "gopher_quality", "grep_filter", "heavy_hitters",
-    "interval_band_join", "kinesis_shape", "line_dedup", "lm_quality",
-    "logdna_shape", "ml_inference_scores", "modify_rules",
-    "msgpack_roundtrip", "multimodal_headers", "multimodal_metadata",
-    "nats_body", "nest_lift_roundtrip", "otlp_histogram_roundtrip",
-    "otlp_logs_roundtrip", "otlp_metrics_roundtrip",
-    "otlp_traces_roundtrip", "pii_redaction", "plot_lines",
-    "prom_exposition", "prom_pages_roundtrip", "prom_scrape_roundtrip",
-    "remote_write_roundtrip", "similarity_topk", "skew_profile",
-    "splunk_hec_roundtrip", "splunk_hec_shape", "stackdriver_shape",
-    "statsd_decode", "syslog_3164_lines", "syslog_5424_lines",
-    "text_langid", "text_quality", "text_repetition",
-    "text_token_counts", "triangle_count",
+    "aac_frame_plan", "fmp4_audio_track_plan", "warc_fetch_windows",
+    "boilerplate_context",
+    "winsorize",
+    "alter_size_take", "ann_served", "anomaly_zscore", "attribution",
+    "audio_neardup", "bm25_topk", "ccnet_buckets", "checklist_watch",
+    "chunk_packing", "content_modifier_actions", "cumulative_to_delta",
+    "dataset_diff", "doc_chunking", "dsir_select",
+    "enrich_broadcast_join", "expect_assertions", "html_extract",
+    "image_neardup", "labels_ops", "lm_bigram_quality",
+    "log_to_metrics_counter", "log_to_metrics_gauge",
+    "log_to_metrics_histogram", "log_to_metrics_summary",
+    "media_resize_grid", "metrics_selector", "q1_pricing_summary",
+    "record_modifier_allowlist", "robust_anomaly", "similarity_ivf_ann",
+    "similarity_lsh_ann", "similarity_pq_ann", "similarity_pq_join",
+    "sketch_distinct", "sketch_overlap", "sketch_quantiles",
+    "sketch_ranks", "sketch_rollup", "sp_create_stream_chain",
+    "sp_forecast", "sp_projection", "sp_snapshot_last",
+    "sp_tag_routing", "sp_where_coercion", "sp_window_hopping",
 ]
 
 

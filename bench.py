@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "warc_quality_pipeline",
     "mp3_frame_plan",
     "boilerplate_blocks",
+    "fmp4_audio_track_plan",
+    "aac_frame_plan",
+    "warc_fetch_windows",
+    "boilerplate_context",
     "pipeline_e2e",
 ]
 

@@ -93,6 +93,13 @@ HEAVY = [
     "mp3_frame_plan",
     "warc_quality_pipeline",
     "boilerplate_blocks",
+    # round-12 additions: the audio-track plans (Arrow scan passes,
+    # linear by design), crawl event-time windows, and the jusText
+    # context pass (one (doc, block_idx) window exchange)
+    "fmp4_audio_track_plan",
+    "aac_frame_plan",
+    "warc_fetch_windows",
+    "boilerplate_context",
 ]
 
 
