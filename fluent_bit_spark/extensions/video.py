@@ -296,6 +296,9 @@ def make_mp4(
     ctts_offsets: list[int] | None = None,
     elst_media_time: int | None = None,
     elst_lead_empty: int | None = None,
+    audio_deltas: list[int] | None = None,
+    audio_sizes: list[int] | None = None,
+    audio_trak_first: bool = False,
 ) -> bytes:
     """Minimal ISO BMFF writer — fixture support for the sample-table
     parser. One video track; ``sample_deltas`` in ``timescale`` units
@@ -310,21 +313,37 @@ def make_mp4(
     presentation at that media time (the camera/editor initial-offset
     layout), optionally preceded by an EMPTY edit of
     ``elst_lead_empty`` movie-timescale units (media_time -1 — a
-    presentation delay the parser must skip over). The mdat payload is
-    filler — real tracks need a codec; what this exercises is the PLAN
-    machinery (offsets/sizes/times)."""
+    presentation delay the parser must skip over). ``audio_deltas`` /
+    ``audio_sizes`` add a SECOND track (mp4a entry, soun handler,
+    track_ID 2, same timescale) — the muxed PROGRESSIVE layout every
+    phone recording ships (both sample tables in one moov, not the
+    fragmented moof stream make_fmp4 mints); its samples are lowercase
+    chr(97+i%26) filler laid out after the video bytes in mdat, and
+    ``audio_trak_first`` writes its trak before the video trak in moov
+    (parsers must select by hdlr). The mdat payload is filler — real
+    tracks need a codec; what this exercises is the PLAN machinery
+    (offsets/sizes/times)."""
     n = len(sample_deltas)
     if len(sample_sizes) != n:
         raise ValueError("sample_deltas and sample_sizes must align")
     if timescale <= 0:
         raise ValueError("timescale must be positive")
+    if (audio_deltas is None) != (audio_sizes is None):
+        raise ValueError("audio_deltas and audio_sizes go together")
+    if audio_deltas is not None and len(audio_deltas) != len(audio_sizes):
+        raise ValueError("audio_deltas and audio_sizes must align")
     spc = samples_per_chunk if samples_per_chunk > 0 else max(n, 1)
     duration = sum(sample_deltas)
 
     ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 0x200) + b"isommp42")
     total = sum(sample_sizes)
     mdat_payload = bytes(bytearray((i * 31 + 7) % 256 for i in range(total)))
-    mdat = _box(b"mdat", mdat_payload)
+    audio_payload = b""
+    if audio_sizes is not None:
+        audio_payload = b"".join(
+            bytes([97 + i % 26]) * s for i, s in enumerate(audio_sizes)
+        )
+    mdat = _box(b"mdat", mdat_payload + audio_payload)
     mdat_data_off = len(ftyp) + 8
 
     # chunk offsets: samples packed contiguously, spc per chunk
@@ -424,6 +443,57 @@ def make_mp4(
             ),
         )
     trak = _box(b"trak", tkhd + edts + mdia)
+    a_trak = b""
+    if audio_deltas is not None:
+        a_dur = sum(audio_deltas)
+        a_runs = _rle_deltas(audio_deltas)
+        a_stts = _full(
+            b"stts", 0, 0,
+            _struct.pack(">I", len(a_runs))
+            + b"".join(_struct.pack(">II", c, d) for c, d in a_runs),
+        )
+        a_stsz = _full(
+            b"stsz", 0, 0,
+            _struct.pack(">II", 0, len(audio_sizes))
+            + b"".join(_struct.pack(">I", s) for s in audio_sizes),
+        )
+        a_stsc = _full(
+            b"stsc", 0, 0,
+            _struct.pack(">IIII", 1, 1, max(len(audio_sizes), 1), 1),
+        )
+        a_stco = _full(
+            b"stco", 0, 0,
+            _struct.pack(">II", 1, mdat_data_off + len(mdat_payload)),
+        )
+        a_entry = _box(
+            b"mp4a",
+            b"\x00" * 6 + _struct.pack(">H", 1) + b"\x00" * 8
+            + _struct.pack(">HHI", 2, 16, 0)
+            + _struct.pack(">I", 44100 << 16),
+        )
+        a_stsd = _full(b"stsd", 0, 0, _struct.pack(">I", 1) + a_entry)
+        a_stbl = _box(b"stbl", a_stsd + a_stts + a_stsc + a_stsz + a_stco)
+        smhd = _full(b"smhd", 0, 0, b"\x00" * 4)
+        a_minf = _box(b"minf", smhd + dinf + a_stbl)
+        a_hdlr = _full(
+            b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"A\x00"
+        )
+        a_mdhd = _full(
+            b"mdhd", 0, 0,
+            _struct.pack(">IIII", 0, 0, timescale, a_dur)
+            + _struct.pack(">HH", 0x55C4, 0),
+        )
+        a_mdia = _box(b"mdia", a_mdhd + a_hdlr + a_minf)
+        a_tkhd = _full(
+            b"tkhd", 0, 7,
+            _struct.pack(">IIIII", 0, 0, 2, 0, a_dur) + b"\x00" * 8
+            + _struct.pack(">hhhh", 0, 0x0100, 0, 0)
+            + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                           0x40000000)
+            + _struct.pack(">II", 0, 0),
+        )
+        a_trak = _box(b"trak", a_tkhd + a_mdia)
+    traks = (a_trak + trak) if audio_trak_first else (trak + a_trak)
     mvhd = _full(
         b"mvhd", 0, 0,
         _struct.pack(">IIII", 0, 0, timescale, duration)
@@ -431,9 +501,9 @@ def make_mp4(
         + b"\x00" * 10
         + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + b"\x00" * 24
-        + _struct.pack(">I", 2),
+        + _struct.pack(">I", 3 if a_trak else 2),
     )
-    moov = _box(b"moov", mvhd + trak)
+    moov = _box(b"moov", mvhd + traks)
     return ftyp + mdat + moov
 
 

@@ -908,6 +908,42 @@ def test_fmp4_audio_track_plan():
         mp4_fragment_table(b[:cut], track="audio")  # never raises
 
 
+def test_progressive_muxed_audio_stbl_plan():
+    """The muxed PROGRESSIVE layout (both sample tables in one moov —
+    every phone recording): make_mp4(audio_deltas/audio_sizes) mints a
+    second soun trak whose stbl points at lowercase filler after the
+    video bytes in mdat, and mp4_sample_table plans each track by hdlr
+    regardless of trak order — the stbl sibling of the fragmented
+    audio-track plan (r12)."""
+    from fluent_bit_spark.extensions.video import (
+        make_mp4,
+        mp4_sample_table,
+        parse_mp4,
+    )
+
+    for trak_first in (False, True):
+        b = make_mp4(
+            320, 180, [40] * 4, [10, 11, 12, 13], keyframes=[1, 3],
+            audio_deltas=[21] * 3, audio_sizes=[5, 6, 7],
+            audio_trak_first=trak_first,
+        )
+        aud = mp4_sample_table(b, track="audio")
+        assert [(r[0], r[1], r[2]) for r in aud] == [
+            (0, 0, 5), (1, 21, 6), (2, 42, 7)
+        ]
+        for i, (_idx, _ts, sz, off, _k) in enumerate(aud):
+            assert b[off : off + sz] == bytes([97 + i]) * sz
+        vid = mp4_sample_table(b)
+        assert [r[2] for r in vid] == [10, 11, 12, 13]
+        assert [r[4] for r in vid] == [True, False, True, False]
+        # the header parse still describes the VIDEO track
+        hdr = parse_mp4(b)
+        assert (hdr["width"], hdr["n_samples"]) == (320, 4)
+    # video-only progressive file: audio plan refuses
+    solo = make_mp4(320, 180, [40] * 2, [5, 5])
+    assert mp4_sample_table(solo, track="audio") is None
+
+
 def test_adts_frame_table():
     """adts_frame_table (multimodal.py) walks ADTS headers: frame
     length read directly from the 13-bit field (header included, 9
