@@ -147,15 +147,10 @@ def html_blocks(
     label = (
         F.when(density > max_link_density, "boilerplate")
         .when(n_tokens < min_tokens, "short")
-        .otherwise("good")
     )
     if near_good_tokens is not None:
-        label = (
-            F.when(density > max_link_density, "boilerplate")
-            .when(n_tokens < min_tokens, "short")
-            .when(n_tokens < near_good_tokens, "near_good")
-            .otherwise("good")
-        )
+        label = label.when(n_tokens < near_good_tokens, "near_good")
+    label = label.otherwise("good")
     return out.select(
         id_col,
         F.col("block_idx").cast("int").alias("block_idx"),

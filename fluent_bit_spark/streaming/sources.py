@@ -287,7 +287,8 @@ def warc_source(
         **kwargs,
     )
     parsed = warc_parse(
-        recs, raw_col="raw", id_col="file", extra_cols=("record_idx",)
+        recs, raw_col="raw", id_col="file",
+        extra_cols=("record_idx", "truncated"),
     ).withColumn(TAG_COL, F.lit(tag_template))
     ts = (
         warc_event_time()

@@ -63,20 +63,18 @@ def main() -> int:
         problems.append("uncommitted source changes:\n  " +
                         "\n  ".join(dirty.splitlines()))
 
-    src_ct = max(
-        int(_git("log", "-1", "--format=%ct", "--", p) or 0)
-        for p in SOURCE_PATHS
-    )
     for rep in reports:
         rel = str(Path(rep).relative_to(ROOT))
-        rep_ct = int(_git("log", "-1", "--format=%ct", "--", rel) or 0)
-        if rep_ct == 0:
+        rep_commit = _git("log", "-1", "--format=%H", "--", rel)
+        if not rep_commit:
             problems.append(f"{rel}: not committed yet")
-        elif src_ct > rep_ct:
-            newer = _git(
-                "log", "--oneline", f"--since=@{rep_ct}",
-                "--", *SOURCE_PATHS,
-            )
+            continue
+        # ancestry, not timestamps: back-to-back commits share a second
+        newer = _git(
+            "rev-list", "--oneline", f"{rep_commit}..HEAD",
+            "--", *SOURCE_PATHS,
+        )
+        if newer:
             problems.append(
                 f"{rel}: source commits landed after its last commit:\n  "
                 + "\n  ".join(newer.splitlines()[:10])
