@@ -16,7 +16,10 @@ Rules implemented:
                                                   unparseable -> NULL -> FALSE
 - bool vs bool                                 -> =, != only; ordered -> FALSE
 - bool vs non-bool, other cross-type           -> FALSE
-- IS NULL / IS NOT NULL: missing key IS NULL   -> TRUE
+- IS NULL on a MISSING key -> FALSE; IS NOT NULL -> TRUE (pure
+  negation). Both sp_select_keys.h goldens pin this: cond_null counts
+  only the explicit 'word3': null record, while "word2='rlz' AND word3
+  IS NOT NULL" = 1 passes a record that has no word3 at all.
 """
 
 from __future__ import annotations

@@ -160,18 +160,50 @@ class JsonParser:
         return out
 
 
+def _map_last_wins(entries: Column) -> Column:
+    """map_from_entries with LAST-occurrence-wins dedup: Spark's default
+    mapKeyDedupPolicy is EXCEPTION, so one log line repeating a key
+    ('a=1 a=2' — routine in real logfmt/LTSV) would otherwise abort the
+    whole job with DUPLICATED_MAP_KEY. The reference keeps the last
+    value (its rbtree insert overwrites). Quadratic in pairs-per-LINE
+    only (a handful), not in rows."""
+    dedup = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(
+                entries, i + 2,
+                F.greatest(F.size(entries) - i - 1, F.lit(0)),
+            ),
+            lambda e2: e2["k"] == e["k"],
+        ),
+    )
+    return F.map_from_entries(dedup)
+
+
 class LtsvParser:
-    """LTSV: tab-separated ``key:value`` pairs (reference src/flb_parser_ltsv.c)."""
+    """LTSV: tab-separated ``key:value`` pairs (reference
+    src/flb_parser_ltsv.c). Duplicate keys keep the last occurrence
+    (see _map_last_wins); a pair without ':' yields a NULL value,
+    matching str_to_map."""
 
     def parse_map(self, col: Column) -> Column:
-        return F.str_to_map(col, F.lit("\t"), F.lit(":"))
+        entries = F.transform(
+            F.split(col, "\t"),
+            lambda p: F.struct(
+                F.substring_index(p, ":", 1).alias("k"),
+                F.when(
+                    F.instr(p, ":") > 0, F.substr(p, F.instr(p, ":") + 1)
+                ).alias("v"),
+            ),
+        )
+        return _map_last_wins(entries)
 
 
 class LogfmtParser:
     r"""logfmt: space-separated key=value with optional double quotes
     (reference src/flb_parser_logfmt.c). Implemented as two
-    regexp_extract_all passes + map_from_arrays — handles bare and
-    quoted values; no UDF.
+    regexp_extract_all passes + last-wins map construction — handles
+    bare and quoted values, and repeated keys; no UDF.
     """
 
     _PAIR = r'([A-Za-z0-9_.\-/]+)=("(?:[^"\\]|\\.)*"|[^\s"]*)'
@@ -186,7 +218,10 @@ class LogfmtParser:
                 F.regexp_replace(F.substring(v, 2, F.length(v) - 2), r'\\(.)', "$1"),
             ).otherwise(v),
         )
-        return F.map_from_arrays(keys, vals)
+        entries = F.zip_with(
+            keys, vals, lambda k, v: F.struct(k.alias("k"), v.alias("v"))
+        )
+        return _map_last_wins(entries)
 
 
 def map_fields(

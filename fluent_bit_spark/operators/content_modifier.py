@@ -57,11 +57,15 @@ def content_modifier(
     if act == "extract":  # regex named groups -> new keys
         if key not in df.columns or not pattern:
             return df
-        import re as _re
+        # _group_indexes, not enumerate: unnamed capturing groups shift
+        # later named groups' indexes (e.g. '(?<a>x(y|z))(?<b>\\d+)'
+        # puts b at group 3, not 2) — extracting by position would
+        # silently emit the wrong capture
+        from fluent_bit_spark.functions.parsers import _group_indexes
 
-        names = _re.findall(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", pattern)
+        indexes = _group_indexes(pattern)
         jpat = pattern.replace("(?P<", "(?<")
-        for i, name in enumerate(names, start=1):
+        for name, i in indexes.items():
             ext = F.when(
                 F.col(key).cast("string").rlike(jpat),
                 F.regexp_extract(F.col(key).cast("string"), jpat, i),

@@ -81,8 +81,10 @@ def kube_tag_meta(
     a tag not longer than the prefix yields all-NULL meta (the reference
     skips the record)."""
     plen = len(kube_tag_prefix)
+    # > plen, not > plen + 1: one character after the prefix is enough
+    # for the C walk (tag_len > prefix_len) to attempt the regex
     rest = F.when(
-        F.length(F.col(tag_col)) > plen + 1, F.substring(F.col(tag_col), plen + 1, 1 << 30)
+        F.length(F.col(tag_col)) > plen, F.substring(F.col(tag_col), plen + 1, 1 << 30)
     )
     return df.select("*", *_extract_groups(rest, KUBE_TAG_TO_REGEX, _TAG_GROUPS))
 

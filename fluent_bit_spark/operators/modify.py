@@ -73,10 +73,17 @@ def modify(
       ('move_to_start', key) ('move_to_end', key)
     """
     gate = None
+    tmp = "__modify_gate__"
     if conds:
-        gate = _cond_col(df, conds[0])
+        g = _cond_col(df, conds[0])
         for c in conds[1:]:
-            gate = gate & _cond_col(df, c)
+            g = g & _cond_col(df, c)
+        # materialize ONCE against the pre-modification record: the
+        # reference evaluates every condition before applying any rule
+        # (modify.c:1486), so a rule that rewrites a condition key must
+        # not re-gate the rules after it
+        df = df.withColumn(tmp, g)
+        gate = F.col(tmp)
 
     def gated(new: Column, old: Column) -> Column:
         return F.when(gate, new).otherwise(old) if gate is not None else new
@@ -115,10 +122,11 @@ def modify(
         elif op in ("remove_wildcard", "remove_regex"):
             _, pat = rule
             if op == "remove_wildcard":
-                hit = [c for c in df.columns if c.startswith(pat)]
+                hit = [c for c in df.columns
+                       if c != tmp and c.startswith(pat)]
             else:
                 rx = re.compile(pat)
-                hit = [c for c in df.columns if rx.search(c)]
+                hit = [c for c in df.columns if c != tmp and rx.search(c)]
             for c in hit:
                 if gate is None:
                     df = df.drop(c)
@@ -140,4 +148,6 @@ def modify(
                 df = df.select(*order)
         else:
             raise ValueError(f"unknown modify rule {rule[0]!r}")
+    if conds:
+        df = df.drop(tmp)
     return df

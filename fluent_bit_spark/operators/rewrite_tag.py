@@ -27,7 +27,15 @@ def _render_template(template: str, key_col: Column, pattern: str, tag_col: str)
             parts.append(F.regexp_extract(key_col.cast("string"), pattern, int(m.group(1))))
         elif m.group(0).startswith("$TAG"):
             if m.group(2) is not None:
-                parts.append(F.split(F.col(tag_col), r"\.").getItem(int(m.group(2))))
+                # F.get + empty-string coalesce, not getItem: a tag
+                # with fewer dot-parts than the template asks for must
+                # render the part as '' (not abort the job under the
+                # ANSI default, and not NULL the whole concat) — same
+                # choice as accessor.tag_template
+                parts.append(F.coalesce(
+                    F.get(F.split(F.col(tag_col), r"\."), int(m.group(2))),
+                    F.lit(""),
+                ))
             else:
                 parts.append(F.col(tag_col))
         else:

@@ -103,7 +103,13 @@ def compile_condition(df: DataFrame, e: ast.Expr, time_col: str = TS_COL) -> Col
     if isinstance(e, ast.IsNull):
         col, kind = _operand(df, e.operand, time_col)
         if col is None:
-            base = F.lit(kind in ("missing", "null"))
+            # a MISSING key is not null: IS NULL -> false, IS NOT NULL
+            # -> true (pure negation). Both sp_select_keys.h goldens
+            # pin this: cond_null counts ONLY the explicit 'word3':
+            # null record (1 of 11), while "word2='rlz' AND word3 IS
+            # NOT NULL" = 1 PASSES the record that has no word3 at all.
+            # Matches the variant branch (variant_is_null + negate).
+            base = F.lit(kind == "null")
         elif kind == "variant":
             base = coercion.variant_is_null(col)
         else:
@@ -189,6 +195,11 @@ def _aggregate(
         r = resolve(df, acc)
         name = f"__gb{i}"
         if r is None:
+            # key not in the schema at all: every record misses it, and
+            # the reference drops records whose group key is missing
+            # (rbtree lookup fails) — the result is empty, not one big
+            # NULL group
+            df = df.filter(F.lit(False))
             col = F.lit(None)
         elif isinstance(r[1], T.VariantType):
             # variant isn't groupable directly; group on its canonical JSON
@@ -200,6 +211,11 @@ def _aggregate(
             col = F.to_json(r[0])
             gb_variant.add(name)
         else:
+            # static schema: NULL conflates 'missing' and explicit null;
+            # the reference skips records whose group key is missing
+            # (same golden as the variant branch), so NULL-keyed rows
+            # drop here too — static and schemaless sources agree
+            df = df.filter(r[0].isNotNull())
             col = r[0]
         gb_exprs.append(col.alias(name))
         gb_names[(acc.name, acc.subkeys)] = name

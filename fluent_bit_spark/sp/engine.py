@@ -85,6 +85,15 @@ class SPContext:
                 self._depth -= 1
         if cmd.kind == "create_snapshot":
             sel = cmd.select
+            # snapshots buffer RAW records (flb_sp_snapshot.c stores the
+            # arriving msgpack chunks) — an aggregated select would
+            # otherwise reach the compiler with its GROUP BY stripped
+            # and die in a raw KeyError
+            if sel.has_aggregates or sel.group_by:
+                raise ValueError(
+                    "SP analysis error: CREATE SNAPSHOT buffers records —"
+                    " aggregates/GROUP BY are not allowed in its SELECT"
+                )
             base = self._compile(
                 ast.Select(keys=sel.keys, source=sel.source, where=sel.where)
             )

@@ -313,7 +313,7 @@ class Parser:
             op = self.next().value
             right = self._operand()
             return ast.Cmp(op=op, left=left, right=right)
-        if t.kind == "kw" and t.value == "IS":
+        if t.kind == "kw" and t.value.upper() == "IS":
             self.next()
             negated = self.accept_kw("NOT")
             self.expect_kw("NULL")
@@ -379,6 +379,14 @@ def _validate(sel: ast.Select) -> None:
                     f"SP analysis error: bare key {k.accessor.display()!r} "
                     "selected alongside aggregates without GROUP BY"
                 )
+        elif k.kind == "func" and k.func in ast.RECORD_FUNCS:
+            # per-record functions have no value after groupBy().agg()
+            # — the tag/time columns are gone; rejecting here replaces
+            # an unresolved-column AnalysisException at compile time
+            raise ValueError(
+                f"SP analysis error: {k.func}() is per-record and cannot "
+                "be mixed with aggregate functions"
+            )
 
 
 def parse_sql(text: str) -> ast.Command:

@@ -659,3 +659,84 @@ def test_interval_join_left_keeps_unmatched_points(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         interval_join(pts, iv, "x", how="full")
+
+
+def test_modify_conditions_snapshot_pre_mutation(spark):
+    """r12 review fix: the reference evaluates every condition against
+    the record BEFORE applying any rule (modify.c:1486) — a 'set' that
+    rewrites a condition key must not disable later rules for the same
+    record, and remove_regex must not be able to eat the internal gate
+    column."""
+    from fluent_bit_spark.operators.modify import Condition, modify
+
+    df = spark.createDataFrame(
+        [("debug", "x"), ("info", "y")], "level string, secret string"
+    )
+    out = modify(
+        df,
+        [("set", "level", "redacted"), ("remove", "secret")],
+        conds=[Condition("key_value_equals", "level", "debug")],
+    )
+    assert out.columns == ["level", "secret"]
+    rows = {r.level: r.secret for r in out.collect()}
+    assert rows == {"redacted": None, "info": "y"}
+    wiped = modify(
+        df, [("remove_regex", ".")],
+        conds=[Condition("key_value_equals", "level", "debug")],
+    )
+    assert wiped.columns == ["level", "secret"]
+    assert {(r.level, r.secret) for r in wiped.collect()} == {
+        (None, None), ("info", "y")
+    }
+
+
+def test_rewrite_tag_short_tag_parts(spark):
+    """r12 review fix: $TAG[n] past the tag's dot-part count renders ''
+    (F.get + coalesce), not an ANSI INVALID_ARRAY_INDEX abort and not a
+    NULLed-out concat."""
+    from fluent_bit_spark.operators.rewrite_tag import rewrite_tag
+
+    df = spark.createDataFrame(
+        [("app", "hello"), ("a.b.c", "hello")], "tag string, msg string"
+    )
+    out = rewrite_tag(df, [("msg", "hell", "new.$TAG[2]", False)])
+    tags = sorted(r.tag for r in out.collect())
+    assert tags == ["new.", "new.c"]
+
+
+def test_content_modifier_extract_mixed_groups(spark):
+    """r12 review fix: extract maps named groups through _group_indexes
+    so unnamed capturing groups don't shift later named captures onto
+    the wrong index."""
+    from fluent_bit_spark.operators.content_modifier import content_modifier
+
+    df = spark.createDataFrame([("xy42",)], "v string")
+    out = content_modifier(
+        df, "extract", key="v", pattern="(?<a>x(y|z))(?<b>[0-9]+)"
+    ).collect()[0]
+    assert out.a == "xy" and out.b == "42"
+
+
+def test_kube_tag_meta_prefix_boundary(spark):
+    """r12 review fix: one character after the kube tag prefix is
+    enough for the regex attempt (C: tag_len > prefix_len), while a tag
+    of exactly prefix length stays all-NULL."""
+    from fluent_bit_spark.operators.kubernetes import (
+        DEFAULT_KUBE_TAG_PREFIX, kube_tag_meta,
+    )
+
+    p = DEFAULT_KUBE_TAG_PREFIX
+    df = spark.createDataFrame(
+        [(p,), (p + "x",),
+         (p + "app-1_ns_ctr-abcdef0123456789abcdef0123456789"
+            "abcdef0123456789abcdef0123456789.log",)],
+        "tag string",
+    )
+    rows = kube_tag_meta(df).collect()
+    by_tag = {r.tag: r for r in rows}
+    assert by_tag[p].pod_name is None
+    # one char past the prefix: regex attempted (no match -> NULL, but
+    # the substring path engaged rather than being length-gated away)
+    assert by_tag[p + "x"].pod_name is None
+    long = [r for r in rows if r.tag.endswith(".log")][0]
+    assert long.namespace_name == "ns" and long.pod_name == "app-1"

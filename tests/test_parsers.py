@@ -474,3 +474,25 @@ def test_utf8_sanitize_policies(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         utf8_sanitize("raw", "mangle")
+
+
+def test_logfmt_ltsv_duplicate_keys_last_wins(spark):
+    """r12 review fix: duplicate keys within one line keep the LAST
+    occurrence (the reference's rbtree insert overwrites) instead of
+    aborting the whole job with Spark's DUPLICATED_MAP_KEY policy;
+    LTSV values keep colons after the first separator, pairs without a
+    colon yield NULL."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(line='a=1 a=2 b="x y"'), Row(line="n=5 n=6 n=7")]
+    )
+    out = df.select(LogfmtParser().parse_map(F.col("line")).alias("m")).collect()
+    assert out[0].m == {"a": "2", "b": "x y"}
+    assert out[1].m == {"n": "7"}
+    df2 = spark.createDataFrame(
+        [Row(line="a:1\ta:2\tb:x:y"), Row(line="k:v\tbare")]
+    )
+    out2 = df2.select(LtsvParser().parse_map(F.col("line")).alias("m")).collect()
+    assert out2[0].m == {"a": "2", "b": "x:y"}
+    assert out2[1].m == {"k": "v", "bare": None}

@@ -123,3 +123,71 @@ def test_snapshot_time_limit(sp):
     assert snap.count() == 6
     plan = snap._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_is_null_parity_r12(sp, spark):
+    """r12 review fixes, each checked against the reference's own
+    fixtures: lowercase 'is null' parses (keywords are case-insensitive
+    everywhere else); a MISSING key is not null — IS NULL false, IS NOT
+    NULL true (pure negation). samples.json has 4 records without word3
+    plus ONE explicit 'word3': null: cond_null counts only the explicit
+    null, and the 'word2=rlz AND word3 IS NOT NULL' golden passes a
+    record with no word3 at all."""
+    assert sp.sql("select * from stream:FLB where word3 is null;").count() == 1
+    assert sp.sql("select * from stream:FLB where word3 is not null;").count() == 10
+    # statically-missing key on a TYPED stream: same negation semantics
+    # (previously IS NULL was constant-true for missing static keys)
+    from fluent_bit_spark.sp import SPContext
+
+    ctx = SPContext()
+    ctx.register_stream(
+        "T", spark.createDataFrame([("a", 1.0), (None, 2.0)], "k string, v double")
+    )
+    assert ctx.sql("SELECT * FROM STREAM:T WHERE nosuchkey IS NULL;").count() == 0
+    assert ctx.sql("SELECT * FROM STREAM:T WHERE nosuchkey IS NOT NULL;").count() == 2
+    # present-but-null static value still IS NULL
+    assert ctx.sql("SELECT * FROM STREAM:T WHERE k IS NULL;").count() == 1
+
+
+def test_static_group_by_drops_missing_keys_r12(spark):
+    """GROUP BY parity between typed and variant sources (r12 review
+    fix): the reference skips records whose group key is missing
+    (rbtree lookup fails — the 3-row sp_cb_functions.h golden). A typed
+    NULL conflates missing with explicit null, so NULL-keyed rows drop;
+    a key absent from the schema entirely yields an EMPTY result, not
+    one big NULL group."""
+    from fluent_bit_spark.sp import SPContext
+
+    ctx = SPContext()
+    ctx.register_stream(
+        "T",
+        spark.createDataFrame(
+            [("a", 1.0), (None, 2.0), ("b", 3.0), ("a", 4.0)],
+            "k string, v double",
+        ),
+    )
+    rows = ctx.sql("SELECT k, SUM(v) AS s FROM STREAM:T GROUP BY k;").collect()
+    assert {(r.k, r.s) for r in rows} == {("a", 5.0), ("b", 3.0)}
+    assert ctx.sql(
+        "SELECT nope, SUM(v) AS s FROM STREAM:T GROUP BY nope;"
+    ).count() == 0
+
+
+def test_aggregate_analysis_rejections_r12(sp):
+    """r12 review fixes: RECORD_TAG()/RECORD_TIME() mixed with
+    aggregates is an SP analysis error (the per-record columns are gone
+    after groupBy().agg() — previously an unresolved-column
+    AnalysisException); CREATE SNAPSHOT with aggregates/GROUP BY is
+    rejected up front (snapshots buffer raw records — previously a raw
+    KeyError from the compiler)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="per-record"):
+        sp.sql("SELECT COUNT(*), RECORD_TAG() FROM STREAM:FLB;")
+    with _pytest.raises(ValueError, match="per-record"):
+        sp.sql("SELECT RECORD_TIME(), AVG(bytes) FROM STREAM:FLB;")
+    with _pytest.raises(ValueError, match="SNAPSHOT buffers records"):
+        sp.sql(
+            "CREATE SNAPSHOT snap_bad AS SELECT bool, COUNT(bool) "
+            "FROM STREAM:FLB GROUP BY bool;"
+        )
