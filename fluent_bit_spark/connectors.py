@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fluent_bit_spark.functions import timefmt as _tf
 from fluent_bit_spark.model import TS_COL
 
 
@@ -96,6 +97,23 @@ _ES_ACTION_T = T.StructType(
 )
 
 
+def _event_ts(sec, nsec_us):
+    """Exact event time: whole seconds + integer microseconds (a float
+    epoch add would round near current-epoch magnitudes). Returns None
+    when the epoch is outside datetime's year range — a sender emitting
+    epoch MILLISECONDS as the integer timestamp (a classic fluentd
+    misconfig) must skip that event per the decoders' skip-corrupt
+    contract, not kill the whole Spark task (r12 review)."""
+    import datetime as dt
+
+    try:
+        return dt.datetime.fromtimestamp(sec, dt.timezone.utc).replace(
+            tzinfo=None
+        ) + dt.timedelta(microseconds=nsec_us)
+    except (ValueError, OverflowError, OSError):
+        return None
+
+
 def es_bulk_decode(df: DataFrame, body_col: str = "bulk_body") -> DataFrame:
     """Decode ES bulk-API request bodies into per-record rows
     (in_elasticsearch: plugins/in_elasticsearch/in_elasticsearch_bulk_conn.c
@@ -112,8 +130,13 @@ def es_bulk_decode(df: DataFrame, body_col: str = "bulk_body") -> DataFrame:
     Output: `op` (index/create/update/delete), `es_index`, `es_id`,
     `doc` (source JSON string; NULL for delete).
     """
+    # split on \r?\n, not '\n' alone: the bulk spec allows CRLF, and
+    # F.trim strips only ASCII spaces — a lone '\r' line would survive
+    # the blank filter and fall through the op chain as a phantom
+    # 'delete' with NULL meta, while real doc lines would carry a
+    # trailing \r into `doc`
     lines = F.filter(
-        F.split(F.col(body_col), "\n"), lambda x: F.length(F.trim(x)) > 0
+        F.split(F.col(body_col), "\r?\n"), lambda x: F.length(F.trim(x)) > 0
     )
     pair_arr_t = "array<struct<action:string,doc:string>>"
     null_s = F.lit(None).cast("string")
@@ -216,11 +239,9 @@ def msgpack_events_decode(df: DataFrame, bin_col: str = "chunk") -> DataFrame:
                 if payload is None:
                     continue
                 for sec, nsec, meta, body in decode_event_stream(bytes(payload)):
-                    # exact: whole seconds + integer µs (a float epoch
-                    # add would round near current-epoch magnitudes)
-                    ts = dt.datetime.fromtimestamp(
-                        sec, dt.timezone.utc
-                    ).replace(tzinfo=None) + dt.timedelta(microseconds=nsec // 1000)
+                    ts = _event_ts(sec, nsec // 1000)
+                    if ts is None:
+                        continue  # out-of-range epoch: skip, don't crash
                     rows.append(
                         {
                             **{c: rec[c] for c in other},
@@ -270,11 +291,9 @@ def forward_frames_decode(df: DataFrame, bin_col: str = "frame") -> DataFrame:
                     continue
                 tag, events, _opts = decode_forward_frame(bytes(payload))
                 for sec, nsec, meta, body in events:
-                    # exact: whole seconds + integer µs (a float epoch
-                    # add would round near current-epoch magnitudes)
-                    ts = dt.datetime.fromtimestamp(
-                        sec, dt.timezone.utc
-                    ).replace(tzinfo=None) + dt.timedelta(microseconds=nsec // 1000)
+                    ts = _event_ts(sec, nsec // 1000)
+                    if ts is None:
+                        continue  # out-of-range epoch: skip, don't crash
                     rows.append(
                         {
                             **{c: rec[c] for c in other},
@@ -344,7 +363,10 @@ def splunk_hec(
 
 _HEC_EVENT_T = T.StructType(
     [
-        T.StructField("time", T.DoubleType()),
+        # string, not double: Splunk accepts "time" as a quoted string
+        # too ("1723804800.123"), which a DoubleType field would NULL
+        # out and silently drop the timestamp (r12 review)
+        T.StructField("time", T.StringType()),
         T.StructField("host", T.StringType()),
         T.StructField("source", T.StringType()),
         T.StructField("sourcetype", T.StringType()),
@@ -367,7 +389,12 @@ def splunk_hec_decode(df: DataFrame, json_col: str = "hec_json") -> DataFrame:
     other = [c for c in df.columns if c != json_col]
     return df.select(
         *other,
-        F.timestamp_micros((e["time"] * 1_000_000).cast("bigint")).alias(TS_COL),
+        # round before the bigint cast: the nearest double to
+        # 1723804800.123 is ...1229999, and truncation would land a
+        # systematic 1 µs short of the sender's value
+        F.timestamp_micros(
+            F.round(e["time"].cast("double") * 1_000_000).cast("bigint")
+        ).alias(TS_COL),
         e["host"].alias("host"),
         e["source"].alias("source"),
         e["sourcetype"].alias("sourcetype"),
@@ -415,6 +442,14 @@ def with_request_batches(
         )
     )
     return df.withColumn(out_col, F.concat_ws(":", *parts))
+
+
+def _otlp_attrs_to_map(c):
+    """attributes array -> map<key, stringValue> (the four OTLP decoders
+    share this — one definition so anyValue handling can't diverge)."""
+    return F.map_from_entries(
+        F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
+    )
 
 
 def _otlp_attr(key, value_col):
@@ -568,11 +603,6 @@ def otlp_logs_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
         F.explode("sl.logRecords").alias("lr"),
     )
 
-    def attrs_to_map(c):
-        return F.map_from_entries(
-            F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
-        )
-
     return lr.select(
         # integer div: a double-typed /1000 rounds 1.7e18-scale nanos
         F.timestamp_micros(
@@ -580,8 +610,8 @@ def otlp_logs_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
         ).alias(TS_COL),
         F.col("lr.body.stringValue").alias("body"),
         F.col("lr.severityText").alias("severity"),
-        attrs_to_map(F.col("lr.attributes")).alias("attributes"),
-        attrs_to_map(F.col("__res_attrs")).alias("resource"),
+        _otlp_attrs_to_map(F.col("lr.attributes")).alias("attributes"),
+        _otlp_attrs_to_map(F.col("__res_attrs")).alias("resource"),
         "scope_name",
     )
 
@@ -602,7 +632,13 @@ def _avro_py(v, fschema):
     logical = s.get("logicalType") if isinstance(s, dict) else None
     if isinstance(v, (pd.Timestamp, dt.datetime)):
         us = int(pd.Timestamp(v).value // 1000)
-        return us if logical == "timestamp-micros" else us // 1_000_000
+        if logical == "timestamp-micros":
+            return us
+        if logical == "timestamp-millis":
+            # millis is its own logical type — whole seconds here would
+            # read back 1000x off on any conforming Avro reader
+            return us // 1000
+        return us // 1_000_000
     if isinstance(v, np.generic):
         return v.item()
     return v
@@ -665,12 +701,12 @@ def avro_ocf_decode(df: DataFrame, ddl_schema: str, bin_col: str = "avro") -> Da
                         v = rec.get(c)
                         s = fields.get(c)
                         s = s[1] if isinstance(s, list) and len(s) == 2 else s
-                        if (
-                            v is not None
-                            and isinstance(s, dict)
-                            and s.get("logicalType") == "timestamp-micros"
-                        ):
-                            v = pd.to_datetime(v, unit="us")
+                        if v is not None and isinstance(s, dict):
+                            logical = s.get("logicalType")
+                            if logical == "timestamp-micros":
+                                v = pd.to_datetime(v, unit="us")
+                            elif logical == "timestamp-millis":
+                                v = pd.to_datetime(v, unit="ms")
                         row[c] = v
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
@@ -738,9 +774,13 @@ def influxdb_line(
       scale-safely. Off by default, matching ``sequence_tag off``.
     - duplicate-timestamp disambiguation (influxdb.c:43-55 influxdb_tsmod
       bumps ns until unique, sequential driver state): pass
-      ``dedupe_ts_order`` to add rank-1 ns within equal-ns groups — same
-      uniqueness guarantee, deterministic and distributed (the window key is
-      the ns value: bounded groups, uniform spread).
+      ``dedupe_ts_order`` to reproduce the monotonic bump per
+      (measurement, tagset) — emitted_i = max(ns_i, emitted_{i-1}+1),
+      expressed as rn_i + running_max(ns_j - rn_j) so a bumped value can
+      never collide with a later point's GENUINE ns either (the r11
+      rank-within-equal-ns shape could: bumping 100,100 to 100,101
+      collided with a real 101). Windowed per tagset: bounded groups,
+      distributed.
     """
     from pyspark.sql import Window
 
@@ -788,8 +828,11 @@ def influxdb_line(
 
     ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast("long")
     if dedupe_ts_order is not None:
-        w = Window.partitionBy(ns).orderBy(F.col(dedupe_ts_order))
-        ns = ns + F.row_number().over(w) - F.lit(1)
+        series = [F.col(tag_col)] + [F.col(n) for n in fields if is_tag(n)]
+        w = Window.partitionBy(*series).orderBy(ns, F.col(dedupe_ts_order))
+        rn = F.row_number().over(w) - F.lit(1)
+        run = w.rowsBetween(Window.unboundedPreceding, 0)
+        ns = rn + F.max(ns - rn).over(run)
 
     head = F.col(tag_col).cast("string")
     if sequence_tag is not None and seq_col is not None:
@@ -853,16 +896,21 @@ def datadog_records(
       ``task_id`` after ``task/``
 
     The duplicate-ms bump (datadog.c:54-66 timestamp_format) is sequential
-    driver state; ``dedupe_ts_order`` reproduces it as rank-1 ms within
-    equal-ms groups. Returns structured columns; ``to_json(struct(*))`` of a
-    collected array is the request body.
+    driver state; ``dedupe_ts_order`` reproduces it as the monotonic
+    emitted_i = max(ms_i, emitted_{i-1}+1) per tag (rn + running-max
+    form — see influxdb_line; the old rank-within-equal-ms could
+    collide a bumped value with a later genuine ms). Returns structured
+    columns; ``to_json(struct(*))`` of a collected array is the request
+    body.
     """
     from pyspark.sql import Window
 
     ms = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000)).cast("long")
     if dedupe_ts_order is not None:
-        w = Window.partitionBy(ms).orderBy(F.col(dedupe_ts_order))
-        ms = ms + F.row_number().over(w) - F.lit(1)
+        w = Window.partitionBy(tag_col).orderBy(ms, F.col(dedupe_ts_order))
+        rn = F.row_number().over(w) - F.lit(1)
+        run = w.rowsBetween(Window.unboundedPreceding, 0)
+        ms = rn + F.max(ms - rn).over(run)
 
     remap_rules = {
         "container_id",
@@ -980,7 +1028,9 @@ def forward_frames_encode(
                 nsec = int(rem)
                 sec = int(sec)
                 ev_time = sec if time_as_integer else EventTime(sec, nsec)
-                body = {k: native(rec[k]) for k in other if native(rec[k]) is not None}
+                body = {
+                    k: v for k in other if (v := native(rec[k])) is not None
+                }
                 by_tag.setdefault(tag, []).append([ev_time, body])
             for tag, entries in by_tag.items():
                 for i in range(0, len(entries), events_per_frame):
@@ -1094,7 +1144,7 @@ def stackdriver_entries(
     others = [c for c in df.columns if c not in consumed]
     ts = F.col(ts_col).cast("timestamp")
     nanos = F.format_string(
-        "%09d", ((F.unix_micros(ts) % 1_000_000 + 1_000_000) % 1_000_000) * F.lit(1000)
+        "%09d", (_tf.micros_of(ts) * 1000).cast("long")
     )
     cols = [
         F.concat(
@@ -1175,7 +1225,7 @@ def kafka_messages(
         raise ValueError("need at least one topic")
     ts = F.col(ts_col).cast("timestamp")
     us = F.unix_micros(ts)
-    micros = F.format_string("%06d", (us % 1_000_000).cast("int"))
+    micros = _tf.frac_micros(ts)
     if timestamp_format == "double":
         ts_val = us.cast("double") / F.lit(1e6)
     elif timestamp_format == "iso8601":
@@ -1327,7 +1377,7 @@ def azure_records(
     ts = F.col(ts_col).cast("timestamp")
     us = F.unix_micros(ts)
     if time_generated:
-        ms = F.format_string("%03d", ((us % 1_000_000) / 1000).cast("int"))
+        ms = _tf.frac_millis(ts)
         t_val = F.concat(
             F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), ms, F.lit("Z")
         )
@@ -1432,7 +1482,7 @@ def nats_body(
     epoch = F.concat(
         F.floor(us / 1_000_000).cast("long").cast("string"),
         F.lit("."),
-        F.format_string("%06d", (us % 1_000_000).cast("int")),
+        _tf.frac_micros(ts),
     )
     entry = F.concat(
         F.lit("["), epoch, F.lit(","),
@@ -1469,7 +1519,7 @@ def slack_text(
         F.lit("["),
         F.floor(us / 1_000_000).cast("long").cast("string"),
         F.lit("."),
-        F.format_string("%06d", (us % 1_000_000).cast("int")),
+        _tf.frac_micros(ts),
         F.lit(", "),
         F.to_json(F.struct(*[F.col(c) for c in others])),
         F.lit("]"),
@@ -1567,16 +1617,19 @@ def remote_write_encode(
         ts_msgs = []
         for key, samples in sorted(series.items()):
             name, lbls = key[0], key[1:]
+            # the remote-write spec requires labels sorted by name —
+            # receivers validate and reject out-of-order label sets, so
+            # __name__ must take its LEXICOGRAPHIC place (after an
+            # uppercase-initial label like 'Region', before lowercase),
+            # not a hardcoded first slot (r12 review)
+            all_labels = sorted([("__name__", name), *lbls])
             parts = [
                 pb_len_delim(
                     1,
-                    pb_len_delim(1, b"__name__") + pb_len_delim(2, name.encode()),
+                    pb_len_delim(1, ln.encode()) + pb_len_delim(2, lv.encode()),
                 )
+                for ln, lv in all_labels
             ]
-            for ln, lv in lbls:
-                parts.append(
-                    pb_len_delim(1, pb_len_delim(1, ln.encode()) + pb_len_delim(2, lv.encode()))
-                )
             for v, ms in sorted(samples, key=lambda s: s[1]):
                 sample = (
                     pb_field(1, 1) + _struct.pack("<d", v) + pb_field(2, 0) + pb_varint(ms)
@@ -1663,15 +1716,16 @@ def remote_write_decode(
                                     ms = v3 - (1 << 64) if v3 >= (1 << 63) else v3
                             samples.append((val, ms))
                     for val, ms in samples:
+                        ts_v = _event_ts(ms // 1000, (ms % 1000) * 1000)
+                        if ts_v is None:
+                            continue  # out-of-range epoch: skip
                         rows.append(
                             {
                                 **{c: rec[c] for c in other},
                                 "metric": name,
                                 "labels": json.dumps(lbls, sort_keys=True),
                                 "value": val,
-                                TS_COL: dt.datetime.fromtimestamp(
-                                    ms / 1000, dt.timezone.utc
-                                ).replace(tzinfo=None),
+                                TS_COL: ts_v,
                             }
                         )
             yield pd.DataFrame(
@@ -1832,11 +1886,6 @@ def otlp_traces_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
         F.explode("__spans").alias("sp"),
     )
 
-    def attrs_to_map(c):
-        return F.map_from_entries(
-            F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
-        )
-
     return sp.select(
         F.col("sp.traceId").alias("trace_id"),
         F.col("sp.spanId").alias("span_id"),
@@ -1850,8 +1899,8 @@ def otlp_traces_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame:
             F.expr("CAST(sp.endTimeUnixNano AS BIGINT) div 1000")
         ).alias("end_ts"),
         F.col("sp.status.code").alias("status_code"),
-        attrs_to_map(F.col("sp.attributes")).alias("attributes"),
-        attrs_to_map(F.col("__res_attrs")).alias("resource"),
+        _otlp_attrs_to_map(F.col("sp.attributes")).alias("attributes"),
+        _otlp_attrs_to_map(F.col("__res_attrs")).alias("resource"),
         "scope_name",
     )
 
@@ -2067,11 +2116,6 @@ def otlp_metrics_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame
         F.explode("__dps").alias("dp"),
     )
 
-    def attrs_to_map(c):
-        return F.map_from_entries(
-            F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
-        )
-
     return dps.select(
         "metric_name",
         "metric_type",
@@ -2080,8 +2124,8 @@ def otlp_metrics_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFrame
             F.expr("CAST(dp.timeUnixNano AS BIGINT) div 1000")
         ).alias(TS_COL),
         F.col("dp.asDouble").alias("value"),
-        attrs_to_map(F.col("dp.attributes")).alias("attributes"),
-        attrs_to_map(F.col("__res_attrs")).alias("resource"),
+        _otlp_attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        _otlp_attrs_to_map(F.col("__res_attrs")).alias("resource"),
         "scope_name",
     )
 
@@ -2402,11 +2446,6 @@ def otlp_histogram_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFra
         )
     )
 
-    def attrs_to_map(c):
-        return F.map_from_entries(
-            F.transform(c, lambda a: F.struct(a["key"], a["value"]["stringValue"]))
-        )
-
     counts = F.transform(F.col("dp.bucketCounts"), lambda c: c.cast("long"))
     bounds = F.concat(
         F.transform(F.col("dp.explicitBounds"), lambda b: b.cast("string")),
@@ -2421,7 +2460,7 @@ def otlp_histogram_decode(df: DataFrame, json_col: str = "otlp_json") -> DataFra
     )
     return dp.select(
         "metric_name",
-        attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        _otlp_attrs_to_map(F.col("dp.attributes")).alias("attributes"),
         F.col("dp.count").cast("long").alias("count"),
         F.col("dp.sum").alias("sum"),
         F.explode(F.arrays_zip(bounds.alias("le"), cum.alias("cumulative"))).alias("z"),

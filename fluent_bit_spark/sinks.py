@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fluent_bit_spark.functions import timefmt as _tf
 from fluent_bit_spark.model import TAG_COL, TS_COL
 
 
@@ -33,7 +34,10 @@ def template_line(df: DataFrame, template: str) -> Column:
     for m in re.finditer(r"\{([A-Za-z_][A-Za-z0-9_]*)\}", template):
         if m.start() > pos:
             out.append(F.lit(template[pos : m.start()]))
-        out.append(F.col(m.group(1)).cast("string"))
+        # coalesce: F.concat is null-intolerant — one NULL placeholder
+        # would otherwise NULL the whole line and silently drop the
+        # record (the ltsv/gelf/syslog encoders all guard this way)
+        out.append(F.coalesce(F.col(m.group(1)).cast("string"), F.lit("")))
         pos = m.end()
     if pos < len(template):
         out.append(F.lit(template[pos:]))
@@ -419,7 +423,7 @@ def syslog_encode(
     )
 
     if format == "rfc5424":
-        micros = F.format_string("%06d", (F.unix_micros(ts) % 1_000_000).cast("int"))
+        micros = _tf.frac_micros(ts)
         header = F.concat(
             pri, F.lit("1 "),
             F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), micros, F.lit("Z "),
@@ -513,7 +517,7 @@ def json_date_value(ts_col: Column, fmt: str = "double") -> Column:
     ``milliseconds`` = epoch ms."""
     ts = ts_col.cast("timestamp")
     us = F.unix_micros(ts)
-    micros = F.format_string("%06d", (us % 1_000_000).cast("int"))
+    micros = _tf.frac_micros(ts)
     if fmt == "double":
         return (us.cast("double") / F.lit(1e6)).alias("date")
     if fmt == "iso8601":

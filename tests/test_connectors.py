@@ -979,3 +979,194 @@ def test_otlp_histogram_bucket_differencing(spark):
     got = {r["le"]: r["cumulative_count"] for r in dec}
     assert got == {"10.0": 2, "50.0": 4, "inf": 5}
     assert all(r["count"] == 5 for r in dec)
+
+
+def test_es_bulk_decode_crlf_bodies(spark):
+    """r12 review fix: the bulk spec allows CRLF line endings — '\\r'
+    lines must not survive the blank filter as phantom NULL-meta delete
+    rows, and doc lines must not carry a trailing '\\r'."""
+    from fluent_bit_spark.connectors import es_bulk_decode
+
+    bulk = (
+        '{"index":{"_index":"logs","_id":"a1"}}\r\n'
+        '{"msg":"hello"}\r\n'
+        '{"delete":{"_index":"logs","_id":"a2"}}\r\n'
+    )
+    df = spark.createDataFrame([(1, bulk)], "req_id int, bulk_body string")
+    rows = es_bulk_decode(df).orderBy("es_id").collect()
+    assert [(r.op, r.es_index, r.es_id) for r in rows] == [
+        ("index", "logs", "a1"), ("delete", "logs", "a2"),
+    ]
+    assert json.loads(rows[0].doc) == {"msg": "hello"}
+
+
+def test_fractional_seconds_pre_1970(spark):
+    """r12 review fix: Spark's % keeps the dividend sign, so pre-1970
+    fractions rendered '.-500000' in six encoders; the shared pmod
+    helper makes the wall-clock fraction non-negative everywhere."""
+    import datetime as dt
+
+    from fluent_bit_spark.sinks import json_date_value
+
+    df = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 59, 59, 500000),),
+         (dt.datetime(2024, 1, 1, 0, 0, 1, 250000),)],
+        "ts timestamp",
+    )
+    vals = [r.v for r in df.select(
+        json_date_value(F.col("ts"), "iso8601").alias("v")
+    ).orderBy("ts").collect()]
+    assert vals[0] == "1969-12-31T23:59:59.500000Z"
+    assert vals[1] == "2024-01-01T00:00:01.250000Z"
+    # epoch floors toward -inf (wall clock), not toward zero
+    ep = [r.v for r in df.select(
+        json_date_value(F.col("ts"), "epoch").alias("v")
+    ).orderBy("ts").collect()]
+    assert ep == [-1, 1704067201]
+
+
+def test_template_line_null_placeholder(spark):
+    """r12 review fix: a NULL placeholder renders '' instead of NULLing
+    the whole line (null-intolerant F.concat)."""
+    from fluent_bit_spark.sinks import template_line
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "x")], "k string, v string"
+    )
+    lines = sorted(
+        r.l for r in df.select(
+            template_line(df, "{k}=[{v}]").alias("l")
+        ).collect()
+    )
+    assert lines == ["a=[]", "b=[x]"]
+
+
+def test_remote_write_labels_sorted(spark):
+    """r12 review fix: the remote-write spec requires labels sorted by
+    name — an uppercase-initial label must precede __name__ in the
+    encoded TimeSeries (receivers reject out-of-order label sets)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from fluent_bit_spark.connectors import (
+        remote_write_decode, remote_write_encode,
+    )
+    from fluent_bit_spark.functions.msgpack_codec import pb_read_varint
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("m_total", "east", t0, 1.0)],
+        "metric string, Region string, timestamp timestamp, value double",
+    )
+    body = bytes(
+        remote_write_encode(df, label_cols=["Region"]).collect()[0].body
+    )
+    size, _ = pb_read_varint(body, 0)
+    raw = bytes(pa.Codec("snappy").decompress(body, size))
+    assert raw.index(b"Region") < raw.index(b"__name__")
+    back = remote_write_decode(
+        spark.createDataFrame([(body,)], "body binary")
+    ).collect()[0]
+    assert back.metric == "m_total"
+    assert json.loads(back.labels) == {"Region": "east"}
+
+
+def test_msgpack_decode_skips_out_of_range_timestamps(spark):
+    """r12 review fix: a sender emitting epoch MILLISECONDS as the
+    integer timestamp (classic fluentd misconfig) must skip that event
+    per the skip-corrupt contract, not kill the task with 'year out of
+    range'."""
+    from fluent_bit_spark.connectors import msgpack_events_decode
+    from fluent_bit_spark.functions.msgpack_codec import pack
+
+    good = pack([1704448800, {"msg": "ok"}])
+    bad = pack([1723804800000, {"msg": "ms-epoch"}])  # year 56604
+    df = spark.createDataFrame([(good + bad + good,)], "chunk binary")
+    rows = msgpack_events_decode(df, bin_col="chunk").collect()
+    assert len(rows) == 2
+    assert all(json.loads(r.body)["msg"] == "ok" for r in rows)
+
+
+def test_avro_timestamp_millis_logical(spark):
+    """r12 review fix: timestamp-millis fields encode as epoch ms (not
+    whole seconds, which a conforming reader would interpret 1000x off)
+    and decode back to timestamps."""
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import avro_ocf_decode, avro_ocf_encode
+    from fluent_bit_spark.functions.avro_codec import read_ocf
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "ts_ms",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "n", "type": "long"},
+        ],
+    }
+    t0 = dt.datetime(2026, 1, 1, 12, 30, 15, 250000)
+    df = spark.createDataFrame([(t0, 7)], "ts_ms timestamp, n long")
+    blob = bytes(avro_ocf_encode(df, schema).collect()[0].avro)
+    _, records = read_ocf(blob)
+    assert records[0]["ts_ms"] == int(t0.replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1000)
+    back = avro_ocf_decode(
+        spark.createDataFrame([(blob,)], "avro binary"),
+        "ts_ms timestamp, n long",
+    ).collect()[0]
+    assert back.ts_ms == t0.replace(microsecond=250000)
+
+
+def test_influxdb_monotonic_ts_bump_no_collision(spark):
+    """r12 review fix: the dedupe bump is emitted_i = max(ns_i,
+    emitted_{i-1}+1) per (measurement, tagset) — a bumped value can no
+    longer collide with a later point's genuine ns (100,100,101 ->
+    100,101,102, exactly the C sequential walk)."""
+    import datetime as dt
+
+    from fluent_bit_spark.connectors import influxdb_line
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("cpu", base, 0, 1.0),
+        ("cpu", base, 1, 2.0),
+        ("cpu", base + dt.timedelta(microseconds=0), 2, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "tag string, timestamp timestamp, ord int, v double")
+    # plant: two at ns N, one at N+1000ns (1 us later)
+    rows[2] = ("cpu", base + dt.timedelta(microseconds=1), 2, 3.0)
+    df = spark.createDataFrame(rows, "tag string, timestamp timestamp, ord int, v double")
+    out = influxdb_line(df, field_cols=["v"], dedupe_ts_order="ord").collect()
+    ns = sorted(int(r.line.rsplit(" ", 1)[1]) for r in out)
+    base_ns = ns[0]
+    assert ns == [base_ns, base_ns + 1, base_ns + 1000]
+    # the C walk on 100,100,101-style triples (all within 1 ns apart)
+    rows = [
+        ("cpu", base, 0, 1.0),
+        ("cpu", base, 1, 2.0),
+        ("cpu", base, 2, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "tag string, timestamp timestamp, ord int, v double")
+    out = influxdb_line(df, field_cols=["v"], dedupe_ts_order="ord").collect()
+    ns2 = sorted(int(r.line.rsplit(" ", 1)[1]) for r in out)
+    assert ns2 == [base_ns, base_ns + 1, base_ns + 2]
+    assert len(set(ns2)) == 3
+
+
+def test_splunk_hec_decode_exact_and_string_time(spark):
+    """r12 review fix: fractional HEC times round to the sender's
+    microsecond (no truncation off-by-one), and string-typed time
+    values ('1723804800.123') parse instead of NULLing out."""
+    from fluent_bit_spark.connectors import splunk_hec_decode
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"time":1723804800.123,"host":"h","event":"e"}'),
+            (2, '{"time":"1723804800.5","host":"h2","event":"e2"}'),
+        ],
+        "id int, hec_json string",
+    )
+    rows = splunk_hec_decode(df).orderBy("id").collect()
+    assert rows[0].timestamp.microsecond == 123000
+    assert rows[1].timestamp.microsecond == 500000
+    assert rows[1].host == "h2"
