@@ -6541,11 +6541,28 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY CAST(floor(epoch(ts)/3600) AS BIGINT), "
             "event_type ORDER BY ts, event_id) <= 5"
         ),
+        # greedy admit (only KEPT records charge the budget —
+        # throttle_size.c add_load()s on keep only), restated as a
+        # recursive fold over row_number within each (pane, key) group
         "throttle_size_budget": (
-            "SELECT event_id, event_type FROM events "
-            "QUALIFY SUM(strlen(props)) OVER (PARTITION BY "
-            "CAST(floor(epoch(ts)/3600) AS BIGINT), event_type ORDER BY ts, event_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 40"
+            "WITH RECURSIVE base AS ("
+            "SELECT event_id, event_type, strlen(props) AS sz, "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS pane, "
+            "row_number() OVER (PARTITION BY "
+            "CAST(floor(epoch(ts)/3600) AS BIGINT), event_type "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "fold AS ("
+            "SELECT event_id, event_type, pane, rn, "
+            "CASE WHEN sz <= 40 THEN sz ELSE 0 END AS total, "
+            "sz <= 40 AS keep FROM base WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT b.event_id, b.event_type, b.pane, b.rn, "
+            "CASE WHEN f.total + b.sz <= 40 THEN f.total + b.sz "
+            "ELSE f.total END, f.total + b.sz <= 40 "
+            "FROM fold f JOIN base b "
+            "ON b.pane = f.pane AND b.event_type = f.event_type "
+            "AND b.rn = f.rn + 1) "
+            "SELECT event_id, event_type FROM fold WHERE keep"
         ),
         "rewrite_tag_rules": (
             "SELECT CASE WHEN regexp_matches(event_type, '^(error|signup)$') "

@@ -270,6 +270,23 @@ def pack_token_sequences(
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ):
+        # _with_running_sum buckets on cast(id AS long): a string id
+        # casts to NULL, the bucket equi-join matches nothing, and the
+        # operator would silently emit ZERO sequences. Fail loudly with
+        # the remedy instead.
+        raise ValueError(
+            f"pack_token_sequences: {id_col!r} must be numeric (its "
+            "global order drives the distributed prefix sum); got "
+            f"{id_type.simpleString()} — derive a numeric order column "
+            "first (cast a numeric-string id, or rank the docs once)"
+        )
     from fluent_bit_spark.operators.multiline import _with_running_sum
 
     enc = bpe_encode(df, merges, text_col, id_col, vocab, unk_id)

@@ -65,6 +65,7 @@ def fuzzy_decontaminate(
     corpus rows.
     """
     from fluent_bit_spark.extensions.dedup import (
+        band_buckets,
         minhash_signatures,
         with_shingle_hashes,
     )
@@ -79,19 +80,11 @@ def fuzzy_decontaminate(
         )
 
     def bands_of(sig_df, idc):
-        rows_per_band = max(1, num_hashes // num_bands)
-        structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ).alias("bh"),
-            )
-            for b in range(num_bands)
-        ]
-        return sig_df.select(
-            F.col(idc), F.explode(F.array(*structs)).alias("bx")
-        ).select(idc, "bx.band", "bx.bh")
+        # dedup.band_buckets IS this banding (same slice/xxhash64/
+        # explode); sig_len passed so no probe job runs
+        return band_buckets(
+            sig_df, id_col=idc, num_bands=num_bands, sig_len=num_hashes
+        )
 
     csig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     # bench id = content hash, NOT monotonically_increasing_id: the bench

@@ -37,7 +37,18 @@ def deterministic_keep(
     the same portable multiplicative-hash thinning used by the sampling
     operator (operators/sampling.py)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c * KNUTH_MULT) % modulus < F.round(rate * modulus).cast("long")
+    # exact modular arithmetic, not a raw product: ids past ~3.47e9
+    # overflow id*KNUTH — an ANSI session ABORTS the job, a non-ANSI
+    # one wraps negative and the signed % then kept the row at EVERY
+    # rate (even 0.0). (a*b) mod m == ((a mod m)*(b mod m)) mod m, and
+    # the reduced product tops out around 5.8e7 — same values as
+    # before for every non-overflowing id, and identical to the
+    # arbitrary-precision arithmetic other engines (the DuckDB oracle)
+    # compute (r12 review)
+    return F.pmod(
+        F.pmod(c, F.lit(modulus)) * F.lit(KNUTH_MULT % modulus),
+        F.lit(modulus),
+    ) < F.round(rate * modulus).cast("long")
 
 
 def domain_mix(
@@ -103,6 +114,12 @@ def hash_split(
     ``bucket_expr`` overrides the default xxhash64 bucket with a custom
     [0, 1) double (e.g. the Knuth multiplicative hash used by the driver
     query so other engines can reproduce the assignment exactly).
+
+    Rows with a NULL id are DROPPED (default bucket only): xxhash64 of
+    NULL is a seed-derived CONSTANT, so they would otherwise all land
+    deterministically in one split and skew its proportion — give rows
+    a surrogate id first if that matters (stratified_sample documents
+    the same policy).
     """
     if not weights:
         raise ValueError("weights must be a non-empty {name: weight} dict")
@@ -110,6 +127,7 @@ def hash_split(
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
     if bucket_expr is None:
+        df = df.filter(F.col(id_col).isNotNull())
         bucket_expr = (
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) / 1_000_000.0
         )
@@ -178,12 +196,21 @@ def cap_per_key(
         # 5 slices — exactly the skew case the salt exists for. Default
         # to every hashable column; xxhash64 rejects map types.
         if salt_cols is None:
-            from pyspark.sql.types import MapType
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            def map_free(dt) -> bool:
+                # xxhash64 rejects maps ANYWHERE in the type, not just
+                # top level (array<map<...>> fails at plan time)
+                if isinstance(dt, MapType):
+                    return False
+                if isinstance(dt, ArrayType):
+                    return map_free(dt.elementType)
+                if isinstance(dt, StructType):
+                    return all(map_free(f.dataType) for f in dt.fields)
+                return True
 
             salt_cols = [
-                f.name
-                for f in over.schema.fields
-                if not isinstance(f.dataType, MapType)
+                f.name for f in over.schema.fields if map_free(f.dataType)
             ]
             if not salt_cols:
                 raise ValueError(

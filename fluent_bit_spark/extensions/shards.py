@@ -98,7 +98,17 @@ def _publish(out_dir: str, name: str, data: bytes) -> None:
     )
     with fs.open_output_stream(tmp) as out:
         out.write(data)
-    fs.move(tmp, final)
+    try:
+        fs.move(tmp, final)
+    except OSError:
+        # rename-to-existing is scheme-dependent: local rename
+        # overwrites, HDFS-style filesystems refuse. A re-run (or a
+        # retried attempt racing a completed sibling) produces
+        # byte-identical shards by construction, so replace-and-retry
+        # keeps the documented idempotent-republish contract instead of
+        # aborting with tmp litter.
+        fs.delete_file(final)
+        fs.move(tmp, final)
 
 
 def write_tar_shards(

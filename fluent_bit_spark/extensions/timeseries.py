@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 
 def time_bucket(ts: Column, every_seconds: int) -> Column:
     """Floor a timestamp to a fixed-width bucket (exact integer
-    arithmetic on epoch seconds — no timezone drift)."""
+    arithmetic on epoch seconds — no timezone drift). floor(), not a
+    truncating cast: pre-1970 (negative-epoch) timestamps must land in
+    their own [-N, 0) bucket, not round toward the 1970 one."""
     secs = F.unix_timestamp(ts)
-    return F.timestamp_seconds((secs / every_seconds).cast("long") * every_seconds)
+    return F.timestamp_seconds(
+        F.floor(secs / every_seconds).cast("long") * every_seconds
+    )
 
 
 def downsample(
@@ -95,8 +99,12 @@ def gap_fill(
     - ``"linear"``: linear interpolation between the neighboring
       observations (rows outside any pair of observations stay NULL).
 
-    Adds ``is_gap`` marking materialized rows. The spine join is keyed on
-    (series, bucket) — same composite key as the downsample shuffle.
+    Adds ``is_gap`` marking materialized rows — by JOIN provenance, not
+    value NULL-ness: an OBSERVED bucket whose first value column happens
+    to be NULL is not a gap (the old value-based flag mislabeled it and
+    let locf/linear silently overwrite genuinely-observed NULLs'
+    neighbours in gap audits). The spine join is keyed on (series,
+    bucket) — same composite key as the downsample shuffle.
     """
     if method not in ("null", "locf", "linear"):
         raise ValueError(f"unknown gap-fill method {method!r}")
@@ -119,8 +127,12 @@ def gap_fill(
         )
         .select(*keys, F.timestamp_seconds(F.col("_bs")).alias(bucket_col))
     )
-    joined = spine.join(df, [*keys, bucket_col], "left").withColumn(
-        "is_gap", F.col(value_cols[0]).isNull()
+    joined = (
+        spine.join(
+            df.withColumn("__obs", F.lit(True)), [*keys, bucket_col], "left"
+        )
+        .withColumn("is_gap", F.col("__obs").isNull())
+        .drop("__obs")
     )
     if method == "null":
         return joined

@@ -28,13 +28,22 @@ def sample_probabilistic(
     bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Keep ~percentage% of traces, deterministically by key hash.
+    Fractional percentages are honored to 0.01% granularity (the default
+    hash buckets are basis points — ``int(percentage)`` truncation would
+    keep NOTHING at the sub-1% rates tail sampling actually uses).
 
-    ``bucket_expr`` overrides the default xxhash64 bucketing with a custom
-    0..99 bucket column (e.g. a multiplicative-hash sampler reproducible in
-    other engines)."""
+    ``bucket_expr`` overrides the default bucketing with a custom bucket
+    column compared directly against ``percentage`` (e.g. a 0..99
+    multiplicative-hash sampler reproducible in other engines)."""
     if bucket_expr is None:
-        bucket_expr = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(seed)), F.lit(100))
-    return df.filter(bucket_expr < int(percentage))
+        return df.filter(
+            F.pmod(
+                F.xxhash64(F.col(key).cast("string"), F.lit(seed)),
+                F.lit(10_000),
+            )
+            < F.round(F.lit(percentage) * 100).cast("long")
+        )
+    return df.filter(bucket_expr < F.lit(percentage))
 
 
 def sample_tail(

@@ -22,7 +22,13 @@ from fluent_bit_spark.model import TS_COL
 
 
 def _pane(ts_col: str, interval_sec: int):
-    return (F.unix_timestamp(F.col(ts_col)) / interval_sec).cast("long").alias("__pane")
+    # floor, not a truncating cast: negative-epoch timestamps must pane
+    # as wall-clock intervals, not merge into the adjacent 1970 pane
+    return (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec)
+        .cast("long")
+        .alias("__pane")
+    )
 
 
 def throttle(
@@ -54,15 +60,38 @@ def throttle_size(
     key: str | None = None,
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Keep records while the running byte total per pane (per key) stays
-    within ``max_bytes``. ``size_col_expr``: Column giving the record's size
+    """Greedy byte budget per pane (per key): a record is admitted iff
+    the ADMITTED total so far + its size stays within ``max_bytes`` —
+    dropped records do not charge the budget, so one oversized record
+    cannot empty the rest of its pane (throttle_size.c:406-423: only
+    kept records add_load(); a drop leaves window->total unchanged and
+    later smaller records still fit). That fold is sequential by
+    nature (a prefix SUM would charge rejected rows), so it runs as an
+    Arrow applyInPandas per (pane[, key]) group — bounded, uniformly
+    spread groups. ``size_col_expr``: Column giving the record's size
     (e.g. F.octet_length('msg'))."""
     parts = ["__pane"] + ([key] if key else [])
-    order = [F.col(time_col)] + [F.col(c) for c in (tiebreak or [])]
-    w = Window.partitionBy(*parts).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    order_cols = [time_col] + list(tiebreak or [])
+    base = df.withColumn("__pane", _pane(time_col, interval_sec)).withColumn(
+        "__sz", size_col_expr.cast("long")
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        total = 0
+        keep = []
+        for sz in pdf["__sz"]:
+            s = 0 if sz is None or pd.isna(sz) else int(sz)
+            ok = total + s <= max_bytes
+            if ok:
+                total += s
+            keep.append(ok)
+        return pdf[keep]
+
     return (
-        df.withColumn("__pane", _pane(time_col, interval_sec))
-        .withColumn("__running", F.sum(size_col_expr).over(w))
-        .filter(F.col("__running") <= max_bytes)
-        .drop("__pane", "__running")
+        base.groupBy(*parts)
+        .applyInPandas(fold, schema=base.schema)
+        .drop("__pane", "__sz")
     )

@@ -4328,3 +4328,77 @@ def test_text_review_guards(spark):
     assert 1 in ld and ld[1].clean_text == "" and ld[1].n_dropped_lines == 0
     gq = {r.doc_id: r.keep for r in gopher_quality(nulls).collect()}
     assert gq[1] is False  # not None
+
+
+def test_mixing_r12_review_fixes(spark):
+    """r12 review fixes in the mixing layer: (a) deterministic_keep
+    uses pmod — a huge id whose Knuth product wraps negative is still
+    DROPPED at rate 0.0 (the signed % kept it at every rate); (b)
+    hash_split drops NULL-id rows (xxhash64(NULL) is a constant, so
+    they all landed in one split); (c) cap_per_key's default salt
+    skips map types nested inside arrays too."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.mixing import (
+        cap_per_key, deterministic_keep, hash_split,
+    )
+
+    big = spark.createDataFrame(
+        [(4_000_000_000,), (5,)], "doc_id long"
+    )
+    kept = big.filter(deterministic_keep("doc_id", F.lit(0.0))).count()
+    assert kept == 0
+    assert big.filter(deterministic_keep("doc_id", F.lit(1.0))).count() == 2
+
+    withnull = spark.createDataFrame(
+        [(None,), (1,), (2,), (3,)], "doc_id long"
+    )
+    out = hash_split(withnull, {"train": 0.5, "test": 0.5})
+    assert out.count() == 3  # NULL id dropped, not funneled into one split
+
+    nested = spark.createDataFrame(
+        [(1, "d", 1.0, [{"k": "v"}]), (2, "d", 2.0, [{"k": "v"}])],
+        "doc_id long, domain string, q double, tags array<map<string,string>>",
+    )
+    capped = cap_per_key(nested, ["domain"], ["q"], n=1, salt=4)
+    assert capped.count() == 1  # no AnalysisException from map-in-array
+
+
+def test_gap_fill_is_gap_provenance(spark):
+    """r12 review fix: is_gap comes from JOIN provenance — an OBSERVED
+    bucket whose first value is NULL is not a gap, and gap audits no
+    longer count it as materialized."""
+    import datetime as dt
+
+    from fluent_bit_spark.extensions.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0, None, 5.0),                         # observed, cpu NULL
+        ("s", t0 + dt.timedelta(minutes=2), 3.0, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, bucket timestamp, cpu double, mem double"
+    )
+    out = gap_fill(df, ["k"], 60, ["cpu", "mem"], method="null")
+    gaps = {str(r.bucket): r.is_gap for r in out.collect()}
+    assert gaps == {
+        "2024-01-01 00:00:00": False,   # observed despite NULL cpu
+        "2024-01-01 00:01:00": True,    # materialized
+        "2024-01-01 00:02:00": False,
+    }
+
+
+def test_pack_token_sequences_rejects_string_ids(spark):
+    """r12 review fix: a non-numeric id column raises instead of
+    silently emitting ZERO sequences (the prefix-sum bucket is
+    cast(id AS long), NULL for strings)."""
+    import pytest
+
+    from fluent_bit_spark.extensions.bpe import pack_token_sequences
+
+    df = spark.createDataFrame(
+        [("uuid-1", "a b"), ("uuid-2", "c d")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="must be numeric"):
+        pack_token_sequences(df, [("a", "b")], seq_len=2)

@@ -496,3 +496,56 @@ def test_logfmt_ltsv_duplicate_keys_last_wins(spark):
     out2 = df2.select(LtsvParser().parse_map(F.col("line")).alias("m")).collect()
     assert out2[0].m == {"a": "2", "b": "x:y"}
     assert out2[1].m == {"k": "v", "bare": None}
+
+
+def test_throttle_size_greedy_budget(spark):
+    """r12 review fix: dropped records do NOT charge the byte budget
+    (throttle_size.c only add_load()s kept records) — one oversized
+    record cannot empty the rest of its pane, and a mid-pane reject
+    still admits later smaller records."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, "big", 2_000_000),
+        (t0 + dt.timedelta(seconds=1), "a", 100),
+        (t0 + dt.timedelta(seconds=2), "b", 100),
+        (t0 + dt.timedelta(seconds=3), "c", 999_900),
+        (t0 + dt.timedelta(seconds=4), "d", 100),
+    ]
+    df = spark.createDataFrame(rows, "timestamp timestamp, k string, sz long")
+    out = throttle_size(
+        df, max_bytes=1_000_000, size_col_expr=F.col("sz"),
+        interval_sec=3600, tiebreak=["k"],
+    )
+    kept = sorted(r.k for r in out.collect())
+    # big(2MB) rejected without charging; a+b admitted (200);
+    # c(999900) would exceed -> rejected, leaves budget; d admitted
+    assert kept == ["a", "b", "d"]
+
+
+def test_sample_probabilistic_fractional_rates(spark):
+    """r12 review fix: sub-1% rates keep ~percentage instead of
+    truncating to zero (basis-point buckets)."""
+    df = spark.createDataFrame(
+        [(f"trace-{i}",) for i in range(20000)], "trace_id string"
+    )
+    n_half = sample_probabilistic(df, 0.5).count()
+    assert 0 < n_half < 400  # ~100 expected of 20000 at 0.5%
+    assert sample_probabilistic(df, 0.0).count() == 0
+    n20 = sample_probabilistic(df, 20).count()
+    assert 3000 < n20 < 5000  # ~4000 at 20%
+
+
+def test_throttle_pane_negative_epoch(spark):
+    """r12 review fix: panes floor toward -inf, so pre-1970 records
+    stay in their own interval instead of merging into 1970's."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(1969, 12, 31, 23, 59, 30), "pre"),
+        (dt.datetime(1970, 1, 1, 0, 0, 30), "post"),
+    ]
+    df = spark.createDataFrame(rows, "timestamp timestamp, k string")
+    out = throttle(df, rate=1, interval_sec=60)
+    assert sorted(r.k for r in out.collect()) == ["post", "pre"]
