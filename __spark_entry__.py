@@ -1139,26 +1139,54 @@ def ann_served_q(spark, sf_dir):
         pq_topk_indexed,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb, queries = _emb_and_queries(spark, sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
     # each top-k result is query_count x k rows but feeds 2-3 consumers
     # below (gate + multiset diff) — checkpoint so every serve plan runs
-    # exactly once
-    ivf = ivf_index(emb, n_centroids=16, iters=2)
-    ivf_path = f"{tempfile.gettempdir()}/fbs_ivf_index_{tag}"
-    ivf_index_save(ivf, ivf_path)
-    ivf_mem = ivf_topk_indexed(ivf, queries, k=5, nprobe=4).localCheckpoint(eager=True)
-    ivf_srv = ivf_topk_indexed(
-        ivf_index_load(spark, ivf_path), queries, k=5, nprobe=4
-    ).localCheckpoint(eager=True)
+    # exactly once. The IVF chain and the PQ chain are fully independent
+    # (and within each, the in-memory and reloaded serves are independent
+    # after the save): overlap them as concurrent driver jobs so each
+    # chain's small sequential jobs back-fill the other's idle slots.
+    def _ivf_chain():
+        ivf = ivf_index(emb, n_centroids=16, iters=2)
+        ivf_path = f"{tempfile.gettempdir()}/fbs_ivf_index_{tag}"
+        ivf_index_save(ivf, ivf_path)
+        with ThreadPoolExecutor(max_workers=2) as inner:
+            fm = inner.submit(
+                lambda: ivf_topk_indexed(
+                    ivf, queries, k=5, nprobe=4
+                ).localCheckpoint(eager=True)
+            )
+            fs = inner.submit(
+                lambda: ivf_topk_indexed(
+                    ivf_index_load(spark, ivf_path), queries, k=5, nprobe=4
+                ).localCheckpoint(eager=True)
+            )
+            return fm.result(), fs.result()
 
-    pq = pq_index(emb, m=8, ksub=16, iters=3, sample=1024)
-    pq_path = f"{tempfile.gettempdir()}/fbs_pq_index_{tag}"
-    pq_index_save(pq, pq_path)
-    pq_mem = pq_topk_indexed(pq, queries, k=5).localCheckpoint(eager=True)
-    pq_srv = pq_topk_indexed(
-        pq_index_load(spark, pq_path), queries, k=5
-    ).localCheckpoint(eager=True)
+    def _pq_chain():
+        pq = pq_index(emb, m=8, ksub=16, iters=3, sample=1024)
+        pq_path = f"{tempfile.gettempdir()}/fbs_pq_index_{tag}"
+        pq_index_save(pq, pq_path)
+        with ThreadPoolExecutor(max_workers=2) as inner:
+            fm = inner.submit(
+                lambda: pq_topk_indexed(pq, queries, k=5).localCheckpoint(
+                    eager=True
+                )
+            )
+            fs = inner.submit(
+                lambda: pq_topk_indexed(
+                    pq_index_load(spark, pq_path), queries, k=5
+                ).localCheckpoint(eager=True)
+            )
+            return fm.result(), fs.result()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fivf, fpq = pool.submit(_ivf_chain), pool.submit(_pq_chain)
+        (ivf_mem, ivf_srv), (pq_mem, pq_srv) = fivf.result(), fpq.result()
 
     def mismatches(a, b, score_col, flag):
         # +1/-1 multiset diff on the full row contract: any row present a
@@ -1600,6 +1628,26 @@ def _append_scratch(sf_dir, kind):
     return f"{tempfile.gettempdir()}/fbs_{kind}_append_{tag}"
 
 
+def _multiset_diff_ids(a, b, id_col):
+    """(id_col, __bad=True) for every id owning a row whose multiset count
+    differs between ``a`` and ``b`` — the same verdict as
+    a.exceptAll(b) ∪ b.exceptAll(a) but in ONE +1/-1 union-aggregate
+    (one shuffle) instead of two generate-rewritten exceptAll subtrees;
+    both compare rows with null-safe equality, so the flagged id set is
+    identical."""
+    u = a.withColumn("__w", F.lit(1)).unionByName(
+        b.withColumn("__w", F.lit(-1))
+    )
+    return (
+        u.groupBy(*a.columns)
+        .agg(F.sum("__w").alias("__d"))
+        .filter(F.col("__d") != 0)
+        .select(id_col)
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+
+
 def bm25_appended_q(spark, sf_dir):
     """Incremental BM25 index append, oracle-gated (retrieval.py
     bm25_index_append): build + persist the index on the EVEN-doc_id
@@ -1620,31 +1668,40 @@ def bm25_appended_q(spark, sf_dir):
         bm25_topk_indexed,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
     path = _append_scratch(sf_dir, "bm25")
     shutil.rmtree(path, ignore_errors=True)  # appends are stateful: fresh run
-    bm25_index_save(bm25_index(even, c=20), path)
-    bm25_index_append(spark, path, odd)
     queries = docs.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(
             " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8)
         ).alias("text"),
     ).localCheckpoint(eager=True)
-    served = bm25_topk_indexed(
-        bm25_index_load(spark, path), queries, k=5
-    ).localCheckpoint(eager=True)
-    rebuilt = bm25_topk_indexed(
-        bm25_index(docs, c=20), queries, k=5
-    ).localCheckpoint(eager=True)
-    bad = (
-        served.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(served))
-        .select("query_id")
-        .distinct()
-        .withColumn("__bad", F.lit(True))
-    )
+
+    # the appended-index chain and the union-rebuild REFERENCE chain are
+    # fully independent — run them as concurrent driver jobs so the
+    # reference build back-fills executor slots the append chain's
+    # small sequential jobs leave idle (guide: overlap independent jobs)
+    def _appended():
+        bm25_index_save(bm25_index(even, c=20), path)
+        bm25_index_append(spark, path, odd)
+        return bm25_topk_indexed(
+            bm25_index_load(spark, path), queries, k=5
+        ).localCheckpoint(eager=True)
+
+    def _rebuilt():
+        return bm25_topk_indexed(
+            bm25_index(docs, c=20), queries, k=5
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(_appended), pool.submit(_rebuilt)
+        served, rebuilt = fa.result(), fb.result()
+    bad = _multiset_diff_ids(served, rebuilt, "query_id")
     return queries.select("query_id").join(bad, "query_id", "left").select(
         "query_id",
         F.col("__bad").isNull().alias("append_equals_rebuild"),
@@ -1720,29 +1777,36 @@ def pq_appended_q(spark, sf_dir):
         pq_topk_indexed,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb, queries = _emb_and_queries(spark, sf_dir)
     half_a = emb.filter(F.col("vec_id") % 2 == 0)
     half_b = emb.filter(F.col("vec_id") % 2 == 1)
     path = _append_scratch(sf_dir, "pq")
     shutil.rmtree(path, ignore_errors=True)
     pq = pq_index(half_a, m=8, ksub=16, iters=2, sample=1024)
-    pq_index_save(pq, path)
-    pq_index_append(spark, path, half_b.select("vec_id", "embedding"))
-    served = pq_topk_indexed(
-        pq_index_load(spark, path), queries, k=5
-    ).localCheckpoint(eager=True)
-    ref = {
-        "codebooks": pq["codebooks"],
-        "codes": pq_encode(emb, pq["codebooks"], "vec_id", "embedding"),
-        "m": 8, "ksub": 16, "id_col": "vec_id", "vec_col": "embedding",
-    }
-    rebuilt = pq_topk_indexed(ref, queries, k=5).localCheckpoint(eager=True)
-    bad = (
-        served.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(served))
-        .select("query_id")
-        .distinct()
-        .withColumn("__bad", F.lit(True))
-    )
+
+    # after the shared codebook train, the append chain and the
+    # whole-corpus reference encode are independent: overlap them
+    def _served():
+        pq_index_save(pq, path)
+        pq_index_append(spark, path, half_b.select("vec_id", "embedding"))
+        return pq_topk_indexed(
+            pq_index_load(spark, path), queries, k=5
+        ).localCheckpoint(eager=True)
+
+    def _rebuilt():
+        ref = {
+            "codebooks": pq["codebooks"],
+            "codes": pq_encode(emb, pq["codebooks"], "vec_id", "embedding"),
+            "m": 8, "ksub": 16, "id_col": "vec_id", "vec_col": "embedding",
+        }
+        return pq_topk_indexed(ref, queries, k=5).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(_served), pool.submit(_rebuilt)
+        served, rebuilt = fa.result(), fb.result()
+    bad = _multiset_diff_ids(served, rebuilt, "query_id")
     return queries.select("query_id").join(bad, "query_id", "left").select(
         "query_id",
         F.col("__bad").isNull().alias("append_equals_rebuild"),
@@ -4069,17 +4133,28 @@ def pack_ffd_q(spark, sf_dir):
     within the FFD waste bound. The full doc-integrity property (each
     sequence equals the concatenation of its docs' encodings) is
     pytest-gated (test_pack_sequences_ffd_document_aware)."""
-    from fluent_bit_spark.extensions.bpe import bpe_encode, pack_sequences_ffd
+    from fluent_bit_spark.extensions.bpe import pack_sequences_ffd
+    from fluent_bit_spark.extensions.dedup import normalize_text
 
     L, G = 256, 8
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     seqs = pack_sequences_ffd(docs, [], seq_len=L, num_groups=G)
     seqs = seqs.localCheckpoint(eager=True)  # reused by 4 checks
-    enc = bpe_encode(docs, [])
-    exp = enc.agg(
-        F.sum("n_tokens").cast("long").alias("total"),
+    # expected totals in pure Catalyst: under the zero-merge (char)
+    # tokenizer n_tokens == length(normalized text) + 1 word-end marker
+    # per word == length(norm)+1 for non-empty docs — the SAME stream-form
+    # arithmetic the DuckDB oracle replays (replace(norm,' ',chr(30)) ||
+    # chr(30)), so the scan-side aggregate replaces a full second Arrow
+    # encode pass of the corpus (guide: prefer built-ins over the Python
+    # boundary) without touching the witnessed values
+    norm = normalize_text(F.col("text"))
+    ntok = F.when(
+        norm.isNull() | (norm == ""), F.lit(0)
+    ).otherwise(F.length(norm) + 1)
+    exp = docs.agg(
+        F.sum(ntok).cast("long").alias("total"),
         F.sum(
-            F.when(F.col("n_tokens") > 0, F.ceil(F.col("n_tokens") / L))
+            F.when(ntok > 0, F.ceil(ntok / F.lit(float(L))))
         ).cast("long").alias("n_pieces"),
     ).collect()[0]
     got = seqs.agg(

@@ -154,9 +154,39 @@ def bpe_vocab(
     combinable, shuffle volume = per-partition-distinct tokens (vocab-
     sized); the collect is model-sized state, same policy as the merge
     ranks themselves (guarded by _MAX_VOCAB)."""
+    if not merges:
+        # zero-merge (character) tokenizer fast path: every token is a
+        # single codepoint of a word, plus the word-end marker — the
+        # distinct set is computable as a pure-Catalyst scan (per-doc
+        # array_distinct BEFORE the explode, so the shuffle carries at
+        # most alphabet-sized rows per doc), with no Arrow encode pass.
+        norm = normalize_text(F.col(text_col))
+        rows = (
+            df.select(
+                F.explode(
+                    F.array_distinct(
+                        F.split(F.regexp_replace(norm, " ", ""), "")
+                    )
+                ).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .distinct()
+            .limit(_MAX_VOCAB + 1)
+            .collect()
+        )
+        toks = {r.tok for r in rows}
+        if toks:  # >=1 char => >=1 word => the end marker was emitted
+            toks.add(_END)
+        if len(toks) > _MAX_VOCAB:
+            raise ValueError(
+                f"distinct token count exceeds {_MAX_VOCAB}; a BPE "
+                "vocabulary is model-sized — is this really a BPE token "
+                "stream?"
+            )
+        return sorted(toks)
     enc = bpe_encode(df, merges, text_col, id_col)
     rows = (
-        enc.select(F.explode("tokens").alias("tok"))
+        enc.select(F.explode(F.array_distinct("tokens")).alias("tok"))
         .distinct()
         .limit(_MAX_VOCAB + 1)
         .collect()
@@ -299,28 +329,62 @@ def pack_token_sequences(
         "tokens",
         (F.col("__run") - F.col("__t")).alias("__doc_start"),
     )
-    tok = offs.select(
-        id_col,
-        F.posexplode("tokens").alias("__pos", "tok"),
-        "__doc_start",
-    ).select(
-        id_col,
-        "tok",
-        (F.col("__doc_start") + F.col("__pos")).alias("__g"),
-        (F.col("__pos") == 0).alias("__is_doc_start"),
+    # Place whole ARRAY SLICES, not single tokens: each doc emits one row
+    # per sequence it overlaps (the slice of its token array that lands
+    # there, plus the in-sequence slot where the slice starts), so the
+    # regroup shuffle carries ~docs + seqs compact array rows instead of
+    # one row per token — severalfold fewer bytes and orders of magnitude
+    # fewer rows/aggregation state through the widest exchange of the
+    # training-prep path. The reassembly (slot-sorted concatenation of
+    # disjoint slices) is exactly the former per-token slot sort.
+    g0 = F.col("__doc_start")
+    s_first = F.expr(f"__doc_start DIV {seq_len}")
+    s_last = F.expr(f"(__doc_start + size(tokens) - 1) DIV {seq_len}")
+    pieces = (
+        offs.filter(F.size("tokens") > 0)
+        .select(
+            "tokens",
+            "__doc_start",
+            F.explode(
+                F.transform(
+                    F.sequence(s_first, s_last),
+                    lambda s: F.struct(
+                        s.alias("seq_id"),
+                        F.greatest(
+                            F.lit(0).cast("long"), s * seq_len - g0
+                        ).alias("lo"),
+                        F.least(
+                            F.size("tokens").cast("long"),
+                            (s + 1) * seq_len - g0,
+                        ).alias("hi"),
+                        (s == F.expr(f"__doc_start DIV {seq_len}")).alias(
+                            "is_start"
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.seq_id").alias("seq_id"),
+            F.greatest(g0 - F.col("p.seq_id") * seq_len, F.lit(0).cast("long"))
+            .cast("int")
+            .alias("slot"),
+            F.slice(
+                "tokens",
+                (F.col("p.lo") + 1).cast("int"),
+                (F.col("p.hi") - F.col("p.lo")).cast("int"),
+            ).alias("piece"),
+            F.col("p.is_start").alias("__is_doc_start"),
+        )
     )
-    placed = tok.select(
-        "tok",
-        "__is_doc_start",
-        (F.col("__g") / seq_len).cast("long").alias("seq_id"),
-        F.pmod(F.col("__g"), F.lit(seq_len)).cast("int").alias("slot"),
-    )
-    seqs = placed.groupBy("seq_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("slot", "tok"))),
-            lambda s: s["tok"],
+    seqs = pieces.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "piece"))),
+                lambda s: s["piece"],
+            )
         ).alias("tokens"),
-        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.size("piece")).cast("long").alias("n_tokens"),
         F.array_sort(
             F.collect_list(F.when(F.col("__is_doc_start"), F.col("slot")))
         ).alias("doc_starts"),

@@ -146,6 +146,7 @@ def bm25_topk(
     def dense(qm: DataFrame) -> DataFrame:
         scored = (
             dtf.join(F.broadcast(qm), "term")
+            .repartition(query_id_col)  # shared by the agg AND the window
             .groupBy(query_id_col, id_col)
             .agg(F.round(F.sum(contrib), 6).alias("score"))
         )
@@ -183,12 +184,16 @@ def _bm25_pruned(
     hit rates are high AND the query set is large; the amortized form —
     bm25_index built once, bm25_topk_indexed per query batch — is the
     deployment shape (measured in BASELINE.md)."""
-    tc = (
-        dtf.join(F.broadcast(idf), "term")
-        .select("term", id_col, contrib.alias("c"))
-        .localCheckpoint(eager=True)  # reused 3x: rank, cutoffs, re-score
-    )
-    kept, cutoffs = _impact_order(tc, c, id_col)
+    ranked = _rank_contributions(
+        dtf.join(F.broadcast(idf), "term").select(
+            "term", id_col, contrib.alias("c")
+        ),
+        id_col,
+    ).localCheckpoint(eager=True)  # ONE materialized pass; every consumer
+    # (re-score tc, kept, cutoffs) filters/projects it — the former
+    # tc-checkpoint shape re-ran the per-term rank window once per consumer
+    tc = ranked.drop("rn")
+    kept, cutoffs = _impact_order_ranked(ranked, c, id_col)
 
     def dense_for(failing: list) -> DataFrame:
         return dense(
@@ -200,18 +205,32 @@ def _bm25_pruned(
     )
 
 
-def _impact_order(tc: DataFrame, c: int, id_col: str):
-    """Per-term impact ordering of the contribution table: (kept, cutoffs)
-    where kept holds each term's top-C docs by contribution and cutoffs
-    the (C+1)-th contribution — the hard upper bound any non-kept doc of
-    that term can add to a score."""
+def _rank_contributions(tc: DataFrame, id_col: str) -> DataFrame:
+    """(term, id, c, rn): the contribution table with each term's impact
+    rank attached — ONE window pass whose result every consumer (tc
+    re-score, kept candidates, cutoff bounds) derives from by filter/
+    projection, so the rank is computed and materialized once instead of
+    once per derived frame."""
     wt = Window.partitionBy("term").orderBy(F.col("c").desc(), F.col(id_col))
-    ranked = tc.withColumn("rn", F.row_number().over(wt))
+    return tc.withColumn("rn", F.row_number().over(wt))
+
+
+def _impact_order_ranked(ranked: DataFrame, c: int, id_col: str):
+    """(kept, cutoffs) as cheap filters over a _rank_contributions frame:
+    kept holds each term's top-C docs by contribution and cutoffs the
+    (C+1)-th contribution — the hard upper bound any non-kept doc of
+    that term can add to a score."""
     kept = ranked.filter(F.col("rn") <= c).select("term", id_col)
     cutoffs = ranked.filter(F.col("rn") == c + 1).select(
         "term", F.col("c").alias("cutoff")
     )
     return kept, cutoffs
+
+
+def _impact_order(tc: DataFrame, c: int, id_col: str):
+    """Per-term impact ordering of a bare contribution table (compat
+    shim over _rank_contributions + _impact_order_ranked)."""
+    return _impact_order_ranked(_rank_contributions(tc, id_col), c, id_col)
 
 
 def _indexed_topk(
@@ -238,20 +257,27 @@ def _indexed_topk(
     provably the exact top-k. Queries whose certificate fails (rare on
     Zipfian vocabularies, common on degenerate flat ones) re-run dense.
 
-    Scale shape: candidate re-scoring shuffles the contribution table
-    once by doc id (narrow rows, linear); the candidate pair set
-    (~C x terms-per-query per query) broadcasts. The certificate collect
-    is one boolean per query — eval-sized.
+    Scale shape: the contribution table is scanned ONCE and never
+    shuffled — query terms and the candidate pair set (~C x
+    terms-per-query per query) both broadcast, and only the surviving
+    candidate contributions (query-bounded) cross one exchange keyed by
+    query id, which the aggregation and the rank window share. The
+    certificate collect is one boolean per query — eval-sized.
     """
-    cand = (
-        qterms.join(kept, "term")
-        .select(query_id_col, id_col)
-        .distinct()
-        .localCheckpoint(eager=True)  # reused: re-score + certificate
-    )
+    # candidate (query, doc) pairs: ~C x query-vocab-terms rows — an
+    # eval-bounded table, used as a broadcast SEMI filter (duplicates
+    # from multi-term hits are harmless to a semi join, so the former
+    # distinct exchange + its checkpoint disappear outright)
+    cand = qterms.join(kept, "term").select(query_id_col, id_col)
+    # ONE exchange keyed by query id serves both the (query, doc) score
+    # aggregation and the top-k rank window (hash partitioning by
+    # query_id satisfies the clustering both require); the former
+    # cand-distinct -> groupBy(query, doc) -> window(query) shape paid
+    # three
     scored = (
-        cand.join(tc, id_col)
-        .join(qterms, [query_id_col, "term"])
+        tc.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cand), [query_id_col, id_col], "left_semi")
+        .repartition(query_id_col)
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("c"), 6).alias("score"))
     )
@@ -264,7 +290,10 @@ def _indexed_topk(
         query_id_col, F.col("score").alias("theta")
     )
     bounds = (
-        qterms.join(F.broadcast(cutoffs), "term", "left")
+        # broadcast the QUERY terms (eval-sized), stream the vocab-sized
+        # cutoffs: right-outer keeps every query term, so the per-query
+        # sum is identical to the former left join with cutoffs broadcast
+        cutoffs.join(F.broadcast(qterms), "term", "right")
         .groupBy(query_id_col)
         .agg(F.sum(F.coalesce(F.col("cutoff"), F.lit(0.0))).alias("bound"))
     )
@@ -335,12 +364,14 @@ def bm25_index(
     # original corpus (bm25_index_append re-derives tc/kept/cutoffs from
     # postings + the new docs' tokens only)
     postings = doc_term_freqs(docs, text_col, id_col).localCheckpoint(eager=True)
-    tc = _contributions(postings, n_docs, avgdl, k1, b, id_col)
-    kept, cutoffs = _impact_order(tc, c, id_col)
+    ranked = _contributions(postings, n_docs, avgdl, k1, b, id_col)
+    tc = ranked.drop("rn")
+    kept, cutoffs = _impact_order_ranked(ranked, c, id_col)
     return {
         "tc": tc,
-        "kept": kept.localCheckpoint(eager=True),
-        "cutoffs": cutoffs.localCheckpoint(eager=True),
+        "kept": kept,
+        "cutoffs": cutoffs,
+        "ranked": ranked,
         "postings": postings,
         "n_docs": n_docs,
         "avgdl": float(avgdl),
@@ -357,9 +388,12 @@ def _contributions(
     postings: DataFrame, n_docs: int, avgdl: float, k1: float, b: float,
     id_col: str,
 ) -> DataFrame:
-    """(term, id, c) BM25 per-posting contributions from a (term, id,
-    tf, dl) postings frame + the corpus-global stats — the derivation
-    bm25_index and bm25_index_append share, eagerly persisted."""
+    """(term, id, c, rn) BM25 per-posting contributions WITH the per-term
+    impact rank attached, from a (term, id, tf, dl) postings frame + the
+    corpus-global stats — the derivation bm25_index and bm25_index_append
+    share, eagerly persisted ONCE (tc/kept/cutoffs all derive from this
+    single materialization by filter/projection; the former three-frame
+    shape paid the rank window and a checkpoint job per frame)."""
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.select(
         "term",
@@ -371,11 +405,10 @@ def _contributions(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
     )
     contrib = F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / norm
-    return (
-        postings.join(idf, "term")
-        .select("term", id_col, contrib.alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    return _rank_contributions(
+        postings.join(idf, "term").select("term", id_col, contrib.alias("c")),
+        id_col,
+    ).localCheckpoint(eager=True)
 
 
 def bm25_topk_indexed(
@@ -418,6 +451,7 @@ def bm25_topk_indexed(
         qf = qterms.filter(F.col(query_id_col).isin(failing))
         scored = (
             tc.join(F.broadcast(qf), "term")
+            .repartition(query_id_col)  # shared by the agg AND the window
             .groupBy(query_id_col, id_col)
             .agg(F.round(F.sum("c"), 6).alias("score"))
         )
@@ -432,11 +466,36 @@ def bm25_topk_indexed(
 
 
 def _write_index_tables(index: dict, base: str) -> None:
-    index["tc"].write.mode("overwrite").parquet(f"{base}/tc")
-    index["kept"].write.mode("overwrite").parquet(f"{base}/kept")
-    index["cutoffs"].write.mode("overwrite").parquet(f"{base}/cutoffs")
+    writes = [(index["tc"], f"{base}/tc")]
+    if index.get("ranked") is not None:
+        # kept (rn <= c) and cutoffs (rn == c+1) ride ONE small topc
+        # table — both are rn-filters of the materialized ranked frame,
+        # and a serving job must scan only these (c+1)-per-term rows,
+        # never the full contribution table
+        writes.append(
+            (
+                index["ranked"].filter(F.col("rn") <= int(index["c"]) + 1),
+                f"{base}/topc",
+            )
+        )
+    else:
+        writes.append((index["kept"], f"{base}/kept"))
+        writes.append((index["cutoffs"], f"{base}/cutoffs"))
     if index.get("postings") is not None:
-        index["postings"].write.mode("overwrite").parquet(f"{base}/postings")
+        writes.append((index["postings"], f"{base}/postings"))
+    # the tables are independent filters/projections of already
+    # materialized frames: submit the writes concurrently so the later
+    # jobs' tasks back-fill the executor slots the first job's tail
+    # leaves idle (wall-clock ~= the largest write, not the sum)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        list(
+            pool.map(
+                lambda dp: dp[0].write.mode("overwrite").parquet(dp[1]),
+                writes,
+            )
+        )
     spark = index["tc"].sparkSession
     spark.createDataFrame(
         [
@@ -505,10 +564,16 @@ def bm25_index_load(spark, path: str) -> dict:
     from .dedup import _try_read_parquet
 
     postings = _try_read_parquet(spark, f"{base}/postings")
+    topc = _try_read_parquet(spark, f"{base}/topc")
+    if topc is not None:
+        kept, cutoffs = _impact_order_ranked(topc, int(meta["c"]), meta["id_col"])
+    else:  # pre-topc layout: separate kept/cutoffs tables
+        kept = spark.read.parquet(f"{base}/kept")
+        cutoffs = spark.read.parquet(f"{base}/cutoffs")
     return {
         "tc": spark.read.parquet(f"{base}/tc"),
-        "kept": spark.read.parquet(f"{base}/kept"),
-        "cutoffs": spark.read.parquet(f"{base}/cutoffs"),
+        "kept": kept,
+        "cutoffs": cutoffs,
         "postings": postings,
         "n_docs": meta["n_docs"],
         "avgdl": meta["avgdl"],
@@ -572,8 +637,11 @@ def bm25_index_append(
         eager=True
     )
     new_ids = new_postings.select(id_col).distinct()
+    # existence probe: no distinct on the INDEXED side — deduplicating
+    # the (at scale, corpus-sized) postings table costs a full shuffle
+    # and buys nothing for a limit(1) broadcast-join probe
     clash = (
-        idx["postings"].select(id_col).distinct()
+        idx["postings"].select(id_col)
         .join(F.broadcast(new_ids), id_col).limit(1).count()
     )
     if clash:
@@ -588,12 +656,14 @@ def bm25_index_append(
         raise ValueError("corpus has no tokens")
     avgdl = sum_dl / n_nonempty
     postings = idx["postings"].unionByName(new_postings)
-    tc = _contributions(postings, n_docs, avgdl, idx["k1"], idx["b"], id_col)
-    kept, cutoffs = _impact_order(tc, idx["c"], id_col)
+    ranked = _contributions(postings, n_docs, avgdl, idx["k1"], idx["b"], id_col)
+    tc = ranked.drop("rn")
+    kept, cutoffs = _impact_order_ranked(ranked, idx["c"], id_col)
     grown = {
         "tc": tc,
         "kept": kept,
         "cutoffs": cutoffs,
+        "ranked": ranked,
         "postings": postings,
         "n_docs": n_docs,
         "avgdl": avgdl,
