@@ -1233,12 +1233,23 @@ def cluster_balanced_q(spark, sf_dir):
         assign_clusters, cluster_balanced_sample, kmeans_centroids,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb, _ = _emb_and_queries(spark, sf_dir)
     emb = emb.select("vec_id", "embedding")
-    kept = cluster_balanced_sample(emb, cap=50, n_clusters=8)
-    # independent witness: recompute the (deterministic) assignment and
-    # compare per-cluster counts
-    cents = kmeans_centroids(emb, 8, 3)
+    # the operator chain and the witness's independent k-means re-train
+    # are disjoint job chains: overlap them (guide: concurrent driver
+    # jobs back-fill idle executor slots). kept is checkpointed because
+    # THREE contract checks below consume it — un-pinned, each would
+    # replay the whole assign+quota subtree.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fk = pool.submit(
+            lambda: cluster_balanced_sample(
+                emb, cap=50, n_clusters=8
+            ).localCheckpoint(eager=True)
+        )
+        fc = pool.submit(lambda: kmeans_centroids(emb, 8, 3))
+        kept, cents = fk.result(), fc.result()
     sizes = assign_clusters(emb, cents).groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_all")
     )
@@ -2094,17 +2105,31 @@ def image_neardup_q(spark, sf_dir):
         (F.col("vec_id") + 5_000_000).alias("media_id"),
         to_prog(F.col("embedding")).alias("content"),
     )
+    from concurrent.futures import ThreadPoolExecutor
+
+    # mint the corpus ONCE: un-pinned, the Arrow encode branches re-ran
+    # for the near-dup join AND for each witness decode side (3x)
     media = to_media_frame(
         base.unionByName(copies).unionByName(jpeg_copies)
         .unionByName(png_copies).unionByName(gif_copies)
         .unionByName(prog_copies),
         "media_id", F.col("content"), "image",
-    )
-    pairs = image_neardup_join(media, max_hamming=3).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
 
-    pix = decode_pixels(media).select(
-        "media_id", "width", "height", "channels", "pixels"
-    )
+    # the operator's banded join and the witness pixel decode are
+    # independent chains over the pinned corpus: overlap them
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp = pool.submit(
+            lambda: image_neardup_join(media, max_hamming=3).localCheckpoint(
+                eager=True
+            )
+        )
+        fx = pool.submit(
+            lambda: decode_pixels(media).select(
+                "media_id", "width", "height", "channels", "pixels"
+            ).localCheckpoint(eager=True)
+        )
+        pairs, pix = fp.result(), fx.result()
 
     @pandas_udf("int")
     def brute_hamming(
@@ -2487,23 +2512,32 @@ def video_neardup_q(spark, sf_dir):
         video_neardup_join,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    media = _video_avi_corpus(spark, sf_dir)
-    pairs = video_neardup_join(media, max_hamming=3).localCheckpoint(
-        eager=True
-    )
+    from concurrent.futures import ThreadPoolExecutor
 
-    clips = (
-        decode_video_frames(media)
-        .groupBy("media_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("frame_idx", "width", "height", "pixels")
-                )
-            ).alias("frames")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # mint the AVI corpus ONCE (un-pinned it re-ran for the join and for
+    # each witness decode side), then overlap the independent operator
+    # join and witness frame-decode chains as concurrent driver jobs
+    media = _video_avi_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp_ = pool.submit(
+            lambda: video_neardup_join(media, max_hamming=3).localCheckpoint(
+                eager=True
+            )
         )
-    )
+        fc = pool.submit(
+            lambda: decode_video_frames(media)
+            .groupBy("media_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("frame_idx", "width", "height", "pixels")
+                    )
+                ).alias("frames")
+            )
+            .localCheckpoint(eager=True)
+        )
+        pairs, clips = fp_.result(), fc.result()
 
     @pandas_udf("double")
     def brute_mean(fa: pd.Series, fb: pd.Series, off: pd.Series) -> pd.Series:
@@ -3968,10 +4002,13 @@ def audio_neardup_q(spark, sf_dir):
         to_media_frame,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _audio_wav_corpus(spark, sf_dir)
+    # mint the WAV corpus ONCE: un-pinned, the Arrow synth pass re-ran
+    # for the operator join AND the witness fingerprint pass
+    corpus = _audio_wav_corpus(spark, sf_dir).localCheckpoint(eager=True)
     media = to_media_frame(corpus, "media_id", F.col("content"), "audio")
-    pairs = audio_neardup_join(media, max_ber=0.25).localCheckpoint(eager=True)
 
     # witness fingerprints: one decode+FFT pass PER CLIP (not per pair
     # side — a clip appears in many pairs), still fully independent of
@@ -3982,9 +4019,20 @@ def audio_neardup_q(spark, sf_dir):
             [audio_subfingerprints(decode_wav_samples(bytes(c))[1]) for c in cs]
         )
 
-    wfp = corpus.select(
-        "media_id", brute_fp("content").alias("__fp")
-    ).localCheckpoint(eager=True)
+    # operator join and witness FFT are independent chains over the
+    # pinned corpus: overlap them as concurrent driver jobs
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp_ = pool.submit(
+            lambda: audio_neardup_join(media, max_ber=0.25).localCheckpoint(
+                eager=True
+            )
+        )
+        fw = pool.submit(
+            lambda: corpus.select(
+                "media_id", brute_fp("content").alias("__fp")
+            ).localCheckpoint(eager=True)
+        )
+        pairs, wfp = fp_.result(), fw.result()
 
     @pandas_udf("double")
     def brute_ber(fa_s: pd.Series, fb_s: pd.Series, offs: pd.Series) -> pd.Series:

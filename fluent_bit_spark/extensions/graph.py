@@ -304,18 +304,28 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")  # co-partitioned with contrib's dst keying:
+        # the per-iteration completeness left-join needs no exchange on
+        # this side (localCheckpoint preserves the output partitioning)
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge list")
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-degree is ITERATION-INVARIANT: attach it to the edge list once
+    # (the former shape re-ran the e-outdeg join inside all ``iterations``
+    # plans), and pre-partition by src so each iteration's rank join
+    # shuffles only the node-sized rank table, never the edges
+    ew = (
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(int(iterations)):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            ew.join(ranks, ew["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))

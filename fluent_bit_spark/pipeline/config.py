@@ -101,15 +101,49 @@ class Pipeline:
             cached = self.source().persist(StorageLevel.MEMORY_AND_DISK)
             saved_inputs, self.inputs = self.inputs, {"__cached__": cached}
         try:
-            self._run_outputs_inner(written, record, write_file)
+            par = [o for o in self.outputs if o.get("name") != "stdout"]
+            if len(par) > 1:
+                # independent sinks over the shared cached source: fill
+                # the cache with one deliberate pass, then run the write
+                # jobs CONCURRENTLY so each sink's tasks back-fill the
+                # executor slots the others' job tails leave idle
+                # (fluent-bit's chunk fan-out, overlapped). stdout
+                # (show()) stays sequential — interleaved console output
+                # is not a debugging aid. Results are recorded in
+                # declaration order, so the returned dict is unchanged.
+                from concurrent.futures import ThreadPoolExecutor
+
+                if cached is not None:
+                    cached.count()
+
+                def one(out):
+                    local: dict = {}
+
+                    def rec(_o, n):
+                        local["v"] = (
+                            int(n.get["n"]) if isinstance(n, Observation) else n
+                        )
+
+                    self._run_outputs_inner(local, rec, write_file, [out])
+                    return local.get("v")
+
+                with ThreadPoolExecutor(max_workers=min(8, len(par))) as pool:
+                    vals = dict(zip([id(o) for o in par], pool.map(one, par)))
+                for out in self.outputs:
+                    if out.get("name") == "stdout":
+                        self._run_outputs_inner(written, record, write_file, [out])
+                    else:
+                        record(out, vals[id(out)])
+            else:
+                self._run_outputs_inner(written, record, write_file)
         finally:
             if cached is not None:
                 self.inputs = saved_inputs
                 cached.unpersist()
         return written
 
-    def _run_outputs_inner(self, written, record, write_file) -> None:
-        for out in self.outputs:
+    def _run_outputs_inner(self, written, record, write_file, outputs=None) -> None:
+        for out in (self.outputs if outputs is None else outputs):
             df = self.route(
                 out.get("match", "*"),
                 conds=out.get("conditions"),
