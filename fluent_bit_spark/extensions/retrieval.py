@@ -42,14 +42,25 @@ __all__ = [
 def doc_term_freqs(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """(id, term, tf, dl): term frequencies and document length (token
-    count) per document. One explode + one combinable shuffle."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    return tf.join(dl, id_col)
+    count) per document. dl is the filtered token-array SIZE carried
+    from the scan (identical to the former sum-of-tf: both count the
+    doc's non-empty tokens), so the whole frame is ONE explode + ONE
+    combinable shuffle — the old dl-aggregate + join-back shape paid two
+    more exchanges."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), F.filter(toks, lambda t: t != "").alias("__ws")
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.size("__ws").alias("dl"),
+            F.explode("__ws").alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .select(id_col, "term", "tf", "dl")
+    )
 
 
 def bm25_topk(
@@ -290,12 +301,17 @@ def _indexed_topk(
         query_id_col, F.col("score").alias("theta")
     )
     bounds = (
-        # broadcast the QUERY terms (eval-sized), stream the vocab-sized
-        # cutoffs: right-outer keeps every query term, so the per-query
-        # sum is identical to the former left join with cutoffs broadcast
-        cutoffs.join(F.broadcast(qterms), "term", "right")
+        # INNER join with the QUERY terms broadcast (eval-sized; an
+        # outer join cannot broadcast its preserved side — the planner
+        # ignores the hint and falls back to a sort-merge of the
+        # vocab-sized cutoffs): queries whose terms have no cutoff row
+        # drop out here, which is exactly the bound == 0 "trivially ok"
+        # case of the former outer-join form — the failing list below is
+        # identical, and exact_part keeps those queries via the anti
+        # filter on that list
+        cutoffs.join(F.broadcast(qterms), "term")
         .groupBy(query_id_col)
-        .agg(F.sum(F.coalesce(F.col("cutoff"), F.lit(0.0))).alias("bound"))
+        .agg(F.sum("cutoff").alias("bound"))
     )
     cert = bounds.join(theta, query_id_col, "left").select(
         query_id_col,
@@ -307,11 +323,7 @@ def _indexed_topk(
     failing = [r[0] for r in cert.filter(~F.col("ok")).collect()]
     if not failing:
         return topk
-    exact_part = topk.join(
-        F.broadcast(cert.filter(F.col("ok")).select(query_id_col)),
-        query_id_col,
-        "left_semi",
-    )
+    exact_part = topk.filter(~F.col(query_id_col).isin(failing))
     dense_part = dense(failing)
     return exact_part.unionByName(dense_part)
 
@@ -465,6 +477,27 @@ def bm25_topk_indexed(
     )
 
 
+_META_SCHEMA = (
+    "n_docs long, avgdl double, sum_dl long, n_nonempty long, "
+    "k1 double, b double, c int, id_col string, "
+    "schemas map<string,string>"
+)
+
+
+def _read_with_schema(spark, path: str, schema_json: str | None):
+    """Parquet read with the persisted schema when available (no footer
+    inference job); inference fallback for pre-schema metas."""
+    if schema_json:
+        import json
+
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def _write_index_tables(index: dict, base: str) -> None:
     writes = [(index["tc"], f"{base}/tc")]
     if index.get("ranked") is not None:
@@ -496,6 +529,12 @@ def _write_index_tables(index: dict, base: str) -> None:
                 writes,
             )
         )
+    # each table's schema rides meta as JSON so the load side can read
+    # with an EXPLICIT schema: parquet footer inference costs one driver
+    # job per table per load, pure overhead on a serving path
+    schemas = {
+        name.rsplit("/", 1)[-1]: df_.schema.json() for df_, name in writes
+    }
     spark = index["tc"].sparkSession
     spark.createDataFrame(
         [
@@ -508,10 +547,10 @@ def _write_index_tables(index: dict, base: str) -> None:
                 float(index["b"]),
                 int(index["c"]),
                 str(index["id_col"]),
+                schemas,
             )
         ],
-        "n_docs long, avgdl double, sum_dl long, n_nonempty long, "
-        "k1 double, b double, c int, id_col string",
+        _META_SCHEMA,
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
 
 
@@ -556,11 +595,56 @@ def bm25_index_load(spark, path: str) -> dict:
     bm25_topk_indexed takes an index. Indexes saved before the postings
     table existed load fine (postings=None) but refuse appends."""
     base = _live_index_dir(spark, path.rstrip("/"))
-    meta = spark.read.parquet(f"{base}/meta").collect()[0].asDict()
-    # narrow probe, not a bare except: only a genuinely-absent postings
-    # dir means the pre-postings serve-only layout — a permission error
-    # or corrupt footer must RAISE, not silently degrade to an index
-    # that then misleadingly refuses appends with "rebuild once"
+    # meta read with its EXPLICIT schema (no inference job); a
+    # pre-schema meta simply yields a null schemas map
+    meta = (
+        spark.read.schema(_META_SCHEMA).parquet(f"{base}/meta").collect()[0]
+        .asDict()
+    )
+    schemas = meta.get("schemas") or {}
+    if schemas:
+        # the schemas map doubles as the table manifest: membership says
+        # which tables the save wrote, so no existence probes and no
+        # footer-inference jobs on the serving path
+        tc = _read_with_schema(spark, f"{base}/tc", schemas["tc"])
+        postings = (
+            _read_with_schema(spark, f"{base}/postings", schemas["postings"])
+            if "postings" in schemas
+            else None
+        )
+        topc = (
+            _read_with_schema(spark, f"{base}/topc", schemas["topc"])
+            if "topc" in schemas
+            else None
+        )
+        if topc is not None:
+            kept, cutoffs = _impact_order_ranked(
+                topc, int(meta["c"]), meta["id_col"]
+            )
+        else:
+            kept = _read_with_schema(spark, f"{base}/kept", schemas.get("kept"))
+            cutoffs = _read_with_schema(
+                spark, f"{base}/cutoffs", schemas.get("cutoffs")
+            )
+        return {
+            "tc": tc,
+            "kept": kept,
+            "cutoffs": cutoffs,
+            "postings": postings,
+            "n_docs": meta["n_docs"],
+            "avgdl": meta["avgdl"],
+            "sum_dl": meta.get("sum_dl"),
+            "n_nonempty": meta.get("n_nonempty"),
+            "k1": meta["k1"],
+            "b": meta["b"],
+            "c": meta["c"],
+            "id_col": meta["id_col"],
+        }
+    # legacy pre-schema layout: narrow probes, not a bare except — only
+    # a genuinely-absent postings dir means the pre-postings serve-only
+    # layout; a permission error or corrupt footer must RAISE, not
+    # silently degrade to an index that then misleadingly refuses
+    # appends with "rebuild once"
     from .dedup import _try_read_parquet
 
     postings = _try_read_parquet(spark, f"{base}/postings")

@@ -748,25 +748,58 @@ def ivf_index_save(index: dict, path: str) -> None:
     spark = index["lists"].sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(index["centroids"])],
-        "cid int, cvec array<double>",
+        _IVF_CENTROIDS_SCHEMA,
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/centroids")
     spark.createDataFrame(
-        [(int(index["n_centroids"]), index["id_col"], index["vec_col"])],
-        "n_centroids int, id_col string, vec_col string",
+        [(
+            int(index["n_centroids"]),
+            index["id_col"],
+            index["vec_col"],
+            index["lists"].schema.json(),
+        )],
+        _IVF_META_SCHEMA,
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
+
+
+_IVF_CENTROIDS_SCHEMA = "cid int, cvec array<double>"
+_IVF_META_SCHEMA = (
+    "n_centroids int, id_col string, vec_col string, lists_schema string"
+)
 
 
 def ivf_index_load(spark, path: str) -> dict:
     """Reload an ivf_index_save'd index. ``lists`` is a plain
     cid-partitioned parquet scan (pruned at serve time); centroids are
     model-sized driver state, collected once. No k-means, no corpus
-    scan — drop-in wherever ivf_topk_indexed takes an index."""
+    scan — drop-in wherever ivf_topk_indexed takes an index. Every table
+    reads with its persisted schema (meta/centroids are fixed, lists
+    rides meta), so a load costs collects only — no parquet footer
+    inference jobs on the serving path."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
     base = path.rstrip("/")
-    meta = spark.read.parquet(f"{base}/meta").collect()[0]
-    crows = spark.read.parquet(f"{base}/centroids").orderBy("cid").collect()
+    meta = (
+        spark.read.schema(_IVF_META_SCHEMA).parquet(f"{base}/meta")
+        .collect()[0]
+    )
+    crows = (
+        spark.read.schema(_IVF_CENTROIDS_SCHEMA)
+        .parquet(f"{base}/centroids")
+        .orderBy("cid")
+        .collect()
+    )
+    lists = (
+        spark.read.schema(
+            StructType.fromJson(_json.loads(meta["lists_schema"]))
+        ).parquet(f"{base}/lists")
+        if meta["lists_schema"]
+        else spark.read.parquet(f"{base}/lists")  # pre-schema layout
+    )
     return {
         "centroids": [list(r["cvec"]) for r in crows],
-        "lists": spark.read.parquet(f"{base}/lists"),
+        "lists": lists,
         "n_centroids": meta["n_centroids"],
         "id_col": meta["id_col"],
         "vec_col": meta["vec_col"],
@@ -839,7 +872,7 @@ def pq_index_save(index: dict, path: str) -> None:
             for s in range(len(cb))
             for c in range(len(cb[s]))
         ],
-        "sub int, code int, cvec array<double>",
+        _PQ_CODEBOOKS_SCHEMA,
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/codebooks")
     spark.createDataFrame(
         [(
@@ -847,27 +880,54 @@ def pq_index_save(index: dict, path: str) -> None:
             int(index["ksub"]),
             index["id_col"],
             index.get("vec_col", "embedding"),
+            index["codes"].schema.json(),
         )],
-        "m int, ksub int, id_col string, vec_col string",
+        _PQ_META_SCHEMA,
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/meta")
+
+
+_PQ_CODEBOOKS_SCHEMA = "sub int, code int, cvec array<double>"
+_PQ_META_SCHEMA = (
+    "m int, ksub int, id_col string, vec_col string, codes_schema string"
+)
 
 
 def pq_index_load(spark, path: str) -> dict:
     """Reload a pq_index_save'd index: codes stay a parquet scan, the
     codebook (model-sized) is collected once into the nested-list form
-    pq_topk expects. No training, no encoding."""
+    pq_topk expects. No training, no encoding — and every table reads
+    with its persisted schema, so a load costs collects only (no
+    parquet footer inference jobs)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
     base = path.rstrip("/")
-    meta = spark.read.parquet(f"{base}/meta").collect()[0].asDict()
+    meta = (
+        spark.read.schema(_PQ_META_SCHEMA).parquet(f"{base}/meta")
+        .collect()[0].asDict()
+    )
     m, ksub = meta["m"], meta["ksub"]
-    rows = spark.read.parquet(f"{base}/codebooks").collect()
+    rows = (
+        spark.read.schema(_PQ_CODEBOOKS_SCHEMA)
+        .parquet(f"{base}/codebooks")
+        .collect()
+    )
     books: list = [[None] * ksub for _ in range(m)]
     for r in rows:
         books[r["sub"]][r["code"]] = list(r["cvec"])
     if any(c is None for b in books for c in b):
         raise ValueError(f"codebook table at {path!r} is missing entries")
+    codes = (
+        spark.read.schema(
+            StructType.fromJson(_json.loads(meta["codes_schema"]))
+        ).parquet(f"{base}/codes")
+        if meta.get("codes_schema")
+        else spark.read.parquet(f"{base}/codes")  # pre-schema layout
+    )
     return {
         "codebooks": books,
-        "codes": spark.read.parquet(f"{base}/codes"),
+        "codes": codes,
         "m": m,
         "ksub": ksub,
         "id_col": meta["id_col"],
