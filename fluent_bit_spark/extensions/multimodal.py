@@ -2774,20 +2774,42 @@ _IMA_STEP = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
 
 
+def _build_ima_table():
+    """(diff, next_index) for every (step index, nibble) — the IMA
+    transition precomputed once so the per-nibble hot loop is two table
+    lookups + a clamp instead of four shifts and five branches. The diff
+    arithmetic is the spec's shift cascade verbatim, so results are
+    bit-identical to computing it inline."""
+    tbl = []
+    for idx in range(89):
+        step = _IMA_STEP[idx]
+        row = []
+        for n in range(16):
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            if n & 8:
+                diff = -diff
+            row.append((diff, max(0, min(88, idx + _IMA_INDEX[n]))))
+        tbl.append(row)
+    return tbl
+
+
+_IMA_TBL = _build_ima_table()
+
+
 def _ima_step_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
     """One IMA state transition: (new predictor, new index)."""
-    step = _IMA_STEP[index]
-    diff = step >> 3
-    if n & 1:
-        diff += step >> 2
-    if n & 2:
-        diff += step >> 1
-    if n & 4:
-        diff += step
-    if n & 8:
-        diff = -diff
-    pred = max(-32768, min(32767, pred + diff))
-    index = max(0, min(88, index + _IMA_INDEX[n]))
+    diff, index = _IMA_TBL[index][n]
+    pred += diff
+    if pred > 32767:
+        pred = 32767
+    elif pred < -32768:
+        pred = -32768
     return pred, index
 
 
@@ -2809,13 +2831,20 @@ def _ima_decode(data: bytes, nch: int, block_align: int):
             idxs.append(min(i, 88))
             chans[c].append(p)
         body = blk[4 * nch :]
+        tbl = _IMA_TBL
         for g in range(0, len(body) - len(body) % 4, 4):
             c = (g // 4) % nch
             p, i = preds[c], idxs[c]
+            app = chans[c].append
             for byte in body[g : g + 4]:
                 for n in (byte & 0x0F, byte >> 4):
-                    p, i = _ima_step_nibble(n, p, i)
-                    chans[c].append(p)
+                    diff, i = tbl[i][n]
+                    p += diff
+                    if p > 32767:
+                        p = 32767
+                    elif p < -32768:
+                        p = -32768
+                    app(p)
             preds[c], idxs[c] = p, i
     usable = min(len(c) for c in chans)
     out = _np.empty((usable, nch), dtype=_np.int16)

@@ -354,13 +354,30 @@ def bm25_index(
     localCheckpoint; the query-side plan is identical."""
     if c < 1:
         raise ValueError("c must be >= 1")
+    from concurrent.futures import ThreadPoolExecutor
+
     toks = F.split(normalize_text(F.col(text_col)), " ")
     dl0 = F.size(F.filter(toks, lambda t: t != ""))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(dl0 > 0, dl0)).alias("sum_dl"),
-        F.count(F.when(dl0 > 0, F.lit(1))).alias("n_nonempty"),
-    ).collect()[0]
+    # the global-stats aggregate and the postings checkpoint are two
+    # independent scans of the corpus: overlap them (guide: concurrent
+    # driver jobs). postings (term, id, tf, dl) checkpoint once: tc
+    # derives from it here, and persisted it makes the index APPENDABLE
+    # without the original corpus (bm25_index_append re-derives
+    # tc/kept/cutoffs from postings + the new docs' tokens only)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fstats = pool.submit(
+            lambda: docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(dl0 > 0, dl0)).alias("sum_dl"),
+                F.count(F.when(dl0 > 0, F.lit(1))).alias("n_nonempty"),
+            ).collect()[0]
+        )
+        fpost = pool.submit(
+            lambda: doc_term_freqs(docs, text_col, id_col).localCheckpoint(
+                eager=True
+            )
+        )
+        stats, postings = fstats.result(), fpost.result()
     n_docs = stats["n"]
     if n_docs == 0:
         raise ValueError("empty corpus")
@@ -371,11 +388,6 @@ def bm25_index(
     # bit-identical to this build's — the fact bm25_index_append rests on
     sum_dl, n_nonempty = int(stats["sum_dl"]), int(stats["n_nonempty"])
     avgdl = sum_dl / n_nonempty
-    # postings (term, id, tf, dl) checkpoint once: tc derives from it
-    # here, and persisted it makes the index APPENDABLE without the
-    # original corpus (bm25_index_append re-derives tc/kept/cutoffs from
-    # postings + the new docs' tokens only)
-    postings = doc_term_freqs(docs, text_col, id_col).localCheckpoint(eager=True)
     ranked = _contributions(postings, n_docs, avgdl, k1, b, id_col)
     tc = ranked.drop("rn")
     kept, cutoffs = _impact_order_ranked(ranked, c, id_col)
@@ -706,20 +718,30 @@ def bm25_index_append(
             f"index at {path!r} predates append support (meta lacks "
             "sum_dl/n_nonempty); rebuild once"
         )
+    from concurrent.futures import ThreadPoolExecutor
+
     id_col = idx["id_col"]
     toks = F.split(normalize_text(F.col(text_col)), " ")
     dl0 = F.size(F.filter(toks, lambda t: t != ""))
-    stats = new_docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(dl0 > 0, dl0)).alias("sum_dl"),
-        F.count(F.when(dl0 > 0, F.lit(1))).alias("n_nonempty"),
-    ).collect()[0]
+    # stats aggregate and new-postings checkpoint: two independent scans
+    # of the (typically small) append batch — overlap them
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fstats = pool.submit(
+            lambda: new_docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(dl0 > 0, dl0)).alias("sum_dl"),
+                F.count(F.when(dl0 > 0, F.lit(1))).alias("n_nonempty"),
+            ).collect()[0]
+        )
+        fpost = pool.submit(
+            lambda: doc_term_freqs(new_docs, text_col, id_col).localCheckpoint(
+                eager=True
+            )
+        )
+        stats, new_postings = fstats.result(), fpost.result()
     n_new = int(stats["n"])
     if n_new == 0:
         return 0
-    new_postings = doc_term_freqs(new_docs, text_col, id_col).localCheckpoint(
-        eager=True
-    )
     new_ids = new_postings.select(id_col).distinct()
     # existence probe: no distinct on the INDEXED side — deduplicating
     # the (at scale, corpus-sized) postings table costs a full shuffle

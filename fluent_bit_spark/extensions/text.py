@@ -407,26 +407,36 @@ def repeated_span_stats(
         ).alias("h"),
     )
     counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = (
-        spans.join(counts, "h")
+    # n_windows is pure arithmetic over the word-array size (exactly the
+    # exploded count: size-window+1 when size >= window), so the count
+    # table does NOT need to join back onto every span row — the span
+    # side only semi-joins the (usually tiny) DUPLICATED-hash subset,
+    # and AQE picks broadcast vs sort-merge for it from runtime stats,
+    # which keeps the shape scale-safe when duplication is massive
+    dup = counts.filter(F.col("c") >= 2).select("h")
+    dupw = (
+        spans.join(dup, "h", "left_semi")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("dup_windows"),
-        )
+        .agg(F.count(F.lit(1)).alias("dup_windows"))
     )
     n_tok = base.select(
         F.col(id_col),
         F.coalesce(
             F.size(F.filter(ws, lambda w: w != "")), F.lit(0)
         ).alias("n_tokens"),
+        F.coalesce(
+            F.when(
+                F.size(ws) >= window, F.size(ws) - window + 1
+            ).otherwise(0),
+            F.lit(0),
+        ).alias("n_windows"),
     )
     return (
-        n_tok.join(per_doc, id_col, "left")
+        n_tok.join(dupw, id_col, "left")
         .select(
             id_col,
             "n_tokens",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            "n_windows",
             F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
             F.round(
                 F.coalesce(
