@@ -115,9 +115,24 @@ def main() -> int:
 
     print(f"\n{len(failures)} failures, {len(rows_only)} rows-only")
     if report_path:
+        # stamp the verified tree state: the report text is otherwise
+        # deterministic, so a regeneration on an unchanged-result tree
+        # would be byte-identical and invisible to report_guard's
+        # git-commit freshness check
+        try:
+            import subprocess
+
+            sha = subprocess.run(
+                ["git", "-C", str(Path(__file__).resolve().parents[1]),
+                 "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except Exception:
+            sha = "unknown"
         n_ok = sum(1 for l in lines if l.startswith("OK"))
         body = (
             "# Local oracle verification (driver t2-gate replica)\n\n"
+            f"Verified tree: commit `{sha}` (+ this report commit).\n\n"
             f"`python tools/oracle_check.py {sf_dir} --report ...` — every\n"
             "registry query run on Spark vs its DuckDB oracle on the same\n"
             "parquet (row count, schema width, order-insensitive values).\n\n"
