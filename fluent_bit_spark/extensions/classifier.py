@@ -74,10 +74,13 @@ def nb_train(
     """
     seed = df.filter(F.col(label_col).isin(pos_label, neg_label))
     toks = _tokens(seed, text_col, [label_col])
+    # pinned: the vocab-sized count table feeds the scalar-totals
+    # collect AND the returned model projection — un-pinned, the seed
+    # token-count shuffle runs once per consumer
     model = toks.groupBy("w").agg(
         F.sum(F.when(F.col(label_col) == pos_label, 1).otherwise(0)).alias("cp"),
         F.sum(F.when(F.col(label_col) == neg_label, 1).otherwise(0)).alias("cn"),
-    )
+    ).localCheckpoint(eager=True)
     tot = model.agg(
         F.sum("cp").alias("tp"), F.sum("cn").alias("tn"), F.count(F.lit(1)).alias("v")
     ).collect()[0]

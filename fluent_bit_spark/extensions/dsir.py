@@ -75,6 +75,24 @@ def hashed_gram_buckets(
     return F.transform(grams, lambda g: _bucket(g, buckets))
 
 
+def _total_grams(
+    frame: DataFrame, text_col: str, ns: tuple[int, ...]
+) -> int:
+    """Total n-gram occurrences across the frame, computed from word
+    counts alone: a document with w words holds max(w-n+1, 0) n-grams
+    per order — exactly what summing the exploded bucket counts yields,
+    without the explode or the per-gram md5."""
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    sz = F.size(words)
+    total = None
+    for n in ns:
+        t = F.when(sz >= n, sz - n + 1).otherwise(0)
+        total = t if total is None else total + t
+    return int(frame.agg(F.sum(total)).collect()[0][0] or 0)
+
+
 def _doc_buckets(
     df: DataFrame, text_col: str, id_col: str | None, buckets: int,
     ns: tuple[int, ...],
@@ -117,8 +135,12 @@ def dsir_bucket_logratio(
     rc = _doc_buckets(raw, text_col, None, buckets, ns).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr")
     )
-    nt = tc.agg(F.sum("ct")).collect()[0][0] or 0
-    nr = rc.agg(F.sum("cr")).collect()[0][0] or 0
+    # the two scalar totals are pure word-count arithmetic
+    # (sum over docs of max(words-n+1, 0) per gram order — identically
+    # the sum of the bucket counts), so they cost a scan-side aggregate
+    # each instead of a full gram-explode + md5 pass per corpus
+    nt = _total_grams(target, text_col, ns)
+    nr = _total_grams(raw, text_col, ns)
     if nr <= 0:
         raise ValueError("raw corpus has no n-grams to model")
     dt, dr = float(nt + buckets), float(nr + buckets)
