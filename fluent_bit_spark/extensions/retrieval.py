@@ -155,15 +155,9 @@ def bm25_topk(
     )
 
     def dense(qm: DataFrame) -> DataFrame:
-        scored = (
-            dtf.join(F.broadcast(qm), "term")
-            .repartition(query_id_col)  # shared by the agg AND the window
-            .groupBy(query_id_col, id_col)
-            .agg(F.round(F.sum(contrib), 6).alias("score"))
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        return _topk_bounded(
+            dtf.join(F.broadcast(qm), "term"), contrib, w, k, id_col,
+            query_id_col,
         )
 
     if prune_top_c is None:
@@ -213,6 +207,49 @@ def _bm25_pruned(
 
     return _indexed_topk(
         tc, kept, cutoffs, qterms, w, k, id_col, query_id_col, dense_for
+    )
+
+
+def _topk_bounded(
+    joined: DataFrame,
+    contrib_col,
+    w: Window,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact top-k per query WITHOUT per-query concentration. The former
+    shape (repartition(query_id) shared by the score aggregate and the
+    rank window) put each query's ENTIRE candidate set — corpus-sized on
+    the dense path — into one partition (guide §2.2/§2.5). Here the score
+    aggregate keys on (query, salt, id) with salt a deterministic hash of
+    the doc id (same groups, same sums: salt is a function of id), so ONE
+    uniform exchange serves both the aggregate and a per-(query, salt)
+    partial rank that keeps k rows per bucket. The partial pass is
+    provably lossless: a global top-k row has <= k-1 rows ranked above it
+    under the total order (score desc, id asc), hence <= k-1 above it
+    within its own bucket, hence partial rank <= k. The global rank then
+    runs over <= k * nsalt survivors per query — bounded regardless of
+    corpus size."""
+    spark = joined.sparkSession
+    nsalt = min(4096, max(32, 4 * spark.sparkContext.defaultParallelism))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nsalt))
+    scored = (
+        joined.withColumn("__salt", salt)
+        .repartition(query_id_col, "__salt")  # shared: agg + partial rank
+        .groupBy(query_id_col, "__salt", id_col)
+        .agg(F.round(F.sum(contrib_col), 6).alias("score"))
+    )
+    wp = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    pruned = (
+        scored.withColumn("__prn", F.row_number().over(wp))
+        .filter(F.col("__prn") <= k)
+        .drop("__salt", "__prn")
+    )
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -388,7 +425,8 @@ def bm25_index(
     # bit-identical to this build's — the fact bm25_index_append rests on
     sum_dl, n_nonempty = int(stats["sum_dl"]), int(stats["n_nonempty"])
     avgdl = sum_dl / n_nonempty
-    ranked = _contributions(postings, n_docs, avgdl, k1, b, id_col)
+    _, ranked, dfreq = _contributions(postings, n_docs, avgdl, k1, b, id_col)
+    ranked = ranked.localCheckpoint(eager=True)
     tc = ranked.drop("rn")
     kept, cutoffs = _impact_order_ranked(ranked, c, id_col)
     return {
@@ -396,6 +434,7 @@ def bm25_index(
         "kept": kept,
         "cutoffs": cutoffs,
         "ranked": ranked,
+        "dfreq": dfreq,
         "postings": postings,
         "n_docs": n_docs,
         "avgdl": float(avgdl),
@@ -408,17 +447,15 @@ def bm25_index(
     }
 
 
-def _contributions(
-    postings: DataFrame, n_docs: int, avgdl: float, k1: float, b: float,
-    id_col: str,
+def _contrib_frame(
+    postings: DataFrame, dfreq: DataFrame, n_docs: int, avgdl: float,
+    k1: float, b: float, id_col: str,
 ) -> DataFrame:
-    """(term, id, c, rn) BM25 per-posting contributions WITH the per-term
-    impact rank attached, from a (term, id, tf, dl) postings frame + the
-    corpus-global stats — the derivation bm25_index and bm25_index_append
-    share, eagerly persisted ONCE (tc/kept/cutoffs all derive from this
-    single materialization by filter/projection; the former three-frame
-    shape paid the rank window and a checkpoint job per frame)."""
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    """(term, id, c) lazy BM25 per-posting contribution frame from a
+    postings frame plus a (term, df) document-frequency table — the one
+    expression tree every tc consumer (write, serve, append re-derive)
+    shares, so recomputed values are bit-identical doubles wherever it
+    is evaluated."""
     idf = dfreq.select(
         "term",
         F.log(
@@ -429,10 +466,31 @@ def _contributions(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
     )
     contrib = F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / norm
-    return _rank_contributions(
-        postings.join(idf, "term").select("term", id_col, contrib.alias("c")),
-        id_col,
-    ).localCheckpoint(eager=True)
+    return postings.join(idf, "term").select(
+        "term", id_col, contrib.alias("c")
+    )
+
+
+def _contributions(
+    postings: DataFrame, n_docs: int, avgdl: float, k1: float, b: float,
+    id_col: str,
+):
+    """(contrib, ranked, dfreq): the lazy (term, id, c) contribution
+    frame, the same frame with the per-term impact rank attached (LAZY —
+    the build path checkpoints it because tc/kept/cutoffs all read it
+    repeatedly; the append path leaves it lazy because its only
+    consumers are single-pass concurrent table writes, where a
+    corpus-sized checkpoint would be a wasted extra materialization),
+    and the eagerly persisted vocab-sized (term, df) table (persisted
+    with the index so appends can grow df incrementally instead of
+    re-aggregating the merged postings)."""
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    contrib = _contrib_frame(postings, dfreq, n_docs, avgdl, k1, b, id_col)
+    return contrib, _rank_contributions(contrib, id_col), dfreq
 
 
 def bm25_topk_indexed(
@@ -473,15 +531,9 @@ def bm25_topk_indexed(
 
     def dense(failing: list) -> DataFrame:
         qf = qterms.filter(F.col(query_id_col).isin(failing))
-        scored = (
-            tc.join(F.broadcast(qf), "term")
-            .repartition(query_id_col)  # shared by the agg AND the window
-            .groupBy(query_id_col, id_col)
-            .agg(F.round(F.sum("c"), 6).alias("score"))
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        return _topk_bounded(
+            tc.join(F.broadcast(qf), "term"), F.col("c"), w, k, id_col,
+            query_id_col,
         )
 
     return _indexed_topk(
@@ -528,6 +580,12 @@ def _write_index_tables(index: dict, base: str) -> None:
         writes.append((index["cutoffs"], f"{base}/cutoffs"))
     if index.get("postings") is not None:
         writes.append((index["postings"], f"{base}/postings"))
+    if index.get("dfreq") is not None:
+        # vocab-sized (term, df): persisted so an append can grow the
+        # document frequencies incrementally (old df + new-batch df —
+        # exact: appended doc ids are disjoint by the clash guard)
+        # instead of re-aggregating the merged corpus-sized postings
+        writes.append((index["dfreq"], f"{base}/dfreq"))
     # the tables are independent filters/projections of already
     # materialized frames: submit the writes concurrently so the later
     # jobs' tasks back-fill the executor slots the first job's tail
@@ -567,8 +625,8 @@ def _write_index_tables(index: dict, base: str) -> None:
 
 
 def bm25_index_save(index: dict, path: str) -> None:
-    """Persist a bm25_index to ``path`` as five parquet tables (tc, kept,
-    cutoffs, postings, meta) — the durable half of build-once/serve-many:
+    """Persist a bm25_index to ``path`` as parquet tables (tc, topc,
+    postings, dfreq, meta) — the durable half of build-once/serve-many:
     the builder job writes once, any number of later serving jobs
     bm25_index_load and query without touching the corpus, and
     bm25_index_append grows it without the corpus either (the postings
@@ -624,6 +682,11 @@ def bm25_index_load(spark, path: str) -> dict:
             if "postings" in schemas
             else None
         )
+        dfreq = (
+            _read_with_schema(spark, f"{base}/dfreq", schemas["dfreq"])
+            if "dfreq" in schemas
+            else None
+        )
         topc = (
             _read_with_schema(spark, f"{base}/topc", schemas["topc"])
             if "topc" in schemas
@@ -643,6 +706,7 @@ def bm25_index_load(spark, path: str) -> dict:
             "kept": kept,
             "cutoffs": cutoffs,
             "postings": postings,
+            "dfreq": dfreq,
             "n_docs": meta["n_docs"],
             "avgdl": meta["avgdl"],
             "sum_dl": meta.get("sum_dl"),
@@ -671,6 +735,7 @@ def bm25_index_load(spark, path: str) -> dict:
         "kept": kept,
         "cutoffs": cutoffs,
         "postings": postings,
+        "dfreq": None,
         "n_docs": meta["n_docs"],
         "avgdl": meta["avgdl"],
         "sum_dl": meta.get("sum_dl"),
@@ -743,18 +808,6 @@ def bm25_index_append(
     if n_new == 0:
         return 0
     new_ids = new_postings.select(id_col).distinct()
-    # existence probe: no distinct on the INDEXED side — deduplicating
-    # the (at scale, corpus-sized) postings table costs a full shuffle
-    # and buys nothing for a limit(1) broadcast-join probe
-    clash = (
-        idx["postings"].select(id_col)
-        .join(F.broadcast(new_ids), id_col).limit(1).count()
-    )
-    if clash:
-        raise ValueError(
-            "new_docs reuse document ids already in the index; a rebuild "
-            "would merge them — dedupe or re-id before appending"
-        )
     n_docs = int(idx["n_docs"]) + n_new
     sum_dl = int(idx["sum_dl"]) + int(stats["sum_dl"] or 0)
     n_nonempty = int(idx["n_nonempty"]) + int(stats["n_nonempty"])
@@ -762,14 +815,53 @@ def bm25_index_append(
         raise ValueError("corpus has no tokens")
     avgdl = sum_dl / n_nonempty
     postings = idx["postings"].unionByName(new_postings)
-    ranked = _contributions(postings, n_docs, avgdl, idx["k1"], idx["b"], id_col)
-    tc = ranked.drop("rn")
+    # document frequencies grow INCREMENTALLY when the index persisted
+    # them: old df + append-batch df (exact — the clash guard enforces
+    # disjoint doc ids, so a term's postings from the two sides are
+    # distinct documents), replacing a full re-aggregate of the merged
+    # corpus-sized postings with a vocab-sized outer join
+    dfreq_new = new_postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    if idx.get("dfreq") is not None:
+        dfreq = (
+            idx["dfreq"].withColumnRenamed("df", "__df_old")
+            .join(
+                dfreq_new.withColumnRenamed("df", "__df_new"),
+                "term",
+                "full_outer",
+            )
+            .select(
+                "term",
+                (
+                    F.coalesce("__df_old", F.lit(0))
+                    + F.coalesce("__df_new", F.lit(0))
+                ).alias("df"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:  # index saved before dfreq persistence: aggregate the union
+        dfreq = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .localCheckpoint(eager=True)
+        )
+    # the grown frames stay LAZY: their only consumers are the
+    # single-pass concurrent table writes below, so the former
+    # corpus-sized ranked localCheckpoint was a pure extra
+    # materialization — and the tc write in particular never needed the
+    # rank window at all (tc is the un-ranked contribution projection)
+    contrib = _contrib_frame(
+        postings, dfreq, n_docs, avgdl, idx["k1"], idx["b"], id_col
+    )
+    ranked = _rank_contributions(contrib, id_col)
     kept, cutoffs = _impact_order_ranked(ranked, idx["c"], id_col)
     grown = {
-        "tc": tc,
+        "tc": contrib,
         "kept": kept,
         "cutoffs": cutoffs,
         "ranked": ranked,
+        "dfreq": dfreq,
         "postings": postings,
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -785,7 +877,26 @@ def bm25_index_append(
     cur = live.rsplit("/", 1)[-1]
     nxt = int(cur[1:]) + 1 if cur.startswith("v") and cur[1:].isdigit() else 1
     ver = f"v{nxt:06d}"
-    _write_index_tables(grown, f"{base}/{ver}")
+    # the id-clash existence probe (no distinct on the INDEXED side — a
+    # corpus-sized dedup shuffle buys nothing for a limit(1) broadcast
+    # probe) OVERLAPS the version-dir writes: both only read, and on a
+    # clash the error fires BEFORE the manifest flip, so the half-written
+    # version dir is an inert orphan — exactly the mid-write-crash story
+    # the manifest protocol already covers (bm25_compact_index removes
+    # orphans; the next append simply overwrites the same version name)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fclash = pool.submit(
+            lambda: idx["postings"].select(id_col)
+            .join(F.broadcast(new_ids), id_col).limit(1).count()
+        )
+        fwrite = pool.submit(_write_index_tables, grown, f"{base}/{ver}")
+        clash = fclash.result()
+        fwrite.result()
+    if clash:
+        raise ValueError(
+            "new_docs reuse document ids already in the index; a rebuild "
+            "would merge them — dedupe or re-id before appending"
+        )
     _write_manifest(spark, base, ver)
     return n_new
 
