@@ -72,6 +72,23 @@ def _docs(spark, sf_dir) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a SMALL driver-of-work frame across the session's
+    cores before an expensive Python (Arrow) derivation. The testdata
+    parquet files are single-row-group — unsplittable — so every scan
+    is ONE input partition, and a media mint + decode chain hung off it
+    would run as a single task regardless of core count (guide §2.5
+    input skew: "one huge unsplittable file ... repartition immediately
+    after the read"; split-size knobs cannot help when the file has one
+    row group). The exchange moves only the scan projection (ids or
+    embedding rows); at production scale, where the input already has
+    >= parallelism splits, this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -1403,7 +1420,7 @@ def url_canonicalize_q(spark, sf_dir):
     derivation."""
     from fluent_bit_spark.extensions.urls import url_filter_dedup
 
-    ev = _events(spark, sf_dir)
+    ev = _spread(_events(spark, sf_dir))
     docs = _messy_urls(ev)
     out = url_filter_dedup(docs, blocklist=("error1.com", "view2.com"))
     return out.select("doc_id", "norm_url", "domain")
@@ -1418,7 +1435,7 @@ def domain_cap_q(spark, sf_dir):
     from fluent_bit_spark.extensions.mixing import cap_per_key
     from fluent_bit_spark.extensions.urls import url_filter_dedup
 
-    ev = _events(spark, sf_dir)
+    ev = _spread(_events(spark, sf_dir))
     docs = _messy_urls(ev)
     deduped = url_filter_dedup(docs, blocklist=("error1.com", "view2.com"))
     return cap_per_key(deduped, ["domain"], ["doc_id"], 50).select(
@@ -1449,7 +1466,7 @@ def dsir_select_q(spark, sf_dir):
     data — the DuckDB oracle replays the whole pipeline hash-exact."""
     from fluent_bit_spark.extensions.dsir import dsir_select
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     target = docs.filter(F.col("doc_id") % 7 == 0)
     return dsir_select(docs, target, k=50, buckets=1024)
 
@@ -1832,7 +1849,7 @@ def repeated_spans_q(spark, sf_dir):
     derivation (md5 span hashes, corpus-wide counts, per-doc fractions)."""
     from fluent_bit_spark.extensions.text import repeated_span_stats
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 11 == 0).select(
             (F.col("doc_id") + 10000).alias("doc_id"), "text"
@@ -1851,7 +1868,7 @@ def exact_substr_trim_q(spark, sf_dir):
     replays hash-exact in DuckDB."""
     from fluent_bit_spark.extensions.text import exact_substr_trim
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 11 == 0).select(
             (F.col("doc_id") + 10000).alias("doc_id"), "text"
@@ -1870,7 +1887,7 @@ def span_decontaminate_q(spark, sf_dir):
     from fluent_bit_spark.extensions.dedup import normalize_text
     from fluent_bit_spark.extensions.text import exact_substr_trim_against
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     bench = docs.filter(F.col("doc_id") % 13 == 0).select(
         F.concat_ws(
             " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 12)
@@ -1934,7 +1951,7 @@ def bpe_roundtrip_q(spark, sf_dir):
     from fluent_bit_spark.extensions.bpe import bpe_decode, bpe_encode, bpe_train
     from fluent_bit_spark.extensions.dedup import normalize_text
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     merges = bpe_train(docs, num_merges=150, sample=512)
     enc = bpe_encode(docs, merges)
     norm = normalize_text(F.col("text"))
@@ -2276,7 +2293,7 @@ def video_headers_q(spark, sf_dir):
     )
     from fluent_bit_spark.extensions.multimodal import to_media_frame
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     @pandas_udf("binary")
     def to_avi(ids: pd.Series) -> pd.Series:
@@ -2345,7 +2362,7 @@ def video_frame_plan_q(spark, sf_dir):
     from fluent_bit_spark.extensions.video import make_mp4, video_frame_plan
     from fluent_bit_spark.extensions.multimodal import to_media_frame
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     @pandas_udf("binary")
     def to_mp4(ids: pd.Series) -> pd.Series:
@@ -2657,7 +2674,7 @@ def video_scene_sample_q(spark, sf_dir):
     from fluent_bit_spark.extensions.multimodal import to_media_frame
     from fluent_bit_spark.extensions.video import make_avi, scene_sample_plan
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     @pandas_udf("binary")
     def to_clip(ids: pd.Series) -> pd.Series:
@@ -2837,7 +2854,7 @@ def mkv_frame_plan_q(spark, sf_dir):
         mkv_block_table,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -2917,7 +2934,7 @@ def exif_orientation_q(spark, sf_dir):
         make_jpeg_pixels,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id").repartition(32)
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
     inv = {
         1: lambda a: a, 2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
         4: lambda a: a[::-1, :], 5: lambda a: a.T,
@@ -2980,7 +2997,7 @@ def fmp4_frame_plan_q(spark, sf_dir):
         mp4_sample_table,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -3040,7 +3057,7 @@ def elst_frame_plan_q(spark, sf_dir):
         mp4_sample_table,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def run(batches):
         cols = ["media_id", "frame_idx", "ts_ms", "size", "rel_offset",
@@ -3095,7 +3112,7 @@ def mp3_frame_plan_q(spark, sf_dir):
         mp3_frame_table,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def run(batches):
         cols = ["media_id", "frame_idx", "ts_ms", "size", "offset",
@@ -3147,7 +3164,7 @@ def fmp4_multitrack_plan_q(spark, sf_dir):
         mp4_sample_table,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -3214,7 +3231,7 @@ def fmp4_audio_track_plan_q(spark, sf_dir):
         mp4_sample_table,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -3285,7 +3302,7 @@ def aac_frame_plan_q(spark, sf_dir):
         make_adts_frames,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def run(batches):
         cols = ["media_id", "frame_idx", "ts_ms", "size", "offset",
@@ -3340,7 +3357,7 @@ def warc_quality_pipeline_q(spark, sf_dir):
     )
     from fluent_bit_spark.extensions.text import quality_score
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
 
     def gen(batches):
         for pdf in batches:
@@ -3393,7 +3410,7 @@ def warc_fetch_windows_q(spark, sf_dir):
     )
     from fluent_bit_spark.streaming.sources import warc_event_time
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -3441,7 +3458,7 @@ def boilerplate_blocks_q(spark, sf_dir):
     hash-fails."""
     from fluent_bit_spark.extensions.html import html_blocks
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
     nav = ('<div>nav <a href="u">go</a> <a href="u">go</a> '
            '<a href="u">go</a> menu</div>')
     paras = F.concat(*[
@@ -3490,7 +3507,7 @@ def boilerplate_context_q(spark, sf_dir):
         revise_block_labels,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
     nav = ('<div>nav <a href="u">go</a> <a href="u">go</a> '
            '<a href="u">go</a> menu</div>')
 
@@ -3549,7 +3566,7 @@ def warc_gz_roundtrip_q(spark, sf_dir):
         warc_parse,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -3608,7 +3625,7 @@ def mojibake_repair_q(spark, sf_dir):
     from fluent_bit_spark.extensions.text import normalize_unicode
 
     suffix = " café № Ω — ₤5 “quoted” 日本語"
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
 
     @pandas_udf("string")
     def mangle(ids: pd.Series, texts: pd.Series) -> pd.Series:
@@ -3648,7 +3665,7 @@ def media_sniff_extended_q(spark, sf_dir):
         to_media_frame,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -3703,7 +3720,7 @@ def adpcm_roundtrip_q(spark, sf_dir):
         make_wav_ima_adpcm,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def run(batches):
         cols = ["doc_id", "n_samples", "decode_matches_encoder"]
@@ -3765,7 +3782,7 @@ def gif_animation_q(spark, sf_dir):
         make_gif_animation,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     @pandas_udf("binary")
     def to_gif(ids: pd.Series) -> pd.Series:
@@ -3890,7 +3907,7 @@ def tar_shard_roundtrip_q(spark, sf_dir):
         write_tar_shards,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     members = docs.select(
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
         F.lit("txt").alias("ext"),
@@ -4098,7 +4115,7 @@ def multimodal_headers_q(spark, sf_dir):
         extract_media_headers, make_bmp, make_gif, make_jpeg, make_png, make_wav,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def build(batches):
         for pdf in batches:
@@ -4119,7 +4136,7 @@ def multimodal_headers_q(spark, sf_dir):
                 rows.append({"media_id": i, "kind": "media", "content": b})
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
-    media = docs.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+    media = docs.mapInPandas(
         build, "media_id bigint, kind string, content binary"
     )
     return extract_media_headers(media).select(
@@ -4156,7 +4173,7 @@ def pack_sequences_q(spark, sf_dir):
     not just a wrong cut, fails the row."""
     from fluent_bit_spark.extensions.bpe import bpe_vocab, pack_token_sequences
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     vocab = bpe_vocab(docs, [])
     out = pack_token_sequences(docs, [], seq_len=256, vocab=vocab)
     return out.select(
@@ -4185,7 +4202,7 @@ def pack_ffd_q(spark, sf_dir):
     from fluent_bit_spark.extensions.dedup import normalize_text
 
     L, G = 256, 8
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     seqs = pack_sequences_ffd(docs, [], seq_len=L, num_groups=G)
     seqs = seqs.localCheckpoint(eager=True)  # reused by 4 checks
     # expected totals in pure Catalyst: under the zero-merge (char)
@@ -4195,10 +4212,24 @@ def pack_ffd_q(spark, sf_dir):
     # chr(30)), so the scan-side aggregate replaces a full second Arrow
     # encode pass of the corpus (guide: prefer built-ins over the Python
     # boundary) without touching the witnessed values
+    # word-split form rather than length(norm)+1: the two agree when
+    # every separator in norm is a single ASCII space (this corpus), but
+    # the encoder's Python .split() also breaks on Unicode whitespace
+    # that Java's ASCII-only \s+ collapse leaves in the text, so the
+    # robust expression sums len(word)+1 over the SAME word set the
+    # encoder sees (each word emits its chars + one end marker); the
+    # DuckDB oracle's stream-form replay is unchanged and agrees on
+    # ASCII corpora
     norm = normalize_text(F.col("text"))
-    ntok = F.when(
-        norm.isNull() | (norm == ""), F.lit(0)
-    ).otherwise(F.length(norm) + 1)
+    words = F.filter(
+        F.split(norm, r"[\s\p{Z}\x1c-\x1f\x85]+"), lambda w: w != ""
+    )
+    ntok = F.coalesce(
+        F.aggregate(
+            words, F.lit(0), lambda a, w: a + F.length(w) + F.lit(1)
+        ),
+        F.lit(0),
+    )
     exp = docs.agg(
         F.sum(ntok).cast("long").alias("total"),
         F.sum(
@@ -4323,7 +4354,7 @@ def warc_wet_q(spark, sf_dir):
     both parsers."""
     from fluent_bit_spark.extensions.html import html_extract, warc_parse
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     raw = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
               "http://site"),
@@ -4475,7 +4506,7 @@ def media_resize_grid_q(spark, sf_dir):
     )
 
     media = to_media_frame(
-        _docs(spark, sf_dir), "doc_id", F.encode(F.col("text"), "utf-8"), "image"
+        _spread(_docs(spark, sf_dir)), "doc_id", F.encode(F.col("text"), "utf-8"), "image"
     )
     resized = resize_images(media, 64, 48)
     headers = extract_media_headers(resized).select(
@@ -4620,7 +4651,7 @@ def ml_inference_scores(spark, sf_dir):
     thresholded into a predicted flag. Scan-parallel, shuffle-free."""
     from fluent_bit_spark.extensions.inference import predict_batch
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     out = predict_batch(emb, "embedding", dim=64, threshold=0.5)
     return out.select(
         "vec_id", "label", F.round("score", 6).alias("score"), "predicted"
@@ -4642,7 +4673,7 @@ def ml_inference_mlp_q(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), "fbs_demo_mlp_64x4.npz")
     if not os.path.exists(path):
         save_mlp_npz(path, make_demo_mlp(64, 4))
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     out = predict_batch(
         emb, "embedding", dim=64, make_predict_fn=make_npz_mlp_predict_fn(path)
     )
@@ -5259,7 +5290,7 @@ def entity_resolution_q(spark, sf_dir):
     closure — so a wrong edge OR a wrong component hash-fails."""
     from fluent_bit_spark.extensions.linkage import resolve_entities
 
-    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    part = _spread(load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3))
     return resolve_entities(part, "p_partkey", "p_name", threshold=0.62)
 
 
@@ -5272,7 +5303,7 @@ def edit_distance_join_q(spark, sf_dir):
     OR a wrong distance hash-fails."""
     from fluent_bit_spark.extensions.linkage import edit_distance_join
 
-    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    part = _spread(load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3))
     out = edit_distance_join(
         part, part, "p_partkey", "p_name", "p_partkey", "p_name", max_dist=2
     )
@@ -6016,7 +6047,7 @@ def otlp_traces_roundtrip_q(spark, sf_dir):
     )
 
     ev = with_request_batches(
-        _events(spark, sf_dir), 4096, "event_id", group_cols=["event_type"]
+        _spread(_events(spark, sf_dir)), 4096, "event_id", group_cols=["event_type"]
     )
     spans = ev.select(
         F.col("req_batch"),

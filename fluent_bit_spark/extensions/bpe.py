@@ -160,12 +160,27 @@ def bpe_vocab(
         # distinct set is computable as a pure-Catalyst scan (per-doc
         # array_distinct BEFORE the explode, so the shuffle carries at
         # most alphabet-sized rows per doc), with no Arrow encode pass.
+        # strip the FULL Python-str.split() whitespace set, not just the
+        # ASCII space normalize_text collapses to: bpe_encode's .split()
+        # also treats Unicode space separators (\p{Z}: NBSP, thin space,
+        # ideographic space, ...) and the Cc separators \x1c-\x1f + NEL
+        # \x85 as word breaks, so those codepoints are never emitted as
+        # tokens and must not enter the vocabulary either (Java \s is
+        # ASCII-only, so normalize_text leaves them in the text).
+        # Non-BMP safety is pinned by test_bpe_vocab_fastpath_non_bmp:
+        # Catalyst split(x, "") yields whole codepoints, same as Python
+        # list(word).
         norm = normalize_text(F.col(text_col))
         rows = (
             df.select(
                 F.explode(
                     F.array_distinct(
-                        F.split(F.regexp_replace(norm, " ", ""), "")
+                        F.split(
+                            F.regexp_replace(
+                                norm, r"[\s\p{Z}\x1c-\x1f\x85]", ""
+                            ),
+                            "",
+                        )
                     )
                 ).alias("tok")
             )

@@ -1041,9 +1041,54 @@ def make_png_pixels(
 # transparency composition are out of envelope (documented — perceptual
 # hashing reads frame 1).
 # --------------------------------------------------------------------------
+def _gif_lzw_decode_trivial(data: bytes, max_out: int):
+    """Vectorized fast path for min_code-8 streams in the trivially valid
+    clear-code-per-pixel scheme (what _gif_lzw_encode_trivial emits):
+    code_size stays 9 because every literal is preceded by CLEAR, so the
+    stream is a fixed-rate sequence of 9-bit codes — unpack them all at
+    once and verify the (CLEAR, literal)* END shape. Returns the decoded
+    bytes, or None when the stream is NOT of this shape (general LZW,
+    growing code sizes, truncation...) so the caller falls back to the
+    reference loop; output is bit-identical to the loop by the same
+    verification. Raises the loop's overrun error identically."""
+    if not data:
+        return None
+    bits = _np.unpackbits(_np.frombuffer(data, _np.uint8), bitorder="little")
+    n_codes = len(bits) // 9
+    if n_codes < 1:
+        return None
+    codes = _np.packbits(
+        _np.concatenate(
+            [bits[: n_codes * 9].reshape(-1, 9),
+             _np.zeros((n_codes, 23), _np.uint8)],
+            axis=1,
+        ).reshape(-1),
+        bitorder="little",
+    ).view("<u4")
+    ends = _np.flatnonzero(codes == 257)
+    if len(ends) == 0:
+        return None
+    e = int(ends[0])
+    if e % 2 != 0:
+        return None
+    body = codes[:e].reshape(-1, 2)
+    if e and not (body[:, 0] == 256).all():
+        return None
+    vals = body[:, 1]
+    if e and int(vals.max(initial=0)) > 255:
+        return None
+    if len(vals) > max_out:
+        raise ValueError("gif lzw output overrun")
+    return vals.astype(_np.uint8).tobytes()
+
+
 def _gif_lzw_decode(data: bytes, min_code: int, max_out: int):
     """GIF LZW index-stream decode. Raises on corrupt streams; caller
     wraps."""
+    if min_code == 8:
+        fast = _gif_lzw_decode_trivial(data, max_out)
+        if fast is not None:
+            return fast
     clear = 1 << min_code
     end = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -1188,29 +1233,23 @@ def make_gif_pixels(
 
 def _gif_lzw_encode_trivial(indices: bytes) -> bytes:
     """Sub-blocked LZW stream (min_code 8, clear-code-per-pixel — the
-    trivially valid scheme; decoders must honor CLEAR anywhere)."""
-    min_code = 8
-    clear = 1 << min_code
-    end = clear + 1
-    code_size = min_code + 1
-    acc = nbits = 0
-    stream = bytearray()
-
-    def put(code):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += code_size
-        while nbits >= 8:
-            stream.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    for v in indices:
-        put(clear)
-        put(int(v))
-    put(end)
-    if nbits:
-        stream.append(acc & 0xFF)
+    trivially valid scheme; decoders must honor CLEAR anywhere).
+    Vectorized: each pixel contributes the fixed 18-bit little-endian
+    word CLEAR | (v << 9) (code_size stays 9 — the table resets on every
+    CLEAR), the 9-bit END code follows the last pixel, and the whole
+    LSB-first bit stream packs in one numpy pass — bit-identical to the
+    former per-pixel put() loop by construction."""
+    v = _np.frombuffer(indices, _np.uint8).astype(_np.uint32)
+    words = (256 | (v << 9)).astype("<u4")
+    bits = _np.unpackbits(
+        words.view(_np.uint8).reshape(-1, 4), axis=1, bitorder="little"
+    )[:, :18]
+    end = _np.unpackbits(
+        _np.array([257], dtype="<u4").view(_np.uint8), bitorder="little"
+    )[:9]
+    stream = _np.packbits(
+        _np.concatenate([bits.reshape(-1), end]), bitorder="little"
+    ).tobytes()
     sub = bytearray()
     for i in range(0, len(stream), 255):
         part = stream[i : i + 255]

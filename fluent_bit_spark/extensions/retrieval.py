@@ -202,11 +202,30 @@ def _bm25_pruned(
 
     def dense_for(failing: list) -> DataFrame:
         return dense(
-            qterms.join(idf, "term").filter(F.col(query_id_col).isin(failing))
+            _filter_failing(qterms.join(idf, "term"), query_id_col, failing)
         )
 
     return _indexed_topk(
         tc, kept, cutoffs, qterms, w, k, id_col, query_id_col, dense_for
+    )
+
+
+def _filter_failing(df: DataFrame, col: str, failing: list, negate=False):
+    """Filter ``df`` on membership of ``col`` in the certificate-failing
+    query-id list. The list is eval-bounded and usually tiny, so an
+    IN-literal is the cheapest plan; on degenerate flat vocabularies
+    (where certificate failure is common) a huge query set would inline
+    thousands of literals into the plan, so past a threshold the set
+    becomes a broadcast semi/anti join instead."""
+    if len(failing) <= 1024:
+        cond = F.col(col).isin(failing)
+        return df.filter(~cond if negate else cond)
+    fdf = df.sparkSession.createDataFrame(
+        [(x,) for x in failing],
+        df.select(col).schema,
+    )
+    return df.join(
+        F.broadcast(fdf), col, "left_anti" if negate else "left_semi"
     )
 
 
@@ -360,7 +379,7 @@ def _indexed_topk(
     failing = [r[0] for r in cert.filter(~F.col("ok")).collect()]
     if not failing:
         return topk
-    exact_part = topk.filter(~F.col(query_id_col).isin(failing))
+    exact_part = _filter_failing(topk, query_id_col, failing, negate=True)
     dense_part = dense(failing)
     return exact_part.unionByName(dense_part)
 
@@ -530,7 +549,7 @@ def bm25_topk_indexed(
     )
 
     def dense(failing: list) -> DataFrame:
-        qf = qterms.filter(F.col(query_id_col).isin(failing))
+        qf = _filter_failing(qterms, query_id_col, failing)
         return _topk_bounded(
             tc.join(F.broadcast(qf), "term"), F.col("c"), w, k, id_col,
             query_id_col,

@@ -102,6 +102,13 @@ class Pipeline:
             saved_inputs, self.inputs = self.inputs, {"__cached__": cached}
         try:
             par = [o for o in self.outputs if o.get("name") != "stdout"]
+            paths = [o.get("path") for o in par if o.get("path") is not None]
+            if len(paths) != len(set(paths)):
+                # two sinks share a target path: concurrent overwrite
+                # writes against one directory can interleave/corrupt it,
+                # so keep the sequential declaration-order semantics
+                # (deterministic last-writer-wins) for this config
+                par = []
             if len(par) > 1:
                 # independent sinks over the shared cached source: fill
                 # the cache with one deliberate pass, then run the write

@@ -360,6 +360,81 @@ def test_gif_lzw_codec_roundtrip():
     assert _decode_gif_pixels(full[: len(full) // 2]) is None
 
 
+def test_gif_lzw_vectorized_paths_match_reference():
+    """The vectorized trivial-stream encoder and the decode fast path are
+    bit-identical to the reference per-symbol loop: (a) the encoder
+    matches a literal reimplementation of the old put() loop on edge
+    sizes, (b) the fast decode equals the general loop on trivial
+    streams, and (c) a hand-built GENERAL stream (growing dictionary —
+    code 258 references a table entry, a shape the fast path must
+    reject) still decodes through the fallback loop."""
+    import random
+
+    from fluent_bit_spark.extensions.multimodal import (
+        _gif_lzw_decode, _gif_lzw_decode_trivial, _gif_lzw_encode_trivial,
+    )
+
+    def ref_encode(indices):
+        clear, end, code_size = 256, 257, 9
+        acc = nbits = 0
+        stream = bytearray()
+
+        def put(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        for v in indices:
+            put(clear)
+            put(int(v))
+        put(end)
+        if nbits:
+            stream.append(acc & 0xFF)
+        sub = bytearray()
+        for i in range(0, len(stream), 255):
+            part = stream[i : i + 255]
+            sub.append(len(part))
+            sub += part
+        sub.append(0)
+        return bytes(sub)
+
+    def unsub(sb):
+        raw, i = bytearray(), 0
+        while sb[i] != 0:
+            ln = sb[i]
+            raw += sb[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        return bytes(raw)
+
+    rng = random.Random(13)
+    for n in [0, 1, 2, 3, 7, 8, 71, 72, 255, 256, 257, 1000]:
+        data = bytes(rng.randrange(256) for _ in range(n))
+        enc = _gif_lzw_encode_trivial(data)
+        assert enc == ref_encode(data)
+        raw = unsub(enc)
+        assert _gif_lzw_decode_trivial(raw, max(n, 1)) == data
+        assert _gif_lzw_decode(raw, 8, max(n, 1)) == data
+
+    # general stream: clear, 'A', 'B', 258 (= 'AB' from the grown table)
+    acc = nbits = 0
+    out = bytearray()
+    for c in [256, 65, 66, 258, 257]:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert _gif_lzw_decode_trivial(bytes(out), 100) is None  # rejected
+    assert _gif_lzw_decode(bytes(out), 8, 100) == b"ABAB"  # loop fallback
+
+
 def test_jpeg_baseline_codec_roundtrip():
     """Pure-numpy baseline JPEG: constant-8x8-block images roundtrip
     EXACTLY at quality 100 (AC coefficients are exactly zero and the DC
@@ -1647,6 +1722,40 @@ def test_bpe_train_encode_decode(spark):
     # apply loop is deterministic and leftmost-lowest-rank
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     assert _encode_word("the", ranks) == _encode_word("the", ranks)
+
+
+def test_bpe_vocab_fastpath_non_bmp(spark):
+    """Pins the zero-merge bpe_vocab fast path (pure-Catalyst split)
+    against the general bpe_encode-derived vocabulary on a corpus with
+    non-BMP codepoints (JVM surrogate pairs must not be cut by
+    split(x, "")) and with Unicode whitespace that Python str.split()
+    treats as word breaks but Java's ASCII-only \\s+ collapse leaves in
+    the text (NBSP, thin space, ideographic space, NEL, \\x1c): both
+    paths must yield the SAME sorted token list."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.extensions.bpe import bpe_encode, bpe_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a\U0001F600b c\U0001F984"),        # non-BMP emoji
+            (1, "x y p q"),               # NBSP + thin space
+            (2, "　ideo　graphic　"),   # ideographic space
+            (3, "m\x1cn s\x85t"),                   # Cc separators + NEL
+            (4, "plain ascii words"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    fast = bpe_vocab(docs, [])
+    general = sorted(
+        r.tok
+        for r in bpe_encode(docs, [])
+        .select(F.explode(F.array_distinct("tokens")).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    assert fast == general
 
 
 def test_bpe_int_id_path_matches_string_path(spark):

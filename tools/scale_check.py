@@ -100,6 +100,12 @@ HEAVY = [
     "aac_frame_plan",
     "warc_fetch_windows",
     "boilerplate_context",
+    # round-13: the optimized heavy operators the r12 VERDICT flagged as
+    # missing scale evidence (8-vs-32-core ratios read ~1 at sf0.1
+    # because per-query fixed cost dominates there)
+    "bm25_appended",
+    "ann_served",
+    "pack_sequences",
 ]
 
 
