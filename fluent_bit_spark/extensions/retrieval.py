@@ -210,6 +210,174 @@ def _bm25_pruned(
     )
 
 
+def _dense_pivot_min_pairs() -> int:
+    """Work-volume floor (|failing queries| x n_docs candidate pairs)
+    above which the dense fallback switches from the postings-join shape
+    to the pivot shape (_dense_topk_pivot). The join shape replicates
+    every posting row once per failing query containing its term, so its
+    volume is sum_q sum_{t in q} df(t) — on degenerate flat vocabularies
+    (where certificate failure is the common case and df ~ n_docs) that
+    is ~|Q| x |terms| x n_docs rows through one exchange, the measured
+    super-linear stage of the sf3 scaling run (alpha 1.35). Below the
+    floor the join shape's single-pass simplicity wins (fixed cost of
+    the pivot's extra Arrow stage dominates); above it the pivot's
+    one tc-sized shuffle + per-partition matmul wins by orders of
+    magnitude. Parameterized for clusters; the default is the measured
+    local crossover (BASELINE.md round 13)."""
+    import os
+
+    return int(os.environ.get("FBS_BM25_DENSE_PIVOT_MIN_PAIRS", "8000000"))
+
+
+def _dense_topk_pivot(
+    tc: DataFrame,
+    qf: DataFrame,
+    w: Window,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact dense re-score of the certificate-failing queries WITHOUT
+    replicating postings per query (guide §2.3: shuffle fewer bytes —
+    the join shape's sum_q sum_t df(t) rows collapse to one tc-sized
+    shuffle):
+
+    1. pivot the qv-filtered contribution table into per-doc
+       term->contribution maps — ONE combinable shuffle of
+       sum_{t in qv} df(t) rows, independent of the query count;
+    2. one Arrow pass over the doc maps scores every (doc, query) pair
+       by matmul and keeps, per query per batch, every matched doc whose
+       UNROUNDED score reaches the batch's k-th best minus a 4e-6
+       margin. The margin makes the selection provably lossless: final
+       ranking compares round(score, 6) values, and rounding moves each
+       score by <= 5e-7, so a doc more than 4e-6 below k better docs can
+       neither beat nor tie any of them after rounding (ties broken by
+       id can only matter at exactly equal rounded scores);
+    3. the surviving pairs (eval-bounded: ~k + ties per query per batch)
+       are re-scored EXACTLY in Catalyst — element_at over the doc map,
+       Spark's own round — so emitted scores carry no numpy rounding
+       semantics, and ranked by the same window as the join shape.
+
+    Results are row-identical to the join shape: same candidate set
+    (docs sharing >= 1 term with the query — the matched mask), same
+    rounded scores (same contribution doubles, Spark round), same
+    deterministic tie-break."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    spark = tc.sparkSession
+    # failing query term sets: eval-bounded (the failing id list itself
+    # was just collected), one tiny job over the checkpointed qterms
+    qrows = (
+        qf.groupBy(query_id_col)
+        .agg(F.collect_set("term").alias("__ts"))
+        .collect()
+    )
+    qv = sorted({t for r in qrows for t in r["__ts"]})
+    qid_field = qf.schema[query_id_col]
+    id_field = tc.schema[id_col]
+    qv_df = spark.createDataFrame(
+        [(t,) for t in qv], StructType([StructField("term", StringType())])
+    )
+    # (id, term->contribution) over the failing-query vocabulary: the
+    # one corpus-sized shuffle of this path; consumed by the Arrow
+    # selection AND the exact re-score join, so pinned once
+    docvec = (
+        tc.join(F.broadcast(qv_df), "term", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "c"))
+            ).alias("__tmap")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    import numpy as np
+
+    term_ix = {t: i for i, t in enumerate(qv)}
+    nq = len(qrows)
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.zeros((len(qv), nq), dtype=np.float64)
+    for j, r in enumerate(qrows):
+        for t in r["__ts"]:
+            Q[term_ix[t], j] = 1.0
+    margin = 4e-6
+    qblock = 512  # bound the (batch x queries) score matrix memory
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, qid_field.dataType),
+            StructField(id_col, id_field.dataType),
+        ]
+    )
+
+    def select_candidates(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.zeros((n, len(qv)), dtype=np.float64)
+            for i, m in enumerate(pdf["__tmap"]):
+                items = m.items() if isinstance(m, dict) else m
+                for t, c in items:
+                    M[i, term_ix[t]] = c
+            P = (M != 0.0).astype(np.float64)  # presence (c > 0 always)
+            out_q, out_d = [], []
+            for j0 in range(0, nq, qblock):
+                j1 = min(j0 + qblock, nq)
+                S = M @ Q[:, j0:j1]
+                matched = (P @ Q[:, j0:j1]) > 0.0
+                for j in range(j0, j1):
+                    col = j - j0
+                    sj = np.where(matched[:, col], S[:, col], -np.inf)
+                    nm = int(matched[:, col].sum())
+                    if nm == 0:
+                        continue
+                    if nm > k:
+                        kth = -np.partition(-sj, k - 1)[k - 1]
+                        keep = sj >= (kth - margin)
+                    else:
+                        keep = matched[:, col]
+                    for d in ids[keep]:
+                        out_q.append(qids[j])
+                        out_d.append(d)
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_d})
+
+    pairs = docvec.mapInPandas(select_candidates, schema=out_schema)
+    qsets_df = spark.createDataFrame(
+        [(r[query_id_col], sorted(r["__ts"])) for r in qrows],
+        StructType(
+            [
+                StructField(query_id_col, qid_field.dataType),
+                StructField("__qts", ArrayType(StringType())),
+            ]
+        ),
+    )
+    scored = (
+        pairs.join(docvec, id_col)
+        .join(F.broadcast(qsets_df), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.col("__qts"),
+                    F.lit(0.0),
+                    lambda acc, t: acc
+                    + F.coalesce(F.element_at(F.col("__tmap"), t), F.lit(0.0)),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _filter_failing(df: DataFrame, col: str, failing: list, negate=False):
     """Filter ``df`` on membership of ``col`` in the certificate-failing
     query-id list. The list is eval-bounded and usually tiny, so an
@@ -550,6 +718,14 @@ def bm25_topk_indexed(
 
     def dense(failing: list) -> DataFrame:
         qf = _filter_failing(qterms, query_id_col, failing)
+        # degenerate-vocabulary guard: when the candidate pair space
+        # (failing queries x corpus) is large, the postings-join shape
+        # replicates df(t) rows per failing query — the measured
+        # super-linear stage at scale (alpha 1.35 at sf3, BASELINE.md
+        # r13) — so switch to the pivot shape, which shuffles the
+        # contribution table once regardless of query count
+        if int(index["n_docs"]) * len(failing) >= _dense_pivot_min_pairs():
+            return _dense_topk_pivot(tc, qf, w, k, id_col, query_id_col)
         return _topk_bounded(
             tc.join(F.broadcast(qf), "term"), F.col("c"), w, k, id_col,
             query_id_col,

@@ -2230,6 +2230,56 @@ def test_bm25_index_serving_path_matches_dense(spark):
         bm25_topk_indexed(idx, qs, k=50)
 
 
+def test_bm25_dense_pivot_fallback_matches_join(spark, monkeypatch):
+    """The pivot dense fallback (_dense_topk_pivot — engaged when the
+    failing-query x corpus pair space is large) returns EXACTLY the
+    postings-join fallback's rows: same candidate set, same rounded
+    scores, same deterministic tie-break. Exercised on a degenerate flat
+    corpus (every certificate fails — the pivot's target regime) with
+    duplicated docs (score ties broken by id), query terms absent from
+    the corpus, a single-term query, and a query with no matching doc."""
+    import random
+
+    from fluent_bit_spark.extensions.retrieval import (
+        bm25_index, bm25_topk, bm25_topk_indexed,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(13)]  # flat, tiny: certificates fail
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(6, 25))))
+        for i in range(300)
+    ]
+    rows += [(1000 + i, rows[i][1]) for i in range(40)]  # exact dup texts
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    qs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=4))) for i in range(25)]
+        + [
+            (100, f"{vocab[0]} missingterm"),  # term absent from corpus
+            (101, vocab[3]),                   # single-term query
+            (102, "absent1 absent2"),          # no matching doc at all
+        ],
+        ["query_id", "text"],
+    )
+    idx = bm25_index(docs, c=5)
+
+    def serve(min_pairs):
+        monkeypatch.setenv("FBS_BM25_DENSE_PIVOT_MIN_PAIRS", str(min_pairs))
+        return {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(idx, qs, k=5).collect()
+        }
+
+    joined = serve(10**15)  # join shape for any failing set
+    pivoted = serve(1)      # pivot shape for any failing set
+    assert pivoted == joined
+    dense = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(docs, qs, k=5).collect()
+    }
+    assert pivoted == dense
+
+
 def test_bm25_index_persist_roundtrip(spark, tmp_path):
     """bm25_index_save + bm25_index_load: the reloaded index serves
     results identical to the in-memory one (frames AND meta scalars
