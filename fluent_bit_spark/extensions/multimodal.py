@@ -19,6 +19,7 @@ binary column is pruned from scans that don't need it.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -567,12 +568,12 @@ def extract_media_headers(media: DataFrame) -> DataFrame:
                 "bit_depth", "sample_rate", "duration_ms", "n_bytes", "sha"]
         for pdf in batches:
             metas = []
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
-                m = parse_media_header(bytes(content))
-                m["media_id"] = row["media_id"]
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content else b""
+                m = parse_media_header(content)
+                m["media_id"] = mid
                 m["n_bytes"] = len(content)
-                m["sha"] = hashlib.sha256(bytes(content)).hexdigest()
+                m["sha"] = hashlib.sha256(content).hexdigest()
                 metas.append(m)
             yield pd.DataFrame(metas)[cols]
 
@@ -596,11 +597,13 @@ def extract_media_metadata(media: DataFrame, use_stub: bool = True) -> DataFrame
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
-            for _, row in pdf.iterrows():
-                m = decode(row["content"], row["kind"])
-                m["media_id"] = row["media_id"]
-                m["kind"] = row["kind"]
-                m["sha"] = hashlib.sha256(row["content"] or b"").hexdigest()
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                m = decode(content, kind)
+                m["media_id"] = mid
+                m["kind"] = kind
+                m["sha"] = hashlib.sha256(content or b"").hexdigest()
                 metas.append(m)
             yield pd.DataFrame(metas)[
                 ["media_id", "kind", "n_bytes", "fake_width", "fake_height",
@@ -654,10 +657,10 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                resized = lib(bytes(row["content"] or b""))
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                resized = lib(bytes(content) if content else b"")
                 out.append({
-                    "media_id": row["media_id"],
+                    "media_id": mid,
                     "content": resized,
                     "width": target_w,
                     "height": target_h,
@@ -2371,8 +2374,8 @@ def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         cols = ["media_id", "format", "width", "height", "channels", "pixels"]
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                b = bytes(row["content"] or b"")
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                b = bytes(content) if content else b""
                 fmt = parse_media_header(b)["format"]
                 got = None
                 if b[:2] == b"BM":
@@ -2392,10 +2395,10 @@ def decode_pixels(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     got = _decode_gif_pixels(b)
                     fmt = "gif"
                 if got is None:
-                    out.append((row[id_col], fmt, None, None, None, None))
+                    out.append((mid, fmt, None, None, None, None))
                 else:
                     w, h, nch, px = got
-                    out.append((row[id_col], fmt, w, h, nch, px))
+                    out.append((mid, fmt, w, h, nch, px))
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, schema=PIXELS_SCHEMA)
@@ -2479,16 +2482,16 @@ def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                if row["pixels"] is None:
+            for mid, fmt, w, h, nch, px in zip(
+                pdf["media_id"], pdf["format"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                if px is None:
                     continue
-                hv = dhash64(
-                    bytes(row["pixels"]), int(row["width"]),
-                    int(row["height"]), int(row["channels"]),
-                )
+                hv = dhash64(bytes(px), int(w), int(h), int(nch))
                 out.append(
-                    (row["media_id"], row["format"], int(row["width"]),
-                     int(row["height"]), hv - (1 << 64 if hv >= 1 << 63 else 0))
+                    (mid, fmt, int(w), int(h),
+                     hv - (1 << 64 if hv >= 1 << 63 else 0))
                 )
             yield pd.DataFrame(
                 out, columns=["media_id", "format", "width", "height", "dhash"]
@@ -3025,6 +3028,14 @@ def audio_subfingerprints(
     return fps
 
 
+@_functools.lru_cache(maxsize=8)
+def _hann_window(frame: int):
+    """np.hanning(frame), cached — identical values, computed once per
+    worker instead of once per clip (the window depends only on the
+    frame length)."""
+    return _np.hanning(frame)
+
+
 def _subfps_and_energy(samples, frame: int, hop: int, bits: int = 32):
     """(subfingerprints, per-sub AC RMS): the fingerprint math plus the
     energy the Haitsma-Kalker gating practice needs — each sub's energy
@@ -3038,7 +3049,7 @@ def _subfps_and_energy(samples, frame: int, hop: int, bits: int = 32):
     x = _np.asarray(samples, dtype=_np.float64)
     if len(x) < frame + hop:
         return [], []
-    win = _np.hanning(frame)
+    win = _hann_window(frame)
     n_frames = (len(x) - frame) // hop + 1
     idx = _np.arange(frame)[None, :] + hop * _np.arange(n_frames)[:, None]
     frames = x[idx]
@@ -3070,12 +3081,12 @@ def audio_fingerprint(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, subs, acs = [], [], [], []
-            for _, row in pdf.iterrows():
-                got = decode_wav_samples(bytes(row["content"] or b""))
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                got = decode_wav_samples(bytes(content) if content else b"")
                 if got is None:
                     continue
                 fps, ac = _subfps_and_energy(got[1], frame, hop)
-                ids.extend([row[id_col]] * len(fps))
+                ids.extend([mid] * len(fps))
                 idxs.extend(range(len(fps)))
                 subs.extend(s - (1 << 32 if s >= 1 << 31 else 0) for s in fps)
                 acs.extend(ac)
