@@ -3410,7 +3410,7 @@ def warc_fetch_windows_q(spark, sf_dir):
     )
     from fluent_bit_spark.streaming.sources import warc_event_time
 
-    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
+    docs = _docs(spark, sf_dir).select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -3907,7 +3907,7 @@ def tar_shard_roundtrip_q(spark, sf_dir):
         write_tar_shards,
     )
 
-    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     members = docs.select(
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
         F.lit("txt").alias("ext"),
@@ -4651,7 +4651,7 @@ def ml_inference_scores(spark, sf_dir):
     thresholded into a predicted flag. Scan-parallel, shuffle-free."""
     from fluent_bit_spark.extensions.inference import predict_batch
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     out = predict_batch(emb, "embedding", dim=64, threshold=0.5)
     return out.select(
         "vec_id", "label", F.round("score", 6).alias("score"), "predicted"
@@ -4673,7 +4673,7 @@ def ml_inference_mlp_q(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), "fbs_demo_mlp_64x4.npz")
     if not os.path.exists(path):
         save_mlp_npz(path, make_demo_mlp(64, 4))
-    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     out = predict_batch(
         emb, "embedding", dim=64, make_predict_fn=make_npz_mlp_predict_fn(path)
     )
@@ -5290,7 +5290,7 @@ def entity_resolution_q(spark, sf_dir):
     closure — so a wrong edge OR a wrong component hash-fails."""
     from fluent_bit_spark.extensions.linkage import resolve_entities
 
-    part = _spread(load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3))
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
     return resolve_entities(part, "p_partkey", "p_name", threshold=0.62)
 
 
@@ -5303,7 +5303,7 @@ def edit_distance_join_q(spark, sf_dir):
     OR a wrong distance hash-fails."""
     from fluent_bit_spark.extensions.linkage import edit_distance_join
 
-    part = _spread(load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3))
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3)
     out = edit_distance_join(
         part, part, "p_partkey", "p_name", "p_partkey", "p_name", max_dist=2
     )
