@@ -504,13 +504,24 @@ def _indexed_topk(
     # from multi-term hits are harmless to a semi join, so the former
     # distinct exchange + its checkpoint disappear outright)
     cand = qterms.join(kept, "term").select(query_id_col, id_col)
+    # candidate DOCS (the distinct doc side of cand, <= C x |query
+    # vocabulary| ids): semi-filter tc on the doc id BEFORE the term
+    # join. The term join emits one row per (posting, query sharing
+    # that term) pair, so running it over the full table costs
+    # sum_t df(t) x queries_containing(t) — measured 1.4B joined rows
+    # at 30x scale on a flat vocabulary (the 95 s serve stage) — while
+    # over the candidate-doc subset it is bounded by the candidate set
+    # itself. Row-identical by construction: every row the (query, doc)
+    # semi join below keeps has its doc in the candidate-doc set.
+    cand_ids = cand.select(id_col).distinct()
     # ONE exchange keyed by query id serves both the (query, doc) score
     # aggregation and the top-k rank window (hash partitioning by
     # query_id satisfies the clustering both require); the former
     # cand-distinct -> groupBy(query, doc) -> window(query) shape paid
     # three
     scored = (
-        tc.join(F.broadcast(qterms), "term")
+        tc.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .join(F.broadcast(qterms), "term")
         .join(F.broadcast(cand), [query_id_col, id_col], "left_semi")
         .repartition(query_id_col)
         .groupBy(query_id_col, id_col)
