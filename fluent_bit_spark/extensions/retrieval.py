@@ -101,16 +101,32 @@ def bm25_topk(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    # ONE setup job for both driver scalars (N and avgdl): dl is
-    # computable per-row from the token split, so a single scan-only
-    # aggregate replaces the former count() + distinct+avg pair of jobs
+    # ONE setup job for all three driver scalars (N, avgdl, and the
+    # query count the dense-shape guard needs): dl is computable
+    # per-row from the token split, so a single scan-only aggregate
+    # replaces the former count() + distinct+avg pair of jobs, and the
+    # query-side count rides the same job as a unioned single-row
+    # aggregate instead of a job of its own
     toks = F.split(normalize_text(F.col(text_col)), " ")
     dl0 = F.size(F.filter(toks, lambda t: t != ""))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.when(dl0 > 0, dl0)).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
+    stats_rows = (
+        docs.agg(
+            F.lit("d").alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.when(dl0 > 0, dl0)).alias("avgdl"),
+        )
+        .unionByName(
+            queries.agg(
+                F.lit("q").alias("side"),
+                F.count(F.lit(1)).alias("n"),
+                F.lit(None).cast("double").alias("avgdl"),
+            )
+        )
+        .collect()
+    )
+    by_side = {r["side"]: r for r in stats_rows}
+    n_docs, avgdl = by_side["d"]["n"], by_side["d"]["avgdl"]
+    n_queries = by_side["q"]["n"]
     if n_docs == 0:
         raise ValueError("empty corpus")
     if avgdl is None:
@@ -154,7 +170,25 @@ def bm25_topk(
         F.col("score").desc(), F.col(id_col)
     )
 
+    # degenerate-vocabulary guard, same floor as the indexed serve: the
+    # join shape below replicates each (term, doc) row once per query
+    # containing the term — super-linear when the query count grows with
+    # a flat-vocabulary corpus (measured alpha 1.2, 138.8 s at 30x rows)
+    # — so above the pair floor the dense re-score runs the pivot shape
+    # (one contribution-table shuffle + Arrow matmul selection + exact
+    # Catalyst re-score; row-identical, see _dense_topk_pivot). Below
+    # the floor the plan stays the pure-JVM join shape.
+    pivot_dense = int(n_docs) * int(n_queries) >= _dense_pivot_min_pairs()
+
     def dense(qm: DataFrame) -> DataFrame:
+        if pivot_dense:
+            return _dense_topk_pivot(
+                dtf.join(
+                    F.broadcast(qm.select("term", "idf").distinct()), "term"
+                ).select("term", id_col, contrib.alias("c")),
+                qm.select(query_id_col, "term"),
+                w, k, id_col, query_id_col,
+            )
         return _topk_bounded(
             dtf.join(F.broadcast(qm), "term"), contrib, w, k, id_col,
             query_id_col,

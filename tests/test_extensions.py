@@ -2273,11 +2273,20 @@ def test_bm25_dense_pivot_fallback_matches_join(spark, monkeypatch):
     joined = serve(10**15)  # join shape for any failing set
     pivoted = serve(1)      # pivot shape for any failing set
     assert pivoted == joined
-    dense = {
-        (r.query_id, r.rank): (r.doc_id, r.score)
-        for r in bm25_topk(docs, qs, k=5).collect()
-    }
-    assert pivoted == dense
+
+    # bm25_topk's own dense path takes the same guard: pin the pivot
+    # arm against the pure-JVM join arm AND against the serve results
+    def topk(min_pairs):
+        monkeypatch.setenv("FBS_BM25_DENSE_PIVOT_MIN_PAIRS", str(min_pairs))
+        return {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk(docs, qs, k=5).collect()
+        }
+
+    dense_join = topk(10**15)
+    dense_pivot = topk(1)
+    assert dense_pivot == dense_join
+    assert pivoted == dense_join
 
 
 def test_bm25_index_persist_roundtrip(spark, tmp_path):
